@@ -1,0 +1,529 @@
+"""Query catalog: every implemented operator exposed as a named query with a
+DuckDB oracle.
+
+This is the engine's correctness-gate surface (driver contract in
+``/root/repo/__spark_entry__.py``): each entry pairs a Spark implementation
+``fn(spark, sf_dir) -> DataFrame`` with the equivalent ANSI SQL DuckDB runs on
+the same parquet tables. Column names and types are aligned on both sides
+(the driver hash-compares values after sorting columns by name).
+
+Float discipline: any aggregate of doubles is rounded to 2 decimals on BOTH
+sides so summation-order differences between engines can't flip the value
+hash; LIMIT/top-k queries order by raw stored values (bit-identical in both
+engines) with an integer tie-break, never by a freshly computed float sum.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql import Window as W
+
+
+@dataclass(frozen=True)
+class CatalogEntry:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # None → non-SQL-expressible, rows-only check
+    tags: tuple[str, ...] = ()
+
+
+REGISTRY: dict[str, CatalogEntry] = {}
+
+
+def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
+    def deco(fn):
+        REGISTRY[name] = CatalogEntry(name=name, fn=fn, oracle=oracle, tags=tags)
+        return fn
+
+    return deco
+
+
+# columns stored as parquet TIMESTAMP(NANOS), which Spark only reads via the
+# nanosAsLong legacy conf; we normalize them back to (microsecond) timestamps.
+# `ts div 1000` is integer division — no double round-trip, no precision loss.
+_NANO_TS_COLUMNS = {"events": ("ts",)}
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    for col in _NANO_TS_COLUMNS.get(table, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    return df
+
+
+# ---------------------------------------------------------------------------
+# Parity core: scan / projection / filter chain / bucketing (SURVEY §2.2 O1-O7)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scan_project",
+    oracle="""
+    SELECT l_orderkey, l_partkey, l_extendedprice
+    FROM lineitem WHERE l_quantity > 45
+    """,
+    tags=("parity", "scan"),
+)
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel scan + projection (O1/O4): predicate + column pruning reach the
+    parquet scan (PushedFilters/ReadSchema in .explain)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 45)
+        .select("l_orderkey", "l_partkey", "l_extendedprice")
+    )
+
+
+@register(
+    "filter_chain",
+    oracle="""
+    SELECT event_id, user_id, round(value * 1.1, 2) AS boosted
+    FROM events WHERE event_type = 'purchase' AND value > 50
+    """,
+    tags=("parity", "filter"),
+)
+def q_filter_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter chain (O3) driven through the spec engine end-to-end: the
+    pipeline spec compiles to predicate → derived column → projection."""
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+            "filters": [
+                {"type": "filter", "predicate": "event_type = 'purchase' AND value > 50"},
+                {"type": "with_column", "name": "boosted", "expr": "round(value * 1.1, 2)"},
+                {"type": "select", "columns": ["event_id", "user_id", "boosted"]},
+            ],
+            "out": {"type": "null"},
+        }
+    )
+    return compile_pipeline(spark, spec)
+
+
+def _bucket_agg(spark, sf_dir, unit_seconds, alias):
+    from .operators.partitioning import bucket_expr
+
+    ev = load(spark, sf_dir, "events")
+    unit = "hour" if unit_seconds == 3600 else "day"
+    return (
+        ev.withColumn(alias, bucket_expr(ev, "ts", unit))
+        .groupBy(alias)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "bucket_hour",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_hour,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    tags=("parity", "partitioning"),
+)
+def q_bucket_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Timestamp hour bucketing (O5) — the reference's flagship partition key."""
+    return _bucket_agg(spark, sf_dir, 3600, "bucket_hour")
+
+
+@register(
+    "bucket_day",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 86400) AS BIGINT) AS bucket_day,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1
+    """,
+    tags=("parity", "partitioning"),
+)
+def q_bucket_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bucket_agg(spark, sf_dir, 86400, "bucket_day")
+
+
+@register(
+    "bucket_long_milli",
+    oracle="""
+    SELECT CAST(floor((epoch_ms(ts) // 1000) / 3600) AS BIGINT) AS bucket_hour,
+           count(*) AS n_events
+    FROM events GROUP BY 1
+    """,
+    tags=("parity", "partitioning"),
+)
+def q_bucket_long_milli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long unix-time bucketing with unit conversion (O6): a milli-precision
+    long column divided down to seconds, then hour-bucketed."""
+    from .operators.partitioning import bucket_expr
+
+    ev = load(spark, sf_dir, "events").withColumn(
+        "ts_ms", F.unix_millis(F.col("ts"))
+    )
+    return (
+        ev.withColumn(
+            "bucket_hour", bucket_expr(ev, "ts_ms", "hour", unix_timestamp_unit="milli")
+        )
+        .groupBy("bucket_hour")
+        .agg(F.count("*").alias("n_events"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational surface (SURVEY §2.4): aggregations, joins, windows, set ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 2) AS avg_qty,
+           round(avg(l_extendedprice), 2) AS avg_price,
+           round(avg(l_discount), 2) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("relational", "agg"),
+)
+def q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: hash agg with partial (map-side)
+    aggregation — one exchange on the two group keys."""
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast(T.TimestampType()))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.round(F.avg("l_discount"), 2).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("relational", "agg"),
+)
+def q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-agg, no shuffle beyond the final
+    single-row reduce; all predicates push to parquet."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast(T.TimestampType()))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast(T.TimestampType()))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "q3_segment_revenue",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1996-06-30 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    """,
+    tags=("relational", "join"),
+)
+def q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: small dims broadcast (customer → orders), big-side
+    shuffle only on the lineitem join key."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast(T.TimestampType())
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-06-30").cast(T.TimestampType())
+    )
+    return (
+        l.join(F.broadcast(o.join(F.broadcast(c), o.o_custkey == c.c_custkey)),
+               l.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+    tags=("relational", "join"),
+)
+def q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join: every dimension is broadcast; the only
+    shuffles are lineitem↔orders co-partitioning and the final agg."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast(T.TimestampType()))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast(T.TimestampType()))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "topk_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey
+             ) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    tags=("relational", "window", "topk"),
+)
+def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group via window row_number — the scalable top-k pattern
+    (no global sort; one hash exchange on the partition key)."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_value
+    FROM events
+    """,
+    tags=("relational", "window"),
+)
+def q_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+@register(
+    "setops_segments",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    """,
+    tags=("relational", "setops"),
+)
+def q_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    rich = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
+    seg = c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY")).select(
+        "c_custkey"
+    )
+    return rich.intersect(seg)
+
+
+@register(
+    "rollup_order_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "agg"),
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+@register(
+    "semi_anti_join",
+    oracle="""
+    SELECT p_partkey, p_name FROM part
+    WHERE p_partkey IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+      AND p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_discount > 0.09)
+    """,
+    tags=("relational", "join"),
+)
+def q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join (EXISTS / NOT EXISTS) — broadcastable filters."""
+    p = load(spark, sf_dir, "part")
+    li = load(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") > 49).select("l_partkey")
+    disc = li.filter(F.col("l_discount") > 0.09).select("l_partkey")
+    return (
+        p.join(hot, p.p_partkey == hot.l_partkey, "left_semi")
+        .join(disc, F.col("p_partkey") == disc.l_partkey, "left_anti")
+        .select("p_partkey", "p_name")
+    )
+
+
+@register(
+    "json_props_extract",
+    oracle="""
+    SELECT json_extract_string(props, '$.k') AS k_value, count(*) AS n
+    FROM events GROUP BY 1
+    """,
+    tags=("functions", "json"),
+)
+def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column semantics (reference `json` type, SURVEY §1.3): documents
+    kept as canonical text, queried with get_json_object on demand."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.get_json_object(F.col("props"), "$.k").alias("k_value")
+    ).agg(F.count("*").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline operators: dedup / text (SURVEY §2.4 north star)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: content-hash groupBy, keep lowest doc_id — one exchange
+    on the hash; at 100 TB this is the standard first dedup pass."""
+    from .operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_computed,
+           round(length(text) * 1.0 / len(string_split(text, ' ')), 2) AS avg_token_len
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality-score inputs, all JVM-side expressions."""
+    from .operators.text import text_stats
+
+    return text_stats(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS fingerprint
+    FROM documents
+    """,
+    tags=("text", "dedup"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive document fingerprint (sorted-token md5) — catches
+    shuffled near-dups that exact hashing misses."""
+    from .operators.text import fingerprint
+
+    return fingerprint(load(spark, sf_dir, "documents"))
+
+
+def entries() -> dict[str, CatalogEntry]:
+    return dict(REGISTRY)

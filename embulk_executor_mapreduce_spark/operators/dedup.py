@@ -1,0 +1,195 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All operators are pure DataFrame compositions (no Python UDFs in the hot
+path) so they survive 100 TB: the expensive parts are hash-groupBys and
+bucket-joins whose keys Catalyst/AQE can reason about.
+
+- exact dedup: content-hash groupBy (one exchange).
+- MinHash: k independent hash functions approximated as ``min(md5(seed || shingle))``
+  per seed — deterministic, engine-portable, and entirely inside codegen.
+  LSH banding groups signature slices into band keys; candidate pairs come
+  from a self-equi-join on (band, band_key) — which Spark executes as a
+  shuffle join on a high-cardinality key, the scalable way to avoid the O(n²)
+  all-pairs compare.
+- n-gram Jaccard verification for candidate pairs.
+- SimHash: per-token hash bits weighted/summed via explode + groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Group identical content by md5, keep the lowest id (deterministic
+    survivor), report group sizes."""
+    return df.groupBy(F.md5(F.col(text_col)).alias("text_hash")).agg(
+        F.min(id_col).alias("keep_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Return the deduplicated frame itself (survivor rows only)."""
+    survivors = df.groupBy(F.md5(F.col(text_col)).alias("__h")).agg(
+        F.min(id_col).alias(id_col)
+    )
+    return df.join(survivors.select(id_col), on=id_col, how="left_semi")
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles as an array<string>; empty/short docs yield the
+    whole-doc token join (so every doc has ≥1 shingle)."""
+    words = F.split(F.col(text_col), " ")
+    k = F.greatest(F.size(words) - (n - 1), F.lit(1))
+    # sequence(0, k-1) → slice(words, i+1, n) → join with space
+    return F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "),
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed j, min over shingles of md5(j || '|' || s).
+
+    md5-as-hash-family is deterministic and identical across engines (the
+    DuckDB oracle computes the same), at the cost of string hashing — fine,
+    because it's still vectorized JVM code and one pass over the exploded
+    shingles. Returns array<string> of length ``num_hashes``.
+    """
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles,
+                    lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)),
+                )
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: docs sharing ≥1 band of their MinHash signature.
+
+    Scale shape: explode to (doc, band, band_key) — num rows = n_docs × bands —
+    then self-join on (band, band_key). No O(n²) compare; skewed band keys
+    (e.g. boilerplate docs) are exactly what AQE skew-join splitting handles.
+    Output: (id_a, id_b) with id_a < id_b, distinct.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(text_col, shingle_n), num_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|", *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "bk.band", "bk.band_key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for ALL pairs sharing ≥1 shingle.
+
+    Shape: explode distinct shingles → self-join on shingle → count common
+    shingles per pair → Jaccard = common / (|A| + |B| - common). The join is
+    on the shingle value (high cardinality), so it shuffles well; a 100 TB
+    run would put a document-frequency cap on shingles first (stop-shingle
+    removal) — exposed as ``max_doc_freq`` in a later revision.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
+    )
+    sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    a = toks.alias("a")
+    b = toks.alias("b")
+    common = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash per document from token xxhash64 bits.
+
+    explode tokens → per (doc, bit) sum of ±1 → sign → assemble the bit
+    vector. Pure aggregations; two exchanges on doc id. xxhash64 is
+    Spark-side only (no portable oracle) — verified by property tests
+    (similar docs ⇒ small Hamming distance) instead of the SQL oracle.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bits = toks.select(
+        id_col,
+        *[
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+            .alias(f"b{i}")
+            for i in range(64)
+        ],
+    )
+    agg = bits.groupBy(id_col).agg(
+        *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
+    )
+    sim = F.lit(0).cast("long")
+    for i in range(64):
+        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+    return agg.select(F.col(id_col), sim.alias("simhash"))

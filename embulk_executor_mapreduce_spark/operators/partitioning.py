@@ -1,0 +1,151 @@
+"""Timestamp bucketing + skew salting — the reference's one partitioning strategy.
+
+Semantics being matched (SURVEY.md §2.2 O5–O7; reference
+``TimestampPartitioning.java``):
+
+- ``unit: hour`` → bucket = ``floor(epoch_seconds / 3600)``; ``unit: day`` →
+  ``floor(epoch_seconds / 86400)``. UTC only (the reference raises a
+  ConfigException for any other timezone, ``TimestampPartitioning.java:128-136``).
+- The partition column may be a ``timestamp`` (epoch seconds taken directly,
+  ``TimestampPartitioning.java:293-307``) or a ``long`` carrying a unix time in
+  ``sec | milli | micro | nano`` (divided down to seconds first,
+  ``TimestampPartitioning.java:88-120,309-329``). Integer floor-division
+  throughout — negative epochs floor toward -inf, matching Java's
+  ``Math.floorDiv`` semantics the bucket math needs.
+- ``map_side_partition_split: N`` (1..65535) appends a round-robin salt so one
+  hot bucket spreads over up to N reduce tasks
+  (``TimestampPartitioning.java:42-46,273-289``). Spark-first: the salt is a
+  uniform per-row value in ``[0, N)``; we derive it from a cheap deterministic
+  expression rather than a stateful counter (same load-balancing effect, no
+  per-partition state, stays inside codegen).
+
+Everything here returns Catalyst ``Column`` expressions — no UDFs — so bucket
+computation stays JVM-side and whole-stage-codegen'd, and repartitioning on the
+bucket column is a plain hash exchange Catalyst can reason about.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..errors import PartitionError
+
+UNIT_SECONDS = {"hour": 3600, "day": 86400}
+
+# unix_timestamp_unit → divisor to get seconds (TimestampPartitioning.java:88-120)
+UNIX_UNIT_DIVISOR = {
+    "sec": 1,
+    "second": 1,
+    "seconds": 1,
+    "milli": 1_000,
+    "millisecond": 1_000,
+    "milliseconds": 1_000,
+    "micro": 1_000_000,
+    "microsecond": 1_000_000,
+    "microseconds": 1_000_000,
+    "nano": 1_000_000_000,
+    "nanosecond": 1_000_000_000,
+    "nanoseconds": 1_000_000_000,
+}
+
+MAX_SPLIT = 65535  # TimestampPartitioning.java:42-46 caps map_side_partition_split
+
+
+def _floor_div(col: Column, divisor: int) -> Column:
+    """Floor division on longs (negative-safe, like Java Math.floorDiv)."""
+    if divisor == 1:
+        return col
+    return F.floor(col / F.lit(divisor)).cast(T.LongType())
+
+
+def bucket_expr(
+    df: DataFrame,
+    column: str,
+    unit: str = "hour",
+    unix_timestamp_unit: str = "sec",
+) -> Column:
+    """Bucket expression: time bucket index (hours- or days-since-epoch) as LONG.
+
+    Validates like the reference's config-time checks
+    (``TimestampPartitioning.java:122-150``): unknown column, bad unit, bad
+    unix unit, and unsupported column type all raise :class:`PartitionError`
+    at plan time.
+    """
+    if unit not in UNIT_SECONDS:
+        raise PartitionError(
+            f"unknown partitioning unit {unit!r}: expected one of {sorted(UNIT_SECONDS)}"
+        )
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    if column not in fields:
+        raise PartitionError(f"partitioning column {column!r} not found in schema")
+    dtype = fields[column]
+
+    if isinstance(dtype, T.TimestampType):
+        # epoch seconds of a timestamp; unix_timestamp() floors to seconds.
+        seconds = F.unix_timestamp(F.col(column))
+    elif isinstance(dtype, (T.LongType, T.IntegerType)):
+        if unix_timestamp_unit not in UNIX_UNIT_DIVISOR:
+            raise PartitionError(
+                f"unknown unix_timestamp_unit {unix_timestamp_unit!r}: "
+                f"expected sec|milli|micro|nano"
+            )
+        seconds = _floor_div(
+            F.col(column).cast(T.LongType()), UNIX_UNIT_DIVISOR[unix_timestamp_unit]
+        )
+    else:
+        raise PartitionError(
+            f"partitioning column {column!r} must be timestamp or long, got {dtype.simpleString()}"
+        )
+    return _floor_div(seconds, UNIT_SECONDS[unit]).alias(f"__bucket_{unit}")
+
+
+def salt_expr(split: int) -> Column:
+    """Uniform salt in ``[0, split)`` for hot-bucket spreading.
+
+    The reference uses a per-mapper round-robin counter mod ``split``
+    (``TimestampPartitioning.java:273-289``). A deterministic uniform hash of a
+    monotonically increasing per-row id has the same balancing property without
+    cross-row state, and stays codegen'd.
+    """
+    if not (1 <= split <= MAX_SPLIT):
+        raise PartitionError(
+            f"map_side_partition_split must be in [1, {MAX_SPLIT}], got {split}"
+        )
+    if split == 1:
+        return F.lit(0)
+    return F.pmod(F.monotonically_increasing_id(), F.lit(split)).cast(T.IntegerType())
+
+
+def repartition_by_bucket(
+    df: DataFrame,
+    column: str,
+    unit: str = "hour",
+    unix_timestamp_unit: str = "sec",
+    reducers: int | None = None,
+    map_side_partition_split: int = 1,
+    bucket_col: str = "__bucket",
+    keep_bucket: bool = False,
+) -> DataFrame:
+    """The reference's shuffle shape: records sharing a time bucket are routed
+    together (one output transaction per reduce task,
+    ``EmbulkPartitioningMapReduce.java:156-183``), optionally salted.
+
+    ``reducers`` defaults to the input parallelism like the reference
+    (``MapReduceExecutor.java:98``). Returns the repartitioned frame; the
+    bucket column is dropped unless ``keep_bucket``.
+    """
+    if reducers is not None and reducers <= 0:
+        raise PartitionError(f"reducers must be > 0, got {reducers}")
+    n = reducers or df.rdd.getNumPartitions()
+    out = df.withColumn(bucket_col, bucket_expr(df, column, unit, unix_timestamp_unit))
+    keys = [bucket_col]
+    if map_side_partition_split > 1:
+        out = out.withColumn("__salt", salt_expr(map_side_partition_split))
+        keys.append("__salt")
+    out = out.repartition(n, *[F.col(k) for k in keys])
+    drop = [] if keep_bucket else [bucket_col]
+    if map_side_partition_split > 1:
+        drop.append("__salt")
+    return out.drop(*drop) if drop else out

@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Centralizes the conf every entry point (tests, bench, driver contract) uses so
+plans are reproducible: UTC session timezone (oracle comparisons), AQE on
+(runtime coalescing + skew handling at scale), Arrow for the pandas-UDF slow
+path, shuffle partitions sized to local cores (on a real cluster this is set
+per-job; AQE coalesces down from it either way).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "embulk_executor_mapreduce_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) the session.
+
+    ``local[$SPARK_GRAFT_CPUS]`` by default; on a real cluster the master /
+    memory come from spark-submit and these settings remain valid.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        ncpu = os.cpu_count() or 8
+        shuffle_partitions = int(cpus) if cpus.isdigit() else ncpu
+
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # testdata events.ts is parquet TIMESTAMP(NANOS): read as long, then
+        # normalized to TimestampType at load (catalog.load / sources.readers)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,47 @@
+"""Partitioned transactional sink (SURVEY.md §2.2 O10).
+
+Reference semantics: each reduce task opens ONE output transaction, appends
+every record routed to it, then finish/commit (abort on failure) — output task
+count = reduce task count (``EmbulkPartitioningMapReduce.java:156-236``).
+
+Spark-first: one write task per DataFrame partition, atomicity via Spark's
+FileCommitProtocol (task attempts write to a staging dir; commit renames —
+the same all-or-nothing contract the reference builds by hand with HDFS state
+files). ``partition_by_bucket`` gives the per-time-bucket directory layout
+(`.write.partitionBy`) that the reference approximates with
+bucket→reducer routing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from ..errors import ConfigError
+from ..spec import SinkSpec
+
+
+def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> None:
+    if spec.type == "null":
+        # still execute the plan (reference NullOutputFormat still runs tasks)
+        df.write.format("noop").mode("overwrite").save()
+        return
+    if spec.type == "memory":
+        df.createOrReplaceTempView(spec.options.get("view", "pipeline_out"))
+        return
+    writer = df.write.mode(spec.mode).options(**spec.options)
+    if spec.partition_by_bucket:
+        if not bucket_col:
+            raise ConfigError("partition_by_bucket requires a partitioning block")
+        writer = writer.partitionBy(bucket_col)
+    if spec.type == "parquet":
+        writer.parquet(spec.path)
+    elif spec.type == "csv":
+        opts = {"header": True, "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
+        opts.update(spec.options)
+        df.write.mode(spec.mode).options(**opts).csv(spec.path)
+    elif spec.type == "json":
+        writer.json(spec.path)
+    elif spec.type == "orc":
+        writer.orc(spec.path)
+    else:
+        raise ConfigError(f"unknown sink type {spec.type!r}")

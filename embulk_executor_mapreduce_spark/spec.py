@@ -1,0 +1,209 @@
+"""Declarative pipeline spec: ``in → filters → out`` (+ ``partitioning``).
+
+Faithful to the reference's config shape (an Embulk YAML with an ``exec:
+{type: mapreduce}`` block — reference ``embulk_mapred_config.yml``,
+``MapReduceExecutorTask.java:17-75``) but compiled onto DataFrames. The spec is
+plain dataclasses loadable from a dict (YAML parsing is a thin wrapper — PyYAML
+is gated behind an import-try since the container may lack it; JSON and dicts
+always work).
+
+Validation happens here at plan time, mirroring the reference's config-time
+``ConfigException`` matrix (SURVEY.md §5.1 layer 2).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass, field
+from typing import Any
+
+from .errors import ConfigError, PartitionError
+from .operators.partitioning import MAX_SPLIT, UNIT_SECONDS, UNIX_UNIT_DIVISOR
+from .types import ColumnSpec
+
+_SOURCE_TYPES = {"parquet", "csv", "json", "orc", "task"}
+_SINK_TYPES = {"parquet", "csv", "json", "orc", "null", "memory"}
+_FILTER_TYPES = {
+    "select",
+    "drop",
+    "rename",
+    "cast",
+    "filter",
+    "with_column",
+    "pandas",  # row-level plugin escape hatch (reference FilterPlugin slot, O3)
+}
+
+
+@dataclass(frozen=True)
+class SourceSpec:
+    type: str
+    path: str | None = None
+    columns: tuple[ColumnSpec, ...] = ()
+    options: dict[str, Any] = field(default_factory=dict)
+    # csv parse semantics (reference embulk_mapred_config.yml:14-37)
+    stop_on_invalid_record: bool = False
+    # plugin-style source: number of parallel input tasks + a task fn name
+    task_count: int | None = None
+
+
+@dataclass(frozen=True)
+class FilterSpec:
+    type: str
+    config: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class PartitioningSpec:
+    """Reference ``partitioning:`` block (``TimestampPartitioning.java:122-150``)."""
+
+    type: str = "timestamp"
+    unit: str = "hour"
+    column: str = ""
+    unix_timestamp_unit: str = "sec"
+    map_side_partition_split: int = 1
+
+    def validate(self) -> None:
+        if self.type != "timestamp":
+            # the reference supports exactly one strategy (MapReduceExecutor.java:129-137)
+            raise PartitionError(f"unknown partitioning type {self.type!r}")
+        if self.unit not in UNIT_SECONDS:
+            raise PartitionError(f"unknown partitioning unit {self.unit!r}")
+        if not self.column:
+            raise PartitionError("partitioning.column is required")
+        if self.unix_timestamp_unit not in UNIX_UNIT_DIVISOR:
+            raise PartitionError(
+                f"unknown unix_timestamp_unit {self.unix_timestamp_unit!r}"
+            )
+        if not (1 <= self.map_side_partition_split <= MAX_SPLIT):
+            raise PartitionError(
+                f"map_side_partition_split must be in [1, {MAX_SPLIT}]"
+            )
+
+
+@dataclass(frozen=True)
+class SinkSpec:
+    type: str
+    path: str | None = None
+    mode: str = "overwrite"
+    options: dict[str, Any] = field(default_factory=dict)
+    partition_by_bucket: bool = False  # directory layout per time bucket (O10)
+
+
+@dataclass(frozen=True)
+class ExecSpec:
+    """Executor knobs (reference ``MapReduceExecutorTask.java:17-75``)."""
+
+    reducers: int | None = None
+    local_mode_input_tasks: int = 0  # kept for parity; semantics identical either way
+    retry_tasks: bool = False
+    job_name: str = "embulk_executor_mapreduce_spark"
+
+
+@dataclass(frozen=True)
+class PipelineSpec:
+    source: SourceSpec
+    filters: tuple[FilterSpec, ...] = ()
+    sink: SinkSpec = SinkSpec(type="null")
+    partitioning: PartitioningSpec | None = None
+    execution: ExecSpec = ExecSpec()
+
+    def validate(self) -> None:
+        if self.source.type not in _SOURCE_TYPES:
+            raise ConfigError(f"unknown source type {self.source.type!r}")
+        if self.source.type != "task" and not self.source.path:
+            raise ConfigError(f"source type {self.source.type!r} requires a path")
+        if self.source.type == "csv" and not self.source.columns:
+            raise ConfigError("csv source requires an explicit columns schema")
+        for f in self.filters:
+            if f.type not in _FILTER_TYPES:
+                raise ConfigError(f"unknown filter type {f.type!r}")
+        if self.sink.type not in _SINK_TYPES:
+            raise ConfigError(f"unknown sink type {self.sink.type!r}")
+        if self.sink.type not in ("null", "memory") and not self.sink.path:
+            raise ConfigError(f"sink type {self.sink.type!r} requires a path")
+        if self.partitioning is not None:
+            self.partitioning.validate()
+        if self.execution.reducers is not None and self.execution.reducers <= 0:
+            # reference rejects reducers <= 0 (MapReduceExecutor.java:99-101)
+            raise ConfigError(
+                f"reducers must be > 0, got {self.execution.reducers}"
+            )
+        if self.sink.partition_by_bucket and self.partitioning is None:
+            raise ConfigError("partition_by_bucket sink requires a partitioning block")
+
+
+def _columns_from(raw: list[dict[str, Any]]) -> tuple[ColumnSpec, ...]:
+    out = []
+    for c in raw:
+        if "name" not in c or "type" not in c:
+            raise ConfigError(f"column spec needs name+type, got {c!r}")
+        out.append(ColumnSpec(name=c["name"], type=c["type"], format=c.get("format")))
+    return tuple(out)
+
+
+def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
+    """Load from a dict (or a JSON/YAML string). Embulk-style keys:
+    ``in``, ``filters``, ``out``, ``exec`` (with nested ``partitioning``)."""
+    if isinstance(doc, str):
+        try:
+            doc = json.loads(doc)
+        except json.JSONDecodeError:
+            try:
+                import yaml  # type: ignore
+
+                doc = yaml.safe_load(doc)
+            except ImportError:
+                raise ConfigError(
+                    "spec string is not JSON and PyYAML is unavailable"
+                ) from None
+    if not isinstance(doc, dict) or "in" not in doc:
+        raise ConfigError("pipeline spec must be a mapping with an 'in' block")
+
+    src_raw = dict(doc["in"])
+    source = SourceSpec(
+        type=src_raw.pop("type", "parquet"),
+        path=src_raw.pop("path", None),
+        columns=_columns_from(src_raw.pop("columns", [])),
+        stop_on_invalid_record=src_raw.pop("stop_on_invalid_record", False),
+        task_count=src_raw.pop("task_count", None),
+        options=src_raw.pop("options", src_raw),
+    )
+    filters = tuple(
+        FilterSpec(type=f.pop("type"), config=f)
+        for f in (dict(f) for f in doc.get("filters", []))
+    )
+    out_raw = dict(doc.get("out", {"type": "null"}))
+    sink = SinkSpec(
+        type=out_raw.pop("type", "null"),
+        path=out_raw.pop("path", None),
+        mode=out_raw.pop("mode", "overwrite"),
+        partition_by_bucket=out_raw.pop("partition_by_bucket", False),
+        options=out_raw.pop("options", out_raw),
+    )
+    exec_raw = dict(doc.get("exec", {}))
+    part_raw = exec_raw.pop("partitioning", doc.get("partitioning"))
+    partitioning = None
+    if part_raw:
+        part_raw = dict(part_raw)
+        partitioning = PartitioningSpec(
+            type=part_raw.get("type", "timestamp"),
+            unit=part_raw.get("unit", "hour"),
+            column=part_raw.get("column", ""),
+            unix_timestamp_unit=part_raw.get("unix_timestamp_unit", "sec"),
+            map_side_partition_split=int(part_raw.get("map_side_partition_split", 1)),
+        )
+    execution = ExecSpec(
+        reducers=exec_raw.get("reducers"),
+        local_mode_input_tasks=int(exec_raw.get("local_mode_input_tasks", 0)),
+        retry_tasks=bool(exec_raw.get("retry_tasks", False)),
+        job_name=exec_raw.get("job_name", "embulk_executor_mapreduce_spark"),
+    )
+    spec = PipelineSpec(
+        source=source,
+        filters=filters,
+        sink=sink,
+        partitioning=partitioning,
+        execution=execution,
+    )
+    spec.validate()
+    return spec

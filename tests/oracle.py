@@ -1,0 +1,90 @@
+"""Local mirror of the driver's DuckDB-oracle comparison.
+
+Runs a catalog query on Spark and its oracle SQL on DuckDB over the same
+parquet tables, then compares row count, column names, and an
+order-insensitive canonical value multiset. Used by tests (sf0.001) and by
+development iteration before declaring a query in the catalog.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import math
+from decimal import Decimal
+
+import duckdb
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _canon(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, Decimal):
+        v = float(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S.%f")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_canon(x) for x in v) + "]"
+    return str(v)
+
+
+def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
+    sdf = fn(spark, sf_dir)
+    spark_rows = sdf.collect()
+    spark_cols = sorted(sdf.columns)
+
+    con = duck_connection(sf_dir)
+    res = con.execute(sql)
+    duck_cols_raw = [d[0] for d in res.description]
+    duck_rows = res.fetchall()
+    duck_cols = sorted(duck_cols_raw)
+
+    if spark_cols != duck_cols:
+        return False, f"column mismatch: spark={spark_cols} duck={duck_cols}"
+    if len(spark_rows) != len(duck_rows):
+        return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
+
+    s_sorted = sorted(
+        tuple(_canon(row[c]) for c in spark_cols) for row in spark_rows
+    )
+    idx = {c: i for i, c in enumerate(duck_cols_raw)}
+    d_sorted = sorted(
+        tuple(_canon(row[idx[c]]) for c in duck_cols) for row in duck_rows
+    )
+    if s_sorted != d_sorted:
+        diff = next(
+            (i, a, b) for i, (a, b) in enumerate(zip(s_sorted, d_sorted)) if a != b
+        )
+        return False, f"value mismatch at sorted row {diff[0]}: spark={diff[1]} duck={diff[2]}"
+    return True, f"ok ({len(spark_rows)} rows)"
