@@ -525,5 +525,321 @@ def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprint(load(spark, sf_dir, "documents"))
 
 
+# ---------------------------------------------------------------------------
+# Near-dup detection: MinHash LSH / n-gram Jaccard / SimHash
+# ---------------------------------------------------------------------------
+
+_MINHASH_HASHES = 8
+_MINHASH_BANDS = 4
+
+
+def _minhash_oracle(num_hashes: int, bands: int) -> str:
+    rows = num_hashes // bands
+    sig_items = ",\n          ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}|' || s)))"
+        for j in range(num_hashes)
+    )
+    band_cases = "\n             ".join(
+        "WHEN {b} THEN {key}".format(
+            b=b,
+            key=" || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                            i -> array_to_string(w[i:i+2], ' ')) AS shingles
+      FROM toks
+    ), sig AS (
+      SELECT doc_id, [{sig_items}] AS sig FROM sh
+    ), banded AS (
+      SELECT doc_id, b.band,
+             CASE b.band
+             {band_cases}
+             END AS band_key
+      FROM sig, (SELECT unnest(range({bands})) AS band) b
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                 AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """
+
+
+@register(
+    "minhash_lsh_candidates",
+    oracle=_minhash_oracle(_MINHASH_HASHES, _MINHASH_BANDS),
+    tags=("dedup", "lsh"),
+)
+def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle → md5-minhash signature →
+    band keys → self-equi-join on (band, key). The scalable near-dup pass:
+    no O(n²) compare, one shuffle on high-cardinality band keys."""
+    from .operators.dedup import minhash_candidates
+
+    return minhash_candidates(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                              i -> array_to_string(w[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM toks
+    ), sizes AS (
+      SELECT doc_id, len(sh) AS n FROM toks
+    ), common AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(n_common / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_common / (sa.n + sb.n - n_common), 4) >= 0.05
+    """,
+    tags=("dedup",),
+)
+def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard over pairs sharing ≥1 shingle (verification stage
+    after LSH candidate generation)."""
+    from .operators.dedup import jaccard_pairs
+
+    return jaccard_pairs(
+        load(spark, sf_dir, "documents"), "text", "doc_id", threshold=0.05
+    )
+
+
+@register("simhash64", oracle=None, tags=("dedup",))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per doc (xxhash64 token bits — Spark-side hash family,
+    no portable SQL oracle; property-tested in tests/test_dedup.py)."""
+    from .operators.dedup import simhash64
+
+    return simhash64(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM base WHERE vec_id IN (0, 1, 2, 3)
+    ), scored AS (
+      SELECT q.query_id, c.vec_id AS cand_id,
+             round(
+               list_dot_product(q.qv, c.v)
+               / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v))),
+               6) AS cos_sim
+      FROM q, base c WHERE c.vec_id <> q.query_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity",),
+)
+def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast probe vectors over one candidate scan.
+    Dot products fold sequentially over doubles — bit-identical to DuckDB's
+    list_dot_product, so the oracle compares rounded cosines safely."""
+    from .operators.similarity import brute_force_topk
+
+    return brute_force_topk(load(spark, sf_dir, "embeddings"))
+
+
+@register("ann_lsh_topk", oracle=None, tags=("similarity", "lsh"))
+def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane bucketing (recall vs brute
+    force asserted in tests/test_similarity.py; no SQL oracle — the bucket
+    pruning is the point)."""
+    from .operators.similarity import lsh_bucket_topk
+
+    return lsh_bucket_topk(load(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# More text analysis: language ID, quality scoring
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "language_id",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+    ), s AS (
+      SELECT doc_id, list_max([
+        {'hits': len(list_intersect(toks, ['der','die','das','und'])), 'rank': 4, 'lang': 'de'},
+        {'hits': len(list_intersect(toks, ['the','a','of','and'])),    'rank': 3, 'lang': 'en'},
+        {'hits': len(list_intersect(toks, ['el','la','los','y'])),     'rank': 2, 'lang': 'es'},
+        {'hits': len(list_intersect(toks, ['le','la','les','et'])),    'rank': 1, 'lang': 'fr'}
+      ]) AS best
+      FROM t
+    )
+    SELECT doc_id, best.lang AS lang_guess, best.hits AS marker_hits FROM s
+    """,
+    tags=("text",),
+)
+def q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID (argmax with deterministic tie-break)."""
+    from .operators.text import language_id
+
+    return language_id(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) * 1.0 / len(string_split(text, ' ')) AS mean_len,
+             len(list_intersect(string_split(text, ' '),
+                                ['the','a','of','and'])) > 0 AS has_stop
+      FROM documents
+    )
+    SELECT doc_id, round(
+        (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+      + (CASE WHEN has_stop THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+      + (CASE WHEN mean_len BETWEEN 3.0 AND 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END),
+      2) AS quality
+    FROM t
+    """,
+    tags=("text",),
+)
+def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.text import quality_score
+
+    return quality_score(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing / as-of join / sessionization
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           md5(text) AS content_hash,
+           CAST(1 + octet_length(encode(text)) % 1024 AS INT) AS width,
+           CAST(1 + octet_length(encode(text)) % 768 AS INT) AS height
+    FROM documents
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: text → binary payload + metadata → Arrow-batched
+    mapInPandas decode stub (real decoder swaps in; plumbing is production-
+    shaped). Feature floats excluded from the oracle projection."""
+    from .operators.multimodal import decode_stub, to_binary
+
+    return decode_stub(to_binary(load(spark, sf_dir, "documents"))).select(
+        "doc_id", "n_bytes", "content_hash", "width", "height"
+    )
+
+
+@register(
+    "asof_last_signup",
+    oracle="""
+    SELECT e.event_id, e.user_id, epoch_us(s.ts) AS signup_us
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts
+    """,
+    tags=("relational", "asof"),
+)
+def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (no Spark built-in): union-tag + last(ignoreNulls) window —
+    one exchange on the key, no per-key merge loop. Oracle uses DuckDB's
+    native ASOF JOIN (same semantics: latest right row with ts <= left ts)."""
+    from .operators.relational import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        "user_id", F.col("ts").alias("signup_ts")
+    )
+    joined = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        signups.withColumnRenamed("signup_ts", "ts"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        right_cols=["ts"],
+    )
+    return joined.select(
+        "event_id", "user_id", F.unix_micros(F.col("ts_asof")).alias("signup_us")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+    SELECT event_id, user_id, session_seq FROM (
+      SELECT event_id, user_id,
+             sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM (
+        SELECT event_id, user_id, ts,
+               epoch_us(ts) - epoch_us(lag(ts) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        FROM events
+      )
+    )
+    """,
+    tags=("relational", "session"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: gap > 30 min starts a new session (lag + running sum
+    of session breaks; integer-microsecond gap math on both sides)."""
+    from .operators.relational import sessionize
+
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, key="user_id", ts="ts", gap_seconds=1800).select(
+        "event_id", "user_id", F.col("session_seq").cast(T.LongType()).alias("session_seq")
+    )
+
+
+@register("approx_distinct_users", oracle=None, tags=("agg", "approx"))
+def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates (HLL/quantile sketches differ across engines —
+    rows-only check; exactness bounds asserted in tests/test_relational.py)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(REGISTRY)

@@ -58,16 +58,14 @@ def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
     because it's still vectorized JVM code and one pass over the exploded
     shingles. Returns array<string> of length ``num_hashes``.
     """
+    def hasher(seed: int):
+        prefix = f"{seed}|"
+        # single-arg lambda — a 2-arg lambda would make Spark pass (element,
+        # index) and silently shadow the seed binding
+        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+
     return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles,
-                    lambda s, j=j: F.md5(F.concat(F.lit(f"{j}|"), s)),
-                )
-            )
-            for j in range(num_hashes)
-        ]
+        *[F.array_min(F.transform(shingles, hasher(j))) for j in range(num_hashes)]
     )
 
 
@@ -191,5 +189,7 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
     sim = F.lit(0).cast("long")
     for i in range(64):
-        sim = sim + F.when(F.col(f"s{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+        sim = sim + F.when(
+            F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), sim.alias("simhash"))

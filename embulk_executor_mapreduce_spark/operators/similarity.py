@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (array<float>).
+
+Scale design: the query side is small (a handful of probe vectors) and gets
+broadcast; the candidate side is the 100 TB scan. Brute-force cosine is the
+baseline (one pass, no shuffle until top-k); the LSH-bucketed variant prunes
+candidates by sign-hash bucket equality before scoring, turning the cross
+product into an equi-join Catalyst shuffles on bucket keys.
+
+Float discipline: dot products fold left-to-right over doubles
+(``F.aggregate`` — sequential, deterministic) which is bit-identical to
+DuckDB's ``list_dot_product`` on ``DOUBLE[]`` (verified empirically), so the
+oracle can compare rounded cosine values safely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def as_double(col) -> Column:
+    return F.transform(col if isinstance(col, Column) else F.col(col), lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (deterministic summation order)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors against a single scan
+    of the candidate set, window top-k per query. No O(n²) — O(n_q × n)."""
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    q = base.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    )
+    cand = base.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv"))
+    scored = (
+        cand.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+def _hyperplane(dim: int, table: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random ±1 hyperplane derived from
+    (table, plane, i) via a fixed integer mix — reproducible across runs,
+    no RNG state to ship to executors."""
+    out = []
+    for i in range(dim):
+        x = (table * 2_654_435_761 + plane * 1_000_003 + i * 7_919 + 12_345) % 97
+        out.append(1.0 if x % 2 == 0 else -1.0)
+    return out
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    n_tables: int = 6,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: multi-table random-hyperplane (SimHash) LSH.
+
+    Each of ``n_tables`` hash tables buckets vectors by ``n_planes`` sign
+    bits; a candidate is scored iff it shares a (table, bucket) with the
+    query — the classic recall/cost dial (more tables → higher recall, more
+    candidates). Scale shape: candidates come from an equi-join on the
+    (table, bucket) key — one shuffle of the big side on a
+    ``n_tables × 2^n_planes``-cardinality key, never a cross join; distinct
+    (query, cand) pairs are scored once.
+    """
+    planes = {
+        (t, p): _hyperplane(dim, t, p)
+        for t in range(n_tables)
+        for p in range(n_planes)
+    }
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+
+    def table_buckets(vcol: Column) -> Column:
+        """array of per-table bucket structs for one vector."""
+        entries = []
+        for t in range(n_tables):
+            bucket = F.lit(0)
+            for p in range(n_planes):
+                plane_arr = F.array(*[F.lit(x) for x in planes[(t, p)]])
+                bucket = bucket + F.when(dot(vcol, plane_arr) >= 0, 1 << p).otherwise(0)
+            entries.append(F.struct(F.lit(t).alias("t"), bucket.alias("b")))
+        return F.array(*entries)
+
+    hashed = base.select(
+        id_col, "v", F.explode(table_buckets(F.col("v"))).alias("tb")
+    ).select(id_col, "v", F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
+
+    q = hashed.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "t", "b"
+    )
+    cand_pairs = (
+        hashed.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv"), "t", "b")
+        .join(F.broadcast(q), ["t", "b"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select("query_id", "cand_id", "qv", "cv")
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    scored = cand_pairs.select(
+        "query_id",
+        "cand_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )

@@ -114,6 +114,8 @@ class PipelineSpec:
             raise ConfigError(f"source type {self.source.type!r} requires a path")
         if self.source.type == "csv" and not self.source.columns:
             raise ConfigError("csv source requires an explicit columns schema")
+        for c in self.source.columns:
+            c.spark_type()  # raises ConfigError for unknown types at plan time
         for f in self.filters:
             if f.type not in _FILTER_TYPES:
                 raise ConfigError(f"unknown filter type {f.type!r}")

@@ -1,0 +1,123 @@
+"""Bucket-key semantics — mirrors TestTimestampPartitioning.java:110-221:
+same hour ⇒ same key, +3600s ⇒ next key, unit conversions sec/milli/micro/nano,
+timestamp vs long equivalence, bad-type errors, salt bounds + distribution."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from embulk_executor_mapreduce_spark.errors import PartitionError
+from embulk_executor_mapreduce_spark.operators.partitioning import (
+    bucket_expr,
+    repartition_by_bucket,
+    salt_expr,
+)
+
+T0 = dt.datetime(2024, 1, 15, 10, 0, 0)
+EPOCH0 = int(T0.replace(tzinfo=dt.timezone.utc).timestamp())
+
+
+def _ts_df(spark, *dts):
+    return spark.createDataFrame([Row(ts=d) for d in dts])
+
+
+def _buckets(df, col="ts", **kw):
+    out = df.select(bucket_expr(df, col, **kw).alias("b")).collect()
+    return [r.b for r in out]
+
+
+def test_same_hour_same_key(spark):
+    b = _buckets(
+        _ts_df(spark, T0, T0 + dt.timedelta(minutes=59, seconds=59)), unit="hour"
+    )
+    assert b[0] == b[1]
+
+
+def test_next_hour_next_key(spark):
+    b = _buckets(_ts_df(spark, T0, T0 + dt.timedelta(seconds=3600)), unit="hour")
+    assert b[1] == b[0] + 1
+
+
+def test_day_unit(spark):
+    b = _buckets(
+        _ts_df(spark, T0, T0 + dt.timedelta(hours=13), T0 + dt.timedelta(hours=14)),
+        unit="day",
+    )
+    assert b[0] == b[1]  # 10:00 and 23:00 same UTC day
+    assert b[2] == b[0] + 1  # 24:00 next day
+
+
+@pytest.mark.parametrize(
+    "unit,factor",
+    [("sec", 1), ("milli", 10**3), ("micro", 10**6), ("nano", 10**9)],
+)
+def test_long_units_equivalent_to_timestamp(spark, unit, factor):
+    ts_bucket = _buckets(_ts_df(spark, T0), unit="hour")[0]
+    df = spark.createDataFrame([Row(t=EPOCH0 * factor)])
+    long_bucket = _buckets(df, col="t", unit="hour", unix_timestamp_unit=unit)[0]
+    assert long_bucket == ts_bucket
+
+
+def test_negative_epoch_floors_down(spark):
+    # 1969-12-31 23:00:00 UTC = -3600s → hour bucket -1, not 0 (floor semantics)
+    df = spark.createDataFrame([Row(t=-3600), Row(t=-1)])
+    b = _buckets(df, col="t", unit="hour", unix_timestamp_unit="sec")
+    assert b == [-1, -1]
+
+
+def test_bad_column(spark):
+    df = _ts_df(spark, T0)
+    with pytest.raises(PartitionError, match="not found"):
+        bucket_expr(df, "nope", "hour")
+
+
+def test_bad_column_type(spark):
+    df = spark.createDataFrame([Row(s="hello")])
+    with pytest.raises(PartitionError, match="timestamp or long"):
+        bucket_expr(df, "s", "hour")
+
+
+def test_bad_unit_expr(spark):
+    df = _ts_df(spark, T0)
+    with pytest.raises(PartitionError):
+        bucket_expr(df, "ts", "week")
+
+
+def test_salt_bounds():
+    with pytest.raises(PartitionError):
+        salt_expr(0)
+    with pytest.raises(PartitionError):
+        salt_expr(65536)
+
+
+def test_salt_spreads_hot_bucket(spark):
+    # one hot hour; with split=8 the rows must land in >1 partition
+    rows = [Row(ts=T0 + dt.timedelta(seconds=i % 3000)) for i in range(4000)]
+    df = spark.createDataFrame(rows)
+    parts = (
+        repartition_by_bucket(df, "ts", "hour", reducers=8, map_side_partition_split=8)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("pid")
+        .count()
+        .collect()
+    )
+    assert len(parts) > 1, "salting failed to spread the hot bucket"
+
+
+def test_bucket_routing_invariant(spark):
+    # all rows of one bucket land in exactly one partition when unsalted
+    # (reference O5-O10 invariant: same time bucket → same output task)
+    rows = [Row(ts=T0 + dt.timedelta(hours=h, minutes=m)) for h in range(6) for m in range(30)]
+    df = spark.createDataFrame(rows)
+    got = (
+        repartition_by_bucket(df, "ts", "hour", reducers=4, keep_bucket=True)
+        .withColumn("pid", F.spark_partition_id())
+        .groupBy("__bucket")
+        .agg(F.countDistinct("pid").alias("n_pids"))
+        .collect()
+    )
+    assert all(r.n_pids == 1 for r in got)

@@ -1,0 +1,177 @@
+"""End-to-end pipeline goldens — mirrors the reference's e2e contract
+(TestMapReduceExecutor.java:311-331): output multiset == input multiset,
+order/file-assignment-insensitive; plus invalid-record policy behavior."""
+
+from __future__ import annotations
+
+import tempfile
+from pathlib import Path
+
+import pytest
+
+from embulk_executor_mapreduce_spark.errors import (
+    RemoteTaskFailedDataError,
+)
+from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline
+from embulk_executor_mapreduce_spark.spec import load_spec
+
+EVENTS = "/root/testdata/sf0.001/events.parquet"
+
+
+def _multiset(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
+
+
+def test_identity_map_only(spark, tmp_path):
+    """Map-only shape (SURVEY §3.2): scan → identity → sink, no exchange."""
+    out = str(tmp_path / "out")
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": EVENTS},
+            "out": {"type": "parquet", "path": out},
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.output_rows == 1000
+    src = spark.read.parquet(EVENTS)
+    dst = spark.read.parquet(out)
+    cols = ["event_id", "user_id", "event_type", "value", "props"]
+    assert _multiset(src, cols) == _multiset(dst, cols)
+
+
+def test_partitioned_multiset_and_bucket_layout(spark, tmp_path):
+    """Partitioned shape (SURVEY §3.1): records preserved as a multiset AND
+    laid out by time bucket."""
+    out = str(tmp_path / "out")
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": EVENTS},
+            "filters": [
+                {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
+                {"type": "drop", "columns": ["ts"]},
+                {"type": "rename", "mapping": {"ts2": "ts"}},
+            ],
+            "out": {"type": "parquet", "path": out, "partition_by_bucket": True},
+            "exec": {
+                "reducers": 4,
+                "partitioning": {"column": "ts", "unit": "day"},
+            },
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.partitioned
+    bucket_dirs = [p.name for p in Path(out).glob("__bucket=*")]
+    assert len(bucket_dirs) >= 28  # ~30 days of events
+    dst = spark.read.parquet(out)
+    assert dst.count() == 1000
+    src = spark.read.parquet(EVENTS)
+    cols = ["event_id", "user_id", "event_type"]
+    assert _multiset(src, cols) == _multiset(dst, cols)
+
+
+def test_salted_partitioning_multiset(spark, tmp_path):
+    out = str(tmp_path / "out")
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": EVENTS},
+            "filters": [
+                {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
+                {"type": "drop", "columns": ["ts"]},
+                {"type": "rename", "mapping": {"ts2": "ts"}},
+            ],
+            "out": {"type": "parquet", "path": out},
+            "exec": {
+                "reducers": 8,
+                "partitioning": {
+                    "column": "ts",
+                    "unit": "hour",
+                    "map_side_partition_split": 4,
+                },
+            },
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded
+    assert spark.read.parquet(out).count() == 1000
+
+
+@pytest.fixture()
+def bad_csv(tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("1,alpha\n2,beta\nnot_a_number,gamma\n4,delta\n")
+    return str(tmp_path)
+
+
+CSV_COLS = [{"name": "id", "type": "long"}, {"name": "name", "type": "string"}]
+
+
+def test_stop_on_invalid_record_true(spark, bad_csv):
+    """User-data failure classification (O13/O14; reference
+    TestMapReduceExecutor.java:177-192)."""
+    spec = load_spec(
+        {
+            "in": {
+                "type": "csv",
+                "path": bad_csv,
+                "columns": CSV_COLS,
+                "stop_on_invalid_record": True,
+            },
+            "out": {"type": "null"},
+        }
+    )
+    with pytest.raises(RemoteTaskFailedDataError):
+        run_pipeline(spark, spec)
+
+
+def test_stop_on_invalid_record_false_skips(spark, bad_csv, tmp_path):
+    out = str(tmp_path / "out")
+    spec = load_spec(
+        {
+            "in": {
+                "type": "csv",
+                "path": bad_csv,
+                "columns": CSV_COLS,
+                "stop_on_invalid_record": False,
+            },
+            "out": {"type": "parquet", "path": out},
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.output_rows == 3  # bad row skipped
+    ids = sorted(r.id for r in spark.read.parquet(out).collect())
+    assert ids == [1, 2, 4]
+
+
+def test_csv_roundtrip_all_types(spark, tmp_path):
+    """Type-gauntlet round trip (reference e2e fixture exercises all six
+    types, embulk_mapred_config.yml:25-37)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "true,42,2.718,hello,2024-01-15 10:00:00.123456,\"{\"\"k\"\":1}\"\n"
+        ",,,,,\n"  # all-null row
+    )
+    cols = [
+        {"name": "b", "type": "boolean"},
+        {"name": "l", "type": "long"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "t", "type": "timestamp"},
+        {"name": "j", "type": "json"},
+    ]
+    out = str(tmp_path / "out")
+    spec = load_spec(
+        {
+            "in": {"type": "csv", "path": str(src), "columns": cols},
+            "out": {"type": "parquet", "path": out},
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.output_rows == 2
+    rows = {r.l: r for r in spark.read.parquet(out).collect()}
+    full = rows[42]
+    assert full.b is True and abs(full.d - 2.718) < 1e-12 and full.s == "hello"
+    assert full.t.microsecond == 123456
+    assert full.j == '{"k":1}'
+    empty = rows[None]
+    assert all(empty[c["name"]] is None for c in cols)
