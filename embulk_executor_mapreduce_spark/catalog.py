@@ -841,5 +841,50 @@ def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Structured Streaming (bounded replay of the incremental path)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 AS window_start_sec,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("streaming",),
+)
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming windowed agg driven to completion with availableNow —
+    the incremental result must equal the batch group-by (oracle)."""
+    from .streaming.ingest import (
+        hourly_counts_stream,
+        read_events_stream,
+        run_stream_to_memory,
+    )
+
+    stream = hourly_counts_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, "stream_hourly_counts", output_mode="complete")
+
+
+@register("stream_dedup_events", oracle=None, tags=("streaming", "dedup"))
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dedup within the watermark horizon (stateful; rows-only —
+    row-count equality with batch distinct asserted in tests)."""
+    from .streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+        streaming_dedup,
+    )
+
+    stream = streaming_dedup(read_events_stream(spark, sf_dir)).select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_stream_to_memory(stream, "stream_dedup_events", output_mode="append")
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(REGISTRY)

@@ -1,0 +1,109 @@
+"""Plan-shape assertions: pushdown, pruning, broadcast choice, exchange
+budget. These guard the properties that decide 100 TB viability — a query can
+be value-correct and still regress into a full-scan or an extra shuffle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embulk_executor_mapreduce_spark import catalog
+from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+from embulk_executor_mapreduce_spark.plans.inspect import (
+    has_broadcast_join,
+    num_broadcasts,
+    num_exchanges,
+    pushed_filters,
+    read_schemas,
+)
+from embulk_executor_mapreduce_spark.spec import load_spec
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_scan_project_pushdown_and_pruning(spark):
+    df = catalog.entries()["scan_project"].fn(spark, SF)
+    filters = pushed_filters(df)
+    assert any("l_quantity" in f for f in filters), f"no pushdown: {filters}"
+    schemas = read_schemas(df)
+    assert schemas and all("l_comment" not in s for s in schemas)
+    # only the 4 needed columns are read
+    assert all(s.count(":") <= 4 for s in schemas), schemas
+
+
+def test_q6_all_predicates_pushed(spark):
+    df = catalog.entries()["q6_forecast_revenue"].fn(spark, SF)
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, f"{col} not pushed: {filters}"
+
+
+def test_q3_broadcasts_dimensions(spark):
+    df = catalog.entries()["q3_segment_revenue"].fn(spark, SF)
+    assert has_broadcast_join(df), "q3 should broadcast customer⋈orders"
+
+
+def test_q5_broadcasts_dimensions(spark):
+    df = catalog.entries()["q5_region_revenue"].fn(spark, SF)
+    assert num_broadcasts(df) >= 3, "q5 should broadcast c/s/n/r dims"
+
+
+def test_q1_single_agg_exchange(spark):
+    df = catalog.entries()["q1_pricing_summary"].fn(spark, SF)
+    # partial agg map-side, one exchange on group keys, final agg
+    assert num_exchanges(df) == 1
+
+
+def test_map_only_pipeline_has_no_exchange(spark):
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": f"{SF}/events.parquet"},
+            "filters": [{"type": "filter", "predicate": "value > 10"}],
+            "out": {"type": "null"},
+        }
+    )
+    df = compile_pipeline(spark, spec)
+    assert num_exchanges(df) == 0, "map-only shape must stay narrow"
+
+
+def test_partitioned_pipeline_has_single_exchange(spark):
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": f"{SF}/events.parquet"},
+            "filters": [
+                {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
+                {"type": "drop", "columns": ["ts"]},
+                {"type": "rename", "mapping": {"ts2": "ts"}},
+            ],
+            "out": {"type": "null"},
+            "exec": {"reducers": 8, "partitioning": {"column": "ts", "unit": "hour"}},
+        }
+    )
+    df = compile_pipeline(spark, spec)
+    assert num_exchanges(df) == 1, "partitioned shape = exactly one shuffle"
+
+
+def test_topk_single_exchange(spark):
+    df = catalog.entries()["topk_orders_per_customer"].fn(spark, SF)
+    assert num_exchanges(df) == 1, "window top-k needs only the key exchange"
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    df = catalog.entries()["ann_bruteforce_topk"].fn(spark, SF)
+    assert num_broadcasts(df) >= 1, "probe vectors must broadcast"
+
+
+def test_filter_pushes_through_projection_chain(spark):
+    # Catalyst should push a late filter through earlier spec-driven projections
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": f"{SF}/lineitem.parquet"},
+            "filters": [
+                {"type": "select", "columns": ["l_orderkey", "l_quantity", "l_extendedprice"]},
+                {"type": "with_column", "name": "v", "expr": "l_extendedprice * 0.9"},
+                {"type": "filter", "predicate": "l_quantity > 45"},
+            ],
+            "out": {"type": "null"},
+        }
+    )
+    df = compile_pipeline(spark, spec)
+    assert any("l_quantity" in f for f in pushed_filters(df))
