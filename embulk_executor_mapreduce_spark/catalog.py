@@ -886,5 +886,347 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, "stream_dedup_events", output_mode="append")
 
 
+# ---------------------------------------------------------------------------
+# Scalar function gauntlets (portable surface, functions/registry.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "functions_string_gauntlet",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_name) AS u, lower(p_brand) AS lo,
+           substr(p_name, 2, 5) AS sub,
+           length(p_type) AS le,
+           replace(p_type, 'a', '@') AS rep,
+           lpad(p_brand, 12, '_') AS pad,
+           reverse(p_name) AS rev,
+           concat_ws('/', p_brand, p_type) AS cw,
+           md5(p_name) AS h
+    FROM part
+    """,
+    tags=("functions",),
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.selectExpr(
+        "p_partkey",
+        "upper(p_name) AS u",
+        "lower(p_brand) AS lo",
+        "substring(p_name, 2, 5) AS sub",
+        "length(p_type) AS le",
+        "replace(p_type, 'a', '@') AS rep",
+        "lpad(p_brand, 12, '_') AS pad",
+        "reverse(p_name) AS rev",
+        "concat_ws('/', p_brand, p_type) AS cw",
+        "md5(p_name) AS h",
+    )
+
+
+@register(
+    "functions_datetime_gauntlet",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y, month(o_orderdate) AS m,
+           day(o_orderdate) AS d, hour(o_orderdate) AS h,
+           date_trunc('month', o_orderdate)::TIMESTAMP AS mon,
+           epoch_us(o_orderdate) AS us
+    FROM orders
+    """,
+    tags=("functions",),
+)
+def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.selectExpr(
+        "o_orderkey",
+        "year(o_orderdate) AS y",
+        "month(o_orderdate) AS m",
+        "dayofmonth(o_orderdate) AS d",
+        "hour(o_orderdate) AS h",
+        "date_trunc('month', o_orderdate) AS mon",
+        # o_orderdate arrives as TIMESTAMP_NTZ (parquet ms, not UTC-adjusted);
+        # cast to LTZ under the UTC session for epoch extraction
+        "unix_micros(cast(o_orderdate AS timestamp)) AS us",
+    )
+
+
+@register(
+    "functions_math_gauntlet",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS a,
+           ceil(l_quantity) AS ce, floor(l_extendedprice) AS fl,
+           round(sqrt(l_quantity), 4) AS sq,
+           round(ln(l_extendedprice), 4) AS lg,
+           round(pow(l_discount, 2), 6) AS p2,
+           sign(l_discount - 0.05) AS sg,
+           greatest(l_tax, l_discount) AS g, least(l_tax, l_discount) AS ls
+    FROM lineitem
+    """,
+    tags=("functions",),
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.selectExpr(
+        "l_orderkey",
+        "l_linenumber",
+        "abs(l_discount - 0.05) AS a",
+        "ceil(l_quantity) AS ce",
+        "floor(l_extendedprice) AS fl",
+        "round(sqrt(l_quantity), 4) AS sq",
+        "round(ln(l_extendedprice), 4) AS lg",
+        "round(pow(l_discount, 2), 6) AS p2",
+        "sign(l_discount - 0.05) AS sg",
+        "greatest(l_tax, l_discount) AS g",
+        "least(l_tax, l_discount) AS ls",
+    )
+
+
+# ---------------------------------------------------------------------------
+# More relational shapes: pivot, cube, exists, range join, global top-k, skew
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_O,
+           round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "pivot"),
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("O").alias("qty_O"),
+        F.col("F").alias("qty_F"),
+    )
+
+
+@register(
+    "cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("relational", "agg"),
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count("*").alias("n"))
+
+
+@register(
+    "exists_big_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (
+      SELECT 1 FROM lineitem l
+      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48
+    )
+    """,
+    tags=("relational", "subquery"),
+)
+def q_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS through the SQL API (Catalyst rewrites to semi join)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM v_orders o
+        WHERE EXISTS (
+          SELECT 1 FROM v_lineitem l
+          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 48
+        )
+        """
+    )
+
+
+@register(
+    "range_join_value_tiers",
+    oracle="""
+    WITH tiers(tier, lo, hi) AS (
+      VALUES ('low', 0.0, 50.0), ('mid', 50.0, 150.0), ('high', 150.0, 1e9)
+    )
+    SELECT t.tier, count(*) AS n, round(sum(e.value), 2) AS total
+    FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+    GROUP BY t.tier
+    """,
+    tags=("relational", "rangejoin"),
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (non-equi) join against a tiny tier table — broadcast nested
+    loop on the broadcast side is the right plan at any scale (the big side
+    streams once; no shuffle)."""
+    ev = load(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 50.0), ("mid", 50.0, 150.0), ("high", 150.0, 1e9)],
+        "tier string, lo double, hi double",
+    )
+    return (
+        ev.join(
+            F.broadcast(tiers),
+            (ev.value >= tiers.lo) & (ev.value < tiers.hi),
+        )
+        .groupBy("tier")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@register(
+    "global_topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+    tags=("relational", "topk"),
+)
+def q_global_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: Spark plans orderBy+limit as TakeOrderedAndProject —
+    per-partition heaps + driver merge of k rows, never a full global sort."""
+    return (
+        load(spark, sf_dir, "orders")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "skew"),
+)
+def q_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation for low-cardinality/skewed keys: partial
+    agg on (key, salt) spreads the hot key over the cluster, final agg
+    combines — same result as a plain groupBy (the oracle), ~Nx less skew.
+    (For sums: count/sum recombine exactly; avg would need sum+count.)"""
+    from .operators.partitioning import salt_expr
+
+    ev = load(spark, sf_dir, "events").withColumn("__salt", salt_expr(16))
+    partial = ev.groupBy("event_type", "__salt").agg(
+        F.count("*").alias("pn"), F.sum("value").alias("pv")
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"), F.round(F.sum("pv"), 2).alias("total")
+    )
+
+
+@register(
+    "csv_engine_roundtrip",
+    oracle="""
+    SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem WHERE l_orderkey <= 1000 GROUP BY l_returnflag
+    """,
+    tags=("parity", "csv"),
+)
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2 parity through the engine itself: parquet → csv sink → csv source
+    (declared schema, timestamp format) → aggregate. The oracle sees only the
+    original table — so the round trip must be lossless."""
+    import tempfile
+
+    from .plans.compiler import compile_pipeline, run_pipeline
+    from .spec import load_spec
+
+    outdir = tempfile.mkdtemp(prefix="csv_rt_") + "/li"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/lineitem.parquet"},
+                "filters": [
+                    {"type": "filter", "predicate": "l_orderkey <= 1000"},
+                    {"type": "select", "columns": ["l_orderkey", "l_returnflag", "l_quantity", "l_shipdate"]},
+                ],
+                "out": {"type": "csv", "path": outdir, "options": {"header": False}},
+            }
+        ),
+    )
+    back = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "csv",
+                    "path": outdir,
+                    "columns": [
+                        {"name": "l_orderkey", "type": "long"},
+                        {"name": "l_returnflag", "type": "string"},
+                        {"name": "l_quantity", "type": "double"},
+                        {"name": "l_shipdate", "type": "timestamp"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty")
+    )
+
+
+@register(
+    "task_source_generate",
+    oracle="""
+    SELECT t.task_index, g.i,
+           t.task_index * 1000 + g.i AS gen_id
+    FROM (SELECT unnest(range(4)) AS task_index) t,
+         (SELECT unnest(range(100)) AS i) g
+    """,
+    tags=("parity", "source"),
+)
+def q_task_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plugin-style source (O1's non-file path): N parallel input tasks drive
+    a registered reader fn via mapInPandas — one Spark partition per task,
+    like the reference's one-split-per-task-index (EmbulkInputSplit)."""
+    import pandas as pd
+
+    from .sources.readers import register_task_source
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    def gen(task_index: int):
+        yield pd.DataFrame(
+            {
+                "task_index": task_index,
+                "i": range(100),
+                "gen_id": [task_index * 1000 + i for i in range(100)],
+            }
+        )
+
+    register_task_source("gen100", gen)
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "task",
+                    "task_count": 4,
+                    "options": {"task_fn": "gen100"},
+                    "columns": [
+                        {"name": "task_index", "type": "long"},
+                        {"name": "i", "type": "long"},
+                        {"name": "gen_id", "type": "long"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(REGISTRY)
