@@ -494,8 +494,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_stats",
     oracle="""
     SELECT doc_id,
-           len(string_split(text, ' ')) AS n_tokens,
-           length(text) AS n_chars_computed,
+           len(string_split(text, ' '))::INT AS n_tokens,
+           length(text)::INT AS n_chars_computed,
            round(length(text) * 1.0 / len(string_split(text, ' ')), 2) AS avg_token_len
     FROM documents
     """,
@@ -703,7 +703,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       ]) AS best
       FROM t
     )
-    SELECT doc_id, best.lang AS lang_guess, best.hits AS marker_hits FROM s
+    SELECT doc_id, best.lang AS lang_guess, best.hits::INT AS marker_hits FROM s
     """,
     tags=("text",),
 )
@@ -808,7 +808,7 @@ def q_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_id, user_id,
              sum(CASE WHEN gap_us IS NULL OR gap_us > 1800 * 1000000 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_seq
       FROM (
         SELECT event_id, user_id, ts,
                epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -897,7 +897,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT p_partkey,
            upper(p_name) AS u, lower(p_brand) AS lo,
            substr(p_name, 2, 5) AS sub,
-           length(p_type) AS le,
+           length(p_type)::INT AS le,
            replace(p_type, 'a', '@') AS rep,
            lpad(p_brand, 12, '_') AS pad,
            reverse(p_name) AS rev,
@@ -927,8 +927,8 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
     "functions_datetime_gauntlet",
     oracle="""
     SELECT o_orderkey,
-           year(o_orderdate) AS y, month(o_orderdate) AS m,
-           day(o_orderdate) AS d, hour(o_orderdate) AS h,
+           year(o_orderdate)::INT AS y, month(o_orderdate)::INT AS m,
+           day(o_orderdate)::INT AS d, hour(o_orderdate)::INT AS h,
            date_trunc('month', o_orderdate)::TIMESTAMP AS mon,
            epoch_us(o_orderdate) AS us
     FROM orders
@@ -955,11 +955,11 @@ def q_fn_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT l_orderkey, l_linenumber,
            abs(l_discount - 0.05) AS a,
-           ceil(l_quantity) AS ce, floor(l_extendedprice) AS fl,
+           ceil(l_quantity)::BIGINT AS ce, floor(l_extendedprice)::BIGINT AS fl,
            round(sqrt(l_quantity), 4) AS sq,
            round(ln(l_extendedprice), 4) AS lg,
            round(pow(l_discount, 2), 6) AS p2,
-           sign(l_discount - 0.05) AS sg,
+           sign(l_discount - 0.05)::DOUBLE AS sg,
            greatest(l_tax, l_discount) AS g, least(l_tax, l_discount) AS ls
     FROM lineitem
     """,
@@ -1225,6 +1225,210 @@ def q_task_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "out": {"type": "null"},
             }
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Outer joins, statistical aggs, window functions, grouping sets
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "outer_join_customer_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, count(o.o_orderkey) AS n_orders,
+           round(coalesce(sum(o.o_totalprice), 0.0), 2) AS spend
+    FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("relational", "join"),
+)
+def q_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("spend"),
+        )
+    )
+
+
+@register(
+    "distinct_aggs",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("relational", "agg"),
+)
+def q_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) — Catalyst plans the expand+two-phase agg."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "stats_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           round(stddev_samp(o_totalprice), 4) AS sd,
+           round(var_samp(o_totalprice), 4) AS vr,
+           round(min(o_totalprice), 2) AS mn,
+           round(max(o_totalprice), 2) AS mx
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("relational", "agg"),
+)
+def q_stats_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(F.var_samp("o_totalprice"), 4).alias("vr"),
+        F.round(F.min("o_totalprice"), 2).alias("mn"),
+        F.round(F.max("o_totalprice"), 2).alias("mx"),
+    )
+
+
+@register(
+    "window_lag_lead_rank",
+    oracle="""
+    SELECT event_id, user_id,
+           lag(event_id) OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id)::INT AS value_rank,
+           ntile(4) OVER w::INT AS quartile
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("relational", "window"),
+)
+def q_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = W.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.rank().over(wv).alias("value_rank"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    tags=("relational", "agg"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("v_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM v_li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "levenshtein_near_names",
+    oracle="""
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name)::INT AS dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 12
+    """,
+    tags=("dedup", "text"),
+)
+def q_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pass, blocked by brand (the blocking key keeps
+    the pair count linear-ish — the standard way to scale edit distance)."""
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("dist"),
+        )
+        .filter(F.col("dist") <= 12)
+    )
+
+
+@register(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, u.dim::INT AS dim, round(avg(u.x), 4) AS centroid
+    FROM (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                                   i -> {'dim': i - 1, 'x': embedding[i]::DOUBLE})) AS u
+      FROM embeddings
+    )
+    GROUP BY label, u.dim
+    """,
+    tags=("similarity", "vector"),
+)
+def q_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label: posexplode + groupBy — the shuffle
+    key is (label, dim) so 100 TB of vectors aggregates without ever
+    materializing per-label vector lists."""
+    e = load(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding")).alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 4).alias("centroid"))
+    )
+
+
+@register(
+    "zscore_per_user",
+    oracle="""
+    SELECT event_id, user_id,
+           round((value - avg(value) OVER (PARTITION BY user_id))
+                 / stddev_samp(value) OVER (PARTITION BY user_id), 4) AS z
+    FROM events
+    """,
+    tags=("relational", "pandas-udf"),
+)
+def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas (the reference's plugin-filter analog, O3):
+    per-user z-score computed in pandas per group, Arrow-batched. Oracle is
+    the pure-SQL window formulation — both must agree to 4 decimals."""
+    import pandas as pd
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        sd = pdf["value"].std(ddof=1)
+        pdf["z"] = ((pdf["value"] - pdf["value"].mean()) / sd).round(4)
+        return pdf[["event_id", "user_id", "z"]]
+
+    return ev.groupBy("user_id").applyInPandas(
+        zscore, schema="event_id long, user_id long, z double"
     )
 
 

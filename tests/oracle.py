@@ -59,7 +59,51 @@ def _canon(v) -> str:
     return str(v)
 
 
-def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
+# normalized type names so Spark and DuckDB schemas can be compared exactly;
+# int32 vs int64 is a REAL mismatch we want to catch (the driver may too)
+_SPARK_TYPE_NORM = {
+    "tinyint": "i8",
+    "smallint": "i16",
+    "int": "i32",
+    "bigint": "i64",
+    "float": "f32",
+    "double": "f64",
+    "string": "str",
+    "boolean": "bool",
+    "timestamp": "ts",
+    "timestamp_ntz": "ts",
+    "date": "date",
+    "binary": "bytes",
+}
+_DUCK_TYPE_NORM = {
+    "TINYINT": "i8",
+    "SMALLINT": "i16",
+    "INTEGER": "i32",
+    "BIGINT": "i64",
+    "HUGEINT": "i128",
+    "FLOAT": "f32",
+    "DOUBLE": "f64",
+    "VARCHAR": "str",
+    "BOOLEAN": "bool",
+    "TIMESTAMP": "ts",
+    "TIMESTAMP_NS": "ts",
+    "TIMESTAMP WITH TIME ZONE": "ts",
+    "DATE": "date",
+    "BLOB": "bytes",
+}
+
+
+def _norm_spark_type(t: str) -> str:
+    return _SPARK_TYPE_NORM.get(t, t)
+
+
+def _norm_duck_type(t: str) -> str:
+    if t.startswith("DECIMAL"):
+        return "decimal"
+    return _DUCK_TYPE_NORM.get(t, t)
+
+
+def compare(spark, sf_dir: str, fn, sql: str, check_types: bool = True) -> tuple[bool, str]:
     sdf = fn(spark, sf_dir)
     spark_rows = sdf.collect()
     spark_cols = sorted(sdf.columns)
@@ -72,6 +116,19 @@ def compare(spark, sf_dir: str, fn, sql: str) -> tuple[bool, str]:
 
     if spark_cols != duck_cols:
         return False, f"column mismatch: spark={spark_cols} duck={duck_cols}"
+
+    if check_types:
+        stypes = {c: _norm_spark_type(t) for c, t in sdf.dtypes}
+        dtypes_raw = con.execute(f"DESCRIBE {sql}").fetchall()
+        dtypes = {r[0]: _norm_duck_type(r[1]) for r in dtypes_raw}
+        mismatches = {
+            c: (stypes[c], dtypes.get(c))
+            for c in stypes
+            if not str(stypes[c]).startswith("array")  # list types: names differ benignly
+            and stypes[c] != dtypes.get(c)
+        }
+        if mismatches:
+            return False, f"type mismatch: {mismatches}"
     if len(spark_rows) != len(duck_rows):
         return False, f"row count mismatch: spark={len(spark_rows)} duck={len(duck_rows)}"
 
