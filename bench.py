@@ -1,10 +1,11 @@
-"""Benchmark harness: runs the headline catalog queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
-line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
+"""Benchmark harness: runs the headline catalog queries + the three pipeline
+shapes (ingest / partitioned load / skew) at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
-Each query is executed to completion with a count-free terminal action
-(collect on aggregates / write-noop on wide results) so measured time is plan
-execution, not result shipping of huge row sets.
+Queries execute via collect (small results) or a noop write (wide results) so
+measured time is plan execution, not driver result shipping. Pipeline shapes
+write real parquet to a tempdir (the commit protocol is part of the cost).
 """
 
 from __future__ import annotations
@@ -12,16 +13,20 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from embulk_executor_mapreduce_spark import catalog  # noqa: E402
+from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline  # noqa: E402
 from embulk_executor_mapreduce_spark.session import get_spark  # noqa: E402
+from embulk_executor_mapreduce_spark.spec import load_spec  # noqa: E402
 
-# headline set: parity core + relational + training-data ops
+# headline catalog set: parity core + relational + training-data ops
 HEADLINE = [
     "scan_project",
     "filter_chain",
@@ -33,17 +38,93 @@ HEADLINE = [
     "topk_orders_per_customer",
     "window_running_sum",
     "dedup_exact",
+    "minhash_lsh_candidates",
+    "ann_bruteforce_topk",
     "text_fingerprint",
     "text_stats",
+    "asof_last_signup",
+    "sessionize_events",
+    "outer_join_customer_orders",
+    "embedding_centroids",
 ]
 
-# queries whose result is small → collect; otherwise noop-write to execute
 SMALL_RESULT = {
     "q1_pricing_summary",
     "q5_region_revenue",
     "q6_forecast_revenue",
     "bucket_hour",
+    "minhash_lsh_candidates",
+    "ann_bruteforce_topk",
 }
+
+_TS_NORMALIZE_FILTERS = [
+    {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
+    {"type": "drop", "columns": ["ts"]},
+    {"type": "rename", "mapping": {"ts2": "ts"}},
+]
+
+
+def _pipeline_benches(spark, sf_dir: str, tmp: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+
+    # B1 ingest: scan → identity → parquet sink (map-only, zero exchanges)
+    t0 = time.time()
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/lineitem.parquet"},
+                "out": {"type": "parquet", "path": f"{tmp}/b1"},
+            }
+        ),
+    )
+    out["pipeline_ingest"] = round(time.time() - t0, 3)
+
+    # B2 partitioned load: hour-bucket repartition → per-bucket layout
+    t0 = time.time()
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                "filters": _TS_NORMALIZE_FILTERS,
+                "out": {"type": "parquet", "path": f"{tmp}/b2", "partition_by_bucket": True},
+                "exec": {
+                    "reducers": 8,
+                    "partitioning": {"column": "ts", "unit": "day"},
+                },
+            }
+        ),
+    )
+    out["pipeline_partitioned"] = round(time.time() - t0, 3)
+
+    # B3 skew: every event forced into ONE hour bucket; split=1 vs split=16
+    for split, label in ((1, "pipeline_skew_nosplit"), (16, "pipeline_skew_split16")):
+        t0 = time.time()
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                    "filters": _TS_NORMALIZE_FILTERS
+                    + [
+                        # collapse all timestamps into one hot hour
+                        {"type": "with_column", "name": "ts", "expr": "timestamp '2024-01-01 00:00:00'"},
+                    ],
+                    "out": {"type": "parquet", "path": f"{tmp}/b3_{split}"},
+                    "exec": {
+                        "reducers": 16,
+                        "partitioning": {
+                            "column": "ts",
+                            "unit": "hour",
+                            "map_side_partition_split": split,
+                        },
+                    },
+                }
+            ),
+        )
+        out[label] = round(time.time() - t0, 3)
+    return out
 
 
 def main() -> None:
@@ -58,15 +139,19 @@ def main() -> None:
         e = entries.get(name)
         if e is None:
             continue
-        # warm the input cache out of the measurement? No — cold per query,
-        # but build the plan first so analysis time isn't counted.
-        df = e.fn(spark, sf_dir)
+        df = e.fn(spark, sf_dir)  # plan build / analysis excluded
         t0 = time.time()
         if name in SMALL_RESULT:
             df.collect()
         else:
             df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.time() - t0, 3)
+
+    tmp = tempfile.mkdtemp(prefix="bench_pipelines_")
+    try:
+        timings.update(_pipeline_benches(spark, sf_dir, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
