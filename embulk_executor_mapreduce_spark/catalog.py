@@ -1432,5 +1432,246 @@ def q_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Embedding near-dup, BPE-ish token counting, multimodal resize/frame-sample,
+# JSONL engine round-trip, array gauntlet, correlated scalar subquery,
+# custom stateful streaming
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_neardup",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             concat(CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END,
+                    CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                 4) AS cos_sim
+    FROM base a JOIN base b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+                4) >= 0.25
+    """,
+    tags=("dedup", "similarity", "vector"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: sign-bit LSH blocking (2^4 buckets) +
+    exact cosine within bucket — the near-dup pass that scales: the
+    self-join shuffles on the bucket key, never O(n²) across the corpus."""
+    from .operators.dedup import embedding_neardup
+
+    return embedding_neardup(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "token_count_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           len(string_split(text, ' '))::INT AS n_words,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
+             AS n_bpeish_tokens,
+           len(list_distinct(
+             regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::INT
+             AS n_unique_tokens
+    FROM documents
+    """,
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace words + BPE-ish regex pre-tokenization
+    (letter runs / digit runs / single symbols) — all JVM-side regex."""
+    from .operators.text import token_counts
+
+    return token_counts(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_resize",
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id,
+             1 + octet_length(encode(text)) % 1024 AS w,
+             1 + octet_length(encode(text)) % 768 AS h
+      FROM documents
+    )
+    SELECT doc_id, w::INT AS width, h::INT AS height,
+           (w * 256 // greatest(w, h))::INT AS out_width,
+           (h * 256 // greatest(w, h))::INT AS out_height
+    FROM dims
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize plumbing (mapInPandas stub; integer math so
+    the fake decoder is oracle-portable)."""
+    from .operators.multimodal import resize_stub, to_binary
+
+    return resize_stub(to_binary(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "multimodal_frames",
+    oracle="""
+    SELECT d.doc_id,
+           CAST(1 + octet_length(encode(d.text)) % 240 AS INT) AS n_frames,
+           CAST(t.u AS INT) AS frame_idx,
+           md5(md5(d.text) || '|' || t.u) AS frame_hash
+    FROM documents d,
+         unnest(range(0, 1 + octet_length(encode(d.text)) % 240, 24)) t(u)
+    """,
+    tags=("multimodal",),
+)
+def q_multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plumbing: binary payload fans out to one row per
+    sampled frame (rows-out != rows-in through mapInPandas)."""
+    from .operators.multimodal import frame_sample_stub, to_binary
+
+    return frame_sample_stub(to_binary(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "jsonl_engine_roundtrip",
+    oracle="""
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey <= 2000 GROUP BY o_orderstatus
+    """,
+    tags=("parity", "json", "source"),
+)
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink → source round trip through the engine (declared
+    schema on read, like the reference's config-declared columns). The
+    oracle sees only the original table, so the trip must be lossless."""
+    import tempfile
+
+    from .plans.compiler import compile_pipeline, run_pipeline
+    from .spec import load_spec
+
+    outdir = tempfile.mkdtemp(prefix="jsonl_rt_") + "/orders"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/orders.parquet"},
+                "filters": [
+                    {"type": "filter", "predicate": "o_orderkey <= 2000"},
+                    {"type": "select", "columns": ["o_orderkey", "o_orderstatus", "o_totalprice"]},
+                ],
+                "out": {"type": "json", "path": outdir},
+            }
+        ),
+    )
+    back = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "json",
+                    "path": outdir,
+                    "columns": [
+                        {"name": "o_orderkey", "type": "long"},
+                        {"name": "o_orderstatus", "type": "string"},
+                        {"name": "o_totalprice", "type": "double"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total")
+    )
+
+
+@register(
+    "functions_array_gauntlet",
+    oracle="""
+    SELECT vec_id,
+           len(embedding)::INT AS n,
+           round(embedding[1]::DOUBLE, 4) AS first_elem,
+           round(embedding[-1]::DOUBLE, 4) AS last_elem,
+           round(list_min(embedding)::DOUBLE, 4) AS mn,
+           round(list_max(embedding)::DOUBLE, 4) AS mx,
+           len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+           round(list_dot_product(embedding[1:8]::DOUBLE[],
+                                  embedding[9:16]::DOUBLE[]), 4) AS dot88
+    FROM embeddings
+    """,
+    tags=("functions", "array"),
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/lambda function surface: size, element_at, min/max, filter,
+    slice, zip_with + sequential-fold dot — all codegen'd JVM expressions."""
+    from .operators.similarity import dot
+
+    e = load(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    return e.select(
+        "vec_id",
+        F.size(emb).alias("n"),
+        F.round(emb[0].cast("double"), 4).alias("first_elem"),
+        F.round(F.element_at(emb, -1).cast("double"), 4).alias("last_elem"),
+        F.round(F.array_min(emb).cast("double"), 4).alias("mn"),
+        F.round(F.array_max(emb).cast("double"), 4).alias("mx"),
+        F.size(F.filter(emb, lambda x: x > 0)).alias("n_pos"),
+        F.round(
+            dot(
+                F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double")),
+                F.transform(F.slice(emb, 9, 8), lambda x: x.cast("double")),
+            ),
+            4,
+        ).alias("dot88"),
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    oracle="""
+    SELECT o.o_orderkey, o.o_totalprice
+    FROM orders o
+    WHERE o.o_totalprice > 1.5 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2
+      WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    tags=("relational", "subquery"),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (Catalyst rewrites to an aggregate + join;
+    no per-row re-execution)."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_ss")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_totalprice
+        FROM v_orders_ss o
+        WHERE o.o_totalprice > 1.5 * (
+          SELECT avg(o2.o_totalprice) FROM v_orders_ss o2
+          WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@register("stream_user_rollup", oracle=None, tags=("streaming", "stateful"))
+def q_stream_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running rollups in the state store. Rows-only check; final-emission
+    equality with the batch groupBy asserted in tests."""
+    from .streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+        stateful_user_rollup,
+    )
+
+    stream = stateful_user_rollup(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(stream, "stream_user_rollup", output_mode="update")
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(REGISTRY)

@@ -205,3 +205,52 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
             F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def embedding_neardup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sign_dims: int = 4,
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by sign-bit LSH.
+
+    Blocking key = the sign bits of the first ``sign_dims`` components
+    (axis-aligned hyperplanes — deterministic and oracle-portable). Pairs are
+    generated only within a bucket (self-equi-join Catalyst shuffles on the
+    bucket key — never O(n²) across the corpus), then exact cosine is
+    computed and thresholded on the ROUNDED value so engine float noise can't
+    flip boundary pairs.
+
+    At 100 TB: bucket count is 2^sign_dims; raise sign_dims (or switch the
+    blocking key to `lsh_bucket_topk`-style random hyperplanes) so the
+    per-bucket pair count stays bounded. Output: (id_a, id_b, cos_sim).
+    """
+    from .similarity import as_double, cosine
+
+    bucket = F.concat(
+        *[
+            F.when(F.col(vec_col)[i] >= 0, F.lit("1")).otherwise(F.lit("0"))
+            for i in range(sign_dims)
+        ]
+    )
+    base = df.select(
+        F.col(id_col), as_double(vec_col).alias("v"), bucket.alias("bucket")
+    )
+    a = base.select(
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+    )
+    b = base.select(
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

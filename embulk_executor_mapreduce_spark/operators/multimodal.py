@@ -74,3 +74,68 @@ def decode_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, width int, height int, out_width int, out_height int"
+FRAMES_SCHEMA = "doc_id long, n_frames int, frame_idx int, frame_hash string"
+
+
+def resize_stub(df: DataFrame, id_col: str = "doc_id", target: int = 256) -> DataFrame:
+    """Image-resize plumbing (mapInPandas over binary payloads).
+
+    Output dimensions use pure integer math (aspect-preserving fit into
+    ``target``) so the stub is oracle-portable; a real decoder (PIL) replaces
+    the body, keeping the same batch shape and output schema.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            lens = pdf["payload"].map(len)
+            w = (1 + lens % 1024).astype("int64")
+            h = (1 + lens % 768).astype("int64")
+            m = np.maximum(w, h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": w.astype("int32"),
+                    "height": h.astype("int32"),
+                    "out_width": (w * target // m).astype("int32"),
+                    "out_height": (h * target // m).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=RESIZE_SCHEMA)
+
+
+def frame_sample_stub(
+    df: DataFrame, id_col: str = "doc_id", stride: int = 24
+) -> DataFrame:
+    """Video frame-sampling plumbing: one input row (binary payload) fans out
+    to one output row per sampled frame — the mapInPandas batch shape a real
+    ffmpeg-style sampler needs (rows-out != rows-in). Frame count and frame
+    hashes are deterministic fakes from the payload bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_ids, out_n, out_idx, out_hash = [], [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+                data = bytes(payload)
+                n_frames = 1 + len(data) % 240
+                content = hashlib.md5(data).hexdigest()
+                for idx in range(0, n_frames, stride):
+                    out_ids.append(doc_id)
+                    out_n.append(n_frames)
+                    out_idx.append(idx)
+                    out_hash.append(
+                        hashlib.md5(f"{content}|{idx}".encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": out_ids,
+                    "n_frames": pd.array(out_n, dtype="int32"),
+                    "frame_idx": pd.array(out_idx, dtype="int32"),
+                    "frame_hash": out_hash,
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAMES_SCHEMA)

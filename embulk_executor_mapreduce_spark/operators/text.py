@@ -91,3 +91,24 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         F.col(id_col),
         F.md5(F.array_join(F.array_sort(tokens(text_col)), " ")).alias("fingerprint"),
     )
+
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single non-space symbols —
+# the shape GPT-style tokenizers use as the pre-split. Same regex semantics
+# in Java regex (Spark) and RE2 (DuckDB oracle): no backrefs/lookaround.
+BPEISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counting two ways: whitespace words and a BPE-ish regex
+    pre-tokenization (letters/digits/symbol runs). All JVM-side regex —
+    no Python in the hot path."""
+    bpe = F.regexp_extract_all(F.col(text_col), F.lit(BPEISH_PATTERN), 0)
+    return df.select(
+        F.col(id_col),
+        F.size(tokens(text_col)).alias("n_words"),
+        F.size(bpe).alias("n_bpeish_tokens"),
+        F.size(F.array_distinct(bpe)).alias("n_unique_tokens"),
+    )

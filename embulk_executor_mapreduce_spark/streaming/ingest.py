@@ -88,3 +88,36 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+SESSION_STATE_SCHEMA = "user_id LONG, n_events LONG, total_value DOUBLE"
+
+
+def stateful_user_rollup(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user running rollup (event count + value sum) maintained in the state
+    store across micro-batches — the escape hatch for operators Spark's
+    built-in stateful ops can't express (reference analog: an Embulk
+    FilterPlugin holding state). Emits the updated rollup for every user seen
+    in each batch; with availableNow replay the final row per user must equal
+    the batch groupBy (asserted in tests)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSION_STATE_SCHEMA,
+        stateStructType="n_events LONG, total_value DOUBLE",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -67,3 +67,41 @@ def test_approx_count_distinct_bounds(spark):
     exact = ev.select("user_id").distinct().count()
     approx = ev.agg(F.approx_count_distinct("user_id").alias("a")).collect()[0].a
     assert abs(approx - exact) / exact < 0.15
+
+
+def test_embedding_neardup_properties(spark):
+    """Pairs are ordered (id_a < id_b), above threshold, and a self-dup
+    vector pair is found with cos_sim == 1."""
+    from embulk_executor_mapreduce_spark.operators.dedup import embedding_neardup
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dup = e.limit(1).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding", "label"
+    )
+    pairs = embedding_neardup(e.unionByName(dup), threshold=0.25).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(r.cos_sim >= 0.25 for r in pairs)
+    exact = [r for r in pairs if r.id_b >= 1_000_000]
+    assert any(abs(r.cos_sim - 1.0) < 1e-6 for r in exact)
+
+
+def test_frame_sample_fanout(spark):
+    """Frame sampling fans one row out to ceil(n_frames/stride) rows with
+    distinct frame hashes."""
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        frame_sample_stub,
+        to_binary,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    out = frame_sample_stub(to_binary(docs), stride=24)
+    rows = out.collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == 20
+    for doc_rows in by_doc.values():
+        n_frames = doc_rows[0].n_frames
+        assert len(doc_rows) == (n_frames + 23) // 24
+        hashes = {r.frame_hash for r in doc_rows}
+        assert len(hashes) == len(doc_rows)

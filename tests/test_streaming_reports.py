@@ -41,3 +41,26 @@ def test_progress_monitor_sees_tasks(spark):
     assert trail.samples, "no progress samples collected"
     assert all(s.num_tasks > 0 for s in trail.samples)
     assert not trail.any_failures()
+
+
+def test_stateful_rollup_final_equals_batch(spark):
+    """applyInPandasWithState rollup: last emission per user == batch agg."""
+    from embulk_executor_mapreduce_spark.streaming.ingest import stateful_user_rollup
+
+    out = run_stream_to_memory(
+        stateful_user_rollup(read_events_stream(spark, SF)),
+        "t_rollup",
+        output_mode="update",
+    )
+    # keep the LAST emission per user (multiple micro-batches re-emit)
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"))
+    )
+    batch = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert final.exceptAll(batch).count() == 0
+    assert batch.exceptAll(final).count() == 0
