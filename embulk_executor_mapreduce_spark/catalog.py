@@ -535,8 +535,11 @@ _MINHASH_BANDS = 4
 
 def _minhash_oracle(num_hashes: int, bands: int) -> str:
     rows = num_hashes // bands
+    p = 2_147_483_647  # operators.dedup.MINHASH_PRIME
     sig_items = ",\n          ".join(
-        f"list_min(list_transform(shingles, s -> md5('{j}|' || s)))"
+        "list_min(list_transform(hm, h -> ({a} * h + {b}) % {p}))".format(
+            a=2 * j + 1, b=j * 1_000_003 + 12_345, p=p
+        )
         for j in range(num_hashes)
     )
     band_cases = "\n             ".join(
@@ -554,8 +557,13 @@ def _minhash_oracle(num_hashes: int, bands: int) -> str:
              list_transform(range(1, greatest(len(w) - 2, 1) + 1),
                             i -> array_to_string(w[i:i+2], ' ')) AS shingles
       FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}) AS hm
+      FROM sh
     ), sig AS (
-      SELECT doc_id, [{sig_items}] AS sig FROM sh
+      SELECT doc_id, [{sig_items}] AS sig FROM hashed
     ), banded AS (
       SELECT doc_id, b.band,
              CASE b.band

@@ -50,22 +50,40 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature: for seed j, min over shingles of md5(j || '|' || s).
+# MinHash universe: a 31-bit Mersenne prime keeps (a_j * h + b_j) within 2^36
+# so the modular family never overflows a 64-bit long (Spark 4 ANSI mode
+# raises on long overflow — the seed multipliers must stay small).
+MINHASH_PRIME = 2_147_483_647
 
-    md5-as-hash-family is deterministic and identical across engines (the
-    DuckDB oracle computes the same), at the cost of string hashing — fine,
-    because it's still vectorized JVM code and one pass over the exploded
-    shingles. Returns array<string> of length ``num_hashes``.
+
+def _base_hash(col: Column) -> Column:
+    """One md5 per shingle, folded to a positive 60-bit long via hex parse —
+    identical in DuckDB (``('0x' || substr(md5(s),1,15))::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _seed_hash(hm: Column, seed: int) -> Column:
+    """Universal-hash family member j over the reduced base hash."""
+    a, b = 2 * seed + 1, seed * 1_000_003 + 12_345
+    return (F.lit(a) * hm + F.lit(b)) % MINHASH_PRIME
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature: for seed j, min over shingles of the universal-hash
+    family h_j(s) = (a_j·(md5₆₀(s) mod p) + b_j) mod p — ONE md5 per shingle,
+    then cheap modular arithmetic per seed (previously 1 md5 per seed per
+    shingle — 8× the hashing cost). Deterministic and engine-portable.
+    Returns array<long> of length ``num_hashes``.
     """
-    def hasher(seed: int):
-        prefix = f"{seed}|"
+    hashed = F.transform(shingles, lambda s: _base_hash(s) % MINHASH_PRIME)
+
+    def seeded(j: int):
         # single-arg lambda — a 2-arg lambda would make Spark pass (element,
         # index) and silently shadow the seed binding
-        return lambda s: F.md5(F.concat(F.lit(prefix), s))
+        return lambda hm: _seed_hash(hm, j)
 
     return F.array(
-        *[F.array_min(F.transform(shingles, hasher(j))) for j in range(num_hashes)]
+        *[F.array_min(F.transform(hashed, seeded(j))) for j in range(num_hashes)]
     )
 
 
@@ -85,20 +103,16 @@ def minhash_candidates(
     Output: (id_a, id_b) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
-    # Scale shape: explode shingles ONCE, compute all seed-hashes per shingle
-    # row, take per-seed minima in a single hash aggregation. (The array-
-    # expression form recomputes the shingle array per seed — Catalyst's
-    # CollapseProject inlines the shared subexpression 8×, which profiled 10×
-    # slower at sf0.1; the explode+agg form is one pass and shuffles only
-    # (id, 8 hashes) rows.)
+    # Scale shape: explode shingles ONCE, hash each shingle ONCE (md5 → 60-bit
+    # long), derive all seeds with modular arithmetic, take per-seed minima in
+    # a single hash aggregation. Two prior versions profiled slower at sf0.1:
+    # the array-expression form recomputed the shingle array per seed (10×),
+    # and per-seed md5(seed || shingle) paid 8× the string hashing (3×).
     exploded = df.select(
         F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
-    )
+    ).select(id_col, (_base_hash(F.col("sh")) % MINHASH_PRIME).alias("hm"))
     sig = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("sh")))).alias(f"h{j}")
-            for j in range(num_hashes)
-        ]
+        *[F.min(_seed_hash(F.col("hm"), j)).alias(f"h{j}") for j in range(num_hashes)]
     )
     banded = sig.select(
         id_col,
