@@ -1681,5 +1681,299 @@ def q_stream_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, "stream_user_rollup", output_mode="update")
 
 
+# ---------------------------------------------------------------------------
+# IVF ANN, window frames, null/conditional gauntlets, hash sampling,
+# ORC round-trip, time-series gap-fill, bag set-ops
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_ivf_topk",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id % 50 = 7
+    ), sims AS (
+      SELECT b.vec_id, b.v, c.cid,
+             round(list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv))),
+                   6) AS csim
+      FROM base b, cents c
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+      FROM sims
+    ), lists AS (
+      SELECT vec_id AS cand_id, v AS cv2, cid FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM ranked
+      WHERE vec_id IN (0, 1, 2, 3) AND rn <= 2
+    ), scored AS (
+      SELECT DISTINCT p.query_id, l.cand_id,
+             round(list_dot_product(p.qv, l.cv2)
+                   / (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(l.cv2, l.cv2))),
+                   6) AS cos_sim
+      FROM lists l JOIN probes p ON l.cid = p.cid
+      WHERE l.cand_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed ANN: coarse-quantize to inverted lists, probe the 2
+    nearest lists per query — the scale path between brute force and LSH."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "window_frames_gauntlet",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           first_value(o_orderkey) OVER w AS first_key,
+           last_value(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_key,
+           nth_value(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_key,
+           round(percent_rank() OVER w, 6) AS pr,
+           round(cume_dist() OVER w, 6) AS cd,
+           round(avg(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING), 4) AS moving_avg_cents,
+           CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderkey
+             RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS range_sum_cents
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+    tags=("relational", "window"),
+)
+def q_window_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame surface: first/last/nth_value with explicit full frames,
+    percent_rank/cume_dist, rows-frame moving average, numeric RANGE frame.
+
+    Moving aggregates run over exact integer cents: DuckDB evaluates windowed
+    sums with segment trees (tree-order combination) while Spark folds
+    sequentially, so double aggregation can differ in the last ulp and flip a
+    rounded boundary — integer sums are order-free."""
+    o = load(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100).cast("long")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    w_move = w.rowsBetween(-1, 1)
+    w_range = (
+        W.partitionBy("o_custkey").orderBy("o_orderkey").rangeBetween(-100, 0)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_orderkey").over(w).alias("first_key"),
+        F.last("o_orderkey").over(w_full).alias("last_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_key"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.round(F.avg(cents).over(w_move), 4).alias("moving_avg_cents"),
+        F.sum(cents).over(w_range).alias("range_sum_cents"),
+    )
+
+
+@register(
+    "null_scalar_gauntlet",
+    oracle="""
+    SELECT event_id,
+           coalesce(nullif(event_type, 'click'), 'other') AS et,
+           CASE WHEN value > 100 THEN 'hi' WHEN value > 50 THEN 'mid'
+                ELSE 'lo' END AS tier,
+           (json_extract_string(props, '$.missing') IS NULL) AS miss_is_null,
+           coalesce(json_extract_string(props, '$.missing'), 'dflt') AS filled,
+           least(coalesce(value, 0.0), 100.0) AS capped
+    FROM events
+    """,
+    tags=("functions", "null"),
+)
+def q_null_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling scalar surface: nullif/coalesce/CASE/IS NULL."""
+    ev = load(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "coalesce(nullif(event_type, 'click'), 'other') AS et",
+        "CASE WHEN value > 100 THEN 'hi' WHEN value > 50 THEN 'mid' ELSE 'lo' END AS tier",
+        "get_json_object(props, '$.missing') IS NULL AS miss_is_null",
+        "coalesce(get_json_object(props, '$.missing'), 'dflt') AS filled",
+        "least(coalesce(value, 0.0d), 100.0d) AS capped",
+    )
+
+
+@register(
+    "conditional_aggs",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n,
+           count(*) FILTER (value > 100) AS n_big,
+           bool_or(value > 400) AS any_huge,
+           bool_and(value >= 0) AS all_nonneg,
+           round(sum(value) FILTER (user_id % 2 = 0), 2) AS even_user_sum,
+           max_by(event_id, value) AS top_event
+    FROM events GROUP BY event_type
+    """,
+    tags=("relational", "agg"),
+)
+def q_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean aggregates: count_if, bool_or/and, filtered sum,
+    max_by (value is continuous — argmax ties don't arise in practice)."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.count_if(F.col("value") > 100).alias("n_big"),
+        F.bool_or(F.col("value") > 400).alias("any_huge"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.round(
+            F.sum(F.when(F.col("user_id") % 2 == 0, F.col("value"))), 2
+        ).alias("even_user_sum"),
+        F.max_by("event_id", "value").alias("top_event"),
+    )
+
+
+@register(
+    "hash_sample_10pct",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    WHERE ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT % 100 < 10
+    GROUP BY event_type
+    """,
+    tags=("sampling",),
+)
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash sample: md5(key) mod 100 — reproducible across
+    engines/runs/partitionings (unlike TABLESAMPLE), the right way to sample
+    a 100 TB table consistently between pipeline stages."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    return (
+        ev.filter(bucket < 10)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total"))
+    )
+
+
+@register(
+    "orc_engine_roundtrip",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 2) AS bal
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("parity", "orc", "source"),
+)
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round trip through the engine (third columnar
+    format after parquet/csv/json; oracle sees only the original table)."""
+    import tempfile
+
+    from .plans.compiler import compile_pipeline, run_pipeline
+    from .spec import load_spec
+
+    outdir = tempfile.mkdtemp(prefix="orc_rt_") + "/customer"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/customer.parquet"},
+                "filters": [
+                    {"type": "select", "columns": ["c_custkey", "c_mktsegment", "c_acctbal"]},
+                ],
+                "out": {"type": "orc", "path": outdir},
+            }
+        ),
+    )
+    back = compile_pipeline(
+        spark,
+        load_spec({"in": {"type": "orc", "path": outdir}, "out": {"type": "null"}}),
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"), F.round(F.sum("c_acctbal"), 2).alias("bal")
+    )
+
+
+@register(
+    "gapfill_hourly",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(h) AS mn, max(h) AS mx FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT s.user_id, t.u AS h
+      FROM spans s, unnest(generate_series(s.mn, s.mx)) t(u)
+    )
+    SELECT g.user_id, g.h AS bucket_hour, coalesce(hy.n, 0) AS n_events
+    FROM grid g LEFT JOIN hourly hy ON g.user_id = hy.user_id AND g.h = hy.h
+    """,
+    tags=("timeseries",),
+)
+def q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap fill: per-key dense hourly grid (sequence + explode)
+    left-joined against observed counts, zero-filled — the resample/asfreq
+    primitive. Grid generation is per-key bounded, never a driver loop."""
+    ev = load(spark, sf_dir, "events")
+    hourly = (
+        ev.select(
+            "user_id",
+            F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("h"),
+        )
+        .groupBy("user_id", "h")
+        .agg(F.count("*").alias("n"))
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("h").alias("mn"), F.max("h").alias("mx")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("mn", "mx")).alias("bucket_hour")
+    )
+    return grid.join(
+        hourly,
+        (grid.user_id == hourly.user_id) & (grid.bucket_hour == hourly.h),
+        "left",
+    ).select(
+        grid.user_id,
+        "bucket_hour",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+    )
+
+
+@register(
+    "bag_setops",
+    oracle="""
+    SELECT l_partkey FROM lineitem WHERE l_quantity > 40
+    UNION ALL
+    SELECT l_partkey FROM lineitem WHERE l_discount > 0.08
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    """,
+    tags=("relational", "setops"),
+)
+def q_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops: UNION ALL + EXCEPT ALL (duplicate-preserving)."""
+    li = load(spark, sf_dir, "lineitem")
+    hot = li.filter(F.col("l_quantity") > 40).select("l_partkey")
+    disc = li.filter(F.col("l_discount") > 0.08).select("l_partkey")
+    returned = li.filter(F.col("l_returnflag") == "A").select("l_partkey")
+    return hot.unionAll(disc).exceptAll(returned)
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(REGISTRY)

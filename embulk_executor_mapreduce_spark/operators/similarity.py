@@ -137,3 +137,59 @@ def lsh_bucket_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cos_sim")
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    centroid_mod: int = 50,
+    centroid_rem: int = 7,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style approximate top-k: coarse-quantize vectors to their nearest
+    centroid (inverted lists), probe only the query's ``nprobe`` nearest
+    lists.
+
+    Centroids here are a deterministic sample of the corpus (``id % mod ==
+    rem``) instead of k-means — same plan shape (real IVF swaps the centroid
+    table in), fully oracle-portable. Scale: assignment is a broadcast of the
+    small centroid table over one corpus scan; the probe is an equi-join on
+    the centroid id — the corpus shuffles once on list id, never O(n·n_q).
+    """
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+    )
+    sim_to_cent = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
+    )
+    w_assign = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+    ranked = sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
+    lists = ranked.filter(F.col("rn") == 1).select(
+        F.col(id_col).alias("cand_id"), F.col("v").alias("cv2"), "cid"
+    )
+    probes = ranked.filter(
+        F.col(id_col).isin(*query_ids) & (F.col("rn") <= nprobe)
+    ).select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cid")
+    scored = (
+        lists.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cos_sim"),
+        )
+        .dropDuplicates(["query_id", "cand_id"])
+    )
+    w_top = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )
