@@ -40,12 +40,19 @@ HEADLINE = [
     "dedup_exact",
     "minhash_lsh_candidates",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "embedding_neardup",
     "text_fingerprint",
     "text_stats",
+    "token_count_bpe",
     "asof_last_signup",
     "sessionize_events",
     "outer_join_customer_orders",
     "embedding_centroids",
+    "gapfill_hourly",
+    "window_frames_gauntlet",
+    "multimodal_frames",
+    "hash_sample_10pct",
 ]
 
 SMALL_RESULT = {
@@ -55,6 +62,9 @@ SMALL_RESULT = {
     "bucket_hour",
     "minhash_lsh_candidates",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "embedding_neardup",
+    "hash_sample_10pct",
 }
 
 _TS_NORMALIZE_FILTERS = [

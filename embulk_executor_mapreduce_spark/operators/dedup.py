@@ -241,7 +241,7 @@ def embedding_neardup(
     blocking key to `lsh_bucket_topk`-style random hyperplanes) so the
     per-bucket pair count stays bounded. Output: (id_a, id_b, cos_sim).
     """
-    from .similarity import as_double, cosine
+    from .similarity import as_double, dot
 
     bucket = F.concat(
         *[
@@ -249,14 +249,19 @@ def embedding_neardup(
             for i in range(sign_dims)
         ]
     )
+    # norm precomputed per ROW (1 dot per pair in the join instead of 3 —
+    # sqrt(dot(v,v)) is bit-identical whether computed pre- or post-join, so
+    # the oracle value is unchanged)
     base = df.select(
         F.col(id_col), as_double(vec_col).alias("v"), bucket.alias("bucket")
-    )
+    ).withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
     a = base.select(
-        F.col(id_col).alias("id_a"), F.col("v").alias("va"), "bucket"
+        F.col(id_col).alias("id_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("na"), "bucket",
     )
     b = base.select(
-        F.col(id_col).alias("id_b"), F.col("v").alias("vb"), "bucket"
+        F.col(id_col).alias("id_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
     )
     return (
         a.join(b, "bucket")
@@ -264,7 +269,9 @@ def embedding_neardup(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )

@@ -41,18 +41,28 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the query vectors against a single scan
     of the candidate set, window top-k per query. No O(n²) — O(n_q × n)."""
-    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    q = base.filter(F.col(id_col).isin(*query_ids)).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv")
+    # norms precomputed per ROW: 1 dot per (query, cand) pair instead of 3;
+    # sqrt(dot(v,v)) is bit-identical pre- or post-join, so oracle parity holds
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
-    cand = base.select(F.col(id_col).alias("cand_id"), F.col("v").alias("cv"))
+    q = base.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = base.select(
+        F.col(id_col).alias("cand_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
     scored = (
         cand.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
@@ -159,31 +169,43 @@ def ivf_topk(
     small centroid table over one corpus scan; the probe is an equi-join on
     the centroid id — the corpus shuffles once on list id, never O(n·n_q).
     """
-    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
     cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv")
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
     )
     sim_to_cent = base.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         "v",
+        "nrm",
         "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
+        F.round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        ).alias("csim"),
     )
     w_assign = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
     ranked = sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
     lists = ranked.filter(F.col("rn") == 1).select(
-        F.col(id_col).alias("cand_id"), F.col("v").alias("cv2"), "cid"
+        F.col(id_col).alias("cand_id"), F.col("v").alias("cv2"),
+        F.col("nrm").alias("cn2"), "cid",
     )
     probes = ranked.filter(
         F.col(id_col).isin(*query_ids) & (F.col("rn") <= nprobe)
-    ).select(F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cid")
+    ).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"), "cid",
+    )
     scored = (
         lists.join(F.broadcast(probes), "cid")
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.round(cosine(F.col("qv"), F.col("cv2")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6
+            ).alias("cos_sim"),
         )
         .dropDuplicates(["query_id", "cand_id"])
     )

@@ -107,3 +107,27 @@ def test_filter_pushes_through_projection_chain(spark):
     )
     df = compile_pipeline(spark, spec)
     assert any("l_quantity" in f for f in pushed_filters(df))
+
+
+def test_embedding_neardup_is_equi_join(spark):
+    """The near-dup self-join must key on the LSH bucket — a cartesian
+    product here is the O(n²) failure mode at scale."""
+    df = catalog.entries()["embedding_neardup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "bucket" in plan
+
+
+def test_ivf_broadcasts_centroids_and_probes(spark):
+    """IVF assignment broadcasts the small centroid/probe tables over the
+    corpus scan — the corpus side must never be broadcast or cross-joined."""
+    df = catalog.entries()["ann_ivf_topk"].fn(spark, SF)
+    assert num_broadcasts(df) >= 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_global_topk_never_global_sorts(spark):
+    df = catalog.entries()["global_topk_orders"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
