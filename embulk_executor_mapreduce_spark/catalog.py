@@ -1975,5 +1975,103 @@ def q_bag_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hot.unionAll(disc).exceptAll(returned)
 
 
+@register(
+    "spec_join_aggregate",
+    oracle="""
+    SELECT n.n_name, count(*) AS n_customers,
+           round(sum(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_acctbal > 0
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("spec", "relational"),
+)
+def q_spec_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full analytic pipeline declared IN THE SPEC: filter → broadcast-join
+    enrichment → group-aggregate → sort. The spec surface carries the whole
+    query — a reference user's YAML pipeline ports 1:1."""
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/customer.parquet"},
+                "filters": [
+                    {"type": "filter", "predicate": "c_acctbal > 0"},
+                    {
+                        "type": "join",
+                        "source": {"type": "parquet", "path": f"{sf_dir}/nation.parquet"},
+                        "condition": "c_nationkey = n_nationkey",
+                        "how": "inner",
+                        "broadcast": True,
+                    },
+                    {
+                        "type": "aggregate",
+                        "group_by": ["n_name"],
+                        "aggs": {
+                            "n_customers": "count(*)",
+                            "total_bal": "round(sum(c_acctbal), 2)",
+                        },
+                    },
+                    {"type": "sort", "by": ["n_name"]},
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
+@register(
+    "spec_dedup_sql",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT event_type, count(*) AS n_users, round(sum(value), 2) AS total
+    FROM latest WHERE rn = 1 GROUP BY event_type
+    """,
+    tags=("spec", "dedup"),
+)
+def q_spec_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spec-declared deterministic dedup (latest event per user via
+    order_by survivor) + SQL stage — the 'keep newest record per key'
+    pipeline every CDC/ingest system needs."""
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                "filters": [
+                    {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
+                    {"type": "drop", "columns": ["ts"]},
+                    {"type": "rename", "mapping": {"ts2": "ts"}},
+                    {
+                        "type": "dedup",
+                        "columns": ["user_id"],
+                        "order_by": ["ts desc", "event_id desc"],
+                    },
+                    {
+                        "type": "sql",
+                        "query": """
+                            SELECT event_type, count(*) AS n_users,
+                                   round(sum(value), 2) AS total
+                            FROM __input GROUP BY event_type
+                        """,
+                    },
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
 def entries() -> dict[str, CatalogEntry]:
     return dict(REGISTRY)

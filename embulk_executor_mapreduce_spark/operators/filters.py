@@ -17,6 +17,18 @@ Filter configs:
 - ``filter``: {predicate: "sql expression"}
 - ``with_column``: {name: ..., expr: "sql expression"}
 - ``pandas``: {fn: registered name}                 — plugin slot
+
+Relational stages (extension surface — the spec carries full analytic
+pipelines):
+- ``join``: {source: {in-block}, on: [cols] | condition: "expr",
+  how: inner|left|..., broadcast: bool (default true — lookups are small;
+  set false for big-big joins so Catalyst/AQE picks the shuffle strategy)}
+- ``aggregate``: {group_by: [...], aggs: {alias: "sql agg expr"}}
+- ``dedup``: {columns: [...], order_by: [...] (optional — deterministic
+  survivor via row_number; without it, dropDuplicates keeps an arbitrary row)}
+- ``sort``: {by: ["col", "col desc", ...]}
+- ``limit``: {n: int}
+- ``sql``: {query: "... FROM __input ..."}          — full SQL escape hatch
 """
 
 from __future__ import annotations
@@ -73,7 +85,65 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
                 yield fn(pdf)
 
         return df.mapInPandas(run, schema=out_schema)
+    if spec.type == "join":
+        from ..sources.readers import read_source
+        from ..spec import source_from
+
+        if "source" not in cfg:
+            raise ConfigError("join filter requires a 'source' block")
+        right = read_source(df.sparkSession, source_from(cfg["source"]))
+        if cfg.get("broadcast", True):
+            right = F.broadcast(right)
+        how = cfg.get("how", "inner")
+        if "on" in cfg:
+            return df.join(right, on=list(cfg["on"]), how=how)
+        if "condition" in cfg:
+            return df.join(right, on=F.expr(cfg["condition"]), how=how)
+        raise ConfigError("join filter requires 'on' columns or a 'condition'")
+    if spec.type == "aggregate":
+        aggs = cfg.get("aggs")
+        if not aggs:
+            raise ConfigError("aggregate filter requires an 'aggs' mapping")
+        exprs = [F.expr(e).alias(a) for a, e in aggs.items()]
+        keys = cfg.get("group_by", [])
+        return df.groupBy(*keys).agg(*exprs) if keys else df.agg(*exprs)
+    if spec.type == "dedup":
+        cols = cfg.get("columns")
+        if not cols:
+            raise ConfigError("dedup filter requires 'columns'")
+        order_by = cfg.get("order_by")
+        if not order_by:
+            return df.dropDuplicates(list(cols))
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy(*cols).orderBy(*[_sort_col(s) for s in order_by])
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if spec.type == "sort":
+        return df.orderBy(*[_sort_col(s) for s in cfg.get("by", [])])
+    if spec.type == "limit":
+        return df.limit(int(cfg["n"]))
+    if spec.type == "sql":
+        query = cfg.get("query", "")
+        if "__input" not in query:
+            raise ConfigError("sql filter query must reference __input")
+        df.createOrReplaceTempView("__input")
+        return df.sparkSession.sql(query)
     raise ConfigError(f"unknown filter type {spec.type!r}")
+
+
+def _sort_col(s: str):
+    parts = s.split()
+    if len(parts) == 2 and parts[1].lower() == "desc":
+        return F.col(parts[0]).desc()
+    if len(parts) == 2 and parts[1].lower() == "asc":
+        return F.col(parts[0]).asc()
+    if len(parts) == 1:
+        return F.col(s)
+    raise ConfigError(f"bad sort spec {s!r} (want 'col' or 'col desc')")
 
 
 def apply_filter_chain(df: DataFrame, filters) -> DataFrame:

@@ -31,6 +31,14 @@ _FILTER_TYPES = {
     "filter",
     "with_column",
     "pandas",  # row-level plugin escape hatch (reference FilterPlugin slot, O3)
+    # relational stages (extension surface, SURVEY.md §2.4): the spec carries
+    # the full analytic pipeline, not just row-level transforms
+    "join",
+    "aggregate",
+    "dedup",
+    "sort",
+    "limit",
+    "sql",
 }
 
 
@@ -143,6 +151,20 @@ def _columns_from(raw: list[dict[str, Any]]) -> tuple[ColumnSpec, ...]:
     return tuple(out)
 
 
+def source_from(raw: dict[str, Any]) -> SourceSpec:
+    """Parse an ``in``-style block into a SourceSpec (also used by the
+    ``join`` filter stage for its lookup-side source)."""
+    src_raw = dict(raw)
+    return SourceSpec(
+        type=src_raw.pop("type", "parquet"),
+        path=src_raw.pop("path", None),
+        columns=_columns_from(src_raw.pop("columns", [])),
+        stop_on_invalid_record=src_raw.pop("stop_on_invalid_record", False),
+        task_count=src_raw.pop("task_count", None),
+        options=src_raw.pop("options", src_raw),
+    )
+
+
 def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
     """Load from a dict (or a JSON/YAML string). Embulk-style keys:
     ``in``, ``filters``, ``out``, ``exec`` (with nested ``partitioning``)."""
@@ -161,15 +183,7 @@ def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
     if not isinstance(doc, dict) or "in" not in doc:
         raise ConfigError("pipeline spec must be a mapping with an 'in' block")
 
-    src_raw = dict(doc["in"])
-    source = SourceSpec(
-        type=src_raw.pop("type", "parquet"),
-        path=src_raw.pop("path", None),
-        columns=_columns_from(src_raw.pop("columns", [])),
-        stop_on_invalid_record=src_raw.pop("stop_on_invalid_record", False),
-        task_count=src_raw.pop("task_count", None),
-        options=src_raw.pop("options", src_raw),
-    )
+    source = source_from(doc["in"])
     filters = tuple(
         FilterSpec(type=f.pop("type"), config=f)
         for f in (dict(f) for f in doc.get("filters", []))

@@ -97,3 +97,70 @@ def test_partition_by_bucket_requires_partitioning():
                 "out": {"type": "parquet", "path": "/tmp/y", "partition_by_bucket": True},
             }
         )
+
+
+def test_join_filter_requires_source_and_on():
+    import pytest
+
+    from embulk_executor_mapreduce_spark.errors import ConfigError
+    from embulk_executor_mapreduce_spark.operators.filters import apply_filter
+    from embulk_executor_mapreduce_spark.spec import FilterSpec
+
+    with pytest.raises(ConfigError, match="source"):
+        apply_filter(None, FilterSpec(type="join", config={}))
+
+
+def test_sql_filter_must_reference_input():
+    import pytest
+
+    from embulk_executor_mapreduce_spark.errors import ConfigError
+    from embulk_executor_mapreduce_spark.operators.filters import apply_filter
+    from embulk_executor_mapreduce_spark.spec import FilterSpec
+
+    with pytest.raises(ConfigError, match="__input"):
+        apply_filter(None, FilterSpec(type="sql", config={"query": "SELECT 1"}))
+
+
+def test_bad_sort_spec_rejected():
+    import pytest
+
+    from embulk_executor_mapreduce_spark.errors import ConfigError
+    from embulk_executor_mapreduce_spark.operators.filters import _sort_col
+
+    with pytest.raises(ConfigError):
+        _sort_col("col sideways")
+
+
+def test_relational_stage_pipeline(spark):
+    """join + aggregate + dedup + sort + limit end-to-end through the spec."""
+    from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    sf = "/root/testdata/sf0.001"
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf}/orders.parquet"},
+                "filters": [
+                    {
+                        "type": "join",
+                        "source": {"type": "parquet", "path": f"{sf}/customer.parquet"},
+                        "condition": "o_custkey = c_custkey",
+                    },
+                    {"type": "dedup", "columns": ["o_custkey"], "order_by": ["o_totalprice desc"]},
+                    {
+                        "type": "aggregate",
+                        "group_by": ["c_mktsegment"],
+                        "aggs": {"n": "count(*)", "top": "max(o_totalprice)"},
+                    },
+                    {"type": "sort", "by": ["n desc", "c_mktsegment"]},
+                    {"type": "limit", "n": 3},
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 3
+    assert rows[0].n >= rows[-1].n
