@@ -28,17 +28,25 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
     if spec.type == "memory":
         df.createOrReplaceTempView(spec.options.get("view", "pipeline_out"))
         return
-    writer = df.write.mode(spec.mode).options(**spec.options)
+    opts = dict(spec.options)
+    if spec.type == "csv":
+        opts = {
+            "header": True,
+            "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            **opts,
+        }
+    writer = df.write.mode(spec.mode).options(**opts)
+    part_cols = list(spec.partition_by)
     if spec.partition_by_bucket:
         if not bucket_col:
             raise ConfigError("partition_by_bucket requires a partitioning block")
-        writer = writer.partitionBy(bucket_col)
+        part_cols = [bucket_col, *part_cols]
+    if part_cols:
+        writer = writer.partitionBy(*part_cols)
     if spec.type == "parquet":
         writer.parquet(spec.path)
     elif spec.type == "csv":
-        opts = {"header": True, "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS"}
-        opts.update(spec.options)
-        df.write.mode(spec.mode).options(**opts).csv(spec.path)
+        writer.csv(spec.path)
     elif spec.type == "json":
         writer.json(spec.path)
     elif spec.type == "orc":

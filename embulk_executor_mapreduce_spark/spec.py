@@ -95,6 +95,7 @@ class SinkSpec:
     mode: str = "overwrite"
     options: dict[str, Any] = field(default_factory=dict)
     partition_by_bucket: bool = False  # directory layout per time bucket (O10)
+    partition_by: tuple[str, ...] = ()  # general hive-style column layout
 
 
 @dataclass(frozen=True)
@@ -194,6 +195,7 @@ def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
         path=out_raw.pop("path", None),
         mode=out_raw.pop("mode", "overwrite"),
         partition_by_bucket=out_raw.pop("partition_by_bucket", False),
+        partition_by=tuple(out_raw.pop("partition_by", ())),
         options=out_raw.pop("options", out_raw),
     )
     exec_raw = dict(doc.get("exec", {}))
