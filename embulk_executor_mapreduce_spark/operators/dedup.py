@@ -17,8 +17,12 @@ bucket-joins whose keys Catalyst/AQE can reason about.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..exactmath import d_round
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -154,18 +158,37 @@ def jaccard_pairs(
     id_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact n-gram Jaccard similarity for ALL pairs sharing ≥1 shingle.
+    """Exact n-gram Jaccard similarity for pairs sharing ≥1 (non-stop) shingle.
 
-    Shape: explode distinct shingles → self-join on shingle → count common
-    shingles per pair → Jaccard = common / (|A| + |B| - common). The join is
-    on the shingle value (high cardinality), so it shuffles well; a 100 TB
-    run would put a document-frequency cap on shingles first (stop-shingle
-    removal) — exposed as ``max_doc_freq`` in a later revision.
+    Shape: explode distinct shingles → document-frequency cap → self-join on
+    shingle → count common shingles per pair → Jaccard = common /
+    (|A| + |B| - common). The join is on the shingle value (high cardinality),
+    so it shuffles well.
+
+    ``max_doc_freq`` is the 100 TB safety valve: one boilerplate shingle shared
+    by 1M docs would otherwise create a 10¹²-row pair group in the self-join.
+    Shingles appearing in more than ``max_doc_freq`` documents are dropped
+    BEFORE the join (stop-shingle removal — standard practice in near-dup
+    mining); per-doc sizes are counted after the cap so the metric stays a
+    true Jaccard over the retained shingle sets. The pair count is then
+    bounded by sum over shingles of df(s)² ≤ n_shingles · max_doc_freq².
+
+    Per-doc sizes join WITHOUT a broadcast hint: they are O(n_docs) — AQE
+    picks broadcast when the side is actually small and shuffles otherwise.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
     )
+    if max_doc_freq is not None:
+        keep = (
+            toks.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_doc_freq)
+            .select("sh")
+        )
+        toks = toks.join(keep, "sh")
     sizes = toks.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     a = toks.alias("a")
     b = toks.alias("b")
@@ -177,11 +200,11 @@ def jaccard_pairs(
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
-        common.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
-            F.round(
+            d_round(
                 F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 4
             ),
         )
@@ -221,12 +244,22 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def neardup_sign_dims(n_rows: int, target_bucket_docs: int = 256) -> int:
+    """Size the sign-bit blocking key from the corpus: enough bits that the
+    EXPECTED bucket occupancy is ~``target_bucket_docs`` (per-bucket pair cost
+    then stays ~target²/2 regardless of corpus size). Clamped to [4, 24]."""
+    if n_rows <= 0:
+        return 4
+    return max(4, min(24, math.ceil(math.log2(max(n_rows / target_bucket_docs, 1.0)))))
+
+
 def embedding_neardup(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    sign_dims: int = 4,
+    sign_dims: int | None = None,
     threshold: float = 0.25,
+    target_bucket_docs: int = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by sign-bit LSH.
 
@@ -237,11 +270,17 @@ def embedding_neardup(
     computed and thresholded on the ROUNDED value so engine float noise can't
     flip boundary pairs.
 
-    At 100 TB: bucket count is 2^sign_dims; raise sign_dims (or switch the
-    blocking key to `lsh_bucket_topk`-style random hyperplanes) so the
-    per-bucket pair count stays bounded. Output: (id_a, id_b, cos_sim).
+    ``sign_dims=None`` (default) sizes the key FROM THE DATA via
+    :func:`neardup_sign_dims` — one cheap count() at plan time — so the
+    per-bucket pair count stays ~``target_bucket_docs``²/2 at any corpus
+    size (the round-1 fixed 16-bucket version went quadratic at scale).
+    Residual per-bucket skew (sign bits are not uniform on real data) is
+    AQE skew-join territory. Output: (id_a, id_b, cos_sim).
     """
     from .similarity import as_double, dot
+
+    if sign_dims is None:
+        sign_dims = neardup_sign_dims(df.count(), target_bucket_docs)
 
     bucket = F.concat(
         *[
@@ -269,7 +308,7 @@ def embedding_neardup(
         .select(
             "id_a",
             "id_b",
-            F.round(
+            d_round(
                 dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
             ).alias("cos_sim"),
         )

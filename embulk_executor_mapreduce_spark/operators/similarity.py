@@ -18,6 +18,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from ..exactmath import d_round
+
 
 def as_double(col) -> Column:
     return F.transform(col if isinstance(col, Column) else F.col(col), lambda x: x.cast("double"))
@@ -60,7 +62,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            d_round(
                 dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
             ).alias("cos_sim"),
         )
@@ -139,7 +141,7 @@ def lsh_bucket_topk(
     scored = cand_pairs.select(
         "query_id",
         "cand_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
+        d_round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos_sim"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("cand_id"))
     return (
@@ -149,39 +151,50 @@ def lsh_bucket_topk(
     )
 
 
+def ivf_centroids(
+    base: DataFrame, id_col: str, n_centroids: int
+) -> DataFrame:
+    """Fixed-size centroid table: the ``n_centroids`` lowest-id vectors.
+
+    The table is EXACTLY ``n_centroids`` rows no matter how big the corpus is
+    (the round-1 ``id % 50`` sample grew with the corpus — a 2 TB broadcast at
+    100 TB). A deterministic id-prefix sample stands in for k-means output —
+    a real deployment swaps the k-means table in; every downstream plan shape
+    (broadcast assignment, list equi-join) is unchanged.
+    """
+    return base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_ids: tuple[int, ...] = (0, 1, 2, 3),
     k: int = 5,
-    centroid_mod: int = 50,
-    centroid_rem: int = 7,
+    n_centroids: int = 64,
     nprobe: int = 2,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their nearest
     centroid (inverted lists), probe only the query's ``nprobe`` nearest
     lists.
 
-    Centroids here are a deterministic sample of the corpus (``id % mod ==
-    rem``) instead of k-means — same plan shape (real IVF swaps the centroid
-    table in), fully oracle-portable. Scale: assignment is a broadcast of the
-    small centroid table over one corpus scan; the probe is an equi-join on
-    the centroid id — the corpus shuffles once on list id, never O(n·n_q).
+    Centroids are a FIXED-k deterministic table (:func:`ivf_centroids`) —
+    assignment broadcasts k vectors (corpus-independent memory) over one
+    corpus scan, cost O(n·k) like real IVF; the probe is an equi-join on the
+    centroid id — the corpus shuffles once on list id, never O(n·n_q).
     """
     base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
-    cents = base.filter((F.col(id_col) % centroid_mod) == centroid_rem).select(
-        F.col(id_col).alias("cid"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"),
-    )
+    cents = ivf_centroids(base, id_col, n_centroids)
     sim_to_cent = base.crossJoin(F.broadcast(cents)).select(
         F.col(id_col),
         "v",
         "nrm",
         "cid",
-        F.round(
+        d_round(
             dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
         ).alias("csim"),
     )
@@ -203,7 +216,7 @@ def ivf_topk(
         .select(
             "query_id",
             "cand_id",
-            F.round(
+            d_round(
                 dot(F.col("qv"), F.col("cv2")) / (F.col("qn") * F.col("cn2")), 6
             ).alias("cos_sim"),
         )

@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..exactmath import d_round
+
 # tiny deterministic stopword marker sets per language (heuristic lang-ID);
 # chosen from the synthetic corpus vocabulary so the heuristic has signal.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -27,7 +29,7 @@ def text_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") ->
         F.col(id_col),
         F.size(toks).alias("n_tokens"),
         F.length(text_col).alias("n_chars_computed"),
-        F.round(F.length(text_col) * F.lit(1.0) / F.size(toks), 2).alias(
+        d_round(F.length(text_col) * F.lit(1.0) / F.size(toks), 2).alias(
             "avg_token_len"
         ),
     )
@@ -48,7 +50,7 @@ def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
         + F.when(has_stop, 0.3).otherwise(0.0)
         + F.when((mean_len >= 3.0) & (mean_len <= 12.0), 0.3).otherwise(0.0)
     )
-    return df.select(F.col(id_col), F.round(score, 2).alias("quality"))
+    return df.select(F.col(id_col), d_round(score, 2).alias("quality"))
 
 
 def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

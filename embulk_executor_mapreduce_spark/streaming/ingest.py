@@ -54,7 +54,14 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        # exact scaled-integer sum (order-independent across micro-batches;
+        # see exactmath module note)
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start_sec"),
             "event_type",

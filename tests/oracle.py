@@ -49,7 +49,10 @@ def _canon(v) -> str:
             return "NaN"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
-        return f"{v:.6g}"
+        # full-precision repr: the driver's hash is bit-exact, so the local
+        # gate must be too (a lossier %.6g let q3's rounding-boundary bug
+        # through in round 1 — VERDICT.md "What's wrong" #2)
+        return repr(v)
     if isinstance(v, _dt.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, _dt.date):
