@@ -9,15 +9,23 @@ Semantics being matched (SURVEY.md §2.2 O5–O7; reference
 - The partition column may be a ``timestamp`` (epoch seconds taken directly,
   ``TimestampPartitioning.java:293-307``) or a ``long`` carrying a unix time in
   ``sec | milli | micro | nano`` (divided down to seconds first,
-  ``TimestampPartitioning.java:88-120,309-329``). Integer floor-division
-  throughout — negative epochs floor toward -inf, matching Java's
-  ``Math.floorDiv`` semantics the bucket math needs.
-- ``map_side_partition_split: N`` (1..65535) appends a round-robin salt so one
-  hot bucket spreads over up to N reduce tasks
+  ``TimestampPartitioning.java:88-120,309-329``). The division is EXACT
+  integer arithmetic (pmod-subtract, no double round-trip) — a nano-unit long
+  exceeds 2^53, where ``floor(col / lit)``'s double division can misplace rows
+  within a few hundred ns of a bucket boundary.
+  DELIBERATE DIVERGENCE from the reference: Java's plain ``/`` truncates
+  toward zero, so the reference buckets pre-1970 timestamps upward; we floor
+  toward -inf so a pre-epoch timestamp still lands in its own wall-clock
+  hour/day. Post-1970 the two are identical.
+- ``map_side_partition_split: N`` (1..65535) appends a salt so one hot bucket
+  spreads over up to N reduce tasks
   (``TimestampPartitioning.java:42-46,273-289``). Spark-first: the salt is a
-  uniform per-row value in ``[0, N)``; we derive it from a cheap deterministic
-  expression rather than a stateful counter (same load-balancing effect, no
-  per-partition state, stays inside codegen).
+  uniform hash of ROW CONTENT — deterministic under task re-execution. A
+  nondeterministic source (partition-position counters,
+  monotonically_increasing_id) can assign different salts on a retried map
+  task, and reducers fetching from mixed attempts would silently drop or
+  duplicate rows (the SPARK-23207 class of bug Spark only guards for
+  round-robin repartition).
 
 Everything here returns Catalyst ``Column`` expressions — no UDFs — so bucket
 computation stays JVM-side and whole-stage-codegen'd, and repartitioning on the
@@ -54,10 +62,17 @@ MAX_SPLIT = 65535  # TimestampPartitioning.java:42-46 caps map_side_partition_sp
 
 
 def _floor_div(col: Column, divisor: int) -> Column:
-    """Floor division on longs (negative-safe, like Java Math.floorDiv)."""
+    """Exact floor division on longs (negative-safe, toward -inf).
+
+    ``col - pmod(col, d)`` is an exact multiple of ``d`` in long arithmetic;
+    the decimal(38,0) division of an exact multiple has no fractional part, so
+    no rounding occurs anywhere — exact for the full long range (a plain
+    ``floor(col / lit)`` routes through double division, inexact above 2^53,
+    which nano-unit timestamps exceed)."""
     if divisor == 1:
         return col
-    return F.floor(col / F.lit(divisor)).cast(T.LongType())
+    exact_multiple = (col - F.pmod(col, F.lit(divisor))).cast("decimal(38,0)")
+    return (exact_multiple / F.lit(divisor)).cast(T.LongType())
 
 
 def bucket_expr(
@@ -101,13 +116,19 @@ def bucket_expr(
     return _floor_div(seconds, UNIT_SECONDS[unit]).alias(f"__bucket_{unit}")
 
 
-def salt_expr(split: int) -> Column:
-    """Uniform salt in ``[0, split)`` for hot-bucket spreading.
+def salt_expr(split: int, cols: list[str | Column] | None = None) -> Column:
+    """Uniform salt in ``[0, split)`` for hot-bucket spreading, derived from
+    ROW CONTENT (xxhash64 over ``cols``) so it is stable across task
+    re-execution — a retried map task assigns every row the same salt as the
+    first attempt, so no reducer can double-fetch or miss rows when attempts
+    mix (monotonically_increasing_id/round-robin counters are NOT stable and
+    reintroduce the SPARK-23207 correctness hole under retry).
 
     The reference uses a per-mapper round-robin counter mod ``split``
-    (``TimestampPartitioning.java:273-289``). A deterministic uniform hash of a
-    monotonically increasing per-row id has the same balancing property without
-    cross-row state, and stays codegen'd.
+    (``TimestampPartitioning.java:273-289``); a content hash has the same
+    load-balancing property (uniform over rows), no cross-row state, and
+    stays codegen'd. ``cols=None`` hashes all columns of the attached frame
+    at resolution time via ``F.struct('*')``.
     """
     if not (1 <= split <= MAX_SPLIT):
         raise PartitionError(
@@ -115,7 +136,8 @@ def salt_expr(split: int) -> Column:
         )
     if split == 1:
         return F.lit(0)
-    return F.pmod(F.monotonically_increasing_id(), F.lit(split)).cast(T.IntegerType())
+    hashed = F.xxhash64(*cols) if cols else F.xxhash64(F.struct("*"))
+    return F.pmod(hashed, F.lit(split)).cast(T.IntegerType())
 
 
 def repartition_by_bucket(

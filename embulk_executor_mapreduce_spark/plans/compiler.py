@@ -35,7 +35,7 @@ from ..errors import RemoteTaskFailedDataError, RemoteTaskFailedError
 from ..operators.filters import apply_filter_chain
 from ..operators.partitioning import bucket_expr, salt_expr
 from ..sinks.writer import write_sink
-from ..sources.readers import read_source
+from ..sources.readers import read_source, task_error_accumulator
 from ..spec import PipelineSpec
 
 BUCKET_COL = "__bucket"
@@ -49,9 +49,12 @@ _USER_DATA_MARKERS = (
     "BadRecordException",
     "CSV",
     "cannot be parsed",
+    "could not be parsed",
     "FAILFAST",
     "MALFORMED_RECORD",
     "CannotParse",
+    "CANNOT_PARSE",
+    "DateTimeException",
 )
 
 
@@ -66,14 +69,26 @@ class PipelineReport:
     wall_seconds: float = 0.0
     succeeded: bool = False
     error: str | None = None
+    # recorded-and-skipped task failures under retry_tasks=false (O14):
+    # [(task_index, "ExcType: message")] — the reference surfaces these via
+    # attempt-state files (EmbulkMapReduce.java:586-599); we use an accumulator
+    failed_tasks: list = field(default_factory=list)
 
 
-def compile_pipeline(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
+def compile_pipeline(
+    spark: SparkSession, spec: PipelineSpec, error_sink=None
+) -> DataFrame:
     """Build the (lazy) DataFrame plan for a validated spec. The returned
     frame still carries the bucket column if partitioning is configured and
     the sink wants per-bucket layout."""
     spec.validate()
-    df = read_source(spark, spec.source)
+    # O14: retry_tasks=false records-and-continues ONLY for non-partitioned
+    # pipelines; partitioned mappers always propagate (reducers must not start
+    # on missing input, EmbulkPartitioningMapReduce.java:132-141)
+    effective_retry = spec.execution.retry_tasks or spec.partitioning is not None
+    df = read_source(
+        spark, spec.source, retry_tasks=effective_retry, error_sink=error_sink
+    )
     df = apply_filter_chain(df, spec.filters)
 
     if spec.partitioning is not None:
@@ -85,8 +100,10 @@ def compile_pipeline(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
         if p.map_side_partition_split > 1:
             df = df.withColumn(SALT_COL, salt_expr(p.map_side_partition_split))
             keys.append(F.col(SALT_COL))
-        # reducers default = input parallelism (MapReduceExecutor.java:98)
-        n = spec.execution.reducers or df.rdd.getNumPartitions() or 1
+        # reducers default = input parallelism (MapReduceExecutor.java:98);
+        # defaultParallelism avoids materializing RDD lineage at compile time
+        # (df.rdd.getNumPartitions() forced a conversion on every compile)
+        n = spec.execution.reducers or spark.sparkContext.defaultParallelism or 1
         df = df.repartition(n, *keys)
         if p.map_side_partition_split > 1:
             df = df.drop(SALT_COL)
@@ -98,15 +115,28 @@ def compile_pipeline(spark: SparkSession, spec: PipelineSpec) -> DataFrame:
 def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
     """Execute the pipeline; classify failures user-data vs infra (O13)."""
     report = PipelineReport(partitioned=spec.partitioning is not None)
+    errors = (
+        task_error_accumulator(spark) if spec.source.type == "task" else None
+    )
     t0 = time.time()
     try:
-        df = compile_pipeline(spark, spec)
+        df = compile_pipeline(spark, spec, error_sink=errors)
         bucket = BUCKET_COL if spec.sink.partition_by_bucket else None
         write_sink(df, spec.sink, bucket_col=bucket)
         report.succeeded = True
         if spec.sink.type not in ("null", "memory"):
-            # count from the committed output, not a recompute of the plan
-            out = getattr(spark.read, spec.sink.type)(spec.sink.path)
+            # count from the committed output, not a recompute of the plan;
+            # read back with the SINK's reader-relevant options (a csv sink
+            # defaults header=True — reading without it counted each part
+            # file's header line as a data row)
+            read_opts = {}
+            if spec.sink.type == "csv":
+                read_opts["header"] = str(
+                    spec.sink.options.get("header", True)
+                ).lower()
+            out = getattr(spark.read.options(**read_opts), spec.sink.type)(
+                spec.sink.path
+            )
             report.output_rows = out.count()
             report.output_tasks = out.rdd.getNumPartitions()
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
@@ -116,5 +146,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
             raise RemoteTaskFailedDataError(report.error) from exc
         raise RemoteTaskFailedError(report.error) from exc
     finally:
+        if errors is not None:
+            report.failed_tasks = sorted(errors.value)
         report.wall_seconds = time.time() - t0
     return report

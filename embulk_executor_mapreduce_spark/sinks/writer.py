@@ -30,8 +30,14 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
         return
     opts = dict(spec.options)
     if spec.type == "csv":
+        # quote/escape default to the reference formatter's ('"'/'"',
+        # embulk_mapred_config.yml:44-50); Spark's writer default escape is
+        # backslash, which the engine's own csv SOURCE (also '"'-escape, like
+        # the reference parser) could not read back
         opts = {
             "header": True,
+            "quote": '"',
+            "escape": '"',
             "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
             **opts,
         }

@@ -24,7 +24,7 @@ from collections.abc import Callable, Iterator
 from typing import Any
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -35,8 +35,9 @@ from ..types import build_schema
 _CORRUPT = "__corrupt_record"
 
 
-def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
-    schema = build_schema(list(spec.columns))
+def _csv_options(spec: SourceSpec) -> tuple[dict[str, Any], int, dict[str, str]]:
+    """Resolve reference csv parser options → (spark options, skip_header_lines,
+    per-column timestamp formats in Java syntax)."""
     opts: dict[str, Any] = {
         "header": False,
         "sep": ",",
@@ -57,33 +58,136 @@ def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     }
     options = dict(spec.options)
     skip_header = int(options.pop("skip_header_lines", 0))
-    if skip_header == 1:
-        opts["header"] = True
-    elif skip_header > 1:
-        raise ConfigError("skip_header_lines > 1 is not supported by the csv source")
     for ref_key, spark_key in ref_map.items():
         if ref_key in options:
             opts[spark_key] = options.pop(ref_key)
-    # per-column timestamp format: Spark csv has one global timestampFormat;
-    # take the first declared column format (reference allows per-column but
-    # its own test fixture uses a single format, embulk_mapred_config.yml:26).
-    for c in spec.columns:
-        if c.type == "timestamp" and c.format:
-            opts["timestampFormat"] = _strptime_to_java(c.format)
-            break
+    # Per-column timestamp formats (reference embulk_mapred_config.yml:26-37
+    # declares one per column). Spark csv has ONE global timestampFormat, so:
+    # a single distinct declared format becomes the global option; with two or
+    # more distinct formats the formatted columns are read as strings and
+    # converted per column afterwards (_apply_column_formats) — each column
+    # honors ITS declared format, like the reference.
+    per_col = {
+        c.name: _strptime_to_java(c.format)
+        for c in spec.columns
+        if c.type == "timestamp" and c.format
+    }
+    distinct = sorted(set(per_col.values()))
+    if len(distinct) == 1:
+        opts["timestampFormat"] = distinct[0]
+        per_col = {}
     opts.update(options)
+    return opts, skip_header, per_col
 
+
+def _apply_column_formats(
+    df: DataFrame, per_col: dict[str, str], stop_on_invalid: bool
+) -> DataFrame:
+    """Convert string-read timestamp columns with their own declared formats.
+    Under stop_on_invalid_record a value that fails ITS format raises (Spark 4
+    ANSI to_timestamp — the FAILFAST analog; classified user-data by the
+    compiler); otherwise try_to_timestamp nulls it and the record is dropped
+    (skip semantics)."""
+    for name, fmt in per_col.items():
+        if stop_on_invalid:
+            parsed = F.to_timestamp(F.col(name), fmt)
+        else:
+            parsed = F.try_to_timestamp(F.col(name), F.lit(fmt))
+            df = df.filter(F.col(name).isNull() | parsed.isNotNull())
+        df = df.withColumn(name, parsed)
+    return df
+
+
+def _read_schema(spec: SourceSpec, per_col: dict[str, str]) -> T.StructType:
+    """Declared schema, with per-column-formatted timestamp columns read as
+    strings (converted after parse)."""
+    schema = build_schema(list(spec.columns))
+    if not per_col:
+        return schema
+    return T.StructType(
+        [
+            T.StructField(f.name, T.StringType(), f.nullable)
+            if f.name in per_col
+            else f
+            for f in schema.fields
+        ]
+    )
+
+
+def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    opts, skip_header, per_col = _csv_options(spec)
+    schema = _read_schema(spec, per_col)
+
+    if skip_header > 1:
+        df = _read_csv_skip_n(spark, spec, opts, schema, skip_header)
+    else:
+        if skip_header == 1:
+            opts["header"] = True
+        if spec.stop_on_invalid_record:
+            opts["mode"] = "FAILFAST"
+            df = spark.read.options(**opts).schema(schema).csv(spec.path)
+        else:
+            # PERMISSIVE + corrupt-record column, then drop bad rows (skip)
+            opts["mode"] = "PERMISSIVE"
+            opts["columnNameOfCorruptRecord"] = _CORRUPT
+            schema_with = T.StructType(
+                schema.fields + [T.StructField(_CORRUPT, T.StringType(), True)]
+            )
+            df = spark.read.options(**opts).schema(schema_with).csv(spec.path)
+            df = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    return _apply_column_formats(df, per_col, spec.stop_on_invalid_record)
+
+
+def _read_csv_skip_n(
+    spark: SparkSession,
+    spec: SourceSpec,
+    opts: dict[str, Any],
+    schema: T.StructType,
+    skip_header: int,
+) -> DataFrame:
+    """skip_header_lines > 1 (reference supports arbitrary N; Spark's header
+    option skips exactly one). Read lines as text, drop the first N per FILE
+    (row_number over input_file_name ordered by monotonic id — header lines
+    always live in a file's first split, so the per-file ordering is sound),
+    then parse the remainder with from_csv under the same options/mode.
+    The filename window shuffles once on file path — cheap and fully
+    distributed; only engaged for multi-line-header sources."""
+    txt = (
+        spark.read.options(
+            **{k: v for k, v in opts.items() if k in ("encoding", "lineSep")}
+        )
+        .text(spec.path)
+        .select(
+            "value",
+            F.input_file_name().alias("__file"),
+            F.monotonically_increasing_id().alias("__pos"),
+        )
+    )
+    w = Window.partitionBy("__file").orderBy("__pos")
+    body = (
+        txt.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > skip_header)
+        .select("value")
+    )
+    parse_opts = {
+        k: str(v)
+        for k, v in opts.items()
+        if k in ("sep", "quote", "escape", "nullValue", "timestampFormat")
+    }
+    parse_opts["mode"] = "FAILFAST" if spec.stop_on_invalid_record else "PERMISSIVE"
     if spec.stop_on_invalid_record:
-        opts["mode"] = "FAILFAST"
-        return spark.read.options(**opts).schema(schema).csv(spec.path)
-    # PERMISSIVE + corrupt-record column, then drop bad rows (skip semantics)
-    opts["mode"] = "PERMISSIVE"
-    opts["columnNameOfCorruptRecord"] = _CORRUPT
+        parsed = body.select(
+            F.from_csv(F.col("value"), schema.simpleString(), parse_opts).alias("r")
+        )
+        return parsed.select("r.*")
+    parse_opts["columnNameOfCorruptRecord"] = _CORRUPT
     schema_with = T.StructType(
         schema.fields + [T.StructField(_CORRUPT, T.StringType(), True)]
     )
-    df = spark.read.options(**opts).schema(schema_with).csv(spec.path)
-    return df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    parsed = body.select(
+        F.from_csv(F.col("value"), schema_with.simpleString(), parse_opts).alias("r")
+    )
+    return parsed.select("r.*").filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
 
 
 def _strptime_to_java(fmt: str) -> str:
@@ -118,7 +222,40 @@ def register_task_source(name: str, fn: TaskFn) -> None:
     _TASK_REGISTRY[name] = fn
 
 
-def _read_task(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+class _ListAccum:
+    """AccumulatorParam collecting (task_index, error) pairs from workers —
+    the in-task error side-channel for retry_tasks=false (reference analog:
+    AttemptState files on HDFS read back by the driver, O13/O15)."""
+
+    def zero(self, value):
+        return []
+
+    def addInPlace(self, a, b):
+        a.extend(b)
+        return a
+
+
+def _read_task(
+    spark: SparkSession,
+    spec: SourceSpec,
+    retry_tasks: bool = True,
+    error_sink=None,
+) -> DataFrame:
+    """Plugin-style source. O14 semantics (reference EmbulkMapReduce.java:586-599):
+
+    - ``retry_tasks=True``: a task failure propagates — Spark retries the task
+      up to ``spark.task.maxFailures`` and fails the job if it keeps failing
+      (the reference rethrows so MR retries up to maxattempts).
+    - ``retry_tasks=False`` (reference default): the failure is RECORDED into
+      ``error_sink`` (a list accumulator) and swallowed — the task contributes
+      zero rows and the job continues; the driver surfaces the recorded
+      failures in the PipelineReport (reference: task "succeeds" in MR terms,
+      driver still sees the exception via attempt-state files).
+
+    Partitioned pipelines always propagate regardless of the flag — reducers
+    must not start on missing input (EmbulkPartitioningMapReduce.java:132-141);
+    the compiler enforces that by passing retry_tasks=True.
+    """
     if not spec.task_count or spec.task_count <= 0:
         raise ConfigError("task source requires task_count > 0")
     fn_name = spec.options.get("task_fn")
@@ -134,16 +271,34 @@ def _read_task(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     def run_tasks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for task_index in pdf["id"]:
-                yield from fn(int(task_index))
+                if retry_tasks or error_sink is None:
+                    yield from fn(int(task_index))
+                else:
+                    try:
+                        yield from fn(int(task_index))
+                    except Exception as exc:  # noqa: BLE001 — recorded, by design
+                        error_sink.add(
+                            [(int(task_index), f"{type(exc).__name__}: {exc}")]
+                        )
 
     return tasks.mapInPandas(run_tasks, schema=schema)
 
 
-def read_source(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+def task_error_accumulator(spark: SparkSession):
+    """Create the (task_index, error) side-channel accumulator."""
+    return spark.sparkContext.accumulator([], _ListAccum())
+
+
+def read_source(
+    spark: SparkSession,
+    spec: SourceSpec,
+    retry_tasks: bool = True,
+    error_sink=None,
+) -> DataFrame:
     if spec.type == "csv":
         return _read_csv(spark, spec)
     if spec.type == "task":
-        return _read_task(spark, spec)
+        return _read_task(spark, spec, retry_tasks=retry_tasks, error_sink=error_sink)
     if spec.type in ("parquet", "orc", "json"):
         if spec.type == "parquet":
             # tolerate TIMESTAMP(NANOS) parquet files (read as long nanos)
