@@ -39,6 +39,7 @@ HEADLINE = [
     "window_running_sum",
     "dedup_exact",
     "minhash_lsh_candidates",
+    "minhash_lsh_128x16",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "embedding_neardup",
@@ -61,6 +62,7 @@ SMALL_RESULT = {
     "q6_forecast_revenue",
     "bucket_hour",
     "minhash_lsh_candidates",
+    "minhash_lsh_128x16",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "embedding_neardup",

@@ -618,6 +618,29 @@ def q_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "minhash_lsh_128x16",
+    oracle=_minhash_oracle(128, 16),
+    tags=("dedup", "lsh"),
+)
+def q_minhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH at PRODUCTION parameterization (128 hashes / 16 bands —
+    the classic web-dedup setting; the 8/4 entry above is the toy size).
+    Same single-md5-per-shingle design: the extra 120 hash family members are
+    modular arithmetic over the already-computed base hash, so the per-doc
+    cost stays within ~2x of the toy configuration (BASELINE.md §3 records
+    the measured ratio)."""
+    from .operators.dedup import minhash_candidates
+
+    return minhash_candidates(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=128,
+        bands=16,
+    )
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (
@@ -2172,6 +2195,7 @@ def q_spec_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "minhash_lsh_128x16",
     "embedding_neardup",
     "token_count_bpe",
     "multimodal_resize",
