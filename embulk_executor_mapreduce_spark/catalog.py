@@ -2190,11 +2190,211 @@ def q_spec_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-training-data pipeline surface, round 2: repetition quality rules,
+# token-window chunking, benchmark decontamination, stratified source mixing,
+# PII scrubbing, streaming session windows
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), pt AS (
+      SELECT doc_id, tok, count(*) AS c FROM t GROUP BY 1, 2
+    ), s AS (
+      SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_uniq
+      FROM pt GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens,
+           floor((top_c / n_tokens) * 10000 + 0.5) / 10000.0 AS top_token_frac,
+           floor((n_uniq / n_tokens) * 10000 + 0.5) / 10000.0 AS unique_token_frac,
+           (floor((top_c / n_tokens) * 10000 + 0.5) / 10000.0 <= 0.2
+            AND floor((n_uniq / n_tokens) * 10000 + 0.5) / 10000.0 >= 0.3) AS keep
+    FROM s
+    """,
+    tags=("text", "quality"),
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (top-token fraction, unique-token
+    fraction) — the cheap pre-filter before model-based quality scoring."""
+    from .operators.text import repetition_quality
+
+    return repetition_quality(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "chunk_token_windows",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, w,
+             unnest(range(0, ((greatest(len(w) - 64, 0) + 47) // 48) * 48 + 1, 48)) AS st
+      FROM d
+    )
+    SELECT doc_id, (st // 48)::INT AS chunk_idx,
+           array_to_string(w[st+1:st+64], ' ') AS chunk_text,
+           len(string_split(array_to_string(w[st+1:st+64], ' '), ' '))::INT AS chunk_tokens
+    FROM s
+    """,
+    tags=("text", "chunking"),
+)
+def q_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48) — the
+    training-example materialization step; rows fan out inside codegen."""
+    from .operators.text import chunk_token_windows
+
+    return chunk_token_windows(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "contamination_ngram",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_distinct(
+               list_transform(range(1, greatest(len(w) - 4, 1) + 1),
+                              i -> array_to_string(w[i:i+4], ' '))) AS sh
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    ), c AS (
+      SELECT doc_id, unnest(sh) AS g FROM toks WHERE doc_id % 97 <> 0
+    ), b AS (
+      SELECT DISTINCT unnest(sh) AS g FROM toks WHERE doc_id % 97 = 0
+    )
+    SELECT c.doc_id, count(*) AS n_overlapping_ngrams
+    FROM c JOIN b USING (g) GROUP BY c.doc_id
+    """,
+    tags=("text", "dedup", "contamination"),
+)
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing any 5-gram with the
+    held-out benchmark slice (doc_id % 97 == 0 stands in for the eval set)."""
+    from .operators.text import ngram_contamination
+
+    docs = load(spark, sf_dir, "documents")
+    return ngram_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=5,
+    )
+
+
+@register(
+    "stratified_sample_sources",
+    oracle="""
+    SELECT source, count(*) AS n_kept, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 <
+          CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 20 ELSE 10 END
+    GROUP BY source
+    """,
+    tags=("sampling", "mixing"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-mixing weights: per-source deterministic hash sampling at
+    different rates (50%/20%/10%) — how a training pipeline reweights source
+    domains without a shuffle or per-group sort."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    rate = (
+        F.when(F.col("source") == "src0", 50)
+        .when(F.col("source") == "src1", 20)
+        .otherwise(10)
+    )
+    return (
+        d.filter(bucket < rate)
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+@register(
+    "pii_scrub_props",
+    oracle="""
+    SELECT event_id,
+           len(regexp_extract_all(props, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::INT AS n_email,
+           len(regexp_extract_all(props, '[0-9]{2,}'))::INT AS n_digits,
+           regexp_replace(regexp_replace(props,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '[0-9]{2,}', '<DIGITS>', 'g') AS scrubbed
+    FROM events
+    """,
+    tags=("text", "pii"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over a payload column: regexp chain with per-pattern hit
+    counts so redaction rates are auditable at corpus scale."""
+    from .operators.text import pii_scrub
+
+    return pii_scrub(
+        load(spark, sf_dir, "events"),
+        "props",
+        "event_id",
+        patterns={
+            "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+            "digits": r"[0-9]{2,}",
+        },
+    )
+
+
+@register(
+    "stream_session_windows",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, value,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events
+    ), s AS (
+      SELECT user_id, ts, value,
+             sum(CASE WHEN gap_us IS NULL OR gap_us >= 1800 * 1000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM g
+    )
+    SELECT user_id,
+           CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_sec,
+           count(*) AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+    FROM s GROUP BY user_id, seq
+    """,
+    tags=("streaming", "session"),
+)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming native sessionization (F.session_window, 30-min
+    gap) driven to completion with availableNow — must equal the batch
+    lag/running-sum sessionization (the oracle). Spark merges events strictly
+    closer than the gap; the oracle's >= mirrors that boundary."""
+    from .streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+        session_window_stream,
+    )
+
+    stream = session_window_stream(read_events_stream(spark, sf_dir))
+    return run_stream_to_memory(
+        stream, "stream_session_windows", output_mode="complete"
+    )
+
+
 # Registration-order priority: the round-1 driver snapshot recorded only the
 # FIRST 50 registered queries, leaving these 18 unverified by the hard signal.
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "quality_repetition",
+    "chunk_token_windows",
+    "contamination_ngram",
+    "stratified_sample_sources",
+    "pii_scrub_props",
+    "stream_session_windows",
     "minhash_lsh_128x16",
     "embedding_neardup",
     "token_count_bpe",

@@ -114,3 +114,133 @@ def token_counts(
         F.size(bpe).alias("n_bpeish_tokens"),
         F.size(F.array_distinct(bpe)).alias("n_unique_tokens"),
     )
+
+
+def repetition_quality(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters: fraction of tokens that are the single
+    most frequent token, and the unique-token fraction. The scalable shape is
+    explode → (doc, token) count → per-doc max — two hash aggregations keyed
+    on doc id, no per-doc python, no O(doc_len²).
+
+    A doc FAILS (keep=false) when one token dominates (>20%) or the
+    vocabulary is degenerate (<30% unique) — the cheap pre-filter a training
+    pipeline runs before model-based quality scoring.
+    """
+    from ..exactmath import d_round
+
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("tok"))
+    per_tok = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    stats = per_tok.groupBy(id_col).agg(
+        F.max("c").alias("top_tok_count"),
+        F.sum("c").alias("n_tokens"),
+        F.count("*").alias("n_unique"),
+    )
+    top_frac = d_round(F.col("top_tok_count") / F.col("n_tokens"), 4)
+    uniq_frac = d_round(F.col("n_unique") / F.col("n_tokens"), 4)
+    return stats.select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        uniq_frac.alias("unique_token_frac"),
+        ((top_frac <= 0.2) & (uniq_frac >= 0.3)).alias("keep"),
+    )
+
+
+def chunk_token_windows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Split documents into overlapping fixed-size token windows — the
+    training-example materialization step of an LLM data pipeline. One row in,
+    ceil(max(n-window,0)/stride)+1 rows out, all via sequence+slice array
+    expressions (rows fan out inside codegen, no shuffle, no python).
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    # window starts: 0, stride, 2·stride, … up to the FIRST multiple of
+    # stride at which the window reaches the end (ceil((n-window)/stride)
+    # · stride) — guarantees every token is covered; the final chunk is
+    # truncated when the document length is not stride-aligned
+    last_start = (
+        F.floor(
+            (F.greatest(n - window, F.lit(0)) + (stride - 1)) / F.lit(stride)
+        ).cast("long")
+        * stride
+    )
+    starts = F.sequence(F.lit(0).cast("long"), last_start, F.lit(stride).cast("long"))
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    starts, lambda s: F.array_join(F.slice(toks, s + 1, window), " ")
+                )
+            ).alias("chunk_idx", "chunk_text"),
+        )
+        .withColumn("chunk_tokens", F.size(F.split(F.col("chunk_text"), " ")))
+    )
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing any word n-gram
+    with a held-out benchmark set (the standard pre-training hygiene step).
+
+    Scale shape: explode distinct n-grams on both sides, hash them, equi-join
+    on the hash — the corpus side shuffles once on a high-cardinality key;
+    the benchmark side is small (eval sets are), so AQE broadcasts it.
+    Output: (doc_id, n_overlapping_ngrams) for contaminated docs only.
+    """
+    # local import: the shingle helper lives with the dedup operators
+    from .dedup import word_shingles
+
+    def grams(frame: DataFrame, out: str) -> DataFrame:
+        return frame.select(
+            F.col(id_col).alias(out),
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("g"),
+        )
+
+    corpus_grams = grams(corpus, "doc_id_c")
+    bench_grams = grams(benchmark, "doc_id_b").select("g").distinct()
+    return (
+        corpus_grams.join(bench_grams, "g")
+        .groupBy(F.col("doc_id_c").alias(id_col))
+        .agg(F.count("*").alias("n_overlapping_ngrams"))
+    )
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    patterns: dict[str, str] | None = None,
+) -> DataFrame:
+    """Regex PII redaction (emails, long digit runs by default) — JVM-side
+    regexp_replace chain, one projection, no shuffle. Returns the scrubbed
+    text plus per-pattern hit counts so the pipeline can audit redaction
+    rates at corpus scale."""
+    patterns = patterns or {
+        "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+        "digits": r"[0-9]{3,}",
+    }
+    out_cols = [F.col(id_col)]
+    scrubbed = F.col(text_col)
+    for name, pat in patterns.items():
+        out_cols.append(
+            (
+                F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0))
+            ).alias(f"n_{name}")
+        )
+        scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
+    out_cols.append(scrubbed.alias("scrubbed"))
+    return df.select(*out_cols)

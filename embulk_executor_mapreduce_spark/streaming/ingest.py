@@ -71,6 +71,31 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
+def session_window_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "4 hours"
+) -> DataFrame:
+    """Session windows (dynamic-length, gap-closed) per user — Structured
+    Streaming's native sessionization (``F.session_window``), state bounded by
+    the watermark. Emits one row per closed session: (user_id,
+    session_start_sec, n_events, sum_value_cents-exact)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_sec"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-key within the watermark horizon
     (dropDuplicatesWithinWatermark) — the streaming analog of exact dedup."""

@@ -1,0 +1,77 @@
+"""Behavioral tests for the round-2 LLM-pipeline operators (properties the
+SQL oracle can't express: planted positives, redaction content, chunk
+overlap/coverage invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from embulk_executor_mapreduce_spark.operators.text import (
+    chunk_token_windows,
+    ngram_contamination,
+    pii_scrub,
+    repetition_quality,
+)
+
+
+def test_repetition_quality_flags_degenerate_doc(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "spam " * 50 + "spam"),  # one token repeated 51x
+            (2, " ".join(f"w{i}" for i in range(50))),  # all unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_quality(docs).collect()}
+    assert rows[1].keep is False and rows[1].top_token_frac == 1.0
+    assert rows[2].keep is True and rows[2].unique_token_frac == 1.0
+
+
+def test_chunk_windows_cover_and_overlap(spark):
+    n_tokens = 200
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(n_tokens)))], "doc_id long, text string"
+    )
+    chunks = sorted(
+        (r.chunk_idx, r.chunk_text.split(" "))
+        for r in chunk_token_windows(docs, window=64, stride=48).collect()
+    )
+    # starts = 0,48,96,144 (ceil((200-64)/48)=3 → last start 144, truncated
+    # final chunk of 56 tokens)
+    starts = [i * 48 for i, _ in chunks]
+    assert starts == [0, 48, 96, 144]
+    for (idx, toks), start in zip(chunks, starts):
+        assert toks == [f"t{i}" for i in range(start, min(start + 64, n_tokens))]
+    # full coverage: every token appears in some chunk
+    covered = {t for _, toks in chunks for t in toks}
+    assert covered == {f"t{i}" for i in range(n_tokens)}
+
+
+def test_contamination_detects_planted_overlap(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "prefix words the quick brown fox jumps over something else"),
+            (2, "completely different content with no shared phrases at all"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {r.doc_id: r.n_overlapping_ngrams for r in ngram_contamination(
+        corpus, bench, n=5
+    ).collect()}
+    assert 1 in hits and hits[1] >= 1  # shares "the quick brown fox jumps"
+    assert 2 not in hits
+
+
+def test_pii_scrub_content(spark):
+    df = spark.createDataFrame(
+        [(1, "contact alice@example.com or call 5551234567")],
+        "doc_id long, text string",
+    )
+    row = pii_scrub(df, "text", "doc_id").collect()[0]
+    assert row.n_email == 1 and row.n_digits == 1
+    assert "<EMAIL>" in row.scrubbed and "<DIGITS>" in row.scrubbed
+    assert "alice@" not in row.scrubbed and "555" not in row.scrubbed
