@@ -39,6 +39,25 @@ def to_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def from_binary_files(
+    df: DataFrame, path_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """Adapt ``spark.read.format('binaryFile')`` rows (path, length, content)
+    to the decode-pipeline surface: stable 64-bit id from the file path,
+    binary payload, metadata struct. This is the real multimodal ingestion
+    edge — the `binaryfile` spec source feeds it."""
+    payload = F.col(content_col)
+    return df.select(
+        F.xxhash64(F.col(path_col)).alias("doc_id"),
+        F.col(path_col).alias("path"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def _fake_features(data: bytes, n: int = 4) -> list[float]:
     """Deterministic stand-in for a real decoder: n floats from the content
     digest. NOT a real embedding — plumbing-only."""

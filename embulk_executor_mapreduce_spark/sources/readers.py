@@ -289,6 +289,21 @@ def task_error_accumulator(spark: SparkSession):
     return spark.sparkContext.accumulator([], _ListAccum())
 
 
+def _read_binaryfile(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    """Raw-file multimodal ingestion: Spark's binaryFile source yields one row
+    per file — (path, modificationTime, length, content binary) — the scan
+    stage that feeds the mapInPandas decode operators in
+    operators/multimodal.py. ``pathGlobFilter`` (e.g. ``*.jpg``) and
+    ``recursiveFileLookup`` pass through as options; driver-side listing is
+    Spark's own distributed file index, so a 100 TB image corpus scans like
+    any other file source."""
+    reader = spark.read.format("binaryFile")
+    opts = dict(spec.options)
+    if "glob" in opts:
+        opts["pathGlobFilter"] = opts.pop("glob")
+    return reader.options(**opts).load(spec.path)
+
+
 def read_source(
     spark: SparkSession,
     spec: SourceSpec,
@@ -297,6 +312,8 @@ def read_source(
 ) -> DataFrame:
     if spec.type == "csv":
         return _read_csv(spark, spec)
+    if spec.type == "binaryfile":
+        return _read_binaryfile(spark, spec)
     if spec.type == "task":
         return _read_task(spark, spec, retry_tasks=retry_tasks, error_sink=error_sink)
     if spec.type in ("parquet", "orc", "json"):

@@ -21,7 +21,7 @@ from .errors import ConfigError, PartitionError
 from .operators.partitioning import MAX_SPLIT, UNIT_SECONDS, UNIX_UNIT_DIVISOR
 from .types import ColumnSpec
 
-_SOURCE_TYPES = {"parquet", "csv", "json", "orc", "task"}
+_SOURCE_TYPES = {"parquet", "csv", "json", "orc", "task", "binaryfile"}
 _SINK_TYPES = {"parquet", "csv", "json", "orc", "null", "memory"}
 _FILTER_TYPES = {
     "select",

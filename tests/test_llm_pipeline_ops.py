@@ -75,3 +75,37 @@ def test_pii_scrub_content(spark):
     assert row.n_email == 1 and row.n_digits == 1
     assert "<EMAIL>" in row.scrubbed and "<DIGITS>" in row.scrubbed
     assert "alice@" not in row.scrubbed and "555" not in row.scrubbed
+
+
+def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
+    """Multimodal ingestion edge: binaryFile spec source → from_binary_files
+    adapter → Arrow-batched decode stub, end to end over real files."""
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        decode_stub,
+        from_binary_files,
+    )
+    from embulk_executor_mapreduce_spark.sources.readers import read_source
+    from embulk_executor_mapreduce_spark.spec import source_from
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    (d / "a.bin").write_bytes(b"\x89PNG fake one")
+    (d / "b.bin").write_bytes(b"\x89PNG fake two, longer payload")
+    (d / "skip.txt").write_bytes(b"not matched by glob")
+
+    raw = read_source(
+        spark,
+        source_from({"type": "binaryfile", "path": str(d), "glob": "*.bin"}),
+    )
+    assert set(raw.columns) == {"path", "modificationTime", "length", "content"}
+    assert raw.count() == 2
+
+    decoded = decode_stub(from_binary_files(raw))
+    rows = sorted(decoded.collect(), key=lambda r: r.n_bytes)
+    assert [r.n_bytes for r in rows] == [13, 29]
+    assert all(len(r.features) == 4 and r.content_hash for r in rows)
+    # ids are stable content-independent path hashes: re-reading gives same ids
+    again = sorted(
+        decode_stub(from_binary_files(raw)).collect(), key=lambda r: r.n_bytes
+    )
+    assert [r.doc_id for r in rows] == [r.doc_id for r in again]
