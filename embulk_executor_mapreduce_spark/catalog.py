@@ -2385,6 +2385,33 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_purchase_signup_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS p_event_id, s.event_id AS s_event_id
+    FROM events p JOIN events s
+      ON p.user_id = s.user_id
+     AND p.event_type = 'purchase' AND s.event_type = 'signup'
+     AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 DAY
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join (watermarked both sides, event-time range
+    bound) driven to completion with availableNow — must equal the batch
+    time-range join (the oracle)."""
+    from .streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+        stream_stream_join,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    return run_stream_to_memory(
+        stream_stream_join(ev), "stream_purchase_signup_join", output_mode="append"
+    )
+
+
+@register(
     "unpivot_measures",
     oracle="""
     SELECT metric, count(*) AS n,
@@ -2447,6 +2474,7 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "stream_purchase_signup_join",
     "unpivot_measures",
     "exact_percentiles",
     "quality_repetition",

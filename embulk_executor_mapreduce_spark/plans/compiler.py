@@ -120,25 +120,32 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
     )
     t0 = time.time()
     try:
+        from pyspark.sql import Observation
+
         df = compile_pipeline(spark, spec, error_sink=errors)
+        # row count measured IN the write pass via observe() — no second job
+        # re-reading the committed output (and no csv-header recount bug).
+        # The memory sink registers a lazy temp view (no action), so there is
+        # nothing to observe there — obs.get would block forever.
+        obs = None
+        if spec.sink.type != "memory":
+            obs = Observation("pipeline_metrics")
+            df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         bucket = BUCKET_COL if spec.sink.partition_by_bucket else None
         write_sink(df, spec.sink, bucket_col=bucket)
         report.succeeded = True
+        if obs is not None:
+            report.output_rows = int(obs.get["rows"])
         if spec.sink.type not in ("null", "memory"):
-            # count from the committed output, not a recompute of the plan;
-            # read back with the SINK's reader-relevant options (a csv sink
-            # defaults header=True — reading without it counted each part
-            # file's header line as a data row)
-            read_opts = {}
-            if spec.sink.type == "csv":
-                read_opts["header"] = str(
-                    spec.sink.options.get("header", True)
-                ).lower()
-            out = getattr(spark.read.options(**read_opts), spec.sink.type)(
-                spec.sink.path
+            # output tasks = committed data files (one per write task), a
+            # filesystem listing rather than a Spark job
+            from pathlib import Path
+
+            report.output_tasks = sum(
+                1
+                for p in Path(spec.sink.path).rglob("part-*")
+                if not p.name.endswith(".crc")
             )
-            report.output_rows = out.count()
-            report.output_tasks = out.rdd.getNumPartitions()
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
         report.error = f"{type(exc).__name__}: {exc}"
         msg = str(exc)

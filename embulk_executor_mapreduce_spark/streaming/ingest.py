@@ -96,6 +96,41 @@ def session_window_stream(
     )
 
 
+def stream_stream_join(
+    events: DataFrame, horizon: str = "1 day", watermark: str = "2 days"
+) -> DataFrame:
+    """Stream-stream inner join with an event-time range constraint: each
+    purchase joins the same user's signups within the preceding ``horizon``.
+    Both sides are watermarked and the join carries the time bound, so Spark
+    can expire buffered state — the requirement for unbounded-input joins.
+    Emits (user_id, p_event_id, s_event_id); inner-join matches stream out as
+    they are found (no window close needed)."""
+    p = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("p_event_id"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    s = (
+        events.filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("s_user_id"),
+            F.col("ts").alias("s_ts"),
+            F.col("event_id").alias("s_event_id"),
+        )
+        .withWatermark("s_ts", watermark)
+    )
+    return p.join(
+        s,
+        (F.col("user_id") == F.col("s_user_id"))
+        & (F.col("p_ts") >= F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"interval {horizon}")),
+    ).select("user_id", "p_event_id", "s_event_id")
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once-per-key within the watermark horizon
     (dropDuplicatesWithinWatermark) — the streaming analog of exact dedup."""

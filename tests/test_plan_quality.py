@@ -131,3 +131,23 @@ def test_global_topk_never_global_sorts(spark):
     df = catalog.entries()["global_topk_orders"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_contamination_join_is_equi_on_grams(spark):
+    """Decontamination must equi-join on the gram value (shuffleable,
+    AQE-broadcastable benchmark side) — never a cartesian scan."""
+    df = catalog.entries()["contamination_ngram"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_chunking_stays_narrow(spark):
+    """Token-window chunking fans rows out inside codegen — zero exchanges."""
+    df = catalog.entries()["chunk_token_windows"].fn(spark, SF)
+    assert num_exchanges(df) == 0
+
+
+def test_stratified_sample_pushes_nothing_to_driver(spark):
+    """Stratified mixing is filter+agg: one exchange on the group key."""
+    df = catalog.entries()["stratified_sample_sources"].fn(spark, SF)
+    assert num_exchanges(df) == 1
