@@ -31,7 +31,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..errors import RemoteTaskFailedDataError, RemoteTaskFailedError
+from ..errors import ConfigError, RemoteTaskFailedDataError, RemoteTaskFailedError
 from ..operators.filters import apply_filter_chain
 from ..operators.partitioning import bucket_expr, salt_expr
 from ..sinks.writer import write_sink
@@ -110,6 +110,130 @@ def compile_pipeline(
         if not spec.sink.partition_by_bucket:
             df = df.drop(BUCKET_COL)
     return df
+
+
+# Streaming can execute the row-level subset of the filter surface (plus
+# stream-static joins and SQL over them); blocking stages (sort/limit) and
+# bare aggregates (which need watermark + output-mode choices the batch spec
+# doesn't carry) are rejected up front with a clear error.
+_STREAM_SAFE_FILTERS = {
+    "select",
+    "drop",
+    "rename",
+    "cast",
+    "filter",
+    "with_column",
+    "pandas",
+    "join",
+    "sql",
+}
+
+
+def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
+    """Execute the SAME pipeline spec incrementally: readStream source →
+    identical filter chain → writeStream file sink, driven to completion with
+    availableNow (a bounded replay of the unbounded path — Structured
+    Streaming's core promise, and the engine's unified batch/streaming story).
+    The output multiset must equal the batch ``run_pipeline`` result
+    (asserted in tests/test_streaming_reports.py).
+
+    Partitioned specs stream too: the bucket(+salt) repartition and
+    per-bucket directory layout apply per micro-batch.
+    """
+    import tempfile
+    from pathlib import Path as _Path
+
+    from ..sources.readers import _apply_column_formats, _csv_options, _read_schema
+    from ..types import build_schema
+
+    def _as_stream_dir(path: str) -> str:
+        """File-stream sources watch a DIRECTORY; expose a single-file path
+        through a tempdir symlink (read-only shim — production points at a
+        real landing directory)."""
+        p = _Path(path)
+        if not p.is_file():
+            return path
+        watch = _Path(tempfile.mkdtemp(prefix="stream_src_"))
+        (watch / p.name).symlink_to(p)
+        return str(watch)
+
+    spec.validate()
+    for f in spec.filters:
+        if f.type not in _STREAM_SAFE_FILTERS:
+            raise ConfigError(
+                f"filter type {f.type!r} is not streamable (needs watermark/"
+                f"output-mode semantics the batch spec does not carry)"
+            )
+    if spec.sink.type in ("null", "memory"):
+        raise ConfigError("streaming pipeline requires a file sink")
+
+    src = spec.source
+    if src.type == "csv":
+        opts, skip_header, per_col = _csv_options(src)
+        if skip_header > 1:
+            raise ConfigError("skip_header_lines > 1 is not streamable")
+        if skip_header == 1:
+            opts["header"] = True
+        reader = spark.readStream.options(**opts).schema(_read_schema(src, per_col))
+        df = reader.csv(_as_stream_dir(src.path))
+        df = _apply_column_formats(df, per_col, src.stop_on_invalid_record)
+    elif src.type in ("parquet", "orc", "json"):
+        if src.columns:
+            schema = build_schema(list(src.columns))
+        else:
+            # file-stream sources require a schema; take it from a batch peek
+            schema = getattr(spark.read.options(**src.options), src.type)(
+                src.path
+            ).schema
+        df = getattr(
+            spark.readStream.options(**src.options).schema(schema), src.type
+        )(_as_stream_dir(src.path))
+    else:
+        raise ConfigError(f"source type {src.type!r} is not streamable")
+
+    df = apply_filter_chain(df, spec.filters)
+    if spec.partitioning is not None:
+        p = spec.partitioning
+        df = df.withColumn(
+            BUCKET_COL, bucket_expr(df, p.column, p.unit, p.unix_timestamp_unit)
+        )
+        n = spec.execution.reducers or spark.sparkContext.defaultParallelism or 1
+        df = df.repartition(n, F.col(BUCKET_COL))
+        if not spec.sink.partition_by_bucket:
+            df = df.drop(BUCKET_COL)
+
+    report = PipelineReport(partitioned=spec.partitioning is not None)
+    t0 = time.time()
+    try:
+        writer = (
+            df.writeStream.format(spec.sink.type)
+            .outputMode("append")
+            .options(**{str(k): str(v) for k, v in spec.sink.options.items()})
+            .option(
+                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pipeline_")
+            )
+            .trigger(availableNow=True)
+        )
+        part_cols = list(spec.sink.partition_by)
+        if spec.sink.partition_by_bucket:
+            part_cols = [BUCKET_COL, *part_cols]
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        q = writer.start(spec.sink.path)
+        q.awaitTermination()
+        report.succeeded = True
+        report.output_rows = sum(
+            int(p.numInputRows) for p in q.recentProgress
+        )
+    except Exception as exc:  # noqa: BLE001 — classify then re-raise
+        report.error = f"{type(exc).__name__}: {exc}"
+        msg = str(exc)
+        if any(m in msg for m in _USER_DATA_MARKERS):
+            raise RemoteTaskFailedDataError(report.error) from exc
+        raise RemoteTaskFailedError(report.error) from exc
+    finally:
+        report.wall_seconds = time.time() - t0
+    return report
 
 
 def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:

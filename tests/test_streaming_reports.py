@@ -64,3 +64,80 @@ def test_stateful_rollup_final_equals_batch(spark):
     )
     assert final.exceptAll(batch).count() == 0
     assert batch.exceptAll(final).count() == 0
+
+
+def test_streaming_pipeline_equals_batch(spark, tmp_path):
+    """Unified batch/streaming: the SAME spec run incrementally (readStream +
+    availableNow) must produce the same output multiset as run_pipeline."""
+    from embulk_executor_mapreduce_spark.plans.compiler import (
+        run_pipeline,
+        run_pipeline_streaming,
+    )
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    doc = {
+        "in": {"type": "parquet", "path": "/root/testdata/sf0.001/events.parquet"},
+        "filters": [
+            {"type": "filter", "predicate": "value > 20"},
+            {"type": "with_column", "name": "boosted", "expr": "floor(value * 1.1 * 100 + 0.5) / 100.0D"},
+            {"type": "select", "columns": ["event_id", "user_id", "boosted"]},
+        ],
+    }
+    batch_out = str(tmp_path / "batch")
+    stream_out = str(tmp_path / "stream")
+    rep_b = run_pipeline(
+        spark, load_spec({**doc, "out": {"type": "parquet", "path": batch_out}})
+    )
+    rep_s = run_pipeline_streaming(
+        spark, load_spec({**doc, "out": {"type": "parquet", "path": stream_out}})
+    )
+    assert rep_b.succeeded and rep_s.succeeded
+    cols = ["event_id", "user_id", "boosted"]
+    b = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(batch_out).collect())
+    s = sorted(tuple(r[c] for c in cols) for r in spark.read.parquet(stream_out).collect())
+    assert b == s and len(b) > 0
+
+
+def test_streaming_pipeline_partitioned_bucket_layout(spark, tmp_path):
+    from pathlib import Path
+
+    from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline_streaming
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    out = str(tmp_path / "out")
+    rep = run_pipeline_streaming(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": "/root/testdata/sf0.001/events.parquet"},
+                "filters": [
+                    {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
+                    {"type": "drop", "columns": ["ts"]},
+                    {"type": "rename", "mapping": {"ts2": "ts"}},
+                ],
+                "out": {"type": "parquet", "path": out, "partition_by_bucket": True},
+                "exec": {"reducers": 4, "partitioning": {"column": "ts", "unit": "day"}},
+            }
+        ),
+    )
+    assert rep.succeeded and rep.partitioned
+    assert len(list(Path(out).glob("__bucket=*"))) >= 28
+    assert spark.read.parquet(out).count() == 1000
+
+
+def test_streaming_pipeline_rejects_blocking_stages(spark, tmp_path):
+    import pytest as _pytest
+
+    from embulk_executor_mapreduce_spark.errors import ConfigError
+    from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline_streaming
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": "/root/testdata/sf0.001/events.parquet"},
+            "filters": [{"type": "sort", "by": ["value desc"]}],
+            "out": {"type": "parquet", "path": str(tmp_path / "x")},
+        }
+    )
+    with _pytest.raises(ConfigError, match="not streamable"):
+        run_pipeline_streaming(spark, spec)
