@@ -41,6 +41,10 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # wide aggregates (e.g. 128-hash MinHash signatures) exceed the
+        # default 100-field codegen cutoff and silently fall back to
+        # interpreted eval — measured 1.6x slower on minhash_lsh_128x16
+        .config("spark.sql.codegen.maxFields", "300")
         # testdata events.ts is parquet TIMESTAMP(NANOS): read as long, then
         # normalized to TimestampType at load (catalog.load / sources.readers)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
