@@ -2412,6 +2412,66 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5(doc_id::VARCHAR) AS hk FROM documents
+    )
+    SELECT doc_id,
+           (('0x' || substr(hk, 1, 15))::BIGINT % 16)::INT AS shard,
+           (row_number() OVER (
+              PARTITION BY ('0x' || substr(hk, 1, 15))::BIGINT % 16
+              ORDER BY hk, doc_id) - 1)::INT AS pos_in_shard
+    FROM h
+    """,
+    tags=("sampling", "shuffle"),
+)
+def q_training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: hash-derived shard + in-shard
+    position. Reproducible across runs/engines/partitionings (unlike
+    orderBy(rand())), and scalable — per-shard windows, never a global sort."""
+    d = load(spark, sf_dir, "documents")
+    hk = F.md5(F.col("doc_id").cast("string"))
+    shard = (
+        F.conv(F.substring(hk, 1, 15), 16, 10).cast("long") % 16
+    ).cast("int")
+    w = W.partitionBy(shard).orderBy(hk, F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        shard.alias("shard"),
+        (F.row_number().over(w) - 1).alias("pos_in_shard"),
+    )
+
+
+@register(
+    "sample_k_per_group",
+    oracle="""
+    SELECT event_type, event_id, user_id FROM (
+      SELECT event_type, event_id, user_id,
+             row_number() OVER (
+               PARTITION BY event_type
+               ORDER BY md5(event_id::VARCHAR), event_id) AS rn
+      FROM events
+    ) WHERE rn <= 5
+    """,
+    tags=("sampling",),
+)
+def q_sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-group sample (hash-ordered window top-k): the
+    reproducible 'inspect 5 examples per class' pattern — one exchange on the
+    group key, no global sort, stable across runs and engines."""
+    ev = load(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(
+        F.md5(F.col("event_id").cast("string")), F.col("event_id")
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("event_type", "event_id", "user_id")
+    )
+
+
+@register(
     "unpivot_measures",
     oracle="""
     SELECT metric, count(*) AS n,
@@ -2474,6 +2534,8 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "training_shuffle_shards",
+    "sample_k_per_group",
     "stream_purchase_signup_join",
     "unpivot_measures",
     "exact_percentiles",
