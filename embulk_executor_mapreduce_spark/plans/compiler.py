@@ -57,6 +57,37 @@ _USER_DATA_MARKERS = (
     "DateTimeException",
 )
 
+# Spark 4 error classes that mean "your data is bad" (structured complement
+# to the string markers — exc.getCondition() when the exception carries one)
+_USER_DATA_ERROR_CLASSES = (
+    "MALFORMED_RECORD_IN_PARSING",
+    "MALFORMED_CSV_RECORD",
+    "CANNOT_PARSE_TIMESTAMP",
+    "CANNOT_PARSE_JSON_FIELD",
+    "CAST_INVALID_INPUT",
+    "NUMERIC_VALUE_OUT_OF_RANGE",
+)
+
+
+def _is_user_data_error(exc: Exception) -> bool:
+    """User-data vs infra classification (reference
+    UserDataExceptions.isUserDataException, AttemptState.java:97-116).
+    Prefer Spark's structured error condition; fall back to message markers
+    (worker-wrapped exceptions often only carry the formatted message)."""
+    cond = None
+    for attr in ("getCondition", "getErrorClass"):
+        fn = getattr(exc, attr, None)
+        if callable(fn):
+            try:
+                cond = fn()
+                break
+            except Exception:  # noqa: BLE001 — probing optional API
+                pass
+    if cond and any(c in str(cond) for c in _USER_DATA_ERROR_CLASSES):
+        return True
+    msg = str(exc)
+    return any(m in msg for m in _USER_DATA_MARKERS)
+
 
 @dataclass
 class PipelineReport:
@@ -227,8 +258,7 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
         )
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
         report.error = f"{type(exc).__name__}: {exc}"
-        msg = str(exc)
-        if any(m in msg for m in _USER_DATA_MARKERS):
+        if _is_user_data_error(exc):
             raise RemoteTaskFailedDataError(report.error) from exc
         raise RemoteTaskFailedError(report.error) from exc
     finally:
@@ -260,7 +290,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
         report.succeeded = True
         if obs is not None:
             report.output_rows = int(obs.get["rows"])
-        if spec.sink.type not in ("null", "memory"):
+        if spec.sink.type not in ("null", "memory") and spec.sink.path:
             # output tasks = committed data files (one per write task), a
             # filesystem listing rather than a Spark job
             from pathlib import Path
@@ -272,8 +302,7 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
             )
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
         report.error = f"{type(exc).__name__}: {exc}"
-        msg = str(exc)
-        if any(m in msg for m in _USER_DATA_MARKERS):
+        if _is_user_data_error(exc):
             raise RemoteTaskFailedDataError(report.error) from exc
         raise RemoteTaskFailedError(report.error) from exc
     finally:

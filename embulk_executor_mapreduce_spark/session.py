@@ -45,6 +45,13 @@ def get_spark(
         # default 100-field codegen cutoff and silently fall back to
         # interpreted eval — measured 1.6x slower on minhash_lsh_128x16
         .config("spark.sql.codegen.maxFields", "300")
+        # managed-table warehouse outside the repo checkout (bucketed-table
+        # sinks); tmp is fine — the engine treats managed tables as
+        # rebuildable layout artifacts, not system-of-record storage
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         # testdata events.ts is parquet TIMESTAMP(NANOS): read as long, then
         # normalized to TimestampType at load (catalog.load / sources.readers)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

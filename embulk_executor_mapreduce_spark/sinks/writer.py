@@ -49,6 +49,29 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
         part_cols = [bucket_col, *part_cols]
     if part_cols:
         writer = writer.partitionBy(*part_cols)
+    if spec.type == "table":
+        # managed (optionally hash-BUCKETED) table: two tables bucketed by the
+        # same key and count join with ZERO exchanges — the co-located-join
+        # layout for repeated large joins at 100 TB (Spark reads each bucket
+        # pair as one task; bucket metadata lives in the catalog)
+        if spec.mode == "overwrite":
+            # the in-memory catalog forgets tables between sessions but their
+            # warehouse locations persist; a stale location fails CREATE with
+            # LOCATION_ALREADY_EXISTS — drop both for overwrite semantics
+            import shutil
+            from urllib.parse import urlparse
+
+            session = df.sparkSession
+            session.sql(f"DROP TABLE IF EXISTS {spec.table}")
+            wh = urlparse(session.conf.get("spark.sql.warehouse.dir", "")).path
+            if wh and "." not in spec.table:
+                shutil.rmtree(f"{wh}/{spec.table.lower()}", ignore_errors=True)
+        if spec.bucket_by:
+            writer = writer.bucketBy(spec.buckets, *spec.bucket_by)
+            if spec.sort_by:
+                writer = writer.sortBy(*spec.sort_by)
+        writer.format(spec.options.get("format", "parquet")).saveAsTable(spec.table)
+        return
     if spec.type == "parquet":
         writer.parquet(spec.path)
     elif spec.type == "csv":

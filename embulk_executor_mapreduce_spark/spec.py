@@ -22,7 +22,7 @@ from .operators.partitioning import MAX_SPLIT, UNIT_SECONDS, UNIX_UNIT_DIVISOR
 from .types import ColumnSpec
 
 _SOURCE_TYPES = {"parquet", "csv", "json", "orc", "task", "binaryfile"}
-_SINK_TYPES = {"parquet", "csv", "json", "orc", "null", "memory"}
+_SINK_TYPES = {"parquet", "csv", "json", "orc", "null", "memory", "table"}
 _FILTER_TYPES = {
     "select",
     "drop",
@@ -96,6 +96,12 @@ class SinkSpec:
     options: dict[str, Any] = field(default_factory=dict)
     partition_by_bucket: bool = False  # directory layout per time bucket (O10)
     partition_by: tuple[str, ...] = ()  # general hive-style column layout
+    # type == "table": managed bucketed table (co-located joins at scale —
+    # two tables bucketed by the same key/count join with ZERO exchanges)
+    table: str | None = None
+    bucket_by: tuple[str, ...] = ()
+    buckets: int = 0
+    sort_by: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -130,7 +136,12 @@ class PipelineSpec:
                 raise ConfigError(f"unknown filter type {f.type!r}")
         if self.sink.type not in _SINK_TYPES:
             raise ConfigError(f"unknown sink type {self.sink.type!r}")
-        if self.sink.type not in ("null", "memory") and not self.sink.path:
+        if self.sink.type == "table":
+            if not self.sink.table:
+                raise ConfigError("table sink requires a 'table' name")
+            if bool(self.sink.bucket_by) != (self.sink.buckets > 0):
+                raise ConfigError("table sink needs bucket_by AND buckets > 0 together")
+        elif self.sink.type not in ("null", "memory") and not self.sink.path:
             raise ConfigError(f"sink type {self.sink.type!r} requires a path")
         if self.partitioning is not None:
             self.partitioning.validate()
@@ -196,6 +207,10 @@ def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
         mode=out_raw.pop("mode", "overwrite"),
         partition_by_bucket=out_raw.pop("partition_by_bucket", False),
         partition_by=tuple(out_raw.pop("partition_by", ())),
+        table=out_raw.pop("table", None),
+        bucket_by=tuple(out_raw.pop("bucket_by", ())),
+        buckets=int(out_raw.pop("buckets", 0)),
+        sort_by=tuple(out_raw.pop("sort_by", ())),
         options=out_raw.pop("options", out_raw),
     )
     exec_raw = dict(doc.get("exec", {}))

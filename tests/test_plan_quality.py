@@ -151,3 +151,48 @@ def test_stratified_sample_pushes_nothing_to_driver(spark):
     """Stratified mixing is filter+agg: one exchange on the group key."""
     df = catalog.entries()["stratified_sample_sources"].fn(spark, SF)
     assert num_exchanges(df) == 1
+
+
+def test_bucketed_tables_join_with_zero_exchanges(spark, tmp_path):
+    """Co-located join layout: two tables written bucketed by the same
+    key/count through the engine's table sink must join with NO exchange —
+    the repeated-big-join strategy at 100 TB."""
+    from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline
+
+    for t in ("bk_orders", "bk_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for name, table in (("orders", "bk_orders"), ("lineitem", "bk_lineitem")):
+        key = "o_orderkey" if name == "orders" else "l_orderkey"
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": f"{SF}/{name}.parquet"},
+                    "out": {
+                        "type": "table",
+                        "table": table,
+                        "bucket_by": [key],
+                        "buckets": 8,
+                        "sort_by": [key],
+                    },
+                }
+            ),
+        )
+    joined = (
+        spark.table("bk_lineitem")
+        # merge hint: at test scale the planner would broadcast; production
+        # big-big is SMJ, which is where bucket co-location removes shuffles
+        .join(
+            spark.table("bk_orders").hint("merge"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+    # the join itself must not shuffle (bucket co-location); only the final
+    # low-cardinality aggregation exchanges
+    assert num_exchanges(joined) <= 1, joined._jdf.queryExecution().toString()
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    n = joined.agg(F.sum("n")).collect()[0][0]
+    assert n == spark.table("bk_lineitem").count()
