@@ -641,6 +641,42 @@ def q_minhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_minhash_oracle(_MINHASH_HASHES, _MINHASH_BANDS)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    )
+    SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    """,
+    tags=("dedup", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster formation: transitive closure over the MinHash
+    candidate pairs via iterative min-label propagation (A~B, B~C ⇒ one
+    cluster — pairs alone under-merge). Spark runs the bounded label-
+    propagation loop (per-iteration: one join + min-agg, lineage truncated
+    with localCheckpoint); the oracle is DuckDB's recursive-CTE closure."""
+    from .operators.dedup import connected_components, minhash_candidates
+
+    pairs = minhash_candidates(
+        load(spark, sf_dir, "documents"),
+        "text",
+        "doc_id",
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+    )
+    return connected_components(pairs)
+
+
+@register(
     "ngram_jaccard_pairs",
     oracle="""
     WITH toks AS (
@@ -2534,6 +2570,7 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "dedup_clusters",
     "training_shuffle_shards",
     "sample_k_per_group",
     "stream_purchase_signup_join",

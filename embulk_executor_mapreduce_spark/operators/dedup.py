@@ -244,6 +244,64 @@ def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return agg.select(F.col(id_col), sim.alias("simhash"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """Duplicate-cluster formation: transitive closure over near-dup pairs via
+    iterative min-label propagation — every vertex converges to the smallest
+    id reachable from it. Output: (doc_id, cluster_id).
+
+    This is the step after candidate generation + verification in a real
+    dedup pipeline (pairs alone under-merge: A~B, B~C must collapse to one
+    cluster). Scale shape per iteration: one join of labels against the
+    undirected edge list + a min-aggregate — all shuffles on vertex id, no
+    driver-side graph. Iteration count is bounded by the cluster diameter
+    (near-dup clusters are shallow; 50 covers pathological chains), and the
+    loop exits early via an aggregate-only convergence check (count of
+    changed labels). DataFrames are localCheckpoint()ed every few rounds to
+    truncate lineage — the standard Spark iterative-algorithm pattern.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for i in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+                (F.col("nmin") < F.col("label")).alias("__changed"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        labels = new_labels.drop("__changed")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 def neardup_sign_dims(n_rows: int, target_bucket_docs: int = 256) -> int:
     """Size the sign-bit blocking key from the corpus: enough bits that the
     EXPECTED bucket occupancy is ~``target_bucket_docs`` (per-bucket pair cost

@@ -105,3 +105,31 @@ def test_frame_sample_fanout(spark):
         assert len(doc_rows) == (n_frames + 23) // 24
         hashes = {r.frame_hash for r in doc_rows}
         assert len(hashes) == len(doc_rows)
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Known topology: chain a-b-c-d merges into one cluster (pairwise links
+    only), island e-f separate, singleton pairs nothing."""
+    from embulk_executor_mapreduce_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+        "id_a long, id_b long",
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 40-node path is the adversarial diameter case for min-label
+    propagation — must still converge within the iteration bound."""
+    from embulk_executor_mapreduce_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    rows = connected_components(pairs).collect()
+    assert {r.cluster_id for r in rows} == {0}
+    assert len(rows) == 41
