@@ -2571,6 +2571,9 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
     "dedup_clusters",
+    "ngram_jaccard_pairs",
+    "levenshtein_near_names",
+    "skew_salted_agg",
     "training_shuffle_shards",
     "sample_k_per_group",
     "stream_purchase_signup_join",

@@ -56,9 +56,19 @@ PORTABLE_SCALARS: dict[str, str] = {
 NON_PORTABLE: dict[str, str] = {
     "dayofweek": "Spark: 1=Sunday; DuckDB dayofweek: 0=Sunday",
     "concat": "Spark propagates NULL; DuckDB concat() skips NULLs (use ||)",
-    "regexp_*": "Java regex vs RE2 — only trivially-portable patterns safe",
+    "regexp_*": (
+        "Java regex vs RE2 — character-class/alternation patterns without "
+        "backrefs/lookaround are verified portable (token_count_bpe, "
+        "pii_scrub_props gauntlets); anything fancier is not"
+    ),
     "hash/xxhash64": "engine-specific hash families",
     "approx_count_distinct": "different HLL sketches",
+    "round": (
+        "portable ONLY for per-row rounding of identical doubles away from "
+        "decimal boundaries; final float outputs must use exactmath.d_round "
+        "(Spark round() evaluates the shortest decimal repr, DuckDB the raw "
+        "binary — they disagree on exact .xx5 shortest-reprs)"
+    ),
 }
 
 
