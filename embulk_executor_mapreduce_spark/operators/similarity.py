@@ -184,31 +184,58 @@ def ivf_topk(
     assignment broadcasts k vectors (corpus-independent memory) over one
     corpus scan, cost O(n·k) like real IVF; the probe is an equi-join on the
     centroid id — the corpus shuffles once on list id, never O(n·n_q).
+
+    Assignment is an aggregate, not a window: ``max(struct(csim, -cid, ...))``
+    per vector id gets map-side partial aggregation, so the exchange carries
+    one row per vector — a ``row_number()`` window over the k-way crossJoin
+    output would shuffle k·n rows (64× the volume at k=64). The (csim, -cid)
+    prefix reproduces the window's (csim DESC, cid ASC) tie-break exactly;
+    the trailing fields ride along un-compared because cid is unique.
     """
     base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
     cents = ivf_centroids(base, id_col, n_centroids)
-    sim_to_cent = base.crossJoin(F.broadcast(cents)).select(
-        F.col(id_col),
-        "v",
-        "nrm",
-        "cid",
-        d_round(
-            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
-        ).alias("csim"),
+
+    def cent_sims(side: DataFrame) -> DataFrame:
+        return side.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            "v",
+            "nrm",
+            "cid",
+            d_round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+            ).alias("csim"),
+        )
+
+    lists = (
+        cent_sims(base)
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("cid"),
+                    F.col("v"),
+                    F.col("nrm"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col).alias("cand_id"), F.col("m.v").alias("cv2"),
+            F.col("m.nrm").alias("cn2"), F.col("m.cid").alias("cid"),
+        )
     )
     w_assign = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
-    ranked = sim_to_cent.withColumn("rn", F.row_number().over(w_assign))
-    lists = ranked.filter(F.col("rn") == 1).select(
-        F.col(id_col).alias("cand_id"), F.col("v").alias("cv2"),
-        F.col("nrm").alias("cn2"), "cid",
-    )
-    probes = ranked.filter(
-        F.col(id_col).isin(*query_ids) & (F.col("rn") <= nprobe)
-    ).select(
-        F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), "cid",
+    probes = (
+        cent_sims(base.filter(F.col(id_col).isin(*query_ids)))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") <= nprobe)
+        .select(
+            F.col(id_col).alias("query_id"), F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"), "cid",
+        )
     )
     scored = (
         lists.join(F.broadcast(probes), "cid")

@@ -127,6 +127,19 @@ def test_ivf_broadcasts_centroids_and_probes(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf_assignment_is_partial_aggregate_not_window(spark):
+    """Centroid assignment must be max(struct(...)) with a map-side partial
+    aggregate (exchange carries n rows), never row_number() over the k-way
+    crossJoin output (exchange would carry k*n rows). The only Window nodes
+    allowed are over the tiny probe/top-k sides."""
+    df = catalog.entries()["ann_ivf_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+    # both remaining windows partition by query-side ids, not the corpus id
+    # ("Window [" excludes WindowGroupLimit pushdown nodes)
+    assert plan.count("Window [") <= 2, plan
+
+
 def test_global_topk_never_global_sorts(spark):
     df = catalog.entries()["global_topk_orders"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
