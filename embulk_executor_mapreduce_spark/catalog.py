@@ -2565,11 +2565,101 @@ def q_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "line_dedup_c4",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), s AS (
+      SELECT doc_id, w, unnest(range(0, (len(w) + 9) // 10)) AS pos FROM d
+    ), c AS (
+      SELECT doc_id, pos,
+             array_to_string(w[pos*10+1 : pos*10+10], ' ') AS chunk
+      FROM s
+    ), r AS (
+      SELECT doc_id, pos, chunk,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           string_agg(chunk, ' ' ORDER BY pos) FILTER (WHERE rn = 1)
+             AS clean_text,
+           count(*) FILTER (WHERE rn = 1) AS n_kept,
+           count(*) FILTER (WHERE rn > 1) AS n_dropped
+    FROM r GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE rn = 1) > 0
+    """,
+    tags=("text", "dedup", "c4"),
+)
+def q_line_dedup_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide span dedup: global first-wins dedup of 10-word
+    chunks, documents rebuilt from surviving chunks in order. The exchange
+    carries one row per DISTINCT chunk (argmin aggregate), never a
+    corpus-wide window."""
+    from .operators.text import corpus_chunk_dedup
+
+    return corpus_chunk_dedup(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "pack_sequences",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+             )::BIGINT AS cum
+      FROM t
+    )
+    SELECT doc_id, source, n_tokens,
+           (cum - n_tokens) // 512 AS pack_bin,
+           (cum - n_tokens) % 512 AS bin_offset,
+           ((cum - 1) // 512) - ((cum - n_tokens) // 512) + 1 AS n_bins_spanned
+    FROM c
+    """,
+    tags=("text", "packing", "training"),
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chop at 512 tokens) per source
+    shard: one partitioned cumulative-sum window, no global sort."""
+    from .operators.text import pack_sequences
+
+    return pack_sequences(load(spark, sf_dir, "documents"), seq_len=512)
+
+
+@register(
+    "vocab_topk",
+    oracle="""
+    SELECT token, count(*) AS n_occurrences, count(DISTINCT doc_id) AS n_docs
+    FROM (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token
+    LIMIT 200
+    """,
+    tags=("text", "vocab"),
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary top-200 by global token frequency — map-side
+    combinable aggregate + TakeOrdered merge, no global sort."""
+    from .operators.text import vocab_topk
+
+    return vocab_topk(load(spark, sf_dir, "documents"))
+
+
 # Registration-order priority: the round-1 driver snapshot recorded only the
 # FIRST 50 registered queries, leaving these 18 unverified by the hard signal.
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "line_dedup_c4",
+    "pack_sequences",
+    "vocab_topk",
     "dedup_clusters",
     "ngram_jaccard_pairs",
     "levenshtein_near_names",

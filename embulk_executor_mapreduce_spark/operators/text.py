@@ -244,3 +244,133 @@ def pii_scrub(
         scrubbed = F.regexp_replace(scrubbed, pat, f"<{name.upper()}>")
     out_cols.append(scrubbed.alias("scrubbed"))
     return df.select(*out_cols)
+
+
+def corpus_chunk_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_words: int = 10,
+) -> DataFrame:
+    """C4-style corpus-wide span dedup: split every document into consecutive
+    ``chunk_words``-word chunks, and keep only the FIRST occurrence (lowest
+    (doc_id, position)) of each distinct chunk across the whole corpus; later
+    occurrences are dropped and the document is rebuilt from its surviving
+    chunks in order (C4 does this with 3-sentence spans; the principle —
+    global first-wins span dedup — is identical).
+
+    Scale shape: posexplode (narrow fan-out in codegen) → groupBy(md5(chunk))
+    argmin aggregate — map-side partial combine, the exchange carries one row
+    per DISTINCT chunk, never a corpus-wide window — → equi-join survivors
+    back (AQE-planned) → groupBy(doc) ordered reassembly. Documents whose
+    every chunk is a later duplicate disappear (fully-boilerplate docs).
+    Output: (doc_id, clean_text, n_kept, n_dropped).
+    """
+    toks = tokens(text_col)
+    n_chunks = F.floor((F.size(toks) + (chunk_words - 1)) / F.lit(chunk_words)).cast(
+        "long"
+    )
+    starts = F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    chunks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.array_join(
+                    F.slice(toks, i * chunk_words + 1, chunk_words), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    ).withColumn("ch", F.md5(F.col("chunk")))
+    first = chunks.groupBy("ch").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    tagged = chunks.join(first, "ch").withColumn(
+        "kept",
+        (F.col(f"f.{id_col}") == F.col(id_col)) & (F.col("f.pos") == F.col("pos")),
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("kept"), F.struct(F.col("pos"), F.col("chunk"))
+                            )
+                        )
+                    ),
+                    lambda s: s.chunk,
+                ),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)).alias("n_dropped"),
+        )
+        .filter(F.col("n_kept") > 0)
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    seq_len: int = 512,
+) -> DataFrame:
+    """GPT-style sequence packing (concat-then-chop): within each group,
+    documents are concatenated in deterministic ``id_col`` order and chopped
+    into fixed ``seq_len``-token training sequences; each document reports the
+    bin its first token lands in and the offset within that bin.
+
+    One partitioned window (cumulative token sum per group) — never a global
+    sort; groups (sources/shards) are the unit of parallelism, exactly how a
+    100 TB tokenization job shards. Output: (doc_id, group, n_tokens,
+    pack_bin, bin_offset, n_bins_spanned).
+    """
+    from pyspark.sql import Window as W
+
+    n_tok = F.size(tokens(text_col)).cast("long")
+    w = (
+        W.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    start = (cum - F.col("n_tokens")).cast("long")
+    end = (cum - 1).cast("long")
+    return (
+        df.select(
+            F.col(id_col), F.col(group_col), n_tok.alias("n_tokens")
+        )
+        .withColumn("pack_bin", F.floor(start / seq_len))
+        .withColumn("bin_offset", start % seq_len)
+        .withColumn(
+            "n_bins_spanned", (F.floor(end / seq_len) - F.floor(start / seq_len) + 1)
+        )
+    )
+
+
+def vocab_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 200,
+) -> DataFrame:
+    """Corpus vocabulary: global token frequencies and document frequencies,
+    top-``k`` by count (token lexicographic tie-break). The aggregate is
+    map-side-combinable and the top-k is a TakeOrdered merge — no global
+    sort of the vocabulary. Output: (token, n_occurrences, n_docs)."""
+    tok = df.select(
+        F.col("doc_id"), F.explode(tokens(text_col)).alias("token")
+    )
+    return (
+        tok.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token"))
+        .limit(k)
+    )

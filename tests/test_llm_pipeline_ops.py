@@ -109,3 +109,63 @@ def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
         decode_stub(from_binary_files(raw)).collect(), key=lambda r: r.n_bytes
     )
     assert [r.doc_id for r in rows] == [r.doc_id for r in again]
+
+
+def test_corpus_chunk_dedup_first_wins(spark):
+    from embulk_executor_mapreduce_spark.operators.text import corpus_chunk_dedup
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # one exact 10-word chunk
+    uniq1 = " ".join(f"x{i}" for i in range(10))
+    uniq2 = " ".join(f"y{i}" for i in range(10))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " " + uniq1),  # first occurrence of boiler → kept
+            (2, boiler + " " + uniq2),  # later duplicate → dropped
+            (3, boiler),  # doc is ONLY a later duplicate → vanishes
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in corpus_chunk_dedup(docs).collect()}
+    assert rows[1].clean_text == boiler + " " + uniq1
+    assert (rows[1].n_kept, rows[1].n_dropped) == (2, 0)
+    assert rows[2].clean_text == uniq2  # boiler chunk removed, order kept
+    assert (rows[2].n_kept, rows[2].n_dropped) == (1, 1)
+    assert 3 not in rows  # fully-boilerplate doc disappears
+
+
+def test_pack_sequences_bin_arithmetic(spark):
+    from embulk_executor_mapreduce_spark.operators.text import pack_sequences
+
+    mk = lambda n: " ".join("t" for _ in range(n))
+    docs = spark.createDataFrame(
+        [(1, "s", mk(300)), (2, "s", mk(300)), (3, "s", mk(600)), (4, "o", mk(10))],
+        "doc_id long, source string, text string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(
+            docs, group_col="source", seq_len=512
+        ).collect()
+    }
+    # doc1: tokens [0,300) → bin 0, offset 0, spans 1
+    assert (rows[1].pack_bin, rows[1].bin_offset, rows[1].n_bins_spanned) == (0, 0, 1)
+    # doc2: [300,600) → starts bin 0 offset 300, crosses into bin 1
+    assert (rows[2].pack_bin, rows[2].bin_offset, rows[2].n_bins_spanned) == (0, 300, 2)
+    # doc3: [600,1200) → starts bin 1 offset 88, spans bins 1-2
+    assert (rows[3].pack_bin, rows[3].bin_offset, rows[3].n_bins_spanned) == (1, 88, 2)
+    # independent group restarts at zero
+    assert (rows[4].pack_bin, rows[4].bin_offset) == (0, 0)
+
+
+def test_vocab_topk_orders_and_limits(spark):
+    from embulk_executor_mapreduce_spark.operators.text import vocab_topk
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "b z")], "doc_id long, text string"
+    )
+    rows = vocab_topk(docs, k=3).collect()
+    assert [(r.token, r.n_occurrences, r.n_docs) for r in rows] == [
+        ("a", 3, 1),
+        ("b", 3, 2),
+        ("c", 1, 1),  # count tie with z → lexicographic tie-break
+    ]
