@@ -54,6 +54,9 @@ HEADLINE = [
     "window_frames_gauntlet",
     "multimodal_frames",
     "hash_sample_10pct",
+    "line_dedup_c4",
+    "pack_sequences",
+    "vocab_topk",
 ]
 
 SMALL_RESULT = {
