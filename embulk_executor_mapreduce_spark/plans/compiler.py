@@ -104,6 +104,9 @@ class PipelineReport:
     # [(task_index, "ExcType: message")] — the reference surfaces these via
     # attempt-state files (EmbulkMapReduce.java:586-599); we use an accumulator
     failed_tasks: list = field(default_factory=list)
+    # rows written to source.invalid_record_path (structurally-invalid CSV
+    # records quarantined instead of silently dropped)
+    quarantined_rows: int = 0
 
 
 def compile_pipeline(
@@ -120,6 +123,12 @@ def compile_pipeline(
     df = read_source(
         spark, spec.source, retry_tasks=effective_retry, error_sink=error_sink
     )
+    return _apply_stages(df, spec)
+
+
+def _apply_stages(df: DataFrame, spec: PipelineSpec) -> DataFrame:
+    """Everything after the source: filter chain + bucket/salt repartition."""
+    spark = df.sparkSession
     df = apply_filter_chain(df, spec.filters)
 
     if spec.partitioning is not None:
@@ -276,7 +285,24 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
     try:
         from pyspark.sql import Observation
 
-        df = compile_pipeline(spark, spec, error_sink=errors)
+        if spec.source.invalid_record_path is not None:
+            # quarantine split: bad records become an auditable JSON table,
+            # good records continue through the identical stage chain
+            from ..sources.readers import read_csv_split
+
+            spec.validate()
+            clean, quarantine = read_csv_split(spark, spec.source)
+            qobs = Observation("quarantine_metrics")
+            quarantine = quarantine.observe(
+                qobs, F.count(F.lit(1)).alias("rows")
+            )
+            quarantine.write.mode("overwrite").json(
+                spec.source.invalid_record_path
+            )
+            report.quarantined_rows = int(qobs.get["rows"])
+            df = _apply_stages(clean, spec)
+        else:
+            df = compile_pipeline(spark, spec, error_sink=errors)
         # row count measured IN the write pass via observe() — no second job
         # re-reading the committed output (and no csv-header recount bug).
         # The memory sink registers a lazy temp view (no action), so there is

@@ -114,6 +114,48 @@ def _read_schema(spec: SourceSpec, per_col: dict[str, str]) -> T.StructType:
     )
 
 
+def read_csv_split(
+    spark: SparkSession, spec: SourceSpec
+) -> tuple[DataFrame, DataFrame]:
+    """CSV read with the structurally-invalid records SPLIT OFF instead of
+    dropped: returns ``(clean, quarantine)`` where quarantine carries
+    ``(input_file, raw_record)`` for every row PERMISSIVE mode could not
+    parse. The reference logs-and-skips these (CsvParserPlugin under
+    ``stop_on_invalid_record: false``); at 100 TB a log line per bad record
+    is unusable — an auditable quarantine table is the production shape.
+
+    Both frames derive from ONE lazily-planned read; executing both costs two
+    scans of the source (OSS Spark has no side-output channel), which the
+    caller pays only when a quarantine path is actually configured.
+    """
+    opts, skip_header, per_col = _csv_options(spec)
+    if skip_header > 1:
+        raise ConfigError(
+            "invalid_record_path is not supported with skip_header_lines > 1"
+        )
+    if skip_header == 1:
+        opts["header"] = True
+    schema = _read_schema(spec, per_col)
+    opts["mode"] = "PERMISSIVE"
+    opts["columnNameOfCorruptRecord"] = _CORRUPT
+    schema_with = T.StructType(
+        schema.fields + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+    df = spark.read.options(**opts).schema(schema_with).csv(spec.path)
+    # the partially-parsed data columns ride along both for auditability and
+    # because Spark refuses a query that references ONLY the corrupt-record
+    # column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    quarantine = df.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.input_file_name().alias("input_file"),
+        F.col(_CORRUPT).alias("raw_record"),
+        F.to_json(F.struct(*[f.name for f in schema.fields])).alias(
+            "partial_parse"
+        ),
+    )
+    clean = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    return _apply_column_formats(clean, per_col, False), quarantine
+
+
 def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     opts, skip_header, per_col = _csv_options(spec)
     schema = _read_schema(spec, per_col)

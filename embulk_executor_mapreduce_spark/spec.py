@@ -50,6 +50,10 @@ class SourceSpec:
     options: dict[str, Any] = field(default_factory=dict)
     # csv parse semantics (reference embulk_mapred_config.yml:14-37)
     stop_on_invalid_record: bool = False
+    # extension: write structurally-invalid records (raw line + source file)
+    # as JSON to this path instead of silently dropping them — the 100 TB
+    # operability path for the reference's log-and-skip behavior
+    invalid_record_path: str | None = None
     # plugin-style source: number of parallel input tasks + a task fn name
     task_count: int | None = None
 
@@ -152,6 +156,16 @@ class PipelineSpec:
             )
         if self.sink.partition_by_bucket and self.partitioning is None:
             raise ConfigError("partition_by_bucket sink requires a partitioning block")
+        if self.source.invalid_record_path is not None:
+            if self.source.stop_on_invalid_record:
+                raise ConfigError(
+                    "invalid_record_path requires stop_on_invalid_record: false "
+                    "(a FAILFAST load never produces skipped records)"
+                )
+            if self.source.type != "csv":
+                raise ConfigError(
+                    "invalid_record_path is only supported for csv sources"
+                )
 
 
 def _columns_from(raw: list[dict[str, Any]]) -> tuple[ColumnSpec, ...]:
@@ -172,6 +186,7 @@ def source_from(raw: dict[str, Any]) -> SourceSpec:
         path=src_raw.pop("path", None),
         columns=_columns_from(src_raw.pop("columns", [])),
         stop_on_invalid_record=src_raw.pop("stop_on_invalid_record", False),
+        invalid_record_path=src_raw.pop("invalid_record_path", None),
         task_count=src_raw.pop("task_count", None),
         options=src_raw.pop("options", src_raw),
     )

@@ -10,6 +10,7 @@ from pathlib import Path
 import pytest
 
 from embulk_executor_mapreduce_spark.errors import (
+    ConfigError,
     RemoteTaskFailedDataError,
 )
 from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline
@@ -175,3 +176,47 @@ def test_csv_roundtrip_all_types(spark, tmp_path):
     assert full.j == '{"k":1}'
     empty = rows[None]
     assert all(empty[c["name"]] is None for c in cols)
+
+
+def test_invalid_record_quarantine(spark, bad_csv, tmp_path):
+    """Extension over the reference's log-and-skip: structurally-invalid CSV
+    rows land in an auditable JSON quarantine table (raw line + source file),
+    the clean rows flow through the normal pipeline, and the report carries
+    the quarantine count."""
+    out = str(tmp_path / "out")
+    qdir = str(tmp_path / "quarantine")
+    spec = load_spec(
+        {
+            "in": {
+                "type": "csv",
+                "path": bad_csv,
+                "columns": CSV_COLS,
+                "invalid_record_path": qdir,
+            },
+            "out": {"type": "parquet", "path": out},
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.output_rows == 3
+    assert rep.quarantined_rows == 1
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 2, 4]
+    q = spark.read.json(qdir).collect()
+    assert len(q) == 1
+    assert q[0].raw_record == "not_a_number,gamma"
+    assert q[0].input_file.endswith("bad.csv")
+
+
+def test_invalid_record_path_conflicts_with_failfast(tmp_path):
+    with pytest.raises(ConfigError):
+        load_spec(
+            {
+                "in": {
+                    "type": "csv",
+                    "path": str(tmp_path),
+                    "columns": CSV_COLS,
+                    "stop_on_invalid_record": True,
+                    "invalid_record_path": str(tmp_path / "q"),
+                },
+                "out": {"type": "null"},
+            }
+        ).validate()
