@@ -972,6 +972,48 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM b
+    )
+    SELECT vec_id, label,
+           CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale,
+           list_transform(
+             v, x -> CAST(CASE WHEN mx = 0 THEN 0
+                          ELSE floor(x * (127.0 / mx) + 0.5) END AS INTEGER)
+           ) AS q
+    FROM s
+    """,
+    tags=("similarity", "quantization"),
+)
+def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (symmetric max-abs scaling): per-vector
+    scale = 127/max|x|, values floor(x*scale+0.5) — 4× storage cut for the
+    ANN corpus. Pure array expressions in codegen, zero shuffle; floor-based
+    rounding is IEEE-identical cross-engine (exactmath discipline)."""
+    emb = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    mx = F.array_max(F.transform(v, F.abs))
+    scale = F.when(mx == 0, F.lit(0.0)).otherwise(F.lit(127.0) / mx)
+    return emb.select(
+        "vec_id",
+        "label",
+        scale.alias("scale"),
+        F.transform(
+            v,
+            lambda x: F.when(mx == 0, F.lit(0))
+            .otherwise(F.floor(x * (F.lit(127.0) / mx) + F.lit(0.5)))
+            .cast("int"),
+        ).alias("q"),
+    )
+
+
+@register(
     "funnel_signup_purchase",
     oracle="""
     WITH su AS (
@@ -2760,6 +2802,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "quantize_embeddings_int8",
     "funnel_signup_purchase",
     "dedup_survivors",
     "line_dedup_c4",
