@@ -220,3 +220,33 @@ def test_invalid_record_path_conflicts_with_failfast(tmp_path):
                 "out": {"type": "null"},
             }
         ).validate()
+
+
+def test_parquet_schema_drift_merge(spark, tmp_path):
+    """Schema evolution across input files: a later file adds a column.
+    options.mergeSchema flows through the spec to the parquet reader, so the
+    pipeline sees the union schema (old files null-fill the new column) —
+    the standard long-lived-dataset drift story."""
+    src = tmp_path / "src"
+    spark.createDataFrame([(1, "a")], "id long, name string").write.parquet(
+        str(src / "p1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, name string, score double"
+    ).write.parquet(str(src / "p2"))
+    out = str(tmp_path / "out")
+    spec = load_spec(
+        {
+            "in": {
+                "type": "parquet",
+                "path": f"{src}/p*",
+                "options": {"mergeSchema": "true", "recursiveFileLookup": "true"},
+            },
+            "out": {"type": "parquet", "path": out},
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.output_rows == 2
+    rows = {r.id: r for r in spark.read.parquet(out).collect()}
+    assert set(rows[1].asDict()) == {"id", "name", "score"}
+    assert rows[1].score is None and rows[2].score == 9.5
