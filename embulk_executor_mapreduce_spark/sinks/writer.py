@@ -41,6 +41,13 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
             "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
             **opts,
         }
+    if spec.sort_by and spec.type != "table":
+        # per-file clustering for data skipping: sorting WITHIN write
+        # partitions (no extra exchange) makes each parquet/orc row group's
+        # min/max stats selective on the sort keys, so later scans with
+        # predicates on those columns prune row groups instead of reading
+        # them — the cheap half of Z-ordering, free at write time
+        df = df.sortWithinPartitions(*spec.sort_by)
     writer = df.write.mode(spec.mode).options(**opts)
     part_cols = list(spec.partition_by)
     if spec.partition_by_bucket:

@@ -250,3 +250,28 @@ def test_parquet_schema_drift_merge(spark, tmp_path):
     rows = {r.id: r for r in spark.read.parquet(out).collect()}
     assert set(rows[1].asDict()) == {"id", "name", "score"}
     assert rows[1].score is None and rows[2].score == 9.5
+
+
+def test_sort_by_clusters_rows_within_files(spark, tmp_path):
+    """sink sort_by on a file sink sorts WITHIN write partitions (no extra
+    exchange) so each parquet file's row groups carry selective min/max
+    stats — the data-skipping layout for 100 TB scans."""
+    out = str(tmp_path / "out")
+    spec = load_spec(
+        {
+            "in": {"type": "parquet", "path": EVENTS},
+            "out": {"type": "parquet", "path": out, "sort_by": ["user_id"]},
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.output_rows == 1000
+    files = [p for p in Path(out).glob("part-*") if not p.name.endswith(".crc")]
+    assert files
+    for f in files:
+        vals = [r.user_id for r in spark.read.parquet(str(f)).collect()]
+        assert vals == sorted(vals)
+    # multiset unchanged
+    src = spark.read.parquet(EVENTS)
+    dst = spark.read.parquet(out)
+    cols = ["event_id", "user_id", "event_type"]
+    assert _multiset(src, cols) == _multiset(dst, cols)
