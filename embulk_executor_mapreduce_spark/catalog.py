@@ -61,6 +61,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Deterministic float-aggregate discipline (see exactmath module docstring):
 # every float aggregate below goes through exact scaled-integer partials and
 # floor-based rounding so Spark-vs-DuckDB hashes can't flip on a .xx5 boundary.
+from .operators.partitioning import z_interleave_sql  # noqa: E402
 from .exactmath import (  # noqa: E402
     d_round,
     exact_avg,
@@ -968,6 +969,34 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load(spark, sf_dir, "events")
     return sessionize(ev, key="user_id", ts="ts", gap_seconds=1800).select(
         "event_id", "user_id", F.col("session_seq").cast(T.LongType()).alias("session_seq")
+    )
+
+
+@register(
+    "zorder_cluster_key",
+    oracle="""
+    SELECT l_orderkey, l_partkey, {z} AS zval
+    FROM (
+      SELECT l_orderkey, l_partkey,
+             l_orderkey % 1024 AS za, l_partkey % 1024 AS zb
+      FROM lineitem WHERE l_orderkey < 1000
+    )
+    """.format(z=z_interleave_sql("za", "zb")),
+    tags=("partitioning", "zorder"),
+)
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (orderkey, partkey) low bits —
+    combine with repartitionByRange(zval) + sink sort_by for multi-column
+    data-skipping layout at 100 TB. Pure long bit arithmetic in codegen."""
+    from .operators.partitioning import z_interleave
+
+    li = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 1000)
+    return li.select(
+        "l_orderkey",
+        "l_partkey",
+        z_interleave(
+            F.col("l_orderkey") % 1024, F.col("l_partkey") % 1024
+        ).alias("zval"),
     )
 
 
@@ -2802,6 +2831,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "zorder_cluster_key",
     "quantize_embeddings_int8",
     "funnel_signup_purchase",
     "dedup_survivors",

@@ -171,3 +171,33 @@ def repartition_by_bucket(
     if map_side_partition_split > 1:
         drop.append("__salt")
     return out.drop(*drop) if drop else out
+
+
+def z_interleave(a: Column, b: Column, bits: int = 10) -> Column:
+    """Morton (Z-order) key: interleave the low ``bits`` bits of two
+    non-negative ints — rows close in BOTH dimensions get close z-values, so
+    range-partitioning + within-partition sorting on the key clusters
+    multi-column locality into the same files/row groups (the lakehouse
+    Z-ORDER layout). Pure long bit arithmetic in codegen — portable to any
+    engine with shifts (same formula is the DuckDB oracle).
+    """
+    terms = []
+    one = F.lit(1).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(a.cast("long"), i).bitwiseAND(one)
+        bit_b = F.shiftright(b.cast("long"), i).bitwiseAND(one)
+        terms.append(F.shiftleft(bit_a, 2 * i))
+        terms.append(F.shiftleft(bit_b, 2 * i + 1))
+    z = terms[0]
+    for t in terms[1:]:
+        z = z + t
+    return z
+
+
+def z_interleave_sql(a: str, b: str, bits: int = 10) -> str:
+    """The identical Morton-key formula as ANSI SQL (the DuckDB oracle side)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
