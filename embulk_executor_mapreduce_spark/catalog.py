@@ -973,6 +973,110 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "retention_cohorts",
+    oracle="""
+    WITH su AS (
+      SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), act AS (
+      SELECT DISTINCT e.user_id,
+             CAST(floor(date_diff('day', su.cohort_week, CAST(e.ts AS DATE))
+                        / 7) AS BIGINT) AS week_n
+      FROM events e JOIN su ON e.user_id = su.user_id
+      WHERE CAST(e.ts AS DATE) >= su.cohort_week
+    )
+    SELECT su.cohort_week, act.week_n,
+           count(DISTINCT act.user_id) AS n_active,
+           (SELECT count(*) FROM su s2 WHERE s2.cohort_week = su.cohort_week)
+             AS cohort_size
+    FROM su JOIN act ON su.user_id = act.user_id
+    GROUP BY su.cohort_week, act.week_n
+    """,
+    tags=("relational", "retention", "events"),
+)
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts: users grouped by signup week, activity
+    counted per whole week since cohort start. The per-user cohort map joins
+    user-equi under AQE (it grows with the corpus — never broadcast); only
+    the per-week size table (bounded by calendar weeks) is broadcast."""
+    ev = load(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    sizes = su.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = (
+        ev.select("user_id", F.col("ts").cast("date").alias("d"))
+        .join(su, "user_id")
+        .filter(F.col("d") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff(F.col("d"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    return (
+        act.groupBy("cohort_week", "week_n")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select("cohort_week", "week_n", "n_active", "cohort_size")
+    )
+
+
+@register(
+    "session_paths_topk",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id FROM events
+    ), paths AS (
+      SELECT user_id,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM ordered GROUP BY user_id
+    )
+    SELECT path, count(*) AS n_users FROM paths
+    GROUP BY path ORDER BY n_users DESC, path LIMIT 20
+    """,
+    tags=("relational", "paths", "events"),
+)
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k user event paths: per-user event-type sequence in (ts, event_id)
+    order, counted corpus-wide. Deterministic ordering via array_sort over
+    (ts, event_id, type) structs — collect_list alone is order-unstable;
+    TakeOrdered merge for the top-k, no global sort."""
+    ev = load(spark, sf_dir, "events")
+    paths = (
+        ev.groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                ">",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("ts"), F.col("event_id"), F.col("event_type")
+                            )
+                        )
+                    ),
+                    lambda s: s.event_type,
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy(F.col("n_users").desc(), F.col("path"))
+        .limit(20)
+    )
+
+
+@register(
     "zorder_cluster_key",
     oracle="""
     SELECT l_orderkey, l_partkey, {z} AS zval
@@ -2831,6 +2935,8 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "retention_cohorts",
+    "session_paths_topk",
     "zorder_cluster_key",
     "quantize_embeddings_int8",
     "funnel_signup_purchase",
