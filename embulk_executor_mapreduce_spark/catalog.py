@@ -2935,6 +2935,7 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
+    "q3_segment_revenue",
     "retention_cohorts",
     "session_paths_topk",
     "zorder_cluster_key",
