@@ -169,3 +169,67 @@ def test_vocab_topk_orders_and_limits(spark):
         ("b", 3, 2),
         ("c", 1, 1),  # count tie with z → lexicographic tie-break
     ]
+
+
+def test_corpus_chunk_dedup_global_uniqueness(spark):
+    """Invariant: after dedup, re-chunking every output doc yields a corpus
+    with NO chunk appearing twice (each distinct chunk survived exactly
+    once, globally) — the defining C4-span-dedup property, on a
+    collision-heavy random corpus."""
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.text import corpus_chunk_dedup
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(6)]  # tiny vocab → many repeated chunks
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 35))))
+        for i in range(30)
+    ]
+    out = corpus_chunk_dedup(
+        spark.createDataFrame(docs, "doc_id long, text string")
+    ).collect()
+    seen = set()
+    for r in out:
+        words = r.clean_text.split(" ")
+        chunks = [
+            " ".join(words[i : i + 10]) for i in range(0, len(words), 10)
+        ]
+        assert len(chunks) == r.n_kept
+        for c in chunks:
+            assert c not in seen, f"chunk survived twice: {c!r}"
+            seen.add(c)
+    # conservation: kept + dropped == total chunks of the input corpus
+    total = sum((len(t.split(" ")) + 9) // 10 for _, t in docs)
+    assert sum(r.n_kept + r.n_dropped for r in out) == total
+
+
+def test_pack_sequences_contiguous_token_stream(spark):
+    """Invariant: within a group, token intervals are contiguous and
+    non-overlapping in doc_id order (concat-then-chop semantics), and every
+    bin_offset < seq_len."""
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.text import pack_sequences
+
+    rng = random.Random(7)
+    docs = [
+        (i, f"s{i % 3}", " ".join("t" for _ in range(rng.randint(1, 700))))
+        for i in range(40)
+    ]
+    rows = pack_sequences(
+        spark.createDataFrame(docs, "doc_id long, source string, text string"),
+        group_col="source",
+        seq_len=512,
+    ).collect()
+    by_group: dict = {}
+    for r in rows:
+        assert 0 <= r.bin_offset < 512
+        assert r.n_bins_spanned >= 1
+        by_group.setdefault(r.source, []).append(r)
+    for g, rs in by_group.items():
+        rs.sort(key=lambda r: r.doc_id)
+        pos = 0
+        for r in rs:
+            assert r.pack_bin * 512 + r.bin_offset == pos, (g, r.doc_id)
+            pos += r.n_tokens

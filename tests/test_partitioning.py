@@ -121,3 +121,25 @@ def test_bucket_routing_invariant(spark):
         .collect()
     )
     assert all(r.n_pids == 1 for r in got)
+
+
+def test_z_interleave_bit_roundtrip(spark):
+    """Morton key must be invertible: extracting even/odd bits recovers the
+    two inputs exactly for the full bits-wide domain (sampled grid)."""
+    from pyspark.sql import functions as F
+
+    from embulk_executor_mapreduce_spark.operators.partitioning import z_interleave
+
+    vals = [0, 1, 2, 3, 255, 256, 511, 512, 1023]
+    df = spark.createDataFrame(
+        [(a, b) for a in vals for b in vals], "a long, b long"
+    )
+    rows = df.select(
+        "a", "b", z_interleave(F.col("a"), F.col("b"), 10).alias("z")
+    ).collect()
+    for r in rows:
+        a = b = 0
+        for i in range(10):
+            a |= ((r.z >> (2 * i)) & 1) << i
+            b |= ((r.z >> (2 * i + 1)) & 1) << i
+        assert (a, b) == (r.a, r.b)
