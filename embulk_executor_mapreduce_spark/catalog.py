@@ -973,6 +973,99 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "upsample_by_weight",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, source, n_chars,
+             CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 1.0
+                  ELSE 0.25 END AS wt,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000000
+               AS frac_hash
+      FROM documents
+    ), rep AS (
+      SELECT doc_id, source, n_chars,
+             (CAST(floor(wt) AS BIGINT)
+              + CASE WHEN frac_hash < (wt - floor(wt)) * 1000000
+                     THEN 1 ELSE 0 END) AS n_copies
+      FROM w
+    )
+    SELECT doc_id, source, n_chars,
+           unnest(range(0, n_copies))::BIGINT AS copy_idx
+    FROM rep WHERE n_copies > 0
+    """,
+    tags=("sampling", "mixing", "training"),
+)
+def q_upsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted up/down-sampling for training mixes: source
+    weight 2.5 → every doc twice plus a hash-selected 50% third copy; 0.25 →
+    a hash-selected quarter. floor(w) copies + one more when
+    md5-fraction < frac(w) — reproducible under retry (content hash, no
+    rand()), fan-out inside codegen via sequence+explode, no shuffle."""
+    docs = load(spark, sf_dir, "documents")
+    wt = (
+        F.when(F.col("source") == "src0", F.lit(2.5))
+        .when(F.col("source") == "src1", F.lit(1.0))
+        .otherwise(F.lit(0.25))
+    )
+    frac_hash = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    n_copies = (
+        F.floor(wt).cast("long")
+        + F.when(frac_hash < (wt - F.floor(wt)) * 1_000_000, 1).otherwise(0)
+    )
+    return (
+        docs.select(
+            "doc_id", "source", "n_chars", n_copies.alias("n_copies")
+        )
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("n_copies") - 1)
+            ).alias("copy_idx"),
+        )
+    )
+
+
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN value < 0 THEN -1
+                WHEN value >= 1000 THEN 20
+                ELSE floor(value / 50.0) END AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM events
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin value histogram (20 bins over [0,1000), under/overflow
+    bins) — one map-side-combinable aggregate; clamped floor bin math is
+    IEEE-identical cross-engine, exact-cents sums per bin."""
+    ev = load(spark, sf_dir, "events")
+    bucket = (
+        F.when(F.col("value") < 0, F.lit(-1))
+        .when(F.col("value") >= 1000, F.lit(20))
+        .otherwise(F.floor(F.col("value") / F.lit(50.0)))
+        .cast("long")
+    )
+    return ev.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("sum_cents"),
+    )
+
+
+@register(
     "retention_cohorts",
     oracle="""
     WITH su AS (
@@ -2936,6 +3029,8 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
     "q3_segment_revenue",
+    "upsample_by_weight",
+    "value_histogram",
     "retention_cohorts",
     "session_paths_topk",
     "zorder_cluster_key",
