@@ -42,6 +42,7 @@ HEADLINE = [
     "minhash_lsh_128x16",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
     "embedding_neardup",
     "text_fingerprint",
     "text_stats",
@@ -57,6 +58,7 @@ HEADLINE = [
     "line_dedup_c4",
     "pack_sequences",
     "vocab_topk",
+    "tfidf_top_terms",
 ]
 
 SMALL_RESULT = {
@@ -68,6 +70,7 @@ SMALL_RESULT = {
     "minhash_lsh_128x16",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "ann_pq_adc_topk",
     "embedding_neardup",
     "hash_sample_10pct",
 }

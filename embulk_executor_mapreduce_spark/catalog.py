@@ -3023,12 +3023,211 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "ann_pq_adc_topk",
+    oracle="""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), subs AS (
+      SELECT vec_id, s, v[s*16+1 : s*16+16] AS sv
+      FROM base, (SELECT unnest(range(4)) AS s)
+    ), cb AS (
+      SELECT s, vec_id AS code, sv AS cv FROM subs WHERE vec_id < 16
+    ), enc_scored AS (
+      SELECT t.vec_id, t.s, c.code,
+             list_dot_product(t.sv, t.sv)
+               - 2 * list_dot_product(t.sv, c.cv)
+               + list_dot_product(c.cv, c.cv) AS d
+      FROM subs t JOIN cb c USING (s)
+    ), enc AS (
+      SELECT vec_id, s, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id, s ORDER BY d, code) AS rn
+        FROM enc_scored
+      ) WHERE rn = 1
+    ), dtab AS (
+      SELECT t.vec_id AS query_id, t.s, c.code,
+             CAST(floor((
+               list_dot_product(t.sv, t.sv)
+                 - 2 * list_dot_product(t.sv, c.cv)
+                 + list_dot_product(c.cv, c.cv)
+             ) * 1000000 + 0.5) AS BIGINT) AS pdist
+      FROM subs t JOIN cb c USING (s)
+      WHERE t.vec_id IN (0, 1, 2, 3)
+    ), adc AS (
+      SELECT d.query_id, e.vec_id AS cand_id, sum(d.pdist) AS ssum
+      FROM enc e JOIN dtab d ON e.s = d.s AND e.code = d.code
+      WHERE e.vec_id <> d.query_id
+      GROUP BY d.query_id, e.vec_id
+    )
+    SELECT query_id, cand_id, CAST(ssum AS BIGINT) / 1000000.0 AS adc_dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY ssum, cand_id) AS rn
+      FROM adc
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "pq"),
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance: codes compress the
+    corpus 64× (4 bytes vs 256), queries score candidates via a broadcast
+    (sub, code) distance table + exact integer sum. The billion-vector
+    memory-footprint move IVF alone doesn't give you."""
+    from .operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "scd2_customer_history",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderstatus AS status,
+           o_totalprice AS price,
+           o_orderdate AS valid_from,
+           coalesce(
+             lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+           (lead(o_orderdate) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+            IS NULL) AS is_current
+    FROM orders
+    """,
+    tags=("etl", "scd2"),
+)
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: each change record
+    gets [valid_from, valid_to) effective dating via lead() over the natural
+    change order, open rows flagged current. One window partitioned by the
+    dimension key — per-key group size is bounded (a customer's change
+    count), so the shuffle is one exchange on o_custkey and no group blows
+    up at 100 TB. The standard warehouse upsert-history pattern the
+    reference's partitioned-sink pipelines feed into."""
+    o = load(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "train_val_test_split",
+    oracle="""
+    SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           count(DISTINCT lang) AS n_langs
+    FROM (
+      SELECT ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS b,
+             n_chars, lang
+      FROM documents
+    )
+    GROUP BY 1
+    """,
+    tags=("sampling", "training"),
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test corpus split via md5(doc_id)
+    mod 100 — engine- and partitioning-independent, so the same document
+    lands in the same split on every run of every stage (the property random
+    splits lose the moment data is re-partitioned). Integer sums only."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % 100
+    )
+    split = (
+        F.when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
+    )
+    return (
+        d.select(split.alias("split"), "n_chars", "lang")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ), toks2 AS (
+      SELECT doc_id, token FROM toks WHERE token <> ''
+    ), tf AS (
+      SELECT doc_id, token, count(*) AS tf FROM toks2 GROUP BY 1, 2
+    ), dfreq AS (
+      SELECT token, count(DISTINCT doc_id) AS df FROM toks2 GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n FROM documents
+    )
+    SELECT doc_id, token, tfidf_ppm FROM (
+      SELECT tf.doc_id, tf.token,
+             (tf.tf * n.n * 1000000) // dfreq.df AS tfidf_ppm,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY (tf.tf * n.n * 1000000) // dfreq.df DESC, tf.token
+             ) AS rn
+      FROM tf JOIN dfreq USING (token), n
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms, computed in EXACT integer arithmetic:
+    score = tf·N·10^6 div df (parts-per-million, BIGINT) — no log(), no
+    doubles, so cross-engine hashes can't wobble. Shape: tf aggregate
+    (map-side combinable) shuffle-joined to the document-frequency aggregate
+    on token, scalar N broadcast; the ranking window partitions by doc_id
+    (bounded group = one doc's vocabulary). At trillion-token scale swap the
+    BIGINT score for DECIMAL(38,0) — noted, not needed at any tested SF."""
+    d = load(spark, sf_dir, "documents")
+    toks = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.expr("tf * n * 1000000 DIV df").alias("tfidf_ppm"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf_ppm").desc(), F.col("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tfidf_ppm")
+    )
+
+
 # Registration-order priority: the round-1 driver snapshot recorded only the
 # FIRST 50 registered queries, leaving these 18 unverified by the hard signal.
 # They register first this round so a capped snapshot covers them; the
 # remaining 50 all have a green CORRECTNESS_r01 row already.
 _VERIFY_FIRST = (
     "q3_segment_revenue",
+    "ann_pq_adc_topk",
+    "scd2_customer_history",
+    "train_val_test_split",
+    "tfidf_top_terms",
     "upsample_by_weight",
     "value_histogram",
     "retention_cohorts",

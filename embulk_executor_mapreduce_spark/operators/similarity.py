@@ -167,6 +167,101 @@ def ivf_centroids(
     )
 
 
+def pq_adc_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization top-k with asymmetric distance computation (ADC).
+
+    Each vector is split into ``n_sub`` subvectors; each subvector is coded
+    as its nearest of ``n_codes`` codewords (L2), so a 64-float vector
+    compresses to 4 small codes — the memory move that makes billion-scale
+    ANN fit. Queries are NOT quantized: per query we build a tiny
+    (sub, code) → distance lookup table and the approximate distance is the
+    sum of table entries selected by each candidate's codes.
+
+    Scale shape:
+      * the codebook is ``n_sub × n_codes`` rows — broadcast, corpus-independent
+        (same discipline as :func:`ivf_centroids`);
+      * encoding is one corpus scan joined to the broadcast codebook, with the
+        argmin done as a ``max(struct(-dsq, -code))`` partial aggregate — the
+        exchange carries n·n_sub coded rows, never n·n_sub·n_codes;
+      * ADC is an equi-join of the coded corpus against the broadcast
+        per-query distance table, then an exact integer sum per candidate —
+        no full-vector math touches the corpus after encoding.
+
+    Codewords here are the subvectors of the ``n_codes`` lowest-id vectors —
+    a deterministic stand-in for an offline k-means codebook (swap-in leaves
+    every plan shape unchanged).
+
+    Float discipline: subspace distances use three sequential-fold dots
+    (``dot(a,a) - 2·dot(a,b) + dot(b,b)``) — bit-identical to DuckDB's
+    ``list_dot_product`` — then are rounded to integer micro-units BEFORE the
+    cross-subspace sum, so the final aggregate is exact BIGINT math (no
+    summation-order sensitivity).
+    """
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    sub_ix = F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s")
+    subs = base.select(id_col, "v", sub_ix).select(
+        id_col,
+        "s",
+        F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("sv"),
+    )
+    codebook = subs.filter(F.col(id_col) < n_codes).select(
+        "s", F.col(id_col).alias("code"), F.col("sv").alias("cv")
+    )
+
+    def dsq(a: Column, b: Column) -> Column:
+        return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+    enc = (
+        subs.join(F.broadcast(codebook), "s")
+        .select(
+            id_col,
+            "s",
+            "code",
+            dsq(F.col("sv"), F.col("cv")).alias("d"),
+        )
+        .groupBy(id_col, "s")
+        .agg(F.max(F.struct((-F.col("d")).alias("nd"), (-F.col("code")).alias("nc"), F.col("code"))).alias("m"))
+        .select(F.col(id_col).alias("cand_id"), "s", F.col("m.code").alias("code"))
+    )
+    dtab = (
+        subs.filter(F.col(id_col).isin(*query_ids))
+        .join(F.broadcast(codebook), "s")
+        .select(
+            F.col(id_col).alias("query_id"),
+            "s",
+            "code",
+            F.floor(dsq(F.col("sv"), F.col("cv")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("pdist"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(dtab), ["s", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").alias("ssum"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("ssum"), F.col("cand_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            "cand_id",
+            (F.col("ssum") / F.lit(1_000_000.0)).alias("adc_dist"),
+        )
+    )
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -140,6 +140,21 @@ def test_ivf_assignment_is_partial_aggregate_not_window(spark):
     assert plan.count("Window [") <= 2, plan
 
 
+def test_pq_encoding_is_partial_aggregate_with_broadcast_codebook(spark):
+    """PQ encoding: the per-(vector, sub) argmin over codewords must be a
+    map-side partial max(struct) aggregate (exchange carries n·n_sub coded
+    rows, never n·n_sub·n_codes scored rows), the codebook/distance-table
+    sides must arrive by broadcast, and nothing may cartesian-join the
+    corpus."""
+    df = catalog.entries()["ann_pq_adc_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert num_broadcasts(df) >= 2
+    # the only row_number window is the final per-query top-k
+    assert plan.count("Window [") <= 1, plan
+
+
 def test_global_topk_never_global_sorts(spark):
     df = catalog.entries()["global_topk_orders"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
