@@ -41,6 +41,23 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
             "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
             **opts,
         }
+        # reference csv FORMATTER options (embulk_mapred_config.yml:42-50)
+        # → spark writer options; symbolic newline (CRLF|LF|CR) becomes the
+        # literal separator
+        from ..sources.readers import NEWLINE_LITERALS
+
+        for ref_key, spark_key in (
+            ("charset", "encoding"),
+            ("newline", "lineSep"),
+            ("delimiter", "sep"),
+            ("null_string", "nullValue"),
+        ):
+            if ref_key in opts:
+                opts[spark_key] = opts.pop(ref_key)
+        if "lineSep" in opts:
+            opts["lineSep"] = NEWLINE_LITERALS.get(
+                str(opts["lineSep"]).upper(), opts["lineSep"]
+            )
     if spec.sort_by and spec.type != "table":
         # per-file clustering for data skipping: sorting WITHIN write
         # partitions (no extra exchange) makes each parquet/orc row group's

@@ -35,6 +35,11 @@ from ..types import build_schema
 _CORRUPT = "__corrupt_record"
 
 
+# reference symbolic newline values → literal separators
+# (embulk formatter/parser `newline` option, embulk_mapred_config.yml:44)
+NEWLINE_LITERALS = {"CRLF": "\r\n", "LF": "\n", "CR": "\r"}
+
+
 def _csv_options(spec: SourceSpec) -> tuple[dict[str, Any], int, dict[str, str]]:
     """Resolve reference csv parser options → (spark options, skip_header_lines,
     per-column timestamp formats in Java syntax)."""
@@ -61,6 +66,17 @@ def _csv_options(spec: SourceSpec) -> tuple[dict[str, Any], int, dict[str, str]]
     for ref_key, spark_key in ref_map.items():
         if ref_key in options:
             opts[spark_key] = options.pop(ref_key)
+    # reference newline values are symbolic (CRLF|LF|CR,
+    # embulk_mapred_config.yml:44); Spark wants the literal separator.
+    # \n and \r\n are auto-detected by Spark's default line reader (and an
+    # explicit 2-char lineSep cannot appear inside quoted fields), so only a
+    # lone-CR convention needs the option set at all.
+    if "lineSep" in opts:
+        lit = NEWLINE_LITERALS.get(str(opts["lineSep"]).upper(), opts["lineSep"])
+        if lit in ("\n", "\r\n"):
+            del opts["lineSep"]
+        else:
+            opts["lineSep"] = lit
     # Per-column timestamp formats (reference embulk_mapred_config.yml:26-37
     # declares one per column). Spark csv has ONE global timestampFormat, so:
     # a single distinct declared format becomes the global option; with two or

@@ -143,6 +143,51 @@ def test_csv_two_timestamp_formats(spark, tmp_path):
     assert rows[8].t_iso.second == 59 and rows[8].t_eu.day == 1 and rows[8].t_eu.month == 2
 
 
+def test_csv_formatter_newline_crlf_roundtrip(spark, tmp_path):
+    """Reference formatter options (embulk_mapred_config.yml:42-50) on the
+    csv SINK: symbolic newline CRLF + charset + delimiter become the literal
+    Spark writer options, the written bytes actually end lines with \\r\\n,
+    and the engine's own csv source (newline: CRLF accepted symbolically)
+    reads the files back to the same multiset."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("alpha,1\r\nbeta,2\r\ngamma,3\r\n")
+    cols = [{"name": "s", "type": "string"}, {"name": "n", "type": "long"}]
+    out = str(tmp_path / "out")
+    rep = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "csv",
+                    "path": str(src),
+                    "columns": cols,
+                    "newline": "CRLF",
+                    "charset": "UTF-8",
+                },
+                "out": {
+                    "type": "csv",
+                    "path": out,
+                    "newline": "CRLF",
+                    "charset": "UTF-8",
+                    "delimiter": ";",
+                    "header": False,
+                },
+            }
+        ),
+    )
+    assert rep.succeeded and rep.output_rows == 3
+    from pathlib import Path
+
+    raw = b"".join(p.read_bytes() for p in sorted(Path(out).glob("part-*")))
+    assert b"\r\n" in raw and b";" in raw
+    back = {
+        tuple(line.split(";"))
+        for line in raw.decode().replace("\r\n", "\n").strip().split("\n")
+    }
+    assert back == {("alpha", "1"), ("beta", "2"), ("gamma", "3")}
+
+
 def test_csv_bad_per_column_timestamp_stop_on_invalid(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
