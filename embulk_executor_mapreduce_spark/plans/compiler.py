@@ -228,6 +228,18 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
         df = getattr(
             spark.readStream.options(**src.options).schema(schema), src.type
         )(_as_stream_dir(src.path))
+    elif src.type == "text":
+        # line-oriented corpus stream (landing-directory tail for C4-style
+        # text pipelines); wholetext is batch-only
+        t_opts = dict(src.options)
+        line_col = t_opts.pop("line_column", "line")
+        if t_opts.pop("wholetext", False):
+            raise ConfigError("wholetext text source is not streamable")
+        df = (
+            spark.readStream.options(**{str(k): str(v) for k, v in t_opts.items()})
+            .text(_as_stream_dir(src.path))
+            .withColumnRenamed("value", line_col)
+        )
     else:
         raise ConfigError(f"source type {src.type!r} is not streamable")
 

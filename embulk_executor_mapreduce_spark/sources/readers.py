@@ -374,6 +374,22 @@ def read_source(
         return _read_binaryfile(spark, spec)
     if spec.type == "task":
         return _read_task(spark, spec, retry_tasks=retry_tasks, error_sink=error_sink)
+    if spec.type == "text":
+        # raw line-oriented corpus ingestion (one row per line, column named
+        # by option line_column, default "line") — the front door for
+        # C4-style text pipelines: text source → quality/dedup filter chain
+        # → parquet sink. wholetext: true yields one row per FILE instead
+        # (document-per-file corpora); both stay a narrow scan, no shuffle.
+        opts = dict(spec.options)
+        line_col = opts.pop("line_column", "line")
+        wholetext = bool(opts.pop("wholetext", False))
+        df = spark.read.options(**opts).text(spec.path, wholetext=wholetext)
+        df = df.withColumnRenamed("value", line_col)
+        if wholetext:
+            df = df.select(
+                F.input_file_name().alias("path"), F.col(line_col)
+            )
+        return df
     if spec.type in ("parquet", "orc", "json"):
         if spec.type == "parquet":
             # tolerate TIMESTAMP(NANOS) parquet files (read as long nanos)

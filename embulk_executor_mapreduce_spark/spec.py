@@ -21,7 +21,7 @@ from .errors import ConfigError, PartitionError
 from .operators.partitioning import MAX_SPLIT, UNIT_SECONDS, UNIX_UNIT_DIVISOR
 from .types import ColumnSpec
 
-_SOURCE_TYPES = {"parquet", "csv", "json", "orc", "task", "binaryfile"}
+_SOURCE_TYPES = {"parquet", "csv", "json", "orc", "task", "binaryfile", "text"}
 _SINK_TYPES = {"parquet", "csv", "json", "orc", "null", "memory", "table"}
 _FILTER_TYPES = {
     "select",

@@ -13,6 +13,7 @@ from embulk_executor_mapreduce_spark.operators.dedup import (
 from embulk_executor_mapreduce_spark.operators.similarity import (
     brute_force_topk,
     lsh_bucket_topk,
+    pq_adc_topk,
 )
 
 SF = "/root/testdata/sf0.001"
@@ -60,6 +61,41 @@ def test_lsh_recall_vs_bruteforce(spark):
         assert abs(a[k_] - b[k_]) < 1e-9
     recall = len(set(a) & set(b)) / len(b)
     assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_pq_adc_ranking_quality_vs_exact_l2(spark):
+    """PQ/ADC self-consistency (k rows per query, non-negative ascending
+    distances) plus an honest recall floor against EXACT L2 neighbors (the
+    metric PQ approximates — cosine top-k is a different ranking on
+    unnormalized vectors). With the deterministic id-prefix stand-in
+    codebook the measured recall is 0.2 at sf0.001; a trained k-means
+    codebook is the quality lever and changes no plan shape, so the floor
+    here only guards against the quantizer degrading to noise."""
+    import numpy as np
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id")
+    ids = pdf["vec_id"].to_numpy()
+    V = np.array([np.asarray(v, dtype=float) for v in pdf["embedding"]])
+    exact: dict[int, set[int]] = {}
+    for q in (0, 1, 2, 3):
+        qi = int(np.where(ids == q)[0][0])
+        d = ((V - V[qi]) ** 2).sum(axis=1)
+        d[qi] = np.inf
+        order = np.lexsort((ids, d))
+        exact[q] = {int(ids[i]) for i in order[:5]}
+
+    rows = pq_adc_topk(emb, k=5).collect()
+    per_q: dict[int, list[float]] = {}
+    got: dict[int, set[int]] = {}
+    for r in rows:
+        assert r.adc_dist >= 0.0
+        per_q.setdefault(r.query_id, []).append(r.adc_dist)
+        got.setdefault(r.query_id, set()).add(r.cand_id)
+    for q, ds in per_q.items():
+        assert len(ds) == 5 and ds == sorted(ds), (q, ds)
+    recall = sum(len(got[q] & exact[q]) for q in exact) / (5 * len(exact))
+    assert recall >= 0.15, f"PQ/ADC degraded to noise: recall={recall}"
 
 
 def test_approx_count_distinct_bounds(spark):

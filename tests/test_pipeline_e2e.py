@@ -23,6 +23,44 @@ def _multiset(df, cols):
     return sorted(tuple(r[c] for c in cols) for r in df.select(*cols).collect())
 
 
+def test_text_source_line_and_wholetext(spark, tmp_path):
+    """Raw text-line source: one row per line with a filter chain over the
+    line column (the C4-pipeline front door); wholetext mode yields one row
+    per FILE tagged with its path."""
+    src = tmp_path / "corpus"
+    src.mkdir()
+    (src / "a.txt").write_text("keep one\ndrop\nkeep two\n")
+    (src / "b.txt").write_text("keep three\n")
+    out = str(tmp_path / "out")
+    rep = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "text", "path": str(src)},
+                "filters": [{"type": "filter", "predicate": "line LIKE 'keep%'"}],
+                "out": {"type": "parquet", "path": out},
+            }
+        ),
+    )
+    assert rep.succeeded and rep.output_rows == 3
+    assert sorted(r.line for r in spark.read.parquet(out).collect()) == [
+        "keep one", "keep three", "keep two",
+    ]
+    whole = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "text", "path": str(src), "wholetext": True},
+                "out": {"type": "parquet", "path": str(tmp_path / "out2")},
+            }
+        ),
+    )
+    assert whole.succeeded and whole.output_rows == 2
+    rows = spark.read.parquet(str(tmp_path / "out2")).collect()
+    assert {Path(r.path).name for r in rows} == {"a.txt", "b.txt"}
+    assert any("drop" in r.line for r in rows)
+
+
 def test_identity_map_only(spark, tmp_path):
     """Map-only shape (SURVEY §3.2): scan → identity → sink, no exchange."""
     out = str(tmp_path / "out")

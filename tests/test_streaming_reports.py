@@ -141,3 +141,29 @@ def test_streaming_pipeline_rejects_blocking_stages(spark, tmp_path):
     )
     with _pytest.raises(ConfigError, match="not streamable"):
         run_pipeline_streaming(spark, spec)
+
+
+def test_streaming_text_source_pipeline(spark, tmp_path):
+    """Line-oriented text source streams: landing-directory tail → filter
+    chain → parquet sink via availableNow; same rows as the batch path."""
+    from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline_streaming
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    (src / "a.txt").write_text("keep one\ndrop\nkeep two\n")
+    out = str(tmp_path / "out")
+    rep = run_pipeline_streaming(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "text", "path": str(src)},
+                "filters": [{"type": "filter", "predicate": "line LIKE 'keep%'"}],
+                "out": {"type": "parquet", "path": out},
+            }
+        ),
+    )
+    assert rep.succeeded
+    assert sorted(r.line for r in spark.read.parquet(out).collect()) == [
+        "keep one", "keep two",
+    ]
