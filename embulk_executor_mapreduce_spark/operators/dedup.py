@@ -118,13 +118,9 @@ def minhash_candidates(
     # spreading by id measured 6× slower (double compute, no reuse), this
     # form 1.5-3× faster at sf0.1. At 100 TB the scan already has thousands
     # of splits and the spread is a no-op by the guard.
-    n_par = df.sparkSession.sparkContext.defaultParallelism
-    try:
-        cur = df.rdd.getNumPartitions()
-    except Exception:  # noqa: BLE001 — planning-time probe only
-        cur = n_par
-    if cur < n_par:
-        df = df.repartition(n_par, F.xxhash64(F.col(id_col)))
+    from .partitioning import spread_narrow
+
+    df = spread_narrow(df, id_col)
     # Scale shape: explode shingles ONCE, hash each shingle ONCE (md5 → 60-bit
     # long), derive all seeds with modular arithmetic, take per-seed minima in
     # a single hash aggregation. Two prior versions profiled slower at sf0.1:

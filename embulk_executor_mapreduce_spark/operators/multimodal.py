@@ -7,6 +7,14 @@ shapes. The actual media decoding is STUBBED (image/audio libraries are not in
 this container): ``decode_stub`` produces a deterministic fake feature vector
 from the bytes so the distributed plumbing is testable end-to-end; swap
 ``_fake_features`` for a real decoder (PIL/torchaudio) in production.
+
+Parallelism note: a REAL decoder (10-100 ms/item CPU) must not inherit a
+narrow scan's partitioning — wrap the input in
+``partitioning.spread_narrow(df, id_col)`` so the Python workers fan out
+across the cluster. The stubs deliberately do NOT spread: the fake decode is
+memory-bandwidth-bound (measured at sf0.1: the spread's shuffle + 32-worker
+fan-out costs more than it saves), and an unconditional shuffle here would be
+pure overhead stacked on every real deployment that already lands wide.
 """
 
 from __future__ import annotations

@@ -140,6 +140,33 @@ def salt_expr(split: int, cols: list[str | Column] | None = None) -> Column:
     return F.pmod(hashed, F.lit(split)).cast(T.IntegerType())
 
 
+def spread_narrow(df: DataFrame, key_col: str) -> DataFrame:
+    """Spread a narrower-than-cluster scan across all cores before CPU-heavy
+    per-row work (hashing fan-outs, Arrow-batched Python decode).
+
+    A single small parquet file (one row group) scans as ONE partition, so
+    everything downstream runs on one core / one Python worker while the
+    rest of the cluster idles. The spread key is ``xxhash64(key_col)`` —
+    deterministic under task re-execution (content-derived, no round-robin),
+    and a DIFFERENT expression from any downstream ``groupBy(key_col)``
+    hash-partitioning, so aggregation exchanges above it survive and remain
+    reusable across self-join sides (see ``dedup.minhash_candidates``: the
+    id-keyed spread elided that exchange and measured 6× slower).
+
+    No-op when the input already has at least cluster-parallelism partitions
+    — the 100 TB case, where scans arrive thousands of splits wide and an
+    extra full-payload shuffle would be pure cost.
+    """
+    n_par = df.sparkSession.sparkContext.defaultParallelism
+    try:
+        cur = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning-time probe only
+        cur = n_par
+    if cur >= n_par:
+        return df
+    return df.repartition(n_par, F.xxhash64(F.col(key_col)))
+
+
 def repartition_by_bucket(
     df: DataFrame,
     column: str,

@@ -266,6 +266,12 @@ def corpus_chunk_dedup(
     every chunk is a later duplicate disappear (fully-boilerplate docs).
     Output: (doc_id, clean_text, n_kept, n_dropped).
     """
+    from .partitioning import spread_narrow
+
+    # chunking + md5 per chunk is CPU-bound; don't let a one-file scan
+    # serialize it onto one core (spread key ≠ the ch/doc group keys, so the
+    # dedup exchanges survive and the join side reuses them)
+    df = spread_narrow(df, id_col)
     toks = tokens(text_col)
     n_chunks = F.floor((F.size(toks) + (chunk_words - 1)) / F.lit(chunk_words)).cast(
         "long"
