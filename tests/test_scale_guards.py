@@ -193,3 +193,25 @@ def test_bucket_math_floors_negative_epochs(spark):
     )
     got = {r.id: r.b for r in out.collect()}
     assert got[1] == -1 and got[2] == -1 and got[3] == -2
+
+
+def test_spread_narrow_widens_only_narrow_input(spark):
+    """spread_narrow: a 1-partition frame fans out to cluster parallelism, an
+    already-wide frame passes through untouched (the 100 TB case — no
+    gratuitous full-payload shuffle), and the spread is deterministic (hash
+    of row content, not round-robin), so re-evaluation yields identical
+    partition assignment."""
+    from embulk_executor_mapreduce_spark.operators.partitioning import spread_narrow
+
+    n_par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(1000).coalesce(1)
+    spread = spread_narrow(narrow, "id")
+    assert spread.rdd.getNumPartitions() == n_par
+    assert sorted(r.id for r in spread.collect()) == list(range(1000))
+
+    wide = spark.range(1000).repartition(n_par + 4)
+    assert spread_narrow(wide, "id") is wide
+
+    a = [set(p) for p in spread.rdd.glom().map(lambda rows: [r.id for r in rows]).collect()]
+    b = [set(p) for p in spread.rdd.glom().map(lambda rows: [r.id for r in rows]).collect()]
+    assert a == b
