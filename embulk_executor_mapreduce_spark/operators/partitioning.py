@@ -187,7 +187,10 @@ def repartition_by_bucket(
     """
     if reducers is not None and reducers <= 0:
         raise PartitionError(f"reducers must be > 0, got {reducers}")
-    n = reducers or df.rdd.getNumPartitions()
+    # defaultParallelism, not df.rdd.getNumPartitions(): the latter forces an
+    # RDD conversion of the whole plan at compile time (same fix as the
+    # pipeline compiler's reducer default)
+    n = reducers or df.sparkSession.sparkContext.defaultParallelism or 1
     out = df.withColumn(bucket_col, bucket_expr(df, column, unit, unix_timestamp_unit))
     keys = [bucket_col]
     if map_side_partition_split > 1:
