@@ -66,6 +66,12 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
         # them — the cheap half of Z-ordering, free at write time
         df = df.sortWithinPartitions(*spec.sort_by)
     writer = df.write.mode(spec.mode).options(**opts)
+    if spec.partition_overwrite == "dynamic":
+        # overwrite replaces ONLY the partitions present in this batch —
+        # idempotent re-load of one day rewrites that day's directories and
+        # leaves every other bucket untouched (per-write option, not a
+        # session-global conf)
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     part_cols = list(spec.partition_by)
     if spec.partition_by_bucket:
         if not bucket_col:

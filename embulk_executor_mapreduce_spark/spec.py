@@ -106,6 +106,10 @@ class SinkSpec:
     bucket_by: tuple[str, ...] = ()
     buckets: int = 0
     sort_by: tuple[str, ...] = ()
+    # "dynamic": an overwrite touches ONLY the partitions present in the
+    # incoming batch (idempotent re-load of one day/bucket leaves the rest of
+    # the dataset intact); "static" (Spark default) truncates everything
+    partition_overwrite: str = "static"
 
 
 @dataclass(frozen=True)
@@ -156,6 +160,18 @@ class PipelineSpec:
             )
         if self.sink.partition_by_bucket and self.partitioning is None:
             raise ConfigError("partition_by_bucket sink requires a partitioning block")
+        if self.sink.partition_overwrite not in ("static", "dynamic"):
+            raise ConfigError(
+                f"partition_overwrite must be static|dynamic, "
+                f"got {self.sink.partition_overwrite!r}"
+            )
+        if self.sink.partition_overwrite == "dynamic" and not (
+            self.sink.partition_by or self.sink.partition_by_bucket
+        ):
+            raise ConfigError(
+                "partition_overwrite: dynamic requires a partitioned sink layout "
+                "(partition_by or partition_by_bucket)"
+            )
         if self.source.invalid_record_path is not None:
             if self.source.stop_on_invalid_record:
                 raise ConfigError(
@@ -226,6 +242,7 @@ def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
         bucket_by=tuple(out_raw.pop("bucket_by", ())),
         buckets=int(out_raw.pop("buckets", 0)),
         sort_by=tuple(out_raw.pop("sort_by", ())),
+        partition_overwrite=str(out_raw.pop("partition_overwrite", "static")),
         options=out_raw.pop("options", out_raw),
     )
     exec_raw = dict(doc.get("exec", {}))

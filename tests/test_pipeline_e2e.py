@@ -313,3 +313,49 @@ def test_sort_by_clusters_rows_within_files(spark, tmp_path):
     dst = spark.read.parquet(out)
     cols = ["event_id", "user_id", "event_type"]
     assert _multiset(src, cols) == _multiset(dst, cols)
+
+
+def test_dynamic_partition_overwrite_reload_one_bucket(spark, tmp_path):
+    """Idempotent re-load: with partition_overwrite: dynamic, overwriting
+    with a batch containing ONE time bucket rewrites only that bucket's
+    directory; every other bucket survives. Static overwrite (the default)
+    truncates the whole dataset — both semantics asserted."""
+    out = str(tmp_path / "out")
+
+    def spec_for(path, predicate=None, overwrite="dynamic"):
+        filters = [
+            {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
+            {"type": "drop", "columns": ["ts"]},
+            {"type": "rename", "mapping": {"ts2": "ts"}},
+        ]
+        if predicate:
+            filters.append({"type": "filter", "predicate": predicate})
+        return load_spec(
+            {
+                "in": {"type": "parquet", "path": EVENTS},
+                "filters": filters,
+                "out": {
+                    "type": "parquet",
+                    "path": path,
+                    "partition_by_bucket": True,
+                    "partition_overwrite": overwrite,
+                },
+                "exec": {"reducers": 4, "partitioning": {"column": "ts", "unit": "day"}},
+            }
+        )
+
+    run_pipeline(spark, spec_for(out))
+    n_buckets = len(list(Path(out).glob("__bucket=*")))
+    total = spark.read.parquet(out).count()
+    assert n_buckets >= 28 and total == 1000
+
+    # re-load ONLY day one; dynamic overwrite must leave the other buckets
+    run_pipeline(spark, spec_for(out, predicate="date(ts) = date'2024-01-01'"))
+    assert len(list(Path(out).glob("__bucket=*"))) == n_buckets
+    assert spark.read.parquet(out).count() == total
+
+    # static overwrite of the same one-day batch truncates everything else
+    run_pipeline(
+        spark, spec_for(out, predicate="date(ts) = date'2024-01-01'", overwrite="static")
+    )
+    assert len(list(Path(out).glob("__bucket=*"))) == 1
