@@ -15,9 +15,70 @@ bucket→reducer routing.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from ..errors import ConfigError
 from ..spec import SinkSpec
+
+
+def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
+    """SCD1 upsert into a file sink: latest version per ``merge_key`` wins,
+    ordered by ``merge_order``; the incoming batch beats the stored state on
+    order ties (re-loading the same batch is idempotent).
+
+    Scale shape: one scan of the stored state + one of the batch, a single
+    ``max(struct(order..., generation, payload...))`` aggregate keyed on the
+    merge key — map-side combinable, exchange carries one row per key — then
+    a full rewrite via staging-directory swap. Payload columns ride in the
+    comparator as final deterministic tie-breakers, so they must be
+    orderable types (no map columns in merge mode). A table-format sink
+    (Delta/Iceberg MERGE) replaces the swap in deployments that need
+    row-level commits; the keyed-argmax plan is identical.
+    """
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    path = spec.path
+    local = path[7:] if path.startswith("file://") else path
+    exists = os.path.exists(local)
+    keys = list(spec.merge_key)
+    order = list(spec.merge_order)
+
+    new = df.withColumn("__gen", F.lit(1))
+    if exists:
+        old = spark.read.format(spec.type).load(path).withColumn("__gen", F.lit(0))
+        both = old.unionByName(new, allowMissingColumns=True)
+    else:
+        both = new
+    payload = [c for c in both.columns if c not in keys and c != "__gen"]
+    for c in order:
+        if c not in payload:
+            raise ConfigError(f"merge_order column {c!r} missing from the data")
+    ride = [c for c in payload if c not in order]
+    merged = (
+        both.groupBy(*keys)
+        .agg(
+            F.max(
+                F.struct(*order, F.col("__gen"), *ride)
+            ).alias("m")
+        )
+        .select(*keys, *[F.col(f"m.{c}").alias(c) for c in payload])
+    )
+    if not exists:
+        merged.write.mode("overwrite").format(spec.type).save(path)
+        return
+    # the plan reads the files it must replace: materialize into a staging
+    # dir first, then swap (directory rename — the file-sink stand-in for a
+    # table format's atomic commit)
+    staging = local.rstrip("/") + ".__merge_staging__"
+    shutil.rmtree(staging, ignore_errors=True)
+    merged.write.mode("overwrite").format(spec.type).save(staging)
+    old_dir = local.rstrip("/") + ".__merge_old__"
+    shutil.rmtree(old_dir, ignore_errors=True)
+    os.rename(local, old_dir)
+    os.rename(staging, local)
+    shutil.rmtree(old_dir, ignore_errors=True)
 
 
 def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> None:
@@ -27,6 +88,9 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
         return
     if spec.type == "memory":
         df.createOrReplaceTempView(spec.options.get("view", "pipeline_out"))
+        return
+    if spec.mode == "merge":
+        _merge_file_sink(df, spec)
         return
     opts = dict(spec.options)
     if spec.type == "csv":

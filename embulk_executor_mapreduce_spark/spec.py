@@ -110,6 +110,10 @@ class SinkSpec:
     # incoming batch (idempotent re-load of one day/bucket leaves the rest of
     # the dataset intact); "static" (Spark default) truncates everything
     partition_overwrite: str = "static"
+    # mode == "merge" (SCD1 upsert): keep the latest version per merge_key,
+    # versions ordered by merge_order (incoming batch wins order ties)
+    merge_key: tuple[str, ...] = ()
+    merge_order: tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)
@@ -172,6 +176,17 @@ class PipelineSpec:
                 "partition_overwrite: dynamic requires a partitioned sink layout "
                 "(partition_by or partition_by_bucket)"
             )
+        if self.sink.mode == "merge":
+            if self.sink.type not in ("parquet", "orc"):
+                raise ConfigError("merge mode requires a parquet or orc sink")
+            if not self.sink.merge_key or not self.sink.merge_order:
+                raise ConfigError("merge mode requires merge_key and merge_order")
+            if self.sink.partition_by or self.sink.partition_by_bucket:
+                raise ConfigError(
+                    "merge mode does not combine with partitioned layout "
+                    "(merge rewrites the keyed state; use dynamic overwrite "
+                    "for partition-scoped re-loads)"
+                )
         if self.source.invalid_record_path is not None:
             if self.source.stop_on_invalid_record:
                 raise ConfigError(
@@ -243,6 +258,8 @@ def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
         buckets=int(out_raw.pop("buckets", 0)),
         sort_by=tuple(out_raw.pop("sort_by", ())),
         partition_overwrite=str(out_raw.pop("partition_overwrite", "static")),
+        merge_key=tuple(out_raw.pop("merge_key", ())),
+        merge_order=tuple(out_raw.pop("merge_order", ())),
         options=out_raw.pop("options", out_raw),
     )
     exec_raw = dict(doc.get("exec", {}))

@@ -359,3 +359,48 @@ def test_dynamic_partition_overwrite_reload_one_bucket(spark, tmp_path):
         spark, spec_for(out, predicate="date(ts) = date'2024-01-01'", overwrite="static")
     )
     assert len(list(Path(out).glob("__bucket=*"))) == 1
+
+
+def test_merge_sink_scd1_upsert(spark, tmp_path):
+    """mode: merge — SCD1 upsert: latest version per merge_key wins by
+    merge_order, the incoming batch beats stored state on order ties
+    (idempotent re-load), stale versions never regress the state."""
+    out = str(tmp_path / "state")
+
+    def load_batch(rows):
+        src = str(tmp_path / "batch")
+        spark.createDataFrame(rows, "id long, name string, ver long").coalesce(1) \
+            .write.mode("overwrite").parquet(src)
+        spec = load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "out": {
+                    "type": "parquet",
+                    "path": out,
+                    "mode": "merge",
+                    "merge_key": ["id"],
+                    "merge_order": ["ver"],
+                },
+            }
+        )
+        run_pipeline(spark, spec)
+        return {r.id: (r.name, r.ver) for r in spark.read.parquet(out).collect()}
+
+    assert load_batch([(1, "a", 10), (2, "b", 10)]) == {1: ("a", 10), 2: ("b", 10)}
+    # newer version updates, new key inserts, untouched key survives
+    state = load_batch([(1, "a2", 20), (3, "c", 10)])
+    assert state == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 10)}
+    # stale version must NOT regress
+    assert load_batch([(1, "ancient", 5)]) == state
+    # same-order re-load is idempotent and the batch wins the tie
+    assert load_batch([(1, "a2", 20), (3, "c", 10)]) == state
+
+
+def test_merge_sink_config_validation(spark, tmp_path):
+    with pytest.raises(ConfigError, match="merge_key"):
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": EVENTS},
+                "out": {"type": "parquet", "path": str(tmp_path / "x"), "mode": "merge"},
+            }
+        ).validate()
