@@ -257,22 +257,43 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
     report = PipelineReport(partitioned=spec.partitioning is not None)
     t0 = time.time()
     try:
-        writer = (
-            df.writeStream.format(spec.sink.type)
-            .outputMode("append")
-            .options(**{str(k): str(v) for k, v in spec.sink.options.items()})
-            .option(
-                "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pipeline_")
+        if spec.sink.mode == "merge":
+            # CDC-style streaming upsert: each micro-batch applies the SAME
+            # keyed-argmax merge as the batch sink (foreachBatch — the
+            # standard Spark bridge from a stream to a non-append sink).
+            # State converges identically to replaying the batches through
+            # run_pipeline because the merge is idempotent and
+            # order-insensitive for versioned rows.
+            from ..sinks.writer import _merge_file_sink
+
+            writer = (
+                df.writeStream.foreachBatch(
+                    lambda batch_df, _epoch: _merge_file_sink(batch_df, spec.sink)
+                )
+                .option(
+                    "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pipeline_")
+                )
+                .trigger(availableNow=True)
             )
-            .trigger(availableNow=True)
-        )
-        part_cols = list(spec.sink.partition_by)
-        if spec.sink.partition_by_bucket:
-            part_cols = [BUCKET_COL, *part_cols]
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        q = writer.start(spec.sink.path)
-        q.awaitTermination()
+            q = writer.start()
+            q.awaitTermination()
+        else:
+            writer = (
+                df.writeStream.format(spec.sink.type)
+                .outputMode("append")
+                .options(**{str(k): str(v) for k, v in spec.sink.options.items()})
+                .option(
+                    "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pipeline_")
+                )
+                .trigger(availableNow=True)
+            )
+            part_cols = list(spec.sink.partition_by)
+            if spec.sink.partition_by_bucket:
+                part_cols = [BUCKET_COL, *part_cols]
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            q = writer.start(spec.sink.path)
+            q.awaitTermination()
         report.succeeded = True
         report.output_rows = sum(
             int(p.numInputRows) for p in q.recentProgress

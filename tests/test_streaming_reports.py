@@ -167,3 +167,62 @@ def test_streaming_text_source_pipeline(spark, tmp_path):
     assert sorted(r.line for r in spark.read.parquet(out).collect()) == [
         "keep one", "keep two",
     ]
+
+
+def test_streaming_merge_sink_cdc_upsert(spark, tmp_path):
+    """CDC-style streaming upsert: a stream of versioned change records,
+    processed one file per micro-batch, converges to latest-version-per-key —
+    identical to replaying the batches through the batch merge sink."""
+    from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline_streaming
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "changes"
+    src.mkdir()
+    schema = pa.schema(
+        [("id", pa.int64()), ("name", pa.string()), ("ver", pa.int64())]
+    )
+    pq.write_table(
+        pa.table(
+            {"id": [1, 2], "name": ["a", "b"], "ver": [10, 10]}, schema=schema
+        ),
+        str(src / "f1.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"id": [1, 3, 2], "name": ["a2", "c", "stale"], "ver": [20, 10, 5]},
+            schema=schema,
+        ),
+        str(src / "f2.parquet"),
+    )
+
+    out = str(tmp_path / "state")
+    rep = run_pipeline_streaming(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "parquet",
+                    "path": str(src),
+                    "columns": [
+                        {"name": "id", "type": "long"},
+                        {"name": "name", "type": "string"},
+                        {"name": "ver", "type": "long"},
+                    ],
+                    "maxFilesPerTrigger": 1,
+                },
+                "out": {
+                    "type": "parquet",
+                    "path": out,
+                    "mode": "merge",
+                    "merge_key": ["id"],
+                    "merge_order": ["ver"],
+                },
+            }
+        ),
+    )
+    assert rep.succeeded
+    state = {r.id: (r.name, r.ver) for r in spark.read.parquet(out).collect()}
+    assert state == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 10)}
