@@ -404,3 +404,56 @@ def test_merge_sink_config_validation(spark, tmp_path):
                 "out": {"type": "parquet", "path": str(tmp_path / "x"), "mode": "merge"},
             }
         ).validate()
+
+
+def test_merge_sink_randomized_replay(spark, tmp_path):
+    """Randomized (fixed-seed) merge replay: N batches of upserts through the
+    merge sink must equal a reference dict replay with last-writer-wins on
+    (ver, arrival) — order ties inside one batch resolved deterministically
+    by the sink's full-row comparator."""
+    import random
+
+    rng = random.Random(0xE17)
+    out = str(tmp_path / "state")
+    expect: dict[int, tuple[int, str]] = {}
+    for b in range(5):
+        rows = []
+        for _ in range(rng.randint(3, 8)):
+            k = rng.randint(1, 12)
+            ver = rng.randint(1, 9)
+            name = f"v{b}_{rng.randint(0, 999)}"
+            rows.append((k, name, ver))
+        # reference replay: within a batch the sink keeps max(ver, name);
+        # across batches a strictly-greater ver always wins, an equal ver
+        # goes to the incoming batch only if its (ver, name) compares higher
+        # (gen beats name only for the stored side — mirror the comparator:
+        # (ver, gen, name) with stored gen=0, incoming gen=1)
+        batch_best: dict[int, tuple[int, str]] = {}
+        for k, name, ver in rows:
+            if k not in batch_best or (ver, name) > batch_best[k]:
+                batch_best[k] = (ver, name)
+        for k, (ver, name) in batch_best.items():
+            if k not in expect or (ver, 1, name) > (expect[k][0], 0, expect[k][1]):
+                expect[k] = (ver, name)
+
+        src = str(tmp_path / f"batch{b}")
+        spark.createDataFrame(
+            rows, "id long, name string, ver long"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "out": {
+                        "type": "parquet",
+                        "path": out,
+                        "mode": "merge",
+                        "merge_key": ["id"],
+                        "merge_order": ["ver"],
+                    },
+                }
+            ),
+        )
+    got = {r.id: (r.ver, r.name) for r in spark.read.parquet(out).collect()}
+    assert got == expect
