@@ -457,3 +457,36 @@ def test_merge_sink_randomized_replay(spark, tmp_path):
         )
     got = {r.id: (r.ver, r.name) for r in spark.read.parquet(out).collect()}
     assert got == expect
+
+
+def test_merge_sink_schema_drift_new_column(spark, tmp_path):
+    """A later batch may carry a NEW column: merge unions by name, old rows
+    surface the new column as null, and versioning still applies."""
+    out = str(tmp_path / "state")
+
+    def merge(src_rows, ddl, sub):
+        src = str(tmp_path / f"b{sub}")
+        spark.createDataFrame(src_rows, ddl).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(src)
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "out": {
+                        "type": "parquet",
+                        "path": out,
+                        "mode": "merge",
+                        "merge_key": ["id"],
+                        "merge_order": ["ver"],
+                    },
+                }
+            ),
+        )
+
+    merge([(1, "a", 10), (2, "b", 10)], "id long, name string, ver long", 0)
+    merge([(1, "a2", 20, "extra")], "id long, name string, ver long, note string", 1)
+    rows = {r.id: r for r in spark.read.parquet(out).collect()}
+    assert rows[1].name == "a2" and rows[1].note == "extra"
+    assert rows[2].name == "b" and rows[2].note is None
