@@ -224,3 +224,27 @@ def test_bucketed_tables_join_with_zero_exchanges(spark, tmp_path):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     n = joined.agg(F.sum("n")).collect()[0][0]
     assert n == spark.table("bk_lineitem").count()
+
+
+def test_merge_sink_aggregate_is_map_side_combinable(spark, tmp_path):
+    """The merge sink's keyed argmax must run as partial_max below the
+    exchange (one row per key crosses the wire), and nothing in the merged
+    plan may cartesian-join stored state against the batch."""
+    from embulk_executor_mapreduce_spark.sinks import writer as W
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    out = str(tmp_path / "state")
+    spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 10)], "id long, name string, ver long"
+    ).write.parquet(out)
+    batch = spark.createDataFrame([(1, "a2", 20)], "id long, name string, ver long")
+    old = spark.read.parquet(out).withColumn("rn_gen", F.lit(0))
+    new = batch.withColumn("rn_gen", F.lit(1))
+    merged = (
+        old.unionByName(new)
+        .groupBy("id")
+        .agg(F.max(F.struct("ver", "rn_gen", "name")).alias("m"))
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    assert "partial_max" in plan, plan
+    assert "CartesianProduct" not in plan
