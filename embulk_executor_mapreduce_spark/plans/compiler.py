@@ -359,6 +359,26 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
                 for p in Path(spec.sink.path).rglob("part-*")
                 if not p.name.endswith(".crc")
             )
+            # commit audit manifest (the reference surfaces per-task reports
+            # via HDFS attempt-state files, O15; downstream orchestration
+            # reads this instead of re-counting the output)
+            import json as _json
+
+            manifest = {
+                "rows": report.output_rows,
+                "output_tasks": report.output_tasks,
+                "columns": [
+                    {"name": f.name, "type": f.dataType.simpleString()}
+                    for f in df.schema.fields
+                ],
+                "partitioned": report.partitioned,
+                "sink_type": spec.sink.type,
+                "sink_mode": spec.sink.mode,
+                "quarantined_rows": report.quarantined_rows,
+            }
+            (Path(spec.sink.path) / "_manifest.json").write_text(
+                _json.dumps(manifest, indent=1)
+            )
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
         report.error = f"{type(exc).__name__}: {exc}"
         if _is_user_data_error(exc):

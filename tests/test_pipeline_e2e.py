@@ -516,3 +516,29 @@ def test_sink_compression_codec_passthrough(spark, tmp_path):
         for c in range(meta.num_columns)
     }
     assert codecs == {"ZSTD"}, codecs
+
+
+def test_commit_manifest_written(spark, tmp_path):
+    """Successful file-sink commits leave a _manifest.json audit record
+    (rows, schema, task count) — the in-band replacement for the reference's
+    HDFS attempt-state reports; Spark readers ignore the underscore file."""
+    import json
+
+    out = str(tmp_path / "out")
+    rep = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": EVENTS},
+                "filters": [{"type": "filter", "predicate": "value > 0"}],
+                "out": {"type": "parquet", "path": out},
+            }
+        ),
+    )
+    m = json.loads((Path(out) / "_manifest.json").read_text())
+    assert m["rows"] == rep.output_rows == 1000
+    assert m["output_tasks"] == rep.output_tasks >= 1
+    assert {c["name"] for c in m["columns"]} >= {"event_id", "user_id", "value"}
+    assert m["sink_mode"] == "overwrite" and m["quarantined_rows"] == 0
+    # the manifest must not pollute read-back
+    assert spark.read.parquet(out).count() == 1000
