@@ -1209,10 +1209,10 @@ def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id, label,
            CASE WHEN mx = 0 THEN 0.0 ELSE 127.0 / mx END AS scale,
-           list_transform(
+           to_json(list_transform(
              v, x -> CAST(CASE WHEN mx = 0 THEN 0
                           ELSE floor(x * (127.0 / mx) + 0.5) END AS INTEGER)
-           ) AS q
+           ))::VARCHAR AS q_json
     FROM s
     """,
     tags=("similarity", "quantization"),
@@ -1221,7 +1221,10 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 embedding quantization (symmetric max-abs scaling): per-vector
     scale = 127/max|x|, values floor(x*scale+0.5) — 4× storage cut for the
     ANN corpus. Pure array expressions in codegen, zero shuffle; floor-based
-    rounding is IEEE-identical cross-engine (exactmath discipline)."""
+    rounding is IEEE-identical cross-engine (exactmath discipline). The
+    quantized vector is emitted as its canonical JSON encoding (``[1,2,3]``)
+    — a scalar string column, stable to hash and diff in any downstream
+    tool, unlike a raw array column."""
     emb = load(spark, sf_dir, "embeddings")
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     mx = F.array_max(F.transform(v, F.abs))
@@ -1230,12 +1233,14 @@ def q_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "label",
         scale.alias("scale"),
-        F.transform(
-            v,
-            lambda x: F.when(mx == 0, F.lit(0))
-            .otherwise(F.floor(x * (F.lit(127.0) / mx) + F.lit(0.5)))
-            .cast("int"),
-        ).alias("q"),
+        F.to_json(
+            F.transform(
+                v,
+                lambda x: F.when(mx == 0, F.lit(0))
+                .otherwise(F.floor(x * (F.lit(127.0) / mx) + F.lit(0.5)))
+                .cast("int"),
+            )
+        ).alias("q_json"),
     )
 
 
@@ -3086,9 +3091,10 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_totalprice AS price,
            o_orderdate AS valid_from,
            coalesce(
-             lead(o_orderdate) OVER (
+             strftime(lead(o_orderdate) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
-             TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+               '%Y-%m-%d %H:%M:%S'),
+             '9999-12-31 00:00:00') AS valid_to,
            (lead(o_orderdate) OVER (
                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
             IS NULL) AS is_current
@@ -3103,7 +3109,12 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     dimension key — per-key group size is bounded (a customer's change
     count), so the shuffle is one exchange on o_custkey and no group blows
     up at 100 TB. The standard warehouse upsert-history pattern the
-    reference's partitioned-sink pipelines feed into."""
+    reference's partitioned-sink pipelines feed into.
+
+    ``valid_to`` is emitted as a formatted STRING, not a timestamp: the
+    open-row sentinel 9999-12-31 overflows pandas datetime64[ns] (max 2262)
+    in downstream tooling, while the string form is tool-agnostic and sorts
+    identically."""
     o = load(spark, sf_dir, "orders")
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     nxt = F.lead("o_orderdate").over(w)
@@ -3113,7 +3124,10 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderstatus").alias("status"),
         F.col("o_totalprice").alias("price"),
         F.col("o_orderdate").alias("valid_from"),
-        F.coalesce(nxt, F.lit("9999-12-31 00:00:00").cast("timestamp")).alias("valid_to"),
+        F.coalesce(
+            F.date_format(nxt, "yyyy-MM-dd HH:mm:ss"),
+            F.lit("9999-12-31 00:00:00"),
+        ).alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
 
