@@ -61,7 +61,9 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # Deterministic float-aggregate discipline (see exactmath module docstring):
 # every float aggregate below goes through exact scaled-integer partials and
 # floor-based rounding so Spark-vs-DuckDB hashes can't flip on a .xx5 boundary.
+from .operators.dedup import simhash64_oracle_sql  # noqa: E402
 from .operators.partitioning import z_interleave_sql  # noqa: E402
+from .operators.similarity import lsh_topk_oracle_sql  # noqa: E402
 from .exactmath import (  # noqa: E402
     d_round,
     exact_avg,
@@ -770,10 +772,16 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("simhash64", oracle=None, tags=("dedup",))
+@register(
+    "simhash64",
+    oracle=simhash64_oracle_sql("documents", "text", "doc_id"),
+    tags=("dedup",),
+)
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per doc (xxhash64 token bits — Spark-side hash family,
-    no portable SQL oracle; property-tested in tests/test_dedup.py)."""
+    """64-bit SimHash per doc. Token bits come from portable md5 folds (the
+    same construction MinHash uses), so the full bit vector is verified by a
+    generated DuckDB oracle; Hamming-distance properties are additionally
+    covered in tests/test_dedup.py."""
     from .operators.dedup import simhash64
 
     return simhash64(load(spark, sf_dir, "documents"), "text", "doc_id")
@@ -816,11 +824,13 @@ def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(load(spark, sf_dir, "embeddings"))
 
 
-@register("ann_lsh_topk", oracle=None, tags=("similarity", "lsh"))
+@register("ann_lsh_topk", oracle=lsh_topk_oracle_sql(), tags=("similarity", "lsh"))
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane bucketing (recall vs brute
-    force asserted in tests/test_similarity.py; no SQL oracle — the bucket
-    pruning is the point)."""
+    """Approximate top-k via random-hyperplane bucketing. The hyperplanes are
+    deterministic ±1 constants, so the exact candidate set — not just recall
+    — is reproducible; the generated DuckDB oracle inlines the same planes
+    as array literals. Recall vs brute force additionally asserted in
+    tests/test_dedup_similarity.py."""
     from .operators.similarity import lsh_bucket_topk
 
     return lsh_bucket_topk(load(spark, sf_dir, "embeddings"))
@@ -1301,14 +1311,52 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", oracle=None, tags=("agg", "approx"))
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           TRUE AS users_ok,
+           TRUE AS median_rank_ok
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "approx"),
+)
 def q_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates (HLL/quantile sketches differ across engines —
-    rows-only check; exactness bounds asserted in tests/test_relational.py)."""
+    """Approximate aggregates, verified by their BOUNDS: raw HLL/quantile
+    sketch values differ across engines, so the query emits (a) the exact
+    distinct count (hash-checked against the oracle) and (b) booleans
+    asserting the sketches' error guarantees — |approx−exact| within 15%
+    (HLL default rsd 5%, 3σ) and the approx median's rank inside the 40-60%
+    band (percentile_approx default accuracy 1e4). The oracle emits TRUE for
+    the booleans, so a sketch drifting out of bounds FAILS the hash — a
+    stronger check than rows-only, portable across engines."""
     ev = load(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_median_value"),
+        F.percentile_approx("value", 0.5).alias("approx_median"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+    rank = (
+        ev.join(F.broadcast(agg.select("event_type", "approx_median")), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("value") <= F.col("approx_median"), 1).otherwise(0)
+            ).alias("n_le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    users_ok = (
+        F.abs(F.col("approx_users") - F.col("exact_users")) * 100
+        <= F.greatest(F.lit(200), F.col("exact_users") * 15)
+    ).alias("users_ok")
+    median_rank_ok = (
+        (F.col("n_le") * 100 >= F.col("n") * 40)
+        & (F.col("n_le") * 100 <= F.col("n") * 60)
+    ).alias("median_rank_ok")
+    return agg.join(rank, "event_type").select(
+        "event_type", "exact_users", users_ok, median_rank_ok
     )
 
 
@@ -1341,10 +1389,21 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, "stream_hourly_counts", output_mode="complete")
 
 
-@register("stream_dedup_events", oracle=None, tags=("streaming", "dedup"))
+@register(
+    "stream_dedup_events",
+    oracle="""
+    SELECT event_id, min(user_id) AS user_id, min(event_type) AS event_type
+    FROM events GROUP BY event_id
+    """,
+    tags=("streaming", "dedup"),
+)
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming dedup within the watermark horizon (stateful; rows-only —
-    row-count equality with batch distinct asserted in tests)."""
+    """Streaming dedup within the watermark horizon
+    (dropDuplicatesWithinWatermark). Batch-equivalent oracle: availableNow
+    over bounded input emits exactly one row per event_id, and duplicate
+    event_ids in the testdata never diverge on the carried columns (asserted
+    in tests), so min() per column reproduces the survivor deterministically
+    — whichever physical row the stream kept."""
     from .streaming.ingest import (
         read_events_stream,
         run_stream_to_memory,
@@ -2185,11 +2244,24 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("stream_user_rollup", oracle=None, tags=("streaming", "stateful"))
+@register(
+    "stream_user_rollup",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             / 100.0 AS total_value
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
 def q_stream_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
-    running rollups in the state store. Rows-only check; final-emission
-    equality with the batch groupBy asserted in tests."""
+    running rollups in the state store, accumulated in exact integer cents.
+    Update mode re-emits a user's rollup every micro-batch; the final state
+    per user (max event count — monotone) must equal the batch groupBy, which
+    the DuckDB oracle checks hash-exactly. The state-store mechanics are
+    additionally covered in tests/test_streaming_reports.py."""
     from .streaming.ingest import (
         read_events_stream,
         run_stream_to_memory,
@@ -2197,7 +2269,14 @@ def q_stream_user_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     stream = stateful_user_rollup(read_events_stream(spark, sf_dir))
-    return run_stream_to_memory(stream, "stream_user_rollup", output_mode="update")
+    out = run_stream_to_memory(stream, "stream_user_rollup", output_mode="update")
+    final = out.groupBy("user_id").agg(
+        F.max(F.struct(F.col("n_events"), F.col("total_value"))).alias("m")
+    )
+    return final.select(
+        "user_id", F.col("m.n_events").alias("n_events"),
+        F.col("m.total_value").alias("total_value"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -227,35 +227,81 @@ def jaccard_pairs(
     )
 
 
+#: bit 63 of the assembled simhash is the long's sign bit — 1<<63 overflows
+#: a signed shift-free literal in DuckDB, so both engines add MIN_LONG instead.
+_MIN_LONG = -9223372036854775808
+
+
 def simhash64(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """64-bit SimHash per document from token xxhash64 bits.
+    """64-bit SimHash per document from a PORTABLE token hash (md5 folds).
 
     explode tokens → per (doc, bit) sum of ±1 → sign → assemble the bit
-    vector. Pure aggregations; two exchanges on doc id. xxhash64 is
-    Spark-side only (no portable oracle) — verified by property tests
-    (similar docs ⇒ small Hamming distance) instead of the SQL oracle.
+    vector. Pure aggregations; two exchanges on doc id. Token bits come from
+    two 60-bit md5 hex folds (chars 1-15 → bits 0-59, chars 16-30 → bits
+    60-63) — the same ``('0x' || substr(md5(t), ...))::BIGINT`` construction
+    DuckDB evaluates identically, so the operator has a full SQL oracle
+    (:func:`simhash64_oracle_sql`); Hamming-distance properties are covered
+    by tests/test_dedup.py on top.
     """
     toks = df.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    ).select(
+        id_col,
+        _base_hash(F.col("tok")).alias("ha"),
+        F.conv(F.substring(F.md5(F.col("tok")), 16, 15), 16, 10)
+        .cast("long")
+        .alias("hb"),
+    )
+
+    def bit(i: int) -> Column:
+        src, off = ("ha", i) if i < 60 else ("hb", i - 60)
+        return F.shiftright(F.col(src), off).bitwiseAND(F.lit(1))
+
     bits = toks.select(
         id_col,
-        *[
-            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(64)
-        ],
+        *[F.when(bit(i) == 1, 1).otherwise(-1).alias(f"b{i}") for i in range(64)],
     )
     agg = bits.groupBy(id_col).agg(
         *[F.sum(f"b{i}").alias(f"s{i}") for i in range(64)]
     )
     sim = F.lit(0).cast("long")
-    for i in range(64):
+    for i in range(63):
         sim = sim + F.when(
             F.col(f"s{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
+    sim = sim + F.when(F.col("s63") > 0, F.lit(_MIN_LONG)).otherwise(
+        F.lit(0).cast("long")
+    )
     return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash64_oracle_sql(table: str, text_col: str, id_col: str) -> str:
+    """DuckDB mirror of :func:`simhash64`, generated in lockstep with the
+    Spark expression tree (same md5 folds, same ±1 sums, same bit assembly)."""
+    bit_exprs = []
+    for i in range(64):
+        src, off = ("ha", i) if i < 60 else ("hb", i - 60)
+        bit_exprs.append(
+            f"sum(CASE WHEN (({src} >> {off}) & 1) = 1 THEN 1 ELSE -1 END) AS s{i}"
+        )
+    terms = [
+        f"CASE WHEN s{i} > 0 THEN ({1 << i})::BIGINT ELSE 0 END" for i in range(63)
+    ]
+    terms.append(f"CASE WHEN s63 > 0 THEN ({_MIN_LONG})::BIGINT ELSE 0 END")
+    return f"""
+    WITH toks AS (
+      SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS tok FROM {table}
+    ), hashed AS (
+      SELECT {id_col},
+             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS ha,
+             ('0x' || substr(md5(tok), 16, 15))::BIGINT AS hb
+      FROM toks
+    ), sums AS (
+      SELECT {id_col}, {', '.join(bit_exprs)}
+      FROM hashed GROUP BY {id_col}
+    )
+    SELECT {id_col}, CAST({' + '.join(terms)} AS BIGINT) AS simhash FROM sums
+    """
 
 
 def connected_components(

@@ -151,6 +151,71 @@ def lsh_bucket_topk(
     )
 
 
+def lsh_topk_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    n_tables: int = 6,
+    n_planes: int = 4,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of :func:`lsh_bucket_topk`, generated in lockstep: the
+    hyperplanes are the SAME deterministic ±1 constants (:func:`_hyperplane`),
+    inlined as array literals, so bucket membership — and therefore the exact
+    candidate set — is reproducible in ANSI SQL. Sign decisions compare a
+    sequential-fold dot (Spark) against ``list_dot_product`` (DuckDB), which
+    are bit-identical on doubles (module docstring)."""
+    bucket_cols = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            arr = ", ".join(
+                ("1.0" if x > 0 else "-1.0") for x in _hyperplane(dim, t, p)
+            )
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, [{arr}]) >= 0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        bucket_cols.append(" + ".join(terms) + f" AS b{t}")
+    structs = ", ".join(
+        f"struct_pack(t := {t}, b := b{t})" for t in range(n_tables)
+    )
+    qids = ", ".join(str(q) for q in query_ids)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+    ), bucketed AS (
+      SELECT {id_col}, v, {', '.join(bucket_cols)} FROM base
+    ), hashed AS (
+      SELECT {id_col}, unnest([{structs}]) AS tb FROM bucketed
+    ), h2 AS (
+      SELECT {id_col}, tb.t AS t, tb.b AS b FROM hashed
+    ), q AS (
+      SELECT {id_col} AS query_id, t, b FROM h2 WHERE {id_col} IN ({qids})
+    ), pairs AS (
+      SELECT DISTINCT q.query_id, c.{id_col} AS cand_id
+      FROM h2 c JOIN q ON c.t = q.t AND c.b = q.b
+      WHERE c.{id_col} <> q.query_id
+    ), scored AS (
+      SELECT p.query_id, p.cand_id,
+             floor((list_dot_product(qb.v, cb.v)
+                   / (sqrt(list_dot_product(qb.v, qb.v))
+                      * sqrt(list_dot_product(cb.v, cb.v)))) * 1000000 + 0.5)
+               / 1000000.0 AS cos_sim
+      FROM pairs p
+      JOIN base qb ON qb.{id_col} = p.query_id
+      JOIN base cb ON cb.{id_col} = p.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
 def ivf_centroids(
     base: DataFrame, id_col: str, n_centroids: int
 ) -> DataFrame:

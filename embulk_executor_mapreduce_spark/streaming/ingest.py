@@ -167,24 +167,32 @@ def stateful_user_rollup(events: DataFrame) -> DataFrame:
     built-in stateful ops can't express (reference analog: an Embulk
     FilterPlugin holding state). Emits the updated rollup for every user seen
     in each batch; with availableNow replay the final row per user must equal
-    the batch groupBy (asserted in tests)."""
+    the batch groupBy (asserted in tests + the catalog's DuckDB oracle).
+
+    Exactmath discipline: the state holds the value sum as integer CENTS
+    (per-row ``floor(v*100+0.5)`` then exact int64 sum) — a float accumulator
+    would make the emitted total depend on row arrival order across
+    micro-batches, which no batch oracle could reproduce."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
-        n, total = state.get if state.exists else (0, 0.0)
+        n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            total += float(pdf["value"].sum())
-        state.update((n, total))
+            cents += int(
+                np.floor(pdf["value"].to_numpy() * 100.0 + 0.5).astype(np.int64).sum()
+            )
+        state.update((n, cents))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
         )
 
     return events.select("user_id", "value").groupBy("user_id").applyInPandasWithState(
         update,
         outputStructType=SESSION_STATE_SCHEMA,
-        stateStructType="n_events LONG, total_value DOUBLE",
+        stateStructType="n_events LONG, total_cents LONG",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
