@@ -126,9 +126,16 @@ def salt_expr(split: int, cols: list[str | Column] | None = None) -> Column:
 
     The reference uses a per-mapper round-robin counter mod ``split``
     (``TimestampPartitioning.java:273-289``); a content hash has the same
-    load-balancing property (uniform over rows), no cross-row state, and
+    load-balancing property for distinct rows, no cross-row state, and
     stays codegen'd. ``cols=None`` hashes all columns of the attached frame
     at resolution time via ``F.struct('*')``.
+
+    Caveat: fully IDENTICAL rows all hash to the same salt, so a hot bucket
+    dominated by exact duplicates will not spread (the reference's counter
+    would). That trade is deliberate — retry determinism over spreading
+    duplicate payloads; if a workload is duplicate-heavy, dedup upstream
+    (operators/dedup.py) or pass ``cols`` including a source-position column
+    when the source provides one.
     """
     if not (1 <= split <= MAX_SPLIT):
         raise PartitionError(
@@ -156,12 +163,26 @@ def spread_narrow(df: DataFrame, key_col: str) -> DataFrame:
     No-op when the input already has at least cluster-parallelism partitions
     — the 100 TB case, where scans arrive thousands of splits wide and an
     extra full-payload shuffle would be pure cost.
+
+    The width probe is ``df.inputFiles()`` — metadata-only, no RDD
+    conversion (``df.rdd.getNumPartitions()`` forces a full plan-to-RDD
+    translation on every compile; measured cost on the minhash/IVF/PQ hot
+    paths). File count under-counts multi-split files, which only errs
+    toward spreading an already-parallel scan — and at 100 TB the file
+    count alone is thousands, making this a guaranteed no-op. Non-file
+    frames (in-memory tests, post-shuffle inputs) fall back to the RDD
+    probe.
     """
     n_par = df.sparkSession.sparkContext.defaultParallelism
     try:
-        cur = df.rdd.getNumPartitions()
+        cur = len(df.inputFiles())
     except Exception:  # noqa: BLE001 — planning-time probe only
-        cur = n_par
+        cur = 0
+    if cur == 0:
+        try:
+            cur = df.rdd.getNumPartitions()
+        except Exception:  # noqa: BLE001
+            cur = n_par
     if cur >= n_par:
         return df
     return df.repartition(n_par, F.xxhash64(F.col(key_col)))

@@ -95,6 +95,12 @@ class PipelineReport:
     in-band via Spark instead of HDFS state files)."""
 
     output_rows: int = 0
+    # rows that ENTERED the sink stage (streaming path: summed over every
+    # micro-batch progress event). For append sinks this equals committed
+    # output; under ``mode: merge`` the committed state can be SMALLER
+    # (keyed dedup) — output_rows then reports this input-side count, the
+    # only figure measurable without re-reading merged state.
+    input_rows: int = 0
     output_tasks: int = 0
     partitioned: bool = False
     wall_seconds: float = 0.0
@@ -255,6 +261,10 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             df = df.drop(BUCKET_COL)
 
     report = PipelineReport(partitioned=spec.partitioning is not None)
+    # recentProgress is capped (spark.sql.streaming.numRecentProgressUpdates,
+    # default 100) — a long availableNow run would silently under-count rows.
+    # Raise the retention so the post-run sum sees every micro-batch.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "100000")
     t0 = time.time()
     try:
         if spec.sink.mode == "merge":
@@ -295,9 +305,11 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             q = writer.start(spec.sink.path)
             q.awaitTermination()
         report.succeeded = True
-        report.output_rows = sum(
-            int(p.numInputRows) for p in q.recentProgress
-        )
+        report.input_rows = sum(int(p.numInputRows) for p in q.recentProgress)
+        # append sinks commit exactly what they ingest; merge sinks may
+        # collapse keys — input is the measurable figure either way (see
+        # PipelineReport.input_rows)
+        report.output_rows = report.input_rows
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
         report.error = f"{type(exc).__name__}: {exc}"
         if _is_user_data_error(exc):

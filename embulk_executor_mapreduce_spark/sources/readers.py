@@ -205,11 +205,19 @@ def _read_csv_skip_n(
 ) -> DataFrame:
     """skip_header_lines > 1 (reference supports arbitrary N; Spark's header
     option skips exactly one). Read lines as text, drop the first N per FILE
-    (row_number over input_file_name ordered by monotonic id — header lines
-    always live in a file's first split, so the per-file ordering is sound),
-    then parse the remainder with from_csv under the same options/mode.
-    The filename window shuffles once on file path — cheap and fully
-    distributed; only engaged for multi-line-header sources."""
+    (row_number per file ordered by in-file position), then parse the
+    remainder with from_csv under the same options/mode. The filename window
+    shuffles once on file path — cheap and fully distributed; only engaged
+    for multi-line-header sources.
+
+    In-file ordering uses ``_metadata.file_block_start`` (the split's byte
+    offset) as the major key, with the monotonic id breaking ties WITHIN a
+    split (rows of one split are read sequentially). Ordering by monotonic
+    id alone would silently depend on Spark packing a file's splits into
+    partitions in offset order — an undocumented scheduler detail; under any
+    other packing a later split could sort before the header split and data
+    rows would be dropped in its place. Guarded by a multi-split test
+    (tests/test_retry_and_csv_parity.py)."""
     txt = (
         spark.read.options(
             **{k: v for k, v in opts.items() if k in ("encoding", "lineSep")}
@@ -217,11 +225,12 @@ def _read_csv_skip_n(
         .text(spec.path)
         .select(
             "value",
-            F.input_file_name().alias("__file"),
+            F.col("_metadata.file_path").alias("__file"),
+            F.col("_metadata.file_block_start").alias("__blk"),
             F.monotonically_increasing_id().alias("__pos"),
         )
     )
-    w = Window.partitionBy("__file").orderBy("__pos")
+    w = Window.partitionBy("__file").orderBy("__blk", "__pos")
     body = (
         txt.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") > skip_header)

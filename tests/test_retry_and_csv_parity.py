@@ -241,6 +241,49 @@ def test_csv_skip_header_lines_3(spark, tmp_path):
     assert got == [(1, "alpha"), (2, "beta"), (3, "gamma")]
 
 
+def test_csv_skip_header_lines_multisplit_file(spark, tmp_path):
+    """A file larger than maxPartitionBytes scans as MULTIPLE splits; the
+    per-file skip must still drop exactly the header lines. Ordering inside
+    the skip window is (file_block_start, monotonic id) — ordering by the
+    monotonic id alone only works while Spark happens to pack a file's
+    splits in offset order (ADVICE r2)."""
+    src = tmp_path / "src"
+    src.mkdir()
+    n_rows = 5000
+    body = "".join(f"{i},name_{i:06d}\n" for i in range(n_rows))
+    (src / "big.csv").write_text("# h1\n# h2\nid,name\n" + body)
+    cols = [{"name": "id", "type": "long"}, {"name": "name", "type": "string"}]
+    out = str(tmp_path / "out")
+    conf = spark.conf
+    prev_mpb = conf.get("spark.sql.files.maxPartitionBytes")
+    prev_open = conf.get("spark.sql.files.openCostInBytes")
+    try:
+        conf.set("spark.sql.files.maxPartitionBytes", "8192")
+        conf.set("spark.sql.files.openCostInBytes", "0")
+        rep = run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "csv",
+                        "path": str(src),
+                        "columns": cols,
+                        "options": {"skip_header_lines": 3},
+                    },
+                    "out": {"type": "parquet", "path": out},
+                }
+            ),
+        )
+    finally:
+        conf.set("spark.sql.files.maxPartitionBytes", prev_mpb)
+        conf.set("spark.sql.files.openCostInBytes", prev_open)
+    assert rep.succeeded and rep.output_rows == n_rows
+    got = spark.read.parquet(out)
+    assert got.count() == n_rows
+    ids = [r.id for r in got.select("id").collect()]
+    assert sorted(ids) == list(range(n_rows))  # every data row, no header leak
+
+
 def test_csv_skip_header_lines_3_invalid_record_policies(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
