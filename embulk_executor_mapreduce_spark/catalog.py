@@ -3163,6 +3163,47 @@ def q_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(load(spark, sf_dir, "embeddings"))
 
 
+from .operators.similarity import (  # noqa: E402
+    ivf_kmeans_oracle_sql,
+    pq_kmeans_oracle_sql,
+)
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=ivf_kmeans_oracle_sql(),
+    tags=("similarity", "ivf", "kmeans"),
+)
+def q_ann_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a Lloyd's-TRAINED centroid table (3 fixed iterations)
+    instead of the id-prefix stand-in — better-shaped inverted lists, higher
+    recall at the same nprobe. Training is pure DataFrame aggregates with
+    exactmath centroid means, so the ENTIRE train+search run is verified by
+    a generated DuckDB oracle that unrolls the same iterations. Plan shape
+    per iteration: broadcast-centroid assignment as a map-side argmin
+    aggregate + a k·dim-row mean exchange — corpus shuffles carry one row
+    per vector, nothing scales with k·n."""
+    from .operators.similarity import ivf_topk
+
+    return ivf_topk(load(spark, sf_dir, "embeddings"), train_iters=3)
+
+
+@register(
+    "ann_pq_kmeans_topk",
+    oracle=pq_kmeans_oracle_sql(),
+    tags=("similarity", "pq", "kmeans"),
+)
+def q_ann_pq_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ/ADC top-k with per-subspace k-means codebooks (grouped Lloyd's —
+    one independent codebook per subspace in a single pass, the real PQ
+    recipe) instead of id-prefix codewords. Same generated-oracle discipline
+    as ann_ivf_kmeans_topk; same broadcast/ADC plan shape as
+    ann_pq_adc_topk."""
+    from .operators.similarity import pq_adc_topk
+
+    return pq_adc_topk(load(spark, sf_dir, "embeddings"), train_iters=3)
+
+
 @register(
     "scd2_customer_history",
     oracle="""

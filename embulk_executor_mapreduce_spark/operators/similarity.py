@@ -224,12 +224,313 @@ def ivf_centroids(
     The table is EXACTLY ``n_centroids`` rows no matter how big the corpus is
     (the round-1 ``id % 50`` sample grew with the corpus — a 2 TB broadcast at
     100 TB). A deterministic id-prefix sample stands in for k-means output —
-    a real deployment swaps the k-means table in; every downstream plan shape
-    (broadcast assignment, list equi-join) is unchanged.
+    :func:`kmeans_train` produces the trained table; every downstream plan
+    shape (broadcast assignment, list equi-join) is unchanged.
     """
     return base.filter(F.col(id_col) < n_centroids).select(
         F.col(id_col).alias("cid"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
+
+
+#: centroid means are computed from scaled-integer element sums at this scale
+#: (micro-units) so the trained centroids are bit-identical across engines —
+#: a double mean would be summation-order dependent and no SQL oracle could
+#: reproduce it (exactmath discipline).
+KMEANS_SCALE = 1_000_000
+
+
+def kmeans_train(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 3,
+    group_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Lloyd's k-means as iterative DataFrame aggregates — the trainer that
+    replaces the deterministic id-prefix centroid stand-ins.
+
+    Init: the ``k`` lowest-id vectors (deterministic, no RNG state). Each of
+    the FIXED ``iters`` iterations:
+
+    * **assign** — join the corpus against the broadcast centroid table
+      (``k × dim`` doubles, corpus-independent) and take the L2 argmin as a
+      ``max(struct(-d, -cid))`` partial aggregate: the exchange carries one
+      row per vector, never ``k·n`` (plan-shape discipline shared with
+      :func:`ivf_topk`).
+    * **update** — posexplode members to (cid, pos, element), sum per
+      (cid, pos) in exact scaled integers (map-side combinable; the exchange
+      carries ``k·dim`` rows), then reassemble means with an order-fixed
+      ``array_sort(collect_list(struct(pos, val)))``. Empty clusters keep
+      their previous centroid (left-join + coalesce).
+
+    Determinism: per-element ``floor(x·10⁶+0.5)`` then exact BIGINT sums make
+    every trained centroid a deterministic double, so the ENTIRE training run
+    unrolls into portable SQL (:func:`kmeans_cte_sql`) and trained-ANN
+    queries get full value-hash oracles. The centroid frame is
+    ``localCheckpoint()``-ed each iteration — k·dim values, so the
+    materialization is trivially cheap and the lineage stays flat.
+
+    With ``group_cols`` the same machinery trains INDEPENDENT codebooks per
+    group in one pass (PQ: one codebook per subspace, keyed by ``s``).
+    Output: (*group_cols, cid, cv).
+    """
+    g = list(group_cols)
+    base = df.select(*g, F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
+    cents = base.filter(F.col("__vid") < k).select(
+        *g, F.col("__vid").alias("cid"), F.col("__v").alias("cv")
+    )
+
+    def dsq(a: Column, b: Column) -> Column:
+        return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+    for _ in range(iters):
+        joined = (
+            base.join(F.broadcast(cents), on=g) if g else base.crossJoin(F.broadcast(cents))
+        )
+        assigned = (
+            joined.select(
+                *g,
+                "__vid",
+                "__v",
+                "cid",
+                dsq(F.col("__v"), F.col("cv")).alias("d"),
+            )
+            .groupBy(*g, "__vid")
+            .agg(
+                F.max(
+                    F.struct(
+                        (-F.col("d")).alias("nd"),
+                        (-F.col("cid")).alias("nc"),
+                        F.col("cid"),
+                        F.col("__v"),
+                    )
+                ).alias("m")
+            )
+            .select(*g, F.col("m.cid").alias("cid"), F.col("m.__v").alias("__v"))
+        )
+        sums = (
+            assigned.select(
+                *g, "cid", F.posexplode(F.col("__v")).alias("pos", "val")
+            )
+            .groupBy(*g, "cid", "pos")
+            .agg(
+                # internal aliases carry a __ prefix so group columns (e.g.
+                # PQ's subspace key "s") can never collide with them
+                F.sum(F.floor(F.col("val") * KMEANS_SCALE + F.lit(0.5))).alias("__sum"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+        )
+        means = (
+            sums.select(
+                *g,
+                "cid",
+                F.struct(
+                    F.col("pos"),
+                    (F.col("__sum") / (F.col("__n") * F.lit(KMEANS_SCALE))).alias("mv"),
+                ).alias("pm"),
+            )
+            .groupBy(*g, "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list("pm")), lambda x: x.mv
+                ).alias("ncv")
+            )
+        )
+        cents = (
+            cents.join(means, on=[*g, "cid"], how="left")
+            .select(*g, "cid", F.coalesce(F.col("ncv"), F.col("cv")).alias("cv"))
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
+def kmeans_cte_sql(
+    k: int,
+    iters: int = 3,
+    dim: int = 64,
+    base_cte: str = "base",
+    id_col: str = "vec_id",
+) -> str:
+    """DuckDB mirror of :func:`kmeans_train` (ungrouped form), generated in
+    lockstep: the fixed iteration count unrolls into a WITH-clause chain, the
+    scaled-integer centroid means reproduce Spark's doubles bit-exactly, and
+    the L2 argmin uses the same (d, cid) ordering. Returns CTE text defining
+    ``cents(cid, cv)``; append after a ``{base_cte}(vec_id, v)`` CTE."""
+    parts = [
+        f"c0 AS (SELECT {id_col} AS cid, v AS cv FROM {base_cte} WHERE {id_col} < {k})"
+    ]
+    for it in range(iters):
+        prev, cur = f"c{it}", f"c{it + 1}"
+        parts.append(f"""a{it} AS (
+      SELECT {id_col}, v, cid FROM (
+        SELECT b.{id_col}, b.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY b.{id_col}
+                 ORDER BY list_dot_product(b.v, b.v)
+                          - 2 * list_dot_product(b.v, c.cv)
+                          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        FROM {base_cte} b, {prev} c
+      ) WHERE rn = 1
+    ), m{it} AS (
+      SELECT cid, i,
+             CAST(sum(CAST(floor(val * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS BIGINT)
+               / (count(*) * {KMEANS_SCALE}) AS mv
+      FROM (SELECT a.cid, t.i, a.v[t.i + 1] AS val FROM a{it} a, range({dim}) t(i))
+      GROUP BY cid, i
+    ), {cur} AS (
+      SELECT p.cid, coalesce(l.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(mv ORDER BY i) AS cv FROM m{it} GROUP BY cid
+      ) l USING (cid)
+    )""")
+    parts.append(f"cents AS (SELECT cid, cv FROM c{iters})")
+    return ",\n    ".join(parts)
+
+
+def ivf_kmeans_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    n_centroids: int = 64,
+    nprobe: int = 2,
+    iters: int = 3,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of ``ivf_topk(train_iters=iters)``: the unrolled
+    k-means chain (:func:`kmeans_cte_sql`) feeds the same assignment /
+    probe / score pipeline the untrained oracle uses."""
+    qids = ", ".join(str(q) for q in query_ids)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+    ),
+    {kmeans_cte_sql(n_centroids, iters, dim)},
+    cents2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents
+    ), sims AS (
+      SELECT b.vec_id, b.v, c.cid,
+             floor((list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v)) * c.cn)) * 1000000 + 0.5)
+               / 1000000.0 AS csim
+      FROM base b, cents2 c
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+      FROM sims
+    ), lists AS (
+      SELECT vec_id AS cand_id, v AS cv2, cid FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, v AS qv, cid FROM ranked
+      WHERE vec_id IN ({qids}) AND rn <= {nprobe}
+    ), scored AS (
+      SELECT DISTINCT p.query_id, l.cand_id,
+             floor((list_dot_product(p.qv, l.cv2)
+                   / (sqrt(list_dot_product(p.qv, p.qv))
+                      * sqrt(list_dot_product(l.cv2, l.cv2)))) * 1000000 + 0.5)
+               / 1000000.0 AS cos_sim
+      FROM lists l JOIN probes p ON l.cid = p.cid
+      WHERE l.cand_id <> p.query_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
+def pq_kmeans_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    iters: int = 3,
+) -> str:
+    """DuckDB mirror of ``pq_adc_topk(train_iters=iters)``: per-subspace
+    k-means (grouped by ``s``) unrolled iteration-by-iteration, then the
+    same encode / distance-table / exact-integer ADC pipeline as the
+    untrained oracle."""
+    cb_parts = [
+        f"cb0 AS (SELECT s, {id_col} AS cid, sv AS cv"
+        f" FROM subs WHERE {id_col} < {n_codes})"
+    ]
+    for it in range(iters):
+        prev, cur = f"cb{it}", f"cb{it + 1}"
+        cb_parts.append(f"""pa{it} AS (
+      SELECT {id_col}, s, sv, cid FROM (
+        SELECT t.{id_col}, t.s, t.sv, c.cid,
+               row_number() OVER (
+                 PARTITION BY t.{id_col}, t.s
+                 ORDER BY list_dot_product(t.sv, t.sv)
+                          - 2 * list_dot_product(t.sv, c.cv)
+                          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        FROM subs t JOIN {prev} c USING (s)
+      ) WHERE rn = 1
+    ), pm{it} AS (
+      SELECT s, cid, i,
+             CAST(sum(CAST(floor(val * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS BIGINT)
+               / (count(*) * {KMEANS_SCALE}) AS mv
+      FROM (SELECT a.s, a.cid, t.i, a.sv[t.i + 1] AS val
+            FROM pa{it} a, range({sub_dim}) t(i))
+      GROUP BY s, cid, i
+    ), {cur} AS (
+      SELECT p.s, p.cid, coalesce(l.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT s, cid, list(mv ORDER BY i) AS cv FROM pm{it} GROUP BY s, cid
+      ) l USING (s, cid)
+    )""")
+    cb_chain = ",\n    ".join(cb_parts)
+    qids = ", ".join(str(q) for q in query_ids)
+    return f"""
+    WITH base AS (
+      SELECT {id_col}, {vec_col}::DOUBLE[] AS v FROM {table}
+    ), subs AS (
+      SELECT {id_col}, s, v[s*{sub_dim}+1 : s*{sub_dim}+{sub_dim}] AS sv
+      FROM base, (SELECT unnest(range({n_sub})) AS s)
+    ),
+    {cb_chain},
+    cb AS (SELECT s, cid AS code, cv FROM cb{iters}),
+    enc_scored AS (
+      SELECT t.{id_col}, t.s, c.code,
+             list_dot_product(t.sv, t.sv)
+               - 2 * list_dot_product(t.sv, c.cv)
+               + list_dot_product(c.cv, c.cv) AS d
+      FROM subs t JOIN cb c USING (s)
+    ), enc AS (
+      SELECT {id_col}, s, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY {id_col}, s ORDER BY d, code) AS rn
+        FROM enc_scored
+      ) WHERE rn = 1
+    ), dtab AS (
+      SELECT t.{id_col} AS query_id, t.s, c.code,
+             CAST(floor((
+               list_dot_product(t.sv, t.sv)
+                 - 2 * list_dot_product(t.sv, c.cv)
+                 + list_dot_product(c.cv, c.cv)
+             ) * 1000000 + 0.5) AS BIGINT) AS pdist
+      FROM subs t JOIN cb c USING (s)
+      WHERE t.{id_col} IN ({qids})
+    ), adc AS (
+      SELECT d.query_id, e.{id_col} AS cand_id, sum(d.pdist) AS ssum
+      FROM enc e JOIN dtab d ON e.s = d.s AND e.code = d.code
+      WHERE e.{id_col} <> d.query_id
+      GROUP BY d.query_id, e.{id_col}
+    )
+    SELECT query_id, cand_id, CAST(ssum AS BIGINT) / 1000000.0 AS adc_dist
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY ssum, cand_id) AS rn
+      FROM adc
+    ) WHERE rn <= {k}
+    """
 
 
 def pq_adc_topk(
@@ -241,6 +542,7 @@ def pq_adc_topk(
     n_sub: int = 4,
     sub_dim: int = 16,
     n_codes: int = 16,
+    train_iters: int | None = None,
 ) -> DataFrame:
     """Product-quantization top-k with asymmetric distance computation (ADC).
 
@@ -261,9 +563,12 @@ def pq_adc_topk(
         per-query distance table, then an exact integer sum per candidate —
         no full-vector math touches the corpus after encoding.
 
-    Codewords here are the subvectors of the ``n_codes`` lowest-id vectors —
-    a deterministic stand-in for an offline k-means codebook (swap-in leaves
-    every plan shape unchanged).
+    Codewords: with ``train_iters=None`` the subvectors of the ``n_codes``
+    lowest-id vectors (deterministic stand-in); with ``train_iters=N`` a
+    per-subspace k-means codebook trained by :func:`kmeans_train` (grouped
+    by ``s`` — one independent codebook per subspace, the real PQ recipe).
+    Either way the codebook is ``n_sub × n_codes`` rows, broadcast, and the
+    downstream plan shape is identical.
 
     Float discipline: subspace distances use three sequential-fold dots
     (``dot(a,a) - 2·dot(a,b) + dot(b,b)``) — bit-identical to DuckDB's
@@ -284,9 +589,14 @@ def pq_adc_topk(
         "s",
         F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("sv"),
     )
-    codebook = subs.filter(F.col(id_col) < n_codes).select(
-        "s", F.col(id_col).alias("code"), F.col("sv").alias("cv")
-    )
+    if train_iters:
+        codebook = kmeans_train(
+            subs, id_col, "sv", k=n_codes, iters=train_iters, group_cols=("s",)
+        ).select("s", F.col("cid").alias("code"), F.col("cv"))
+    else:
+        codebook = subs.filter(F.col(id_col) < n_codes).select(
+            "s", F.col(id_col).alias("code"), F.col("sv").alias("cv")
+        )
 
     def dsq(a: Column, b: Column) -> Column:
         return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
@@ -341,15 +651,19 @@ def ivf_topk(
     k: int = 5,
     n_centroids: int = 64,
     nprobe: int = 2,
+    train_iters: int | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their nearest
     centroid (inverted lists), probe only the query's ``nprobe`` nearest
     lists.
 
-    Centroids are a FIXED-k deterministic table (:func:`ivf_centroids`) —
-    assignment broadcasts k vectors (corpus-independent memory) over one
-    corpus scan, cost O(n·k) like real IVF; the probe is an equi-join on the
-    centroid id — the corpus shuffles once on list id, never O(n·n_q).
+    Centroids are a FIXED-k table — the deterministic id-prefix stand-in
+    (:func:`ivf_centroids`, ``train_iters=None``) or a Lloyd's-trained table
+    (:func:`kmeans_train`, ``train_iters=N``; better-shaped inverted lists →
+    higher recall at the same nprobe). Either way assignment broadcasts k
+    vectors (corpus-independent memory) over one corpus scan, cost O(n·k)
+    like real IVF; the probe is an equi-join on the centroid id — the corpus
+    shuffles once on list id, never O(n·n_q).
 
     Assignment is an aggregate, not a window: ``max(struct(csim, -cid, ...))``
     per vector id gets map-side partial aggregation, so the exchange carries
@@ -367,7 +681,12 @@ def ivf_topk(
     base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
-    cents = ivf_centroids(base, id_col, n_centroids)
+    if train_iters:
+        cents = kmeans_train(
+            base, id_col, "v", k=n_centroids, iters=train_iters
+        ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    else:
+        cents = ivf_centroids(base, id_col, n_centroids)
 
     def cent_sims(side: DataFrame) -> DataFrame:
         return side.crossJoin(F.broadcast(cents)).select(

@@ -155,6 +155,21 @@ def test_pq_encoding_is_partial_aggregate_with_broadcast_codebook(spark):
     assert plan.count("Window [") <= 1, plan
 
 
+def test_kmeans_training_keeps_aggregate_plan_shape(spark):
+    """The trained-ANN variants must keep the untrained plan discipline:
+    k-means assignment is a map-side partial max(struct) aggregate (never a
+    corpus window), nothing cartesian-joins the corpus, and the centroid
+    tables arrive by broadcast. localCheckpoint truncates each iteration, so
+    the FINAL plan's window count matches the untrained query exactly."""
+    for name, max_windows in (("ann_ivf_kmeans_topk", 2), ("ann_pq_kmeans_topk", 1)):
+        df = catalog.entries()[name].fn(spark, SF)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "partial_max" in plan, (name, plan)
+        assert "CartesianProduct" not in plan, name
+        assert "BatchEvalPython" not in plan, name
+        assert plan.count("Window [") <= max_windows, (name, plan)
+
+
 def test_global_topk_never_global_sorts(spark):
     df = catalog.entries()["global_topk_orders"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
