@@ -43,6 +43,8 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_kmeans_topk",
     "embedding_neardup",
     "text_fingerprint",
     "text_stats",
@@ -71,9 +73,16 @@ SMALL_RESULT = {
     "ann_bruteforce_topk",
     "ann_ivf_topk",
     "ann_pq_adc_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_kmeans_topk",
     "embedding_neardup",
     "hash_sample_10pct",
 }
+
+# queries whose fn() does EAGER work (k-means localCheckpoint iterations):
+# start the clock before fn() so training cost is measured, not hidden in
+# the excluded plan-build phase
+TIME_INCLUDES_BUILD = {"ann_ivf_kmeans_topk", "ann_pq_kmeans_topk"}
 
 _TS_NORMALIZE_FILTERS = [
     {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
@@ -142,6 +151,33 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str) -> dict[str, float]:
             ),
         )
         out[label] = round(time.time() - t0, 3)
+
+    # B4 merge sink: seed keyed state from orders, then merge ONE small batch
+    # — the timed increment must cost O(touched buckets), not O(state)
+    # (bucket-pruned rewrite; sink shapes were un-benched through round 2).
+    # The batch carries ~9 keys: hash bucketing prunes when a batch touches
+    # FEW keys (trickle upserts); a batch with ≥ merge_buckets distinct keys
+    # necessarily touches every bucket — same pruning physics as lakehouse
+    # MERGE file-skipping.
+    state = f"{tmp}/b4_state"
+    seed_spec = {
+        "in": {"type": "parquet", "path": f"{sf_dir}/orders.parquet"},
+        "out": {
+            "type": "parquet",
+            "path": state,
+            "mode": "merge",
+            "merge_key": ["o_orderkey"],
+            "merge_order": ["o_orderdate"],
+        },
+    }
+    run_pipeline(spark, load_spec(seed_spec))  # seed: untimed full first write
+    batch_src = f"{tmp}/b4_batch"
+    spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        "o_orderkey % 16384 = 0"
+    ).coalesce(1).write.mode("overwrite").parquet(batch_src)
+    t0 = time.time()
+    run_pipeline(spark, load_spec({**seed_spec, "in": {"type": "parquet", "path": batch_src}}))
+    out["pipeline_merge_increment"] = round(time.time() - t0, 3)
     return out
 
 
@@ -157,8 +193,12 @@ def main() -> None:
         e = entries.get(name)
         if e is None:
             continue
-        df = e.fn(spark, sf_dir)  # plan build / analysis excluded
-        t0 = time.time()
+        if name in TIME_INCLUDES_BUILD:
+            t0 = time.time()
+            df = e.fn(spark, sf_dir)
+        else:
+            df = e.fn(spark, sf_dir)  # plan build / analysis excluded
+            t0 = time.time()
         if name in SMALL_RESULT:
             df.collect()
         else:

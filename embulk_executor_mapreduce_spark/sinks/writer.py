@@ -21,19 +21,65 @@ from ..errors import ConfigError
 from ..spec import SinkSpec
 
 
+#: internal partition column for merge-state bucketing; functionally
+#: determined by the merge key, never user data
+MERGE_BUCKET_COL = "__mb"
+
+
+def _recover_merge_backup(local: str, backup: str) -> None:
+    """Crash recovery for the merge swap: any bucket directory stranded in
+    the backup dir whose live counterpart is MISSING was mid-swap when a
+    previous run died — restore it before merging (a leftover whose live dir
+    exists was already replaced and is safe to discard). A backup with no
+    live dir at all is the legacy whole-directory swap's crash window —
+    restore wholesale. Without this, a crash between the two renames left
+    the dataset invisible and the next run silently deleted the only copy
+    (ADVICE r2)."""
+    import os
+    import shutil
+
+    if not os.path.exists(backup):
+        return
+    if not os.path.exists(local):
+        os.rename(backup, local)
+        return
+    for name in os.listdir(backup):
+        if name.startswith(f"{MERGE_BUCKET_COL}="):
+            live_dir = os.path.join(local, name)
+            if not os.path.exists(live_dir):
+                os.rename(os.path.join(backup, name), live_dir)
+    shutil.rmtree(backup, ignore_errors=True)
+
+
 def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     """SCD1 upsert into a file sink: latest version per ``merge_key`` wins,
     ordered by ``merge_order``; the incoming batch beats the stored state on
     order ties (re-loading the same batch is idempotent).
 
-    Scale shape: one scan of the stored state + one of the batch, a single
-    ``max(struct(order..., generation, payload...))`` aggregate keyed on the
-    merge key — map-side combinable, exchange carries one row per key — then
-    a full rewrite via staging-directory swap. Payload columns ride in the
-    comparator as final deterministic tie-breakers, so they must be
-    orderable types (no map columns in merge mode). A table-format sink
-    (Delta/Iceberg MERGE) replaces the swap in deployments that need
-    row-level commits; the keyed-argmax plan is identical.
+    Scale shape — BUCKET-PRUNED: the state lives in
+    ``__mb=pmod(xxhash64(merge_key), merge_buckets)`` partition directories.
+    A merge batch (1) computes the distinct bucket ids its keys touch — at
+    most ``merge_buckets`` values, corpus-independent, so the driver-side
+    collect is bounded by config, not data; (2) reads ONLY those partitions
+    of the stored state (Catalyst partition pruning — untouched buckets are
+    never opened); (3) applies one ``max(struct(order..., generation,
+    payload...))`` aggregate keyed on the merge key — map-side combinable,
+    exchange carries one row per key IN THE TOUCHED BUCKETS; (4) writes the
+    merged buckets to staging and swaps only those bucket directories.
+    Untouched buckets are byte-identical after the merge (e2e-tested), so
+    per-batch cost is O(state-in-touched-buckets), not O(total state) — the
+    round-2 full-rewrite design was the repo's last O(state)-per-batch
+    path. Payload columns ride in the comparator as final deterministic
+    tie-breakers, so they must be orderable types (no map columns in merge
+    mode). A table-format sink (Delta/Iceberg MERGE) replaces the directory
+    swap in deployments that need row-level commits; the keyed-argmax +
+    pruned-rewrite plan is identical.
+
+    Pre-bucketed-era state (no ``__mb=`` directories) is migrated in place:
+    one full merge-and-rewrite into the bucketed layout, then every later
+    batch prunes. A batch that INTRODUCES new columns likewise forces one
+    full rewrite (schema evolution = migration) so all state files share a
+    fused schema and plain readers need no ``mergeSchema``.
     """
     import os
     import shutil
@@ -41,13 +87,34 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     spark = df.sparkSession
     path = spec.path
     local = path[7:] if path.startswith("file://") else path
-    exists = os.path.exists(local)
     keys = list(spec.merge_key)
     order = list(spec.merge_order)
+    backup = local.rstrip("/") + ".__merge_old__"
+    staging = local.rstrip("/") + ".__merge_staging__"
+    _recover_merge_backup(local, backup)
+    exists = os.path.exists(local)
+    bucketed = exists and any(
+        n.startswith(f"{MERGE_BUCKET_COL}=") for n in os.listdir(local)
+    )
 
+    mb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(spec.merge_buckets)).cast(
+        "int"
+    )
     new = df.withColumn("__gen", F.lit(1))
+    touched: list[int] | None = None
     if exists:
-        old = spark.read.format(spec.type).load(path).withColumn("__gen", F.lit(0))
+        old = spark.read.format(spec.type).load(path)
+        # a batch that INTRODUCES columns forces a one-time full rewrite so
+        # every state file keeps one fused schema (readers need no
+        # mergeSchema); steady-state batches — the 100 TB hot path — prune
+        evolves = bool(set(df.columns) - set(old.columns))
+        if bucketed and not evolves:
+            # ≤ merge_buckets rows — bounded by CONFIG, never by data size
+            touched = sorted(
+                r.b for r in df.select(mb.alias("b")).distinct().collect()
+            )
+            old = old.filter(F.col(MERGE_BUCKET_COL).isin(touched))
+        old = old.drop(MERGE_BUCKET_COL).withColumn("__gen", F.lit(0))
         both = old.unionByName(new, allowMissingColumns=True)
     else:
         both = new
@@ -64,21 +131,39 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
             ).alias("m")
         )
         .select(*keys, *[F.col(f"m.{c}").alias(c) for c in payload])
+        .withColumn(MERGE_BUCKET_COL, mb)
     )
     if not exists:
-        merged.write.mode("overwrite").format(spec.type).save(path)
+        merged.write.mode("overwrite").format(spec.type).partitionBy(
+            MERGE_BUCKET_COL
+        ).save(path)
         return
-    # the plan reads the files it must replace: materialize into a staging
-    # dir first, then swap (directory rename — the file-sink stand-in for a
-    # table format's atomic commit)
-    staging = local.rstrip("/") + ".__merge_staging__"
+    # the plan reads files it must replace: materialize into a staging dir,
+    # then swap directories (the file-sink stand-in for a table format's
+    # atomic commit)
     shutil.rmtree(staging, ignore_errors=True)
-    merged.write.mode("overwrite").format(spec.type).save(staging)
-    old_dir = local.rstrip("/") + ".__merge_old__"
-    shutil.rmtree(old_dir, ignore_errors=True)
-    os.rename(local, old_dir)
-    os.rename(staging, local)
-    shutil.rmtree(old_dir, ignore_errors=True)
+    merged.write.mode("overwrite").format(spec.type).partitionBy(
+        MERGE_BUCKET_COL
+    ).save(staging)
+    if touched is None:
+        # legacy unbucketed state: one-time whole-directory migration swap
+        os.rename(local, backup)
+        os.rename(staging, local)
+        shutil.rmtree(backup, ignore_errors=True)
+    else:
+        # swap ONLY the touched bucket directories; everything else is
+        # never renamed, rewritten, or even opened
+        os.makedirs(backup, exist_ok=True)
+        for b in touched:
+            part = f"{MERGE_BUCKET_COL}={b}"
+            live_dir = os.path.join(local, part)
+            stage_dir = os.path.join(staging, part)
+            if os.path.exists(live_dir):
+                os.rename(live_dir, os.path.join(backup, part))
+            if os.path.exists(stage_dir):
+                os.rename(stage_dir, live_dir)
+        shutil.rmtree(backup, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
 
 
 def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> None:

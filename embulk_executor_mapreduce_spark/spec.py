@@ -114,6 +114,10 @@ class SinkSpec:
     # versions ordered by merge_order (incoming batch wins order ties)
     merge_key: tuple[str, ...] = ()
     merge_order: tuple[str, ...] = ()
+    # merge state is laid out in pmod(xxhash64(merge_key), merge_buckets)
+    # directories; a merge batch rewrites ONLY the buckets its keys touch —
+    # per-batch cost scales with the batch's key spread, not the total state
+    merge_buckets: int = 64
 
 
 @dataclass(frozen=True)
@@ -181,6 +185,10 @@ class PipelineSpec:
                 raise ConfigError("merge mode requires a parquet or orc sink")
             if not self.sink.merge_key or not self.sink.merge_order:
                 raise ConfigError("merge mode requires merge_key and merge_order")
+            if self.sink.merge_buckets <= 0:
+                raise ConfigError(
+                    f"merge_buckets must be > 0, got {self.sink.merge_buckets}"
+                )
             if self.sink.partition_by or self.sink.partition_by_bucket:
                 raise ConfigError(
                     "merge mode does not combine with partitioned layout "
@@ -260,6 +268,7 @@ def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
         partition_overwrite=str(out_raw.pop("partition_overwrite", "static")),
         merge_key=tuple(out_raw.pop("merge_key", ())),
         merge_order=tuple(out_raw.pop("merge_order", ())),
+        merge_buckets=int(out_raw.pop("merge_buckets", 64)),
         options=out_raw.pop("options", out_raw),
     )
     exec_raw = dict(doc.get("exec", {}))

