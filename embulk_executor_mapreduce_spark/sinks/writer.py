@@ -207,6 +207,27 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
             opts["lineSep"] = NEWLINE_LITERALS.get(
                 str(opts["lineSep"]).upper(), opts["lineSep"]
             )
+        # reference csv formatter per-column timestamp OUTPUT formats
+        # (column_options: {col: {format: '%Y-%m-%d %H:%M:%S'}},
+        # embulk_mapred_config.yml:47-50). Spark's writer has one global
+        # timestampFormat, so per-column formats are applied as explicit
+        # date_format projections before the write — the exact mirror of the
+        # source side's per-column parse (_apply_column_formats).
+        col_opts = opts.pop("column_options", None)
+        if col_opts:
+            from ..sources.readers import _strptime_to_java
+
+            for name, co in dict(col_opts).items():
+                fmt = co.get("format") if isinstance(co, dict) else co
+                if not fmt:
+                    continue
+                if name not in df.columns:
+                    raise ConfigError(
+                        f"column_options names unknown column {name!r}"
+                    )
+                df = df.withColumn(
+                    name, F.date_format(F.col(name), _strptime_to_java(str(fmt)))
+                )
     if spec.sort_by and spec.type != "table":
         # per-file clustering for data skipping: sorting WITHIN write
         # partitions (no extra exchange) makes each parquet/orc row group's

@@ -313,6 +313,90 @@ def test_csv_skip_header_lines_3_invalid_record_policies(spark, tmp_path):
         )
 
 
+def test_csv_sink_per_column_timestamp_output_formats(spark, tmp_path):
+    """Reference csv FORMATTER column_options — per-column timestamp OUTPUT
+    formats (embulk_mapred_config.yml:47-50). Two columns with DISTINCT
+    formats written through the sink, then read back through the engine's
+    own csv source declaring the same per-column formats: full roundtrip."""
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [
+            (1, "2024-03-05 10:20:30", "2024-03-05 11:00:00"),
+            (2, "2024-12-31 23:59:59", "2025-01-01 00:00:01"),
+        ],
+        "id long, created string, updated string",
+    ).selectExpr(
+        "id",
+        "cast(created as timestamp) AS created",
+        "cast(updated as timestamp) AS updated",
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    out = str(tmp_path / "out")
+    rep = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "out": {
+                    "type": "csv",
+                    "path": out,
+                    "options": {
+                        "column_options": {
+                            "created": {"format": "%Y/%m/%d %H:%M:%S"},
+                            "updated": {"format": "%H:%M:%S %d-%m-%Y"},
+                        }
+                    },
+                },
+            }
+        ),
+    )
+    assert rep.succeeded and rep.output_rows == 2
+    # raw file carries each column's OWN format
+    import pathlib
+
+    raw = "".join(
+        p.read_text()
+        for p in pathlib.Path(out).glob("part-*.csv")
+    )
+    assert "2024/03/05 10:20:30" in raw
+    assert "11:00:00 05-03-2024" in raw
+    # roundtrip through the engine's own csv source with the same formats
+    rep2 = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "csv",
+                    "path": out,
+                    "columns": [
+                        {"name": "id", "type": "long"},
+                        {
+                            "name": "created",
+                            "type": "timestamp",
+                            "format": "%Y/%m/%d %H:%M:%S",
+                        },
+                        {
+                            "name": "updated",
+                            "type": "timestamp",
+                            "format": "%H:%M:%S %d-%m-%Y",
+                        },
+                    ],
+                    "options": {"skip_header_lines": 1},
+                },
+                "out": {"type": "memory"},
+            }
+        ),
+    )
+    assert rep2.succeeded
+    got = {
+        r.id: (str(r.created), str(r.updated))
+        for r in spark.table("pipeline_out").collect()
+    }
+    assert got == {
+        1: ("2024-03-05 10:20:30", "2024-03-05 11:00:00"),
+        2: ("2024-12-31 23:59:59", "2025-01-01 00:00:01"),
+    }
+
+
 # ---------------------------------------------------------------------------
 # The reference's minimum-slice e2e, ported (SURVEY §7.4): 12-column schema
 # (timestamp + 6 strings + 2 longs + double + boolean + json), 2 CSV input
