@@ -111,6 +111,70 @@ def test_binaryfile_source_feeds_decode_pipeline(spark, tmp_path):
     assert [r.doc_id for r in rows] == [r.doc_id for r in again]
 
 
+def test_decode_dispatch_falls_back_without_pil(spark, tmp_path):
+    """decode() picks the real Pillow path when the optional dep exists and
+    the stub otherwise — same schema either way, suite green in both
+    containers."""
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        DECODE_SCHEMA,
+        decode,
+        pil_available,
+        to_binary,
+    )
+
+    from pyspark.sql.types import _parse_datatype_string
+
+    docs = spark.createDataFrame([(1, "hello"), (2, "world!")], "doc_id long, text string")
+    out = decode(to_binary(docs))
+    assert out.schema == _parse_datatype_string(DECODE_SCHEMA)
+    rows = out.collect()
+    assert len(rows) == 2 and all(r.content_hash for r in rows)
+    if not pil_available():
+        # stub path: deterministic fake features always present
+        assert all(len(r.features) == 4 for r in rows)
+
+
+# hand-crafted 24-bit 2x1 BMP (red, blue) — lets the real-decoder test run
+# without any image library to GENERATE fixtures
+_TINY_BMP = bytes(
+    [
+        0x42, 0x4D, 0x3E, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x36, 0x00, 0x00, 0x00, 0x28, 0x00, 0x00, 0x00,
+        0x02, 0x00, 0x00, 0x00, 0x01, 0x00, 0x00, 0x00,
+        0x01, 0x00, 0x18, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x08, 0x00, 0x00, 0x00, 0x13, 0x0B, 0x00, 0x00, 0x13, 0x0B, 0x00, 0x00,
+        0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00,
+        0x00, 0x00, 0xFF,  # red pixel (BGR)
+        0xFF, 0x00, 0x00,  # blue pixel
+        0x00, 0x00,  # row padding to 4 bytes
+    ]
+)
+
+
+def test_decode_image_pil_real_dimensions(spark):
+    """REAL decode path (skipped where Pillow is absent): actual pixel
+    dimensions from a hand-crafted BMP, luminance features in [0,1], and
+    unparseable payloads degrade to NULL dims instead of failing the job."""
+    import pytest
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        decode_image_pil,
+        pil_available,
+    )
+
+    if not pil_available():
+        pytest.skip("Pillow not installed in this container")
+    df = spark.createDataFrame(
+        [(1, bytearray(_TINY_BMP)), (2, bytearray(b"not an image"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_image_pil(df).collect()}
+    assert (rows[1].width, rows[1].height) == (2, 1)
+    assert rows[1].features and all(0.0 <= f <= 1.0 for f in rows[1].features)
+    assert rows[2].width is None and rows[2].features is None
+    assert rows[2].content_hash  # metadata survives decode failure
+
+
 def test_corpus_chunk_dedup_first_wins(spark):
     from embulk_executor_mapreduce_spark.operators.text import corpus_chunk_dedup
 
