@@ -3253,6 +3253,123 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "merge_upsert_state",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_custkey AS k, o_orderdate AS v, o_totalprice AS p,
+             o_orderkey AS ok
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), b2 AS (
+      SELECT o_custkey AS k, o_orderdate AS v, o_totalprice AS p,
+             o_orderkey AS ok
+      FROM orders WHERE o_orderkey % 3 = 1
+    ), s1 AS (
+      SELECT k, v, p, ok FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY k ORDER BY v DESC, p DESC, ok DESC) AS rn
+        FROM b1
+      ) WHERE rn = 1
+    ), u AS (
+      SELECT k, v, p, ok, 0 AS gen FROM s1
+      UNION ALL
+      SELECT k, v, p, ok, 1 AS gen FROM b2
+    )
+    SELECT k, v, p, ok FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY k ORDER BY v DESC, gen DESC, p DESC, ok DESC) AS rn
+      FROM u
+    ) WHERE rn = 1
+    """,
+    tags=("etl", "sink", "merge"),
+)
+def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifies the MERGE SINK itself (O10 extended semantics): two
+    deterministic order-slices upserted through the real bucket-pruned merge
+    sink, then the COMMITTED state read back from disk. The oracle replays
+    the two-phase semantics exactly — per-key argmax of
+    (merge_order, generation, payload) with batch 2 beating stored state on
+    order ties. Round 2 covered this surface with pytest only; this row puts
+    the sink's on-disk truth under the hash gate."""
+    import tempfile
+
+    from .sinks.writer import MERGE_BUCKET_COL, write_sink
+    from .spec import SinkSpec
+
+    o = load(spark, sf_dir, "orders")
+
+    def batch(rem: int) -> DataFrame:
+        return o.filter(F.col("o_orderkey") % 3 == rem).select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("v"),
+            F.col("o_totalprice").alias("p"),
+            F.col("o_orderkey").alias("ok"),
+        )
+
+    path = tempfile.mkdtemp(prefix="q_merge_state_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("v",),
+    )
+    write_sink(batch(0), sink)
+    write_sink(batch(1), sink)
+    return spark.read.parquet(path).drop(MERGE_BUCKET_COL)
+
+
+@register(
+    "dynamic_overwrite_state",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) + 1 AS cents
+    FROM events WHERE event_type = 'purchase'
+    UNION ALL
+    SELECT event_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events WHERE event_type <> 'purchase'
+    """,
+    tags=("etl", "sink", "overwrite"),
+)
+def q_dynamic_overwrite_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifies DYNAMIC PARTITION OVERWRITE (O10): a full partitioned
+    load, then a re-load of ONE partition (purchases, with a +1-cent marker)
+    under partitionOverwriteMode=dynamic. Read-back must show the marker in
+    the overwritten partition and the ORIGINAL rows everywhere else — i.e.
+    the overwrite replaced exactly one directory. A static overwrite would
+    truncate the other partitions and fail the row count; rewriting the
+    wrong partition would fail the hash."""
+    import tempfile
+
+    from .sinks.writer import write_sink
+    from .spec import SinkSpec
+
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    path = tempfile.mkdtemp(prefix="q_dynover_state_") + "/state"
+    write_sink(
+        base,
+        SinkSpec(type="parquet", path=path, partition_by=("event_type",)),
+    )
+    write_sink(
+        base.filter(F.col("event_type") == "purchase").withColumn(
+            "cents", F.col("cents") + 1
+        ),
+        SinkSpec(
+            type="parquet",
+            path=path,
+            partition_by=("event_type",),
+            partition_overwrite="dynamic",
+        ),
+    )
+    return spark.read.parquet(path)
+
+
+@register(
     "train_val_test_split",
     oracle="""
     SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val'
