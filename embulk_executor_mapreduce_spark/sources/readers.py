@@ -145,30 +145,28 @@ def read_csv_split(
     caller pays only when a quarantine path is actually configured.
     """
     opts, skip_header, per_col = _csv_options(spec)
-    if skip_header > 1:
-        raise ConfigError(
-            "invalid_record_path is not supported with skip_header_lines > 1"
-        )
-    if skip_header == 1:
-        opts["header"] = True
     schema = _read_schema(spec, per_col)
-    opts["mode"] = "PERMISSIVE"
-    opts["columnNameOfCorruptRecord"] = _CORRUPT
+    body = _csv_body_lines(spark, spec, opts, skip_header)
+    parse_opts = _csv_parse_opts(opts)
+    parse_opts["mode"] = "PERMISSIVE"
+    parse_opts["columnNameOfCorruptRecord"] = _CORRUPT
     schema_with = T.StructType(
         schema.fields + [T.StructField(_CORRUPT, T.StringType(), True)]
     )
-    df = spark.read.options(**opts).schema(schema_with).csv(spec.path)
-    # the partially-parsed data columns ride along both for auditability and
-    # because Spark refuses a query that references ONLY the corrupt-record
-    # column (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
-    quarantine = df.filter(F.col(_CORRUPT).isNotNull()).select(
-        F.input_file_name().alias("input_file"),
-        F.col(_CORRUPT).alias("raw_record"),
-        F.to_json(F.struct(*[f.name for f in schema.fields])).alias(
+    parsed = body.select(
+        F.col("__file"),
+        F.from_csv(F.col("value"), schema_with.simpleString(), parse_opts).alias("r"),
+    )
+    quarantine = parsed.filter(F.col(f"r.{_CORRUPT}").isNotNull()).select(
+        F.col("__file").alias("input_file"),
+        F.col(f"r.{_CORRUPT}").alias("raw_record"),
+        F.to_json(F.struct(*[F.col(f"r.{f.name}") for f in schema.fields])).alias(
             "partial_parse"
         ),
     )
-    clean = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+    clean = (
+        parsed.filter(F.col(f"r.{_CORRUPT}").isNull()).select("r.*").drop(_CORRUPT)
+    )
     return _apply_column_formats(clean, per_col, False), quarantine
 
 
@@ -176,42 +174,54 @@ def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     opts, skip_header, per_col = _csv_options(spec)
     schema = _read_schema(spec, per_col)
 
-    if skip_header > 1:
-        df = _read_csv_skip_n(spark, spec, opts, schema, skip_header)
-    else:
+    if spec.stop_on_invalid_record and skip_header <= 1:
+        # native reader, FAILFAST — no corrupt-record column in play
         if skip_header == 1:
             opts["header"] = True
-        if spec.stop_on_invalid_record:
-            opts["mode"] = "FAILFAST"
-            df = spark.read.options(**opts).schema(schema).csv(spec.path)
-        else:
-            # PERMISSIVE + corrupt-record column, then drop bad rows (skip)
-            opts["mode"] = "PERMISSIVE"
-            opts["columnNameOfCorruptRecord"] = _CORRUPT
-            schema_with = T.StructType(
-                schema.fields + [T.StructField(_CORRUPT, T.StringType(), True)]
-            )
-            df = spark.read.options(**opts).schema(schema_with).csv(spec.path)
-            df = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
+        opts["mode"] = "FAILFAST"
+        df = spark.read.options(**opts).schema(schema).csv(spec.path)
+    else:
+        # text + from_csv for every path that needs the corrupt-record
+        # column (skip-bad-rows) or an arbitrary-N header skip. The native
+        # csv scan refuses any plan whose pruned schema references ONLY the
+        # corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — which is
+        # exactly what a count()-style consumer of the filtered frame
+        # produces; from_csv's corrupt field is an ordinary struct member
+        # with no such restriction. Line-splitting semantics are identical
+        # (the engine, like Spark's default csv mode, does not support
+        # quoted embedded newlines without multiLine).
+        df = _read_csv_via_text(spark, spec, opts, schema, skip_header)
     return _apply_column_formats(df, per_col, spec.stop_on_invalid_record)
 
 
-def _read_csv_skip_n(
+def _csv_parse_opts(opts: dict[str, Any]) -> dict[str, str]:
+    parse_opts = {
+        k: str(v)
+        for k, v in opts.items()
+        if k in ("sep", "quote", "escape", "nullValue", "timestampFormat")
+    }
+    # Native csv scans fall back to ISO-8601 parsing when a custom
+    # timestampFormat fails; from_csv disables that fallback by default, which
+    # would corrupt-flag rows the native reader (and round 1/2 of this engine)
+    # accepted — e.g. the engine's own csv sink emitting `1997-10-31T00:00:00`.
+    parse_opts["enableDateTimeParsingFallback"] = "true"
+    return parse_opts
+
+
+def _csv_body_lines(
     spark: SparkSession,
     spec: SourceSpec,
     opts: dict[str, Any],
-    schema: T.StructType,
     skip_header: int,
 ) -> DataFrame:
-    """skip_header_lines > 1 (reference supports arbitrary N; Spark's header
-    option skips exactly one). Read lines as text, drop the first N per FILE
-    (row_number per file ordered by in-file position), then parse the
-    remainder with from_csv under the same options/mode. The filename window
-    shuffles once on file path — cheap and fully distributed; only engaged
-    for multi-line-header sources.
+    """Raw csv line frame ``(value, __file)`` with the per-file header skip
+    applied (reference supports arbitrary N; Spark's header option skips
+    exactly one).
 
-    In-file ordering uses ``_metadata.file_block_start`` (the split's byte
-    offset) as the major key, with the monotonic id breaking ties WITHIN a
+    With ``skip_header == 0`` this is a plain text scan — no window, no
+    shuffle. Otherwise the first N lines per FILE are dropped via row_number
+    ordered by in-file position: ``_metadata.file_block_start`` (the split's
+    byte offset) as the major key, the monotonic id breaking ties WITHIN a
     split (rows of one split are read sequentially). Ordering by monotonic
     id alone would silently depend on Spark packing a file's splits into
     partitions in offset order — an undocumented scheduler detail; under any
@@ -230,17 +240,25 @@ def _read_csv_skip_n(
             F.monotonically_increasing_id().alias("__pos"),
         )
     )
-    w = Window.partitionBy("__file").orderBy("__blk", "__pos")
-    body = (
-        txt.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") > skip_header)
-        .select("value")
-    )
-    parse_opts = {
-        k: str(v)
-        for k, v in opts.items()
-        if k in ("sep", "quote", "escape", "nullValue", "timestampFormat")
-    }
+    if skip_header > 0:
+        w = Window.partitionBy("__file").orderBy("__blk", "__pos")
+        txt = txt.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") > skip_header
+        )
+    return txt.select("value", "__file")
+
+
+def _read_csv_via_text(
+    spark: SparkSession,
+    spec: SourceSpec,
+    opts: dict[str, Any],
+    schema: T.StructType,
+    skip_header: int,
+) -> DataFrame:
+    """text scan → per-file header skip → ``from_csv`` parse under the same
+    options/invalid-record mode (see the dispatch comment in _read_csv)."""
+    body = _csv_body_lines(spark, spec, opts, skip_header)
+    parse_opts = _csv_parse_opts(opts)
     parse_opts["mode"] = "FAILFAST" if spec.stop_on_invalid_record else "PERMISSIVE"
     if spec.stop_on_invalid_record:
         parsed = body.select(

@@ -491,3 +491,46 @@ def test_embulk_mapred_config_minimum_slice(spark, tmp_path):
     got = read_with_schema(out)
     want = read_with_schema(str(src))
     assert len(got) == 5 and got == want
+
+
+def test_csv_skip_bad_rows_count_only_consumption(spark, tmp_path):
+    """Found by an end-to-end drive, not the suite: a count()-style consumer
+    of the skip-bad-rows csv frame prunes every data column, and Spark's
+    native csv scan refuses a plan that references ONLY the corrupt-record
+    column (QUERY_ONLY_CORRUPT_RECORD_COLUMN). The text+from_csv path has no
+    such restriction. Also pins the ISO-timestamp fallback: from_csv must
+    accept `1997-10-31T00:00:00` under the engine's space-separated default
+    format exactly like the native reader does (enableDateTimeParsingFallback).
+    """
+    from embulk_executor_mapreduce_spark.sources.readers import read_source
+    from embulk_executor_mapreduce_spark.spec import source_from
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text(
+        "1,alice,1997-10-31T00:00:00.000\n"
+        "BADROW\n"
+        "2,bob,1997-11-01 12:30:00\n"
+    )
+    df = read_source(
+        spark,
+        source_from(
+            {
+                "type": "csv",
+                "path": str(src),
+                "columns": [
+                    {"name": "id", "type": "long"},
+                    {"name": "name", "type": "string"},
+                    {"name": "ts", "type": "timestamp"},
+                ],
+                "stop_on_invalid_record": False,
+            }
+        ),
+    )
+    # count() is the column-pruned consumption that crashed the native path
+    assert df.count() == 2
+    rows = {r.id: (r.name, str(r.ts)) for r in df.collect()}
+    assert rows == {
+        1: ("alice", "1997-10-31 00:00:00"),
+        2: ("bob", "1997-11-01 12:30:00"),
+    }
