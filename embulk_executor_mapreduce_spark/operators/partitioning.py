@@ -97,9 +97,13 @@ def bucket_expr(
         raise PartitionError(f"partitioning column {column!r} not found in schema")
     dtype = fields[column]
 
-    if isinstance(dtype, T.TimestampType):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         # epoch seconds of a timestamp; unix_timestamp() floors to seconds.
-        seconds = F.unix_timestamp(F.col(column))
+        # TIMESTAMP_NTZ (what plain parquet `timestamp[ms]` loads as under
+        # inferTimestampNTZ / pandas-written files) is interpreted in the
+        # session timezone — pinned to UTC by session.get_spark, so the
+        # bucket index is reproducible across runs.
+        seconds = F.unix_timestamp(F.col(column).cast(T.TimestampType()))
     elif isinstance(dtype, (T.LongType, T.IntegerType)):
         if unix_timestamp_unit not in UNIX_UNIT_DIVISOR:
             raise PartitionError(

@@ -143,3 +143,20 @@ def test_z_interleave_bit_roundtrip(spark):
             a |= ((r.z >> (2 * i)) & 1) << i
             b |= ((r.z >> (2 * i + 1)) & 1) << i
         assert (a, b) == (r.a, r.b)
+
+
+def test_timestamp_ntz_buckets_like_timestamp(spark):
+    """TIMESTAMP_NTZ partitions identically to TIMESTAMP under the pinned UTC
+    session timezone — plain parquet `timestamp[ms]` (pandas-written files,
+    e.g. the testdata's orders.o_orderdate) loads as NTZ, and a partitioned
+    load over it must work, not raise (found by an end-to-end bucket probe).
+    """
+    from pyspark.sql import types as T
+
+    df = spark.createDataFrame(
+        [(T0,), (T0 + dt.timedelta(seconds=3600),)],
+        T.StructType([T.StructField("ts", T.TimestampNTZType())]),
+    )
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+    b = _buckets(df, unit="hour")
+    assert b == [EPOCH0 // 3600, EPOCH0 // 3600 + 1]
