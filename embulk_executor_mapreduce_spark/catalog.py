@@ -3469,59 +3469,70 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registration-order priority: the round-1 driver snapshot recorded only the
-# FIRST 50 registered queries, leaving these 18 unverified by the hard signal.
-# They register first this round so a capped snapshot covers them; the
-# remaining 50 all have a green CORRECTNESS_r01 row already.
+# Registration-order priority: the round driver snapshots only the FIRST 50
+# registered queries. Round-3 rotation — the window carries every query
+# whose CURRENT body hash has never produced a green driver row
+# (scripts/window_check.py gates this mechanically against
+# scripts/VERIFIED.json): the 2 round-2 harness-err fixes, the 5
+# formerly-oracle-less queries (now fully oracled), the 4 new round-3
+# queries, the 16 exactmath-rewritten-after-r01 queries, and 23 carried
+# queries flagged because an engine module they import changed this round.
+# One over-the-cap deferral (zorder_cluster_key) is explicitly waived in
+# window_check.py with justification.
 _VERIFY_FIRST = (
-    "q3_segment_revenue",
-    "ann_pq_adc_topk",
+    # round-2 driver ERRs, fixed by output reshape
     "scd2_customer_history",
-    "train_val_test_split",
-    "tfidf_top_terms",
-    "upsample_by_weight",
-    "value_histogram",
-    "retention_cohorts",
-    "session_paths_topk",
-    "zorder_cluster_key",
     "quantize_embeddings_int8",
-    "funnel_signup_purchase",
+    # formerly oracle=None, now with portable oracles
+    "simhash64",
+    "ann_lsh_topk",
+    "approx_distinct_users",
+    "stream_dedup_events",
+    "stream_user_rollup",
+    # new in round 3
+    "ann_ivf_kmeans_topk",
+    "ann_pq_kmeans_topk",
+    "merge_upsert_state",
+    "dynamic_overwrite_state",
+    # exactmath-rewritten after their r01 green row (VERDICT r2 #3)
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "filter_chain",
+    "bucket_hour",
+    "bucket_day",
+    "window_running_sum",
+    "rollup_order_priority",
+    "text_stats",
+    "ann_bruteforce_topk",
+    "quality_score",
+    "stream_hourly_counts",
+    "range_join_value_tiers",
+    "outer_join_customer_orders",
+    "stats_aggs",
+    "embedding_centroids",
+    # green before, but an imported engine module changed this round
+    "ann_pq_adc_topk",
+    "ann_ivf_topk",
+    "minhash_lsh_128x16",
+    "minhash_lsh_candidates",
+    "dedup_exact",
     "dedup_survivors",
-    "line_dedup_c4",
-    "pack_sequences",
-    "vocab_topk",
     "dedup_clusters",
     "ngram_jaccard_pairs",
-    "levenshtein_near_names",
-    "skew_salted_agg",
-    "training_shuffle_shards",
-    "sample_k_per_group",
-    "stream_purchase_signup_join",
-    "unpivot_measures",
-    "exact_percentiles",
-    "quality_repetition",
-    "chunk_token_windows",
-    "contamination_ngram",
-    "stratified_sample_sources",
-    "pii_scrub_props",
-    "stream_session_windows",
-    "minhash_lsh_128x16",
     "embedding_neardup",
-    "token_count_bpe",
+    "skew_salted_agg",
+    "bucket_long_milli",
+    "stream_purchase_signup_join",
+    "stream_session_windows",
+    "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
+    "csv_engine_roundtrip",
     "jsonl_engine_roundtrip",
-    "functions_array_gauntlet",
-    "scalar_subquery_above_avg",
-    "stream_user_rollup",
-    "ann_ivf_topk",
-    "window_frames_gauntlet",
-    "null_scalar_gauntlet",
-    "conditional_aggs",
-    "hash_sample_10pct",
     "orc_engine_roundtrip",
-    "gapfill_hourly",
-    "bag_setops",
+    "task_source_generate",
+    "functions_array_gauntlet",
     "spec_join_aggregate",
     "spec_dedup_sql",
 )
