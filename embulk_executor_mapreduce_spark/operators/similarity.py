@@ -246,6 +246,7 @@ def kmeans_train(
     k: int,
     iters: int = 3,
     group_cols: tuple[str, ...] = (),
+    train_filter: Column | None = None,
 ) -> DataFrame:
     """Lloyd's k-means as iterative DataFrame aggregates — the trainer that
     replaces the deterministic id-prefix centroid stand-ins.
@@ -274,12 +275,36 @@ def kmeans_train(
     With ``group_cols`` the same machinery trains INDEPENDENT codebooks per
     group in one pass (PQ: one codebook per subspace, keyed by ``s``).
     Output: (*group_cols, cid, cv).
+
+    ``train_filter`` restricts TRAINING (init + every assign/update pass) to
+    a subset — the 100 TB shape: codebook quality needs ~1k vectors per
+    centroid, not the corpus, so train on a deterministic hash-sample
+    (e.g. ``pmod(xxhash64(id), 100) == 0``) and the 6 per-iteration corpus
+    scans become sample scans; the full corpus is only ever touched by the
+    caller's one-pass ASSIGNMENT against the trained table. The predicate is
+    an ordinary pushed-down filter, so the same clause mirrors into the
+    oracle as a WHERE. At the test scales (500–2000 vectors) the catalog
+    queries train unfiltered — a sample of a toy corpus starves 64 centroids.
     """
     g = list(group_cols)
     base = df.select(*g, F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
-    cents = base.filter(F.col("__vid") < k).select(
-        *g, F.col("__vid").alias("cid"), F.col("__v").alias("cv")
-    )
+    if train_filter is None:
+        cents = base.filter(F.col("__vid") < k).select(
+            *g, F.col("__vid").alias("cid"), F.col("__v").alias("cv")
+        )
+    else:
+        base = df.filter(train_filter).select(
+            *g, F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+        )
+        # ids 0..k-1 need not survive the sample; seed from the k lowest
+        # SAMPLED ids instead. The window sorts only the sample (per group),
+        # never the corpus.
+        w = W.partitionBy(*g).orderBy("__vid") if g else W.partitionBy().orderBy("__vid")
+        cents = (
+            base.withColumn("__r", F.row_number().over(w))
+            .filter(F.col("__r") <= k)
+            .select(*g, (F.col("__r") - 1).alias("cid"), F.col("__v").alias("cv"))
+        )
 
     def dsq(a: Column, b: Column) -> Column:
         return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
@@ -543,6 +568,7 @@ def pq_adc_topk(
     sub_dim: int = 16,
     n_codes: int = 16,
     train_iters: int | None = None,
+    train_filter: Column | None = None,
 ) -> DataFrame:
     """Product-quantization top-k with asymmetric distance computation (ADC).
 
@@ -591,7 +617,13 @@ def pq_adc_topk(
     )
     if train_iters:
         codebook = kmeans_train(
-            subs, id_col, "sv", k=n_codes, iters=train_iters, group_cols=("s",)
+            subs,
+            id_col,
+            "sv",
+            k=n_codes,
+            iters=train_iters,
+            group_cols=("s",),
+            train_filter=train_filter,
         ).select("s", F.col("cid").alias("code"), F.col("cv"))
     else:
         codebook = subs.filter(F.col(id_col) < n_codes).select(
@@ -652,6 +684,7 @@ def ivf_topk(
     n_centroids: int = 64,
     nprobe: int = 2,
     train_iters: int | None = None,
+    train_filter: Column | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their nearest
     centroid (inverted lists), probe only the query's ``nprobe`` nearest
@@ -683,7 +716,8 @@ def ivf_topk(
     )
     if train_iters:
         cents = kmeans_train(
-            base, id_col, "v", k=n_centroids, iters=train_iters
+            base, id_col, "v", k=n_centroids, iters=train_iters,
+            train_filter=train_filter,
         ).withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
     else:
         cents = ivf_centroids(base, id_col, n_centroids)

@@ -251,3 +251,40 @@ def test_connected_components_long_chain_converges(spark):
     rows = connected_components(pairs).collect()
     assert {r.cluster_id for r in rows} == {0}
     assert len(rows) == 41
+
+
+def test_kmeans_train_on_sampled_subset(spark):
+    """100 TB shape: training restricted to a deterministic sample
+    (train_filter) — init seeds from the k lowest SAMPLED ids, every
+    assign/update pass scans only the sample, the output is still exactly k
+    centroids, and the sampled-trained codebook still beats the id-prefix
+    init on the FULL corpus objective (codebook quality needs ~1k vectors
+    per centroid, not the corpus)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        as_double,
+        kmeans_train,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    pdf = emb.toPandas().sort_values("vec_id")
+    V = np.array([np.asarray(v, dtype=float) for v in pdf["embedding"]])
+
+    def objective(C):
+        d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        return float(d.min(axis=1).mean())
+
+    base = emb.select("vec_id", as_double("embedding").alias("v"))
+    k = 16
+    cents = kmeans_train(
+        base, "vec_id", "v", k=k, iters=3,
+        train_filter=F.col("vec_id") % 2 == 1,  # ids 0..k-1 NOT all present
+    )
+    rows = cents.orderBy("cid").collect()
+    assert len(rows) == k
+    assert [r.cid for r in rows] == list(range(k))
+    C = np.array([np.asarray(r.cv) for r in rows])
+    assert objective(C) < objective(V[:k])  # beats unsampled id-prefix init
