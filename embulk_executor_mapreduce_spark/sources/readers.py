@@ -417,7 +417,9 @@ def read_source(
                 F.input_file_name().alias("path"), F.col(line_col)
             )
         return df
-    if spec.type in ("parquet", "orc", "json"):
+    if spec.type == "json":
+        return _read_json(spark, spec)
+    if spec.type in ("parquet", "orc"):
         if spec.type == "parquet":
             # tolerate TIMESTAMP(NANOS) parquet files (read as long nanos)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -426,3 +428,39 @@ def read_source(
             reader = reader.schema(build_schema(list(spec.columns)))
         return getattr(reader, spec.type)(spec.path)
     raise ConfigError(f"unknown source type {spec.type!r}")
+
+
+def _read_json(spark: SparkSession, spec: SourceSpec) -> DataFrame:
+    """JSON-lines with the same invalid-record policy as CSV (the policy is a
+    SourceSpec field, not a csv-only option — a malformed JSONL line must
+    fail the load under ``stop_on_invalid_record: true`` and be dropped under
+    ``false``, never silently become an all-null row, which is what Spark's
+    default PERMISSIVE json read produces).
+
+    Shape mirrors :func:`_read_csv`: FAILFAST keeps the native json scan;
+    the skip path goes text-scan → ``from_json`` with an ordinary
+    corrupt-record struct field (the native PERMISSIVE scan has the same
+    QUERY_ONLY_CORRUPT_RECORD_COLUMN pruning restriction as csv). Without a
+    declared schema the policy cannot be evaluated (nothing to fail against)
+    and the native reader with passthrough options is used as before.
+    """
+    if not spec.columns:
+        return spark.read.options(**spec.options).json(spec.path)
+    schema = build_schema(list(spec.columns))
+    if spec.stop_on_invalid_record:
+        return (
+            spark.read.options(**spec.options)
+            .option("mode", "FAILFAST")
+            .schema(schema)
+            .json(spec.path)
+        )
+    parse_opts = {k: str(v) for k, v in spec.options.items()}
+    parse_opts["mode"] = "PERMISSIVE"
+    parse_opts["columnNameOfCorruptRecord"] = _CORRUPT
+    schema_with = T.StructType(
+        schema.fields + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+    parsed = spark.read.text(spec.path).select(
+        F.from_json(F.col("value"), schema_with, parse_opts).alias("r")
+    )
+    return parsed.select("r.*").filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)

@@ -534,3 +534,37 @@ def test_csv_skip_bad_rows_count_only_consumption(spark, tmp_path):
         1: ("alice", "1997-10-31 00:00:00"),
         2: ("bob", "1997-11-01 12:30:00"),
     }
+
+
+def test_jsonl_invalid_record_policies(spark, tmp_path):
+    """stop_on_invalid_record applies to JSONL exactly like CSV: true fails
+    the load with a user-data error, false drops the malformed line — it must
+    never silently become an all-null row (Spark's default PERMISSIVE json
+    behavior), and the skip path must survive count()-only consumption."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "name": "alice"}\n'
+        "NOT JSON AT ALL\n"
+        '{"id": 2, "name": "bob"}\n'
+    )
+    cols = [{"name": "id", "type": "long"}, {"name": "name", "type": "string"}]
+    base = {"type": "json", "path": str(src), "columns": cols}
+
+    from embulk_executor_mapreduce_spark.sources.readers import read_source
+    from embulk_executor_mapreduce_spark.spec import source_from
+
+    df = read_source(spark, source_from(dict(base)))
+    assert df.count() == 2  # count-only consumption, bad line dropped
+    assert {(r.id, r.name) for r in df.collect()} == {(1, "alice"), (2, "bob")}
+
+    with pytest.raises(RemoteTaskFailedDataError):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {**base, "stop_on_invalid_record": True},
+                    "out": {"type": "null"},
+                }
+            ),
+        )
