@@ -333,10 +333,11 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
         if spec.source.invalid_record_path is not None:
             # quarantine split: bad records become an auditable JSON table,
             # good records continue through the identical stage chain
-            from ..sources.readers import read_csv_split
+            from ..sources.readers import read_csv_split, read_json_split
 
             spec.validate()
-            clean, quarantine = read_csv_split(spark, spec.source)
+            split = read_json_split if spec.source.type == "json" else read_csv_split
+            clean, quarantine = split(spark, spec.source)
             qobs = Observation("quarantine_metrics")
             quarantine = quarantine.observe(
                 qobs, F.count(F.lit(1)).alias("rows")

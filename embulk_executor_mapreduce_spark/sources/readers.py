@@ -170,6 +170,36 @@ def read_csv_split(
     return _apply_column_formats(clean, per_col, False), quarantine
 
 
+def read_json_split(
+    spark: SparkSession, spec: SourceSpec
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL twin of :func:`read_csv_split` — ``(clean, quarantine)`` with
+    the same quarantine schema ``(input_file, raw_record, partial_parse)``,
+    so one audit-table layout serves both line formats."""
+    schema = build_schema(list(spec.columns))
+    parse_opts = {k: str(v) for k, v in spec.options.items()}
+    parse_opts["mode"] = "PERMISSIVE"
+    parse_opts["columnNameOfCorruptRecord"] = _CORRUPT
+    schema_with = T.StructType(
+        schema.fields + [T.StructField(_CORRUPT, T.StringType(), True)]
+    )
+    parsed = spark.read.text(spec.path).select(
+        F.col("_metadata.file_path").alias("__file"),
+        F.from_json(F.col("value"), schema_with, parse_opts).alias("r"),
+    )
+    quarantine = parsed.filter(F.col(f"r.{_CORRUPT}").isNotNull()).select(
+        F.col("__file").alias("input_file"),
+        F.col(f"r.{_CORRUPT}").alias("raw_record"),
+        F.to_json(F.struct(*[F.col(f"r.{f.name}") for f in schema.fields])).alias(
+            "partial_parse"
+        ),
+    )
+    clean = (
+        parsed.filter(F.col(f"r.{_CORRUPT}").isNull()).select("r.*").drop(_CORRUPT)
+    )
+    return clean, quarantine
+
+
 def _read_csv(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     opts, skip_header, per_col = _csv_options(spec)
     schema = _read_schema(spec, per_col)

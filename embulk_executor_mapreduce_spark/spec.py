@@ -201,9 +201,10 @@ class PipelineSpec:
                     "invalid_record_path requires stop_on_invalid_record: false "
                     "(a FAILFAST load never produces skipped records)"
                 )
-            if self.source.type != "csv":
+            if self.source.type not in ("csv", "json"):
                 raise ConfigError(
-                    "invalid_record_path is only supported for csv sources"
+                    "invalid_record_path is only supported for csv and json "
+                    "sources"
                 )
 
 

@@ -639,3 +639,40 @@ def test_commit_manifest_written(spark, tmp_path):
     assert m["sink_mode"] == "overwrite" and m["quarantined_rows"] == 0
     # the manifest must not pollute read-back
     assert spark.read.parquet(out).count() == 1000
+
+
+def test_invalid_record_quarantine_jsonl(spark, tmp_path):
+    """JSONL twin of test_invalid_record_quarantine: same quarantine table
+    layout (input_file, raw_record, partial_parse), clean rows flow on,
+    report carries the count."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "name": "alpha"}\n'
+        "{broken json\n"
+        '{"id": 3, "name": "gamma"}\n'
+    )
+    out = str(tmp_path / "out")
+    qdir = str(tmp_path / "quarantine")
+    spec = load_spec(
+        {
+            "in": {
+                "type": "json",
+                "path": str(src),
+                "columns": [
+                    {"name": "id", "type": "long"},
+                    {"name": "name", "type": "string"},
+                ],
+                "invalid_record_path": qdir,
+            },
+            "out": {"type": "parquet", "path": out},
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.output_rows == 2
+    assert rep.quarantined_rows == 1
+    assert sorted(r.id for r in spark.read.parquet(out).collect()) == [1, 3]
+    q = spark.read.json(qdir).collect()
+    assert len(q) == 1
+    assert q[0].raw_record == "{broken json"
+    assert q[0].input_file.endswith("a.jsonl")
