@@ -212,6 +212,13 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             )
     if spec.sink.type in ("null", "memory"):
         raise ConfigError("streaming pipeline requires a file sink")
+    if spec.source.invalid_record_path is not None:
+        raise ConfigError(
+            "invalid_record_path is not streamable (the quarantine split "
+            "writes a second batch table); run the quarantine load with "
+            "run_pipeline, or stream with skip semantics "
+            "(stop_on_invalid_record: false drops malformed records)"
+        )
 
     src = spec.source
     if src.type == "csv":
@@ -220,19 +227,30 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             raise ConfigError("skip_header_lines > 1 is not streamable")
         if skip_header == 1:
             opts["header"] = True
+        # invalid-record policy parity with the batch path: fail vs DROP —
+        # default PERMISSIVE would let a malformed line through as an
+        # all-null row. (DROPMALFORMED's pruned-parse caveat doesn't bite
+        # here: the sink materializes every column, so the full row is
+        # always parsed.)
+        opts["mode"] = "FAILFAST" if src.stop_on_invalid_record else "DROPMALFORMED"
         reader = spark.readStream.options(**opts).schema(_read_schema(src, per_col))
         df = reader.csv(_as_stream_dir(src.path))
         df = _apply_column_formats(df, per_col, src.stop_on_invalid_record)
     elif src.type in ("parquet", "orc", "json"):
+        s_opts = dict(src.options)
+        if src.type == "json" and src.columns:
+            s_opts["mode"] = (
+                "FAILFAST" if src.stop_on_invalid_record else "DROPMALFORMED"
+            )
         if src.columns:
             schema = build_schema(list(src.columns))
         else:
             # file-stream sources require a schema; take it from a batch peek
-            schema = getattr(spark.read.options(**src.options), src.type)(
+            schema = getattr(spark.read.options(**s_opts), src.type)(
                 src.path
             ).schema
         df = getattr(
-            spark.readStream.options(**src.options).schema(schema), src.type
+            spark.readStream.options(**s_opts).schema(schema), src.type
         )(_as_stream_dir(src.path))
     elif src.type == "text":
         # line-oriented corpus stream (landing-directory tail for C4-style

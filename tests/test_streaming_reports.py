@@ -226,3 +226,42 @@ def test_streaming_merge_sink_cdc_upsert(spark, tmp_path):
     assert rep.succeeded
     state = {r.id: (r.name, r.ver) for r in spark.read.parquet(out).collect()}
     assert state == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 10)}
+
+
+def test_streaming_invalid_record_policy_parity(spark, tmp_path):
+    """A malformed CSV line under streaming must behave like batch: dropped
+    under stop_on_invalid_record: false (never an all-null row — the default
+    PERMISSIVE stream would emit one), and invalid_record_path (a batch
+    quarantine split) is a clean ConfigError, not a silent ignore."""
+    import pytest
+
+    from embulk_executor_mapreduce_spark.errors import ConfigError
+    from embulk_executor_mapreduce_spark.plans.compiler import (
+        run_pipeline_streaming,
+    )
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("1,alpha\nbad_row_no_number,x\n3,gamma\n")
+    cols = [{"name": "id", "type": "long"}, {"name": "name", "type": "string"}]
+    out = str(tmp_path / "out")
+    doc = {
+        "in": {"type": "csv", "path": str(src), "columns": cols},
+        "out": {"type": "parquet", "path": out},
+    }
+    rep = run_pipeline_streaming(spark, load_spec(doc))
+    assert rep.succeeded
+    rows = sorted((r.id, r.name) for r in spark.read.parquet(out).collect())
+    assert rows == [(1, "alpha"), (3, "gamma")]
+
+    with pytest.raises(ConfigError, match="not streamable"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    **doc,
+                    "in": {**doc["in"], "invalid_record_path": str(tmp_path / "q")},
+                }
+            ),
+        )
