@@ -263,3 +263,29 @@ def test_merge_sink_aggregate_is_map_side_combinable(spark, tmp_path):
     plan = merged._jdf.queryExecution().executedPlan().toString()
     assert "partial_max" in plan, plan
     assert "CartesianProduct" not in plan
+
+
+def test_csv_skip_bad_rows_path_stays_narrow(spark, tmp_path):
+    """The text→from_csv skip-bad-rows path (the default csv read) must stay
+    a narrow scan: zero exchanges, no window — the header-skip window only
+    engages for skip_header_lines > 0."""
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.csv").write_text("1,x\n2,y\n")
+    spec = load_spec(
+        {
+            "in": {
+                "type": "csv",
+                "path": str(src),
+                "columns": [
+                    {"name": "id", "type": "long"},
+                    {"name": "name", "type": "string"},
+                ],
+            },
+            "out": {"type": "null"},
+        }
+    )
+    df = compile_pipeline(spark, spec)
+    assert num_exchanges(df) == 0, "csv skip-bad-rows read must not shuffle"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
