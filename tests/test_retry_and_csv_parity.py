@@ -568,3 +568,120 @@ def test_jsonl_invalid_record_policies(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_embulk_mapred_partitioning_config_slice(spark, tmp_path):
+    """The reference's PARTITIONED e2e, ported in shape
+    (embulk_mapred_partitioning_config.yml + TestMapReduceExecutor
+    .testEmbulkPartitioningMapper): same 12-column fixture, hour
+    partitioning on the timestamp column with map_side_partition_split: 2,
+    CRLF csv formatter out with the per-column timestamp format — output
+    multiset equals input multiset and the sink carries one directory per
+    hour bucket."""
+    from pathlib import Path
+
+    src = tmp_path / "csv"
+    src.mkdir()
+    (src / "sample1.csv").write_text(_FILE1)
+    (src / "sample2.csv").write_text(_FILE2)
+    out = str(tmp_path / "out")
+    spec = load_spec(
+        {
+            "in": {
+                "type": "csv",
+                "path": str(src),
+                "columns": MAPRED_CONFIG_COLUMNS,
+                "options": {
+                    "skip_header_lines": 1,
+                    "delimiter": ",",
+                    "quote": '"',
+                    "escape": '"',
+                    "charset": "UTF-8",
+                },
+            },
+            "out": {
+                "type": "csv",
+                "path": out,
+                "partition_by_bucket": True,
+                "options": {
+                    "header": True,
+                    "newline": "CRLF",
+                    "column_options": {
+                        "timestamp": {"format": "%Y-%m-%d %H:%M:%S"}
+                    },
+                },
+            },
+            "exec": {
+                "job_name": "embulk_mapred_partitioning_0001",
+                "reducers": 2,
+                "partitioning": {
+                    "column": "timestamp",
+                    "unit": "hour",
+                    "unix_timestamp_unit": "sec",
+                    "map_side_partition_split": 2,
+                },
+            },
+        }
+    )
+    rep = run_pipeline(spark, spec)
+    assert rep.succeeded and rep.output_rows == 5
+
+    # fixture spans 3 distinct hours (22:15 x3, 01:00, 02:30)
+    buckets = sorted(p.name for p in Path(out).glob("__bucket=*"))
+    assert len(buckets) == 3
+
+    from embulk_executor_mapreduce_spark.sources.readers import read_source
+    from embulk_executor_mapreduce_spark.spec import source_from
+
+    def read_with_schema(path: str) -> list[tuple]:
+        df = read_source(
+            spark,
+            source_from(
+                {
+                    "type": "csv",
+                    "path": path,
+                    "columns": MAPRED_CONFIG_COLUMNS,
+                    "options": {"skip_header_lines": 1},
+                }
+            ),
+        )
+        names = [c["name"] for c in MAPRED_CONFIG_COLUMNS]
+        return sorted(tuple(str(r[c]) for c in names) for r in df.collect())
+
+    got = read_with_schema(f"{out}/__bucket=*")
+    want = read_with_schema(str(src))
+    assert len(got) == 5 and got == want
+
+
+def test_embulk_mapred_invalid_configs(spark):
+    """Reference error-path parity (TestMapReduceExecutor.testInvalid*):
+    a partitioning block without column/unit
+    (embulk_mapred_invalid_partitioning_config.yml: `partitioning: {type:
+    long}`) and reducers: -1 (embulk_mapred_invalid_reducers_config.yml)
+    are CONFIG-time errors, raised before any job is submitted."""
+    from embulk_executor_mapreduce_spark.errors import ConfigError, PartitionError
+
+    base = {
+        "in": {
+            "type": "csv",
+            "path": "unused",
+            "columns": [{"name": "timestamp", "type": "timestamp"}],
+        },
+        "out": {"type": "null"},
+    }
+    with pytest.raises((ConfigError, PartitionError)):
+        load_spec({**base, "exec": {"partitioning": {"unit": "hour"}}})
+    with pytest.raises((ConfigError, PartitionError)):
+        load_spec(
+            {**base, "exec": {"partitioning": {"column": "timestamp", "unit": "week"}}}
+        )
+    with pytest.raises((ConfigError, PartitionError)):
+        load_spec(
+            {
+                **base,
+                "exec": {
+                    "reducers": -1,
+                    "partitioning": {"column": "timestamp", "unit": "hour"},
+                },
+            }
+        )
