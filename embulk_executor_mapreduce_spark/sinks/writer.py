@@ -188,6 +188,11 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
             "quote": '"',
             "escape": '"',
             "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSSSS",
+            # Spark's csv WRITER trims leading/trailing whitespace by
+            # default (Univocity write-side flags) — silent value
+            # corruption the reference formatter does not do
+            "ignoreLeadingWhiteSpace": False,
+            "ignoreTrailingWhiteSpace": False,
             **opts,
         }
         # reference csv FORMATTER options (embulk_mapred_config.yml:42-50)

@@ -685,3 +685,55 @@ def test_embulk_mapred_invalid_configs(spark):
                 },
             }
         )
+
+
+def test_csv_roundtrip_adversarial_strings(spark, tmp_path):
+    """Adversarial quoting battery through the engine's own csv sink →
+    csv source: delimiters / quotes / escapes / backslashes / unicode /
+    json-ish payloads / whitespace edges must survive byte-exactly.
+    Embedded newlines are out of scope (line-oriented split, no multiLine —
+    documented in readers.py); the empty string reads back as NULL (csv
+    cannot distinguish them under the default null_string '')."""
+    vals = [
+        "plain",
+        "comma,inside",
+        'quote"inside',
+        '"fully quoted"',
+        "escape\\backslash",
+        "both\",and',comma",
+        " leading and trailing ",
+        "\ttab\tseparated\t",
+        "unicode: café 日本語 \U0001f600",
+        '{"json":"value","n":[1,2]}',
+        "trailing backslash\\",
+        "=formula()",
+        "semi;colon;fields",
+        "two  spaces",
+        "'single quoted'",
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    src_df = spark.createDataFrame(rows, "id long, s string")
+    out = str(tmp_path / "csv_out")
+    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.spec import SinkSpec, source_from
+    from embulk_executor_mapreduce_spark.sources.readers import read_source
+
+    write_sink(src_df, SinkSpec(type="csv", path=out, options={}))
+    back = read_source(
+        spark,
+        source_from(
+            {
+                "type": "csv",
+                "path": out,
+                "columns": [
+                    {"name": "id", "type": "long"},
+                    {"name": "s", "type": "string"},
+                ],
+            }
+        ),
+    )
+    got = {r.id: r.s for r in back.collect()}
+    want = dict(rows)
+    assert got == want, {
+        i: (got.get(i), want[i]) for i in want if got.get(i) != want[i]
+    }
