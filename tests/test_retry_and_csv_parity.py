@@ -737,3 +737,46 @@ def test_csv_roundtrip_adversarial_strings(spark, tmp_path):
     assert got == want, {
         i: (got.get(i), want[i]) for i in want if got.get(i) != want[i]
     }
+
+
+def test_jsonl_roundtrip_adversarial_strings(spark, tmp_path):
+    """JSONL twin of the csv adversarial battery — json quoting must carry
+    every hostile payload byte-exactly, including embedded newlines (legal
+    inside a JSON string as \\n) and the empty string (distinguishable from
+    NULL in json, unlike csv)."""
+    vals = [
+        "plain",
+        'quote"inside',
+        "escape\\backslash",
+        "newline\ninside",
+        "tab\tand\rcarriage",
+        "unicode: café 日本語 \U0001f600",
+        '{"nested":"json"}',
+        "",
+        " leading and trailing ",
+    ]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    src_df = spark.createDataFrame(rows, "id long, s string")
+    out = str(tmp_path / "json_out")
+    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.spec import SinkSpec, source_from
+    from embulk_executor_mapreduce_spark.sources.readers import read_source
+
+    write_sink(src_df, SinkSpec(type="json", path=out, options={}))
+    back = read_source(
+        spark,
+        source_from(
+            {
+                "type": "json",
+                "path": out,
+                "columns": [
+                    {"name": "id", "type": "long"},
+                    {"name": "s", "type": "string"},
+                ],
+            }
+        ),
+    )
+    got = {r.id: r.s for r in back.collect()}
+    assert got == dict(rows), {
+        i: (got.get(i), v) for i, v in rows if got.get(i) != v
+    }
