@@ -42,6 +42,54 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     return df.join(survivors.select(id_col), on=id_col, how="left_semi")
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    seen: DataFrame | None,
+    text_col: str,
+    id_col: str,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental corpus dedup: keep only docs whose content has never been
+    seen — not in the persisted fingerprint state and not earlier in this
+    batch — and emit the fingerprint delta to append to the state.
+
+    The production loop (continuous crawl ingestion at 100 TB):
+
+    * ``seen`` is the fingerprint STATE table ``(text_hash, keep_doc_id)``
+      persisted by a previous run — through the bucket-pruned merge sink
+      (``mode: merge``, ``merge_key: [text_hash]``), so each increment
+      rewrites only the key-hash buckets its fingerprints land in, never
+      O(state).
+    * within-batch dedup is the same one-exchange ``min(id)`` argmin as
+      :func:`exact_dedup`;
+    * against-state dedup is a left-anti equi-join on ``text_hash`` — both
+      sides hash-partitioned on the SAME key the state table is bucketed
+      by, so at scale the join co-locates with the state layout.
+
+    Returns ``(novel_rows, fingerprint_delta)``; both derive from one
+    lazily-planned batch scan. Re-ingesting the same batch is idempotent:
+    every fingerprint anti-joins away and the delta is empty.
+    """
+    hashed = batch.withColumn("__h", F.md5(F.col(text_col)))
+    batch_first = hashed.groupBy(F.col("__h").alias("text_hash")).agg(
+        F.min(id_col).alias("keep_doc_id")
+    )
+    novel_fp = (
+        batch_first
+        if seen is None
+        else batch_first.join(
+            seen.select("text_hash"), on="text_hash", how="left_anti"
+        )
+    )
+    novel_rows = hashed.join(
+        novel_fp.select(
+            F.col("text_hash").alias("__h"), F.col("keep_doc_id").alias(id_col)
+        ),
+        on=["__h", id_col],
+        how="left_semi",
+    ).drop("__h")
+    return novel_rows, novel_fp
+
+
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles as an array<string>; empty/short docs yield the
     whole-doc token join (so every doc has ≥1 shingle)."""

@@ -297,3 +297,48 @@ def test_pack_sequences_contiguous_token_stream(spark):
         for r in rs:
             assert r.pack_bin * 512 + r.bin_offset == pos, (g, r.doc_id)
             pos += r.n_tokens
+
+
+def test_incremental_dedup_with_merge_state(spark, tmp_path):
+    """Incremental crawl dedup loop: fingerprint state persisted through the
+    bucket-pruned merge sink, each new batch anti-joined against it —
+    duplicates (in-state OR in-batch) never re-enter the corpus, and
+    re-ingesting an already-seen batch is a no-op (idempotent)."""
+    import os
+
+    from embulk_executor_mapreduce_spark.operators.dedup import incremental_dedup
+    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    state = str(tmp_path / "fp_state")
+    corpus = str(tmp_path / "corpus")
+
+    def ingest(rows):
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        seen = spark.read.parquet(state) if os.path.exists(state) else None
+        novel, delta = incremental_dedup(batch, seen, "text", "doc_id")
+        novel.write.mode("append").parquet(corpus)
+        write_sink(
+            delta,
+            SinkSpec(
+                type="parquet",
+                path=state,
+                mode="merge",
+                merge_key=("text_hash",),
+                merge_order=("keep_doc_id",),
+                merge_buckets=8,
+            ),
+        )
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+
+    # batch 1: in-batch dup (11 dups 10), all content novel
+    assert ingest([(10, "aaa"), (11, "aaa"), (12, "bbb")]) == [10, 12]
+    # batch 2: one seen content ("bbb"), one novel
+    assert ingest([(20, "bbb"), (21, "ccc")]) == [10, 12, 21]
+    # re-ingest batch 2 verbatim: idempotent no-op
+    assert ingest([(20, "bbb"), (21, "ccc")]) == [10, 12, 21]
+    # state carries one fingerprint per distinct content, first-seen ids
+    fps = {
+        r.text_hash: r.keep_doc_id for r in spark.read.parquet(state).collect()
+    }
+    assert sorted(fps.values()) == [10, 12, 21]
