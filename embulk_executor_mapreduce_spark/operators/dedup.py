@@ -47,6 +47,7 @@ def incremental_dedup(
     seen: DataFrame | None,
     text_col: str,
     id_col: str,
+    claim: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental corpus dedup: keep only docs whose content has never been
     seen — not in the persisted fingerprint state and not earlier in this
@@ -68,18 +69,49 @@ def incremental_dedup(
     Returns ``(novel_rows, fingerprint_delta)``; both derive from one
     lazily-planned batch scan. Re-ingesting the same batch is idempotent:
     every fingerprint anti-joins away and the delta is empty.
+
+    ``claim`` (streaming exactly-once support): a literal column tagging the
+    ingestion unit — e.g. ``F.lit(batch_id)`` from a ``foreachBatch`` micro
+    batch. When given, the delta carries it as ``claim_batch`` and the
+    against-state check ALSO admits a fingerprint already present in state
+    if state shows the same ``(claim_batch, keep_doc_id)`` this batch would
+    write — which only happens when this very unit is being RETRIED after
+    its state merge committed but before its corpus write was acknowledged.
+    That makes ``(novel, delta)`` a deterministic function of (batch
+    content, pre-batch state), so an at-least-once caller whose corpus
+    writes are per-unit idempotent gets exactly-once corpus semantics
+    (:func:`...streaming.ingest.incremental_dedup_sink`). A *different*
+    unit re-ingesting the same content still anti-joins away.
     """
     hashed = batch.withColumn("__h", F.md5(F.col(text_col)))
     batch_first = hashed.groupBy(F.col("__h").alias("text_hash")).agg(
         F.min(id_col).alias("keep_doc_id")
     )
-    novel_fp = (
-        batch_first
-        if seen is None
-        else batch_first.join(
+    if claim is not None:
+        batch_first = batch_first.withColumn("claim_batch", claim)
+    if seen is None:
+        novel_fp = batch_first
+    elif claim is None:
+        novel_fp = batch_first.join(
             seen.select("text_hash"), on="text_hash", how="left_anti"
         )
-    )
+    else:
+        state = seen.select(
+            "text_hash",
+            F.col("keep_doc_id").alias("__st_keep"),
+            F.col("claim_batch").alias("__st_claim"),
+        )
+        novel_fp = (
+            batch_first.join(state, on="text_hash", how="left")
+            .where(
+                F.col("__st_keep").isNull()
+                | (
+                    (F.col("__st_claim") == F.col("claim_batch"))
+                    & (F.col("__st_keep") == F.col("keep_doc_id"))
+                )
+            )
+            .drop("__st_keep", "__st_claim")
+        )
     novel_rows = hashed.join(
         novel_fp.select(
             F.col("text_hash").alias("__h"), F.col("keep_doc_id").alias(id_col)

@@ -196,3 +196,95 @@ def stateful_user_rollup(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def incremental_dedup_sink(
+    state_path: str,
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merge_buckets: int = 64,
+):
+    """``foreachBatch`` body for the continuous-crawl corpus dedup loop: each
+    micro-batch keeps only never-seen content (against the persisted
+    fingerprint state AND within the batch), appends it to the corpus, and
+    merges the fingerprint delta into state through the bucket-pruned merge
+    sink — per-batch cost is O(batch), never O(corpus) or O(state).
+
+    Exactly-once from at-least-once: ``foreachBatch`` may re-run a batch
+    after a partial failure, so both writes are per-batch idempotent —
+
+    * the corpus append goes to a batch-scoped partition directory
+      (``ingest_batch=<id>``, mode=overwrite): a retry overwrites its own
+      rows, never duplicates them;
+    * the state merge is keyed on ``text_hash`` with a deterministic delta,
+      so re-merging it is a no-op;
+    * :func:`...operators.dedup.incremental_dedup` is called with
+      ``claim=lit(batch_id)``: a retry whose state merge already committed
+      re-admits exactly its own claims and reproduces the same corpus rows
+      (without the claim column, the retry would see its fingerprints in
+      state, emit an empty ``novel``, and the dir overwrite would LOSE the
+      batch).
+
+    Whatever interleaving of crash/retry occurs, replaying the batch
+    converges to the same corpus + state. Returned function is also the unit
+    the retry tests drive directly.
+    """
+    from ..operators.dedup import incremental_dedup
+    from ..sinks.writer import write_sink
+    from ..spec import SinkSpec
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        # novel + delta are two actions over the same micro-batch scan
+        batch = batch.persist()
+        try:
+            try:
+                seen = spark.read.parquet(state_path)
+            except Exception:  # first batch: no state yet
+                seen = None
+            novel, delta = incremental_dedup(
+                batch, seen, text_col, id_col, claim=F.lit(batch_id)
+            )
+            novel.write.mode("overwrite").parquet(
+                f"{corpus_path}/ingest_batch={batch_id}"
+            )
+            write_sink(
+                delta,
+                SinkSpec(
+                    type="parquet",
+                    path=state_path,
+                    mode="merge",
+                    merge_key=("text_hash",),
+                    merge_order=("keep_doc_id",),
+                    merge_buckets=merge_buckets,
+                ),
+            )
+        finally:
+            batch.unpersist()
+
+    return _process
+
+
+def run_incremental_dedup_stream(
+    docs: DataFrame,
+    state_path: str,
+    corpus_path: str,
+    checkpoint: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merge_buckets: int = 64,
+) -> None:
+    """Drive a document stream through :func:`incremental_dedup_sink` to
+    completion (availableNow — bounded replay of the unbounded crawl)."""
+    q = (
+        docs.writeStream.foreachBatch(
+            incremental_dedup_sink(
+                state_path, corpus_path, text_col, id_col, merge_buckets
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

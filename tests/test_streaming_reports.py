@@ -265,3 +265,107 @@ def test_streaming_invalid_record_policy_parity(spark, tmp_path):
                 }
             ),
         )
+
+
+class TestIncrementalDedupStream:
+    """Continuous-crawl dedup front door: foreachBatch → incremental_dedup →
+    bucket-pruned merge state. Exactly-once under retry interleavings."""
+
+    ROWS1 = [(10, "aaa"), (11, "aaa"), (12, "bbb")]
+    ROWS2 = [(20, "bbb"), (21, "ccc")]
+
+    @staticmethod
+    def _write_file(path, rows):
+        import pandas as pd
+
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(path)
+
+    def _corpus_ids(self, spark, corpus):
+        return sorted(
+            r.doc_id for r in spark.read.parquet(str(corpus)).collect()
+        )
+
+    def test_cross_batch_dedup_and_retry_idempotence(self, spark, tmp_path):
+        import os
+
+        from embulk_executor_mapreduce_spark.streaming.ingest import (
+            incremental_dedup_sink,
+            run_incremental_dedup_stream,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        # two files, forced into two ordered micro-batches
+        self._write_file(land / "b1.parquet", self.ROWS1)
+        self._write_file(land / "b2.parquet", self.ROWS2)
+        os.utime(land / "b1.parquet", (1_700_000_000, 1_700_000_000))
+        os.utime(land / "b2.parquet", (1_700_000_100, 1_700_000_100))
+
+        state = str(tmp_path / "fp_state")
+        corpus = str(tmp_path / "corpus")
+        docs = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+        run_incremental_dedup_stream(
+            docs, state, corpus, str(tmp_path / "ckpt"), merge_buckets=8
+        )
+        # in-batch dup (11) and cross-batch dup (20: "bbb" seen in batch 0)
+        # both dropped; corpus partition dirs carry the batch provenance
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+        batches = {
+            r.ingest_batch
+            for r in spark.read.parquet(corpus).select("ingest_batch").collect()
+        }
+        assert batches == {0, 1}
+        # fingerprint state: one row per distinct content, first-seen claims
+        fps = {
+            r.text_hash: (r.keep_doc_id, r.claim_batch)
+            for r in spark.read.parquet(state).collect()
+        }
+        assert sorted(fps.values()) == [(10, 0), (12, 0), (21, 1)]
+
+        sink = incremental_dedup_sink(state, corpus, merge_buckets=8)
+
+        # RETRY of batch 1 (same batch_id, same rows — the at-least-once
+        # replay after a crash between state merge and checkpoint commit):
+        # claim column re-admits its own rows, dir overwrite keeps one copy
+        sink(spark.createDataFrame(self.ROWS2, "doc_id long, text string"), 1)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+
+        # a NEW batch re-ingesting already-seen content is a no-op
+        sink(spark.createDataFrame(self.ROWS2, "doc_id long, text string"), 7)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+
+    def test_retry_after_state_commit_but_lost_corpus_write(
+        self, spark, tmp_path
+    ):
+        """The nasty interleaving: state merge committed, corpus write lost.
+        Without the claim column the retry would emit an empty novel set and
+        the batch's rows would be lost forever; with it, the retry
+        reconstructs exactly its own rows."""
+        import shutil
+
+        from embulk_executor_mapreduce_spark.streaming.ingest import (
+            incremental_dedup_sink,
+        )
+
+        state = str(tmp_path / "fp_state")
+        corpus = str(tmp_path / "corpus")
+        sink = incremental_dedup_sink(state, corpus, merge_buckets=8)
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        sink(mk(self.ROWS1), 0)
+        sink(mk(self.ROWS2), 1)
+        # crash: batch 1's corpus dir vanishes after its state merge landed
+        shutil.rmtree(f"{corpus}/ingest_batch=1")
+        assert self._corpus_ids(spark, corpus) == [10, 12]
+        # replay batch 1 → converges to the same corpus, no duplicates
+        sink(mk(self.ROWS2), 1)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+        fps = {
+            r.text_hash: (r.keep_doc_id, r.claim_batch)
+            for r in spark.read.parquet(state).collect()
+        }
+        assert sorted(fps.values()) == [(10, 0), (12, 0), (21, 1)]
