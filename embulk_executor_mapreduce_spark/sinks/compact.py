@@ -1,0 +1,171 @@
+"""Corpus compaction: the small-files answer for the streaming append path.
+
+The exactly-once dedup loop (``streaming/ingest.py::incremental_dedup_sink``)
+lands each micro-batch in its own ``ingest_batch=<id>`` partition directory —
+idempotent under retry, but after 10k micro-batches the corpus is 10k tiny
+directories, and at 100 TB the NameNode/listing cost and the
+one-task-per-tiny-file scan overhead dominate. Compaction folds a bounded
+prefix of batch directories into one generation directory with properly
+sized files, without blocking the writer (which only ever appends NEW batch
+ids above the compaction watermark).
+
+Layout after n compactions::
+
+    corpus/
+      compacted=0/   part-*.parquet   (+ _consumed.json: {"through": 57, ...})
+      compacted=1/   part-*.parquet   (+ _consumed.json: {"through": 112, ...})
+      ingest_batch=113/  ...live, not yet compacted...
+
+Rows inside a generation keep their original ``ingest_batch`` as a DATA
+column (the dir-derived partition value is materialized before the rewrite),
+so provenance survives compaction byte-for-byte.
+
+Commit protocol (same staging-swap discipline as the merge sink):
+
+1. read ``ingest_batch<=through`` dirs with the corpus ``basePath`` so the
+   partition column materializes;
+2. write rows + ``_consumed.json`` to ``.__compact_staging__``;
+3. atomic rename staging → ``compacted=<gen>``  ← the commit point;
+4. delete the consumed ``ingest_batch=*`` dirs.
+
+A crash before (3) leaves only ignorable staging litter. A crash between
+(3) and (4) leaves consumed dirs on disk alongside the generation that
+absorbed them — :func:`recover_compaction` (run on entry by both
+:func:`compact_corpus` and :func:`read_corpus`) finishes step (4) by
+deleting any live dir at-or-below the committed watermark. Readers that go
+through :func:`read_corpus` therefore never see a duplicate row in any
+interleaving; raw-path readers are safe except inside that one crash
+window, which the next read/compact closes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+_BATCH_RE = re.compile(r"^ingest_batch=(\d+)$")
+_GEN_RE = re.compile(r"^compacted=(\d+)$")
+_CONSUMED = "_consumed.json"
+_STAGING = ".__compact_staging__"
+
+
+def _scan_layout(corpus: str) -> tuple[dict[int, Path], dict[int, Path]]:
+    """(live batch dirs by id, generation dirs by gen)."""
+    batches: dict[int, Path] = {}
+    gens: dict[int, Path] = {}
+    for d in Path(corpus).iterdir():
+        if not d.is_dir():
+            continue
+        if m := _BATCH_RE.match(d.name):
+            batches[int(m.group(1))] = d
+        elif m := _GEN_RE.match(d.name):
+            gens[int(m.group(1))] = d
+    return batches, gens
+
+
+def _watermark(gens: dict[int, Path]) -> int:
+    """Highest committed consume-through batch id (-1 when no generation)."""
+    wm = -1
+    for d in gens.values():
+        meta = d / _CONSUMED
+        if meta.exists():
+            wm = max(wm, json.loads(meta.read_text())["through"])
+    return wm
+
+
+def recover_compaction(corpus: str) -> list[int]:
+    """Finish an interrupted commit: drop any live batch dir at-or-below the
+    committed watermark (its rows already live in a generation), and clear
+    staging litter from a pre-commit crash. Returns the batch ids removed."""
+    root = Path(corpus)
+    if not root.is_dir():
+        return []
+    staging = root / _STAGING
+    if staging.exists():
+        shutil.rmtree(staging)
+    batches, gens = _scan_layout(corpus)
+    wm = _watermark(gens)
+    removed = sorted(b for b in batches if b <= wm)
+    for b in removed:
+        shutil.rmtree(batches[b])
+    return removed
+
+
+def compact_corpus(
+    spark: SparkSession,
+    corpus: str,
+    through: int | None = None,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> int | None:
+    """Fold every live ``ingest_batch<=through`` dir (default: all but the
+    highest, which a live writer may still be retrying) into one new
+    ``compacted=<gen>`` directory. Returns the new generation id, or None if
+    there was nothing to compact.
+
+    File sizing: output files target ``target_file_bytes`` of INPUT bytes
+    (parquet-compressed sizes are close enough across a rewrite of the same
+    data) via ``coalesce`` — a narrow, shuffle-free repack. 512 MiB default
+    matches a sane HDFS/S3 scan-task size at 100 TB.
+    """
+    recover_compaction(corpus)
+    batches, gens = _scan_layout(corpus)
+    if through is None:
+        through = max(batches, default=-1) - 1
+    todo = {b: d for b, d in batches.items() if b <= through}
+    if not todo:
+        return None
+    in_bytes = sum(
+        f.stat().st_size for d in todo.values() for f in d.rglob("*.parquet")
+    )
+    n_files = max(1, -(-in_bytes // target_file_bytes))
+    # basePath keeps ingest_batch as a (now data) column for provenance
+    df: DataFrame = (
+        spark.read.option("basePath", corpus)
+        .parquet(*[str(d) for d in sorted(todo.values())])
+        .select("*")  # materialize the partition column into the data
+    )
+    gen = max(gens, default=-1) + 1
+    staging = Path(corpus) / _STAGING
+    df.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
+    (staging / _CONSUMED).write_text(
+        json.dumps({"through": max(todo), "batches": sorted(todo), "gen": gen})
+    )
+    os.rename(staging, Path(corpus) / f"compacted={gen}")  # commit point
+    for d in todo.values():
+        shutil.rmtree(d)
+    return gen
+
+
+def read_corpus(spark: SparkSession, corpus: str) -> DataFrame:
+    """Uniform corpus view across generations and live batch dirs, with the
+    ``ingest_batch`` provenance column in both; runs crash recovery first so
+    no interleaving can surface a duplicate row.
+
+    Generations and live dirs are read as two frames and unioned by name
+    (one basePath over both would make partition inference see conflicting
+    partition columns ``compacted`` vs ``ingest_batch``): in a generation
+    ``ingest_batch`` is an ordinary data column; in a live dir it is the
+    dir-derived partition value."""
+    recover_compaction(corpus)
+    batches, gens = _scan_layout(corpus)
+    if not batches and not gens:
+        raise FileNotFoundError(f"empty corpus: {corpus}")
+    frames = []
+    if gens:
+        frames.append(
+            spark.read.parquet(*[str(d) for d in sorted(gens.values())])
+        )
+    if batches:
+        frames.append(
+            spark.read.option("basePath", corpus)
+            .parquet(*[str(d) for d in sorted(batches.values())])
+        )
+    df = frames[0]
+    for other in frames[1:]:
+        df = df.unionByName(other, allowMissingColumns=True)
+    return df

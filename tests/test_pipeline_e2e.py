@@ -676,3 +676,126 @@ def test_invalid_record_quarantine_jsonl(spark, tmp_path):
     assert len(q) == 1
     assert q[0].raw_record == "{broken json"
     assert q[0].input_file.endswith("a.jsonl")
+
+
+def _mk_corpus(spark, corpus, n_batches=4, rows_per=3):
+    """Seed a corpus with n_batches tiny ingest_batch dirs (the shape the
+    streaming dedup loop produces)."""
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        incremental_dedup_sink,
+    )
+
+    sink = incremental_dedup_sink(
+        f"{corpus}__state", corpus, merge_buckets=4
+    )
+    for b in range(n_batches):
+        rows = [
+            (b * 100 + i, f"doc-{b}-{i}") for i in range(rows_per)
+        ]
+        sink(spark.createDataFrame(rows, "doc_id long, text string"), b)
+
+
+def test_compaction_folds_batch_dirs_preserving_content(spark, tmp_path):
+    from embulk_executor_mapreduce_spark.sinks.compact import (
+        compact_corpus,
+        read_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _mk_corpus(spark, corpus, n_batches=4)
+    before = sorted(
+        (r.doc_id, r.text, r.ingest_batch)
+        for r in read_corpus(spark, corpus).collect()
+    )
+    assert len(before) == 12
+
+    # default scope: everything but the newest batch (a writer may be
+    # retrying it); one output file at the default target size
+    gen = compact_corpus(spark, corpus)
+    assert gen == 0
+    names = sorted(p.name for p in (tmp_path / "corpus").iterdir())
+    assert "compacted=0" in names and "ingest_batch=3" in names
+    assert not any(n.startswith("ingest_batch=") and n != "ingest_batch=3" for n in names)
+    parts = [
+        p
+        for p in (tmp_path / "corpus" / "compacted=0").iterdir()
+        if p.name.endswith(".parquet")
+    ]
+    assert len(parts) == 1  # 12 tiny rows ≪ target_file_bytes
+
+    # content identical, provenance column intact across the fold
+    assert (
+        sorted(
+            (r.doc_id, r.text, r.ingest_batch)
+            for r in read_corpus(spark, corpus).collect()
+        )
+        == before
+    )
+
+    # second generation absorbs the remaining batch once it's old enough
+    assert compact_corpus(spark, corpus, through=3) == 1
+    assert (
+        sorted(
+            (r.doc_id, r.text, r.ingest_batch)
+            for r in read_corpus(spark, corpus).collect()
+        )
+        == before
+    )
+    # nothing live left → compacting again is a no-op
+    assert compact_corpus(spark, corpus, through=99) is None
+
+
+def test_compaction_crash_between_commit_and_cleanup(spark, tmp_path):
+    """Crash window: generation committed but consumed dirs not yet deleted.
+    Readers through read_corpus never see duplicates; the next entry
+    finishes the cleanup."""
+    import shutil
+
+    from embulk_executor_mapreduce_spark.sinks.compact import (
+        compact_corpus,
+        read_corpus,
+        recover_compaction,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _mk_corpus(spark, corpus, n_batches=3)
+    before = sorted(
+        (r.doc_id, r.text, r.ingest_batch)
+        for r in read_corpus(spark, corpus).collect()
+    )
+    # simulate the crash: run a real compaction, then resurrect a consumed
+    # dir from a copy taken beforehand
+    saved = tmp_path / "saved_batch0"
+    shutil.copytree(f"{corpus}/ingest_batch=0", saved)
+    assert compact_corpus(spark, corpus, through=1) == 0
+    shutil.copytree(saved, f"{corpus}/ingest_batch=0")
+
+    # raw double-read would now see batch 0 twice; read_corpus does not
+    assert (
+        sorted(
+            (r.doc_id, r.text, r.ingest_batch)
+            for r in read_corpus(spark, corpus).collect()
+        )
+        == before
+    )
+    assert not (tmp_path / "corpus" / "ingest_batch=0").exists()
+
+    # recovery is also idempotent when there is nothing to do
+    assert recover_compaction(corpus) == []
+
+
+def test_compaction_pre_commit_crash_leaves_corpus_untouched(spark, tmp_path):
+    from embulk_executor_mapreduce_spark.sinks.compact import (
+        read_corpus,
+        recover_compaction,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _mk_corpus(spark, corpus, n_batches=2)
+    # staging litter from a crash before the rename commit point
+    staging = tmp_path / "corpus" / ".__compact_staging__"
+    staging.mkdir()
+    (staging / "part-junk.parquet").write_bytes(b"junk")
+    assert recover_compaction(corpus) == []
+    assert not staging.exists()
+    assert read_corpus(spark, corpus).count() == 6
