@@ -1,0 +1,135 @@
+"""Link-graph centrality for crawl-quality weighting.
+
+Large-scale pretraining pipelines weight documents by the standing of the
+page/domain that produced them (link-graph centrality over the crawl graph —
+the idea behind PageRank-style quality priors in CommonCrawl-derived
+corpora). This module provides that as iterative edge-list DataFrame
+aggregates — the same Pregel-on-DataFrames shape as
+``operators.dedup.connected_components``: per iteration ONE join of the rank
+table against the edge list plus one keyed sum, all shuffles on vertex id,
+no driver-side graph, lineage truncated via ``localCheckpoint``. At 100 TB
+the edge list and rank table are both cluster-resident; pre-bucketing both
+by vertex id makes every iteration's join co-located.
+
+Exactmath discipline (see kmeans_train's scaled-integer means): ranks are
+BIGINT mass in units of 1/SCALE, every step is integer arithmetic
+(``DIV``), so the whole fixed-iteration run is bit-deterministic and
+unrolls into a portable DuckDB oracle (:func:`pagerank_cte_sql`) — a float
+PageRank's sum order would be irreproducible across engines.
+
+Semantics (documented deviations from textbook PageRank, mirrored exactly
+by the oracle):
+
+* damping is the exact rational ``damping_num/damping_den`` (85/100);
+* each node's contribution per out-edge is ``(rank*num) DIV (den*outdeg)``
+  — the flooring drops sub-ulp mass instead of accumulating float error;
+* dangling-node mass (no out-edges) is dropped, not redistributed — ranks
+  are relative quality weights here, not a normalized distribution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> DataFrame:
+    """Fixed-iteration integer PageRank over a (src, dst) edge list.
+
+    Returns ``(node, rank)`` with ``rank`` the BIGINT scaled mass
+    (``rank/scale`` ≈ the textbook value). Edges are deduplicated; node set
+    is every vertex appearing on either side.
+    """
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = nodes.count()  # planning-time scalar (node count), not row data
+    init = scale // n
+    base = (damping_den - damping_num) * scale // (damping_den * n)
+    # lit() would type a small init as INT and rank*85 overflows under ANSI —
+    # the rank column must be BIGINT end to end
+    ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks, e.src == ranks.node)
+            .join(outdeg, "src")
+            .select(
+                "dst",
+                F.expr(
+                    f"(rank * {damping_num}L) DIV ({damping_den}L * outdeg)"
+                ).alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("cs"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit(base).cast("long")
+                    + F.coalesce(F.col("cs"), F.lit(0).cast("long"))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    nodes.unpersist()
+    return ranks
+
+
+def pagerank_cte_sql(
+    edges_sql: str,
+    iters: int = 5,
+    scale: int = PR_SCALE,
+    damping_num: int = 85,
+    damping_den: int = 100,
+) -> str:
+    """DuckDB mirror of :func:`pagerank`, generated in lockstep: the fixed
+    iteration count unrolls into a WITH-clause chain and every step is the
+    same integer arithmetic (``//`` floor division on positive BIGINTs ==
+    Spark ``DIV``), so ranks match bit-exactly. ``SUM(BIGINT)`` is HUGEINT
+    in DuckDB — cast back to BIGINT at every sum. ``edges_sql`` must
+    project columns ``src, dst``."""
+    ctes = [
+        f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
+        "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
+        "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
+        (
+            f"params AS (SELECT {scale} // COUNT(*) AS init, "
+            f"{(damping_den - damping_num) * scale} // ({damping_den} * COUNT(*)) AS base "
+            "FROM nodes)"
+        ),
+        "r0 AS (SELECT node, init AS rank FROM nodes, params)",
+    ]
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"c{i} AS (SELECT e.dst, CAST(SUM((r.rank * {damping_num}) "
+            f"// ({damping_den} * o.outdeg)) AS BIGINT) AS cs "
+            f"FROM e JOIN r{i-1} r ON e.src = r.node "
+            "JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.node, params.base + COALESCE(c{i}.cs, 0) AS rank "
+            f"FROM nodes CROSS JOIN params LEFT JOIN c{i} ON c{i}.dst = nodes.node)"
+        )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
