@@ -133,3 +133,32 @@ def pagerank_cte_sql(
             f"FROM nodes CROSS JOIN params LEFT JOIN c{i} ON c{i}.dst = nodes.node)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
+
+
+def event_transition_edges(events: DataFrame) -> DataFrame:
+    """Edge list for the catalog's crawl-graph stand-in: consecutive
+    property-``k`` transitions per user, ordered by (ts, event_id) — the
+    event_id tiebreak makes the sequence (and thus the edge set)
+    deterministic. One window pass + distinct; at scale the window
+    partitions by user (no global sort)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        events.select("user_id", "ts", "event_id", k.alias("k"))
+        .select("k", F.lag("k").over(w).alias("pk"))
+        .where(F.col("pk").isNotNull())
+        .select(F.col("pk").alias("src"), F.col("k").alias("dst"))
+    )
+
+
+def event_transition_edges_sql(table: str = "events") -> str:
+    """DuckDB mirror of :func:`event_transition_edges` (lockstep)."""
+    return (
+        "SELECT pk AS src, k AS dst FROM ("
+        "SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k, "
+        "LAG(CAST(json_extract_string(props, '$.k') AS BIGINT)) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS pk "
+        f"FROM {table}) WHERE pk IS NOT NULL"
+    )

@@ -94,3 +94,22 @@ def test_pagerank_dedups_edges(spark):
     dup = spark.createDataFrame(TINY + TINY, "src long, dst long")
     got = {r.node: r.rank for r in pagerank(dup, iters=4).collect()}
     assert got == _reference_pagerank(TINY, iters=4)
+
+
+def test_event_graph_pagerank_full_oracle_parity(spark):
+    """The exact (fn, oracle) pair staged for r04 catalog registration,
+    driven through the same strict compare the round driver uses."""
+    from embulk_executor_mapreduce_spark.catalog import load
+    from embulk_executor_mapreduce_spark.operators.graph import (
+        event_transition_edges,
+        event_transition_edges_sql,
+    )
+    from tests.oracle import compare
+
+    def fn(spark, sf_dir):
+        edges = event_transition_edges(load(spark, sf_dir, "events"))
+        return pagerank(edges, iters=5)
+
+    oracle = pagerank_cte_sql(event_transition_edges_sql("events"), iters=5)
+    ok, msg = compare(spark, "/root/testdata/sf0.01", fn, oracle)
+    assert ok, msg
