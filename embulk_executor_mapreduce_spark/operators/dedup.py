@@ -512,3 +512,143 @@ def embedding_neardup(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def _sig_matches(a: Column, b: Column) -> Column:
+    """Number of agreeing MinHash positions — n_match/num_hashes is the
+    standard unbiased Jaccard estimate; kept as an INTEGER count so the
+    dup decision is an exact compare, never a float threshold."""
+    return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m))
+
+
+def incremental_minhash_dedup(
+    batch: DataFrame,
+    seen_bands: DataFrame | None,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_matches: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup: the continuous-crawl analog of
+    :func:`incremental_dedup` for fuzzy duplicates — each batch is deduped
+    against a persisted MinHash BAND INDEX, never against the corpus.
+
+    ``seen_bands`` is the state table ``(band, band_key, doc_id, sig)``
+    persisted through the bucket-pruned merge sink (``merge_key:
+    [doc_id, band]`` — insert-only rows, each batch rewrite touches only
+    the key-hash buckets its fingerprints land in). Per batch:
+
+    * signatures: one shingle explode + md5 + modular family + per-seed min
+      aggregate (exactly :func:`minhash_candidates`'s plan);
+    * WITHIN-batch candidates from a band self-join, verified by signature
+      agreement (``n_match >= min_matches`` of ``num_hashes`` — the
+      integer form of a Jaccard threshold, e.g. 12/16 ≈ 0.75);
+    * AGAINST-state candidates from a ``(band, band_key)`` equi-join of the
+      batch's band rows against the index — at scale both sides hash on
+      the same key the state layout buckets by; verified the same way;
+    * batch docs cluster over verified within-batch pairs
+      (:func:`connected_components`; singletons are their own cluster). A
+      cluster with ANY member near a state doc is dropped whole (its
+      content is already represented); otherwise the min-id member
+      survives.
+
+    Returns ``(novel_rows, band_delta)`` where ``band_delta`` holds the
+    SURVIVORS' band rows + signatures to merge into the index. Re-ingesting
+    an already-absorbed batch is a content-level no-op: every doc matches
+    its own indexed signature (n_match = num_hashes) and every cluster is
+    state-hit. (Unlike the exact loop there is no retry-claim column yet —
+    pair this with idempotent per-batch corpus writes downstream.)
+
+    Estimator caveat (documented, standard): band candidacy is a recall
+    filter; signature agreement is an ESTIMATE of Jaccard, so borderline
+    near-dups can differ from an exact-Jaccard verdict either way.
+    """
+    rows_per_band = num_hashes // bands
+    from .partitioning import spread_narrow
+
+    batch = spread_narrow(batch, id_col)
+    exploded = batch.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    ).select(id_col, (_base_hash(F.col("sh")) % MINHASH_PRIME).alias("hm"))
+    sig = exploded.groupBy(id_col).agg(
+        *[
+            F.min(_seed_hash(F.col("hm"), j)).alias(f"h{j}")
+            for j in range(num_hashes)
+        ]
+    ).select(
+        id_col, F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
+    )
+    banded = sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+    a, b = banded.alias("a"), banded.alias("b")
+    within = (
+        a.join(b, on=["band", "band_key"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(_sig_matches(F.col("sig_a"), F.col("sig_b")) >= min_matches)
+        .select("id_a", "id_b")
+    )
+    if seen_bands is None:
+        state_dups = batch.select(F.col(id_col)).limit(0)
+    else:
+        st = seen_bands.select(
+            "band",
+            "band_key",
+            F.col("sig").alias("st_sig"),
+        )
+        state_dups = (
+            banded.join(st, on=["band", "band_key"])
+            .where(_sig_matches(F.col("sig"), F.col("st_sig")) >= min_matches)
+            .select(id_col)
+            .distinct()
+        )
+
+    clusters = connected_components(within, "id_a", "id_b").select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    membership = sig.select(id_col).join(clusters, on=id_col, how="left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+    dead_clusters = (
+        membership.join(state_dups, on=id_col, how="left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    survivors = (
+        membership.join(dead_clusters, on="cluster_id", how="left_anti")
+        .where(F.col(id_col) == F.col("cluster_id"))
+        .select(id_col)
+    )
+    novel_rows = batch.join(survivors, on=id_col, how="left_semi")
+    band_delta = banded.join(survivors, on=id_col, how="left_semi").select(
+        "band", "band_key", id_col, "sig"
+    )
+    return novel_rows, band_delta

@@ -342,3 +342,100 @@ def test_incremental_dedup_with_merge_state(spark, tmp_path):
         r.text_hash: r.keep_doc_id for r in spark.read.parquet(state).collect()
     }
     assert sorted(fps.values()) == [10, 12, 21]
+
+
+def test_incremental_minhash_dedup_with_merge_state(spark, tmp_path):
+    """Incremental NEAR-dup loop: MinHash band index persisted through the
+    bucket-pruned merge sink; each batch drops content fuzzily similar to
+    anything already indexed (or to a smaller-id batch member), survivors'
+    bands extend the index. Re-ingestion is a content-level no-op."""
+    import os
+
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    state = str(tmp_path / "band_index")
+    corpus = str(tmp_path / "corpus")
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors watch from the harbor wall and debate the merits of "
+        "spark partitioning strategies at one hundred terabyte scale"
+    )
+    near1 = base + " indeed"          # one appended word: high Jaccard
+    near2 = "surely " + base          # one prepended word: high Jaccard
+    other = (
+        "completely different content about recipe ingredients flour "
+        "butter sugar eggs vanilla folded gently into batter and baked "
+        "until golden at one hundred eighty degrees for forty minutes"
+    )
+    third = (
+        "a third unrelated passage concerning maritime navigation charts "
+        "sextants chronometers and the longitude problem solved by john "
+        "harrison with his marine timekeepers in the eighteenth century"
+    )
+
+    def ingest(rows):
+        batch = spark.createDataFrame(rows, "doc_id long, text string")
+        seen = spark.read.parquet(state) if os.path.exists(state) else None
+        novel, delta = incremental_minhash_dedup(
+            batch, seen, "text", "doc_id"
+        )
+        novel.write.mode("append").parquet(corpus)
+        write_sink(
+            delta,
+            SinkSpec(
+                type="parquet",
+                path=state,
+                mode="merge",
+                merge_key=("doc_id", "band"),
+                merge_order=("band_key",),
+                merge_buckets=8,
+            ),
+        )
+        return sorted(r.doc_id for r in spark.read.parquet(corpus).collect())
+
+    # batch 1: 11 near-dups 10 (within batch), 12 distinct
+    assert ingest([(10, base), (11, near1), (12, other)]) == [10, 12]
+    # batch 2: 20 near-dups the INDEXED 10 (against state), 21 novel
+    assert ingest([(20, near2), (21, third)]) == [10, 12, 21]
+    # re-ingest batch 2 verbatim: every doc matches its own index entry
+    assert ingest([(20, near2), (21, third)]) == [10, 12, 21]
+    # the index holds bands only for survivors
+    idx_docs = {
+        r.doc_id for r in spark.read.parquet(state).collect()
+    }
+    assert idx_docs == {10, 12, 21}
+
+
+def test_incremental_minhash_dedup_cluster_drop(spark):
+    """A within-batch cluster with ANY state-dup member is dropped whole —
+    content chained off known material must not re-enter via a variant."""
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors watch from the harbor wall and debate the merits of "
+        "spark partitioning strategies at one hundred terabyte scale"
+    )
+    batch = spark.createDataFrame(
+        [(30, base + " postscript"), (31, "prologue " + base)],
+        "doc_id long, text string",
+    )
+    # first pass with empty state: 30 and 31 cluster together, 30 survives
+    novel, delta = incremental_minhash_dedup(batch, None, "text", "doc_id")
+    assert sorted(r.doc_id for r in novel.collect()) == [30]
+    # state contains ONLY doc 10 with the base text's bands
+    seed = spark.createDataFrame([(10, base)], "doc_id long, text string")
+    _, state = incremental_minhash_dedup(seed, None, "text", "doc_id")
+    # same batch against that state: both cluster members near the indexed
+    # base → whole cluster dropped, nothing survives
+    novel2, delta2 = incremental_minhash_dedup(
+        batch, state, "text", "doc_id"
+    )
+    assert novel2.count() == 0 and delta2.count() == 0
