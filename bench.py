@@ -178,6 +178,54 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     t0 = time.time()
     run_pipeline(spark, load_spec({**seed_spec, "in": {"type": "parquet", "path": batch_src}}))
     out["pipeline_merge_increment"] = round(time.time() - t0, 3)
+
+    # B5 link-graph centrality: integer PageRank over the event-transition
+    # graph (per-user lag window over the full events table feeds a ~100-node
+    # edge list; 5 eager iterations). Clock starts BEFORE the call — the
+    # localCheckpoint iterations are the work.
+    from embulk_executor_mapreduce_spark.catalog import load
+    from embulk_executor_mapreduce_spark.operators.graph import (
+        event_transition_edges,
+        pagerank,
+    )
+
+    t0 = time.time()
+    pagerank(event_transition_edges(load(spark, sf_dir, "events")), iters=5).collect()
+    out["graph_pagerank_events"] = round(time.time() - t0, 3)
+
+    # B6 incremental near-dup increment: seed a MinHash band index from the
+    # first half of documents (untimed), then time ONE batch of the second
+    # half deduping against it through the bucket-pruned merge sink — the
+    # steady-state cost of the continuous-crawl loop.
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        incremental_minhash_dedup,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    index = f"{tmp}/b6_index"
+    sink = SinkSpec(
+        type="parquet",
+        path=index,
+        mode="merge",
+        merge_key=("doc_id", "band"),
+        merge_order=("band_key",),
+        merge_buckets=16,
+    )
+    _, seed_delta = incremental_minhash_dedup(
+        docs.filter(f"doc_id < {n_docs // 2}"), None, "text", "doc_id"
+    )
+    write_sink(seed_delta, sink)  # untimed seeding
+    batch = docs.filter(f"doc_id >= {n_docs // 2} AND doc_id < {n_docs // 2 + 200}")
+    t0 = time.time()
+    novel, delta = incremental_minhash_dedup(
+        batch, spark.read.parquet(index), "text", "doc_id"
+    )
+    novel.write.format("noop").mode("overwrite").save()
+    write_sink(delta, sink)
+    out["dedup_incremental_minhash"] = round(time.time() - t0, 3)
     return out
 
 
