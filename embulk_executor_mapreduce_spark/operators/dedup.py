@@ -530,6 +530,7 @@ def incremental_minhash_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     min_matches: int = 12,
+    claim: Column | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup: the continuous-crawl analog of
     :func:`incremental_dedup` for fuzzy duplicates — each batch is deduped
@@ -558,8 +559,17 @@ def incremental_minhash_dedup(
     SURVIVORS' band rows + signatures to merge into the index. Re-ingesting
     an already-absorbed batch is a content-level no-op: every doc matches
     its own indexed signature (n_match = num_hashes) and every cluster is
-    state-hit. (Unlike the exact loop there is no retry-claim column yet —
-    pair this with idempotent per-batch corpus writes downstream.)
+    state-hit.
+
+    ``claim`` (streaming exactly-once, same contract as
+    :func:`incremental_dedup`): a literal tagging the ingestion unit. The
+    delta carries it as ``claim_batch``, and the against-state lookup
+    IGNORES index rows whose ``claim_batch`` equals this batch's — on a
+    retry whose state merge already committed, that filter reconstructs
+    exactly the pre-batch state view (original runs never see their own
+    claim: unit ids are unique), so the survivor set — and therefore the
+    per-batch idempotent corpus write — reproduces bit-for-bit instead of
+    collapsing to empty and losing the batch.
 
     Estimator caveat (documented, standard): band candidacy is a recall
     filter; signature agreement is an ESTIMATE of Jaccard, so borderline
@@ -619,6 +629,8 @@ def incremental_minhash_dedup(
     if seen_bands is None:
         state_dups = batch.select(F.col(id_col)).limit(0)
     else:
+        if claim is not None:
+            seen_bands = seen_bands.where(F.col("claim_batch") != claim)
         st = seen_bands.select(
             "band",
             "band_key",
@@ -651,4 +663,6 @@ def incremental_minhash_dedup(
     band_delta = banded.join(survivors, on=id_col, how="left_semi").select(
         "band", "band_key", id_col, "sig"
     )
+    if claim is not None:
+        band_delta = band_delta.withColumn("claim_batch", claim)
     return novel_rows, band_delta

@@ -288,3 +288,58 @@ def run_incremental_dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def incremental_neardup_sink(
+    state_path: str,
+    corpus_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    merge_buckets: int = 64,
+    min_matches: int = 12,
+):
+    """``foreachBatch`` body for the continuous-crawl NEAR-dup loop — the
+    fuzzy sibling of :func:`incremental_dedup_sink`, with the same
+    exactly-once construction: batch-scoped idempotent corpus dirs, a
+    deterministic keyed state merge, and
+    ``incremental_minhash_dedup(claim=lit(batch_id))`` so a retry whose
+    index merge already committed ignores its own claims and reproduces
+    its corpus rows instead of losing them."""
+    from ..operators.dedup import incremental_minhash_dedup
+    from ..sinks.writer import write_sink
+    from ..spec import SinkSpec
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            try:
+                seen = spark.read.parquet(state_path)
+            except Exception:  # first batch: no index yet
+                seen = None
+            novel, delta = incremental_minhash_dedup(
+                batch,
+                seen,
+                text_col,
+                id_col,
+                min_matches=min_matches,
+                claim=F.lit(batch_id),
+            )
+            novel.write.mode("overwrite").parquet(
+                f"{corpus_path}/ingest_batch={batch_id}"
+            )
+            write_sink(
+                delta,
+                SinkSpec(
+                    type="parquet",
+                    path=state_path,
+                    mode="merge",
+                    merge_key=(id_col, "band"),
+                    merge_order=("band_key",),
+                    merge_buckets=merge_buckets,
+                ),
+            )
+        finally:
+            batch.unpersist()
+
+    return _process

@@ -369,3 +369,68 @@ class TestIncrementalDedupStream:
             for r in spark.read.parquet(state).collect()
         }
         assert sorted(fps.values()) == [(10, 0), (12, 0), (21, 1)]
+
+
+class TestIncrementalNeardupStream:
+    """Near-dup crawl loop retry interleavings (fuzzy sibling of
+    TestIncrementalDedupStream)."""
+
+    BASE = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors watch from the harbor wall and debate the merits of "
+        "spark partitioning strategies at one hundred terabyte scale"
+    )
+    OTHER = (
+        "completely different content about recipe ingredients flour "
+        "butter sugar eggs vanilla folded gently into batter and baked "
+        "until golden at one hundred eighty degrees for forty minutes"
+    )
+
+    def _corpus_ids(self, spark, corpus):
+        return sorted(
+            r.doc_id for r in spark.read.parquet(str(corpus)).collect()
+        )
+
+    def test_retry_after_index_commit_but_lost_corpus_write(
+        self, spark, tmp_path
+    ):
+        import shutil
+
+        from embulk_executor_mapreduce_spark.streaming.ingest import (
+            incremental_neardup_sink,
+        )
+
+        state = str(tmp_path / "band_index")
+        corpus = str(tmp_path / "corpus")
+        sink = incremental_neardup_sink(state, corpus, merge_buckets=8)
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+        # batch 0: near-dup pair (11 ~ 10) + distinct doc
+        sink(mk([(10, self.BASE), (11, self.BASE + " indeed"), (12, self.OTHER)]), 0)
+        assert self._corpus_ids(spark, corpus) == [10, 12]
+        # batch 1: one state-dup (near 10), one novel
+        third = (
+            "a third unrelated passage concerning maritime navigation "
+            "charts sextants chronometers and the longitude problem solved "
+            "by john harrison with his marine timekeepers"
+        )
+        sink(mk([(20, "surely " + self.BASE), (21, third)]), 1)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+
+        # crash window: index merge committed, corpus dir lost → the retry
+        # must ignore its own claims and reconstruct doc 21 (without the
+        # claim column every doc would match its own index entry and the
+        # batch would collapse to empty)
+        shutil.rmtree(f"{corpus}/ingest_batch=1")
+        sink(mk([(20, "surely " + self.BASE), (21, third)]), 1)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+
+        # a NEW batch re-ingesting the same content is a content-level no-op
+        sink(mk([(20, "surely " + self.BASE), (21, third)]), 9)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+        idx = {
+            (r.doc_id, r.claim_batch)
+            for r in spark.read.parquet(state).collect()
+        }
+        assert {d for d, _ in idx} == {10, 12, 21}
+        assert all(c in (0, 1) for _, c in idx)
