@@ -799,3 +799,45 @@ def test_compaction_pre_commit_crash_leaves_corpus_untouched(spark, tmp_path):
     assert recover_compaction(corpus) == []
     assert not staging.exists()
     assert read_corpus(spark, corpus).count() == 6
+
+
+def test_compaction_of_streaming_dedup_corpus(spark, tmp_path):
+    """The two halves of the crawl loop compose: corpus dirs written by the
+    exactly-once dedup sink fold into a generation with identical content,
+    and the fingerprint state keeps deduping new batches afterwards."""
+    from embulk_executor_mapreduce_spark.sinks.compact import (
+        compact_corpus,
+        read_corpus,
+    )
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        incremental_dedup_sink,
+    )
+
+    state = str(tmp_path / "fp_state")
+    corpus = str(tmp_path / "corpus")
+    sink = incremental_dedup_sink(state, corpus, merge_buckets=8)
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+
+    sink(mk([(10, "aaa"), (11, "aaa"), (12, "bbb")]), 0)
+    sink(mk([(20, "bbb"), (21, "ccc")]), 1)
+    sink(mk([(30, "ddd")]), 2)
+
+    before = sorted(
+        (r.doc_id, r.text, r.ingest_batch)
+        for r in read_corpus(spark, corpus).collect()
+    )
+    assert [d for d, _, _ in before] == [10, 12, 21, 30]
+
+    assert compact_corpus(spark, corpus, through=1) == 0
+    assert (
+        sorted(
+            (r.doc_id, r.text, r.ingest_batch)
+            for r in read_corpus(spark, corpus).collect()
+        )
+        == before
+    )
+    # the loop keeps working against the same state after compaction
+    sink(mk([(40, "ccc"), (41, "eee")]), 3)
+    assert sorted(
+        r.doc_id for r in read_corpus(spark, corpus).collect()
+    ) == [10, 12, 21, 30, 41]
