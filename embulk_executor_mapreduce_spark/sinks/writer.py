@@ -166,7 +166,37 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     shutil.rmtree(staging, ignore_errors=True)
 
 
+def dedup_corpus_sink_fn(spec: SinkSpec):
+    """Build the per-batch body for a ``dedup_corpus`` sink from its spec —
+    shared by the batch path (one ingestion unit, ``options.batch_tag``) and
+    the streaming path (real micro-batch ids): corpus appends land in
+    batch-scoped idempotent dirs, the dedup state merges bucket-pruned, and
+    the claim column makes retries exactly-once (see
+    ``streaming/ingest.incremental_dedup_sink`` /
+    ``incremental_neardup_sink``). Distinct pipelines feeding ONE corpus
+    must use disjoint batch_tag/checkpoint namespaces — claims collide
+    otherwise."""
+    from ..streaming.ingest import (
+        incremental_dedup_sink,
+        incremental_neardup_sink,
+    )
+
+    o = spec.options
+    kwargs = dict(
+        text_col=str(o.get("text_column", "text")),
+        id_col=str(o.get("id_column", "doc_id")),
+        merge_buckets=int(o.get("merge_buckets", 64)),
+    )
+    if o.get("near"):
+        kwargs["min_matches"] = int(o.get("min_matches", 12))
+        return incremental_neardup_sink(str(o["state"]), spec.path, **kwargs)
+    return incremental_dedup_sink(str(o["state"]), spec.path, **kwargs)
+
+
 def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> None:
+    if spec.type == "dedup_corpus":
+        dedup_corpus_sink_fn(spec)(df, int(spec.options.get("batch_tag", 0)))
+        return
     if spec.type == "null":
         # still execute the plan (reference NullOutputFormat still runs tasks)
         df.write.format("noop").mode("overwrite").save()

@@ -22,7 +22,16 @@ from .operators.partitioning import MAX_SPLIT, UNIT_SECONDS, UNIX_UNIT_DIVISOR
 from .types import ColumnSpec
 
 _SOURCE_TYPES = {"parquet", "csv", "json", "orc", "task", "binaryfile", "text"}
-_SINK_TYPES = {"parquet", "csv", "json", "orc", "null", "memory", "table"}
+_SINK_TYPES = {
+    "parquet",
+    "csv",
+    "json",
+    "orc",
+    "null",
+    "memory",
+    "table",
+    "dedup_corpus",
+}
 _FILTER_TYPES = {
     "select",
     "drop",
@@ -159,6 +168,17 @@ class PipelineSpec:
                 raise ConfigError("table sink needs bucket_by AND buckets > 0 together")
         elif self.sink.type not in ("null", "memory") and not self.sink.path:
             raise ConfigError(f"sink type {self.sink.type!r} requires a path")
+        if self.sink.type == "dedup_corpus":
+            # the crawl-loop sink: path = corpus root, options.state = the
+            # fingerprint/band-index state dir (merged bucket-pruned);
+            # options.near switches exact → MinHash near-dup
+            if not self.sink.options.get("state"):
+                raise ConfigError("dedup_corpus sink requires options.state")
+            if self.partitioning is not None or self.sink.partition_by:
+                raise ConfigError(
+                    "dedup_corpus sink manages its own batch-dir layout; "
+                    "it does not combine with partitioning"
+                )
         if self.partitioning is not None:
             self.partitioning.validate()
         if self.execution.reducers is not None and self.execution.reducers <= 0:
