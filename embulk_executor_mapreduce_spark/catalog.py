@@ -43,9 +43,16 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
-# columns stored as parquet TIMESTAMP(NANOS), which Spark only reads via the
-# nanosAsLong legacy conf; we normalize them back to (microsecond) timestamps.
-# `ts div 1000` is integer division — no double round-trip, no precision loss.
+# The driver's testdata generator has shipped timestamps under three physical
+# parquet encodings across rounds: TIMESTAMP(NANOS) (Spark reads as long via
+# the nanosAsLong legacy conf), TIMESTAMP(MICROS) isAdjustedToUTC=false
+# (loads as TIMESTAMP_NTZ), and TIMESTAMP(MICROS) isAdjustedToUTC=true
+# (loads as TIMESTAMP). Every catalog query wants plain TimestampType, so
+# load() normalizes all three — exactly, no double round-trips:
+#   nanos-long  → timestamp_micros(ts div 1000)   (integer division)
+#   TIMESTAMP_NTZ → cast to TIMESTAMP            (session tz is pinned UTC,
+#     so the wall-clock reading is the same instant DuckDB sees for the same
+#     naive value — both sides of the oracle stay in lockstep)
 _NANO_TS_COLUMNS = {"events": ("ts",)}
 
 
@@ -55,7 +62,35 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     for col in _NANO_TS_COLUMNS.get(table, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
+
+
+def events_ts_normalize_filters(sf_dir: str) -> list[dict]:
+    """Spec filter-chain stages normalizing ``events.ts`` to TimestampType
+    for pipelines that read the raw parquet through the engine's generic
+    source (catalog queries go through :func:`load`, which normalizes
+    internally). Probes the physical encoding from the parquet footer —
+    metadata-only, no data read; see load()'s comment for the three cases.
+    Accepts the sf dir or the events.parquet path itself.
+    """
+    import pyarrow.parquet as pq
+
+    path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/events.parquet"
+    t = pq.read_schema(path).field("ts").type
+    if str(t) == "timestamp[ns]":
+        expr = "timestamp_micros(ts div 1000)"
+    elif getattr(t, "tz", None) is None:
+        expr = "cast(ts as timestamp)"
+    else:
+        return []
+    return [
+        {"type": "with_column", "name": "ts2", "expr": expr},
+        {"type": "drop", "columns": ["ts"]},
+        {"type": "rename", "mapping": {"ts2": "ts"}},
+    ]
 
 
 # Deterministic float-aggregate discipline (see exactmath module docstring):
@@ -1712,6 +1747,71 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "xml_engine_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S') AS max_date
+    FROM orders WHERE o_orderkey <= 1000 GROUP BY o_orderpriority
+    """,
+    tags=("source", "xml"),
+)
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sources/sinks beyond CSV (SURVEY §2.4): parquet → xml sink → xml
+    source → aggregate, through the engine's own pipeline. Spark 4's native
+    XML datasource (no external jar); the engine pins paired microsecond
+    timestampFormat defaults and surrounding-whitespace fidelity
+    (ignoreSurroundingSpaces off — the reader default trims values). The
+    oracle sees only the original table, so the trip must be lossless."""
+    import tempfile
+
+    from .plans.compiler import compile_pipeline, run_pipeline
+    from .spec import load_spec
+
+    outdir = tempfile.mkdtemp(prefix="xml_rt_") + "/ord"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/orders.parquet"},
+                "filters": [
+                    {"type": "filter", "predicate": "o_orderkey <= 1000"},
+                    {"type": "select", "columns": ["o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"]},
+                    # the testdata's NTZ-encoded timestamps normalize to
+                    # TimestampType so the xml writer's timestampFormat
+                    # (not timestampNTZFormat) governs the trip
+                    {"type": "cast", "mapping": {"o_orderdate": "timestamp"}},
+                ],
+                "out": {"type": "xml", "path": outdir},
+            }
+        ),
+    )
+    back = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "xml",
+                    "path": outdir,
+                    "columns": [
+                        {"name": "o_orderkey", "type": "long"},
+                        {"name": "o_orderpriority", "type": "string"},
+                        {"name": "o_totalprice", "type": "double"},
+                        {"name": "o_orderdate", "type": "timestamp"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd HH:mm:ss").alias("max_date"),
+    )
+
+
+@register(
     "task_source_generate",
     oracle="""
     SELECT t.task_index, g.i,
@@ -2658,9 +2758,7 @@ def q_spec_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
                 "filters": [
-                    {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
-                    {"type": "drop", "columns": ["ts"]},
-                    {"type": "rename", "mapping": {"ts2": "ts"}},
+                    *events_ts_normalize_filters(sf_dir),
                     {
                         "type": "dedup",
                         "columns": ["user_id"],
@@ -3467,6 +3565,37 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "token", "tfidf_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# Link-graph centrality (crawl-quality weighting for pretraining corpora)
+# ---------------------------------------------------------------------------
+
+
+from .operators.graph import (  # noqa: E402
+    event_transition_edges_sql,
+    pagerank_cte_sql,
+)
+
+
+@register(
+    "graph_pagerank_events",
+    oracle=pagerank_cte_sql(event_transition_edges_sql("events"), iters=5),
+    tags=("graph", "centrality"),
+)
+def q_graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-quality centrality: fixed-iteration integer PageRank over the
+    event-transition graph (consecutive props.k transitions per user — the
+    catalog's crawl-graph stand-in). Exact scaled-BIGINT mass with rational
+    damping makes every iteration bit-deterministic, so the DuckDB oracle
+    unrolls the 5 iterations and matches the value hash exactly (a float
+    PageRank's sum order is irreproducible across engines). Per iteration:
+    one equi-join of ranks against the edge list + one keyed sum, all
+    shuffles on vertex id — at 100 TB pre-bucket both sides by vertex id
+    and every iteration's join is co-located (operators/graph.py)."""
+    from .operators.graph import event_transition_edges, pagerank
+
+    return pagerank(event_transition_edges(load(spark, sf_dir, "events")), iters=5)
 
 
 # Registration-order priority: the round driver snapshots only the FIRST 50

@@ -21,21 +21,43 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_STREAM_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # parquet TIMESTAMP(NANOS) → long
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_ts_field(sf_dir: str) -> T.DataType:
+    """Metadata-only probe of the events table's physical ``ts`` encoding.
+
+    The testdata generator has shipped three encodings across rounds (see
+    catalog.load): TIMESTAMP(NANOS) → read as long under the nanosAsLong
+    legacy conf; TIMESTAMP(MICROS) isAdjustedToUTC=false → TIMESTAMP_NTZ;
+    isAdjustedToUTC=true → TIMESTAMP. A streaming read needs the schema up
+    front, so probe the footer (pyarrow, no data read) instead of guessing.
+    """
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
+    if str(t) == "timestamp[ns]":
+        return T.LongType()
+    if getattr(t, "tz", None) is None:
+        return T.TimestampNTZType()
+    return T.TimestampType()
+
+
+def events_stream_schema(sf_dir: str) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", _events_ts_field(sf_dir)),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental parquet source over the events table (stand-in for a Kafka
-    topic; swap format for production). Normalizes the nano-long timestamp.
+    topic; swap format for production). Normalizes ``ts`` to TimestampType
+    whatever its physical encoding (nanos-long → integer-division micros;
+    NTZ → cast, identical instant under the pinned-UTC session).
 
     The file-stream source wants a directory to watch; the testdata table is
     a single file, so expose it through a tempdir symlink (read-only shim —
@@ -44,8 +66,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     watch_dir = Path(tempfile.mkdtemp(prefix="events_stream_"))
     (watch_dir / "events.parquet").symlink_to(f"{sf_dir}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_STREAM_SCHEMA).parquet(str(watch_dir))
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raw = spark.readStream.schema(events_stream_schema(sf_dir)).parquet(str(watch_dir))
+    ts_type = dict(raw.dtypes)["ts"]
+    if ts_type == "bigint":
+        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if ts_type == "timestamp_ntz":
+        return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    return raw
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -9,6 +9,7 @@ from pathlib import Path
 
 import pytest
 
+from embulk_executor_mapreduce_spark.catalog import events_ts_normalize_filters
 from embulk_executor_mapreduce_spark.errors import (
     ConfigError,
     RemoteTaskFailedDataError,
@@ -86,9 +87,7 @@ def test_partitioned_multiset_and_bucket_layout(spark, tmp_path):
         {
             "in": {"type": "parquet", "path": EVENTS},
             "filters": [
-                {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
-                {"type": "drop", "columns": ["ts"]},
-                {"type": "rename", "mapping": {"ts2": "ts"}},
+                *events_ts_normalize_filters(EVENTS),
             ],
             "out": {"type": "parquet", "path": out, "partition_by_bucket": True},
             "exec": {
@@ -114,9 +113,7 @@ def test_salted_partitioning_multiset(spark, tmp_path):
         {
             "in": {"type": "parquet", "path": EVENTS},
             "filters": [
-                {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
-                {"type": "drop", "columns": ["ts"]},
-                {"type": "rename", "mapping": {"ts2": "ts"}},
+                *events_ts_normalize_filters(EVENTS),
             ],
             "out": {"type": "parquet", "path": out},
             "exec": {
@@ -179,6 +176,75 @@ def test_stop_on_invalid_record_false_skips(spark, bad_csv, tmp_path):
     assert rep.succeeded and rep.output_rows == 3  # bad row skipped
     ids = sorted(r.id for r in spark.read.parquet(out).collect())
     assert ids == [1, 2, 4]
+
+
+def test_xml_engine_roundtrip_all_types(spark, tmp_path):
+    """Engine xml sink → engine xml source roundtrip (Spark 4 native XML
+    datasource — 'sources/sinks beyond CSV', SURVEY §2.4). Type gauntlet +
+    adversarial strings: XML metacharacters entity-escape, embedded newlines
+    survive, surrounding whitespace is preserved (ignoreSurroundingSpaces
+    pinned off — the reader default trims, same corruption class as the csv
+    writer's Univocity trim flags), empty string stays distinct from NULL
+    (absent element), and timestamps carry microseconds via the paired
+    timestampFormat defaults."""
+    import datetime
+
+    seed = str(tmp_path / "seed")
+    rows = [
+        (1, True, 2.718, "plain", datetime.datetime(2024, 1, 15, 10, 0, 0, 123456), '{"k":1}'),
+        (2, False, -0.5, "", None, None),
+        (3, None, None, None, None, None),
+        (4, True, 1e18, 'a<b&c>d"e\'f', None, None),
+        (5, None, None, "line1\nline2", None, None),
+        (6, None, None, "  spaces  ", None, None),
+        (7, None, None, "日本語🎉", None, None),
+    ]
+    spark.createDataFrame(
+        rows, "l long, b boolean, d double, s string, t timestamp, j string"
+    ).coalesce(1).write.parquet(seed)
+
+    xml_out = str(tmp_path / "xml")
+    rep = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": seed},
+                "out": {"type": "xml", "path": xml_out},
+            }
+        ),
+    )
+    assert rep.succeeded and rep.output_rows == 7
+
+    cols = [
+        {"name": "l", "type": "long"},
+        {"name": "b", "type": "boolean"},
+        {"name": "d", "type": "double"},
+        {"name": "s", "type": "string"},
+        {"name": "t", "type": "timestamp"},
+        {"name": "j", "type": "json"},
+    ]
+    back_out = str(tmp_path / "back")
+    rep2 = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "xml", "path": xml_out, "columns": cols},
+                "out": {"type": "parquet", "path": back_out},
+            }
+        ),
+    )
+    assert rep2.succeeded and rep2.output_rows == 7
+
+    got = {r.l: r for r in spark.read.parquet(back_out).collect()}
+    assert got[1].b is True and abs(got[1].d - 2.718) < 1e-12
+    assert got[1].s == "plain" and got[1].t.microsecond == 123456
+    assert got[1].j == '{"k":1}'
+    assert got[2].s == ""  # empty element ≠ absent element
+    assert got[3].s is None and got[3].b is None
+    assert got[4].s == 'a<b&c>d"e\'f' and got[4].d == 1e18
+    assert got[5].s == "line1\nline2"
+    assert got[6].s == "  spaces  "
+    assert got[7].s == "日本語🎉"
 
 
 def test_csv_roundtrip_all_types(spark, tmp_path):
@@ -324,9 +390,7 @@ def test_dynamic_partition_overwrite_reload_one_bucket(spark, tmp_path):
 
     def spec_for(path, predicate=None, overwrite="dynamic"):
         filters = [
-            {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
-            {"type": "drop", "columns": ["ts"]},
-            {"type": "rename", "mapping": {"ts2": "ts"}},
+            *events_ts_normalize_filters(EVENTS),
         ]
         if predicate:
             filters.append({"type": "filter", "predicate": predicate})

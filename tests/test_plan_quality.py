@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from embulk_executor_mapreduce_spark import catalog
+from embulk_executor_mapreduce_spark.catalog import events_ts_normalize_filters
 from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
 from embulk_executor_mapreduce_spark.plans.inspect import (
     has_broadcast_join,
@@ -70,9 +71,7 @@ def test_partitioned_pipeline_has_single_exchange(spark):
         {
             "in": {"type": "parquet", "path": f"{SF}/events.parquet"},
             "filters": [
-                {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
-                {"type": "drop", "columns": ["ts"]},
-                {"type": "rename", "mapping": {"ts2": "ts"}},
+                *events_ts_normalize_filters(f"{SF}/events.parquet"),
             ],
             "out": {"type": "null"},
             "exec": {"reducers": 8, "partitioning": {"column": "ts", "unit": "hour"}},

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from embulk_executor_mapreduce_spark.catalog import events_ts_normalize_filters
 from embulk_executor_mapreduce_spark.reports import ProgressMonitor
 from embulk_executor_mapreduce_spark.streaming.ingest import (
     read_events_stream,
@@ -111,9 +112,7 @@ def test_streaming_pipeline_partitioned_bucket_layout(spark, tmp_path):
             {
                 "in": {"type": "parquet", "path": "/root/testdata/sf0.001/events.parquet"},
                 "filters": [
-                    {"type": "with_column", "name": "ts2", "expr": "timestamp_micros(ts div 1000)"},
-                    {"type": "drop", "columns": ["ts"]},
-                    {"type": "rename", "mapping": {"ts2": "ts"}},
+                    *events_ts_normalize_filters("/root/testdata/sf0.001/events.parquet"),
                 ],
                 "out": {"type": "parquet", "path": out, "partition_by_bucket": True},
                 "exec": {"reducers": 4, "partitioning": {"column": "ts", "unit": "day"}},
