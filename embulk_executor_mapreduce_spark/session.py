@@ -45,6 +45,12 @@ def get_spark(
         # default 100-field codegen cutoff and silently fall back to
         # interpreted eval — measured 1.6x slower on minhash_lsh_128x16
         .config("spark.sql.codegen.maxFields", "300")
+        # the generated-class cache defaults to 100 entries; a long-lived
+        # session running many wide-expression plans (64-dim ADC folds,
+        # 128-col MinHash signatures) evicts and re-Janino-compiles classes
+        # that take seconds each — observed as a 6x outlier on one bench
+        # entry. The cache holds class references, not data; 1000 is cheap.
+        .config("spark.sql.codegen.cache.maxEntries", "1000")
         # managed-table warehouse outside the repo checkout (bucketed-table
         # sinks); tmp is fine — the engine treats managed tables as
         # rebuildable layout artifacts, not system-of-record storage

@@ -263,6 +263,16 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
                 df = df.withColumn(
                     name, F.date_format(F.col(name), _strptime_to_java(str(fmt)))
                 )
+    if spec.type == "xml":
+        # Spark 4 native XML writer. rowTag/rootTag defaults pair with the
+        # engine's xml SOURCE; timestampFormat carries microseconds so a
+        # write→read roundtrip is lossless at TimestampType precision.
+        opts = {
+            "rowTag": "row",
+            "rootTag": "rows",
+            "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            **opts,
+        }
     if spec.sort_by and spec.type != "table":
         # per-file clustering for data skipping: sorting WITHIN write
         # partitions (no extra exchange) makes each parquet/orc row group's
@@ -315,5 +325,7 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
         writer.json(spec.path)
     elif spec.type == "orc":
         writer.orc(spec.path)
+    elif spec.type == "xml":
+        writer.format("xml").save(spec.path)
     else:
         raise ConfigError(f"unknown sink type {spec.type!r}")

@@ -449,6 +449,24 @@ def read_source(
         return df
     if spec.type == "json":
         return _read_json(spark, spec)
+    if spec.type == "xml":
+        # Spark 4 native XML datasource (built in since 4.0 — no external
+        # jar). rowTag is mandatory for the reader; default mirrors the
+        # sink's "row". timestampFormat default matches the sink so an
+        # engine-written dataset roundtrips at microsecond fidelity.
+        opts = {
+            "rowTag": "row",
+            "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
+            # the reader trims surrounding whitespace by default — silent
+            # value corruption (same class as the csv writer's Univocity
+            # trim flags, pinned off in sinks/writer.py)
+            "ignoreSurroundingSpaces": False,
+            **spec.options,
+        }
+        reader = spark.read.options(**opts)
+        if spec.columns:
+            reader = reader.schema(build_schema(list(spec.columns)))
+        return reader.format("xml").load(spec.path)
     if spec.type in ("parquet", "orc"):
         if spec.type == "parquet":
             # tolerate TIMESTAMP(NANOS) parquet files (read as long nanos)

@@ -21,12 +21,13 @@ from .errors import ConfigError, PartitionError
 from .operators.partitioning import MAX_SPLIT, UNIT_SECONDS, UNIX_UNIT_DIVISOR
 from .types import ColumnSpec
 
-_SOURCE_TYPES = {"parquet", "csv", "json", "orc", "task", "binaryfile", "text"}
+_SOURCE_TYPES = {"parquet", "csv", "json", "orc", "xml", "task", "binaryfile", "text"}
 _SINK_TYPES = {
     "parquet",
     "csv",
     "json",
     "orc",
+    "xml",
     "null",
     "memory",
     "table",
