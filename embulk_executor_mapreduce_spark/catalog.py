@@ -1451,6 +1451,50 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(stream, "stream_dedup_events", output_mode="append")
 
 
+@register(
+    "stream_sliding_enriched",
+    oracle="""
+    WITH seg AS (
+      SELECT c_custkey AS user_id, c_mktsegment AS segment FROM customer
+    ), e AS (
+      SELECT ts, value, segment FROM events JOIN seg USING (user_id)
+    ), x AS (
+      -- width = 2 x slide: every event lands in exactly the 2 slide-aligned
+      -- windows [floor30(ts) - i*1800, +1h), i in {0,1} - the same set
+      -- Spark's F.window(ts, '1 hour', '30 minutes') assigns
+      SELECT (CAST(floor(epoch(ts) / 1800) AS BIGINT) - i.i) * 1800
+               AS window_start_sec,
+             segment, value
+      FROM e CROSS JOIN (SELECT unnest(range(2)) AS i) i
+    )
+    SELECT window_start_sec, segment, count(*) AS n_events,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS sum_value
+    FROM x GROUP BY 1, 2
+    """,
+    tags=("streaming", "join"),
+)
+def q_stream_sliding_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1h window / 30m slide) counts over the event stream
+    enriched by a STATIC per-user segment dimension (stream-static broadcast
+    join — no join state) — driven to completion with availableNow; the
+    incremental result must equal the batch double-window expansion
+    (oracle). Exact integer-cent sums make the result micro-batch-split
+    invariant."""
+    from .streaming.ingest import (
+        read_events_stream,
+        run_stream_to_memory,
+        sliding_enriched_stream,
+    )
+
+    segments = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    stream = sliding_enriched_stream(read_events_stream(spark, sf_dir), segments)
+    return run_stream_to_memory(
+        stream, "stream_sliding_enriched", output_mode="complete"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar function gauntlets (portable surface, functions/registry.py)
 # ---------------------------------------------------------------------------

@@ -47,6 +47,7 @@ import shutil
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 _BATCH_RE = re.compile(r"^ingest_batch=(\d+)$")
 _GEN_RE = re.compile(r"^compacted=(\d+)$")
@@ -141,10 +142,34 @@ def compact_corpus(
     return gen
 
 
-def read_corpus(spark: SparkSession, corpus: str) -> DataFrame:
+def corpus_snapshot_id(corpus: str) -> int:
+    """The corpus's current snapshot id = the highest ingest batch visible
+    (live dir or absorbed into a committed generation). Record this when a
+    training run starts; ``read_corpus(..., as_of_batch=id)`` reproduces
+    the exact corpus later — the training-reproducibility contract. -1 on
+    an empty corpus."""
+    root = Path(corpus)
+    if not root.is_dir():
+        return -1
+    batches, gens = _scan_layout(corpus)
+    return max(max(batches, default=-1), _watermark(gens))
+
+
+def read_corpus(
+    spark: SparkSession, corpus: str, as_of_batch: int | None = None
+) -> DataFrame:
     """Uniform corpus view across generations and live batch dirs, with the
     ``ingest_batch`` provenance column in both; runs crash recovery first so
     no interleaving can surface a duplicate row.
+
+    ``as_of_batch`` pins a reproducible snapshot: only rows ingested at or
+    below that batch id. The corpus is append-only (the dedup loop never
+    rewrites a landed row) and compaction is row-preserving with provenance
+    intact, so the same ``as_of_batch`` returns the same multiset however
+    many batches/compactions happen afterwards. Cost: on live dirs the
+    predicate is partition pruning (ingest_batch is the dir key); inside a
+    generation it rides parquet row-group min/max stats — compaction reads
+    input dirs in batch order, so row groups stay batch-clustered.
 
     Generations and live dirs are read as two frames and unioned by name
     (one basePath over both would make partition inference see conflicting
@@ -168,4 +193,6 @@ def read_corpus(spark: SparkSession, corpus: str) -> DataFrame:
     df = frames[0]
     for other in frames[1:]:
         df = df.unionByName(other, allowMissingColumns=True)
+    if as_of_batch is not None:
+        df = df.filter(F.col("ingest_batch") <= as_of_batch)
     return df

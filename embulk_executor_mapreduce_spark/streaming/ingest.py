@@ -123,6 +123,47 @@ def session_window_stream(
     )
 
 
+def sliding_enriched_stream(
+    events: DataFrame,
+    segments: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window aggregation over a stream ENRICHED by a static
+    dimension — the two streaming shapes the rest of the catalog doesn't
+    cover:
+
+    * **stream-static join**: the static side (a per-user segment lookup)
+      is broadcast into every micro-batch — no join state, no watermark
+      needed on the static side; the canonical dimension-enrichment shape.
+    * **sliding windows**: ``F.window(ts, window, slide)`` assigns each
+      event to ``window/slide`` overlapping windows (2 here); state is per
+      (window, segment) and expires at the watermark like tumbling windows.
+
+    Exactmath discipline: value sums accumulate as integer cents so the
+    result is identical however events are split across micro-batches.
+    ``segments`` must carry (user_id, segment).
+    """
+    enriched = events.join(F.broadcast(segments), "user_id")
+    return (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "segment")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / F.lit(100.0)).alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_sec"),
+            "segment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_stream_join(
     events: DataFrame, horizon: str = "1 day", watermark: str = "2 days"
 ) -> DataFrame:

@@ -57,6 +57,13 @@ DEFERRED: dict[str, str] = {
         "local strict oracle green at sf0.01 this session + adversarial "
         "pytest battery. Rotates into r04's window."
     ),
+    "stream_sliding_enriched": (
+        "r03: new query registered after the 50 window slots were spent "
+        "(sliding windows + stream-static broadcast enrichment — the two "
+        "streaming shapes the catalog lacked). Batch-equivalent DuckDB "
+        "oracle (double-window expansion); local strict oracle green at "
+        "sf0.01 this session. Rotates into r04's window."
+    ),
     "zorder_cluster_key": (
         "r03: flagged only because partitioning.py changed; the query's "
         "z_interleave path is untouched this round (diff-verified: edits "

@@ -809,6 +809,53 @@ def test_compaction_folds_batch_dirs_preserving_content(spark, tmp_path):
     assert compact_corpus(spark, corpus, through=99) is None
 
 
+def test_corpus_snapshot_reads_stable_across_compaction(spark, tmp_path):
+    """Reproducible-training contract: a snapshot pinned by
+    read_corpus(as_of_batch=N) returns the SAME multiset after further
+    ingestion AND after compaction rewrites the physical layout —
+    ingest_batch provenance survives the fold, and the corpus is
+    append-only."""
+    from embulk_executor_mapreduce_spark.sinks.compact import (
+        compact_corpus,
+        corpus_snapshot_id,
+        read_corpus,
+    )
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        incremental_dedup_sink,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _mk_corpus(spark, corpus, n_batches=4)
+    assert corpus_snapshot_id(corpus) == 3
+
+    snap = 2  # a training run records this id at kickoff
+    want = sorted(
+        (r.doc_id, r.text, r.ingest_batch)
+        for r in read_corpus(spark, corpus, as_of_batch=snap).collect()
+    )
+    assert len(want) == 9 and {b for _, _, b in want} == {0, 1, 2}
+
+    # corpus moves on: another batch lands, then compaction folds 0..3
+    sink = incremental_dedup_sink(f"{corpus}__state", corpus, merge_buckets=4)
+    sink(
+        spark.createDataFrame(
+            [(400 + i, f"doc-4-{i}") for i in range(3)], "doc_id long, text string"
+        ),
+        4,
+    )
+    assert compact_corpus(spark, corpus, through=3) == 0
+    assert corpus_snapshot_id(corpus) == 4
+
+    got = sorted(
+        (r.doc_id, r.text, r.ingest_batch)
+        for r in read_corpus(spark, corpus, as_of_batch=snap).collect()
+    )
+    assert got == want  # byte-identical snapshot through the rewrite
+
+    # the unpinned view sees everything
+    assert read_corpus(spark, corpus).count() == 15
+
+
 def test_compaction_crash_between_commit_and_cleanup(spark, tmp_path):
     """Crash window: generation committed but consumed dirs not yet deleted.
     Readers through read_corpus never see duplicates; the next entry
