@@ -1,11 +1,28 @@
-"""Benchmark harness: runs the headline catalog queries + the three pipeline
-shapes (ingest / partitioned load / skew) at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+"""Benchmark harness: runs the headline catalog queries + the pipeline
+shapes (ingest / partitioned load / skew / merge / pagerank / incremental
+dedup) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}.
 
 Queries execute via collect (small results) or a noop write (wide results) so
 measured time is plan execution, not driver result shipping. Pipeline shapes
 write real parquet to a tempdir (the commit protocol is part of the cost).
+
+Measurement discipline (VERDICT r3: BENCH_r03 was contaminated by concurrent
+machine load, entries read 3-5x slower than idle re-runs of unchanged code):
+
+* LOADAVG GATE — before measuring, wait (bounded) for 1-min loadavg/ncpu to
+  drop below a threshold; the JSON records loadavg at start/end plus a
+  ``load_contaminated`` flag so a number taken on a busy machine can never
+  masquerade as a regression signal again.
+* BEST-OF-2 WARM — every entry runs twice and reports the min; the first
+  run's times are recorded alongside under ``queries_first`` (first runs pay
+  one-time Janino codegen compilation, a fixed per-JVM cost that amortizes
+  to zero on a long-lived cluster). Rounds ≤3 recorded single runs — the
+  ``methodology`` field marks the change for cross-round comparisons.
+* TIME BUDGET — second runs are skipped (first run stands) once total bench
+  wall-clock exceeds the budget, so the driver's timeout always gets its
+  JSON line.
 """
 
 from __future__ import annotations
@@ -92,66 +109,104 @@ def _ts_normalize_filters(sf_dir: str) -> list[dict]:
     return catalog.events_ts_normalize_filters(sf_dir)
 
 
-def _pipeline_benches(spark, sf_dir: str, tmp: str) -> dict[str, float]:
-    out: dict[str, float] = {}
+class _Recorder:
+    """Best-of-2 with a wall-clock budget: every entry runs twice and the min
+    is reported (``first`` keeps run 1); once the budget is spent, second
+    runs are skipped so the driver's timeout always gets its JSON line."""
 
-    # B1 ingest: scan → identity → parquet sink (map-only, zero exchanges)
+    def __init__(self, budget_sec: float = 420.0):
+        self.t0 = time.time()
+        self.budget = budget_sec
+        self.best: dict[str, float] = {}
+        self.first: dict[str, float] = {}
+        self.second_skipped: list[str] = []
+
+    def record(self, name: str, run, rerun=None) -> None:
+        t1 = run()
+        self.first[name] = t1
+        if time.time() - self.t0 < self.budget:
+            self.best[name] = round(min(t1, (rerun or run)()), 3)
+        else:
+            self.best[name] = t1
+            self.second_skipped.append(name)
+        gc.collect()  # release py4j DF refs so ContextCleaner can drop
+        # finished broadcasts/RDDs instead of accumulating across entries
+
+
+def _timed(fn) -> float:
     t0 = time.time()
-    run_pipeline(
-        spark,
-        load_spec(
-            {
-                "in": {"type": "parquet", "path": f"{sf_dir}/lineitem.parquet"},
-                "out": {"type": "parquet", "path": f"{tmp}/b1"},
-            }
-        ),
-    )
-    out["pipeline_ingest"] = round(time.time() - t0, 3)
+    fn()
+    return round(time.time() - t0, 3)
+
+
+def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
+    # B1 ingest: scan → identity → parquet sink (map-only, zero exchanges)
+    def b1():
+        return _timed(
+            lambda: run_pipeline(
+                spark,
+                load_spec(
+                    {
+                        "in": {"type": "parquet", "path": f"{sf_dir}/lineitem.parquet"},
+                        "out": {"type": "parquet", "path": f"{tmp}/b1"},
+                    }
+                ),
+            )
+        )
+
+    rec.record("pipeline_ingest", b1)
 
     # B2 partitioned load: hour-bucket repartition → per-bucket layout
-    t0 = time.time()
-    run_pipeline(
-        spark,
-        load_spec(
-            {
-                "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
-                "filters": _ts_normalize_filters(sf_dir),
-                "out": {"type": "parquet", "path": f"{tmp}/b2", "partition_by_bucket": True},
-                "exec": {
-                    "reducers": 8,
-                    "partitioning": {"column": "ts", "unit": "day"},
-                },
-            }
-        ),
-    )
-    out["pipeline_partitioned"] = round(time.time() - t0, 3)
+    def b2():
+        return _timed(
+            lambda: run_pipeline(
+                spark,
+                load_spec(
+                    {
+                        "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                        "filters": _ts_normalize_filters(sf_dir),
+                        "out": {"type": "parquet", "path": f"{tmp}/b2", "partition_by_bucket": True},
+                        "exec": {
+                            "reducers": 8,
+                            "partitioning": {"column": "ts", "unit": "day"},
+                        },
+                    }
+                ),
+            )
+        )
+
+    rec.record("pipeline_partitioned", b2)
 
     # B3 skew: every event forced into ONE hour bucket; split=1 vs split=16
     for split, label in ((1, "pipeline_skew_nosplit"), (16, "pipeline_skew_split16")):
-        t0 = time.time()
-        run_pipeline(
-            spark,
-            load_spec(
-                {
-                    "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
-                    "filters": _ts_normalize_filters(sf_dir)
-                    + [
-                        # collapse all timestamps into one hot hour
-                        {"type": "with_column", "name": "ts", "expr": "timestamp '2024-01-01 00:00:00'"},
-                    ],
-                    "out": {"type": "parquet", "path": f"{tmp}/b3_{split}"},
-                    "exec": {
-                        "reducers": 16,
-                        "partitioning": {
-                            "column": "ts",
-                            "unit": "hour",
-                            "map_side_partition_split": split,
-                        },
-                    },
-                }
-            ),
-        )
-        out[label] = round(time.time() - t0, 3)
+
+        def b3(split=split):
+            return _timed(
+                lambda: run_pipeline(
+                    spark,
+                    load_spec(
+                        {
+                            "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                            "filters": _ts_normalize_filters(sf_dir)
+                            + [
+                                # collapse all timestamps into one hot hour
+                                {"type": "with_column", "name": "ts", "expr": "timestamp '2024-01-01 00:00:00'"},
+                            ],
+                            "out": {"type": "parquet", "path": f"{tmp}/b3_{split}"},
+                            "exec": {
+                                "reducers": 16,
+                                "partitioning": {
+                                    "column": "ts",
+                                    "unit": "hour",
+                                    "map_side_partition_split": split,
+                                },
+                            },
+                        }
+                    ),
+                )
+            )
+
+        rec.record(label, b3)
 
     # B4 merge sink: seed keyed state from orders, then merge ONE small batch
     # — the timed increment must cost O(touched buckets), not O(state)
@@ -159,7 +214,9 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     # The batch carries ~9 keys: hash bucketing prunes when a batch touches
     # FEW keys (trickle upserts); a batch with ≥ merge_buckets distinct keys
     # necessarily touches every bucket — same pruning physics as lakehouse
-    # MERGE file-skipping.
+    # MERGE file-skipping. Re-merging the same batch is idempotent (same
+    # keys, same order key), so the second timed run measures the same
+    # pruned-rewrite work.
     state = f"{tmp}/b4_state"
     seed_spec = {
         "in": {"type": "parquet", "path": f"{sf_dir}/orders.parquet"},
@@ -176,9 +233,16 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str) -> dict[str, float]:
     spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
         "o_orderkey % 16384 = 0"
     ).coalesce(1).write.mode("overwrite").parquet(batch_src)
-    t0 = time.time()
-    run_pipeline(spark, load_spec({**seed_spec, "in": {"type": "parquet", "path": batch_src}}))
-    out["pipeline_merge_increment"] = round(time.time() - t0, 3)
+
+    def b4():
+        return _timed(
+            lambda: run_pipeline(
+                spark,
+                load_spec({**seed_spec, "in": {"type": "parquet", "path": batch_src}}),
+            )
+        )
+
+    rec.record("pipeline_merge_increment", b4)
 
     # B5 link-graph centrality: integer PageRank over the event-transition
     # graph (per-user lag window over the full events table feeds a ~100-node
@@ -190,14 +254,22 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         pagerank,
     )
 
-    t0 = time.time()
-    pagerank(event_transition_edges(load(spark, sf_dir, "events")), iters=5).collect()
-    out["graph_pagerank_events"] = round(time.time() - t0, 3)
+    def b5():
+        return _timed(
+            lambda: pagerank(
+                event_transition_edges(load(spark, sf_dir, "events")), iters=5
+            ).collect()
+        )
+
+    rec.record("graph_pagerank_events", b5)
 
     # B6 incremental near-dup increment: seed a MinHash band index from the
     # first half of documents (untimed), then time ONE batch of the second
     # half deduping against it through the bucket-pruned merge sink — the
-    # steady-state cost of the continuous-crawl loop.
+    # steady-state cost of the continuous-crawl loop. The second timed run
+    # uses a DIFFERENT 200-doc batch: re-running the same batch would find
+    # zero novel docs (its signatures are in the index by then) and
+    # under-measure the write half of the increment.
     from embulk_executor_mapreduce_spark.operators.dedup import (
         incremental_minhash_dedup,
     )
@@ -219,28 +291,60 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str) -> dict[str, float]:
         docs.filter(f"doc_id < {n_docs // 2}"), None, "text", "doc_id"
     )
     write_sink(seed_delta, sink)  # untimed seeding
-    batch = docs.filter(f"doc_id >= {n_docs // 2} AND doc_id < {n_docs // 2 + 200}")
-    t0 = time.time()
-    novel, delta = incremental_minhash_dedup(
-        batch, spark.read.parquet(index), "text", "doc_id"
-    )
-    novel.write.format("noop").mode("overwrite").save()
-    write_sink(delta, sink)
-    out["dedup_incremental_minhash"] = round(time.time() - t0, 3)
-    return out
+
+    def b6(lo_off=0):
+        lo = n_docs // 2 + lo_off
+
+        def body():
+            batch = docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 200}")
+            novel, delta = incremental_minhash_dedup(
+                batch, spark.read.parquet(index), "text", "doc_id"
+            )
+            novel.write.format("noop").mode("overwrite").save()
+            write_sink(delta, sink)
+
+        return _timed(body)
+
+    rec.record("dedup_incremental_minhash", b6, rerun=lambda: b6(lo_off=200))
+
+
+#: 1-min loadavg per cpu above which a measurement is considered
+#: load-contaminated (an idle bench machine sits near 0; BENCH_r03's bad
+#: entries were taken at multiples of this)
+LOAD_THRESHOLD = 0.25
+#: how long to wait (s) for a busy machine to drain before measuring anyway
+LOAD_WAIT_MAX = 120.0
+
+
+def _load_per_cpu() -> float:
+    try:
+        return os.getloadavg()[0] / (os.cpu_count() or 1)
+    except OSError:  # platform without getloadavg
+        return 0.0
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
-    spark = get_spark(app_name="bench")
 
+    # loadavg gate: refuse to measure on a visibly loaded machine for up to
+    # LOAD_WAIT_MAX, then proceed but say so in the artifact
+    load_wait = 0.0
+    while _load_per_cpu() > LOAD_THRESHOLD and load_wait < LOAD_WAIT_MAX:
+        time.sleep(10)
+        load_wait += 10
+    load_start = _load_per_cpu()
+
+    spark = get_spark(app_name="bench")
     entries = catalog.entries()
-    timings: dict[str, float] = {}
+    rec = _Recorder()
 
     def run_once(name: str, e) -> float:
         if name in TIME_INCLUDES_BUILD:
+            # eager-training entries (k-means localCheckpoint iterations):
+            # the clock starts BEFORE fn() so training cost is measured, not
+            # hidden in the excluded plan-build phase
             t0 = time.time()
             df = e.fn(spark, sf_dir)
         else:
@@ -256,35 +360,39 @@ def main() -> None:
         e = entries.get(name)
         if e is None:
             continue
-        t = run_once(name, e)
-        if name in TIME_INCLUDES_BUILD:
-            # eager-training entries: report best-of-2 (both runs train —
-            # the cost measured still INCLUDES the Lloyd's iterations). The
-            # first run additionally pays one-time Janino compilation of the
-            # iteration plans (~10s of wide-expression classes), a fixed
-            # per-JVM cost that amortizes to zero on a long-lived cluster;
-            # best-of-2 reports the steady-state number the baseline
-            # comparison is about.
-            t = min(t, run_once(name, e))
-        timings[name] = t
-        gc.collect()  # release py4j DF refs so ContextCleaner can drop
-        # finished broadcasts/RDDs instead of accumulating across entries
+        rec.record(name, lambda name=name, e=e: run_once(name, e))
 
     tmp = tempfile.mkdtemp(prefix="bench_pipelines_")
     try:
-        timings.update(_pipeline_benches(spark, sf_dir, tmp))
+        _pipeline_benches(spark, sf_dir, tmp, rec)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
-    total = round(sum(timings.values()), 3)
+    load_end = _load_per_cpu()
+    total = round(sum(rec.best.values()), 3)
     print(
         json.dumps(
             {
                 "metric": "catalog_headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": rec.best,
+                "queries_first": rec.first,
                 "sf": sf,
+                "ncpu": os.cpu_count(),
+                "loadavg_per_cpu_start": round(load_start, 3),
+                # end loadavg is informational only: it includes the bench's
+                # OWN 32-thread load, so it cannot feed the contamination
+                # flag (external load arriving mid-run is what best-of-2
+                # absorbs)
+                "loadavg_per_cpu_end": round(load_end, 3),
+                "load_wait_sec": load_wait,
+                "load_contaminated": bool(load_start > LOAD_THRESHOLD),
+                "second_run_skipped": rec.second_skipped,
+                "methodology": (
+                    "best-of-2 warm per entry since r4 (first runs under "
+                    "queries_first); rounds <=3 recorded single runs"
+                ),
             }
         )
     )

@@ -80,7 +80,10 @@ def events_ts_normalize_filters(sf_dir: str) -> list[dict]:
 
     path = sf_dir if sf_dir.endswith(".parquet") else f"{sf_dir}/events.parquet"
     t = pq.read_schema(path).field("ts").type
-    if str(t) == "timestamp[ns]":
+    # Unit first: Spark's nanosAsLong conf reads TIMESTAMP(NANOS) as bigint
+    # regardless of isAdjustedToUTC, so 'timestamp[ns, tz=UTC]' must take the
+    # nanos branch, not the tz-aware no-op branch.
+    if getattr(t, "unit", None) == "ns":
         expr = "timestamp_micros(ts div 1000)"
     elif getattr(t, "tz", None) is None:
         expr = "cast(ts as timestamp)"

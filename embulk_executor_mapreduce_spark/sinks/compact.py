@@ -81,8 +81,11 @@ def _watermark(gens: dict[int, Path]) -> int:
 
 def recover_compaction(corpus: str) -> list[int]:
     """Finish an interrupted commit: drop any live batch dir at-or-below the
-    committed watermark (its rows already live in a generation), and clear
-    staging litter from a pre-commit crash. Returns the batch ids removed."""
+    committed watermark (its rows already live in a generation), drop any
+    generation dir already absorbed by a committed generation-merge (its
+    ``merged_gens`` list names the victims — the gen-level analog of the
+    watermark rule), and clear staging litter from a pre-commit crash.
+    Returns the batch ids removed."""
     root = Path(corpus)
     if not root.is_dir():
         return []
@@ -90,6 +93,15 @@ def recover_compaction(corpus: str) -> list[int]:
     if staging.exists():
         shutil.rmtree(staging)
     batches, gens = _scan_layout(corpus)
+    merged_away: set[int] = set()
+    for d in gens.values():
+        meta = d / _CONSUMED
+        if meta.exists():
+            merged_away.update(json.loads(meta.read_text()).get("merged_gens", ()))
+    for g in sorted(merged_away):
+        if g in gens:
+            shutil.rmtree(gens[g])
+            del gens[g]
     wm = _watermark(gens)
     removed = sorted(b for b in batches if b <= wm)
     for b in removed:
@@ -102,11 +114,14 @@ def compact_corpus(
     corpus: str,
     through: int | None = None,
     target_file_bytes: int = 512 * 1024 * 1024,
+    max_generations: int | None = None,
 ) -> int | None:
     """Fold every live ``ingest_batch<=through`` dir (default: all but the
     highest, which a live writer may still be retrying) into one new
     ``compacted=<gen>`` directory. Returns the new generation id, or None if
-    there was nothing to compact.
+    there was nothing to compact. When ``max_generations`` is set, runs
+    :func:`compact_generations` afterwards so generation count stays bounded
+    across many cycles.
 
     File sizing: output files target ``target_file_bytes`` of INPUT bytes
     (parquet-compressed sizes are close enough across a rewrite of the same
@@ -139,6 +154,67 @@ def compact_corpus(
     os.rename(staging, Path(corpus) / f"compacted={gen}")  # commit point
     for d in todo.values():
         shutil.rmtree(d)
+    if max_generations is not None:
+        compact_generations(spark, corpus, max_generations, target_file_bytes)
+    return gen
+
+
+def compact_generations(
+    spark: SparkSession,
+    corpus: str,
+    max_generations: int = 8,
+    target_file_bytes: int = 512 * 1024 * 1024,
+) -> int | None:
+    """Fold the existing ``compacted=*`` generations into ONE new generation
+    once their count exceeds ``max_generations`` — the second-order
+    small-dirs problem: :func:`compact_corpus` bounds batch-dir count but
+    emits one generation per call, so after many cycles the listing cost
+    re-grows linearly in generations. Returns the new generation id, or
+    None when at-or-under the threshold.
+
+    Same staging-rename commit protocol as :func:`compact_corpus`; the
+    ``_consumed.json`` of the merged generation carries ``merged_gens`` (the
+    absorbed generation ids) so a crash between commit and cleanup is healed
+    by :func:`recover_compaction` (any live gen named in another gen's
+    ``merged_gens`` is a stale duplicate and is dropped). ``through`` is the
+    max over the absorbed generations' watermarks, so batch-dir recovery and
+    :func:`corpus_snapshot_id` are unaffected; ``ingest_batch`` is already a
+    data column inside every generation, so snapshot reads
+    (``as_of_batch``) return an identical multiset across the fold
+    (e2e-tested). Input generations are read oldest-first so row groups stay
+    approximately batch-clustered for the snapshot predicate's min/max
+    pruning."""
+    recover_compaction(corpus)
+    _, gens = _scan_layout(corpus)
+    if len(gens) <= max_generations:
+        return None
+    todo = dict(sorted(gens.items()))
+    metas = [
+        json.loads((d / _CONSUMED).read_text()) for d in todo.values()
+    ]
+    in_bytes = sum(
+        f.stat().st_size for d in todo.values() for f in d.rglob("*.parquet")
+    )
+    n_files = max(1, -(-in_bytes // target_file_bytes))
+    df: DataFrame = spark.read.parquet(
+        *[str(todo[g]) for g in sorted(todo)]
+    )
+    gen = max(todo) + 1
+    staging = Path(corpus) / _STAGING
+    df.coalesce(n_files).write.mode("overwrite").parquet(str(staging))
+    (staging / _CONSUMED).write_text(
+        json.dumps(
+            {
+                "through": max(m["through"] for m in metas),
+                "batches": sorted({b for m in metas for b in m.get("batches", ())}),
+                "gen": gen,
+                "merged_gens": sorted(todo),
+            }
+        )
+    )
+    os.rename(staging, Path(corpus) / f"compacted={gen}")  # commit point
+    for d in todo.values():
+        shutil.rmtree(d)
     return gen
 
 
@@ -147,12 +223,23 @@ def corpus_snapshot_id(corpus: str) -> int:
     (live dir or absorbed into a committed generation). Record this when a
     training run starts; ``read_corpus(..., as_of_batch=id)`` reproduces
     the exact corpus later — the training-reproducibility contract. -1 on
-    an empty corpus."""
+    an empty corpus.
+
+    Only COMMITTED live batch dirs count: the highest ``ingest_batch`` dir
+    may be a mode=overwrite rewrite still in flight (or crashed pre-commit,
+    awaiting retry replay), and pinning it would let a snapshot reference a
+    partially-written directory. Spark's file committer drops ``_SUCCESS``
+    exactly at job commit, so its presence is the commit marker."""
     root = Path(corpus)
     if not root.is_dir():
         return -1
+    # Same crash-recovery entry discipline as read_corpus: the watermark
+    # dominating stale consumed dirs must be an enforced invariant here,
+    # not an accident of recovery having run elsewhere first.
+    recover_compaction(corpus)
     batches, gens = _scan_layout(corpus)
-    return max(max(batches, default=-1), _watermark(gens))
+    committed = [b for b, d in batches.items() if (d / "_SUCCESS").exists()]
+    return max(max(committed, default=-1), _watermark(gens))
 
 
 def read_corpus(

@@ -33,7 +33,9 @@ def _events_ts_field(sf_dir: str) -> T.DataType:
     import pyarrow.parquet as pq
 
     t = pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type
-    if str(t) == "timestamp[ns]":
+    # Unit first: nanosAsLong reads TIMESTAMP(NANOS) as bigint regardless of
+    # isAdjustedToUTC, so 'timestamp[ns, tz=UTC]' must land in the long branch.
+    if getattr(t, "unit", None) == "ns":
         return T.LongType()
     if getattr(t, "tz", None) is None:
         return T.TimestampNTZType()

@@ -952,3 +952,103 @@ def test_compaction_of_streaming_dedup_corpus(spark, tmp_path):
     assert sorted(
         r.doc_id for r in read_corpus(spark, corpus).collect()
     ) == [10, 12, 21, 30, 41]
+
+
+def test_generation_recompaction_bounds_dirs_and_preserves_snapshot(
+    spark, tmp_path
+):
+    """VERDICT r3 item 3: compacted=* generations fold into one when the
+    count exceeds the threshold; a snapshot pinned BEFORE the gen-merge
+    reads identically after; directory count stays bounded."""
+    from embulk_executor_mapreduce_spark.sinks.compact import (
+        compact_corpus,
+        compact_generations,
+        corpus_snapshot_id,
+        read_corpus,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _mk_corpus(spark, corpus, n_batches=5)
+    # one generation per cycle: 4 generations out of batches 0..3
+    for b in range(4):
+        assert compact_corpus(spark, corpus, through=b) == b
+    snap = corpus_snapshot_id(corpus)
+    assert snap == 4  # batch 4 still live
+    pinned = sorted(
+        (r.doc_id, r.text, r.ingest_batch)
+        for r in read_corpus(spark, corpus, as_of_batch=snap).collect()
+    )
+    assert len(pinned) == 15
+
+    # at-or-under threshold: no-op
+    assert compact_generations(spark, corpus, max_generations=4) is None
+    # over threshold: all 4 fold into compacted=4
+    assert compact_generations(spark, corpus, max_generations=3) == 4
+    names = sorted(p.name for p in (tmp_path / "corpus").iterdir())
+    assert "compacted=4" in names
+    assert not any(n.startswith("compacted=") and n != "compacted=4" for n in names)
+    # dir count bounded: one generation + one live batch dir
+    assert sum(1 for n in names if n.startswith(("compacted=", "ingest_batch="))) == 2
+
+    # snapshot stability across the fold (training-reproducibility contract)
+    assert (
+        sorted(
+            (r.doc_id, r.text, r.ingest_batch)
+            for r in read_corpus(spark, corpus, as_of_batch=snap).collect()
+        )
+        == pinned
+    )
+    assert corpus_snapshot_id(corpus) == snap
+
+    # compact_corpus(max_generations=...) triggers the fold inline:
+    # batch 4 becomes compacted=5, then {4,5} > threshold 1 folds to 6
+    assert compact_corpus(spark, corpus, through=4, max_generations=1) == 5
+    names = sorted(p.name for p in (tmp_path / "corpus").iterdir())
+    assert sum(1 for n in names if n.startswith("compacted=")) == 1
+    assert "compacted=6" in names
+    assert (
+        sorted(
+            (r.doc_id, r.text, r.ingest_batch)
+            for r in read_corpus(spark, corpus, as_of_batch=snap).collect()
+        )
+        == pinned
+    )
+
+
+def test_generation_merge_crash_between_commit_and_cleanup(spark, tmp_path):
+    """Gen-merge committed but absorbed generation dirs not yet deleted:
+    recovery (run on entry by every reader) drops the stale duplicates."""
+    import shutil
+
+    from embulk_executor_mapreduce_spark.sinks.compact import (
+        compact_corpus,
+        compact_generations,
+        read_corpus,
+        recover_compaction,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    _mk_corpus(spark, corpus, n_batches=4)
+    for b in range(3):
+        assert compact_corpus(spark, corpus, through=b) == b
+    before = sorted(
+        (r.doc_id, r.text, r.ingest_batch)
+        for r in read_corpus(spark, corpus).collect()
+    )
+    # crash simulation: merge the generations, then resurrect a victim from
+    # a copy taken beforehand (= cleanup never ran)
+    saved = tmp_path / "saved_gen0"
+    shutil.copytree(f"{corpus}/compacted=0", saved)
+    assert compact_generations(spark, corpus, max_generations=2) == 3
+    shutil.copytree(saved, f"{corpus}/compacted=0")
+
+    # a raw double-read would see gen 0's rows twice; read_corpus heals first
+    assert (
+        sorted(
+            (r.doc_id, r.text, r.ingest_batch)
+            for r in read_corpus(spark, corpus).collect()
+        )
+        == before
+    )
+    assert not (tmp_path / "corpus" / "compacted=0").exists()
+    assert recover_compaction(corpus) == []
