@@ -273,7 +273,10 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
     from embulk_executor_mapreduce_spark.operators.dedup import (
         incremental_minhash_dedup,
     )
-    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
     from embulk_executor_mapreduce_spark.spec import SinkSpec
 
     docs = load(spark, sf_dir, "documents")
@@ -298,7 +301,7 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
         def body():
             batch = docs.filter(f"doc_id >= {lo} AND doc_id < {lo + 200}")
             novel, delta = incremental_minhash_dedup(
-                batch, spark.read.parquet(index), "text", "doc_id"
+                batch, read_merge_state(spark, index), "text", "doc_id"
             )
             novel.write.format("noop").mode("overwrite").save()
             write_sink(delta, sink)

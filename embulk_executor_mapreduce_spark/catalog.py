@@ -3437,7 +3437,7 @@ def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sink's on-disk truth under the hash gate."""
     import tempfile
 
-    from .sinks.writer import MERGE_BUCKET_COL, write_sink
+    from .sinks.writer import MERGE_BUCKET_COL, read_merge_state, write_sink
     from .spec import SinkSpec
 
     o = load(spark, sf_dir, "orders")
@@ -3460,7 +3460,8 @@ def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     write_sink(batch(0), sink)
     write_sink(batch(1), sink)
-    return spark.read.parquet(path).drop(MERGE_BUCKET_COL)
+    # pointer-resolved read: _CURRENT → manifest → committed bucket dirs
+    return read_merge_state(spark, path).drop(MERGE_BUCKET_COL)
 
 
 @register(
@@ -3643,6 +3644,29 @@ def q_graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import event_transition_edges, pagerank
 
     return pagerank(event_transition_edges(load(spark, sf_dir, "events")), iters=5)
+
+
+@register(
+    "graph_pagerank_dangling",
+    oracle=pagerank_cte_sql(
+        event_transition_edges_sql("events"), iters=3, redistribute_dangling=True
+    ),
+    tags=("graph", "centrality"),
+)
+def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagged textbook variant (VERDICT r3 item 8): dangling-node mass
+    redistributed uniformly each iteration instead of dropped, for
+    normalized-distribution use-cases. The per-iteration dangling sum is a
+    1-row broadcast aggregate INSIDE the plan (anti-join + sum — no driver
+    collect), and the unrolled DuckDB oracle mirrors it with d{i} CTEs, so
+    the value hash pins the redistribution arithmetic bit-exactly."""
+    from .operators.graph import event_transition_edges, pagerank
+
+    return pagerank(
+        event_transition_edges(load(spark, sf_dir, "events")),
+        iters=3,
+        redistribute_dangling=True,
+    )
 
 
 # Registration-order priority: the round driver snapshots only the FIRST 50

@@ -23,8 +23,13 @@ by the oracle):
 * damping is the exact rational ``damping_num/damping_den`` (85/100);
 * each node's contribution per out-edge is ``(rank*num) DIV (den*outdeg)``
   — the flooring drops sub-ulp mass instead of accumulating float error;
-* dangling-node mass (no out-edges) is dropped, not redistributed — ranks
-  are relative quality weights here, not a normalized distribution.
+* dangling-node mass (no out-edges) is DROPPED by default, not
+  redistributed — ranks are relative quality weights here, not a
+  normalized distribution. ``redistribute_dangling=True`` switches to the
+  textbook treatment (each iteration adds ``(num * dangling_mass) DIV
+  (den * n)`` to every node) for normalized-distribution use-cases; the
+  dangling mass rides as a 1-row broadcast aggregate inside the plan —
+  no driver materialization per iteration.
 """
 
 from __future__ import annotations
@@ -43,12 +48,19 @@ def pagerank(
     scale: int = PR_SCALE,
     damping_num: int = 85,
     damping_den: int = 100,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) edge list.
 
     Returns ``(node, rank)`` with ``rank`` the BIGINT scaled mass
     (``rank/scale`` ≈ the textbook value). Edges are deduplicated; node set
     is every vertex appearing on either side.
+
+    ``redistribute_dangling=True``: each iteration sums the rank mass held
+    by nodes with no out-edges (one anti-join + 1-row aggregate, broadcast
+    back into the update — stays inside the plan) and credits every node
+    ``(num * dangling_mass) DIV (den * n)``, the textbook normalized
+    treatment. Default drops that mass (relative-weight semantics).
     """
     e = (
         edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
@@ -81,13 +93,27 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("cs"))
         )
+        update = nodes.join(contrib, nodes.node == contrib.dst, "left")
+        if redistribute_dangling:
+            # 1-row frame: total rank mass parked on dangling nodes this
+            # iteration; broadcast into every row of the update
+            dangling = (
+                ranks.join(outdeg, ranks.node == outdeg.src, "left_anti")
+                .agg(
+                    F.coalesce(F.sum("rank"), F.lit(0).cast("long")).alias("dm")
+                )
+            )
+            share = F.expr(f"(dm * {damping_num}L) DIV ({damping_den}L * {n}L)")
+            update = update.crossJoin(F.broadcast(dangling))
+        else:
+            share = F.lit(0).cast("long")
         ranks = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
-            .select(
+            update.select(
                 "node",
                 (
                     F.lit(base).cast("long")
                     + F.coalesce(F.col("cs"), F.lit(0).cast("long"))
+                    + share
                 ).alias("rank"),
             )
             .localCheckpoint(eager=True)
@@ -103,21 +129,23 @@ def pagerank_cte_sql(
     scale: int = PR_SCALE,
     damping_num: int = 85,
     damping_den: int = 100,
+    redistribute_dangling: bool = False,
 ) -> str:
     """DuckDB mirror of :func:`pagerank`, generated in lockstep: the fixed
     iteration count unrolls into a WITH-clause chain and every step is the
     same integer arithmetic (``//`` floor division on positive BIGINTs ==
     Spark ``DIV``), so ranks match bit-exactly. ``SUM(BIGINT)`` is HUGEINT
     in DuckDB — cast back to BIGINT at every sum. ``edges_sql`` must
-    project columns ``src, dst``."""
+    project columns ``src, dst``. ``redistribute_dangling`` adds the d{i}
+    dangling-mass CTEs mirroring the flagged Spark path."""
     ctes = [
         f"e AS (SELECT DISTINCT src, dst FROM ({edges_sql}))",
         "nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e)",
         "outdeg AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src)",
         (
             f"params AS (SELECT {scale} // COUNT(*) AS init, "
-            f"{(damping_den - damping_num) * scale} // ({damping_den} * COUNT(*)) AS base "
-            "FROM nodes)"
+            f"{(damping_den - damping_num) * scale} // ({damping_den} * COUNT(*)) AS base, "
+            "COUNT(*) AS n FROM nodes)"
         ),
         "r0 AS (SELECT node, init AS rank FROM nodes, params)",
     ]
@@ -128,9 +156,22 @@ def pagerank_cte_sql(
             f"FROM e JOIN r{i-1} r ON e.src = r.node "
             "JOIN outdeg o ON o.src = e.src GROUP BY e.dst)"
         )
+        if redistribute_dangling:
+            ctes.append(
+                f"d{i} AS (SELECT CAST(COALESCE(SUM(rank), 0) AS BIGINT) AS dm "
+                f"FROM r{i-1} WHERE node NOT IN (SELECT src FROM outdeg))"
+            )
+            share = (
+                f" + (d{i}.dm * {damping_num}) // ({damping_den} * params.n)"
+            )
+            extra_from = f" CROSS JOIN d{i}"
+        else:
+            share = ""
+            extra_from = ""
         ctes.append(
-            f"r{i} AS (SELECT nodes.node, params.base + COALESCE(c{i}.cs, 0) AS rank "
-            f"FROM nodes CROSS JOIN params LEFT JOIN c{i} ON c{i}.dst = nodes.node)"
+            f"r{i} AS (SELECT nodes.node, params.base + COALESCE(c{i}.cs, 0){share} AS rank "
+            f"FROM nodes CROSS JOIN params{extra_from} "
+            f"LEFT JOIN c{i} ON c{i}.dst = nodes.node)"
         )
     return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM r{iters}"
 

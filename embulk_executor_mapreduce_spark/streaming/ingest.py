@@ -301,7 +301,7 @@ def incremental_dedup_sink(
     the retry tests drive directly.
     """
     from ..operators.dedup import incremental_dedup
-    from ..sinks.writer import write_sink
+    from ..sinks.writer import read_merge_state, write_sink
     from ..spec import SinkSpec
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -310,7 +310,7 @@ def incremental_dedup_sink(
         batch = batch.persist()
         try:
             try:
-                seen = spark.read.parquet(state_path)
+                seen = read_merge_state(spark, state_path)
             except Exception:  # first batch: no state yet
                 seen = None
             novel, delta = incremental_dedup(
@@ -376,7 +376,7 @@ def incremental_neardup_sink(
     index merge already committed ignores its own claims and reproduces
     its corpus rows instead of losing them."""
     from ..operators.dedup import incremental_minhash_dedup
-    from ..sinks.writer import write_sink
+    from ..sinks.writer import read_merge_state, write_sink
     from ..spec import SinkSpec
 
     def _process(batch: DataFrame, batch_id: int) -> None:
@@ -384,7 +384,7 @@ def incremental_neardup_sink(
         batch = batch.persist()
         try:
             try:
-                seen = spark.read.parquet(state_path)
+                seen = read_merge_state(spark, state_path)
             except Exception:  # first batch: no index yet
                 seen = None
             novel, delta = incremental_minhash_dedup(

@@ -113,3 +113,70 @@ def test_event_graph_pagerank_full_oracle_parity(spark):
     oracle = pagerank_cte_sql(event_transition_edges_sql("events"), iters=5)
     ok, msg = compare(spark, "/root/testdata/sf0.01", fn, oracle)
     assert ok, msg
+
+
+def _reference_pagerank_dangling(edges, iters, scale=PR_SCALE, num=85, den=100):
+    """Independent plain-Python mirror of the redistribute_dangling=True
+    semantics: each iteration, mass on nodes without out-edges is shared
+    uniformly as (num * dm) // (den * n)."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    n = len(nodes)
+    init = scale // n
+    base = (den - num) * scale // (den * n)
+    rank = {v: init for v in nodes}
+    for _ in range(iters):
+        dm = sum(r for v, r in rank.items() if v not in outdeg)
+        share = (dm * num) // (den * n)
+        nxt = {v: base + share for v in nodes}
+        for s, d in e:
+            nxt[d] += (rank[s] * num) // (den * outdeg[s])
+        rank = nxt
+    return rank
+
+
+def test_pagerank_dangling_redistribution_3way_bit_exact(spark):
+    edges = _pseudo_edges()
+    got = sorted(
+        (r.node, r.rank)
+        for r in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            iters=4,
+            redistribute_dangling=True,
+        ).collect()
+    )
+    edges_sql = (
+        "SELECT i AS src, (i*i + 7*j*j + 13) % 1000 AS dst "
+        "FROM range(1000) t(i), range(3) u(j) WHERE i % 17 != 0"
+    )
+    want = sorted(
+        (int(n), int(r))
+        for n, r in duckdb.sql(
+            pagerank_cte_sql(edges_sql, iters=4, redistribute_dangling=True)
+        ).fetchall()
+    )
+    assert got == want
+    assert got == sorted(_reference_pagerank_dangling(edges, iters=4).items())
+
+
+def test_pagerank_dangling_mass_conservation_property(spark):
+    """With redistribution the only mass loss is integer flooring: total
+    rank stays within n-ulp floor loss of SCALE per iteration, and is
+    strictly above the drop-variant's total on a graph with dangling
+    nodes; the default variant is unchanged by the new code path."""
+    edges = _pseudo_edges(n_nodes=200)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    n, iters = len(nodes), 3
+    redist = {r.node: r.rank for r in pagerank(df, iters=iters, redistribute_dangling=True).collect()}
+    drop = {r.node: r.rank for r in pagerank(df, iters=iters).collect()}
+    assert sum(redist.values()) <= PR_SCALE
+    # floor-loss bound: each iteration floors ≤1 ulp per node at the base
+    # term, per node at the share term, and per edge at the contribution
+    loss_bound = iters * (2 * n + len(set(edges)) + 1)
+    assert sum(redist.values()) >= PR_SCALE - loss_bound
+    assert sum(redist.values()) > sum(drop.values())
+    assert drop == _reference_pagerank(edges, iters=iters)

@@ -307,7 +307,10 @@ def test_incremental_dedup_with_merge_state(spark, tmp_path):
     import os
 
     from embulk_executor_mapreduce_spark.operators.dedup import incremental_dedup
-    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
     from embulk_executor_mapreduce_spark.spec import SinkSpec
 
     state = str(tmp_path / "fp_state")
@@ -315,7 +318,7 @@ def test_incremental_dedup_with_merge_state(spark, tmp_path):
 
     def ingest(rows):
         batch = spark.createDataFrame(rows, "doc_id long, text string")
-        seen = spark.read.parquet(state) if os.path.exists(state) else None
+        seen = read_merge_state(spark, state) if os.path.exists(state) else None
         novel, delta = incremental_dedup(batch, seen, "text", "doc_id")
         novel.write.mode("append").parquet(corpus)
         write_sink(
@@ -339,7 +342,7 @@ def test_incremental_dedup_with_merge_state(spark, tmp_path):
     assert ingest([(20, "bbb"), (21, "ccc")]) == [10, 12, 21]
     # state carries one fingerprint per distinct content, first-seen ids
     fps = {
-        r.text_hash: r.keep_doc_id for r in spark.read.parquet(state).collect()
+        r.text_hash: r.keep_doc_id for r in read_merge_state(spark, state).collect()
     }
     assert sorted(fps.values()) == [10, 12, 21]
 
@@ -354,7 +357,10 @@ def test_incremental_minhash_dedup_with_merge_state(spark, tmp_path):
     from embulk_executor_mapreduce_spark.operators.dedup import (
         incremental_minhash_dedup,
     )
-    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
     from embulk_executor_mapreduce_spark.spec import SinkSpec
 
     state = str(tmp_path / "band_index")
@@ -380,7 +386,7 @@ def test_incremental_minhash_dedup_with_merge_state(spark, tmp_path):
 
     def ingest(rows):
         batch = spark.createDataFrame(rows, "doc_id long, text string")
-        seen = spark.read.parquet(state) if os.path.exists(state) else None
+        seen = read_merge_state(spark, state) if os.path.exists(state) else None
         novel, delta = incremental_minhash_dedup(
             batch, seen, "text", "doc_id"
         )
@@ -406,7 +412,7 @@ def test_incremental_minhash_dedup_with_merge_state(spark, tmp_path):
     assert ingest([(20, near2), (21, third)]) == [10, 12, 21]
     # the index holds bands only for survivors
     idx_docs = {
-        r.doc_id for r in spark.read.parquet(state).collect()
+        r.doc_id for r in read_merge_state(spark, state).collect()
     }
     assert idx_docs == {10, 12, 21}
 

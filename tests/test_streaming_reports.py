@@ -223,7 +223,9 @@ def test_streaming_merge_sink_cdc_upsert(spark, tmp_path):
         ),
     )
     assert rep.succeeded
-    state = {r.id: (r.name, r.ver) for r in spark.read.parquet(out).collect()}
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    state = {r.id: (r.name, r.ver) for r in read_merge_state(spark, out).collect()}
     assert state == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 10)}
 
 
@@ -319,9 +321,13 @@ class TestIncrementalDedupStream:
         }
         assert batches == {0, 1}
         # fingerprint state: one row per distinct content, first-seen claims
+        from embulk_executor_mapreduce_spark.sinks.writer import (
+            read_merge_state,
+        )
+
         fps = {
             r.text_hash: (r.keep_doc_id, r.claim_batch)
-            for r in spark.read.parquet(state).collect()
+            for r in read_merge_state(spark, state).collect()
         }
         assert sorted(fps.values()) == [(10, 0), (12, 0), (21, 1)]
 
@@ -363,9 +369,13 @@ class TestIncrementalDedupStream:
         # replay batch 1 → converges to the same corpus, no duplicates
         sink(mk(self.ROWS2), 1)
         assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+        from embulk_executor_mapreduce_spark.sinks.writer import (
+            read_merge_state,
+        )
+
         fps = {
             r.text_hash: (r.keep_doc_id, r.claim_batch)
-            for r in spark.read.parquet(state).collect()
+            for r in read_merge_state(spark, state).collect()
         }
         assert sorted(fps.values()) == [(10, 0), (12, 0), (21, 1)]
 
@@ -427,9 +437,13 @@ class TestIncrementalNeardupStream:
         # a NEW batch re-ingesting the same content is a content-level no-op
         sink(mk([(20, "surely " + self.BASE), (21, third)]), 9)
         assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+        from embulk_executor_mapreduce_spark.sinks.writer import (
+            read_merge_state,
+        )
+
         idx = {
             (r.doc_id, r.claim_batch)
-            for r in spark.read.parquet(state).collect()
+            for r in read_merge_state(spark, state).collect()
         }
         assert {d for d, _ in idx} == {10, 12, 21}
         assert all(c in (0, 1) for _, c in idx)
