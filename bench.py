@@ -310,6 +310,59 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
 
     rec.record("dedup_incremental_minhash", b6, rerun=lambda: b6(lo_off=200))
 
+    # B7/B8 steady-state trained ANN (VERDICT r3 item 6): at 100 TB training
+    # is a rare offline job — the number that matters is assignment + probe
+    # against a PERSISTED centroid/codebook table. Train once untimed with
+    # the same parameters as the ann_*_kmeans_topk entries, save, then time
+    # search-only against the saved table (TIME_INCLUDES_BUILD entries keep
+    # reporting the train+search total alongside).
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        as_double,
+        dot,
+        ivf_topk,
+        kmeans_train,
+        pq_adc_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load(spark, sf_dir, "embeddings")
+    base = emb.select(F.col("vec_id"), as_double("embedding").alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    cent_path = f"{tmp}/b7_centroids"
+    kmeans_train(base, "vec_id", "v", k=64, iters=3).write.parquet(cent_path)
+
+    def b7():
+        return _timed(
+            lambda: ivf_topk(
+                emb, centroids=spark.read.parquet(cent_path)
+            ).collect()
+        )
+
+    rec.record("ann_ivf_kmeans_topk_assign", b7)
+
+    n_sub, sub_dim = 4, 16
+    subs = base.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s"),
+        "v",
+    ).select(
+        "vec_id", "s", F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("sv")
+    )
+    cb_path = f"{tmp}/b8_codebook"
+    kmeans_train(subs, "vec_id", "sv", k=16, iters=3, group_cols=("s",)).select(
+        "s", F.col("cid").alias("code"), "cv"
+    ).write.parquet(cb_path)
+
+    def b8():
+        return _timed(
+            lambda: pq_adc_topk(
+                emb, codebook=spark.read.parquet(cb_path)
+            ).collect()
+        )
+
+    rec.record("ann_pq_kmeans_topk_assign", b8)
+
 
 #: 1-min loadavg per cpu above which a measurement is considered
 #: load-contaminated (an idle bench machine sits near 0; BENCH_r03's bad

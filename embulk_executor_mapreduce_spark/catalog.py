@@ -638,6 +638,114 @@ def _minhash_oracle(num_hashes: int, bands: int) -> str:
     """
 
 
+def _incremental_minhash_state_oracle(
+    num_hashes: int, bands: int, min_matches: int
+) -> str:
+    """DuckDB replay of TWO ``incremental_minhash_dedup`` increments through
+    the band-index state (operators/dedup.py:524): batch 1 = even doc_ids
+    (state starts empty), batch 2 = odd doc_ids deduped against batch 1's
+    committed index. Mirrors the operator stage by stage — signatures (same
+    md5+modular family as :func:`_minhash_oracle`), within-batch band
+    self-join verified by signature agreement, recursive-CTE connected
+    components with singleton membership, whole-cluster drop on state hits,
+    survivors' band rows appended — so the final (band, band_key, doc_id)
+    multiset pins the sink-committed index bit-exactly."""
+    rows = num_hashes // bands
+    p = 2_147_483_647  # operators.dedup.MINHASH_PRIME
+    sig_items = ",\n          ".join(
+        "list_min(list_transform(hm, h -> ({a} * h + {b}) % {p}))".format(
+            a=2 * j + 1, b=j * 1_000_003 + 12_345, p=p
+        )
+        for j in range(num_hashes)
+    )
+    band_cases = "\n             ".join(
+        "WHEN {b} THEN {key}".format(
+            b=b,
+            key=" || '|' || ".join(f"sig[{b * rows + r + 1}]" for r in range(rows)),
+        )
+        for b in range(bands)
+    )
+    agree = (
+        f"len(list_filter(range(1, {num_hashes + 1}), "
+        "i -> {a}.sig[i] = {b}.sig[i])) >= " + str(min_matches)
+    )
+
+    def batch_ctes(n: int, parity: int, state_cte: str | None) -> str:
+        sd = (
+            f"""
+    sd{n} AS (
+      SELECT DISTINCT bb.doc_id
+      FROM b{n} bb JOIN {state_cte} st ON bb.band = st.band AND bb.band_key = st.band_key
+      JOIN sigs ss ON ss.doc_id = st.doc_id
+      WHERE {agree.format(a='bb', b='ss')}
+    ),
+    dead{n} AS (SELECT DISTINCT cluster_id FROM mem{n} JOIN sd{n} USING (doc_id)),"""
+            if state_cte
+            else f"""
+    dead{n} AS (SELECT NULL::BIGINT AS cluster_id WHERE false),"""
+        )
+        return f"""
+    b{n} AS (SELECT * FROM banded WHERE doc_id % 2 = {parity}),
+    w{n} AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM b{n} a JOIN b{n} b ON a.band = b.band AND a.band_key = b.band_key
+                            AND a.doc_id < b.doc_id
+    ),
+    v{n} AS (
+      SELECT w{n}.id_a, w{n}.id_b FROM w{n}
+      JOIN sigs sa ON sa.doc_id = w{n}.id_a
+      JOIN sigs sb ON sb.doc_id = w{n}.id_b
+      WHERE {agree.format(a='sa', b='sb')}
+    ),
+    e{n} AS (SELECT id_a AS src, id_b AS dst FROM v{n}
+             UNION SELECT id_b, id_a FROM v{n}),
+    reach{n}(node, r) AS (
+      SELECT src, src FROM e{n}
+      UNION
+      SELECT reach{n}.node, e.dst FROM reach{n} JOIN e{n} e ON reach{n}.r = e.src
+    ),
+    cc{n} AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach{n} GROUP BY node),
+    mem{n} AS (
+      SELECT s.doc_id, COALESCE(cc{n}.cluster_id, s.doc_id) AS cluster_id
+      FROM (SELECT DISTINCT doc_id FROM b{n}) s LEFT JOIN cc{n} USING (doc_id)
+    ),{sd}
+    surv{n} AS (
+      SELECT doc_id FROM mem{n}
+      WHERE doc_id = cluster_id
+        AND cluster_id NOT IN (SELECT cluster_id FROM dead{n} WHERE cluster_id IS NOT NULL)
+    ),
+    state{n} AS (SELECT band, band_key, doc_id FROM b{n} JOIN surv{n} USING (doc_id))"""
+
+    return f"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                            i -> array_to_string(w[i:i+2], ' ')) AS shingles
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}) AS hm
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id, [{sig_items}] AS sig FROM hashed
+    ), banded AS (
+      -- CAST: Spark's band literal is INT32; DuckDB range() is BIGINT
+      SELECT doc_id, CAST(b.band AS INTEGER) AS band,
+             CASE b.band
+             {band_cases}
+             END AS band_key,
+             sig
+      FROM sigs, (SELECT unnest(range({bands})) AS band) b
+    ),{batch_ctes(1, 0, None)},{batch_ctes(2, 1, "state1")}
+    SELECT band, band_key, doc_id FROM state1
+    UNION ALL
+    SELECT band, band_key, doc_id FROM state2
+    """
+
+
 @register(
     "minhash_lsh_candidates",
     oracle=_minhash_oracle(_MINHASH_HASHES, _MINHASH_BANDS),
@@ -679,6 +787,56 @@ def q_minhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=128,
         bands=16,
     )
+
+
+@register(
+    "dedup_incremental_state",
+    oracle=_incremental_minhash_state_oracle(_MINHASH_HASHES, _MINHASH_BANDS, 6),
+    tags=("dedup", "incremental", "sink"),
+)
+def q_dedup_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-verifies the INCREMENTAL near-dup state pipeline end to end
+    (VERDICT r3 item 7 — bench+pytest-only through round 3): two
+    deterministic batches (even doc_ids, then odd) run through
+    ``incremental_minhash_dedup`` with the band index persisted through the
+    real pointer-committed merge sink between them, then the COMMITTED
+    index read back via the manifest. The oracle replays both increments in
+    SQL — signatures, band self-join, signature-agreement verify,
+    recursive-CTE clustering, whole-cluster drop on state hits — so the
+    hash pins the operator AND the sink's on-disk truth together
+    (cf. embulk-executor-mapreduce's golden e2e multiset contract,
+    TestMapReduceExecutor.java:311-331)."""
+    import tempfile
+
+    from .operators.dedup import incremental_minhash_dedup
+    from .sinks.writer import read_merge_state, write_sink
+    from .spec import SinkSpec
+
+    docs = load(spark, sf_dir, "documents")
+    path = tempfile.mkdtemp(prefix="q_incr_state_") + "/band_index"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("doc_id", "band"),
+        merge_order=("band_key",),
+    )
+    kw = dict(
+        num_hashes=_MINHASH_HASHES, bands=_MINHASH_BANDS, min_matches=6
+    )
+    _, d1 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 2 == 0), None, "text", "doc_id", **kw
+    )
+    write_sink(d1, sink)
+    _, d2 = incremental_minhash_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        read_merge_state(spark, path),
+        "text",
+        "doc_id",
+        **kw,
+    )
+    write_sink(d2, sink)
+    return read_merge_state(spark, path).select("band", "band_key", "doc_id")
 
 
 @register(

@@ -29,6 +29,12 @@ pipelines):
 - ``sort``: {by: ["col", "col desc", ...]}
 - ``limit``: {n: int}
 - ``sql``: {query: "... FROM __input ..."}          — full SQL escape hatch
+- ``pagerank``: {src: col, dst: col, iters: int (default 5),
+  redistribute_dangling: bool} — treats the incoming frame as an edge list
+  and replaces it with (node, rank) integer centrality scores
+  (operators/graph.py); follow with a ``join`` stage to weight documents
+  by the rank of their source node (crawl-quality weighting). Batch-only:
+  the fixed-iteration loop is eager.
 """
 
 from __future__ import annotations
@@ -132,6 +138,29 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             raise ConfigError("sql filter query must reference __input")
         df.createOrReplaceTempView("__input")
         return df.sparkSession.sql(query)
+    if spec.type == "pagerank":
+        from .graph import pagerank
+
+        src, dst = cfg.get("src"), cfg.get("dst")
+        if not src or not dst:
+            raise ConfigError("pagerank filter requires 'src' and 'dst' columns")
+        for c in (src, dst):
+            if c not in df.columns:
+                # reference findColumnByName config-time error
+                # (TimestampPartitioning.java:152-161)
+                raise ConfigError(
+                    f"pagerank filter column {c!r} missing from the data"
+                )
+        iters = int(cfg.get("iters", 5))
+        if iters < 1:
+            raise ConfigError(f"pagerank iters must be >= 1, got {iters}")
+        return pagerank(
+            df,
+            src_col=src,
+            dst_col=dst,
+            iters=iters,
+            redistribute_dangling=bool(cfg.get("redistribute_dangling", False)),
+        )
     raise ConfigError(f"unknown filter type {spec.type!r}")
 
 

@@ -569,6 +569,7 @@ def pq_adc_topk(
     n_codes: int = 16,
     train_iters: int | None = None,
     train_filter: Column | None = None,
+    codebook: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization top-k with asymmetric distance computation (ADC).
 
@@ -615,7 +616,11 @@ def pq_adc_topk(
         "s",
         F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("sv"),
     )
-    if train_iters:
+    if codebook is not None:
+        # steady-state path: a PERSISTED per-subspace codebook (trained once,
+        # amortized) — encoding + ADC only, no Lloyd's iterations
+        codebook = codebook.select("s", "code", as_double("cv").alias("cv"))
+    elif train_iters:
         codebook = kmeans_train(
             subs,
             id_col,
@@ -685,6 +690,7 @@ def ivf_topk(
     nprobe: int = 2,
     train_iters: int | None = None,
     train_filter: Column | None = None,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: coarse-quantize vectors to their nearest
     centroid (inverted lists), probe only the query's ``nprobe`` nearest
@@ -714,7 +720,14 @@ def ivf_topk(
     base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
-    if train_iters:
+    if centroids is not None:
+        # steady-state path: a PERSISTED centroid table (trained once,
+        # amortized over every later search) — at 100 TB this is the number
+        # that matters; training is a rare offline job
+        cents = centroids.select("cid", as_double("cv").alias("cv")).withColumn(
+            "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
+        )
+    elif train_iters:
         cents = kmeans_train(
             base, id_col, "v", k=n_centroids, iters=train_iters,
             train_filter=train_filter,

@@ -358,6 +358,23 @@ def dedup_corpus_sink_fn(spec: SinkSpec):
 def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> None:
     if spec.type == "dedup_corpus":
         dedup_corpus_sink_fn(spec)(df, int(spec.options.get("batch_tag", 0)))
+        compact = spec.options.get("compact")
+        if compact:
+            # spec-driven corpus maintenance: fold committed batch dirs into
+            # size-targeted generations (and bound the generation count) as
+            # part of the load, so a pure-YAML user never accumulates the
+            # small-dirs problem the Python API solves with compact_corpus
+            from .compact import compact_corpus
+
+            c = compact if isinstance(compact, dict) else {}
+            compact_corpus(
+                df.sparkSession,
+                spec.path,
+                target_file_bytes=int(
+                    c.get("target_file_bytes", 512 * 1024 * 1024)
+                ),
+                max_generations=int(c.get("max_generations", 8)),
+            )
         return
     if spec.type == "null":
         # still execute the plan (reference NullOutputFormat still runs tasks)

@@ -49,6 +49,7 @@ _FILTER_TYPES = {
     "sort",
     "limit",
     "sql",
+    "pagerank",  # edge list → (node, rank) centrality (operators/graph.py)
 }
 
 
@@ -179,6 +180,12 @@ class PipelineSpec:
                 raise ConfigError(
                     "dedup_corpus sink manages its own batch-dir layout; "
                     "it does not combine with partitioning"
+                )
+            compact = self.sink.options.get("compact")
+            if compact not in (None, True, False) and not isinstance(compact, dict):
+                raise ConfigError(
+                    "dedup_corpus options.compact must be true or a mapping "
+                    "{target_file_bytes, max_generations}"
                 )
         if self.partitioning is not None:
             self.partitioning.validate()

@@ -288,3 +288,62 @@ def test_kmeans_train_on_sampled_subset(spark):
     assert [r.cid for r in rows] == list(range(k))
     C = np.array([np.asarray(r.cv) for r in rows])
     assert objective(C) < objective(V[:k])  # beats unsampled id-prefix init
+
+
+def test_trained_ann_assign_only_matches_inline_training(spark, tmp_path):
+    """Steady-state trained ANN (VERDICT r3 item 6): searching against a
+    PERSISTED centroid/codebook table must reproduce the inline-trained
+    results exactly — training is deterministic and the saved table round-
+    trips bit-exactly (exactmath means are exact doubles), so assign-only
+    is a pure cost optimization, never a semantic fork."""
+    from pyspark.sql import functions as F
+
+    from embulk_executor_mapreduce_spark.catalog import load
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        as_double,
+        dot,
+        ivf_topk,
+        kmeans_train,
+        pq_adc_topk,
+    )
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    base = emb.select(F.col("vec_id"), as_double("embedding").alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+
+    inline = sorted(
+        (r.query_id, r.cand_id, r.cos_sim)
+        for r in ivf_topk(emb, train_iters=3).collect()
+    )
+    cent_path = str(tmp_path / "centroids")
+    kmeans_train(base, "vec_id", "v", k=64, iters=3).write.parquet(cent_path)
+    assign_only = sorted(
+        (r.query_id, r.cand_id, r.cos_sim)
+        for r in ivf_topk(emb, centroids=spark.read.parquet(cent_path)).collect()
+    )
+    assert assign_only == inline
+
+    n_sub, sub_dim = 4, 16
+    subs = base.select(
+        "vec_id",
+        F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s"),
+        "v",
+    ).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("sv"),
+    )
+    inline_pq = sorted(
+        (r.query_id, r.cand_id, r.adc_dist)
+        for r in pq_adc_topk(emb, train_iters=3).collect()
+    )
+    cb_path = str(tmp_path / "codebook")
+    kmeans_train(subs, "vec_id", "sv", k=16, iters=3, group_cols=("s",)).select(
+        "s", F.col("cid").alias("code"), "cv"
+    ).write.parquet(cb_path)
+    assign_only_pq = sorted(
+        (r.query_id, r.cand_id, r.adc_dist)
+        for r in pq_adc_topk(emb, codebook=spark.read.parquet(cb_path)).collect()
+    )
+    assert assign_only_pq == inline_pq

@@ -445,3 +445,15 @@ def test_incremental_minhash_dedup_cluster_drop(spark):
         batch, state, "text", "doc_id"
     )
     assert novel2.count() == 0 and delta2.count() == 0
+
+
+def test_incremental_minhash_state_catalog_oracle_parity(spark):
+    """The (fn, oracle) pair registered as dedup_incremental_state, driven
+    through the driver's strict compare: two increments through the
+    pointer-committed merge sink vs the full SQL replay."""
+    from embulk_executor_mapreduce_spark import catalog
+    from tests.oracle import compare
+
+    e = catalog.entries()["dedup_incremental_state"]
+    ok, msg = compare(spark, "/root/testdata/sf0.01", e.fn, e.oracle)
+    assert ok, msg

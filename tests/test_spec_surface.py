@@ -1,0 +1,202 @@
+"""Round-3 operator surface exposed through the declarative spec (VERDICT r3
+item 5): the reference's user surface is the YAML pipeline
+(embulk_mapred_config.yml), so pagerank weighting, the incremental dedup
+corpus loop, and corpus compaction must all be drivable without Python API
+calls — plus config-error tests in the reference's ConfigException style
+(TestTimestampPartitioning.java:40-108)."""
+
+import pytest
+
+from embulk_executor_mapreduce_spark.errors import ConfigError
+from embulk_executor_mapreduce_spark.plans.compiler import (
+    run_pipeline,
+    run_pipeline_streaming,
+)
+from embulk_executor_mapreduce_spark.spec import load_spec
+
+TINY = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+
+
+def test_spec_pagerank_weighting_pipeline(spark, tmp_path):
+    """Crawl-quality weighting as pure YAML: edge list in → pagerank stage →
+    join stage attaching each doc's source-node rank → memory sink. Ranks
+    must equal the Python-API operator exactly."""
+    from embulk_executor_mapreduce_spark.operators.graph import pagerank
+
+    edges = str(tmp_path / "edges")
+    docs = str(tmp_path / "docs")
+    spark.createDataFrame(TINY, "src long, dst long").write.parquet(edges)
+    spark.createDataFrame(
+        [(n, f"doc-from-{n}") for n in range(4)], "node long, text string"
+    ).write.parquet(docs)
+
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": edges},
+                "filters": [
+                    {"type": "pagerank", "src": "src", "dst": "dst", "iters": 4},
+                    {
+                        "type": "join",
+                        "source": {"type": "parquet", "path": docs},
+                        "on": ["node"],
+                    },
+                ],
+                "out": {"type": "memory", "options": {"view": "weighted_docs"}},
+            }
+        ),
+    )
+    got = {
+        r.node: (r.rank, r.text)
+        for r in spark.table("weighted_docs").collect()
+    }
+    want = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(TINY, "src long, dst long"), iters=4
+        ).collect()
+    }
+    assert {n: rk for n, (rk, _) in got.items()} == want
+    assert got[2][1] == "doc-from-2"
+
+    # the flagged dangling-redistribution variant rides the same stage
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": edges},
+                "filters": [
+                    {
+                        "type": "pagerank",
+                        "src": "src",
+                        "dst": "dst",
+                        "iters": 3,
+                        "redistribute_dangling": True,
+                    }
+                ],
+                "out": {"type": "memory", "options": {"view": "pr_dangling"}},
+            }
+        ),
+    )
+    want_d = {
+        r.node: r.rank
+        for r in pagerank(
+            spark.createDataFrame(TINY, "src long, dst long"),
+            iters=3,
+            redistribute_dangling=True,
+        ).collect()
+    }
+    assert {
+        r.node: r.rank for r in spark.table("pr_dangling").collect()
+    } == want_d
+
+
+def test_spec_dedup_corpus_pipeline_with_compaction(spark, tmp_path):
+    """The continuous-crawl loop as pure YAML: two batch loads through the
+    dedup_corpus sink (distinct batch_tags), cross-batch dups dropped, then
+    a third load with options.compact folds the committed batch dirs into a
+    generation — all spec-driven."""
+    from embulk_executor_mapreduce_spark.sinks.compact import read_corpus
+
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+
+    def load_batch(rows, tag, compact=None):
+        src = str(tmp_path / f"src{tag}")
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        out = {
+            "type": "dedup_corpus",
+            "path": corpus,
+            "options": {"state": state, "batch_tag": tag, "merge_buckets": 8},
+        }
+        if compact is not None:
+            out["options"]["compact"] = compact
+        run_pipeline(
+            spark,
+            load_spec({"in": {"type": "parquet", "path": src}, "out": out}),
+        )
+
+    load_batch([(10, "aaa"), (11, "aaa"), (12, "bbb")], 0)
+    load_batch([(20, "bbb"), (21, "ccc")], 1)
+    ids = sorted(r.doc_id for r in read_corpus(spark, corpus).collect())
+    assert ids == [10, 12, 21]  # in-batch dup 11 and cross-batch dup 20 dropped
+
+    # third load triggers spec-driven compaction of everything but itself
+    load_batch([(30, "ddd")], 2, compact={"max_generations": 4})
+    import os
+
+    names = sorted(os.listdir(corpus))
+    assert any(n.startswith("compacted=") for n in names)
+    assert sorted(r.doc_id for r in read_corpus(spark, corpus).collect()) == [
+        10,
+        12,
+        21,
+        30,
+    ]
+
+
+def test_spec_pagerank_config_errors(spark, tmp_path):
+    """ConfigException-style matrix for the pagerank stage."""
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(TINY, "src long, dst long").write.parquet(edges)
+
+    def run(flt):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": edges},
+                    "filters": [flt],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+
+    with pytest.raises(Exception, match="requires 'src' and 'dst'"):
+        run({"type": "pagerank", "src": "src"})
+    with pytest.raises(Exception, match="missing from the data"):
+        run({"type": "pagerank", "src": "src", "dst": "nope"})
+    with pytest.raises(Exception, match="iters must be >= 1"):
+        run({"type": "pagerank", "src": "src", "dst": "dst", "iters": 0})
+    # iterative eager stage is batch-only
+    with pytest.raises(ConfigError, match="not streamable"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": edges},
+                    "filters": [{"type": "pagerank", "src": "src", "dst": "dst"}],
+                    "out": {"type": "parquet", "path": str(tmp_path / "o")},
+                }
+            ),
+        )
+
+
+def test_spec_dedup_corpus_config_errors(tmp_path):
+    base = {
+        "in": {"type": "parquet", "path": str(tmp_path / "src")},
+        "out": {
+            "type": "dedup_corpus",
+            "path": str(tmp_path / "corpus"),
+            "options": {"state": str(tmp_path / "state")},
+        },
+    }
+    with pytest.raises(ConfigError, match="options.compact"):
+        doc = {
+            **base,
+            "out": {
+                **base["out"],
+                "options": {**base["out"]["options"], "compact": "yes please"},
+            },
+        }
+        load_spec(doc)
+    with pytest.raises(ConfigError, match="requires options.state"):
+        load_spec(
+            {
+                **base,
+                "out": {"type": "dedup_corpus", "path": str(tmp_path / "corpus")},
+            }
+        )
