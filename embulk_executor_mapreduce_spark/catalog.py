@@ -3828,64 +3828,44 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registration-order priority: the round driver snapshots only the FIRST 50
-# registered queries. Round-3 rotation — the window carries every query
-# whose CURRENT body hash has never produced a green driver row
-# (scripts/window_check.py gates this mechanically against
-# scripts/VERIFIED.json): the 2 round-2 harness-err fixes, the 5
-# formerly-oracle-less queries (now fully oracled), the 4 new round-3
-# queries, the 16 exactmath-rewritten-after-r01 queries, and 23 carried
-# queries flagged because an engine module they import changed this round.
-# One over-the-cap deferral (zorder_cluster_key) is explicitly waived in
-# window_check.py with justification.
+# registered queries. Round-4 rotation (VERDICT r3 item 1): the window
+# carries every query whose CURRENT body hash has never produced a green
+# driver row (scripts/window_check.py gates this mechanically against
+# scripts/VERIFIED.json) — the 4 round-3 waivers (pagerank, xml roundtrip,
+# sliding-enriched stream, zorder), the 2 new round-4 queries
+# (dedup_incremental_state, graph_pagerank_dangling), and 21 carried
+# queries flagged because an engine module they import changed this round
+# (merge-sink pointer commit, spec pagerank stage, similarity assign-only
+# params, readers/streaming ts-probe fix). The remaining slots refresh the
+# queries whose last green row is OLDEST (all 20 r01 + 3 r02) so driver
+# evidence stays recent. DEFERRED in window_check.py is EMPTY this round.
 _VERIFY_FIRST = (
-    # round-2 driver ERRs, fixed by output reshape
-    "scd2_customer_history",
-    "quantize_embeddings_int8",
-    # formerly oracle=None, now with portable oracles
-    "simhash64",
-    "ann_lsh_topk",
-    "approx_distinct_users",
-    "stream_dedup_events",
-    "stream_user_rollup",
-    # new in round 3
-    "ann_ivf_kmeans_topk",
-    "ann_pq_kmeans_topk",
+    # round-3 waivers, rotated in (r03 VERDICT item 1)
+    "graph_pagerank_events",
+    "xml_engine_roundtrip",
+    "stream_sliding_enriched",
+    "zorder_cluster_key",
+    # new in round 4
+    "dedup_incremental_state",
+    "graph_pagerank_dangling",
+    # merge-sink pointer commit (sinks/writer.py rewrite)
     "merge_upsert_state",
     "dynamic_overwrite_state",
-    # exactmath-rewritten after their r01 green row (VERDICT r2 #3)
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "filter_chain",
-    "bucket_hour",
-    "bucket_day",
-    "window_running_sum",
-    "rollup_order_priority",
-    "text_stats",
-    "ann_bruteforce_topk",
-    "quality_score",
+    # streaming/ingest.py ts-probe fix + read_merge_state
+    "stream_dedup_events",
+    "stream_user_rollup",
     "stream_hourly_counts",
-    "range_join_value_tiers",
-    "outer_join_customer_orders",
-    "stats_aggs",
-    "embedding_centroids",
-    # green before, but an imported engine module changed this round
-    "ann_pq_adc_topk",
-    "ann_ivf_topk",
-    "minhash_lsh_128x16",
-    "minhash_lsh_candidates",
-    "dedup_exact",
-    "dedup_survivors",
-    "dedup_clusters",
-    "ngram_jaccard_pairs",
-    "embedding_neardup",
-    "skew_salted_agg",
-    "bucket_long_milli",
     "stream_purchase_signup_join",
     "stream_session_windows",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
+    # similarity.py assign-only params (centroids/codebook passthrough)
+    "ann_lsh_topk",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_pq_kmeans_topk",
+    # spec.py/filters.py pagerank stage + compiler/readers module-hash flags
+    "filter_chain",
     "csv_engine_roundtrip",
     "jsonl_engine_roundtrip",
     "orc_engine_roundtrip",
@@ -3893,6 +3873,31 @@ _VERIFY_FIRST = (
     "functions_array_gauntlet",
     "spec_join_aggregate",
     "spec_dedup_sql",
+    # refresh: oldest green rows (r01), evidence renewal
+    "scan_project",
+    "asof_last_signup",
+    "cube_status_priority",
+    "distinct_aggs",
+    "exists_big_orders",
+    "functions_datetime_gauntlet",
+    "functions_math_gauntlet",
+    "functions_string_gauntlet",
+    "global_topk_orders",
+    "grouping_sets_revenue",
+    "json_props_extract",
+    "language_id",
+    "pivot_linestatus",
+    "semi_anti_join",
+    "sessionize_events",
+    "setops_segments",
+    "text_fingerprint",
+    "topk_orders_per_customer",
+    "window_lag_lead_rank",
+    "zscore_per_user",
+    # refresh: r02 greens
+    "bag_setops",
+    "chunk_token_windows",
+    "conditional_aggs",
 )
 
 

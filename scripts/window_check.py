@@ -42,37 +42,7 @@ _IMPORT_RE = re.compile(r"from \.([\w.]+) import")
 # they actually call are unchanged — verified by reading the module diff.
 # Each deferral must carry a justification and should rotate into the next
 # round's window.
-DEFERRED: dict[str, str] = {
-    "graph_pagerank_events": (
-        "r03: registered after the round's 50 window slots were already "
-        "spent (operator + 3-way Spark↔DuckDB↔independent-Python parity "
-        "test landed mid-round). Full value-hash DuckDB oracle unrolling "
-        "the 5 integer-PageRank iterations; local strict oracle green at "
-        "sf0.01 this session. Rotates into r04's window."
-    ),
-    "xml_engine_roundtrip": (
-        "r03: new query registered after the 50 window slots were spent "
-        "(Spark 4 native XML source/sink added this session). Full DuckDB "
-        "oracle over the original table (lossless-roundtrip contract); "
-        "local strict oracle green at sf0.01 this session + adversarial "
-        "pytest battery. Rotates into r04's window."
-    ),
-    "stream_sliding_enriched": (
-        "r03: new query registered after the 50 window slots were spent "
-        "(sliding windows + stream-static broadcast enrichment — the two "
-        "streaming shapes the catalog lacked). Batch-equivalent DuckDB "
-        "oracle (double-window expansion); local strict oracle green at "
-        "sf0.01 this session. Rotates into r04's window."
-    ),
-    "zorder_cluster_key": (
-        "r03: flagged only because partitioning.py changed; the query's "
-        "z_interleave path is untouched this round (diff-verified: edits "
-        "were spread_narrow's width probe, salt_expr's docstring, and "
-        "bucket_expr accepting TIMESTAMP_NTZ — none on the z-order path). "
-        "r02-green, local strict oracle green at sf0.01 this round; 51 "
-        "musts > 50 slots — rotate into r04's window."
-    ),
-}
+DEFERRED: dict[str, str] = {}
 
 
 def _module_file(dotted: str) -> Path | None:
