@@ -83,34 +83,51 @@ def _fsync_write(path: str, payload: str) -> None:
         os.close(dfd)
 
 
-def read_merge_state(spark, path: str, fmt: str = "parquet"):
+def read_merge_state(spark, path: str, fmt: str = "parquet", version: int | None = None):
     """Resolve a merge-sink state for reading: follow ``_CURRENT`` →
     manifest → explicit bucket-dir list (pointer-era layout), or fall back
     to a plain load for pre-pointer states. This is the ONLY supported read
     path for ``mode: merge`` sinks — the data dirs live under
     underscore-prefixed directories that Spark's file listing deliberately
     ignores, so a naive ``spark.read.parquet(path)`` of a pointer-era state
-    sees no files at all (fail-empty, never fail-duplicate)."""
+    sees no files at all (fail-empty, never fail-duplicate).
+
+    ``version`` TIME-TRAVELS to an earlier committed snapshot (the manifest
+    layout makes every retained version a complete, immutable bucket map —
+    the training-reproducibility contract at state level). Retention is the
+    sink's ``merge_keep_versions`` (default 2: current + previous); reading
+    an expired version raises with the retention hint."""
     local = _local(path)
-    version = _pointer_version(local)
-    if version is None:
+    current = _pointer_version(local)
+    if current is None:
+        if version is not None:
+            raise FileNotFoundError(
+                f"{path} is a pre-pointer (legacy) state: no versions to time-travel"
+            )
         return spark.read.format(fmt).load(path)
     import os
 
-    man = _load_manifest(local, version)
+    v = current if version is None else version
+    if not os.path.exists(_manifest_path(local, v)):
+        raise FileNotFoundError(
+            f"merge state {path} has no version {v} (current={current}; older "
+            f"snapshots are GC'd per the sink's merge_keep_versions retention)"
+        )
+    man = _load_manifest(local, v)
     dirs = [os.path.join(local, rel) for rel in man["buckets"].values()]
     if not dirs:
         raise FileNotFoundError(f"merge state at {path} has no committed buckets")
     return spark.read.format(fmt).load(dirs)
 
 
-def _gc_merge_state(local: str) -> None:
-    """Drop everything unreachable from the current and previous manifests:
-    replaced bucket dirs, crash-orphaned trees/manifests from an attempt
-    that died before its pointer commit, and legacy-layout remnants after a
-    migration. Keeping N-1 alongside N gives concurrent readers a one-commit
-    grace window (the table-format snapshot-retention contract); a reader
-    more than one commit stale must re-resolve the pointer."""
+def _gc_merge_state(local: str, keep_versions: int = 2) -> None:
+    """Drop everything unreachable from the ``keep_versions`` newest
+    manifests: replaced bucket dirs, crash-orphaned trees/manifests from an
+    attempt that died before its pointer commit, and legacy-layout remnants
+    after a migration. Keeping N-1 alongside N gives concurrent readers a
+    one-commit grace window (the table-format snapshot-retention contract);
+    larger ``keep_versions`` buys time-travel depth at the cost of retained
+    replaced-bucket storage."""
     import os
     import re
     import shutil
@@ -118,7 +135,7 @@ def _gc_merge_state(local: str) -> None:
     version = _pointer_version(local)
     if version is None:
         return
-    keep = {version, version - 1}
+    keep = {version - i for i in range(max(2, keep_versions))}
     referenced: set[str] = set()
     for v in keep:
         if os.path.exists(_manifest_path(local, v)):
@@ -256,7 +273,8 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     old = None
     bucket_dirs: dict[str, str] = {}
     if version is not None:
-        _gc_merge_state(local)  # finish any crashed attempt's cleanup
+        # finish any crashed attempt's cleanup
+        _gc_merge_state(local, spec.merge_keep_versions)
         bucket_dirs = _load_manifest(local, version)["buckets"]
         all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
         old = spark.read.format(spec.type).load(all_dirs)
@@ -325,7 +343,7 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     _fsync_write(
         os.path.join(local, _CURRENT_FILE), json.dumps({"version": new_version})
     )  # COMMIT: the pointer flip is the one atomic step readers observe
-    _gc_merge_state(local)
+    _gc_merge_state(local, spec.merge_keep_versions)
 
 
 def dedup_corpus_sink_fn(spec: SinkSpec):

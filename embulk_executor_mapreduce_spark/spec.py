@@ -129,6 +129,11 @@ class SinkSpec:
     # directories; a merge batch rewrites ONLY the buckets its keys touch —
     # per-batch cost scales with the batch's key spread, not the total state
     merge_buckets: int = 64
+    # committed snapshots retained by the pointer-commit GC: 2 = current +
+    # previous (the minimum that keeps a concurrent reader's resolved file
+    # list alive across one commit); more buys read_merge_state(version=N)
+    # time-travel depth for reproducible training reads
+    merge_keep_versions: int = 2
 
 
 @dataclass(frozen=True)
@@ -217,6 +222,12 @@ class PipelineSpec:
                 raise ConfigError(
                     f"merge_buckets must be > 0, got {self.sink.merge_buckets}"
                 )
+            if self.sink.merge_keep_versions < 2:
+                raise ConfigError(
+                    "merge_keep_versions must be >= 2 (current + previous is "
+                    "the minimum that keeps a concurrent reader's snapshot "
+                    f"alive across a commit), got {self.sink.merge_keep_versions}"
+                )
             if self.sink.partition_by or self.sink.partition_by_bucket:
                 raise ConfigError(
                     "merge mode does not combine with partitioned layout "
@@ -298,6 +309,7 @@ def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
         merge_key=tuple(out_raw.pop("merge_key", ())),
         merge_order=tuple(out_raw.pop("merge_order", ())),
         merge_buckets=int(out_raw.pop("merge_buckets", 64)),
+        merge_keep_versions=int(out_raw.pop("merge_keep_versions", 2)),
         options=out_raw.pop("options", out_raw),
     )
     exec_raw = dict(doc.get("exec", {}))

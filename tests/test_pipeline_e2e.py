@@ -1149,3 +1149,48 @@ def test_generation_merge_crash_between_commit_and_cleanup(spark, tmp_path):
     )
     assert not (tmp_path / "corpus" / "compacted=0").exists()
     assert recover_compaction(corpus) == []
+
+
+def test_merge_sink_time_travel_and_retention(spark, tmp_path):
+    """read_merge_state(version=N) reproduces any retained committed
+    snapshot exactly (every manifest is a complete immutable bucket map);
+    merge_keep_versions controls how many survive GC, expired versions
+    raise with the retention hint, and the default retention still drops
+    version N-2."""
+    import pytest as _pytest
+
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    out = str(tmp_path / "state")
+
+    def write_batch(rows, sub, keep=4):
+        src = str(tmp_path / f"b{sub}")
+        spark.createDataFrame(rows, "id long, name string, ver long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(
+            spark, _merge_spec(src, out, merge_buckets=8, merge_keep_versions=keep)
+        )
+
+    write_batch([(1, "a", 10), (2, "b", 10)], 0)          # v0
+    write_batch([(1, "a2", 20), (3, "c", 10)], 1)         # v1
+    write_batch([(2, "b2", 30)], 2)                       # v2
+
+    def snap(version=None):
+        return {
+            r.id: (r.name, r.ver)
+            for r in read_merge_state(spark, out, version=version).collect()
+        }
+
+    assert snap() == {1: ("a2", 20), 2: ("b2", 30), 3: ("c", 10)}
+    assert snap(version=2) == snap()
+    assert snap(version=1) == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 10)}
+    assert snap(version=0) == {1: ("a", 10), 2: ("b", 10)}
+
+    # tighter retention: next commit GCs everything older than current-1
+    write_batch([(4, "d", 10)], 3, keep=2)                # v3, keep {3,2}
+    assert snap(version=2) == {1: ("a2", 20), 2: ("b2", 30), 3: ("c", 10)}
+    with _pytest.raises(FileNotFoundError, match="merge_keep_versions"):
+        snap(version=0)
+    with _pytest.raises(ConfigError, match="merge_keep_versions"):
+        _merge_spec(str(tmp_path / "b0"), out, merge_keep_versions=1)
