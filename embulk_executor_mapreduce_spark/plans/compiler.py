@@ -379,7 +379,13 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
         write_sink(df, spec.sink, bucket_col=bucket)
         report.succeeded = True
         if obs is not None:
-            report.output_rows = int(obs.get["rows"])
+            try:
+                report.output_rows = int(obs.get["rows"])
+            except Exception:  # noqa: BLE001
+                # a plan that scheduled ZERO tasks (e.g. an empty merge
+                # batch) may never deliver its CollectMetrics row; the only
+                # thing it can have written is nothing
+                report.output_rows = 0
         if spec.sink.type not in ("null", "memory") and spec.sink.path:
             # output tasks = committed data files (one per write task), a
             # filesystem listing rather than a Spark job

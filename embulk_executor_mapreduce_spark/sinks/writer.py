@@ -277,18 +277,27 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
         _gc_merge_state(local, spec.merge_keep_versions)
         bucket_dirs = _load_manifest(local, version)["buckets"]
         all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
-        old = spark.read.format(spec.type).load(all_dirs)
+        # an EMPTY committed state (e.g. a stream whose first micro-batch had
+        # no rows) has a manifest with zero buckets — treat as no state
+        old = (
+            spark.read.format(spec.type).load(all_dirs) if all_dirs else None
+        )
         # a batch that INTRODUCES columns forces a one-time full rewrite so
         # every state file keeps one fused schema (readers need no
         # mergeSchema); steady-state batches — the 100 TB hot path — prune
-        evolves = bool(set(df.columns) - set(old.columns))
-        if not evolves:
+        evolves = old is not None and bool(set(df.columns) - set(old.columns))
+        if old is not None and not evolves:
             # ≤ merge_buckets rows — bounded by CONFIG, never by data size
             touched = sorted(
                 r.b for r in df.select(mb.alias("b")).distinct().collect()
             )
             if not touched:
-                return  # empty batch: state unchanged, no new version
+                # empty batch: state unchanged, no new version. Still run
+                # the (empty) plan once so caller-attached observers (the
+                # pipeline report's row count) fire — returning without any
+                # action over df leaves an Observation unresolvable.
+                df.write.format("noop").mode("overwrite").save()
+                return
             tdirs = [
                 os.path.join(local, bucket_dirs[str(b)])
                 for b in touched

