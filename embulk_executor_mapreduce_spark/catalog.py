@@ -2360,6 +2360,29 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup(load(spark, sf_dir, "embeddings"), sign_dims=6)
 
 
+from .operators.similarity import semantic_dedup_oracle_sql  # noqa: E402
+
+
+@register(
+    "semantic_dedup_embeddings",
+    oracle=semantic_dedup_oracle_sql(k=16, iters=2, threshold_micro=250_000),
+    tags=("dedup", "similarity", "kmeans", "vector"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: k-means-cluster the embeddings
+    (deterministic Lloyd's trainer), then first-wins cosine dedup WITHIN
+    each cluster — clustering bounds the quadratic compare per cluster the
+    way MinHash bands bound lexical near-dup, the standard recipe for
+    semantic dedup over pretraining corpora. Exactmath end to end (scaled-
+    integer centroid means, micro-unit integer threshold), so the oracle
+    unrolls the training AND replays the dedup bit-exactly."""
+    from .operators.dedup import semantic_dedup
+
+    return semantic_dedup(
+        load(spark, sf_dir, "embeddings"), k=16, iters=2, threshold_micro=250_000
+    )
+
+
 @register(
     "token_count_bpe",
     oracle=r"""
@@ -3848,6 +3871,7 @@ _VERIFY_FIRST = (
     # new in round 4
     "dedup_incremental_state",
     "graph_pagerank_dangling",
+    "semantic_dedup_embeddings",
     # merge-sink pointer commit (sinks/writer.py rewrite)
     "merge_upsert_state",
     "dynamic_overwrite_state",
@@ -3864,6 +3888,15 @@ _VERIFY_FIRST = (
     "ann_pq_adc_topk",
     "ann_ivf_kmeans_topk",
     "ann_pq_kmeans_topk",
+    # dedup.py module-hash flags (semantic_dedup added to the module)
+    "dedup_exact",
+    "minhash_lsh_candidates",
+    "minhash_lsh_128x16",
+    "dedup_clusters",
+    "dedup_survivors",
+    "ngram_jaccard_pairs",
+    "simhash64",
+    "embedding_neardup",
     # spec.py/filters.py pagerank stage + compiler/readers module-hash flags
     "filter_chain",
     "csv_engine_roundtrip",
@@ -3888,16 +3921,6 @@ _VERIFY_FIRST = (
     "language_id",
     "pivot_linestatus",
     "semi_anti_join",
-    "sessionize_events",
-    "setops_segments",
-    "text_fingerprint",
-    "topk_orders_per_customer",
-    "window_lag_lead_rank",
-    "zscore_per_user",
-    # refresh: r02 greens
-    "bag_setops",
-    "chunk_token_windows",
-    "conditional_aggs",
 )
 
 

@@ -666,3 +666,94 @@ def incremental_minhash_dedup(
     if claim is not None:
         band_delta = band_delta.withColumn("claim_batch", claim)
     return novel_rows, band_delta
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster embeddings with the
+    deterministic k-means trainer, then FIRST-WINS cosine dedup WITHIN each
+    cluster — a doc is dropped iff some lower-id doc in the same cluster has
+    cosine ≥ threshold (micro-units). Returns survivors ``(id, cid)``.
+
+    This is the standard recipe for semantic dedup at pretraining scale
+    (cluster first so the quadratic compare is bounded per cluster, never
+    O(n²) over the corpus — the clustering plays the role MinHash bands
+    play for lexical near-dup):
+
+    * training + assignment reuse :func:`...similarity.kmeans_train`'s
+      broadcast-centroid argmax-aggregate plan (corpus shuffles carry one
+      row per vector);
+    * the within-cluster self-join shuffles on cluster id; per-cluster
+      volume is corpus/k on average — size ``k`` so clusters fit a task
+      (skewed clusters are AQE skew-join territory);
+    * first-wins (min id survives) needs no connected components: "similar
+      to ANY lower id" is a single join predicate, deterministic, and
+      mirrors C4-style span-dedup semantics.
+
+    Exactmath: assignment cosines round through ``d_round(.., 6)`` and the
+    dedup threshold compares ``floor(cos·10⁶ + 0.5)`` against an INTEGER —
+    both bit-portable to DuckDB, so the trained pipeline carries a full
+    value-hash oracle (:func:`...similarity.semantic_dedup_oracle_sql`).
+    """
+    from ..exactmath import d_round
+    from .similarity import as_double, dot, kmeans_train
+
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    cents = kmeans_train(base, id_col, "v", k=k, iters=iters).withColumn(
+        "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    sims = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "v",
+        "nrm",
+        "cid",
+        d_round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        ).alias("csim"),
+    )
+    assigned = (
+        sims.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("cid"),
+                    F.col("v"),
+                    F.col("nrm"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            F.col("m.cid").alias("cid"),
+            F.col("m.v").alias("v"),
+            F.col("m.nrm").alias("nrm"),
+        )
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    pair_cos = F.floor(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.nrm") * F.col("b.nrm"))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(pair_cos >= threshold_micro)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, on=id_col, how="left_anti").select(id_col, "cid")

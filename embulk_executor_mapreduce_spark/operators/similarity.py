@@ -793,3 +793,48 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "cand_id", "cos_sim")
     )
+
+
+def semantic_dedup_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 16,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of ``operators.dedup.semantic_dedup`` — the unrolled
+    k-means chain feeds the same assignment, then the identical first-wins
+    within-cluster integer-threshold cosine dedup."""
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+    ),
+    {kmeans_cte_sql(k, iters, dim)},
+    cents2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents
+    ), sims AS (
+      SELECT b.vec_id, b.v, c.cid,
+             floor((list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v)) * c.cn)) * 1000000 + 0.5)
+               / 1000000.0 AS csim
+      FROM base b, cents2 c
+    ), assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE CAST(floor((list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v)))) * 1000000 + 0.5) AS BIGINT)
+            >= {threshold_micro}
+    )
+    SELECT vec_id, cid FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """

@@ -347,3 +347,49 @@ def test_trained_ann_assign_only_matches_inline_training(spark, tmp_path):
         for r in pq_adc_topk(emb, codebook=spark.read.parquet(cb_path)).collect()
     )
     assert assign_only_pq == inline_pq
+
+
+def test_semantic_dedup_invariants(spark):
+    """SemDeDup invariants: deterministic across runs; the min-id member of
+    every cluster always survives; every survivor pair in one cluster is
+    below the cosine threshold (the defining property of the output)."""
+    from embulk_executor_mapreduce_spark.catalog import load
+    from embulk_executor_mapreduce_spark.operators.dedup import semantic_dedup
+    from embulk_executor_mapreduce_spark.operators.similarity import as_double, dot
+    from pyspark.sql import functions as F
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    a = sorted((r.vec_id, r.cid) for r in semantic_dedup(emb, k=8, iters=2).collect())
+    b = sorted((r.vec_id, r.cid) for r in semantic_dedup(emb, k=8, iters=2).collect())
+    assert a == b and len(a) > 0
+
+    surv = semantic_dedup(emb, k=8, iters=2)
+    # min id per cluster survives (first-wins can never drop the first)
+    mins = surv.groupBy("cid").agg(F.min("vec_id").alias("m"))
+    assert mins.join(
+        surv, (mins.m == surv.vec_id) & (mins.cid == surv.cid), "left_anti"
+    ).count() == 0
+    # no surviving within-cluster pair is at/above the threshold
+    base = emb.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    sv = surv.join(base, "vec_id").select("vec_id", "cid", "v", "nrm")
+    x, y = sv.alias("x"), sv.alias("y")
+    over = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .where(
+            F.floor(
+                dot(F.col("x.v"), F.col("y.v"))
+                / (F.col("x.nrm") * F.col("y.nrm"))
+                * 1_000_000
+                + F.lit(0.5)
+            ).cast("long")
+            >= 250_000
+        )
+        .count()
+    )
+    assert over == 0
