@@ -638,18 +638,19 @@ def _minhash_oracle(num_hashes: int, bands: int) -> str:
     """
 
 
-def _incremental_minhash_state_oracle(
-    num_hashes: int, bands: int, min_matches: int
-) -> str:
-    """DuckDB replay of TWO ``incremental_minhash_dedup`` increments through
-    the band-index state (operators/dedup.py:524): batch 1 = even doc_ids
-    (state starts empty), batch 2 = odd doc_ids deduped against batch 1's
-    committed index. Mirrors the operator stage by stage — signatures (same
-    md5+modular family as :func:`_minhash_oracle`), within-batch band
-    self-join verified by signature agreement, recursive-CTE connected
-    components with singleton membership, whole-cluster drop on state hits,
-    survivors' band rows appended — so the final (band, band_key, doc_id)
-    multiset pins the sink-committed index bit-exactly."""
+def _sig_agree_sql(num_hashes: int, min_matches: int) -> str:
+    """Signature-agreement predicate template: format with a=, b= (the two
+    sig-carrying relation aliases)."""
+    return (
+        f"len(list_filter(range(1, {num_hashes + 1}), "
+        "i -> {a}.sig[i] = {b}.sig[i])) >= " + str(min_matches)
+    )
+
+
+def _minhash_banded_prelude(num_hashes: int, bands: int) -> str:
+    """Shared DuckDB CTE chain over ``documents`` ending in
+    ``banded(doc_id, band, band_key, sig)`` — the SQL mirror of
+    ``operators.dedup._banded_sig_frame(_minhash_sig_frame(...))``."""
     rows = num_hashes // bands
     p = 2_147_483_647  # operators.dedup.MINHASH_PRIME
     sig_items = ",\n          ".join(
@@ -665,10 +666,44 @@ def _incremental_minhash_state_oracle(
         )
         for b in range(bands)
     )
-    agree = (
-        f"len(list_filter(range(1, {num_hashes + 1}), "
-        "i -> {a}.sig[i] = {b}.sig[i])) >= " + str(min_matches)
-    )
+    return f"""toks AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                            i -> array_to_string(w[i:i+2], ' ')) AS shingles
+      FROM toks
+    ), hashed AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}) AS hm
+      FROM sh
+    ), sigs AS (
+      SELECT doc_id, [{sig_items}] AS sig FROM hashed
+    ), banded AS (
+      -- CAST: Spark's band literal is INT32; DuckDB range() is BIGINT
+      SELECT doc_id, CAST(b.band AS INTEGER) AS band,
+             CASE b.band
+             {band_cases}
+             END AS band_key,
+             sig
+      FROM sigs, (SELECT unnest(range({bands})) AS band) b
+    )"""
+
+
+def _incremental_minhash_state_oracle(
+    num_hashes: int, bands: int, min_matches: int
+) -> str:
+    """DuckDB replay of TWO ``incremental_minhash_dedup`` increments through
+    the band-index state (operators/dedup.py:524): batch 1 = even doc_ids
+    (state starts empty), batch 2 = odd doc_ids deduped against batch 1's
+    committed index. Mirrors the operator stage by stage — signatures (same
+    md5+modular family as :func:`_minhash_oracle`), within-batch band
+    self-join verified by signature agreement, recursive-CTE connected
+    components with singleton membership, whole-cluster drop on state hits,
+    survivors' band rows appended — so the final (band, band_key, doc_id)
+    multiset pins the sink-committed index bit-exactly."""
+    agree = _sig_agree_sql(num_hashes, min_matches)
 
     def batch_ctes(n: int, parity: int, state_cte: str | None) -> str:
         sd = (
@@ -717,29 +752,7 @@ def _incremental_minhash_state_oracle(
     state{n} AS (SELECT band, band_key, doc_id FROM b{n} JOIN surv{n} USING (doc_id))"""
 
     return f"""
-    WITH RECURSIVE toks AS (
-      SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ), sh AS (
-      SELECT doc_id,
-             list_transform(range(1, greatest(len(w) - 2, 1) + 1),
-                            i -> array_to_string(w[i:i+2], ' ')) AS shingles
-      FROM toks
-    ), hashed AS (
-      SELECT doc_id,
-             list_transform(shingles,
-               s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {p}) AS hm
-      FROM sh
-    ), sigs AS (
-      SELECT doc_id, [{sig_items}] AS sig FROM hashed
-    ), banded AS (
-      -- CAST: Spark's band literal is INT32; DuckDB range() is BIGINT
-      SELECT doc_id, CAST(b.band AS INTEGER) AS band,
-             CASE b.band
-             {band_cases}
-             END AS band_key,
-             sig
-      FROM sigs, (SELECT unnest(range({bands})) AS band) b
-    ),{batch_ctes(1, 0, None)},{batch_ctes(2, 1, "state1")}
+    WITH RECURSIVE {_minhash_banded_prelude(num_hashes, bands)},{batch_ctes(1, 0, None)},{batch_ctes(2, 1, "state1")}
     SELECT band, band_key, doc_id FROM state1
     UNION ALL
     SELECT band, band_key, doc_id FROM state2
@@ -786,6 +799,73 @@ def q_minhash_production(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         num_hashes=128,
         bands=16,
+    )
+
+
+def _minhash_decontaminate_oracle(
+    num_hashes: int, bands: int, min_matches: int, bench_mod: int
+) -> str:
+    """DuckDB replay of ``minhash_decontaminate``: benchmark = doc_id %
+    bench_mod == 0, corpus = the rest; corpus docs whose banded signatures
+    agree with any benchmark doc at >= min_matches positions are dropped."""
+    agree = _sig_agree_sql(num_hashes, min_matches)
+    return f"""
+    WITH {_minhash_banded_prelude(num_hashes, bands)},
+    cb AS (SELECT * FROM banded WHERE doc_id % {bench_mod} <> 0),
+    bb AS (SELECT doc_id AS b_id, band, band_key, sig FROM banded
+           WHERE doc_id % {bench_mod} = 0),
+    cont AS (
+      SELECT cb.doc_id,
+             CAST(max(len(list_filter(range(1, {num_hashes + 1}),
+                       i -> cb.sig[i] = bb.sig[i]))) AS INTEGER) AS n_match
+      FROM cb JOIN bb ON cb.band = bb.band AND cb.band_key = bb.band_key
+      WHERE {agree.format(a='cb', b='bb')}
+      GROUP BY cb.doc_id
+    )
+    SELECT d.doc_id, COALESCE(c.n_match, 0) AS n_match,
+           c.doc_id IS NOT NULL AS contaminated
+    FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % {bench_mod} <> 0) d
+    LEFT JOIN cont c USING (doc_id)
+    """
+
+
+@register(
+    "decontaminate_fuzzy",
+    oracle=_minhash_decontaminate_oracle(_MINHASH_HASHES, _MINHASH_BANDS, 6, 7),
+    tags=("dedup", "lsh", "decontamination"),
+)
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY benchmark decontamination: corpus docs (doc_id % 7 != 0)
+    near-duplicating any benchmark doc (doc_id % 7 == 0) by banded MinHash
+    + integer signature agreement are flagged — the paraphrase-robust
+    sibling of the exact n-gram `contamination_ngram` pass. Scale: the
+    cross-corpus (band, band_key) equi-join shuffles the corpus once on
+    band keys, never O(corpus × benchmark); the benchmark side (eval
+    suites) is broadcast-sized in practice. Output: every corpus doc with
+    its max agreement count and the drop verdict, so the hash pins both
+    the flagged set and the estimator values."""
+    from .operators.dedup import minhash_decontaminate
+
+    docs = load(spark, sf_dir, "documents")
+    _, cont = minhash_decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        "text",
+        "doc_id",
+        num_hashes=_MINHASH_HASHES,
+        bands=_MINHASH_BANDS,
+        min_matches=6,
+    )
+    return (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .select("doc_id")
+        .distinct()
+        .join(cont, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_match"), F.lit(0)).cast("int").alias("n_match"),
+            F.col("n_match").isNotNull().alias("contaminated"),
+        )
     )
 
 
@@ -3872,6 +3952,7 @@ _VERIFY_FIRST = (
     "dedup_incremental_state",
     "graph_pagerank_dangling",
     "semantic_dedup_embeddings",
+    "decontaminate_fuzzy",
     # merge-sink pointer commit (sinks/writer.py rewrite)
     "merge_upsert_state",
     "dynamic_overwrite_state",
@@ -3920,7 +4001,6 @@ _VERIFY_FIRST = (
     "json_props_extract",
     "language_id",
     "pivot_linestatus",
-    "semi_anti_join",
 )
 
 

@@ -521,6 +521,127 @@ def _sig_matches(a: Column, b: Column) -> Column:
     return F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda m: m))
 
 
+def _spread_for_sig(df: DataFrame, id_col: str) -> DataFrame:
+    """Signature hashing is CPU-bound; spread a one-file scan before it
+    (spread key ≠ the sig groupBy key so the aggregation exchange — which
+    downstream band joins reuse — survives; see minhash_candidates)."""
+    from .partitioning import spread_narrow
+
+    return spread_narrow(df, id_col)
+
+
+def _minhash_sig_frame(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(id, sig array<long>): one shingle explode + one md5 per shingle,
+    the modular seed family, per-seed minima in a single hash aggregation
+    — minhash_candidates' plan, materialized as an array for the
+    signature-agreement verifiers."""
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
+    ).select(id_col, (_base_hash(F.col("sh")) % MINHASH_PRIME).alias("hm"))
+    return (
+        exploded.groupBy(id_col)
+        .agg(
+            *[
+                F.min(_seed_hash(F.col("hm"), j)).alias(f"h{j}")
+                for j in range(num_hashes)
+            ]
+        )
+        .select(
+            id_col,
+            F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig"),
+        )
+    )
+
+
+def _banded_sig_frame(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """Explode a signature frame to (id, sig, band, band_key) LSH band rows."""
+    rows_per_band = num_hashes // bands
+    return sig.select(
+        id_col,
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        ).alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        id_col,
+        "sig",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def minhash_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    min_matches: int = 12,
+) -> tuple[DataFrame, DataFrame]:
+    """FUZZY decontamination: drop corpus docs that near-duplicate ANY
+    benchmark/eval doc — the MinHash sibling of the exact n-gram
+    `contamination_ngram` pass (paraphrased or lightly-edited benchmark
+    leakage slips an exact n-gram join; banded signatures catch it).
+
+    Scale shape: both sides get banded signatures (one shingle explode +
+    md5 + modular family each), candidates come from a (band, band_key)
+    equi-join — corpus shuffles once on band keys, never O(corpus ×
+    benchmark) — and candidates are verified by integer signature
+    agreement (``min_matches`` of ``num_hashes``, the same estimator the
+    incremental near-dup loop uses). The benchmark side is typically tiny
+    (eval suites), so at 100 TB the band join is effectively a broadcast
+    probe of the corpus band stream.
+
+    Returns ``(clean_rows, contaminated)`` where ``contaminated`` is
+    ``(id, n_match)`` — max agreement against any benchmark doc, for audit.
+    """
+    corpus = _spread_for_sig(corpus, id_col)
+    c_banded = _banded_sig_frame(
+        _minhash_sig_frame(corpus, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    )
+    b_banded = _banded_sig_frame(
+        _minhash_sig_frame(benchmark, text_col, id_col, num_hashes, shingle_n),
+        id_col,
+        num_hashes,
+        bands,
+    ).select("band", "band_key", F.col("sig").alias("b_sig"))
+    contaminated = (
+        c_banded.join(b_banded, on=["band", "band_key"])
+        .select(
+            F.col(id_col),
+            _sig_matches(F.col("sig"), F.col("b_sig")).alias("nm"),
+        )
+        .where(F.col("nm") >= min_matches)
+        .groupBy(id_col)
+        .agg(F.max("nm").alias("n_match"))
+    )
+    clean = corpus.join(contaminated, on=id_col, how="left_anti")
+    return clean, contaminated
+
+
 def incremental_minhash_dedup(
     batch: DataFrame,
     seen_bands: DataFrame | None,
@@ -575,42 +696,9 @@ def incremental_minhash_dedup(
     filter; signature agreement is an ESTIMATE of Jaccard, so borderline
     near-dups can differ from an exact-Jaccard verdict either way.
     """
-    rows_per_band = num_hashes // bands
-    from .partitioning import spread_narrow
-
-    batch = spread_narrow(batch, id_col)
-    exploded = batch.select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_n)).alias("sh")
-    ).select(id_col, (_base_hash(F.col("sh")) % MINHASH_PRIME).alias("hm"))
-    sig = exploded.groupBy(id_col).agg(
-        *[
-            F.min(_seed_hash(F.col("hm"), j)).alias(f"h{j}")
-            for j in range(num_hashes)
-        ]
-    ).select(
-        id_col, F.array(*[F.col(f"h{j}") for j in range(num_hashes)]).alias("sig")
-    )
-    banded = sig.select(
-        id_col,
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.concat_ws(
-                            "|",
-                            *[
-                                F.element_at("sig", b * rows_per_band + r + 1)
-                                for r in range(rows_per_band)
-                            ],
-                        ).alias("band_key"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, "sig", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    batch = _spread_for_sig(batch, id_col)
+    sig = _minhash_sig_frame(batch, text_col, id_col, num_hashes, shingle_n)
+    banded = _banded_sig_frame(sig, id_col, num_hashes, bands)
 
     a, b = banded.alias("a"), banded.alias("b")
     within = (

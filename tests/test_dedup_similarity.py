@@ -393,3 +393,41 @@ def test_semantic_dedup_invariants(spark):
         .count()
     )
     assert over == 0
+
+
+def test_minhash_decontaminate_fuzzy(spark):
+    """Fuzzy decontamination: a lightly-edited copy of a benchmark doc is
+    dropped (where exact n-gram matching could miss it), unrelated docs
+    survive, and the audit frame carries the agreement count."""
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        minhash_decontaminate,
+    )
+
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while seventeen "
+        "sailors watch from the harbor wall and debate the merits of "
+        "spark partitioning strategies at one hundred terabyte scale"
+    )
+    clean_text = (
+        "completely different content about recipe ingredients flour "
+        "butter sugar eggs vanilla folded gently into batter and baked "
+        "until golden at one hundred eighty degrees for forty minutes"
+    )
+    benchmark = spark.createDataFrame(
+        [(1000, bench_text)], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "surely " + bench_text),   # paraphrase-ish: prepended word
+            (2, clean_text),
+            (3, bench_text + " indeed"),   # appended word
+        ],
+        "doc_id long, text string",
+    )
+    clean, cont = minhash_decontaminate(
+        corpus, benchmark, "text", "doc_id", min_matches=12
+    )
+    assert sorted(r.doc_id for r in clean.collect()) == [2]
+    audit = {r.doc_id: r.n_match for r in cont.collect()}
+    assert set(audit) == {1, 3}
+    assert all(v >= 12 for v in audit.values())
