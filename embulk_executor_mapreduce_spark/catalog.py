@@ -1168,6 +1168,62 @@ def q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(load(spark, sf_dir, "documents"))
 
 
+@register(
+    "quality_prune_per_source",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tok,
+             length(text) * 1.0 / len(string_split(text, ' ')) AS mean_len,
+             len(list_intersect(string_split(text, ' '),
+                                ['the','a','of','and'])) > 0 AS has_stop
+      FROM documents
+    ), q AS (
+      SELECT doc_id, floor((
+          (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+        + (CASE WHEN has_stop THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        + (CASE WHEN mean_len BETWEEN 3.0 AND 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        ) * 100 + 0.5) / 100.0 AS quality
+      FROM t
+    ), scored AS (
+      SELECT d.doc_id, d.source, q.quality
+      FROM documents d JOIN q USING (doc_id)
+    ), levels AS (
+      SELECT source, quality, count(*) AS c FROM scored GROUP BY 1, 2
+    ), lv AS (
+      SELECT source, quality, c,
+             COALESCE(SUM(c) OVER (PARTITION BY source ORDER BY quality DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cum_above,
+             SUM(c) OVER (PARTITION BY source) AS n
+      FROM levels
+    ), lv2 AS (
+      SELECT source, quality, c,
+             GREATEST(0, LEAST(c,
+               (n * 600000 + 999999) // 1000000 - cum_above)) AS take
+      FROM lv
+    )
+    SELECT s.doc_id, s.source, s.quality
+    FROM scored s JOIN lv2 l ON s.source = l.source AND s.quality = l.quality
+    WHERE l.take = l.c
+       OR (('0x' || substr(md5(s.doc_id::VARCHAR), 1, 15))::BIGINT % 1000000)
+          * l.c < l.take * 1000000
+    """,
+    tags=("text", "quality", "sampling"),
+)
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quality pruning (keep ~the top 60% of each source by
+    quality score). The scale-honest shape: counts over the coarse quality
+    domain (sources×8 rows) + windows over THAT bounded frame + a
+    deterministic md5-hash fraction at the single boundary level — never a
+    per-source rank window over the docs (which would totally order a
+    billion-doc source in one task). See
+    operators/text.py::quality_prune_per_source."""
+    from .operators.text import quality_prune_per_source
+
+    return quality_prune_per_source(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing / as-of join / sessionization
 # ---------------------------------------------------------------------------
@@ -3987,20 +4043,20 @@ _VERIFY_FIRST = (
     "functions_array_gauntlet",
     "spec_join_aggregate",
     "spec_dedup_sql",
-    # refresh: oldest green rows (r01), evidence renewal
-    "scan_project",
-    "asof_last_signup",
-    "cube_status_priority",
-    "distinct_aggs",
-    "exists_big_orders",
-    "functions_datetime_gauntlet",
-    "functions_math_gauntlet",
-    "functions_string_gauntlet",
-    "global_topk_orders",
-    "grouping_sets_revenue",
-    "json_props_extract",
+    # text.py module-hash flags (quality_prune_per_source added)
+    "quality_prune_per_source",
+    "text_stats",
+    "text_fingerprint",
+    "quality_score",
     "language_id",
-    "pivot_linestatus",
+    "token_count_bpe",
+    "quality_repetition",
+    "chunk_token_windows",
+    "contamination_ngram",
+    "pii_scrub_props",
+    "line_dedup_c4",
+    "pack_sequences",
+    "vocab_topk",
 )
 
 

@@ -380,3 +380,82 @@ def vocab_topk(
         .orderBy(F.col("n_occurrences").desc(), F.col("token"))
         .limit(k)
     )
+
+
+def quality_prune_per_source(
+    df: DataFrame,
+    keep_ppm: int = 600_000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source quality pruning: keep (about) the top ``keep_ppm``/10⁶
+    fraction of each source's docs by quality score — the standard quality-
+    pruning pass before pretraining, applied per source so one low-quality
+    crawl can't crowd out a small high-quality source.
+
+    Scale shape — deliberately NOT a rank window over docs (a per-source
+    ``row_number`` totally orders each source in a single task; a source is
+    billions of docs at 100 TB). Instead:
+
+    * quality lives in a COARSE discrete domain (≤ 8 levels), so one
+      map-side-combinable count per (source, level) captures the full
+      distribution in a sources×8-row frame;
+    * the per-source cutoff math runs as windows over THAT bounded frame
+      (≤ 8 rows per partition — never data-sized);
+    * levels strictly above the cutoff are kept whole; the single boundary
+      level keeps a deterministic md5-hash fraction of its docs (the same
+      portable hash as ``hash_sample_10pct``), so the decision is a
+      broadcast join + filter over one corpus scan.
+
+    The boundary fraction makes the kept COUNT approximate (hash-fraction,
+    not exact-k) but the kept SET is deterministic and engine-portable —
+    the exact-k alternative is precisely the per-source total order this
+    design exists to avoid. Ceil division uses the positive-operand
+    ``(a + b - 1) DIV b`` form (Spark DIV truncates, DuckDB // floors;
+    they agree only on positive operands).
+    """
+    from pyspark.sql import Window as W
+
+    q = quality_score(df, text_col, id_col)
+    scored = df.select(F.col(id_col), F.col(source_col)).join(q, on=id_col)
+    levels = scored.groupBy(source_col, "quality").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wdesc = (
+        W.partitionBy(source_col)
+        .orderBy(F.col("quality").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lv = (
+        levels.withColumn(
+            "cum_above",
+            F.coalesce(F.sum("c").over(wdesc), F.lit(0).cast("long")),
+        )
+        .withColumn("n", F.sum("c").over(W.partitionBy(source_col)))
+        .withColumn(
+            "take",
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.col("c"),
+                    F.expr(f"(n * {keep_ppm} + 999999) DIV 1000000")
+                    - F.col("cum_above"),
+                ),
+            ),
+        )
+        .select(source_col, "quality", "c", "take")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        % 1_000_000
+    )
+    return (
+        scored.join(F.broadcast(lv), on=[source_col, "quality"])
+        .where(
+            (F.col("take") == F.col("c"))
+            | (h * F.col("c") < F.col("take") * F.lit(1_000_000))
+        )
+        .select(id_col, source_col, "quality")
+    )
