@@ -79,6 +79,10 @@ HEADLINE = [
     "pack_sequences",
     "vocab_topk",
     "tfidf_top_terms",
+    # round 4 additions
+    "semantic_dedup_embeddings",
+    "decontaminate_fuzzy",
+    "quality_prune_per_source",
 ]
 
 SMALL_RESULT = {
@@ -95,12 +99,19 @@ SMALL_RESULT = {
     "ann_pq_kmeans_topk",
     "embedding_neardup",
     "hash_sample_10pct",
+    "semantic_dedup_embeddings",
+    "decontaminate_fuzzy",
+    "quality_prune_per_source",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
 # start the clock before fn() so training cost is measured, not hidden in
 # the excluded plan-build phase
-TIME_INCLUDES_BUILD = {"ann_ivf_kmeans_topk", "ann_pq_kmeans_topk"}
+TIME_INCLUDES_BUILD = {
+    "ann_ivf_kmeans_topk",
+    "ann_pq_kmeans_topk",
+    "semantic_dedup_embeddings",
+}
 
 # events.ts physical-encoding normalization, probed from the footer
 # (the testdata generator has shipped nanos, NTZ-micros, and UTC-micros

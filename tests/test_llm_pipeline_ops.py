@@ -457,3 +457,46 @@ def test_incremental_minhash_state_catalog_oracle_parity(spark):
     e = catalog.entries()["dedup_incremental_state"]
     ok, msg = compare(spark, "/root/testdata/sf0.01", e.fn, e.oracle)
     assert ok, msg
+
+
+def test_quality_prune_per_source_properties(spark):
+    """Quality-prune invariants: deterministic; per source the kept count
+    lands near the target fraction (boundary hash-fraction slack only);
+    levels strictly above the boundary are kept whole — so kept and
+    dropped docs can only share ONE quality level per source."""
+    import collections
+
+    from embulk_executor_mapreduce_spark.catalog import load
+    from embulk_executor_mapreduce_spark.operators.text import (
+        quality_prune_per_source,
+        quality_score,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.001", "documents")
+    a = sorted(r.doc_id for r in quality_prune_per_source(docs).collect())
+    b = sorted(r.doc_id for r in quality_prune_per_source(docs).collect())
+    assert a == b and len(a) > 0
+
+    kept = quality_prune_per_source(docs, keep_ppm=600_000).collect()
+    q = {r.doc_id: r.quality for r in quality_score(docs).collect()}
+    src = {r.doc_id: r.source for r in docs.select("doc_id", "source").collect()}
+    n_by_src = collections.Counter(src.values())
+    kept_ids = {r.doc_id for r in kept}
+    kept_by_src = collections.Counter(src[d] for d in kept_ids)
+    for s, n in n_by_src.items():
+        k = kept_by_src.get(s, 0)
+        target = -(-n * 600_000 // 1_000_000)
+        # boundary level is hash-fraction approximate: allow the boundary
+        # level's size as slack either way, but never more than n
+        levels = collections.Counter(q[d] for d in src if src[d] == s)
+        slack = max(levels.values())
+        assert target - slack <= k <= min(n, target + slack), (s, k, target)
+    for s in n_by_src:
+        kept_q = {q[d] for d in kept_ids if src[d] == s}
+        dropped_q = {q[d] for d in src if src[d] == s and d not in kept_ids}
+        shared = kept_q & dropped_q
+        assert len(shared) <= 1, (s, shared)
+        # everything above the shared boundary quality was kept whole
+        if shared:
+            (boundary,) = shared
+            assert all(x <= boundary for x in dropped_q), (s, dropped_q, boundary)
