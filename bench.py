@@ -405,7 +405,9 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     entries = catalog.entries()
-    rec = _Recorder()
+    # the loadavg wait spends real wall-clock from the driver's timeout —
+    # shrink the best-of-2 budget by what the gate consumed
+    rec = _Recorder(budget_sec=max(180.0, 420.0 - load_wait))
 
     def run_once(name: str, e) -> float:
         if name in TIME_INCLUDES_BUILD:

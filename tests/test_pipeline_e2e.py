@@ -1270,3 +1270,68 @@ def test_merge_sink_empty_batches(spark, tmp_path):
         r.id: (r.name, r.ver) for r in read_merge_state(spark, out).collect()
     } == state
     assert os.path.isdir(out)
+
+
+def test_merge_sink_randomized_crash_replay(spark, tmp_path, monkeypatch):
+    """Randomized (fixed-seed) merge sequence with CRASH INJECTION at the
+    two deepest commit points (manifest write, pointer flip): a crashed
+    attempt is never visible to readers, the next merge heals and commits,
+    and the final state equals a reference dict replay of exactly the
+    COMMITTED batches."""
+    import random
+
+    import pytest as _pytest
+
+    import embulk_executor_mapreduce_spark.sinks.writer as W
+    from embulk_executor_mapreduce_spark.errors import RemoteTaskFailedError
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    rng = random.Random(0xC4A5)
+    out = str(tmp_path / "state")
+    expect: dict[int, tuple[int, str]] = {}
+
+    def reference_apply(rows):
+        batch_best: dict[int, tuple[int, str]] = {}
+        for k, name, ver in rows:
+            if k not in batch_best or (ver, name) > batch_best[k]:
+                batch_best[k] = (ver, name)
+        for k, (ver, name) in batch_best.items():
+            if k not in expect or (ver, 1, name) > (expect[k][0], 0, expect[k][1]):
+                expect[k] = (ver, name)
+
+    def run_merge(rows, sub):
+        src = str(tmp_path / f"b{sub}")
+        spark.createDataFrame(
+            rows, "id long, name string, ver long"
+        ).coalesce(1).write.mode("overwrite").parquet(src)
+        run_pipeline(spark, _merge_spec(src, out, merge_buckets=8))
+
+    orig_fsync = W._fsync_write
+    for step in range(10):
+        rows = [
+            (rng.randint(1, 12), f"s{step}_{rng.randint(0, 999)}", rng.randint(1, 9))
+            for _ in range(rng.randint(2, 6))
+        ]
+        crash = rng.choice([None, None, "_CURRENT", "_manifests"]) if step > 0 else None
+        if crash is None:
+            run_merge(rows, step)
+            reference_apply(rows)
+        else:
+
+            def boom(path, payload, _needle=crash):
+                if _needle in path:
+                    raise OSError(f"injected crash at {_needle} write")
+                return orig_fsync(path, payload)
+
+            with monkeypatch.context() as m:
+                m.setattr(W, "_fsync_write", boom)
+                with _pytest.raises(RemoteTaskFailedError, match="injected crash"):
+                    run_merge(rows, step)
+            # crashed attempt must be invisible: reference state unchanged
+        if expect:
+            got = {
+                r.id: (r.ver, r.name)
+                for r in read_merge_state(spark, out).collect()
+            }
+            assert got == expect, f"step {step}"
+    assert len(expect) > 0
