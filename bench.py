@@ -439,30 +439,48 @@ def main() -> None:
 
     load_end = _load_per_cpu()
     total = round(sum(rec.best.values()), 3)
+    detail = {
+        "metric": "catalog_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": rec.best,
+        "queries_first": rec.first,
+        "sf": sf,
+        "ncpu": os.cpu_count(),
+        "loadavg_per_cpu_start": round(load_start, 3),
+        # end loadavg is informational only: it includes the bench's
+        # OWN 32-thread load, so it cannot feed the contamination
+        # flag (external load arriving mid-run is what best-of-2
+        # absorbs)
+        "loadavg_per_cpu_end": round(load_end, 3),
+        "load_wait_sec": load_wait,
+        "load_contaminated": bool(load_start > LOAD_THRESHOLD),
+        "second_run_skipped": rec.second_skipped,
+        "methodology": (
+            "best-of-2 warm per entry since r4 (first runs under "
+            "queries_first); rounds <=3 recorded single runs"
+        ),
+    }
+    # VERDICT r4 finding 1: BENCH_r04.json was driver-unparseable because the
+    # single detail line outgrew the driver's 2000-char tail capture (its head
+    # was truncated away). Per-query detail now goes to a sidecar file and the
+    # LAST stdout line is a compact (<200 char) summary that always fits in
+    # the tail, so the headline total is machine-recoverable every round.
+    detail_path = Path(__file__).resolve().parent / "bench_detail.json"
+    detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    print(json.dumps(detail))  # full record for humans reading the log head
     print(
         json.dumps(
             {
                 "metric": "catalog_headline_total",
                 "value": total,
                 "unit": "sec",
-                "queries": rec.best,
-                "queries_first": rec.first,
                 "sf": sf,
-                "ncpu": os.cpu_count(),
-                "loadavg_per_cpu_start": round(load_start, 3),
-                # end loadavg is informational only: it includes the bench's
-                # OWN 32-thread load, so it cannot feed the contamination
-                # flag (external load arriving mid-run is what best-of-2
-                # absorbs)
-                "loadavg_per_cpu_end": round(load_end, 3),
-                "load_wait_sec": load_wait,
+                "n_queries": len(rec.best),
                 "load_contaminated": bool(load_start > LOAD_THRESHOLD),
-                "second_run_skipped": rec.second_skipped,
-                "methodology": (
-                    "best-of-2 warm per entry since r4 (first runs under "
-                    "queries_first); rounds <=3 recorded single runs"
-                ),
-            }
+                "detail": "bench_detail.json",
+            },
+            separators=(",", ":"),
         )
     )
 

@@ -2514,8 +2514,13 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the training AND replays the dedup bit-exactly."""
     from .operators.dedup import semantic_dedup
 
+    # k=None → corpus-sized via semantic_dedup_k (the 100 TB contract). The
+    # static oracle is unrolled at k=16, which is exactly what the auto
+    # sizing resolves to at every test SF (≤16·1024 embeddings) — the pin is
+    # guarded by tests/test_scale_guards.py::test_semantic_dedup_oracle_k_pin
+    # so testdata growth can never silently diverge query from oracle.
     return semantic_dedup(
-        load(spark, sf_dir, "embeddings"), k=16, iters=2, threshold_micro=250_000
+        load(spark, sf_dir, "embeddings"), k=None, iters=2, threshold_micro=250_000
     )
 
 

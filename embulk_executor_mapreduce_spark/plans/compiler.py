@@ -113,6 +113,9 @@ class PipelineReport:
     # rows written to source.invalid_record_path (structurally-invalid CSV
     # records quarantined instead of silently dropped)
     quarantined_rows: int = 0
+    # repr of a swallowed Observation-read failure (ADVICE r4): when set,
+    # output_rows=0 means "metrics unavailable", NOT a verified empty write
+    metrics_error: str | None = None
 
 
 def compile_pipeline(
@@ -381,21 +384,52 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
         if obs is not None:
             try:
                 report.output_rows = int(obs.get["rows"])
-            except Exception:  # noqa: BLE001
+            except Exception as metric_exc:  # noqa: BLE001
                 # a plan that scheduled ZERO tasks (e.g. an empty merge
                 # batch) may never deliver its CollectMetrics row; the only
-                # thing it can have written is nothing
+                # thing it can have written is nothing. The exception is
+                # RECORDED (ADVICE r4: a py4j/connection failure after a
+                # non-empty write would otherwise silently report 0 rows) so
+                # downstream consumers can distinguish "empty" from
+                # "metrics unavailable".
                 report.output_rows = 0
+                report.metrics_error = repr(metric_exc)
         if spec.sink.type not in ("null", "memory") and spec.sink.path:
             # output tasks = committed data files (one per write task), a
             # filesystem listing rather than a Spark job
             from pathlib import Path
 
-            report.output_tasks = sum(
-                1
-                for p in Path(spec.sink.path).rglob("part-*")
-                if not p.name.endswith(".crc")
-            )
+            if spec.sink.mode == "merge":
+                # pointer-era merge state: a recursive listing of the root
+                # would sweep _trees/ across ALL retained versions (ADVICE
+                # r4 — over-counting by the previous snapshot's replaced
+                # bucket dirs); count only the dirs the CURRENT manifest
+                # references
+                from ..sinks.writer import (
+                    _load_manifest,
+                    _local,
+                    _pointer_version,
+                )
+
+                local = _local(spec.sink.path)
+                version = _pointer_version(local)
+                if version is None:  # pre-pointer legacy flat layout
+                    roots = [Path(local)]
+                else:
+                    man = _load_manifest(local, version)
+                    roots = [Path(local) / rel for rel in man["buckets"].values()]
+                report.output_tasks = sum(
+                    1
+                    for root in roots
+                    for p in root.rglob("part-*")
+                    if not p.name.endswith(".crc")
+                )
+            else:
+                report.output_tasks = sum(
+                    1
+                    for p in Path(spec.sink.path).rglob("part-*")
+                    if not p.name.endswith(".crc")
+                )
             # commit audit manifest (the reference surfaces per-task reports
             # via HDFS attempt-state files, O15; downstream orchestration
             # reads this instead of re-counting the output)

@@ -229,7 +229,18 @@ def corpus_snapshot_id(corpus: str) -> int:
     may be a mode=overwrite rewrite still in flight (or crashed pre-commit,
     awaiting retry replay), and pinning it would let a snapshot reference a
     partially-written directory. Spark's file committer drops ``_SUCCESS``
-    exactly at job commit, so its presence is the commit marker."""
+    exactly at job commit, so its presence is the commit marker.
+
+    Deployments that disable success markers
+    (``mapreduce.fileoutputcommitter.marksuccessfuljobs=false`` — common on
+    object stores) would make that check exclude EVERY batch (ADVICE r4:
+    silently pinning an older corpus than intended). Detection: markers are
+    all-or-nothing per deployment, so if NO live batch dir carries
+    ``_SUCCESS``, fall back to structural commit evidence — committed data
+    files (``part-*``) present at the dir top level with no ``_temporary``
+    staging subdir (task files only surface at job commit). When at least
+    one dir does carry a marker, markers are enabled and their absence
+    still means in-flight/crashed."""
     root = Path(corpus)
     if not root.is_dir():
         return -1
@@ -238,7 +249,19 @@ def corpus_snapshot_id(corpus: str) -> int:
     # not an accident of recovery having run elsewhere first.
     recover_compaction(corpus)
     batches, gens = _scan_layout(corpus)
-    committed = [b for b, d in batches.items() if (d / "_SUCCESS").exists()]
+    markers_enabled = any((d / "_SUCCESS").exists() for d in batches.values())
+    if markers_enabled:
+        committed = [b for b, d in batches.items() if (d / "_SUCCESS").exists()]
+    else:
+        committed = [
+            b
+            for b, d in batches.items()
+            if not (d / "_temporary").exists()
+            and any(
+                p.name.startswith("part-") and not p.name.endswith(".crc")
+                for p in d.iterdir()
+            )
+        ]
     return max(max(committed, default=-1), _watermark(gens))
 
 

@@ -156,12 +156,20 @@ def _gc_merge_state(local: str, keep_versions: int = 2) -> None:
             if m and int(m.group(1)) not in keep:
                 os.remove(os.path.join(mdir, name))
     # legacy directory-swap remnants (post-migration): bucket dirs and bare
-    # data files at the state root are no longer reachable by any reader
+    # data files at the state root are no longer reachable by any reader.
+    # Only KNOWN Spark write artifacts are swept (ADVICE r4: the old blanket
+    # "any non-pointer file" rule destroyed user-placed files like a README
+    # dropped at the state root on every GC pass).
     for name in os.listdir(local):
         full = os.path.join(local, name)
         if name.startswith(f"{MERGE_BUCKET_COL}="):
             shutil.rmtree(full, ignore_errors=True)
-        elif os.path.isfile(full) and name != _CURRENT_FILE and not name.endswith(".tmp"):
+        elif os.path.isfile(full) and (
+            name.startswith("part-")
+            or name.startswith(".part-")
+            or name == "_SUCCESS"
+            or name.endswith(".crc")
+        ):
             os.remove(full)
 
 

@@ -1335,3 +1335,91 @@ def test_merge_sink_randomized_crash_replay(spark, tmp_path, monkeypatch):
             }
             assert got == expect, f"step {step}"
     assert len(expect) > 0
+
+
+def test_merge_gc_preserves_user_files_at_state_root(spark, tmp_path):
+    """ADVICE r4: the legacy-remnant sweep in _gc_merge_state must only
+    delete KNOWN Spark write artifacts (part-*, _SUCCESS, *.crc, __mb=*
+    dirs) — a README or tool marker a user drops at the state root has to
+    survive every GC pass."""
+    out = str(tmp_path / "state")
+
+    def batch(rows, sub):
+        src = str(tmp_path / f"src{sub}")
+        spark.createDataFrame(rows, "id long, name string, ver long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(spark, _merge_spec(src, out))
+
+    batch([(1, "a", 1)], 0)
+    (Path(out) / "README.md").write_text("operator notes")
+    (Path(out) / "_custom_marker").write_text("x")
+    # a legacy flat-layout remnant IS a known Spark artifact: still swept
+    (Path(out) / "part-00099-deadbeef.parquet").write_text("junk")
+    batch([(2, "b", 1)], 1)  # commit triggers GC
+    names = {p.name for p in Path(out).iterdir()}
+    assert "README.md" in names and "_custom_marker" in names
+    assert not any(n.startswith("part-") for n in names)
+    # and the state is still fully readable through the pointer
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    assert read_merge_state(spark, out).count() == 2
+
+
+def test_merge_report_output_tasks_counts_current_version_only(spark, tmp_path):
+    """ADVICE r4: for mode=merge sinks the report's output_tasks must count
+    only files referenced by the CURRENT manifest — a recursive root listing
+    would also sweep retained older versions under _trees/ (snapshot
+    retention keeps N-1 for concurrent readers)."""
+    out = str(tmp_path / "state")
+
+    def batch(rows, sub):
+        src = str(tmp_path / f"src{sub}")
+        spark.createDataFrame(rows, "id long, name string, ver long").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        return run_pipeline(spark, _merge_spec(src, out, merge_buckets=16))
+
+    batch([(i, f"n{i}", 1) for i in range(40)], 0)
+    rep = batch([(7, "updated", 9)], 1)  # prunes to ONE touched bucket
+    refs = _manifest_buckets(out).values()
+    current_files = sum(
+        1
+        for rel in refs
+        for p in (Path(out) / rel).rglob("part-*")
+        if not p.name.endswith(".crc")
+    )
+    all_files_on_disk = sum(
+        1 for p in Path(out).rglob("part-*") if not p.name.endswith(".crc")
+    )
+    assert rep.output_tasks == current_files
+    # retention keeps the previous version's replaced bucket dir on disk, so
+    # the naive recursive count is strictly larger — the r4 over-count
+    assert all_files_on_disk > current_files
+
+
+def test_corpus_snapshot_id_without_success_markers(spark, tmp_path):
+    """ADVICE r4: on deployments with success markers disabled
+    (marksuccessfuljobs=false) corpus_snapshot_id falls back to structural
+    commit evidence instead of silently excluding every batch; with markers
+    present, a marker-less dir still reads as in-flight."""
+    from embulk_executor_mapreduce_spark.sinks.compact import corpus_snapshot_id
+
+    corpus = str(tmp_path / "corpus")
+    _mk_corpus(spark, corpus, n_batches=3)
+    assert corpus_snapshot_id(corpus) == 2
+
+    # markers ENABLED (others have _SUCCESS): an unmarked dir is in-flight
+    inflight = Path(corpus) / "ingest_batch=9"
+    (inflight / "_temporary").mkdir(parents=True)
+    assert corpus_snapshot_id(corpus) == 2
+
+    # markers-disabled deployment: no _SUCCESS anywhere — committed batches
+    # must still count (structural fallback: top-level part files, no
+    # _temporary staging dir)
+    for p in Path(corpus).glob("ingest_batch=*/_SUCCESS"):
+        p.unlink()
+    assert corpus_snapshot_id(corpus) == 2
+    # the in-flight dir (staging only, no committed files) is still excluded
+    (inflight / "_temporary" / "task").mkdir(parents=True, exist_ok=True)
+    assert corpus_snapshot_id(corpus) == 2
