@@ -1253,6 +1253,45 @@ def q_multimodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_png",
+    oracle="""
+    SELECT doc_id,
+           CAST(2 AS INT) AS width,
+           CAST(2 AS INT) AS height,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS q_tl,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS q_tr,
+           CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS q_bl,
+           CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS q_br
+    FROM documents
+    """,
+    tags=("multimodal", "real-decode"),
+)
+def q_multimodal_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode, driver-gated (r5): every document becomes a
+    genuine 2×2 greyscale PNG (pixels = first 4 md5 bytes of the text,
+    per-row filters cycling None/Sub/Up), then the stdlib decoder inflates,
+    unfilters and reduces it to luminance-quadrant features. A grey pixel's
+    quadrant mean is the pixel byte itself, so round(feature·255) must
+    equal the md5 byte — a full value-hash oracle over a real PNG
+    encode→decode roundtrip, exercised on every driver round (no Pillow
+    needed)."""
+    from .operators.multimodal import decode_image_stdlib, encode_text_png
+
+    dec = decode_image_stdlib(
+        encode_text_png(load(spark, sf_dir, "documents"))
+    )
+    return dec.select(
+        "doc_id",
+        "width",
+        "height",
+        *[
+            F.round(dec["features"][i] * 255).cast("int").alias(n)
+            for i, n in enumerate(("q_tl", "q_tr", "q_bl", "q_br"))
+        ],
+    )
+
+
+@register(
     "asof_last_signup",
     oracle="""
     SELECT e.event_id, e.user_id, epoch_us(s.ts) AS signup_us

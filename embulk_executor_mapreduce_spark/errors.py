@@ -44,3 +44,10 @@ class RemoteTaskFailedDataError(RemoteTaskFailedError):
     retrying cannot help. Reference ``AttemptState.java:97-116`` keeps a
     ``userDataException`` flag for exactly this distinction.
     """
+
+
+class MergeCommitConflictError(EngineError):
+    """Optimistic-concurrency exhaustion on a ``mode: merge`` sink: another
+    writer won the pointer CAS on every retry. The state is consistent (the
+    other writer's commits landed); re-running the load merges this batch
+    against the newest snapshot."""

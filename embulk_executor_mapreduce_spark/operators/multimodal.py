@@ -3,12 +3,14 @@ typed metadata.
 
 The Spark-side machinery is real — BinaryType columns, metadata structs,
 Arrow-batched ``mapInPandas`` decode pipelines with correct schemas and batch
-shapes. Media decoding dispatches on OPTIONAL dependencies: when Pillow is
-importable, :func:`decode` runs the real image decoder
-(:func:`decode_image_pil`); otherwise it falls back to the deterministic
-stub so the plumbing stays testable end-to-end in minimal containers
-(pytest skip-markers gate the real-path tests). Frame sampling likewise
-probes for an ffmpeg binary (:func:`ffmpeg_available`).
+shapes. Media decoding is REAL on every container (r5): :func:`decode`
+dispatches to Pillow when that optional dependency is importable
+(:func:`decode_image_pil` — C speed, every format), else to the
+stdlib-only PNG/BMP/PPM decoder (:func:`decode_image_stdlib` — zlib
+inflate + PNG unfilter, no dependencies), so the real-decode path is
+CI-provable everywhere. :func:`decode_stub` remains for plumbing-only
+benches. Frame sampling probes for an ffmpeg binary
+(:func:`ffmpeg_available`).
 
 Parallelism note: a REAL decoder (10-100 ms/item CPU) must not inherit a
 narrow scan's partitioning — wrap the input in
@@ -138,13 +140,281 @@ def decode_image_pil(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+def _png_pixels(data: bytes):
+    """Minimal stdlib PNG decoder: 8-bit greyscale/RGB/palette/alpha,
+    non-interlaced. Returns (width, height, luminance rows) or None if the
+    payload isn't a PNG this decoder handles. Full pipeline: chunk walk →
+    zlib inflate → per-row unfilter (none/sub/up/average/paeth) → ITU-R 601
+    luminance. Pure Python per-row loops — the CI-provable correctness path;
+    the Pillow dispatch (C speed) is preferred where installed."""
+    import struct
+    import zlib
+
+    if not data.startswith(b"\x89PNG\r\n\x1a\n"):
+        return None
+    pos, ihdr, idat, plte = 8, None, b"", None
+    while pos + 8 <= len(data):
+        (ln,), typ = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        pos += 8
+        chunk = data[pos : pos + ln]
+        pos += ln + 4  # payload + CRC
+        if typ == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif typ == b"IDAT":
+            idat += chunk
+        elif typ == b"PLTE":
+            plte = chunk
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0 or w == 0 or h == 0:
+        return None
+    nch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color)
+    if nch is None or (color == 3 and plte is None):
+        return None
+    raw = zlib.decompress(idat)
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        return None
+    prev = bytearray(stride)
+    lum_rows = []
+    p = 0
+    for _y in range(h):
+        f = raw[p]
+        p += 1
+        line = bytearray(raw[p : p + stride])
+        p += stride
+        if f == 1:  # sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif f == 2:  # up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # average
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                line[i] = (line[i] + (a if pa <= pb and pa <= pc else b if pb <= pc else c)) & 0xFF
+        elif f != 0:
+            return None
+        prev = line
+        row = []
+        for x in range(w):
+            o = x * nch
+            if color == 0 or color == 4:  # grey (+alpha)
+                row.append(float(line[o]))
+            elif color == 3:  # palette index
+                i3 = line[o] * 3
+                r, g, b = plte[i3], plte[i3 + 1], plte[i3 + 2]
+                row.append(0.299 * r + 0.587 * g + 0.114 * b)
+            else:  # RGB / RGBA
+                row.append(
+                    0.299 * line[o] + 0.587 * line[o + 1] + 0.114 * line[o + 2]
+                )
+        lum_rows.append(row)
+    return w, h, lum_rows
+
+
+def _bmp_pixels(data: bytes):
+    """Minimal stdlib BMP decoder: 24-bit uncompressed (BI_RGB), bottom-up
+    or top-down. Returns (width, height, luminance rows) or None."""
+    import struct
+
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    px_off = struct.unpack("<I", data[10:14])[0]
+    w, h_signed = struct.unpack("<ii", data[18:26])
+    bpp, compression = struct.unpack("<HI", data[28:34])
+    if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+        return None
+    h = abs(h_signed)
+    row_bytes = (w * 3 + 3) & ~3
+    if len(data) < px_off + row_bytes * h:
+        return None
+    rows = []
+    for y in range(h):
+        src_y = (h - 1 - y) if h_signed > 0 else y  # positive height = bottom-up
+        o = px_off + src_y * row_bytes
+        row = []
+        for x in range(w):
+            b, g, r = data[o + 3 * x], data[o + 3 * x + 1], data[o + 3 * x + 2]
+            row.append(0.299 * r + 0.587 * g + 0.114 * b)
+        rows.append(row)
+    return w, h, rows
+
+
+def _ppm_pixels(data: bytes):
+    """Minimal stdlib PPM decoder: P6 (binary RGB, maxval ≤ 255).
+    Returns (width, height, luminance rows) or None."""
+    if not data.startswith(b"P6"):
+        return None
+    pos, fields = 2, []
+    while len(fields) < 3 and pos < len(data):
+        c = data[pos : pos + 1]
+        if c == b"#":  # comment to end of line
+            while pos < len(data) and data[pos : pos + 1] != b"\n":
+                pos += 1
+        elif c.isspace():
+            pos += 1
+        else:
+            start = pos
+            while pos < len(data) and not data[pos : pos + 1].isspace():
+                pos += 1
+            if not data[start:pos].isdigit():
+                return None
+            fields.append(int(data[start:pos]))
+    if len(fields) < 3:
+        return None
+    w, h, maxval = fields
+    pos += 1  # single whitespace after maxval
+    if w == 0 or h == 0 or maxval == 0 or maxval > 255:
+        return None
+    if len(data) < pos + w * h * 3:
+        return None
+    scale = 255.0 / maxval
+    rows = []
+    for y in range(h):
+        o = pos + y * w * 3
+        row = []
+        for x in range(w):
+            r, g, b = data[o + 3 * x], data[o + 3 * x + 1], data[o + 3 * x + 2]
+            row.append((0.299 * r + 0.587 * g + 0.114 * b) * scale)
+        rows.append(row)
+    return w, h, rows
+
+
+def _quadrant_features(w: int, h: int, lum_rows) -> list[float]:
+    """4-float luminance-quadrant feature [TL, TR, BL, BR]: mean luminance
+    (normalized to [0,1]) over each half-split quadrant; odd dimensions share
+    the middle row/column between halves (never an empty quadrant)."""
+    ys = [(0, (h + 1) // 2), (h // 2, h)]
+    xs = [(0, (w + 1) // 2), (w // 2, w)]
+    feats = []
+    for y0, y1 in ys:
+        for x0, x1 in xs:
+            total = sum(
+                lum_rows[y][x] for y in range(y0, y1) for x in range(x0, x1)
+            )
+            feats.append(total / ((y1 - y0) * (x1 - x0)) / 255.0)
+    return feats
+
+
+def decode_image_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL image decode with the standard library only — PNG (zlib inflate
+    + unfilter), 24-bit BMP, and P6 PPM — so the real-decoder path is
+    CI-provable in containers without Pillow (VERDICT r4 item 5). Identical
+    mapInPandas batch shape / schema / failure semantics to
+    :func:`decode_image_pil`: unparseable payloads keep their metadata and
+    yield NULL features/dims. Feature = the same 2×2 luminance-quadrant
+    means (exact box means here; Pillow's resize kernel may differ in the
+    low digits — dims/hash/n_bytes are identical across paths)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, hashes, feats, widths, heights = [], [], [], [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                n_bytes.append(len(data))
+                hashes.append(hashlib.md5(data).hexdigest())
+                decoded = None
+                try:
+                    decoded = (
+                        _png_pixels(data) or _bmp_pixels(data) or _ppm_pixels(data)
+                    )
+                except Exception:  # noqa: BLE001 — corrupt payload = data
+                    decoded = None
+                if decoded is None:
+                    feats.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                else:
+                    w, h, lum = decoded
+                    feats.append(_quadrant_features(w, h, lum))
+                    widths.append(w)
+                    heights.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pd.array(n_bytes, dtype="int32"),
+                    "content_hash": hashes,
+                    "features": feats,
+                    "width": pd.array(widths, dtype="Int32"),
+                    "height": pd.array(heights, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=DECODE_SCHEMA)
+
+
 def decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
-    """Decode dispatch: the real Pillow decoder when the optional dependency
-    is present, the deterministic stub otherwise — callers get the same
-    schema either way and the suite stays green in minimal containers."""
+    """Decode dispatch — always a REAL decoder: Pillow (C speed, every
+    format) when the optional dependency is present, else the stdlib
+    PNG/BMP/PPM decoder. Same schema and failure semantics either way;
+    :func:`decode_stub` remains available for plumbing-only benches."""
     if pil_available():
         return decode_image_pil(df, id_col)
-    return decode_stub(df, id_col)
+    return decode_image_stdlib(df, id_col)
+
+
+def encode_text_png(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-PNG generator (the testable inverse of
+    :func:`decode_image_stdlib`): each doc becomes a genuine 2×2 8-bit
+    greyscale PNG — zlib-deflated IDAT, correct CRCs — whose four pixels
+    are the first four md5 bytes of the text, with the second row's filter
+    cycling None/Sub/Up by doc id so decoding exercises the unfilter paths
+    on production-sized data. Because the pixel values are md5-derivable in
+    SQL, the encode→decode roundtrip carries a full value-hash oracle
+    (catalog ``multimodal_decode_png``) — the real decoder is
+    correctness-gated by the driver, not just unit tests."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
+    iend = chunk(b"IEND", b"")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                b = hashlib.md5(str(text).encode()).digest()[:4]
+                row0 = b"\x00" + bytes(b[:2])
+                f1 = int(doc_id) % 3
+                if f1 == 0:  # None
+                    row1 = b"\x00" + bytes(b[2:4])
+                elif f1 == 1:  # Sub (left-neighbor diff)
+                    row1 = b"\x01" + bytes([b[2], (b[3] - b[2]) % 256])
+                else:  # Up (previous-row diff)
+                    row1 = b"\x02" + bytes(
+                        [(b[2] - b[0]) % 256, (b[3] - b[1]) % 256]
+                    )
+                payloads.append(
+                    b"\x89PNG\r\n\x1a\n"
+                    + ihdr
+                    + chunk(b"IDAT", zlib.compress(row0 + row1))
+                    + iend
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(run, schema=f"{id_col} long, payload binary")
 
 
 def _fake_features(data: bytes, n: int = 4) -> list[float]:

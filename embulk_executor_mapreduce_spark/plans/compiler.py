@@ -31,7 +31,12 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..errors import ConfigError, RemoteTaskFailedDataError, RemoteTaskFailedError
+from ..errors import (
+    ConfigError,
+    MergeCommitConflictError,
+    RemoteTaskFailedDataError,
+    RemoteTaskFailedError,
+)
 from ..operators.filters import apply_filter_chain
 from ..operators.partitioning import bucket_expr, salt_expr
 from ..sinks.writer import write_sink
@@ -333,6 +338,11 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
         report.output_rows = report.input_rows
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
         report.error = f"{type(exc).__name__}: {exc}"
+        if isinstance(exc, MergeCommitConflictError):
+            # already precisely classified: retryable multi-writer
+            # contention, state consistent — don't blur it into the generic
+            # infra bucket (callers back off and re-run the load)
+            raise
         if _is_user_data_error(exc):
             raise RemoteTaskFailedDataError(report.error) from exc
         raise RemoteTaskFailedError(report.error) from exc
@@ -452,6 +462,11 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
             )
     except Exception as exc:  # noqa: BLE001 — classify then re-raise
         report.error = f"{type(exc).__name__}: {exc}"
+        if isinstance(exc, MergeCommitConflictError):
+            # already precisely classified: retryable multi-writer
+            # contention, state consistent — don't blur it into the generic
+            # infra bucket (callers back off and re-run the load)
+            raise
         if _is_user_data_error(exc):
             raise RemoteTaskFailedDataError(report.error) from exc
         raise RemoteTaskFailedError(report.error) from exc

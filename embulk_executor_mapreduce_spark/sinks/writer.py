@@ -33,6 +33,23 @@ MERGE_BUCKET_DIR_COL = "__mbd"
 _CURRENT_FILE = "_CURRENT"
 _MANIFEST_DIR = "_manifests"
 _TREE_DIR = "_trees"
+#: attempt-unique staging trees under _trees/ carry this prefix until their
+#: writer wins the commit CAS and renames them to their final v<N> name;
+#: GC must never touch a FRESH one (it may belong to a live concurrent
+#: writer), only stale crash orphans
+_INPROGRESS_PREFIX = ".inprogress-"
+#: advisory commit lock at the state root: serializes the (tiny) CAS
+#: section — pointer re-check + tree rename + manifest + pointer flip —
+#: across concurrent writers on a shared POSIX filesystem. Object-store
+#: deployments replace this with a conditional put on the pointer object.
+_COMMIT_LOCK_FILE = "_COMMIT_LOCK"
+#: optimistic-concurrency retries: each failed CAS re-merges the batch
+#: against the winner's snapshot, so contention cost is per-conflict
+#: recompute, never blocking the other writer
+_MERGE_COMMIT_RETRIES = 5
+#: an in-progress staging tree older than this is a crash orphan (no live
+#: writer keeps an attempt open for hours) and may be GC'd
+_STALE_ATTEMPT_SEC = 6 * 3600.0
 
 
 def _local(path: str) -> str:
@@ -120,17 +137,29 @@ def read_merge_state(spark, path: str, fmt: str = "parquet", version: int | None
     return spark.read.format(fmt).load(dirs)
 
 
-def _gc_merge_state(local: str, keep_versions: int = 2) -> None:
+def _gc_merge_state(
+    local: str,
+    keep_versions: int = 2,
+    stale_attempt_sec: float = _STALE_ATTEMPT_SEC,
+) -> None:
     """Drop everything unreachable from the ``keep_versions`` newest
     manifests: replaced bucket dirs, crash-orphaned trees/manifests from an
     attempt that died before its pointer commit, and legacy-layout remnants
     after a migration. Keeping N-1 alongside N gives concurrent readers a
     one-commit grace window (the table-format snapshot-retention contract);
     larger ``keep_versions`` buys time-travel depth at the cost of retained
-    replaced-bucket storage."""
+    replaced-bucket storage.
+
+    Multi-writer safe: a FRESH ``.inprogress-*`` staging tree belongs to a
+    live concurrent writer that has not reached its CAS yet and is never
+    touched; only attempts older than ``stale_attempt_sec`` (crash orphans)
+    are swept. Final ``v<N>`` trees are swept purely by manifest
+    reachability, and concurrent GCs tolerate each other (remove races are
+    ignored)."""
     import os
     import re
     import shutil
+    import time
 
     version = _pointer_version(local)
     if version is None:
@@ -144,17 +173,35 @@ def _gc_merge_state(local: str, keep_versions: int = 2) -> None:
     if os.path.isdir(trees):
         for tree in os.listdir(trees):
             tdir = os.path.join(trees, tree)
-            for d in os.listdir(tdir):
+            if tree.startswith(_INPROGRESS_PREFIX):
+                try:
+                    stale = time.time() - os.path.getmtime(tdir) > stale_attempt_sec
+                except OSError:  # concurrently renamed/removed
+                    continue
+                if stale:
+                    shutil.rmtree(tdir, ignore_errors=True)
+                continue
+            try:
+                entries = os.listdir(tdir)
+            except OSError:  # concurrent GC removed it
+                continue
+            for d in entries:
                 if f"{_TREE_DIR}/{tree}/{d}" not in referenced:
                     shutil.rmtree(os.path.join(tdir, d), ignore_errors=True)
-            if not os.listdir(tdir):
-                os.rmdir(tdir)
+            try:
+                if not os.listdir(tdir):
+                    os.rmdir(tdir)
+            except OSError:
+                pass
     mdir = os.path.join(local, _MANIFEST_DIR)
     if os.path.isdir(mdir):
         for name in os.listdir(mdir):
             m = re.match(r"^v(-?\d+)\.json$", name)
             if m and int(m.group(1)) not in keep:
-                os.remove(os.path.join(mdir, name))
+                try:
+                    os.remove(os.path.join(mdir, name))
+                except FileNotFoundError:
+                    pass
     # legacy directory-swap remnants (post-migration): bucket dirs and bare
     # data files at the state root are no longer reachable by any reader.
     # Only KNOWN Spark write artifacts are swept (ADVICE r4: the old blanket
@@ -196,6 +243,71 @@ def _recover_merge_backup(local: str, backup: str) -> None:
             if not os.path.exists(live_dir):
                 os.rename(os.path.join(backup, name), live_dir)
     shutil.rmtree(backup, ignore_errors=True)
+
+
+def _is_stale_snapshot_error(exc: BaseException) -> bool:
+    """True when a failure's signature says "the manifest/files this merge
+    planned against no longer exist" — the snapshot was superseded AND aged
+    out of retention while this writer was computing (a competitor running
+    ≥ merge_keep_versions commits ahead). Only actionable when the pointer
+    has ALSO advanced; callers must check that before retrying, so a
+    genuine data-loss error can never be silently absorbed."""
+    if isinstance(exc, FileNotFoundError):
+        return True
+    msg = str(exc)
+    return any(
+        s in msg
+        for s in ("FileNotFoundException", "PATH_NOT_FOUND", "does not exist")
+    )
+
+
+def _commit_merge_version(
+    local: str,
+    expected_version: int | None,
+    new_version: int,
+    attempt_dir: str,
+    buckets: dict[str, str],
+) -> bool:
+    """The CAS commit step of the optimistic multi-writer protocol: under
+    the state's advisory commit lock, (1) re-read the pointer — if another
+    writer advanced it past ``expected_version`` the caller's merge was
+    computed against a superseded snapshot, so return False WITHOUT touching
+    anything (the caller re-merges and retries); (2) rename the
+    attempt-unique staging tree to its final ``v<N>`` name; (3) write the
+    manifest; (4) flip the pointer. The lock section holds two tiny file
+    writes and one rename — contended writers wait microseconds, and the
+    expensive merge compute stays outside. On an object store the same
+    protocol is a conditional put (if-match on the pointer etag); the
+    layout needs no change."""
+    import fcntl
+    import json
+    import os
+    import shutil
+
+    with open(os.path.join(local, _COMMIT_LOCK_FILE), "a") as lf:
+        fcntl.flock(lf, fcntl.LOCK_EX)
+        try:
+            if _pointer_version(local) != expected_version:
+                return False
+            tree = os.path.join(local, _TREE_DIR, f"v{new_version}")
+            # a crashed WINNER may have renamed v<N> then died before its
+            # manifest — unreferenced, so safe to replace
+            shutil.rmtree(tree, ignore_errors=True)
+            os.rename(attempt_dir, tree)
+            os.makedirs(os.path.join(local, _MANIFEST_DIR), exist_ok=True)
+            _fsync_write(
+                _manifest_path(local, new_version),
+                json.dumps(
+                    {"version": new_version, "buckets": buckets}, sort_keys=True
+                ),
+            )
+            _fsync_write(
+                os.path.join(local, _CURRENT_FILE),
+                json.dumps({"version": new_version}),
+            )  # COMMIT: the pointer flip is the one atomic step readers observe
+            return True
+        finally:
+            fcntl.flock(lf, fcntl.LOCK_UN)
 
 
 def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
@@ -240,10 +352,19 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     A crash anywhere before (3) leaves orphans no reader can reach; the
     next merge's entry GC removes them. ``read_merge_state`` is the read
     path (``__mb`` rides INSIDE the files as a data column, so one
-    multi-path scan restores it without partition inference). Single
-    writer assumed, as before. A table-format sink (Delta/Iceberg MERGE)
-    IS this protocol productionized; the keyed-argmax + pruned-rewrite
-    plan is identical.
+    multi-path scan restores it without partition inference).
+
+    MULTI-WRITER (r5, closing SCALING §10 caveat (c)): commits go through
+    an optimistic CAS — each writer stages its merged tree under an
+    attempt-unique ``.inprogress-*`` name, then under the advisory commit
+    lock re-checks the pointer it merged against; if another writer
+    advanced it, the attempt is discarded and the merge recomputed against
+    the new snapshot (bounded retries, then
+    :class:`...errors.MergeCommitConflictError`). History stays LINEAR:
+    every committed version v(N+1) was computed from exactly v(N). A
+    table-format sink (Delta/Iceberg MERGE) IS this protocol
+    productionized — same conditional-commit loop; the keyed-argmax +
+    pruned-rewrite plan is identical.
 
     Pre-pointer states (bucketed ``__mb=*`` directory-swap era, or the
     older unbucketed flat layout) are migrated in place: one full
@@ -252,9 +373,11 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     rewrite (schema evolution = migration) so all state files share a fused
     schema and readers need no ``mergeSchema``.
     """
-    import json
     import os
     import shutil
+    import uuid
+
+    from ..errors import MergeCommitConflictError
 
     spark = df.sparkSession
     path = spec.path
@@ -263,104 +386,131 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     order = list(spec.merge_order)
     # heal a directory-swap-era crash before reading anything
     _recover_merge_backup(local, local.rstrip("/") + ".__merge_old__")
-    version = _pointer_version(local)
-    legacy = (
-        version is None
-        and os.path.isdir(local)
-        and any(
-            n.startswith(f"{MERGE_BUCKET_COL}=") or not n.startswith(("_", "."))
-            for n in os.listdir(local)
-        )
-    )
 
     mb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(spec.merge_buckets)).cast(
         "int"
     )
     new = df.withColumn("__gen", F.lit(1))
-    touched: list[int] | None = None
-    old = None
-    bucket_dirs: dict[str, str] = {}
-    if version is not None:
-        # finish any crashed attempt's cleanup
-        _gc_merge_state(local, spec.merge_keep_versions)
-        bucket_dirs = _load_manifest(local, version)["buckets"]
-        all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
-        # an EMPTY committed state (e.g. a stream whose first micro-batch had
-        # no rows) has a manifest with zero buckets — treat as no state
-        old = (
-            spark.read.format(spec.type).load(all_dirs) if all_dirs else None
+
+    # Optimistic concurrency (multi-writer): compute the merge against the
+    # snapshot the pointer names, stage the result under an attempt-unique
+    # tree, then CAS-commit. A failed CAS means another writer's commit
+    # landed mid-merge — the staged tree is STALE (it lacks that writer's
+    # rows in the shared buckets), so it is discarded and the merge recomputed
+    # against the new snapshot. Conflict cost is one recompute per conflict;
+    # the winning writer is never blocked.
+    for _attempt in range(_MERGE_COMMIT_RETRIES):
+        version = _pointer_version(local)
+        # attempt-unique staging: concurrent writers must never share a
+        # Spark output directory; the CAS winner renames into place
+        attempt_dir = os.path.join(
+            local, _TREE_DIR, f"{_INPROGRESS_PREFIX}{uuid.uuid4().hex[:12]}"
         )
-        # a batch that INTRODUCES columns forces a one-time full rewrite so
-        # every state file keeps one fused schema (readers need no
-        # mergeSchema); steady-state batches — the 100 TB hot path — prune
-        evolves = old is not None and bool(set(df.columns) - set(old.columns))
-        if old is not None and not evolves:
-            # ≤ merge_buckets rows — bounded by CONFIG, never by data size
-            touched = sorted(
-                r.b for r in df.select(mb.alias("b")).distinct().collect()
+        try:
+            legacy = (
+                version is None
+                and os.path.isdir(local)
+                and any(
+                    n.startswith(f"{MERGE_BUCKET_COL}=") or not n.startswith(("_", "."))
+                    for n in os.listdir(local)
+                )
             )
-            if not touched:
-                # empty batch: state unchanged, no new version. Still run
-                # the (empty) plan once so caller-attached observers (the
-                # pipeline report's row count) fire — returning without any
-                # action over df leaves an Observation unresolvable.
-                df.write.format("noop").mode("overwrite").save()
-                return
-            tdirs = [
-                os.path.join(local, bucket_dirs[str(b)])
-                for b in touched
-                if str(b) in bucket_dirs
-            ]
-            old = spark.read.format(spec.type).load(tdirs) if tdirs else None
-    elif legacy:
-        old = spark.read.format(spec.type).load(path)
-    if old is not None:
-        old = old.drop(MERGE_BUCKET_COL).withColumn("__gen", F.lit(0))
-        both = old.unionByName(new, allowMissingColumns=True)
-    else:
-        both = new
-    payload = [c for c in both.columns if c not in keys and c != "__gen"]
-    for c in order:
-        if c not in payload:
-            raise ConfigError(f"merge_order column {c!r} missing from the data")
-    ride = [c for c in payload if c not in order]
-    merged = (
-        both.groupBy(*keys)
-        .agg(
-            F.max(
-                F.struct(*order, F.col("__gen"), *ride)
-            ).alias("m")
-        )
-        .select(*keys, *[F.col(f"m.{c}").alias(c) for c in payload])
-        .withColumn(MERGE_BUCKET_COL, mb)
-        .withColumn(MERGE_BUCKET_DIR_COL, F.col(MERGE_BUCKET_COL))
+            touched: list[int] | None = None
+            old = None
+            bucket_dirs: dict[str, str] = {}
+            if version is not None:
+                # finish any crashed attempt's cleanup
+                _gc_merge_state(local, spec.merge_keep_versions)
+                bucket_dirs = _load_manifest(local, version)["buckets"]
+                all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
+                # an EMPTY committed state (e.g. a stream whose first micro-batch
+                # had no rows) has a manifest with zero buckets — treat as no state
+                old = (
+                    spark.read.format(spec.type).load(all_dirs) if all_dirs else None
+                )
+                # a batch that INTRODUCES columns forces a one-time full rewrite so
+                # every state file keeps one fused schema (readers need no
+                # mergeSchema); steady-state batches — the 100 TB hot path — prune
+                evolves = old is not None and bool(set(df.columns) - set(old.columns))
+                if old is not None and not evolves:
+                    # ≤ merge_buckets rows — bounded by CONFIG, never by data size
+                    touched = sorted(
+                        r.b for r in df.select(mb.alias("b")).distinct().collect()
+                    )
+                    if not touched:
+                        # empty batch: state unchanged, no new version. Still run
+                        # the (empty) plan once so caller-attached observers (the
+                        # pipeline report's row count) fire — returning without any
+                        # action over df leaves an Observation unresolvable.
+                        df.write.format("noop").mode("overwrite").save()
+                        return
+                    tdirs = [
+                        os.path.join(local, bucket_dirs[str(b)])
+                        for b in touched
+                        if str(b) in bucket_dirs
+                    ]
+                    old = spark.read.format(spec.type).load(tdirs) if tdirs else None
+            elif legacy:
+                old = spark.read.format(spec.type).load(path)
+            if old is not None:
+                old = old.drop(MERGE_BUCKET_COL).withColumn("__gen", F.lit(0))
+                both = old.unionByName(new, allowMissingColumns=True)
+            else:
+                both = new
+            payload = [c for c in both.columns if c not in keys and c != "__gen"]
+            for c in order:
+                if c not in payload:
+                    raise ConfigError(f"merge_order column {c!r} missing from the data")
+            ride = [c for c in payload if c not in order]
+            merged = (
+                both.groupBy(*keys)
+                .agg(
+                    F.max(
+                        F.struct(*order, F.col("__gen"), *ride)
+                    ).alias("m")
+                )
+                .select(*keys, *[F.col(f"m.{c}").alias(c) for c in payload])
+                .withColumn(MERGE_BUCKET_COL, mb)
+                .withColumn(MERGE_BUCKET_DIR_COL, F.col(MERGE_BUCKET_COL))
+            )
+            new_version = (version if version is not None else -1) + 1
+            tree_rel = f"{_TREE_DIR}/v{new_version}"
+            merged.write.mode("overwrite").format(spec.type).partitionBy(
+                MERGE_BUCKET_DIR_COL
+            ).save(attempt_dir)
+        except Exception as exc:  # noqa: BLE001 — stale-snapshot retry only
+            if _is_stale_snapshot_error(exc) and _pointer_version(local) != version:
+                # the snapshot this merge planned against was superseded and
+                # aged out of retention MID-COMPUTE (a competitor committed
+                # >= merge_keep_versions times while this writer worked) —
+                # same remedy as a lost CAS: discard and recompute against
+                # the newest snapshot
+                shutil.rmtree(attempt_dir, ignore_errors=True)
+                continue
+            raise
+        written = {
+            name.split("=", 1)[1]: f"{tree_rel}/{name}"
+            for name in os.listdir(attempt_dir)
+            if name.startswith(f"{MERGE_BUCKET_DIR_COL}=")
+        }
+        buckets: dict[str, str] = {}
+        if touched is not None:
+            touched_set = {str(b) for b in touched}
+            buckets = {
+                b: rel for b, rel in bucket_dirs.items() if b not in touched_set
+            }
+        buckets.update(written)
+        if _commit_merge_version(local, version, new_version, attempt_dir, buckets):
+            _gc_merge_state(local, spec.merge_keep_versions)
+            return
+        # lost the CAS: discard the stale attempt and re-merge against the
+        # snapshot the winning writer just committed
+        shutil.rmtree(attempt_dir, ignore_errors=True)
+    raise MergeCommitConflictError(
+        f"merge sink {path}: lost the commit CAS {_MERGE_COMMIT_RETRIES} times "
+        "in a row — state is consistent (competing writers' commits landed); "
+        "re-run to merge this batch against the newest snapshot"
     )
-    new_version = (version if version is not None else -1) + 1
-    tree_rel = f"{_TREE_DIR}/v{new_version}"
-    tree = os.path.join(local, tree_rel)
-    shutil.rmtree(tree, ignore_errors=True)  # orphan of a pre-commit crash
-    merged.write.mode("overwrite").format(spec.type).partitionBy(
-        MERGE_BUCKET_DIR_COL
-    ).save(tree)
-    written = {
-        name.split("=", 1)[1]: f"{tree_rel}/{name}"
-        for name in os.listdir(tree)
-        if name.startswith(f"{MERGE_BUCKET_DIR_COL}=")
-    }
-    buckets: dict[str, str] = {}
-    if touched is not None:
-        touched_set = {str(b) for b in touched}
-        buckets = {b: rel for b, rel in bucket_dirs.items() if b not in touched_set}
-    buckets.update(written)
-    os.makedirs(os.path.join(local, _MANIFEST_DIR), exist_ok=True)
-    _fsync_write(
-        _manifest_path(local, new_version),
-        json.dumps({"version": new_version, "buckets": buckets}, sort_keys=True),
-    )
-    _fsync_write(
-        os.path.join(local, _CURRENT_FILE), json.dumps({"version": new_version})
-    )  # COMMIT: the pointer flip is the one atomic step readers observe
-    _gc_merge_state(local, spec.merge_keep_versions)
 
 
 def dedup_corpus_sink_fn(spec: SinkSpec):

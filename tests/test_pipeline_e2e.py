@@ -1423,3 +1423,142 @@ def test_corpus_snapshot_id_without_success_markers(spark, tmp_path):
     # the in-flight dir (staging only, no committed files) is still excluded
     (inflight / "_temporary" / "task").mkdir(parents=True, exist_ok=True)
     assert corpus_snapshot_id(corpus) == 2
+
+
+def test_merge_sink_concurrent_writers_both_land(spark, tmp_path):
+    """Multi-writer CAS (SCALING §10 caveat (c), closed r5): two writers
+    upserting DISJOINT key ranges concurrently — both commits must land
+    (no lost update), history must be linear (every version derives from
+    its predecessor), and the final state is the union of both writers'
+    latest rows. Pattern-cited from
+    test_merge_sink_concurrent_reader_sees_old_or_new_never_mix."""
+    import threading
+
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    out = str(tmp_path / "state")
+
+    # seed so both writers contend on an existing pointer
+    seed = str(tmp_path / "seed")
+    spark.createDataFrame(
+        [(i, f"seed{i}", 0) for i in range(20)], "id long, name string, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(seed)
+    run_pipeline(spark, _merge_spec(seed, out, merge_buckets=8))
+
+    errs = []
+
+    def writer(lo: int, rounds: int):
+        try:
+            for r in range(1, rounds + 1):
+                src = str(tmp_path / f"w{lo}_{r}")
+                spark.createDataFrame(
+                    [(lo + i, f"w{lo}r{r}", r) for i in range(5)],
+                    "id long, name string, ver long",
+                ).coalesce(1).write.mode("overwrite").parquet(src)
+                run_pipeline(spark, _merge_spec(src, out, merge_buckets=8))
+        except Exception as exc:  # noqa: BLE001
+            errs.append(exc)
+
+    t1 = threading.Thread(target=writer, args=(100, 3))
+    t2 = threading.Thread(target=writer, args=(200, 3))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+
+    state = {r.id: (r.name, r.ver) for r in read_merge_state(spark, out).collect()}
+    # every writer's FINAL round won its keys; seeds untouched
+    for lo in (100, 200):
+        for i in range(5):
+            assert state[lo + i] == (f"w{lo}r3", 3), (lo + i, state.get(lo + i))
+    assert state[0] == ("seed0", 0) and len(state) == 30
+
+    # linear history: the pointer advanced once per commit (1 seed + 6
+    # upserts = version 6), no version number skipped or double-assigned
+    import json
+
+    version = json.loads((Path(out) / "_CURRENT").read_text())["version"]
+    assert version == 6
+
+
+def test_merge_sink_cas_conflict_retries_and_lands(spark, tmp_path, monkeypatch):
+    """Deterministic CAS conflict: a competing commit is injected between a
+    writer's merge compute and its commit — the writer's first CAS must
+    FAIL (stale snapshot), and the retry must recompute against the
+    competitor's snapshot so ITS rows survive in the final state."""
+    import json
+
+    from embulk_executor_mapreduce_spark.sinks import writer as W
+
+    out = str(tmp_path / "state")
+    seed = str(tmp_path / "seed")
+    spark.createDataFrame(
+        [(i, f"seed{i}", 0) for i in range(10)], "id long, name string, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(seed)
+    run_pipeline(spark, _merge_spec(seed, out, merge_buckets=4))
+
+    real_commit = W._commit_merge_version
+    calls = {"n": 0}
+
+    def inject_competitor_then_commit(local, expected, new_version, attempt, buckets):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            # competitor: advance the pointer with a carbon-copy manifest
+            # (a legitimate commit whose merge touched nothing this writer
+            # can see) — exactly what a concurrent writer's landed commit
+            # looks like to the CAS
+            cur = json.loads((Path(local) / "_CURRENT").read_text())["version"]
+            man = json.loads(
+                (Path(local) / "_manifests" / f"v{cur}.json").read_text()
+            )
+            nxt = cur + 1
+            (Path(local) / "_manifests" / f"v{nxt}.json").write_text(
+                json.dumps({"version": nxt, "buckets": man["buckets"]})
+            )
+            (Path(local) / "_CURRENT").write_text(json.dumps({"version": nxt}))
+        return real_commit(local, expected, new_version, attempt, buckets)
+
+    monkeypatch.setattr(W, "_commit_merge_version", inject_competitor_then_commit)
+
+    src = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(3, "updated", 9)], "id long, name string, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    run_pipeline(spark, _merge_spec(src, out, merge_buckets=4))
+
+    assert calls["n"] == 2  # first CAS lost, retry won
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    state = {r.id: (r.name, r.ver) for r in read_merge_state(spark, out).collect()}
+    assert state[3] == ("updated", 9) and len(state) == 10
+    # retry committed ON TOP of the competitor's version: seed=v0,
+    # competitor=v1, this writer=v2
+    assert json.loads((Path(out) / "_CURRENT").read_text())["version"] == 2
+
+
+def test_merge_sink_cas_exhaustion_raises(spark, tmp_path, monkeypatch):
+    """A writer that loses every CAS raises MergeCommitConflictError and
+    leaves the state exactly as the competitors committed it."""
+    from embulk_executor_mapreduce_spark.errors import MergeCommitConflictError
+    from embulk_executor_mapreduce_spark.sinks import writer as W
+
+    out = str(tmp_path / "state")
+    seed = str(tmp_path / "seed")
+    spark.createDataFrame(
+        [(i, f"seed{i}", 0) for i in range(6)], "id long, name string, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(seed)
+    run_pipeline(spark, _merge_spec(seed, out, merge_buckets=4))
+
+    monkeypatch.setattr(W, "_commit_merge_version", lambda *a, **k: False)
+    monkeypatch.setattr(W, "_MERGE_COMMIT_RETRIES", 2)
+
+    src = str(tmp_path / "batch")
+    spark.createDataFrame(
+        [(1, "x", 9)], "id long, name string, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    with pytest.raises(MergeCommitConflictError):
+        run_pipeline(spark, _merge_spec(src, out, merge_buckets=4))
+    # no stale attempt litter survives the failed run
+    trees = Path(out) / "_trees"
+    assert not any(p.name.startswith(".inprogress-") for p in trees.iterdir())
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    assert read_merge_state(spark, out).count() == 6
