@@ -4008,6 +4008,28 @@ def q_graph_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "graph_pagerank_bucketed",
+    oracle=pagerank_cte_sql(event_transition_edges_sql("events"), iters=5),
+    tags=("graph", "centrality", "bucketed"),
+)
+def q_graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank_events through the PRE-BUCKETED edge layout (r5): the
+    distinct edge list is written once as a managed table bucketBy(src) and
+    all 5 iterations read its bucket partitioning with zero edge-side
+    exchanges (plan-guarded in tests/test_graph.py). Bit-identical ranks —
+    SAME oracle as the unbucketed query; the bench pairing measures the
+    layout, not the math."""
+    from .operators.graph import event_transition_edges, pagerank_bucketed_edges
+
+    return pagerank_bucketed_edges(
+        event_transition_edges(load(spark, sf_dir, "events")),
+        table="pr_edges_bucketed",
+        buckets=8,
+        iters=5,
+    )
+
+
+@register(
     "graph_pagerank_dangling",
     oracle=pagerank_cte_sql(
         event_transition_edges_sql("events"), iters=3, redistribute_dangling=True

@@ -49,8 +49,15 @@ def pagerank(
     damping_num: int = 85,
     damping_den: int = 100,
     redistribute_dangling: bool = False,
+    edges_distinct: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Fixed-iteration integer PageRank over a (src, dst) edge list.
+
+    ``checkpoint=False`` skips the per-iteration ``localCheckpoint`` so the
+    returned frame keeps its full lineage — ONLY for plan inspection (the
+    guards counting per-iteration exchanges); real runs need the
+    truncation or the plan grows exponentially with ``iters``.
 
     Returns ``(node, rank)`` with ``rank`` the BIGINT scaled mass
     (``rank/scale`` ≈ the textbook value). Edges are deduplicated; node set
@@ -61,12 +68,20 @@ def pagerank(
     back into the update — stays inside the plan) and credits every node
     ``(num * dangling_mass) DIV (den * n)``, the textbook normalized
     treatment. Default drops that mass (relative-weight semantics).
-    """
-    e = (
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-        .distinct()
-        .persist()
-    )
+
+    ``edges_distinct=True`` declares the edge list ALREADY deduplicated —
+    skip the distinct (whose all-columns exchange would destroy any storage
+    partitioning) AND the persist (the caller's storage is the
+    materialization). This is the pre-bucketed path: pass
+    ``spark.table(t)`` for a table written ``bucketBy(src)`` and every
+    iteration's edge join + the outdeg aggregate read the scan's bucket
+    partitioning directly — ZERO edge-side exchanges per iteration; only
+    the node-cardinality rank table exchanges to meet it
+    (:func:`pagerank_bucketed_edges` sets the table up; plan-guarded in
+    ``tests/test_graph.py::test_pagerank_bucketed_edges_zero_edge_exchanges``)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not edges_distinct:
+        e = e.distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -107,20 +122,56 @@ def pagerank(
             update = update.crossJoin(F.broadcast(dangling))
         else:
             share = F.lit(0).cast("long")
-        ranks = (
-            update.select(
-                "node",
-                (
-                    F.lit(base).cast("long")
-                    + F.coalesce(F.col("cs"), F.lit(0).cast("long"))
-                    + share
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+        ranks = update.select(
+            "node",
+            (
+                F.lit(base).cast("long")
+                + F.coalesce(F.col("cs"), F.lit(0).cast("long"))
+                + share
+            ).alias("rank"),
         )
-    e.unpersist()
+        if checkpoint:
+            ranks = ranks.localCheckpoint(eager=True)
+    if not edges_distinct:
+        e.unpersist()
     nodes.unpersist()
     return ranks
+
+
+def pagerank_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    buckets: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    **pagerank_kwargs,
+) -> DataFrame:
+    """PageRank over a PRE-BUCKETED edge table — the repeated-iteration
+    layout at 100 TB: the edge list (the data-sized side) is written ONCE as
+    a managed table ``bucketBy(buckets, src)``/``sortBy(src)`` with the
+    distinct applied at write time, then every one of the ``iters``
+    rank-join + outdeg aggregates reads the scan's bucket partitioning
+    directly instead of re-shuffling the edges per iteration (SCALING §re-use:
+    N iterations × edge shuffle → one write + N shuffle-free scans; only
+    the node-cardinality rank frame exchanges). Results are bit-identical
+    to :func:`pagerank` on the same edges — same oracle."""
+    spark = edges.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    # stale warehouse dir from a dropped-but-not-deleted previous run
+    import shutil
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", "")).path
+    if wh and "." not in table:
+        shutil.rmtree(f"{wh}/{table.lower()}", ignore_errors=True)
+    (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .distinct()
+        .write.bucketBy(buckets, "src")
+        .sortBy("src")
+        .saveAsTable(table)
+    )
+    return pagerank(spark.table(table), edges_distinct=True, **pagerank_kwargs)
 
 
 def pagerank_cte_sql(
