@@ -4053,45 +4053,32 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registration-order priority: the round driver snapshots only the FIRST 50
-# registered queries. Round-4 rotation (VERDICT r3 item 1): the window
-# carries every query whose CURRENT body hash has never produced a green
-# driver row (scripts/window_check.py gates this mechanically against
-# scripts/VERIFIED.json) — the 4 round-3 waivers (pagerank, xml roundtrip,
-# sliding-enriched stream, zorder), the 2 new round-4 queries
-# (dedup_incremental_state, graph_pagerank_dangling), and 21 carried
-# queries flagged because an engine module they import changed this round
-# (merge-sink pointer commit, spec pagerank stage, similarity assign-only
-# params, readers/streaming ts-probe fix). The remaining slots refresh the
-# queries whose last green row is OLDEST (all 20 r01 + 3 r02) so driver
-# evidence stays recent. DEFERRED in window_check.py is EMPTY this round.
+# registered queries. Round-5 rotation: the window carries every query
+# whose CURRENT body hash has never produced a green driver row
+# (scripts/window_check.py gates this mechanically against
+# scripts/VERIFIED.json) — the 2 new round-5 queries (real-PNG decode
+# roundtrip, bucketed pagerank), the 3 multimodal queries (module rewrite),
+# and 23 carried queries flagged by this round's module edits (dedup.py
+# corpus-sized k, graph.py bucketed path, sinks/writer.py multi-writer CAS,
+# plans/compiler.py ADVICE fixes). The remaining 22 slots refresh the
+# queries whose last green row is OLDEST — all 18 r01 rows plus the 4
+# oldest r02 rows (the final 17 r02 rows rotate in round 6). DEFERRED in
+# window_check.py is EMPTY this round.
 _VERIFY_FIRST = (
-    # round-3 waivers, rotated in (r03 VERDICT item 1)
+    # new in round 5
+    "multimodal_decode_png",
+    "graph_pagerank_bucketed",
+    # multimodal.py rewrite (stdlib real decoder + dispatch change)
+    "multimodal_decode",
+    "multimodal_resize",
+    "multimodal_frames",
+    # graph.py edits (edges_distinct/checkpoint params, bucketed path)
     "graph_pagerank_events",
-    "xml_engine_roundtrip",
-    "stream_sliding_enriched",
-    "zorder_cluster_key",
-    # new in round 4
-    "dedup_incremental_state",
     "graph_pagerank_dangling",
+    # dedup.py edits (corpus-sized semantic_dedup k) — module-hash flags
     "semantic_dedup_embeddings",
     "decontaminate_fuzzy",
-    # merge-sink pointer commit (sinks/writer.py rewrite)
-    "merge_upsert_state",
-    "dynamic_overwrite_state",
-    # streaming/ingest.py ts-probe fix + read_merge_state
-    "stream_dedup_events",
-    "stream_user_rollup",
-    "stream_hourly_counts",
-    "stream_purchase_signup_join",
-    "stream_session_windows",
-    # similarity.py assign-only params (centroids/codebook passthrough)
-    "ann_lsh_topk",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_pq_adc_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_pq_kmeans_topk",
-    # dedup.py module-hash flags (semantic_dedup added to the module)
+    "dedup_incremental_state",
     "dedup_exact",
     "minhash_lsh_candidates",
     "minhash_lsh_128x16",
@@ -4100,29 +4087,43 @@ _VERIFY_FIRST = (
     "ngram_jaccard_pairs",
     "simhash64",
     "embedding_neardup",
-    # spec.py/filters.py pagerank stage + compiler/readers module-hash flags
+    # sinks/writer.py multi-writer CAS + plans/compiler.py ADVICE fixes —
+    # module-hash flags
+    "merge_upsert_state",
+    "dynamic_overwrite_state",
+    "xml_engine_roundtrip",
     "filter_chain",
     "csv_engine_roundtrip",
     "jsonl_engine_roundtrip",
     "orc_engine_roundtrip",
     "task_source_generate",
-    "functions_array_gauntlet",
     "spec_join_aggregate",
     "spec_dedup_sql",
-    # text.py module-hash flags (quality_prune_per_source added)
-    "quality_prune_per_source",
-    "text_stats",
-    "text_fingerprint",
-    "quality_score",
-    "language_id",
-    "token_count_bpe",
-    "quality_repetition",
-    "chunk_token_windows",
-    "contamination_ngram",
-    "pii_scrub_props",
-    "line_dedup_c4",
-    "pack_sequences",
-    "vocab_topk",
+    # stale-row refresh (VERDICT r4 item 4): every r01 row, oldest evidence
+    # first — 18 queries last driver-verified in round 1
+    "scan_project",
+    "topk_orders_per_customer",
+    "asof_last_signup",
+    "sessionize_events",
+    "zscore_per_user",
+    "global_topk_orders",
+    "window_lag_lead_rank",
+    "semi_anti_join",
+    "exists_big_orders",
+    "setops_segments",
+    "distinct_aggs",
+    "cube_status_priority",
+    "grouping_sets_revenue",
+    "pivot_linestatus",
+    "json_props_extract",
+    "functions_math_gauntlet",
+    "functions_string_gauntlet",
+    "functions_datetime_gauntlet",
+    # + the 4 oldest r02 rows that fit; the remaining 17 r02 rotate in r6
+    "q3_segment_revenue",
+    "window_frames_gauntlet",
+    "exact_percentiles",
+    "null_scalar_gauntlet",
 )
 
 

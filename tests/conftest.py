@@ -22,3 +22,33 @@ def spark():
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
     return SF_SMOKE
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--driver-sweep",
+        action="store_true",
+        default=False,
+        help=(
+            "also run the driver-scale (sf0.01) full-catalog oracle sweep — "
+            "~10 min; the cheap way for a round to re-confirm the "
+            "beyond-window queries instead of trusting hash-gating alone"
+        ),
+    )
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "driver_sweep: driver-scale (sf0.01) oracle sweep, opt-in via --driver-sweep",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    # deselect (not skip) so the default run's summary stays clean
+    if config.getoption("--driver-sweep"):
+        return
+    deselected = [i for i in items if "driver_sweep" in i.keywords]
+    if deselected:
+        config.hook.pytest_deselected(items=deselected)
+        items[:] = [i for i in items if "driver_sweep" not in i.keywords]
