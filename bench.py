@@ -81,6 +81,7 @@ HEADLINE = [
     "tfidf_top_terms",
     # round 4 additions
     "semantic_dedup_embeddings",
+    "semantic_dedup_two_level",
     "decontaminate_fuzzy",
     "quality_prune_per_source",
 ]
@@ -100,6 +101,7 @@ SMALL_RESULT = {
     "embedding_neardup",
     "hash_sample_10pct",
     "semantic_dedup_embeddings",
+    "semantic_dedup_two_level",
     "decontaminate_fuzzy",
     "quality_prune_per_source",
 }
@@ -111,6 +113,7 @@ TIME_INCLUDES_BUILD = {
     "ann_ivf_kmeans_topk",
     "ann_pq_kmeans_topk",
     "semantic_dedup_embeddings",
+    "semantic_dedup_two_level",
 }
 
 # events.ts physical-encoding normalization, probed from the footer

@@ -876,3 +876,174 @@ def semantic_dedup(
         .distinct()
     )
     return assigned.join(dups, on=id_col, how="left_anti").select(id_col, "cid")
+
+
+def two_level_k(n_rows: int, target_cluster_docs: int = 1024) -> int:
+    """Per-level cluster count for :func:`semantic_dedup_two_level`:
+    ``coarse_k == sub_k == ceil(sqrt(n/target))`` gives ~n/target LEAF
+    clusters (occupancy ~target) while each level's broadcast table stays
+    √-scale — the construction that covers the regime past
+    :func:`semantic_dedup_k`'s flat cap (65536² leaves ≫ any corpus).
+    Clamped to [2, 65536] per level."""
+    if n_rows <= 0:
+        return 2
+    return max(2, min(65_536, math.ceil(math.sqrt(n_rows / target_cluster_docs))))
+
+
+def semantic_dedup_two_level(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int | None = None,
+    sub_k: int | None = None,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+    target_cluster_docs: int = 1024,
+) -> DataFrame:
+    """Two-level SemDeDup for the regime past the flat-k broadcast cap
+    (SCALING §4): coarse k-means cells first (broadcast ``coarse_k``
+    centroids, cosine assignment — the same plan shape as
+    :func:`semantic_dedup`), then INDEPENDENT per-cell sub-clusterings
+    trained in ONE grouped pass (``kmeans_train(group_cols=("cell",))`` —
+    the machinery that already trains per-subspace PQ codebooks), and
+    first-wins cosine dedup within each (cell, sub-cluster) leaf. Returns
+    survivors ``(id, cell, scid)``.
+
+    Scale shape: a flat k is capped at 65536 by the broadcast centroid
+    table, so past ~67M docs occupancy grows linearly again
+    (:func:`semantic_dedup_k`). Splitting the same leaf count across two
+    levels needs only √leaves centroids per level — coarse assignment
+    broadcasts ``coarse_k × dim`` doubles, the sub-level broadcasts
+    ``coarse_k·sub_k × dim`` (bounded by the SAME ceiling but now covering
+    its square in leaves), every join is an equi-join on (cell) or
+    (cell, scid), and the grouped trainer's exchanges carry one row per
+    vector (assign) / ``cells·sub_k·dim`` rows (update). Defaults size
+    both levels from the corpus via :func:`two_level_k`.
+
+    Exactmath end to end (scaled-integer means, micro-unit cosine
+    threshold, deterministic row_number-per-cell init), so the whole
+    two-level pipeline unrolls into a portable DuckDB oracle
+    (:func:`...similarity.semantic_dedup_two_level_oracle_sql`)."""
+    from ..exactmath import d_round
+    from .similarity import as_double, dot, kmeans_train
+
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    if coarse_k is None or sub_k is None:
+        auto = two_level_k(base.count(), target_cluster_docs)  # planning-time scalar
+        coarse_k = coarse_k if coarse_k is not None else auto
+        sub_k = sub_k if sub_k is not None else auto
+
+    # LEVEL 1 — coarse cells: cosine argmax against broadcast centroids,
+    # exchange carries one row per vector (identical to semantic_dedup)
+    cents = kmeans_train(base, id_col, "v", k=coarse_k, iters=iters).withColumn(
+        "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    sims = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "v",
+        "nrm",
+        F.col("cid").alias("cell"),
+        d_round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        ).alias("csim"),
+    )
+    assigned = (
+        sims.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell")).alias("ncell"),
+                    F.col("cell"),
+                    F.col("v"),
+                    F.col("nrm"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            F.col("m.cell").alias("cell"),
+            F.col("m.v").alias("v"),
+            F.col("m.nrm").alias("nrm"),
+        )
+    )
+
+    # Materialize the coarse assignment before the sub-trainer: it feeds the
+    # init + every grouped iteration + the final assignment — without the
+    # cut, each reference replays the coarse crossJoin/aggregate and the
+    # compound plan's analysis cost alone dominates (measured 17 s → 5 s at
+    # sf0.1). Same executor-storage materialization the trainers' own
+    # per-iteration checkpoints use; one corpus-sized frame, standard for
+    # iterative pipelines.
+    assigned = assigned.localCheckpoint(eager=True)
+
+    # LEVEL 2 — per-cell sub-centroids, ALL cells in one grouped pass.
+    # train_filter=lit(True) selects the row_number-per-group init (ids
+    # inside a cell are arbitrary, so the flat `id < k` init can't seed it).
+    subc = kmeans_train(
+        assigned,
+        id_col,
+        "v",
+        k=sub_k,
+        iters=iters,
+        group_cols=("cell",),
+        train_filter=F.lit(True),
+    )
+    d = (
+        dot(F.col("v"), F.col("v"))
+        - F.lit(2.0) * dot(F.col("v"), F.col("cv"))
+        + dot(F.col("cv"), F.col("cv"))
+    )
+    sub_assigned = (
+        assigned.join(F.broadcast(subc), "cell")
+        .select(id_col, "cell", "v", "nrm", "cid", d.alias("d"))
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("d")).alias("nd"),
+                    (-F.col("cid")).alias("nc"),
+                    F.col("cid").alias("scid"),
+                    F.col("cell"),
+                    F.col("v"),
+                    F.col("nrm"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            F.col("m.cell").alias("cell"),
+            F.col("m.scid").alias("scid"),
+            F.col("m.v").alias("v"),
+            F.col("m.nrm").alias("nrm"),
+        )
+    )
+
+    # first-wins dedup within each LEAF (cell, scid) — the quadratic is
+    # bounded by leaf occupancy ~target_cluster_docs at any corpus size.
+    # sub_assigned is referenced three times (both pair-join sides + the
+    # surviving-rows anti-join) — cut once more.
+    sub_assigned = sub_assigned.localCheckpoint(eager=True)
+    a, b = sub_assigned.alias("a"), sub_assigned.alias("b")
+    pair_cos = F.floor(
+        dot(F.col("a.v"), F.col("b.v"))
+        / (F.col("a.nrm") * F.col("b.nrm"))
+        * 1_000_000
+        + F.lit(0.5)
+    ).cast("long")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.scid") == F.col("b.scid"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(pair_cos >= threshold_micro)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return sub_assigned.join(dups, on=id_col, how="left_anti").select(
+        id_col, "cell", "scid"
+    )

@@ -303,7 +303,13 @@ def kmeans_train(
         cents = (
             base.withColumn("__r", F.row_number().over(w))
             .filter(F.col("__r") <= k)
-            .select(*g, (F.col("__r") - 1).alias("cid"), F.col("__v").alias("cv"))
+            # long, matching the flat init's id-typed cid (and DuckDB's
+            # BIGINT row_number) so downstream schemas agree across inits
+            .select(
+                *g,
+                (F.col("__r") - 1).cast("long").alias("cid"),
+                F.col("__v").alias("cv"),
+            )
         )
 
     def dsq(a: Column, b: Column) -> Column:
@@ -836,5 +842,103 @@ def semantic_dedup_oracle_sql(
             >= {threshold_micro}
     )
     SELECT vec_id, cid FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+    """
+
+
+def semantic_dedup_two_level_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 4,
+    sub_k: int = 4,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of ``operators.dedup.semantic_dedup_two_level`` — the
+    unrolled coarse k-means chain feeds the cosine cell assignment, then the
+    per-cell grouped sub-trainer unrolls with the row_number-per-cell init
+    (``kmeans_train(train_filter=...)``'s seeding), then the identical
+    first-wins within-leaf integer-threshold cosine dedup."""
+    # grouped sub-trainer chain (the PQ pattern keyed by `cell`, but with
+    # the per-group row_number init instead of the flat id<k init)
+    sc_parts = [
+        f"""sc0 AS (
+      SELECT cell, rn - 1 AS cid, v AS cv FROM (
+        SELECT cell, v, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id) AS rn
+        FROM cassign
+      ) WHERE rn <= {sub_k}
+    )"""
+    ]
+    for it in range(iters):
+        prev, cur = f"sc{it}", f"sc{it + 1}"
+        sc_parts.append(f"""sa{it} AS (
+      SELECT vec_id, cell, v, cid FROM (
+        SELECT t.vec_id, t.cell, t.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY list_dot_product(t.v, t.v)
+                          - 2 * list_dot_product(t.v, c.cv)
+                          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        FROM cassign t JOIN {prev} c USING (cell)
+      ) WHERE rn = 1
+    ), sm{it} AS (
+      SELECT cell, cid, i,
+             CAST(sum(CAST(floor(val * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS BIGINT)
+               / (count(*) * {KMEANS_SCALE}) AS mv
+      FROM (SELECT a.cell, a.cid, t.i, a.v[t.i + 1] AS val
+            FROM sa{it} a, range({dim}) t(i))
+      GROUP BY cell, cid, i
+    ), {cur} AS (
+      SELECT p.cell, p.cid, coalesce(l.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cell, cid, list(mv ORDER BY i) AS cv FROM sm{it} GROUP BY cell, cid
+      ) l USING (cell, cid)
+    )""")
+    sc_chain = ",\n    ".join(sc_parts)
+    return f"""
+    WITH base AS (
+      SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+    ),
+    {kmeans_cte_sql(coarse_k, iters, dim)},
+    cents2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents
+    ), csims AS (
+      SELECT b.vec_id, b.v, c.cid,
+             floor((list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v)) * c.cn)) * 1000000 + 0.5)
+               / 1000000.0 AS csim
+      FROM base b, cents2 c
+    ), cassign AS (
+      SELECT vec_id, v, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        FROM csims
+      ) WHERE rn = 1
+    ),
+    {sc_chain},
+    subc AS (SELECT cell, cid AS scid, cv FROM sc{iters}),
+    passign AS (
+      SELECT vec_id, cell, scid, v FROM (
+        SELECT t.vec_id, t.cell, s.scid, t.v,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY list_dot_product(t.v, t.v)
+                          - 2 * list_dot_product(t.v, s.cv)
+                          + list_dot_product(s.cv, s.cv), s.scid) AS rn
+        FROM cassign t JOIN subc s USING (cell)
+      ) WHERE rn = 1
+    ), dups AS (
+      SELECT DISTINCT b.vec_id
+      FROM passign a JOIN passign b
+        ON a.cell = b.cell AND a.scid = b.scid AND a.vec_id < b.vec_id
+      WHERE CAST(floor((list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v))
+                    * sqrt(list_dot_product(b.v, b.v)))) * 1000000 + 0.5) AS BIGINT)
+            >= {threshold_micro}
+    )
+    SELECT vec_id, cell, scid FROM passign
     WHERE vec_id NOT IN (SELECT vec_id FROM dups)
     """

@@ -580,3 +580,86 @@ def test_quality_prune_per_source_properties(spark):
         if shared:
             (boundary,) = shared
             assert all(x <= boundary for x in dropped_q), (s, dropped_q, boundary)
+
+
+def test_png_decoder_randomized_all_filters_and_colors():
+    """Randomized battery for the stdlib PNG decoder (pure function, no
+    Spark): random images across grey/RGB/RGBA/palette color types and ALL
+    five filter types per row, encoded by an independent reference encoder
+    (forward filter formulas), must decode to exactly the luminance grid
+    computed straight from the source pixels."""
+    import random
+    import struct
+    import zlib
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import _png_pixels
+
+    rng = random.Random(20260814)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else b if pb <= pc else c
+
+    def encode(w, h, color, pixels, filters, plte=b""):
+        nch = {0: 1, 2: 3, 4: 2, 6: 4, 3: 1}[color]
+        raw = b""
+        prev = bytes(w * nch)
+        for row_px, f in zip(pixels, filters):
+            line = bytes(v for px in row_px for v in px[:nch])
+            stored = bytearray([f])
+            for i in range(len(line)):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                pred = (0, a, b, (a + b) >> 1, paeth(a, b, c))[f]
+                stored.append((line[i] - pred) % 256)
+            raw += bytes(stored)
+            prev = line
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        out = b"\x89PNG\r\n\x1a\n" + chunk(
+            b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+        )
+        if color == 3:
+            out += chunk(b"PLTE", plte)
+        return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+    for trial in range(120):
+        w, h = rng.randint(1, 9), rng.randint(1, 9)
+        color = rng.choice([0, 2, 4, 6, 3])
+        plte = bytes(rng.randrange(256) for _ in range(3 * 16))
+        pixels, want = [], []
+        for _y in range(h):
+            row_px, want_row = [], []
+            for _x in range(w):
+                if color == 3:
+                    idx = rng.randrange(16)
+                    row_px.append((idx,))
+                    r, g, b = plte[idx * 3], plte[idx * 3 + 1], plte[idx * 3 + 2]
+                    want_row.append(0.299 * r + 0.587 * g + 0.114 * b)
+                elif color in (0, 4):
+                    v = rng.randrange(256)
+                    row_px.append((v, rng.randrange(256)))
+                    want_row.append(float(v))
+                else:
+                    r, g, b = (rng.randrange(256) for _ in range(3))
+                    row_px.append((r, g, b, rng.randrange(256)))
+                    want_row.append(0.299 * r + 0.587 * g + 0.114 * b)
+            pixels.append(row_px)
+            want.append(want_row)
+        filters = [rng.randrange(5) for _ in range(h)]
+        data = encode(w, h, color, pixels, filters, plte)
+        got = _png_pixels(data)
+        assert got is not None, (trial, w, h, color, filters)
+        gw, gh, lum = got
+        assert (gw, gh) == (w, h)
+        for wr, gr in zip(want, lum):
+            assert [round(x, 9) for x in wr] == [round(x, 9) for x in gr], (
+                trial, color, filters,
+            )

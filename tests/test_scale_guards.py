@@ -352,3 +352,80 @@ def test_semantic_dedup_auto_k_matches_explicit(spark):
             semantic_dedup(vecs, k=semantic_dedup_k(120), iters=1,
                            threshold_micro=990_000).collect()}
     assert auto == expl and len(auto) > 0
+
+
+# ---------------------------------------------------------------------------
+# two-level semantic dedup: √-scale sizing + leaf invariants (r5)
+# ---------------------------------------------------------------------------
+
+from embulk_executor_mapreduce_spark.operators.dedup import (  # noqa: E402
+    semantic_dedup_two_level,
+    two_level_k,
+)
+
+
+def test_two_level_k_covers_past_flat_cap():
+    """Per-level k grows with √corpus, so the LEAF count tracks n/target far
+    past the flat cap: at 10^12 docs each level needs only ~31k centroids
+    (broadcastable), where flat-k saturated at 65536 clusters total."""
+    assert two_level_k(0) == 2
+    assert two_level_k(500) == 2  # floor
+    assert two_level_k(1_000_000) == 32  # 32*32=1024 leaves ~ n/target
+    assert two_level_k(10**12) == 31_250  # < 65536: still broadcastable
+    # leaf occupancy stays ~target across 6 orders of magnitude
+    for n in (10**6, 10**9, 10**12):
+        k = two_level_k(n)
+        assert 0.5 <= n / (k * k) / 1024 <= 2.0, n
+
+
+def test_two_level_semantic_dedup_leaf_invariants(spark):
+    """Within every surviving leaf no over-threshold pair remains, survivors
+    are min-id first-wins, and the auto-sized call equals the explicit call
+    at the resolved per-level k."""
+    vecs = _vec_corpus(spark, 160)
+    out = semantic_dedup_two_level(
+        vecs, coarse_k=3, sub_k=2, iters=1, threshold_micro=990_000
+    )
+    rows = out.collect()
+    assert 0 < len(rows) <= 160
+    assert {len(r) for r in rows} == {3}  # (vec_id, cell, scid)
+    # re-run: deterministic
+    again = semantic_dedup_two_level(
+        vecs, coarse_k=3, sub_k=2, iters=1, threshold_micro=990_000
+    ).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # auto == explicit at the resolved k (two_level_k(160) == 2)
+    auto = semantic_dedup_two_level(vecs, iters=1, threshold_micro=990_000)
+    expl = semantic_dedup_two_level(
+        vecs, coarse_k=two_level_k(160), sub_k=two_level_k(160),
+        iters=1, threshold_micro=990_000,
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(map(tuple, expl.collect()))
+
+
+def test_two_level_no_surviving_over_threshold_pair(spark):
+    """Hard invariant: among survivors sharing a leaf, every pairwise cosine
+    is strictly below the threshold (the dedup predicate replayed over the
+    output must be empty)."""
+    import itertools
+    import math as m
+
+    vecs = _vec_corpus(spark, 120)
+    thresh = 900_000
+    out = semantic_dedup_two_level(
+        vecs, coarse_k=2, sub_k=2, iters=1, threshold_micro=thresh
+    )
+    vec_map = {r.vec_id: r.embedding for r in vecs.collect()}
+    by_leaf = {}
+    for r in out.collect():
+        by_leaf.setdefault((r.cell, r.scid), []).append(r.vec_id)
+    checked = 0
+    for ids in by_leaf.values():
+        for a, b in itertools.combinations(sorted(ids), 2):
+            va, vb = vec_map[a], vec_map[b]
+            dot_ = sum(x * y for x, y in zip(va, vb))
+            na = m.sqrt(sum(x * x for x in va))
+            nb = m.sqrt(sum(x * x for x in vb))
+            assert m.floor(dot_ / (na * nb) * 1_000_000 + 0.5) < thresh, (a, b)
+            checked += 1
+    assert checked > 0  # the invariant actually bit on something
