@@ -2595,6 +2595,59 @@ def q_semantic_dedup_two_level(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.similarity import incremental_semantic_oracle_sql  # noqa: E402
+
+
+@register(
+    "semantic_dedup_incremental_state",
+    oracle=incremental_semantic_oracle_sql(k=8, iters=2, threshold_micro=250_000),
+    tags=("dedup", "incremental", "similarity", "sink"),
+)
+def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup through REAL persisted state (r5) — the
+    semantic sibling of ``dedup_incremental_state``: increment 1 (even
+    vec_ids) trains the centroid table (persisted to parquet) and seeds the
+    survivor state through the pointer-committed merge sink; increment 2
+    (odd vec_ids) assigns AGAINST THE STORED CENTROIDS (assign-only, no
+    retrain — stable cell ids are what make the state joinable) and dedups
+    against both itself and the committed state, whose delta merges back
+    bucket-pruned. The oracle replays both increments — unrolled batch-1
+    k-means, both cosine assignments, within-batch and vs-state first-wins
+    drops — so the hash pins the operator AND the sink round-trip (centroid
+    parquet + merge manifest) together."""
+    import tempfile
+
+    from .operators.dedup import incremental_semantic_dedup
+    from .sinks.writer import read_merge_state, write_sink
+    from .spec import SinkSpec
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="q_sem_incr_")
+    cent_path = f"{root}/centroids"
+    state_path = f"{root}/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=state_path,
+        mode="merge",
+        merge_key=("vec_id", "cell"),
+        merge_order=("nrm",),
+    )
+    kw = dict(k=8, iters=2, threshold_micro=250_000)
+    _, d1, trained = incremental_semantic_dedup(
+        emb.filter(F.col("vec_id") % 2 == 0), None, None, **kw
+    )
+    trained.write.parquet(cent_path)
+    write_sink(d1, sink)
+    _, d2, _ = incremental_semantic_dedup(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        read_merge_state(spark, state_path),
+        spark.read.parquet(cent_path),
+        **kw,
+    )
+    write_sink(d2, sink)
+    return read_merge_state(spark, state_path).select("cell", "vec_id")
+
+
 @register(
     "token_count_bpe",
     oracle=r"""
@@ -4101,6 +4154,7 @@ _VERIFY_FIRST = (
     "multimodal_decode_png",
     "graph_pagerank_bucketed",
     "semantic_dedup_two_level",
+    "semantic_dedup_incremental_state",
     # similarity.py kmeans_train init-cast (the two queries that TRAIN);
     # the other flagged similarity queries never reach the changed branch
     # and are DEFERRED with justification (window_check.DEFERRED)
@@ -4157,8 +4211,7 @@ _VERIFY_FIRST = (
     "functions_math_gauntlet",
     "functions_string_gauntlet",
     "functions_datetime_gauntlet",
-    # + the oldest r02 row that still fits; the remaining 20 r02 rotate in r6
-    "q3_segment_revenue",
+    # (all 21 remaining r02 rows rotate in round 6)
 )
 
 

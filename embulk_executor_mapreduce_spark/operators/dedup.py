@@ -1047,3 +1047,127 @@ def semantic_dedup_two_level(
     return sub_assigned.join(dups, on=id_col, how="left_anti").select(
         id_col, "cell", "scid"
     )
+
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    state: DataFrame | None,
+    centroids: DataFrame | None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int | None = None,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+    target_cluster_docs: int = 1024,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Incremental SemDeDup — the semantic sibling of
+    :func:`incremental_minhash_dedup`, for the continuous-crawl loop at
+    100 TB: new embedding batches dedup against a PERSISTED survivor state
+    without ever re-touching (or re-clustering) the corpus.
+
+    * ``centroids`` is the persisted trained centroid table ``(cid, cv)``.
+      ``None`` (first increment) trains on the batch via
+      :func:`...similarity.kmeans_train` (``k=None`` → corpus-sized through
+      :func:`semantic_dedup_k`) and RETURNS the table for the caller to
+      persist — every later increment assigns against the broadcast stored
+      table and never retrains (the assign-only steady-state discipline the
+      trained-ANN path established; cluster ids stay stable across
+      increments, which is what makes the state joinable at all).
+    * ``state`` is the survivor table ``(cell, vec_id, v, nrm)`` persisted
+      through the bucket-pruned merge sink keyed ``(vec_id, cell)``; per
+      increment it is read once and equi-joined on ``cell`` — cost
+      O(batch × state-in-shared-cells), never O(corpus²).
+    * a batch doc survives iff NO lower-id batch doc in its cell and NO
+      state survivor in its cell has cosine ≥ ``threshold_micro``
+      (first-wins, earlier increments always outrank later ones).
+
+    Returns ``(novel, state_delta, trained_centroids_or_None)``: ``novel``
+    is ``(id, cell)`` for surviving batch docs, ``state_delta`` carries
+    ``(cell, id, v, nrm)`` to merge into the state, and the third element
+    is the centroid table to persist when this call trained one.
+    Exactmath throughout — the two-increment pipeline unrolls into a full
+    value-hash oracle (catalog ``semantic_dedup_incremental_state``)."""
+    from ..exactmath import d_round
+    from .similarity import as_double, dot, kmeans_train
+
+    base = batch.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    trained = None
+    if centroids is None:
+        if k is None:
+            k = semantic_dedup_k(base.count(), target_cluster_docs)
+        trained = kmeans_train(base, id_col, "v", k=k, iters=iters)
+        cents = trained
+    else:
+        cents = centroids.select("cid", "cv")
+    cents = cents.withColumn("cn", F.sqrt(dot(F.col("cv"), F.col("cv"))))
+    sims = base.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "v",
+        "nrm",
+        F.col("cid").alias("cell"),
+        d_round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        ).alias("csim"),
+    )
+    assigned = (
+        sims.groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell")).alias("ncell"),
+                    F.col("cell"),
+                    F.col("v"),
+                    F.col("nrm"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col),
+            F.col("m.cell").alias("cell"),
+            F.col("m.v").alias("v"),
+            F.col("m.nrm").alias("nrm"),
+        )
+    )
+
+    def _cos_ge(a_v, a_n, b_v, b_n):
+        return (
+            F.floor(dot(a_v, b_v) / (a_n * b_n) * 1_000_000 + F.lit(0.5)).cast(
+                "long"
+            )
+            >= threshold_micro
+        )
+
+    a, b = assigned.alias("a"), assigned.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(_cos_ge(F.col("a.v"), F.col("a.nrm"), F.col("b.v"), F.col("b.nrm")))
+        .select(F.col(f"b.{id_col}").alias(id_col))
+    )
+    dups = within
+    if state is not None:
+        st = state.select(
+            F.col("cell").alias("s_cell"),
+            F.col("v").alias("s_v"),
+            F.col("nrm").alias("s_nrm"),
+        )
+        vs_state = (
+            assigned.alias("n")
+            .join(st, F.col("n.cell") == F.col("s_cell"))
+            .where(
+                _cos_ge(
+                    F.col("s_v"), F.col("s_nrm"), F.col("n.v"), F.col("n.nrm")
+                )
+            )
+            .select(F.col(f"n.{id_col}").alias(id_col))
+        )
+        dups = dups.unionByName(vs_state)
+    novel = assigned.join(dups.distinct(), on=id_col, how="left_anti")
+    delta = novel.select("cell", F.col(id_col), "v", "nrm")
+    return novel.select(id_col, "cell"), delta, trained

@@ -942,3 +942,81 @@ def semantic_dedup_two_level_oracle_sql(
     SELECT vec_id, cell, scid FROM passign
     WHERE vec_id NOT IN (SELECT vec_id FROM dups)
     """
+
+
+def incremental_semantic_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of the two-increment
+    ``operators.dedup.incremental_semantic_dedup`` pipeline (even ids then
+    odd ids, centroids trained on increment 1 only and reused assign-only):
+    the unrolled k-means chain over batch 1 feeds both batches' cosine cell
+    assignments, then each increment's first-wins dedup — within-batch for
+    increment 1, within-batch PLUS against the persisted survivor state for
+    increment 2. The final SELECT is the committed state the Spark query
+    reads back through the merge-sink manifest."""
+
+    def assign(src: str, out: str) -> str:
+        # `out` must avoid the kmeans chain's internal CTE names (c{i}/a{i}/m{i})
+        return f"""{out}_sims AS (
+      SELECT b.vec_id, b.v, sqrt(list_dot_product(b.v, b.v)) AS nrm, c.cid,
+             floor((list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v)) * c.cn)) * 1000000 + 0.5)
+               / 1000000.0 AS csim
+      FROM {src} b, cents2 c
+    ), {out} AS (
+      SELECT vec_id, v, nrm, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        FROM {out}_sims
+      ) WHERE rn = 1
+    )"""
+
+    def cos_ge(av, an, bv, bn) -> str:
+        return (
+            f"CAST(floor((list_dot_product({av}, {bv}) / ({an} * {bn}))"
+            f" * 1000000 + 0.5) AS BIGINT) >= {threshold_micro}"
+        )
+
+    return f"""
+    WITH allv AS (
+      SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+    ),
+    b1 AS (SELECT vec_id, v FROM allv WHERE vec_id % 2 = 0),
+    b2 AS (SELECT vec_id, v FROM allv WHERE vec_id % 2 = 1),
+    {kmeans_cte_sql(k, iters, dim, base_cte="b1")},
+    cents2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents
+    ),
+    {assign("b1", "inc1")},
+    w1 AS (
+      SELECT DISTINCT b.vec_id
+      FROM inc1 a JOIN inc1 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos_ge("a.v", "a.nrm", "b.v", "b.nrm")}
+    ),
+    s1 AS (SELECT * FROM inc1 WHERE vec_id NOT IN (SELECT vec_id FROM w1)),
+    {assign("b2", "inc2")},
+    w2 AS (
+      SELECT DISTINCT b.vec_id
+      FROM inc2 a JOIN inc2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {cos_ge("a.v", "a.nrm", "b.v", "b.nrm")}
+    ),
+    x2 AS (
+      SELECT DISTINCT n.vec_id
+      FROM inc2 n JOIN s1 s ON n.cell = s.cell
+      WHERE {cos_ge("s.v", "s.nrm", "n.v", "n.nrm")}
+    ),
+    s2 AS (
+      SELECT * FROM inc2 WHERE vec_id NOT IN
+        (SELECT vec_id FROM w2 UNION SELECT vec_id FROM x2)
+    )
+    SELECT cell, vec_id FROM s1
+    UNION ALL
+    SELECT cell, vec_id FROM s2
+    """

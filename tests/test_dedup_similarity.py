@@ -431,3 +431,57 @@ def test_minhash_decontaminate_fuzzy(spark):
     audit = {r.doc_id: r.n_match for r in cont.collect()}
     assert set(audit) == {1, 3}
     assert all(v >= 12 for v in audit.values())
+
+
+def test_incremental_semantic_dedup_loop(spark, tmp_path):
+    """Incremental SemDeDup behavior: a later increment's near-duplicate of
+    a persisted survivor is dropped, novel content lands, and re-ingesting
+    the same increment is a no-op (every doc collides with itself in
+    state — delta empty, state unchanged)."""
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        incremental_semantic_dedup,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    def vec(seed, wiggle=0.0):
+        return [((seed * 31 + j * 7) % 13 - 6) / 6.0 + wiggle * (j % 2) for j in range(8)]
+
+    b1 = spark.createDataFrame(
+        [(0, vec(1)), (2, vec(50))], "vec_id long, embedding array<double>"
+    )
+    # 11 ≈ near-dup of persisted 0; 13 = genuinely novel direction
+    b2 = spark.createDataFrame(
+        [(11, vec(1, wiggle=1e-4)), (13, vec(7))],
+        "vec_id long, embedding array<double>",
+    )
+    state_path = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="parquet", path=state_path, mode="merge",
+        merge_key=("vec_id", "cell"), merge_order=("nrm",),
+    )
+    kw = dict(k=2, iters=1, threshold_micro=999_000)
+    novel1, d1, trained = incremental_semantic_dedup(b1, None, None, **kw)
+    assert {r.vec_id for r in novel1.collect()} == {0, 2}
+    write_sink(d1, sink)
+    cents = trained  # caller persists; here kept in memory is equivalent
+
+    novel2, d2, t2 = incremental_semantic_dedup(
+        b2, read_merge_state(spark, state_path), cents, **kw
+    )
+    assert t2 is None  # assign-only: nothing retrained
+    assert {r.vec_id for r in novel2.collect()} == {13}  # 11 dropped vs state
+    write_sink(d2, sink)
+    state = {r.vec_id for r in read_merge_state(spark, state_path).collect()}
+    assert state == {0, 2, 13}
+
+    # idempotent re-ingestion: every doc cosines 1.0 with itself in state
+    novel2b, d2b, _ = incremental_semantic_dedup(
+        b2, read_merge_state(spark, state_path), cents, **kw
+    )
+    assert novel2b.count() == 0 and d2b.count() == 0
+    write_sink(d2b, sink)  # merging the empty delta is a no-op
+    assert {r.vec_id for r in read_merge_state(spark, state_path).collect()} == state
