@@ -344,3 +344,56 @@ def test_read_merge_state_is_one_scan(spark, tmp_path):
     assert plan.count("FileScan") == 1, plan
     assert num_exchanges(df) == 0
     assert "__mb" in df.columns  # bucket id restored from file data
+
+
+def test_two_level_semantic_dedup_plan_shape(spark):
+    """r5 two-level semantic dedup: every join is either a broadcast of a
+    fixed-k centroid table or an equi-join on (cell[, scid]) — no cartesian
+    product anywhere, and the leaf pair-join keys on the cluster columns."""
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        semantic_dedup_two_level,
+    )
+
+    vecs = spark.createDataFrame(
+        [(i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(8)])
+         for i in range(80)],
+        "vec_id long, embedding array<double>",
+    )
+    out = semantic_dedup_two_level(
+        vecs, coarse_k=2, sub_k=2, iters=1, threshold_micro=990_000
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # the leaf pair join must be keyed (an equi SortMergeJoin/ShuffledHash/
+    # BroadcastHash on cell+scid), visible as join keys in the plan
+    assert "cell" in plan and "scid" in plan
+
+
+def test_incremental_semantic_dedup_plan_shape(spark, tmp_path):
+    """r5 incremental semantic dedup: batch assignment broadcasts the
+    stored centroid table; the against-state check is an equi-join on cell
+    (state side is never broadcast-nested-looped or cross-joined)."""
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        incremental_semantic_dedup,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(8)])
+             for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    _, d1, trained = incremental_semantic_dedup(
+        mk(range(0, 40, 2)), None, None, k=2, iters=1
+    )
+    state = d1  # in-memory stand-in for the merged state
+    novel, delta, t2 = incremental_semantic_dedup(
+        mk(range(1, 41, 2)), state, trained, k=2, iters=1
+    )
+    assert t2 is None
+    plan = novel._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    # centroid broadcast present; state join keys on cell
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    assert "cell" in plan
