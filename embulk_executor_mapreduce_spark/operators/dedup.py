@@ -1059,6 +1059,7 @@ def incremental_semantic_dedup(
     iters: int = 2,
     threshold_micro: int = 250_000,
     target_cluster_docs: int = 1024,
+    claim: Column | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Incremental SemDeDup — the semantic sibling of
     :func:`incremental_minhash_dedup`, for the continuous-crawl loop at
@@ -1081,6 +1082,14 @@ def incremental_semantic_dedup(
       state survivor in its cell has cosine ≥ ``threshold_micro``
       (first-wins, earlier increments always outrank later ones).
 
+    ``claim`` (streaming exactly-once, the :func:`incremental_dedup` /
+    :func:`incremental_minhash_dedup` contract): a literal tagging the
+    ingestion unit; the delta carries it as ``claim_batch`` and the
+    against-state check ignores state rows carrying THIS unit's claim, so
+    a retry whose state merge already committed reconstructs its survivor
+    set (and its idempotent corpus write) instead of self-colliding to
+    empty.
+
     Returns ``(novel, state_delta, trained_centroids_or_None)``: ``novel``
     is ``(id, cell)`` for surviving batch docs, ``state_delta`` carries
     ``(cell, id, v, nrm)`` to merge into the state, and the third element
@@ -1097,7 +1106,13 @@ def incremental_semantic_dedup(
     if centroids is None:
         if k is None:
             k = semantic_dedup_k(base.count(), target_cluster_docs)
-        trained = kmeans_train(base, id_col, "v", k=k, iters=iters)
+        # train_filter selects the row_number-seeded init: an increment's
+        # ids are arbitrary (the flat `id < k` init would seed nothing for
+        # a batch whose ids start above k). The seeding window sorts only
+        # the TRAINING set — one bounded increment here, never a corpus.
+        trained = kmeans_train(
+            base, id_col, "v", k=k, iters=iters, train_filter=F.lit(True)
+        )
         cents = trained
     else:
         cents = centroids.select("cid", "cv")
@@ -1152,6 +1167,8 @@ def incremental_semantic_dedup(
     )
     dups = within
     if state is not None:
+        if claim is not None:
+            state = state.where(F.col("claim_batch") != claim)
         st = state.select(
             F.col("cell").alias("s_cell"),
             F.col("v").alias("s_v"),
@@ -1170,4 +1187,6 @@ def incremental_semantic_dedup(
         dups = dups.unionByName(vs_state)
     novel = assigned.join(dups.distinct(), on=id_col, how="left_anti")
     delta = novel.select("cell", F.col(id_col), "v", "nrm")
+    if claim is not None:
+        delta = delta.withColumn("claim_batch", claim)
     return novel.select(id_col, "cell"), delta, trained

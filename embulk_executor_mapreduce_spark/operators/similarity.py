@@ -382,15 +382,28 @@ def kmeans_cte_sql(
     dim: int = 64,
     base_cte: str = "base",
     id_col: str = "vec_id",
+    init: str = "flat",
 ) -> str:
     """DuckDB mirror of :func:`kmeans_train` (ungrouped form), generated in
     lockstep: the fixed iteration count unrolls into a WITH-clause chain, the
     scaled-integer centroid means reproduce Spark's doubles bit-exactly, and
     the L2 argmin uses the same (d, cid) ordering. Returns CTE text defining
-    ``cents(cid, cv)``; append after a ``{base_cte}(vec_id, v)`` CTE."""
-    parts = [
-        f"c0 AS (SELECT {id_col} AS cid, v AS cv FROM {base_cte} WHERE {id_col} < {k})"
-    ]
+    ``cents(cid, cv)``; append after a ``{base_cte}(vec_id, v)`` CTE.
+
+    ``init="flat"`` mirrors the default ``id < k`` seeding;
+    ``init="sampled"`` mirrors the ``train_filter`` path's
+    row_number-over-id seeding (dense cid 0..k-1 — required when the
+    training ids don't start at 0, e.g. an incremental batch)."""
+    if init == "sampled":
+        parts = [
+            f"c0 AS (SELECT rn - 1 AS cid, v AS cv FROM ("
+            f"SELECT v, row_number() OVER (ORDER BY {id_col}) AS rn "
+            f"FROM {base_cte}) WHERE rn <= {k})"
+        ]
+    else:
+        parts = [
+            f"c0 AS (SELECT {id_col} AS cid, v AS cv FROM {base_cte} WHERE {id_col} < {k})"
+        ]
     for it in range(iters):
         prev, cur = f"c{it}", f"c{it + 1}"
         parts.append(f"""a{it} AS (
@@ -990,7 +1003,7 @@ def incremental_semantic_oracle_sql(
     ),
     b1 AS (SELECT vec_id, v FROM allv WHERE vec_id % 2 = 0),
     b2 AS (SELECT vec_id, v FROM allv WHERE vec_id % 2 = 1),
-    {kmeans_cte_sql(k, iters, dim, base_cte="b1")},
+    {kmeans_cte_sql(k, iters, dim, base_cte="b1", init="sampled")},
     cents2 AS (
       SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents
     ),

@@ -413,3 +413,78 @@ def incremental_neardup_sink(
             batch.unpersist()
 
     return _process
+
+
+def incremental_semantic_sink(
+    state_path: str,
+    corpus_path: str,
+    centroid_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    merge_buckets: int = 64,
+    k: int | None = None,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+):
+    """``foreachBatch`` body for the continuous-crawl SEMANTIC dedup loop —
+    the embedding sibling of :func:`incremental_neardup_sink`, same
+    exactly-once construction (batch-scoped idempotent corpus dirs,
+    deterministic keyed state merge, ``claim=lit(batch_id)`` so a retry
+    whose state merge committed ignores its own claims).
+
+    Centroid lifecycle: the FIRST batch trains the table (deterministic
+    Lloyd's — a replay retrains bit-identically, so the overwrite is
+    idempotent) and persists it BEFORE any state mutation; every later
+    batch loads and assigns only. Centroid drift over a long crawl is
+    handled offline (retrain on a sample + one-pass state re-assignment),
+    not in the hot loop."""
+    from ..operators.dedup import incremental_semantic_dedup
+    from ..sinks.writer import read_merge_state, write_sink
+    from ..spec import SinkSpec
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            try:
+                cents = spark.read.parquet(centroid_path)
+            except Exception:  # first batch: nothing trained yet
+                cents = None
+            try:
+                state = read_merge_state(spark, state_path)
+            except Exception:  # first batch: no state yet
+                state = None
+            novel, delta, trained = incremental_semantic_dedup(
+                batch,
+                state,
+                cents,
+                vec_col=vec_col,
+                id_col=id_col,
+                k=k,
+                iters=iters,
+                threshold_micro=threshold_micro,
+                claim=F.lit(batch_id),
+            )
+            if trained is not None:
+                # persist BEFORE corpus/state writes: a crash after this
+                # point re-loads the identical table; a crash before it
+                # retrains bit-identically (deterministic trainer)
+                trained.write.mode("overwrite").parquet(centroid_path)
+            novel.write.mode("overwrite").parquet(
+                f"{corpus_path}/ingest_batch={batch_id}"
+            )
+            write_sink(
+                delta,
+                SinkSpec(
+                    type="parquet",
+                    path=state_path,
+                    mode="merge",
+                    merge_key=(id_col, "cell"),
+                    merge_order=("nrm",),
+                    merge_buckets=merge_buckets,
+                ),
+            )
+        finally:
+            batch.unpersist()
+
+    return _process

@@ -56,6 +56,16 @@ DEFERRED: dict[str, str] = {
     "ann_ivf_topk": "unreachable diff (untrained path); local sf0.01 green r5",
     "ann_pq_adc_topk": "unreachable diff (untrained path); local sf0.01 green r5",
     "functions_array_gauntlet": "unreachable diff (no kmeans_train); local sf0.01 green r5",
+    # r5: streaming/ingest.py changed by a PURE APPEND (git diff: only
+    # `incremental_semantic_sink` added at EOF; no existing line touched),
+    # which no stream catalog query can reach. All six re-verified locally
+    # strict-green at sf0.01 this round; rotate into the r6 window.
+    "stream_hourly_counts": "append-only diff (new fn at EOF); local sf0.01 green r5",
+    "stream_dedup_events": "append-only diff (new fn at EOF); local sf0.01 green r5",
+    "stream_sliding_enriched": "append-only diff (new fn at EOF); local sf0.01 green r5",
+    "stream_user_rollup": "append-only diff (new fn at EOF); local sf0.01 green r5",
+    "stream_session_windows": "append-only diff (new fn at EOF); local sf0.01 green r5",
+    "stream_purchase_signup_join": "append-only diff (new fn at EOF); local sf0.01 green r5",
 }
 
 

@@ -447,3 +447,65 @@ class TestIncrementalNeardupStream:
         }
         assert {d for d, _ in idx} == {10, 12, 21}
         assert all(c in (0, 1) for _, c in idx)
+
+
+class TestIncrementalSemanticSink:
+    """Exactly-once for the SEMANTIC crawl loop (the embedding sibling of
+    TestIncrementalNeardupSink's retry battery)."""
+
+    @staticmethod
+    def _vec(seed, wiggle=0.0):
+        return [
+            ((seed * 31 + j * 7) % 13 - 6) / 6.0 + wiggle * (j % 2)
+            for j in range(8)
+        ]
+
+    @staticmethod
+    def _corpus_ids(spark, corpus):
+        return sorted(r.vec_id for r in spark.read.parquet(str(corpus)).collect())
+
+    def test_retry_after_state_commit_but_lost_corpus_write(self, spark, tmp_path):
+        import shutil
+
+        from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+        from embulk_executor_mapreduce_spark.streaming.ingest import (
+            incremental_semantic_sink,
+        )
+
+        state = str(tmp_path / "state")
+        corpus = str(tmp_path / "corpus")
+        cents = str(tmp_path / "centroids")
+        sink = incremental_semantic_sink(
+            state, corpus, cents, merge_buckets=8, k=2, iters=1,
+            threshold_micro=999_000,
+        )
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+        # batch 0: near-dup pair (11 ~ 10) + a distinct vector; trains cents
+        sink(mk([(10, self._vec(1)), (11, self._vec(1, 1e-4)), (12, self._vec(50))]), 0)
+        assert self._corpus_ids(spark, corpus) == [10, 12]
+        assert spark.read.parquet(cents).count() == 2
+
+        # batch 1: one state-dup (near 10), one novel direction
+        sink(mk([(20, self._vec(1, 2e-4)), (21, self._vec(7))]), 1)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+
+        # crash window: state merge committed, corpus dir lost → the retry
+        # must ignore its own claims and reconstruct vec 21 (without the
+        # claim every doc would cosine-1.0 its own state row and the batch
+        # would collapse to empty)
+        shutil.rmtree(f"{corpus}/ingest_batch=1")
+        sink(mk([(20, self._vec(1, 2e-4)), (21, self._vec(7))]), 1)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+
+        # a NEW batch re-ingesting the same content is a content-level no-op
+        sink(mk([(20, self._vec(1, 2e-4)), (21, self._vec(7))]), 9)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+        st = {
+            (r.vec_id, r.claim_batch)
+            for r in read_merge_state(spark, state).collect()
+        }
+        assert {v for v, _ in st} == {10, 12, 21}
+        assert all(c in (0, 1) for _, c in st)
