@@ -1190,3 +1190,48 @@ def incremental_semantic_dedup(
     if claim is not None:
         delta = delta.withColumn("claim_batch", claim)
     return novel.select(id_col, "cell"), delta, trained
+
+
+def reassign_semantic_state(state: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Centroid-drift migration for the incremental SemDeDup loop: one pass
+    re-assigning every persisted survivor to NEW centroids (offline retrain
+    on a sample → this → write the result as a fresh merge state; the same
+    full-rewrite shape as the merge sink's schema-evolution migration).
+    Broadcast argmax-cosine assignment — identical tie-breaks to the hot
+    loop, so re-running with the OLD centroids is a bit-exact no-op (the
+    migration-safety property the test pins). Cost: one corpus-of-survivors
+    scan + a broadcast join; no pairwise work (survivors were already
+    mutually deduped — migration moves labels, not membership)."""
+    from ..exactmath import d_round
+    from .similarity import dot
+
+    cents = centroids.select("cid", "cv").withColumn(
+        "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    keep = [c for c in state.columns if c != "cell"]
+    sims = state.drop("cell").crossJoin(F.broadcast(cents)).select(
+        *keep,
+        F.col("cid").alias("cell"),
+        d_round(
+            dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+        ).alias("csim"),
+    )
+    return (
+        sims.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cell")).alias("ncell"),
+                    F.col("cell"),
+                    *[F.col(c) for c in keep if c != "vec_id"],
+                )
+            ).alias("m")
+        )
+        .select(
+            "vec_id",
+            F.col("m.cell").alias("cell"),
+            *[F.col(f"m.{c}").alias(c) for c in keep if c != "vec_id"],
+        )
+        .select("cell", *keep)
+    )

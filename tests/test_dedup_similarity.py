@@ -485,3 +485,53 @@ def test_incremental_semantic_dedup_loop(spark, tmp_path):
     assert novel2b.count() == 0 and d2b.count() == 0
     write_sink(d2b, sink)  # merging the empty delta is a no-op
     assert {r.vec_id for r in read_merge_state(spark, state_path).collect()} == state
+
+
+def test_reassign_semantic_state_migration(spark, tmp_path):
+    """Centroid-drift migration: re-assigning the survivor state to the SAME
+    centroids is a bit-exact no-op; to RETRAINED centroids it relabels cells
+    without gaining/losing a survivor, and the migrated state keeps serving
+    the incremental loop (a near-dup of a migrated survivor still drops)."""
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        incremental_semantic_dedup,
+        reassign_semantic_state,
+    )
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        as_double,
+        dot,
+        kmeans_train,
+    )
+    from pyspark.sql import functions as F
+
+    def vec(seed, wiggle=0.0):
+        return [((seed * 31 + j * 7) % 13 - 6) / 6.0 + wiggle * (j % 2) for j in range(8)]
+
+    b1 = spark.createDataFrame(
+        [(i, vec(i)) for i in (3, 7, 20, 41)], "vec_id long, embedding array<double>"
+    )
+    _, state, trained = incremental_semantic_dedup(b1, None, None, k=2, iters=1)
+    before = sorted((r.vec_id, r.cell) for r in state.collect())
+
+    # same centroids → bit-exact no-op
+    same = reassign_semantic_state(state, trained)
+    assert sorted((r.vec_id, r.cell) for r in same.collect()) == before
+    assert set(same.columns) == set(state.columns)
+
+    # retrained centroids (different k) → same survivors, possibly new cells
+    base = b1.select("vec_id", as_double("embedding").alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    retrained = kmeans_train(
+        base, "vec_id", "v", k=3, iters=2, train_filter=F.lit(True)
+    )
+    migrated = reassign_semantic_state(state, retrained)
+    assert sorted(r.vec_id for r in migrated.collect()) == [v for v, _ in before]
+
+    # the migrated state still drops near-dups through the loop
+    b2 = spark.createDataFrame(
+        [(100, vec(3, 1e-4)), (101, vec(9))], "vec_id long, embedding array<double>"
+    )
+    novel, _, _ = incremental_semantic_dedup(
+        b2, migrated, retrained, threshold_micro=999_000
+    )
+    assert {r.vec_id for r in novel.collect()} == {101}
