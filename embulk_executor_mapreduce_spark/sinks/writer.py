@@ -526,9 +526,21 @@ def dedup_corpus_sink_fn(spec: SinkSpec):
     from ..streaming.ingest import (
         incremental_dedup_sink,
         incremental_neardup_sink,
+        incremental_semantic_sink,
     )
 
     o = spec.options
+    if o.get("semantic"):
+        return incremental_semantic_sink(
+            str(o["state"]),
+            spec.path,
+            str(o["centroids"]),
+            vec_col=str(o.get("vector_column", "embedding")),
+            id_col=str(o.get("id_column", "vec_id")),
+            merge_buckets=int(o.get("merge_buckets", 64)),
+            k=int(o["k"]) if o.get("k") is not None else None,
+            threshold_micro=int(o.get("threshold_micro", 250_000)),
+        )
     kwargs = dict(
         text_col=str(o.get("text_column", "text")),
         id_col=str(o.get("id_column", "doc_id")),

@@ -192,6 +192,19 @@ class PipelineSpec:
                     "dedup_corpus options.compact must be true or a mapping "
                     "{target_file_bytes, max_generations}"
                 )
+            if self.sink.options.get("semantic"):
+                # embedding crawl loop: centroids trained on the first batch
+                # and persisted to options.centroids, assign-only afterwards
+                if self.sink.options.get("near"):
+                    raise ConfigError(
+                        "dedup_corpus options.semantic and options.near are "
+                        "mutually exclusive (one loop per state namespace)"
+                    )
+                if not self.sink.options.get("centroids"):
+                    raise ConfigError(
+                        "dedup_corpus options.semantic requires "
+                        "options.centroids (persisted centroid table path)"
+                    )
         if self.partitioning is not None:
             self.partitioning.validate()
         if self.execution.reducers is not None and self.execution.reducers <= 0:

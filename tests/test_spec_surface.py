@@ -200,3 +200,74 @@ def test_spec_dedup_corpus_config_errors(tmp_path):
                 "out": {"type": "dedup_corpus", "path": str(tmp_path / "corpus")},
             }
         )
+
+
+def test_spec_semantic_dedup_corpus_pipeline(spark, tmp_path):
+    """The SEMANTIC crawl loop as pure YAML (r5): two embedding batch loads
+    through the dedup_corpus sink with options.semantic — batch 1 trains
+    and persists the centroid table, batch 2 assigns against it and drops
+    the near-dup of a committed survivor."""
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    cents = str(tmp_path / "centroids")
+
+    def vec(seed, wiggle=0.0):
+        return [((seed * 31 + j * 7) % 13 - 6) / 6.0 + wiggle * (j % 2) for j in range(8)]
+
+    def load_batch(rows, tag):
+        src = str(tmp_path / f"src{tag}")
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "out": {
+                        "type": "dedup_corpus",
+                        "path": corpus,
+                        "options": {
+                            "state": state,
+                            "centroids": cents,
+                            "semantic": True,
+                            "batch_tag": tag,
+                            "merge_buckets": 8,
+                            "k": 2,
+                            "threshold_micro": 999_000,
+                        },
+                    },
+                }
+            ),
+        )
+
+    load_batch([(10, vec(1)), (11, vec(1, 1e-4)), (12, vec(50))], 0)
+    load_batch([(20, vec(1, 2e-4)), (21, vec(7))], 1)
+    ids = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [10, 12, 21]  # in-batch dup 11, cross-batch dup 20 dropped
+    assert spark.read.parquet(cents).count() == 2  # trained once, persisted
+
+
+def test_spec_semantic_dedup_corpus_config_errors(tmp_path):
+    base_out = {
+        "type": "dedup_corpus",
+        "path": str(tmp_path / "corpus"),
+        "options": {"state": str(tmp_path / "state"), "semantic": True},
+    }
+    doc = {"in": {"type": "parquet", "path": str(tmp_path / "src")}, "out": base_out}
+    with pytest.raises(ConfigError, match="requires\\s+options.centroids"):
+        load_spec(doc)
+    with pytest.raises(ConfigError, match="mutually exclusive"):
+        load_spec(
+            {
+                **doc,
+                "out": {
+                    **base_out,
+                    "options": {
+                        **base_out["options"],
+                        "centroids": str(tmp_path / "c"),
+                        "near": True,
+                    },
+                },
+            }
+        )
