@@ -297,6 +297,18 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
 
     rec.record("graph_pagerank_bucketed", b5b)
 
+    # B5c steady state: the table b5b just wrote is REUSED — iterations
+    # only, no write (the per-run number for a standing edge table, the
+    # analog of the ann_*_assign entries)
+    def b5c():
+        return _timed(
+            lambda: pagerank(
+                spark.table("bench_pr_edges"), edges_distinct=True, iters=5
+            ).collect()
+        )
+
+    rec.record("graph_pagerank_bucketed_reuse", b5c)
+
     # B6 incremental near-dup increment: seed a MinHash band index from the
     # first half of documents (untimed), then time ONE batch of the second
     # half deduping against it through the bucket-pruned merge sink — the

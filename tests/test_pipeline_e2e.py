@@ -1562,3 +1562,42 @@ def test_merge_sink_cas_exhaustion_raises(spark, tmp_path, monkeypatch):
     from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
 
     assert read_merge_state(spark, out).count() == 6
+
+
+def test_merge_gc_sweeps_crash_orphans_keeps_live_attempts(spark, tmp_path):
+    """Multi-writer GC discipline: an unreferenced FINAL-named tree (a
+    winner that crashed between rename and manifest) and a STALE
+    .inprogress attempt (crashed pre-CAS) are swept; a FRESH .inprogress
+    attempt (a live concurrent writer) is never touched."""
+    import os
+    import time
+
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        _gc_merge_state,
+        read_merge_state,
+    )
+
+    out = str(tmp_path / "state")
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "id long, name string, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(src)
+    run_pipeline(spark, _merge_spec(src, out))
+
+    trees = Path(out) / "_trees"
+    # crashed winner: renamed to final v99 but died before its manifest
+    (trees / "v99" / "__mbd=0").mkdir(parents=True)
+    (trees / "v99" / "__mbd=0" / "part-00000.parquet").write_text("orphan")
+    # crashed pre-CAS attempt (stale) vs a live concurrent attempt (fresh)
+    (trees / ".inprogress-deadbeef" / "__mbd=1").mkdir(parents=True)
+    old = time.time() - 48 * 3600
+    os.utime(trees / ".inprogress-deadbeef", (old, old))
+    (trees / ".inprogress-fresh123" / "__mbd=2").mkdir(parents=True)
+
+    _gc_merge_state(out, keep_versions=2)
+    names = {p.name for p in trees.iterdir()}
+    assert "v99" not in names, names
+    assert ".inprogress-deadbeef" not in names, names
+    assert ".inprogress-fresh123" in names, names
+    # committed state untouched
+    assert read_merge_state(spark, out).count() == 2
