@@ -1039,6 +1039,8 @@ def q_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap that bounds the self-join at corpus scale."""
     from .operators.dedup import jaccard_pairs
 
+    # explicit cap pins the static oracle; production callers use the
+    # default max_doc_freq="auto" (corpus-sized via jaccard_max_doc_freq)
     return jaccard_pairs(
         load(spark, sf_dir, "documents"),
         "text",

@@ -246,13 +246,25 @@ def minhash_candidates(
     )
 
 
+def jaccard_max_doc_freq(n_docs: int, boilerplate_frac: float = 0.01) -> int:
+    """Corpus-sized stop-shingle cap for :func:`jaccard_pairs` (the sizing
+    discipline of :func:`neardup_sign_dims`/:func:`semantic_dedup_k`): a
+    shingle present in more than ``boilerplate_frac`` of the corpus is
+    boilerplate, not content — drop it before the self-join. Floor of 8 so
+    tiny corpora keep legitimate shared shingles; the pair bound becomes
+    sum(df(s)²) ≤ n_shingles·(frac·n)², which AQE-sized shuffles absorb."""
+    if n_docs <= 0:
+        return 8
+    return max(8, math.ceil(n_docs * boilerplate_frac))
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     threshold: float = 0.5,
     shingle_n: int = 3,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 (non-stop) shingle.
 
@@ -263,6 +275,10 @@ def jaccard_pairs(
 
     ``max_doc_freq`` is the 100 TB safety valve: one boilerplate shingle shared
     by 1M docs would otherwise create a 10¹²-row pair group in the self-join.
+    The default ``"auto"`` sizes the cap from the corpus
+    (:func:`jaccard_max_doc_freq` — a planning-time count, the r4 SCALING
+    §10 "choose per-corpus" caveat made automatic); pass an int to pin it
+    (e.g. for a static oracle) or ``None`` to disable (test-only).
     Shingles appearing in more than ``max_doc_freq`` documents are dropped
     BEFORE the join (stop-shingle removal — standard practice in near-dup
     mining); per-doc sizes are counted after the cap so the metric stays a
@@ -272,6 +288,8 @@ def jaccard_pairs(
     Per-doc sizes join WITHOUT a broadcast hint: they are O(n_docs) — AQE
     picks broadcast when the side is actually small and shuffles otherwise.
     """
+    if max_doc_freq == "auto":
+        max_doc_freq = jaccard_max_doc_freq(df.count())  # planning-time scalar
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
     )

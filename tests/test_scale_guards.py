@@ -37,7 +37,9 @@ def _boilerplate_corpus(spark, n_docs: int = 60):
 
 def test_jaccard_cap_bounds_pair_count(spark):
     docs = _boilerplate_corpus(spark)
-    uncapped = jaccard_pairs(docs, "text", "doc_id", threshold=0.0)
+    # None = explicitly uncapped (test-only; the default is the corpus-
+    # sized "auto" cap, covered below)
+    uncapped = jaccard_pairs(docs, "text", "doc_id", threshold=0.0, max_doc_freq=None)
     capped = jaccard_pairs(docs, "text", "doc_id", threshold=0.0, max_doc_freq=5)
     # the boilerplate shingles pair every doc with every other: C(60,2)
     assert uncapped.count() == 60 * 59 // 2
@@ -429,3 +431,24 @@ def test_two_level_no_surviving_over_threshold_pair(spark):
             assert m.floor(dot_ / (na * nb) * 1_000_000 + 0.5) < thresh, (a, b)
             checked += 1
     assert checked > 0  # the invariant actually bit on something
+
+
+def test_jaccard_auto_cap_sized_from_corpus(spark):
+    """r5: the default max_doc_freq="auto" sizes the stop-shingle cap from
+    the corpus count (SCALING §10's "choose per-corpus" caveat made
+    automatic) — the all-docs boilerplate shingles exceed the auto cap and
+    pair nothing, with no explicit parameter."""
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        jaccard_max_doc_freq,
+        jaccard_pairs,
+    )
+
+    assert jaccard_max_doc_freq(0) == 8
+    assert jaccard_max_doc_freq(500) == 8  # floor
+    assert jaccard_max_doc_freq(1_000_000) == 10_000
+    # cap tracks the corpus: constant FRACTION, so the pair bound per
+    # shingle grows as (frac·n)² only for genuinely common shingles
+    assert jaccard_max_doc_freq(2_000_000) == 2 * jaccard_max_doc_freq(1_000_000)
+
+    docs = _boilerplate_corpus(spark, n_docs=60)
+    assert jaccard_pairs(docs, "text", "doc_id", threshold=0.0).count() == 0
