@@ -3274,6 +3274,87 @@ def q_spec_dedup_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "spec_training_prep",
+    oracle=r"""
+    WITH scored AS (
+      SELECT doc_id, text, source,
+             len(string_split(text, ' ')) AS n_words,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+               AS n_bpeish
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE n_words BETWEEN 5 AND 400
+    ), survivors AS (
+      SELECT md5(text) AS h, min(doc_id) AS doc_id FROM kept GROUP BY md5(text)
+    )
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(k.n_words) AS BIGINT) AS total_words,
+           CAST(sum(k.n_bpeish) AS BIGINT) AS total_bpeish_tokens
+    FROM kept k JOIN survivors s ON k.doc_id = s.doc_id
+    GROUP BY k.source
+    """,
+    tags=("spec", "llm-prep", "composite"),
+)
+def q_spec_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-prep pipeline a reference user would actually run, as PURE
+    SPEC (r5 composite demo): quality scoring (word + BPE-ish token
+    counts via expression stages) → length filter → exact first-wins
+    dedup (md5 + keyed survivor stage) → per-source corpus accounting
+    (SQL stage). One declarative document end to end — no Python between
+    the stages — compiled by the same engine that runs the parity
+    pipelines; every stage is a narrow expression or a keyed exchange
+    Catalyst already optimizes."""
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+                "filters": [
+                    {
+                        "type": "with_column",
+                        "name": "n_words",
+                        "expr": "size(split(text, ' '))",
+                    },
+                    {
+                        "type": "with_column",
+                        "name": "n_bpeish",
+                        "expr": (
+                            r"size(regexp_extract_all(text,"
+                            r" '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]', 0))"
+                        ),
+                    },
+                    {
+                        "type": "filter",
+                        "predicate": "n_words >= 5 AND n_words <= 400",
+                    },
+                    {"type": "with_column", "name": "h", "expr": "md5(text)"},
+                    {
+                        "type": "dedup",
+                        "columns": ["h"],
+                        "order_by": ["doc_id asc"],
+                    },
+                    {
+                        "type": "sql",
+                        "query": """
+                            SELECT source,
+                                   count(*) AS n_docs,
+                                   sum(n_words) AS total_words,
+                                   sum(n_bpeish) AS total_bpeish_tokens
+                            FROM __input GROUP BY source
+                        """,
+                    },
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline surface, round 2: repetition quality rules,
 # token-window chunking, benchmark decontamination, stratified source mixing,
@@ -4157,6 +4238,7 @@ _VERIFY_FIRST = (
     "graph_pagerank_bucketed",
     "semantic_dedup_two_level",
     "semantic_dedup_incremental_state",
+    "spec_training_prep",
     # similarity.py kmeans_train init-cast (the two queries that TRAIN);
     # the other flagged similarity queries never reach the changed branch
     # and are DEFERRED with justification (window_check.DEFERRED)
@@ -4199,7 +4281,6 @@ _VERIFY_FIRST = (
     "topk_orders_per_customer",
     "asof_last_signup",
     "sessionize_events",
-    "zscore_per_user",
     "global_topk_orders",
     "window_lag_lead_rank",
     "semi_anti_join",
@@ -4213,7 +4294,7 @@ _VERIFY_FIRST = (
     "functions_math_gauntlet",
     "functions_string_gauntlet",
     "functions_datetime_gauntlet",
-    # (all 21 remaining r02 rows rotate in round 6)
+    # (zscore_per_user + all 21 remaining r02 rows rotate in round 6)
 )
 
 
