@@ -4239,11 +4239,23 @@ _VERIFY_FIRST = (
     "semantic_dedup_two_level",
     "semantic_dedup_incremental_state",
     "spec_training_prep",
-    # similarity.py kmeans_train init-cast (the two queries that TRAIN);
-    # the other flagged similarity queries never reach the changed branch
-    # and are DEFERRED with justification (window_check.DEFERRED)
+    # similarity.py kmeans_train init changes (sampled-init cast + seeding)
+    # flag the whole module: every similarity-importing query re-verifies
     "ann_ivf_kmeans_topk",
     "ann_pq_kmeans_topk",
+    "ann_lsh_topk",
+    "ann_bruteforce_topk",
+    "ann_ivf_topk",
+    "ann_pq_adc_topk",
+    "functions_array_gauntlet",
+    # streaming/ingest.py append (incremental_semantic_sink) flags the six
+    # stream queries — re-verified rather than waived
+    "stream_dedup_events",
+    "stream_user_rollup",
+    "stream_hourly_counts",
+    "stream_purchase_signup_join",
+    "stream_session_windows",
+    "stream_sliding_enriched",
     # multimodal.py rewrite (stdlib real decoder + dispatch change)
     "multimodal_decode",
     "multimodal_resize",
@@ -4275,26 +4287,16 @@ _VERIFY_FIRST = (
     "task_source_generate",
     "spec_join_aggregate",
     "spec_dedup_sql",
-    # stale-row refresh (VERDICT r4 item 4): every r01 row, oldest evidence
-    # first — 18 queries last driver-verified in round 1
+    # stale-row refresh (VERDICT r4 item 4): the 6 oldest r01 rows fit the
+    # remaining slots; the other 12 r01 + zscore_per_user + all 21 r02 rows
+    # rotate in round 6 (changed-hash queries always outrank refreshes —
+    # DEFERRED stays EMPTY)
     "scan_project",
     "topk_orders_per_customer",
     "asof_last_signup",
     "sessionize_events",
     "global_topk_orders",
     "window_lag_lead_rank",
-    "semi_anti_join",
-    "exists_big_orders",
-    "setops_segments",
-    "distinct_aggs",
-    "cube_status_priority",
-    "grouping_sets_revenue",
-    "pivot_linestatus",
-    "json_props_extract",
-    "functions_math_gauntlet",
-    "functions_string_gauntlet",
-    "functions_datetime_gauntlet",
-    # (zscore_per_user + all 21 remaining r02 rows rotate in round 6)
 )
 
 

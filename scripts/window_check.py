@@ -42,31 +42,7 @@ _IMPORT_RE = re.compile(r"from \.([\w.]+) import")
 # they actually call are unchanged — verified by reading the module diff.
 # Each deferral must carry a justification and should rotate into the next
 # round's window.
-DEFERRED: dict[str, str] = {
-    # r5: the ONLY similarity.py change is a `.cast("long")` inside
-    # kmeans_train's `train_filter is not None` init branch (row_number
-    # seeding). These queries never reach that branch: lsh/bruteforce and
-    # the array gauntlet don't call kmeans_train at all; the untrained
-    # ivf/pq_adc catalog forms use id-prefix centroid stand-ins / fixed
-    # codebooks. The two queries that DO train (ann_*_kmeans_topk) are
-    # in-window instead. All five re-verified locally strict-green at
-    # sf0.01 this round; rotate into the r6 window.
-    "ann_lsh_topk": "unreachable diff (no kmeans_train); local sf0.01 green r5",
-    "ann_bruteforce_topk": "unreachable diff (no kmeans_train); local sf0.01 green r5",
-    "ann_ivf_topk": "unreachable diff (untrained path); local sf0.01 green r5",
-    "ann_pq_adc_topk": "unreachable diff (untrained path); local sf0.01 green r5",
-    "functions_array_gauntlet": "unreachable diff (no kmeans_train); local sf0.01 green r5",
-    # r5: streaming/ingest.py changed by a PURE APPEND (git diff: only
-    # `incremental_semantic_sink` added at EOF; no existing line touched),
-    # which no stream catalog query can reach. All six re-verified locally
-    # strict-green at sf0.01 this round; rotate into the r6 window.
-    "stream_hourly_counts": "append-only diff (new fn at EOF); local sf0.01 green r5",
-    "stream_dedup_events": "append-only diff (new fn at EOF); local sf0.01 green r5",
-    "stream_sliding_enriched": "append-only diff (new fn at EOF); local sf0.01 green r5",
-    "stream_user_rollup": "append-only diff (new fn at EOF); local sf0.01 green r5",
-    "stream_session_windows": "append-only diff (new fn at EOF); local sf0.01 green r5",
-    "stream_purchase_signup_join": "append-only diff (new fn at EOF); local sf0.01 green r5",
-}
+DEFERRED: dict[str, str] = {}
 
 
 def _module_file(dotted: str) -> Path | None:
