@@ -409,6 +409,28 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
 
     rec.record("ann_pq_kmeans_topk_assign", b8)
 
+    # B9 steady-state SEMANTIC dedup: centroids trained once (untimed,
+    # persisted) — the timed run is assignment + within-corpus first-wins
+    # dedup against the stored table, the per-increment cost of the
+    # incremental loop (train-inclusive numbers stay in the headline set)
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        incremental_semantic_dedup,
+    )
+
+    sem_cents = f"{tmp}/b9_centroids"
+    kmeans_train(base, "vec_id", "v", k=16, iters=2).write.parquet(sem_cents)
+
+    def b9():
+        def body():
+            novel, _delta, _t = incremental_semantic_dedup(
+                emb, None, spark.read.parquet(sem_cents)
+            )
+            novel.write.format("noop").mode("overwrite").save()
+
+        return _timed(body)
+
+    rec.record("semantic_dedup_assign", b9)
+
 
 #: 1-min loadavg per cpu above which a measurement is considered
 #: load-contaminated (an idle bench machine sits near 0; BENCH_r03's bad
