@@ -1601,3 +1601,72 @@ def test_merge_gc_sweeps_crash_orphans_keeps_live_attempts(spark, tmp_path):
     assert ".inprogress-fresh123" in names, names
     # committed state untouched
     assert read_merge_state(spark, out).count() == 2
+
+
+def test_merge_sink_concurrent_writers_with_crash_injection(
+    spark, tmp_path, monkeypatch
+):
+    """CAS protocol under the worst interleaving: two writers upserting
+    concurrently while ONE pointer flip is crash-injected mid-race. The
+    crashed attempt must be invisible (no partial commit), the crashed
+    writer's retry must land on top of whatever the other writer committed
+    meanwhile, and the final state/history must equal the no-crash
+    outcome."""
+    import threading
+
+    import embulk_executor_mapreduce_spark.sinks.writer as W
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    out = str(tmp_path / "state")
+    seed = str(tmp_path / "seed")
+    spark.createDataFrame(
+        [(i, f"seed{i}", 0) for i in range(10)], "id long, name string, ver long"
+    ).coalesce(1).write.mode("overwrite").parquet(seed)
+    run_pipeline(spark, _merge_spec(seed, out, merge_buckets=8))
+
+    orig_fsync = W._fsync_write
+    crashed = threading.Event()
+
+    def crash_once(path, payload):
+        # exactly ONE pointer flip dies, whichever writer gets there first
+        if path.endswith("_CURRENT") and not crashed.is_set():
+            crashed.set()
+            raise OSError("injected crash at pointer flip")
+        return orig_fsync(path, payload)
+
+    monkeypatch.setattr(W, "_fsync_write", crash_once)
+
+    errs = []
+
+    def writer(lo: int, rounds: int):
+        for r in range(1, rounds + 1):
+            src = str(tmp_path / f"w{lo}_{r}")
+            spark.createDataFrame(
+                [(lo + i, f"w{lo}r{r}", r) for i in range(4)],
+                "id long, name string, ver long",
+            ).coalesce(1).write.mode("overwrite").parquet(src)
+            for attempt in (1, 2):
+                try:
+                    run_pipeline(spark, _merge_spec(src, out, merge_buckets=8))
+                    break
+                except Exception as exc:  # noqa: BLE001
+                    if "injected crash" not in str(exc) or attempt == 2:
+                        errs.append(exc)
+                        return
+
+    t1 = threading.Thread(target=writer, args=(100, 3))
+    t2 = threading.Thread(target=writer, args=(200, 3))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert not errs, errs
+    assert crashed.is_set()  # the injection actually fired
+
+    state = {r.id: (r.name, r.ver) for r in read_merge_state(spark, out).collect()}
+    for lo in (100, 200):
+        for i in range(4):
+            assert state[lo + i] == (f"w{lo}r3", 3), (lo + i, state.get(lo + i))
+    assert state[0] == ("seed0", 0) and len(state) == 18
+    # 1 seed + 6 successful upserts; the crashed attempt never took a
+    # version number (pointer flip IS the commit)
+    import json
+
+    assert json.loads((Path(out) / "_CURRENT").read_text())["version"] == 6
