@@ -247,6 +247,49 @@ def test_spec_semantic_dedup_corpus_pipeline(spark, tmp_path):
     assert ids == [10, 12, 21]  # in-batch dup 11, cross-batch dup 20 dropped
     assert spark.read.parquet(cents).count() == 2  # trained once, persisted
 
+    # corpus maintenance composes: a third load with options.compact folds
+    # the committed semantic-corpus batch dirs into a generation, content
+    # and provenance intact (the same machinery the lexical loop uses)
+    import os
+
+    from embulk_executor_mapreduce_spark.sinks.compact import read_corpus
+
+    def load_batch_compact(rows, tag):
+        src = str(tmp_path / f"src{tag}")
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "out": {
+                        "type": "dedup_corpus",
+                        "path": corpus,
+                        "options": {
+                            "state": state,
+                            "centroids": cents,
+                            "semantic": True,
+                            "batch_tag": tag,
+                            "merge_buckets": 8,
+                            "k": 2,
+                            "threshold_micro": 999_000,
+                            "compact": {"max_generations": 4},
+                        },
+                    },
+                }
+            ),
+        )
+
+    load_batch_compact([(30, vec(23))], 2)
+    names = sorted(os.listdir(corpus))
+    assert any(n.startswith("compacted=") for n in names), names
+    got = sorted(
+        (r.vec_id, r.ingest_batch) for r in read_corpus(spark, corpus).collect()
+    )
+    assert got == [(10, 0), (12, 0), (21, 1), (30, 2)]
+
 
 def test_spec_semantic_dedup_corpus_config_errors(tmp_path):
     base_out = {
