@@ -488,3 +488,39 @@ def incremental_semantic_sink(
             batch.unpersist()
 
     return _process
+
+
+def run_incremental_semantic_stream(
+    vectors: DataFrame,
+    state_path: str,
+    corpus_path: str,
+    centroid_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    merge_buckets: int = 64,
+    k: int | None = None,
+    threshold_micro: int = 250_000,
+) -> None:
+    """Drive an embedding stream through :func:`incremental_semantic_sink`
+    to completion (availableNow — bounded replay of the unbounded crawl;
+    the checkpoint + claim-tagged state give exactly-once across restarts,
+    same contract as :func:`run_incremental_dedup_stream`)."""
+    q = (
+        vectors.writeStream.foreachBatch(
+            incremental_semantic_sink(
+                state_path,
+                corpus_path,
+                centroid_path,
+                vec_col=vec_col,
+                id_col=id_col,
+                merge_buckets=merge_buckets,
+                k=k,
+                threshold_micro=threshold_micro,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -509,3 +509,53 @@ class TestIncrementalSemanticSink:
         }
         assert {v for v, _ in st} == {10, 12, 21}
         assert all(c in (0, 1) for _, c in st)
+
+
+def test_run_incremental_semantic_stream_end_to_end(spark, tmp_path):
+    """The embedding crawl as a real Structured Streaming run: a parquet
+    stream of vector batches replays through the semantic loop
+    (availableNow), the corpus holds one row per semantic survivor, and a
+    RESTART with new files continues against the persisted centroids and
+    state."""
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        run_incremental_semantic_stream,
+    )
+
+    def vec(seed, wiggle=0.0):
+        return [((seed * 31 + j * 7) % 13 - 6) / 6.0 + wiggle * (j % 2) for j in range(8)]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    corpus = str(tmp_path / "corpus")
+    cents = str(tmp_path / "centroids")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<double>"
+
+    spark.createDataFrame(
+        [(10, vec(1)), (11, vec(1, 1e-4)), (12, vec(50))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+
+    run_incremental_semantic_stream(
+        stream(), state, corpus, cents, ckpt, merge_buckets=8, k=2,
+        threshold_micro=999_000,
+    )
+    ids = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [10, 12]
+
+    # restart with a new file: assigns against persisted centroids, drops
+    # the near-dup of a committed survivor, admits the novel direction
+    spark.createDataFrame(
+        [(20, vec(1, 2e-4)), (21, vec(7))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    run_incremental_semantic_stream(
+        stream(), state, corpus, cents, ckpt, merge_buckets=8, k=2,
+        threshold_micro=999_000,
+    )
+    ids = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [10, 12, 21]
