@@ -280,20 +280,26 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
     # B5b the same 5 iterations over a PRE-BUCKETED edge table (r5): the
     # timed run INCLUDES the one-time bucketed write — at 5 iterations the
     # per-iteration shuffle-free joins already amortize it, and steady state
-    # (many runs over one written table) only improves
+    # (many runs over one written table) only improves. Table names are
+    # uuid-unique per write (ADVICE r5) — track them for reuse + cleanup.
     from embulk_executor_mapreduce_spark.operators.graph import (
-        pagerank_bucketed_edges,
+        drop_bucketed_edges,
+        write_bucketed_edges,
     )
 
+    pr_tables: list[str] = []
+
     def b5b():
-        return _timed(
-            lambda: pagerank_bucketed_edges(
+        def run():
+            name = write_bucketed_edges(
                 event_transition_edges(load(spark, sf_dir, "events")),
-                table="bench_pr_edges",
+                "bench_pr_edges",
                 buckets=8,
-                iters=5,
-            ).collect()
-        )
+            )
+            pr_tables.append(name)
+            return pagerank(spark.table(name), edges_distinct=True, iters=5).collect()
+
+        return _timed(run)
 
     rec.record("graph_pagerank_bucketed", b5b)
 
@@ -303,11 +309,13 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
     def b5c():
         return _timed(
             lambda: pagerank(
-                spark.table("bench_pr_edges"), edges_distinct=True, iters=5
+                spark.table(pr_tables[-1]), edges_distinct=True, iters=5
             ).collect()
         )
 
     rec.record("graph_pagerank_bucketed_reuse", b5c)
+    for name in pr_tables:
+        drop_bucketed_edges(spark, name)
 
     # B6 incremental near-dup increment: seed a MinHash band index from the
     # first half of documents (untimed), then time ONE batch of the second

@@ -17,12 +17,15 @@ bucket-joins whose keys Catalyst/AQE can reason about.
 
 from __future__ import annotations
 
+import logging
 import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..exactmath import d_round
+
+_LOG = logging.getLogger(__name__)
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -265,6 +268,7 @@ def jaccard_pairs(
     threshold: float = 0.5,
     shingle_n: int = 3,
     max_doc_freq: int | str | None = "auto",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for pairs sharing ≥1 (non-stop) shingle.
 
@@ -287,9 +291,23 @@ def jaccard_pairs(
 
     Per-doc sizes join WITHOUT a broadcast hint: they are O(n_docs) — AQE
     picks broadcast when the side is actually small and shuffles otherwise.
-    """
+
+    ``n_rows`` (caller-known corpus size) skips the auto-cap's planning
+    count; a bare file-backed input resolves it from parquet footers either
+    way (zero extra jobs). The resolved cap is logged — the "auto" default
+    changed existing ``None``-era results, so the number in play should be
+    visible (ADVICE r5)."""
     if max_doc_freq == "auto":
-        max_doc_freq = jaccard_max_doc_freq(df.count())  # planning-time scalar
+        from ..plans.inspect import planning_row_count
+
+        n = planning_row_count(df, n_rows)
+        max_doc_freq = jaccard_max_doc_freq(n)  # planning-time scalar
+        _LOG.info(
+            "jaccard_pairs: auto max_doc_freq=%d (corpus n=%d); pass an int "
+            "to pin or n_rows to skip the planning count",
+            max_doc_freq,
+            n,
+        )
     toks = df.select(
         F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("sh")
     )
@@ -476,6 +494,7 @@ def embedding_neardup(
     sign_dims: int | None = None,
     threshold: float = 0.25,
     target_bucket_docs: int = 256,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs, blocked by sign-bit LSH.
 
@@ -487,16 +506,20 @@ def embedding_neardup(
     flip boundary pairs.
 
     ``sign_dims=None`` (default) sizes the key FROM THE DATA via
-    :func:`neardup_sign_dims` — one cheap count() at plan time — so the
-    per-bucket pair count stays ~``target_bucket_docs``²/2 at any corpus
-    size (the round-1 fixed 16-bucket version went quadratic at scale).
-    Residual per-bucket skew (sign bits are not uniform on real data) is
-    AQE skew-join territory. Output: (id_a, id_b, cos_sim).
+    :func:`neardup_sign_dims` — ``n_rows`` if the caller knows it, else
+    parquet footer metadata on a bare file scan, else one count() at plan
+    time — so the per-bucket pair count stays ~``target_bucket_docs``²/2 at
+    any corpus size (the round-1 fixed 16-bucket version went quadratic at
+    scale). Residual per-bucket skew (sign bits are not uniform on real
+    data) is AQE skew-join territory. Output: (id_a, id_b, cos_sim).
     """
+    from ..plans.inspect import planning_row_count
     from .similarity import as_double, dot
 
     if sign_dims is None:
-        sign_dims = neardup_sign_dims(df.count(), target_bucket_docs)
+        sign_dims = neardup_sign_dims(
+            planning_row_count(df, n_rows), target_bucket_docs
+        )
 
     bucket = F.concat(
         *[
@@ -802,6 +825,7 @@ def semantic_dedup(
     iters: int = 2,
     threshold_micro: int = 250_000,
     target_cluster_docs: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster embeddings with the
     deterministic k-means trainer, then FIRST-WINS cosine dedup WITHIN each
@@ -841,9 +865,12 @@ def semantic_dedup(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
     if k is None:
-        # planning-time SCALAR (one count aggregate, not a data-sized
-        # collect) — the same pattern pagerank uses for its node count
-        k = semantic_dedup_k(base.count(), target_cluster_docs)
+        # planning-time SCALAR: caller-supplied n_rows > parquet footer
+        # metadata > a count aggregate (VERDICT r5 item 4 — the auto-k path
+        # on a file-backed corpus must not cost an extra full scan)
+        from ..plans.inspect import planning_row_count
+
+        k = semantic_dedup_k(planning_row_count(df, n_rows), target_cluster_docs)
     cents = kmeans_train(base, id_col, "v", k=k, iters=iters).withColumn(
         "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
     )
@@ -917,6 +944,7 @@ def semantic_dedup_two_level(
     iters: int = 2,
     threshold_micro: int = 250_000,
     target_cluster_docs: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Two-level SemDeDup for the regime past the flat-k broadcast cap
     (SCALING §4): coarse k-means cells first (broadcast ``coarse_k``
@@ -949,7 +977,10 @@ def semantic_dedup_two_level(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
     if coarse_k is None or sub_k is None:
-        auto = two_level_k(base.count(), target_cluster_docs)  # planning-time scalar
+        from ..plans.inspect import planning_row_count
+
+        # planning-time scalar: n_rows > parquet footer metadata > count()
+        auto = two_level_k(planning_row_count(df, n_rows), target_cluster_docs)
         coarse_k = coarse_k if coarse_k is not None else auto
         sub_k = sub_k if sub_k is not None else auto
 
@@ -1078,6 +1109,7 @@ def incremental_semantic_dedup(
     threshold_micro: int = 250_000,
     target_cluster_docs: int = 1024,
     claim: Column | None = None,
+    n_rows: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame | None]:
     """Incremental SemDeDup — the semantic sibling of
     :func:`incremental_minhash_dedup`, for the continuous-crawl loop at
@@ -1123,7 +1155,11 @@ def incremental_semantic_dedup(
     trained = None
     if centroids is None:
         if k is None:
-            k = semantic_dedup_k(base.count(), target_cluster_docs)
+            from ..plans.inspect import planning_row_count
+
+            k = semantic_dedup_k(
+                planning_row_count(batch, n_rows), target_cluster_docs
+            )
         # train_filter selects the row_number-seeded init: an increment's
         # ids are arbitrary (the flat `id < k` init would seed nothing for
         # a batch whose ids start above k). The seeding window sorts only

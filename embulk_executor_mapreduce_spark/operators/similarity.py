@@ -238,6 +238,12 @@ def ivf_centroids(
 #: reproduce it (exactmath discipline).
 KMEANS_SCALE = 1_000_000
 
+#: unsampled-training guardrail (VERDICT r5 item 6): above this many rows a
+#: ``train_filter=None`` training run warns loudly — 2·iters full corpus
+#: scans is the one accidental scale-killer left in the trained-ANN path.
+#: Codebook quality needs ~1k vectors per centroid, not the corpus.
+KMEANS_MAX_UNSAMPLED_ROWS = 2_000_000
+
 
 def kmeans_train(
     df: DataFrame,
@@ -247,6 +253,7 @@ def kmeans_train(
     iters: int = 3,
     group_cols: tuple[str, ...] = (),
     train_filter: Column | None = None,
+    max_unsampled_rows: int | None = KMEANS_MAX_UNSAMPLED_ROWS,
 ) -> DataFrame:
     """Lloyd's k-means as iterative DataFrame aggregates — the trainer that
     replaces the deterministic id-prefix centroid stand-ins.
@@ -285,7 +292,31 @@ def kmeans_train(
     an ordinary pushed-down filter, so the same clause mirrors into the
     oracle as a WHERE. At the test scales (500–2000 vectors) the catalog
     queries train unfiltered — a sample of a toy corpus starves 64 centroids.
+
+    The discipline is MECHANICAL (VERDICT r5 item 6): an unfiltered training
+    input larger than ``max_unsampled_rows`` triggers a loud warning naming
+    the hash-sample recipe (sizing is free — parquet footers on file scans,
+    never an extra count job; unverifiable sizes skip the check). Passing a
+    ``train_filter`` — or ``max_unsampled_rows=None`` for a deliberate full
+    train — silences it.
     """
+    if train_filter is None and max_unsampled_rows is not None:
+        from ..plans.inspect import parquet_scan_row_count
+
+        n_meta = parquet_scan_row_count(df)
+        if n_meta is not None and n_meta > max_unsampled_rows:
+            import warnings
+
+            warnings.warn(
+                f"kmeans_train: UNSAMPLED training over {n_meta} rows costs "
+                f"~{2 * iters} full corpus scans; train on a deterministic "
+                f"hash-sample instead (train_filter=pmod(xxhash64({id_col}), "
+                "<rate>) == 0 — ~1k vectors per centroid suffices) and keep "
+                "the corpus for the one-pass assignment. Pass "
+                "max_unsampled_rows=None to deliberately train on everything.",
+                ResourceWarning,
+                stacklevel=2,
+            )
     g = list(group_cols)
     base = df.select(*g, F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v"))
     if train_filter is None:

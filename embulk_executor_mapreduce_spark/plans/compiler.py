@@ -38,7 +38,7 @@ from ..errors import (
     RemoteTaskFailedError,
 )
 from ..operators.filters import apply_filter_chain
-from ..operators.partitioning import bucket_expr, salt_expr
+from ..operators.partitioning import resolve_partitioning, salt_expr
 from ..sinks.writer import write_sink
 from ..sources.readers import read_source, task_error_accumulator
 from ..spec import PipelineSpec
@@ -147,9 +147,8 @@ def _apply_stages(df: DataFrame, spec: PipelineSpec) -> DataFrame:
 
     if spec.partitioning is not None:
         p = spec.partitioning
-        df = df.withColumn(
-            BUCKET_COL, bucket_expr(df, p.column, p.unit, p.unix_timestamp_unit)
-        )
+        strategy, _ = resolve_partitioning(p.type)
+        df = df.withColumn(BUCKET_COL, strategy(df, p))
         keys = [F.col(BUCKET_COL)]
         if p.map_side_partition_split > 1:
             df = df.withColumn(SALT_COL, salt_expr(p.map_side_partition_split))
@@ -219,7 +218,10 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
                 f"output-mode semantics the batch spec does not carry)"
             )
     if spec.sink.type in ("null", "memory"):
-        raise ConfigError("streaming pipeline requires a file sink")
+        raise ConfigError(
+            "streaming pipeline requires a file sink (null/memory sinks are "
+            "batch-only — use run_pipeline for a dry run)"
+        )
     if spec.source.invalid_record_path is not None:
         raise ConfigError(
             "invalid_record_path is not streamable (the quarantine split "
@@ -232,7 +234,12 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
     if src.type == "csv":
         opts, skip_header, per_col = _csv_options(src)
         if skip_header > 1:
-            raise ConfigError("skip_header_lines > 1 is not streamable")
+            raise ConfigError(
+                "skip_header_lines > 1 is not streamable (Spark's stream CSV "
+                "reader can only skip a single header line per file); run "
+                "this source through the batch path (run_pipeline), which "
+                "supports arbitrary skip_header_lines"
+            )
         if skip_header == 1:
             opts["header"] = True
         # invalid-record policy parity with the batch path: fail vs DROP —
@@ -266,7 +273,10 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
         t_opts = dict(src.options)
         line_col = t_opts.pop("line_column", "line")
         if t_opts.pop("wholetext", False):
-            raise ConfigError("wholetext text source is not streamable")
+            raise ConfigError(
+                "wholetext text source is not streamable (one-row-per-file "
+                "reads are batch-only); run it through run_pipeline"
+            )
         df = (
             spark.readStream.options(**{str(k): str(v) for k, v in t_opts.items()})
             .text(_as_stream_dir(src.path))
@@ -278,9 +288,8 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
     df = apply_filter_chain(df, spec.filters)
     if spec.partitioning is not None:
         p = spec.partitioning
-        df = df.withColumn(
-            BUCKET_COL, bucket_expr(df, p.column, p.unit, p.unix_timestamp_unit)
-        )
+        strategy, _ = resolve_partitioning(p.type)
+        df = df.withColumn(BUCKET_COL, strategy(df, p))
         n = spec.execution.reducers or spark.sparkContext.defaultParallelism or 1
         df = df.repartition(n, F.col(BUCKET_COL))
         if not spec.sink.partition_by_bucket:
@@ -382,10 +391,16 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
             df = compile_pipeline(spark, spec, error_sink=errors)
         # row count measured IN the write pass via observe() — no second job
         # re-reading the committed output (and no csv-header recount bug).
-        # The memory sink registers a lazy temp view (no action), so there is
-        # nothing to observe there — obs.get would block forever.
+        # The memory sink is eager by default (cache + count in write_sink),
+        # so it observes too; only the opt-in LAZY memory view (options.eager
+        # = false) skips the observation — obs.get would block forever on a
+        # plan that never runs.
+        lazy_memory = (
+            spec.sink.type == "memory"
+            and str(spec.sink.options.get("eager", "true")).lower() == "false"
+        )
         obs = None
-        if spec.sink.type != "memory":
+        if not lazy_memory:
             obs = Observation("pipeline_metrics")
             df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
         bucket = BUCKET_COL if spec.sink.partition_by_bucket else None

@@ -60,3 +60,58 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 def wholestage_codegen_spans(df: DataFrame) -> int:
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+
+
+def parquet_scan_row_count(df: DataFrame) -> int | None:
+    """Exact row count from parquet FOOTER metadata when ``df`` is a bare
+    (filter-free) parquet scan — zero Spark jobs, zero data read. ``None``
+    when the count is not metadata-derivable: any Filter/Join/Generate/Limit
+    in the optimized plan, a non-parquet source, or non-local files.
+
+    This is the fast path behind :func:`planning_row_count` (VERDICT r5
+    item 4): auto-parameter heuristics like ``semantic_dedup(k=None)`` need
+    a corpus-size SCALAR at planning time, and at 100 TB a ``count()`` is a
+    full aggregate-only scan per query. Column pruning (Project) is
+    count-preserving, so project-over-relation plans qualify."""
+    from urllib.parse import unquote, urlparse
+
+    try:
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return None
+    node_names = [
+        m.group(1) for m in re.finditer(r"^[+\-: ]*([A-Za-z]+)", plan, re.MULTILINE)
+    ]
+    if not node_names or any(n not in ("Project", "Relation") for n in node_names):
+        return None
+    if not re.search(r"^[+\-: ]*Relation .*parquet", plan, re.MULTILINE):
+        return None
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    paths = []
+    for f in files:
+        u = urlparse(f)
+        if u.scheme not in ("", "file"):
+            return None  # remote store: let the caller fall back to count()
+        paths.append(unquote(u.path))
+    try:
+        import pyarrow.parquet as pq
+
+        return sum(pq.ParquetFile(p).metadata.num_rows for p in paths)
+    except Exception:
+        return None
+
+
+def planning_row_count(df: DataFrame, n_rows: int | None = None) -> int:
+    """Planning-time row-count scalar for auto-parameter heuristics:
+    caller-supplied ``n_rows`` (the spec layer often knows it) beats parquet
+    footer metadata (:func:`parquet_scan_row_count`) beats a ``count()``
+    job — so a file-backed corpus costs zero extra scans."""
+    if n_rows is not None:
+        return int(n_rows)
+    meta = parquet_scan_row_count(df)
+    return meta if meta is not None else df.count()

@@ -53,6 +53,11 @@ _BATCH_RE = re.compile(r"^ingest_batch=(\d+)$")
 _GEN_RE = re.compile(r"^compacted=(\d+)$")
 _CONSUMED = "_consumed.json"
 _STAGING = ".__compact_staging__"
+#: sidecar at the corpus root recording "this deployment writes _SUCCESS
+#: markers" the first time one is observed — the decision is per-deployment
+#: and must not be re-inferred from whichever batch dirs happen to remain
+#: after compaction (ADVICE r5)
+_MARKERS_FLAG = "_MARKERS_ENABLED"
 
 
 def _scan_layout(corpus: str) -> tuple[dict[int, Path], dict[int, Path]]:
@@ -240,7 +245,14 @@ def corpus_snapshot_id(corpus: str) -> int:
     files (``part-*``) present at the dir top level with no ``_temporary``
     staging subdir (task files only surface at job commit). When at least
     one dir does carry a marker, markers are enabled and their absence
-    still means in-flight/crashed."""
+    still means in-flight/crashed.
+
+    The marker-mode decision is PERSISTED the first time a ``_SUCCESS`` is
+    observed (sidecar ``_MARKERS_ENABLED`` at the corpus root), so it
+    survives compaction absorbing every marker-bearing batch dir: without
+    the sidecar, a scan on a marker-enabled deployment whose only remaining
+    live dir is one in-flight batch would flip into the weaker structural
+    fallback and could pin a partially-visible batch (ADVICE r5)."""
     root = Path(corpus)
     if not root.is_dir():
         return -1
@@ -249,7 +261,15 @@ def corpus_snapshot_id(corpus: str) -> int:
     # not an accident of recovery having run elsewhere first.
     recover_compaction(corpus)
     batches, gens = _scan_layout(corpus)
-    markers_enabled = any((d / "_SUCCESS").exists() for d in batches.values())
+    marker_flag = root / _MARKERS_FLAG
+    markers_enabled = marker_flag.exists() or any(
+        (d / "_SUCCESS").exists() for d in batches.values()
+    )
+    if markers_enabled and not marker_flag.exists():
+        try:
+            marker_flag.touch()
+        except OSError:
+            pass  # read-only corpus mount: fall back to per-scan inference
     if markers_enabled:
         committed = [b for b, d in batches.items() if (d / "_SUCCESS").exists()]
     else:

@@ -153,9 +153,16 @@ def _gc_merge_state(
     Multi-writer safe: a FRESH ``.inprogress-*`` staging tree belongs to a
     live concurrent writer that has not reached its CAS yet and is never
     touched; only attempts older than ``stale_attempt_sec`` (crash orphans)
-    are swept. Final ``v<N>`` trees are swept purely by manifest
-    reachability, and concurrent GCs tolerate each other (remove races are
-    ignored)."""
+    are swept. A final ``v<N>`` tree AHEAD of the current pointer (N >
+    pointer) may belong to a committer inside the CAS lock that has renamed
+    its attempt but not yet written the manifest — sweeping it by manifest
+    reachability would delete the about-to-commit version's data (ADVICE
+    r5, high). Such trees get the same mtime-staleness rule as in-progress
+    attempts (a crashed winner's orphan is hours old; a live committer's
+    rename is milliseconds old). Trees at or below the pointer are swept
+    purely by manifest reachability (their manifest, if any, was durably
+    written before the pointer ever reached them), and concurrent GCs
+    tolerate each other (remove races are ignored)."""
     import os
     import re
     import shutil
@@ -173,7 +180,9 @@ def _gc_merge_state(
     if os.path.isdir(trees):
         for tree in os.listdir(trees):
             tdir = os.path.join(trees, tree)
-            if tree.startswith(_INPROGRESS_PREFIX):
+            tree_v = re.match(r"^v(-?\d+)$", tree)
+            ahead_of_pointer = tree_v is not None and int(tree_v.group(1)) > version
+            if tree.startswith(_INPROGRESS_PREFIX) or ahead_of_pointer:
                 try:
                     stale = time.time() - os.path.getmtime(tdir) > stale_attempt_sec
                 except OSError:  # concurrently renamed/removed
@@ -578,7 +587,19 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
         df.write.format("noop").mode("overwrite").save()
         return
     if spec.type == "memory":
+        # EAGER by default (verify-probe regression, r6): a lazy temp view
+        # defers the whole plan, so a FAILFAST parse error under
+        # stop_on_invalid_record surfaced later — raw, outside run_pipeline's
+        # error classification — while the report claimed success. cache() +
+        # count() executes the plan NOW (errors classify; observe() metrics
+        # fire) and the view serves from the materialized cache.
+        # options.eager=false restores the lazy view for plans too big to pin.
+        eager = str(spec.options.get("eager", "true")).lower() != "false"
+        if eager:
+            df = df.cache()
         df.createOrReplaceTempView(spec.options.get("view", "pipeline_out"))
+        if eager:
+            df.count()
         return
     if spec.mode == "merge":
         _merge_file_sink(df, spec)

@@ -18,7 +18,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 from .errors import ConfigError, PartitionError
-from .operators.partitioning import MAX_SPLIT, UNIT_SECONDS, UNIX_UNIT_DIVISOR
+from .operators.partitioning import MAX_SPLIT
 from .types import ColumnSpec
 
 _SOURCE_TYPES = {"parquet", "csv", "json", "orc", "xml", "task", "binaryfile", "text"}
@@ -77,7 +77,13 @@ class FilterSpec:
 
 @dataclass(frozen=True)
 class PartitioningSpec:
-    """Reference ``partitioning:`` block (``TimestampPartitioning.java:122-150``)."""
+    """Reference ``partitioning:`` block (``TimestampPartitioning.java:122-150``).
+
+    ``type`` resolves through the strategy registry
+    (:func:`..operators.partitioning.register_partitioning`) — the
+    reference's pluggable ``Partitioning`` SPI (``Partitioning.java:1-12``,
+    name lookup at ``MapReduceExecutor.java:129-137``). ``"timestamp"`` is
+    the only built-in, exactly as the reference ships."""
 
     type: str = "timestamp"
     unit: str = "hour"
@@ -86,17 +92,11 @@ class PartitioningSpec:
     map_side_partition_split: int = 1
 
     def validate(self) -> None:
-        if self.type != "timestamp":
-            # the reference supports exactly one strategy (MapReduceExecutor.java:129-137)
-            raise PartitionError(f"unknown partitioning type {self.type!r}")
-        if self.unit not in UNIT_SECONDS:
-            raise PartitionError(f"unknown partitioning unit {self.unit!r}")
-        if not self.column:
-            raise PartitionError("partitioning.column is required")
-        if self.unix_timestamp_unit not in UNIX_UNIT_DIVISOR:
-            raise PartitionError(
-                f"unknown unix_timestamp_unit {self.unix_timestamp_unit!r}"
-            )
+        from .operators.partitioning import resolve_partitioning
+
+        _, validate = resolve_partitioning(self.type)  # raises on unknown
+        if validate is not None:
+            validate(self)
         if not (1 <= self.map_side_partition_split <= MAX_SPLIT):
             raise PartitionError(
                 f"map_side_partition_split must be in [1, {MAX_SPLIT}]"

@@ -201,6 +201,7 @@ def test_pagerank_bucketed_edges_zero_edge_exchanges(spark):
     )
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # big-big
+    bucketed = None
     try:
         # checkpoint=False keeps the iteration lineage in the plan so the
         # exchange count is inspectable (a checkpointed frame is a LogicalRDD)
@@ -221,6 +222,15 @@ def test_pagerank_bucketed_edges_zero_edge_exchanges(spark):
         assert sorted(map(tuple, bucketed.collect())) == sorted(
             map(tuple, flat.collect())
         )
+        # checkpoint=False leaves the uniquely-named table alive for the
+        # plan inspection above; its name rides on the frame for cleanup
+        assert bucketed.bucketed_edges_table.startswith("pr_guard_edges_")
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
-        spark.sql("DROP TABLE IF EXISTS pr_guard_edges")
+        from embulk_executor_mapreduce_spark.operators.graph import (
+            drop_bucketed_edges,
+        )
+
+        name = getattr(bucketed, "bucketed_edges_table", None)
+        if name:
+            drop_bucketed_edges(spark, name)

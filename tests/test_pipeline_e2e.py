@@ -1402,26 +1402,49 @@ def test_corpus_snapshot_id_without_success_markers(spark, tmp_path):
     """ADVICE r4: on deployments with success markers disabled
     (marksuccessfuljobs=false) corpus_snapshot_id falls back to structural
     commit evidence instead of silently excluding every batch; with markers
-    present, a marker-less dir still reads as in-flight."""
-    from embulk_executor_mapreduce_spark.sinks.compact import corpus_snapshot_id
+    present, a marker-less dir still reads as in-flight. ADVICE r5: the
+    marker-mode decision is a per-deployment fact persisted via the
+    _MARKERS_ENABLED sidecar, so it survives compaction absorbing every
+    marker-bearing batch dir instead of degenerating to the structural
+    fallback."""
+    from embulk_executor_mapreduce_spark.sinks.compact import (
+        compact_corpus,
+        corpus_snapshot_id,
+    )
 
+    # -- markers-disabled deployment: fresh corpus, no _SUCCESS ever seen --
+    bare = str(tmp_path / "bare")
+    _mk_corpus(spark, bare, n_batches=3)
+    for p in Path(bare).glob("ingest_batch=*/_SUCCESS"):
+        p.unlink()
+    # committed batches count via structural fallback (top-level part
+    # files, no _temporary staging dir); no sidecar appears
+    assert corpus_snapshot_id(bare) == 2
+    assert not (Path(bare) / "_MARKERS_ENABLED").exists()
+    # an in-flight dir (staging only, no committed files) is excluded
+    bare_inflight = Path(bare) / "ingest_batch=9"
+    (bare_inflight / "_temporary" / "task").mkdir(parents=True)
+    assert corpus_snapshot_id(bare) == 2
+
+    # -- marker-enabled deployment --
     corpus = str(tmp_path / "corpus")
     _mk_corpus(spark, corpus, n_batches=3)
     assert corpus_snapshot_id(corpus) == 2
+    assert (Path(corpus) / "_MARKERS_ENABLED").exists()  # decision persisted
 
-    # markers ENABLED (others have _SUCCESS): an unmarked dir is in-flight
+    # an unmarked dir is in-flight even when it structurally resembles a
+    # committed one (part files, no _temporary)
     inflight = Path(corpus) / "ingest_batch=9"
-    (inflight / "_temporary").mkdir(parents=True)
+    inflight.mkdir()
+    (inflight / "part-00000.parquet").write_text("uncommitted task output")
     assert corpus_snapshot_id(corpus) == 2
 
-    # markers-disabled deployment: no _SUCCESS anywhere — committed batches
-    # must still count (structural fallback: top-level part files, no
-    # _temporary staging dir)
-    for p in Path(corpus).glob("ingest_batch=*/_SUCCESS"):
-        p.unlink()
-    assert corpus_snapshot_id(corpus) == 2
-    # the in-flight dir (staging only, no committed files) is still excluded
-    (inflight / "_temporary" / "task").mkdir(parents=True, exist_ok=True)
+    # compaction absorbs EVERY marker-bearing batch dir; only the in-flight
+    # dir remains live. Pre-r5 the scan re-inferred "markers disabled" and
+    # the structural fallback pinned the uncommitted batch 9 — the sidecar
+    # must keep marker mode sticky.
+    compact_corpus(spark, corpus, through=2)
+    assert not list(Path(corpus).glob("ingest_batch=[012]")), "absorbed"
     assert corpus_snapshot_id(corpus) == 2
 
 
@@ -1565,10 +1588,14 @@ def test_merge_sink_cas_exhaustion_raises(spark, tmp_path, monkeypatch):
 
 
 def test_merge_gc_sweeps_crash_orphans_keeps_live_attempts(spark, tmp_path):
-    """Multi-writer GC discipline: an unreferenced FINAL-named tree (a
-    winner that crashed between rename and manifest) and a STALE
-    .inprogress attempt (crashed pre-CAS) are swept; a FRESH .inprogress
-    attempt (a live concurrent writer) is never touched."""
+    """Multi-writer GC discipline (ADVICE r5 high): a STALE unreferenced
+    FINAL-named tree AHEAD of the pointer (a winner that crashed between
+    rename and manifest) and a STALE .inprogress attempt (crashed pre-CAS)
+    are swept; a FRESH .inprogress attempt (a live concurrent writer pre-
+    CAS) and a FRESH ahead-of-pointer final tree (a live committer inside
+    the CAS lock that renamed its attempt but has not yet written the
+    manifest) are never touched — sweeping the latter was the GC/commit
+    race that made a just-committed version permanently unreadable."""
     import os
     import time
 
@@ -1585,12 +1612,17 @@ def test_merge_gc_sweeps_crash_orphans_keeps_live_attempts(spark, tmp_path):
     run_pipeline(spark, _merge_spec(src, out))
 
     trees = Path(out) / "_trees"
+    old = time.time() - 48 * 3600
     # crashed winner: renamed to final v99 but died before its manifest
+    # (stale, so sweepable); v98 models a LIVE committer mid-CAS — renamed
+    # seconds ago, manifest not yet written — and must survive
     (trees / "v99" / "__mbd=0").mkdir(parents=True)
     (trees / "v99" / "__mbd=0" / "part-00000.parquet").write_text("orphan")
+    os.utime(trees / "v99", (old, old))
+    (trees / "v98" / "__mbd=3").mkdir(parents=True)
+    (trees / "v98" / "__mbd=3" / "part-00000.parquet").write_text("live commit")
     # crashed pre-CAS attempt (stale) vs a live concurrent attempt (fresh)
     (trees / ".inprogress-deadbeef" / "__mbd=1").mkdir(parents=True)
-    old = time.time() - 48 * 3600
     os.utime(trees / ".inprogress-deadbeef", (old, old))
     (trees / ".inprogress-fresh123" / "__mbd=2").mkdir(parents=True)
 
@@ -1599,6 +1631,7 @@ def test_merge_gc_sweeps_crash_orphans_keeps_live_attempts(spark, tmp_path):
     assert "v99" not in names, names
     assert ".inprogress-deadbeef" not in names, names
     assert ".inprogress-fresh123" in names, names
+    assert "v98" in names and (trees / "v98" / "__mbd=3").exists(), names
     # committed state untouched
     assert read_merge_state(spark, out).count() == 2
 

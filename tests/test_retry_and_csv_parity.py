@@ -300,6 +300,7 @@ def test_csv_skip_header_lines_3_invalid_record_policies(spark, tmp_path):
         load_spec({"in": dict(base), "out": {"type": "memory"}}),
     )
     assert rep.succeeded
+    assert rep.output_rows == 2  # eager memory sink observes the write pass
     assert spark.table("pipeline_out").count() == 2  # bad row skipped
     with pytest.raises(RemoteTaskFailedDataError):
         run_pipeline(
@@ -311,6 +312,31 @@ def test_csv_skip_header_lines_3_invalid_record_policies(spark, tmp_path):
                 }
             ),
         )
+    # r6 regression (found by the verify probe): the MEMORY sink used to
+    # register a lazy view, so stop_on_invalid_record=true "succeeded" and
+    # the FAILFAST error surfaced later, raw, when the view was first read.
+    # Eager-by-default materialization classifies it like every other sink.
+    with pytest.raises(RemoteTaskFailedDataError):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {**base, "stop_on_invalid_record": True},
+                    "out": {"type": "memory"},
+                }
+            ),
+        )
+    # opt-out: a lazy view defers execution (for plans too big to pin)
+    rep = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {**base, "stop_on_invalid_record": True},
+                "out": {"type": "memory", "options": {"eager": "false", "view": "lazy_out"}},
+            }
+        ),
+    )
+    assert rep.succeeded and rep.output_rows == 0  # default: nothing ran
 
 
 def test_csv_sink_per_column_timestamp_output_formats(spark, tmp_path):

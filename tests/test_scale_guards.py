@@ -452,3 +452,110 @@ def test_jaccard_auto_cap_sized_from_corpus(spark):
 
     docs = _boilerplate_corpus(spark, n_docs=60)
     assert jaccard_pairs(docs, "text", "doc_id", threshold=0.0).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# planning_row_count: auto-parameter heuristics must not cost a corpus scan
+# on file-backed inputs (VERDICT r5 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_parquet_scan_row_count_metadata_only(spark):
+    """Footer metadata path: exact on bare and column-pruned parquet scans,
+    refuses (None) whenever the plan could change the row count."""
+    from embulk_executor_mapreduce_spark.plans.inspect import (
+        parquet_scan_row_count,
+        planning_row_count,
+    )
+
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    true_n = df.count()
+    assert parquet_scan_row_count(df) == true_n
+    assert parquet_scan_row_count(df.select("doc_id", "text")) == true_n
+    # count-changing plans must fall through
+    assert parquet_scan_row_count(df.filter("doc_id > 5")) is None
+    assert parquet_scan_row_count(df.groupBy("source").count()) is None
+    assert parquet_scan_row_count(df.limit(3)) is None
+    mem = spark.createDataFrame([(1,)], "a int")
+    assert parquet_scan_row_count(mem) is None
+    # resolution order: caller > metadata > count()
+    assert planning_row_count(df, n_rows=7) == 7
+    assert planning_row_count(df) == true_n
+    assert planning_row_count(mem) == 1  # count() fallback
+
+
+def test_auto_params_no_count_job_on_file_backed_input(spark, monkeypatch):
+    """The job-count guard: with DataFrame.count poisoned, every auto-sized
+    operator must still PLAN against a file-backed corpus — proof the extra
+    aggregate-only scan is gone (footer metadata serves the scalar). An
+    in-memory frame still falls back to count() (also asserted)."""
+    from pyspark.sql import DataFrame
+
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        semantic_dedup,
+        semantic_dedup_two_level,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def boom(self):
+        raise AssertionError("auto path ran a count() job on a file-backed input")
+
+    monkeypatch.setattr(DataFrame, "count", boom)
+    # plan construction must succeed without any count job. (semantic_dedup
+    # trains eagerly — that's the measured k-means cost, not a count.)
+    jaccard_pairs(docs.limit(0).union(docs), "text", "doc_id", n_rows=500)
+    jaccard_pairs(docs, "text", "doc_id")
+    embedding_neardup(embs)
+    semantic_dedup(embs, iters=1)
+    semantic_dedup_two_level(embs, iters=1)
+    monkeypatch.undo()
+    # in-memory inputs still resolve via count()
+    mem = spark.createDataFrame(
+        [(i, f"text {i} unique words here {i}") for i in range(10)],
+        "doc_id long, text string",
+    )
+    assert jaccard_pairs(mem, "text", "doc_id", threshold=0.0).count() == 0
+
+
+def test_pagerank_caller_supplied_node_count(spark):
+    """pagerank(n_nodes=...) skips the planning count and produces
+    bit-identical ranks to the counted path."""
+    from embulk_executor_mapreduce_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i % 13, (i * 5 + 2) % 13) for i in range(100)], "src long, dst long"
+    )
+    counted = sorted(map(tuple, pagerank(edges, iters=2).collect()))
+    supplied = sorted(map(tuple, pagerank(edges, iters=2, n_nodes=13).collect()))
+    assert counted == supplied
+
+
+def test_kmeans_unsampled_training_guardrail(spark):
+    """VERDICT r5 item 6: an oversized UNFILTERED kmeans_train warns loudly
+    (naming the hash-sample recipe); a train_filter or an explicit
+    max_unsampled_rows=None silences it; the default threshold never fires
+    at test scale."""
+    import warnings as w
+
+    from embulk_executor_mapreduce_spark.operators.similarity import kmeans_train
+
+    embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    with pytest.warns(ResourceWarning, match="hash-sample"):
+        kmeans_train(embs, "vec_id", "embedding", k=4, iters=1,
+                     max_unsampled_rows=100)
+    with w.catch_warnings():
+        w.simplefilter("error", ResourceWarning)
+        # a sampled train over the same oversized input is the blessed path
+        kmeans_train(
+            embs, "vec_id", "embedding", k=4, iters=1,
+            train_filter=F.pmod(F.xxhash64("vec_id"), F.lit(2)) == 0,
+            max_unsampled_rows=100,
+        )
+        # deliberate full train opts out
+        kmeans_train(embs, "vec_id", "embedding", k=4, iters=1,
+                     max_unsampled_rows=None)
+        # default threshold (2M) is far above any test corpus
+        kmeans_train(embs, "vec_id", "embedding", k=4, iters=1)

@@ -314,3 +314,57 @@ def test_spec_semantic_dedup_corpus_config_errors(tmp_path):
                 },
             }
         )
+
+
+def test_streaming_config_errors_name_the_batch_alternative(spark, tmp_path):
+    """VERDICT r5 item 8: a correct not-streamable rejection should tell the
+    user WHERE the capability lives — every stream ConfigError for a
+    batch-supported feature names run_pipeline / the batch path."""
+    from embulk_executor_mapreduce_spark.plans.compiler import (
+        run_pipeline_streaming,
+    )
+
+    csv = tmp_path / "src.csv"
+    csv.write_text("junk\njunk\nid,name\n1,a\n")
+    doc = {
+        "in": {
+            "type": "csv",
+            "path": str(csv),
+            "skip_header_lines": 3,
+            "columns": [
+                {"name": "id", "type": "long"},
+                {"name": "name", "type": "string"},
+            ],
+        },
+        "out": {"type": "parquet", "path": str(tmp_path / "out")},
+    }
+    with pytest.raises(ConfigError, match=r"batch path \(run_pipeline\)"):
+        run_pipeline_streaming(spark, load_spec(doc))
+
+    txt = tmp_path / "doc.txt"
+    txt.write_text("whole file\n")
+    with pytest.raises(ConfigError, match="run_pipeline"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "text",
+                        "path": str(txt),
+                        "options": {"wholetext": True},
+                    },
+                    "out": {"type": "parquet", "path": str(tmp_path / "o2")},
+                }
+            ),
+        )
+
+    with pytest.raises(ConfigError, match="batch-only.*run_pipeline"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "text", "path": str(txt)},
+                    "out": {"type": "null"},
+                }
+            ),
+        )
