@@ -663,3 +663,240 @@ def test_png_decoder_randomized_all_filters_and_colors():
             assert [round(x, 9) for x in wr] == [round(x, 9) for x in gr], (
                 trial, color, filters,
             )
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG decode (VERDICT r5 item 2)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_roundtrip_gray():
+    """encode_gray_jpeg → _jpeg_pixels is a real DCT roundtrip: constant
+    blocks at DC-quant 8 are bit-exact, gradients at quant 1 are within
+    FDCT/IDCT rounding, sharp edges (large ACs, long zero runs incl. ZRL)
+    survive, and non-multiple-of-8 dims crop correctly."""
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_gray_jpeg,
+    )
+
+    img = np.zeros((16, 16))
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 13, 200, 77, 255
+    w, h, rows = _jpeg_pixels(encode_gray_jpeg(img, np.full((8, 8), 8.0)))
+    assert (w, h) == (16, 16)
+    assert np.abs(np.array(rows) - img).max() < 1e-9
+
+    rng = np.random.default_rng(7)
+    g = np.clip(
+        np.add.outer(np.arange(24) * 3.0, np.arange(17) * 5.0)
+        + rng.integers(0, 30, (24, 17)),
+        0,
+        255,
+    )
+    w, h, rows = _jpeg_pixels(encode_gray_jpeg(g))
+    assert (w, h) == (17, 24)
+    assert np.abs(np.array(rows) - g).max() < 1.5  # quant=1 rounding only
+
+    e = np.zeros((8, 64))
+    e[:, ::7] = 255.0
+    w, h, rows = _jpeg_pixels(encode_gray_jpeg(e))
+    assert (w, h) == (64, 8)
+    assert np.abs(np.array(rows) - e).max() < 1.0
+
+
+def _mk_color_jpeg_420(y_plane, cb_val=128, cr_val=128, quant=None):
+    """Handcrafted INTERLEAVED YCbCr 4:2:0 baseline JPEG (one scan): Y at
+    2×2 sampling, constant chroma — exercises the decoder's multi-component
+    MCU walk, per-component DC predictors, and luma placement."""
+    import struct
+
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _DCT_A,
+        _STD_AC_BITS,
+        _STD_AC_VALS,
+        _STD_DC_BITS,
+        _STD_DC_VALS,
+        _ZIGZAG,
+        _encode_block,
+        _huff_encode_table,
+        _JpegBitWriter,
+    )
+
+    h, w = y_plane.shape
+    assert h % 16 == 0 and w % 16 == 0, "test helper: 4:2:0 MCU-aligned only"
+    q = np.ones((8, 8)) if quant is None else quant
+    dc_t = _huff_encode_table(_STD_DC_BITS, _STD_DC_VALS)
+    ac_t = _huff_encode_table(_STD_AC_BITS, _STD_AC_VALS)
+    writer = _JpegBitWriter()
+    preds = {1: 0, 2: 0, 3: 0}
+    for my in range(h // 16):
+        for mx in range(w // 16):
+            for by in range(2):  # 4 luma blocks per MCU
+                for bx in range(2):
+                    y0, x0 = my * 16 + by * 8, mx * 16 + bx * 8
+                    block = y_plane[y0 : y0 + 8, x0 : x0 + 8] - 128.0
+                    qc = np.round((_DCT_A @ block @ _DCT_A.T) / q)
+                    preds[1] = _encode_block(writer, qc, preds[1], dc_t, ac_t)
+            for cid, val in ((2, cb_val), (3, cr_val)):  # constant chroma
+                block = np.full((8, 8), float(val)) - 128.0
+                qc = np.round((_DCT_A @ block @ _DCT_A.T) / q)
+                preds[cid] = _encode_block(writer, qc, preds[cid], dc_t, ac_t)
+    zz_q = bytes(int(q[rc]) for rc in _ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 17, 8, h, w, 3)
+    out += b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"  # Y 2x2, Cb/Cr 1x1
+    for tc, bits, vals in (
+        (0, _STD_DC_BITS, _STD_DC_VALS),
+        (0x10, _STD_AC_BITS, _STD_AC_VALS),
+    ):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 3 + 16 + len(vals))
+            + bytes([tc])
+            + bytes(bits)
+            + bytes(vals)
+        )
+    out += b"\xff\xda" + struct.pack(">HB", 12, 3)
+    out += b"\x01\x00\x02\x00\x03\x00" + b"\x00\x3f\x00"
+    out += writer.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_jpeg_color_420_luma_decode():
+    """The decoder walks a 3-component 4:2:0 MCU correctly: chroma blocks
+    advance the bitstream (their coefficients are entropy-decoded) but only
+    luma is IDCT'd, and the Y plane lands at full resolution in the right
+    positions across a 32×32 (4-MCU) image."""
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import _jpeg_pixels
+
+    rng = np.random.default_rng(11)
+    y = np.clip(
+        np.add.outer(np.arange(32) * 2.0, np.arange(32) * 4.0)
+        + rng.integers(0, 20, (32, 32)),
+        0,
+        255,
+    )
+    data = _mk_color_jpeg_420(y, cb_val=90, cr_val=170)
+    w, h, rows = _jpeg_pixels(data)
+    assert (w, h) == (32, 32)
+    assert np.abs(np.array(rows) - y).max() < 1.5
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: byte-aligned restart every N MCUs resets the DC predictor
+    chain; the decoder must resync and reproduce the image."""
+    import struct
+
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _DCT_A,
+        _STD_AC_BITS,
+        _STD_AC_VALS,
+        _STD_DC_BITS,
+        _STD_DC_VALS,
+        _ZIGZAG,
+        _encode_block,
+        _huff_encode_table,
+        _jpeg_pixels,
+        _JpegBitWriter,
+    )
+
+    vals = [40, 90, 160, 220]  # one constant 8×8 block per MCU (32×8 image)
+    dc_t = _huff_encode_table(_STD_DC_BITS, _STD_DC_VALS)
+    ac_t = _huff_encode_table(_STD_AC_BITS, _STD_AC_VALS)
+    q = np.full((8, 8), 8.0)
+    entropy = bytearray()
+    writer = _JpegBitWriter()
+    pred = 0
+    for i, v in enumerate(vals):
+        if i and i % 2 == 0:  # restart interval 2
+            entropy += writer.flush()
+            entropy += bytes([0xFF, 0xD0 + (i // 2 - 1) % 8])
+            writer = _JpegBitWriter()
+            pred = 0  # predictors reset at restart
+        block = np.full((8, 8), float(v)) - 128.0
+        qc = np.round((_DCT_A @ block @ _DCT_A.T) / q)
+        pred = _encode_block(writer, qc, pred, dc_t, ac_t)
+    entropy += writer.flush()
+    zz_q = bytes(int(q[rc]) for rc in _ZIGZAG)
+    out = bytearray(b"\xff\xd8")
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00" + zz_q
+    out += b"\xff\xdd" + struct.pack(">HH", 4, 2)  # DRI = 2 MCUs
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 8, 32, 1) + b"\x01\x11\x00"
+    for tc, bits, vs in (
+        (0, _STD_DC_BITS, _STD_DC_VALS),
+        (0x10, _STD_AC_BITS, _STD_AC_VALS),
+    ):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 3 + 16 + len(vs))
+            + bytes([tc])
+            + bytes(bits)
+            + bytes(vs)
+        )
+    out += b"\xff\xda" + struct.pack(">HB", 8, 1) + b"\x01\x00\x00\x3f\x00"
+    out += entropy + b"\xff\xd9"
+    w, h, rows = _jpeg_pixels(bytes(out))
+    assert (w, h) == (32, 8)
+    arr = np.array(rows)
+    for i, v in enumerate(vals):
+        assert np.abs(arr[:, i * 8 : i * 8 + 8] - v).max() < 1e-9, (i, v)
+
+
+def test_jpeg_failure_modes():
+    """Not-baseline and corrupt payloads return None (→ NULL features in the
+    decode pipeline), never crash: progressive SOF2, truncated entropy data,
+    garbage, and an EOI-only stub."""
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_gray_jpeg,
+    )
+
+    good = encode_gray_jpeg(np.full((8, 8), 128.0))
+    assert _jpeg_pixels(good) is not None
+    assert _jpeg_pixels(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    assert _jpeg_pixels(good[: len(good) // 2]) is None
+    assert _jpeg_pixels(b"\xff\xd8\xff\xd9") is None
+    assert _jpeg_pixels(b"not a jpeg at all") is None
+
+
+def test_jpeg_decode_pipeline_and_pil_parity(spark):
+    """The Spark decode pipeline surfaces JPEG dims/features like every
+    other format; when Pillow is importable the same payload decodes to the
+    same dims + quadrant features on both paths."""
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        decode_image_stdlib,
+        encode_gray_jpeg,
+        pil_available,
+    )
+
+    img = np.zeros((16, 16))
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 10, 60, 130, 250
+    payload = encode_gray_jpeg(img, np.full((8, 8), 8.0))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "doc_id long, payload binary"
+    )
+    row = decode_image_stdlib(df).collect()[0]
+    assert (row.width, row.height) == (16, 16)
+    assert [round(f * 255) for f in row.features] == [10, 60, 130, 250]
+    if pil_available():
+        from embulk_executor_mapreduce_spark.operators.multimodal import (
+            decode_image_pil,
+        )
+
+        prow = decode_image_pil(df).collect()[0]
+        assert (prow.width, prow.height) == (16, 16)
+        assert [round(f * 255) for f in prow.features] == [10, 60, 130, 250]
