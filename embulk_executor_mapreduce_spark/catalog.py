@@ -2689,6 +2689,67 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_merge_state(spark, state_path).select("cell", "vec_id")
 
 
+from .operators.similarity import incremental_semantic_two_level_oracle_sql  # noqa: E402
+
+
+@register(
+    "semantic_dedup_two_level_incremental_state",
+    oracle=incremental_semantic_two_level_oracle_sql(
+        coarse_k=3, sub_k=3, iters=2, threshold_micro=250_000
+    ),
+    tags=("dedup", "incremental", "similarity", "sink", "two-level"),
+)
+def q_semantic_dedup_two_level_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-level incremental SemDeDup through REAL persisted state (r6,
+    VERDICT r5 item 3) — the √k×√k composition of
+    ``semantic_dedup_two_level`` and ``semantic_dedup_incremental_state``:
+    increment 1 (even vec_ids) trains BOTH centroid levels (coarse
+    row_number-init chain + grouped per-cell sub-chain, both persisted to
+    parquet) and seeds the survivor state through the pointer-committed
+    merge sink; increment 2 (odd vec_ids) assigns against the STORED PAIR
+    (two broadcast joins, zero k-means jobs — the assign-only steady state,
+    plan-guarded) and dedups on the LEAF key (cell, scid) against itself
+    and the committed state, whose delta merges back bucket-pruned. The
+    oracle replays both increments — unrolled two-level training, all four
+    assignments, within-leaf and vs-state first-wins drops — pinning the
+    operator AND the sink round-trip together."""
+    import tempfile
+
+    from .operators.dedup import incremental_semantic_dedup_two_level
+    from .sinks.writer import read_merge_state, write_sink
+    from .spec import SinkSpec
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = tempfile.mkdtemp(prefix="q_sem2l_incr_")
+    sink = SinkSpec(
+        type="parquet",
+        path=f"{root}/state",
+        mode="merge",
+        merge_key=("vec_id", "cell"),
+        merge_order=("nrm",),
+    )
+    kw = dict(coarse_k=3, sub_k=3, iters=2, threshold_micro=250_000)
+    _, d1, trained = incremental_semantic_dedup_two_level(
+        emb.filter(F.col("vec_id") % 2 == 0), None, None, **kw
+    )
+    trained[0].write.parquet(f"{root}/coarse")
+    trained[1].write.parquet(f"{root}/sub")
+    write_sink(d1, sink)
+    _, d2, _ = incremental_semantic_dedup_two_level(
+        emb.filter(F.col("vec_id") % 2 == 1),
+        read_merge_state(spark, f"{root}/state"),
+        (
+            spark.read.parquet(f"{root}/coarse"),
+            spark.read.parquet(f"{root}/sub"),
+        ),
+        **kw,
+    )
+    write_sink(d2, sink)
+    return read_merge_state(spark, f"{root}/state").select("cell", "scid", "vec_id")
+
+
 @register(
     "token_count_bpe",
     oracle=r"""

@@ -970,8 +970,7 @@ def semantic_dedup_two_level(
     threshold, deterministic row_number-per-cell init), so the whole
     two-level pipeline unrolls into a portable DuckDB oracle
     (:func:`...similarity.semantic_dedup_two_level_oracle_sql`)."""
-    from ..exactmath import d_round
-    from .similarity import as_double, dot, kmeans_train
+    from .similarity import as_double, dot
 
     base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
@@ -984,9 +983,25 @@ def semantic_dedup_two_level(
         coarse_k = coarse_k if coarse_k is not None else auto
         sub_k = sub_k if sub_k is not None else auto
 
-    # LEVEL 1 — coarse cells: cosine argmax against broadcast centroids,
-    # exchange carries one row per vector (identical to semantic_dedup)
-    cents = kmeans_train(base, id_col, "v", k=coarse_k, iters=iters).withColumn(
+    sub_assigned, _coarse, _subc = _two_level_train_assign(
+        base, id_col, coarse_k, sub_k, iters
+    )
+    dups = _leaf_dups(sub_assigned, id_col, threshold_micro)
+    return sub_assigned.join(dups, on=id_col, how="left_anti").select(
+        id_col, "cell", "scid"
+    )
+
+
+def _coarse_assign(base: DataFrame, cents: DataFrame, id_col: str) -> DataFrame:
+    """Cosine argmax of ``base(id, v, nrm)`` against a BROADCAST coarse
+    centroid table ``(cid, cv)`` → ``(id, cell, v, nrm)`` — the exchange
+    carries one row per vector (identical plan shape to semantic_dedup's
+    assignment, shared by training and assign-only increments so the two
+    paths are bit-identical by construction)."""
+    from ..exactmath import d_round
+    from .similarity import dot
+
+    cents = cents.select("cid", "cv").withColumn(
         "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
     )
     sims = base.crossJoin(F.broadcast(cents)).select(
@@ -998,7 +1013,7 @@ def semantic_dedup_two_level(
             dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
         ).alias("csim"),
     )
-    assigned = (
+    return (
         sims.groupBy(id_col)
         .agg(
             F.max(
@@ -1019,33 +1034,18 @@ def semantic_dedup_two_level(
         )
     )
 
-    # Materialize the coarse assignment before the sub-trainer: it feeds the
-    # init + every grouped iteration + the final assignment — without the
-    # cut, each reference replays the coarse crossJoin/aggregate and the
-    # compound plan's analysis cost alone dominates (measured 17 s → 5 s at
-    # sf0.1). Same executor-storage materialization the trainers' own
-    # per-iteration checkpoints use; one corpus-sized frame, standard for
-    # iterative pipelines.
-    assigned = assigned.localCheckpoint(eager=True)
 
-    # LEVEL 2 — per-cell sub-centroids, ALL cells in one grouped pass.
-    # train_filter=lit(True) selects the row_number-per-group init (ids
-    # inside a cell are arbitrary, so the flat `id < k` init can't seed it).
-    subc = kmeans_train(
-        assigned,
-        id_col,
-        "v",
-        k=sub_k,
-        iters=iters,
-        group_cols=("cell",),
-        train_filter=F.lit(True),
-    )
+def _sub_assign(assigned: DataFrame, subc: DataFrame, id_col: str) -> DataFrame:
+    """L2 argmin of cell-assigned vectors against the BROADCAST per-cell
+    sub-centroid table ``(cell, cid, cv)`` → ``(id, cell, scid, v, nrm)``."""
+    from .similarity import dot
+
     d = (
         dot(F.col("v"), F.col("v"))
         - F.lit(2.0) * dot(F.col("v"), F.col("cv"))
         + dot(F.col("cv"), F.col("cv"))
     )
-    sub_assigned = (
+    return (
         assigned.join(F.broadcast(subc), "cell")
         .select(id_col, "cell", "v", "nrm", "cid", d.alias("d"))
         .groupBy(id_col)
@@ -1070,11 +1070,65 @@ def semantic_dedup_two_level(
         )
     )
 
-    # first-wins dedup within each LEAF (cell, scid) — the quadratic is
-    # bounded by leaf occupancy ~target_cluster_docs at any corpus size.
-    # sub_assigned is referenced three times (both pair-join sides + the
-    # surviving-rows anti-join) — cut once more.
-    sub_assigned = sub_assigned.localCheckpoint(eager=True)
+
+def _two_level_train_assign(
+    base: DataFrame,
+    id_col: str,
+    coarse_k: int,
+    sub_k: int,
+    iters: int,
+    coarse_train_filter=None,
+):
+    """Shared two-level machinery: coarse train + cosine cell assignment +
+    grouped per-cell sub-training + L2 leaf assignment. Returns
+    ``(sub_assigned(id, cell, scid, v, nrm), coarse(cid, cv),
+    subc(cell, cid, cv))`` with ``sub_assigned`` checkpointed (it feeds
+    multiple downstream references). ``coarse_train_filter=F.lit(True)``
+    selects the row_number init for incremental batches whose ids don't
+    start at 0 (the flat ``id < k`` init would under-seed them)."""
+    from .similarity import kmeans_train
+
+    # LEVEL 1 — coarse cells: cosine argmax against broadcast centroids,
+    # exchange carries one row per vector (identical to semantic_dedup)
+    coarse = kmeans_train(
+        base, id_col, "v", k=coarse_k, iters=iters, train_filter=coarse_train_filter
+    )
+    assigned = _coarse_assign(base, coarse, id_col)
+
+    # Materialize the coarse assignment before the sub-trainer: it feeds the
+    # init + every grouped iteration + the final assignment — without the
+    # cut, each reference replays the coarse crossJoin/aggregate and the
+    # compound plan's analysis cost alone dominates (measured 17 s → 5 s at
+    # sf0.1). Same executor-storage materialization the trainers' own
+    # per-iteration checkpoints use; one corpus-sized frame, standard for
+    # iterative pipelines.
+    assigned = assigned.localCheckpoint(eager=True)
+
+    # LEVEL 2 — per-cell sub-centroids, ALL cells in one grouped pass.
+    # train_filter=lit(True) selects the row_number-per-group init (ids
+    # inside a cell are arbitrary, so the flat `id < k` init can't seed it).
+    subc = kmeans_train(
+        assigned,
+        id_col,
+        "v",
+        k=sub_k,
+        iters=iters,
+        group_cols=("cell",),
+        train_filter=F.lit(True),
+    )
+    sub_assigned = _sub_assign(assigned, subc, id_col)
+
+    # sub_assigned is referenced several times downstream (both pair-join
+    # sides + the surviving-rows anti-join) — cut once more.
+    return sub_assigned.localCheckpoint(eager=True), coarse, subc
+
+
+def _leaf_dups(sub_assigned: DataFrame, id_col: str, threshold_micro: int) -> DataFrame:
+    """First-wins dedup within each LEAF (cell, scid) — the quadratic is
+    bounded by leaf occupancy ~target_cluster_docs at any corpus size.
+    Returns the dropped ids (distinct)."""
+    from .similarity import dot
+
     a, b = sub_assigned.alias("a"), sub_assigned.alias("b")
     pair_cos = F.floor(
         dot(F.col("a.v"), F.col("b.v"))
@@ -1082,7 +1136,7 @@ def semantic_dedup_two_level(
         * 1_000_000
         + F.lit(0.5)
     ).cast("long")
-    dups = (
+    return (
         a.join(
             b,
             (F.col("a.cell") == F.col("b.cell"))
@@ -1093,9 +1147,113 @@ def semantic_dedup_two_level(
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
     )
-    return sub_assigned.join(dups, on=id_col, how="left_anti").select(
-        id_col, "cell", "scid"
+
+
+def incremental_semantic_dedup_two_level(
+    batch: DataFrame,
+    state: DataFrame | None,
+    centroids: tuple[DataFrame, DataFrame] | None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    coarse_k: int | None = None,
+    sub_k: int | None = None,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+    target_cluster_docs: int = 1024,
+    claim: Column | None = None,
+    n_rows: int | None = None,
+) -> tuple[DataFrame, DataFrame, tuple[DataFrame, DataFrame] | None]:
+    """Two-level incremental SemDeDup (VERDICT r5 item 3) — the composition
+    of :func:`semantic_dedup_two_level`'s √k×√k layout with
+    :func:`incremental_semantic_dedup`'s persisted-state machinery, for the
+    continuous-crawl loop past flat-k's 65536 broadcast cap.
+
+    * ``centroids`` is the persisted TWO-LEVEL table pair
+      ``(coarse(cid, cv), sub(cell, cid, cv))``. ``None`` (first increment)
+      trains both levels on the batch (coarse via the row_number init — an
+      increment's ids are arbitrary) and returns the pair for the caller to
+      persist; every later increment assigns AGAINST THE STORED PAIR —
+      coarse cosine argmax, then per-cell L2 argmin, both broadcast joins —
+      and never retrains (leaf ids stay stable across increments, which is
+      what makes the state joinable).
+    * ``state`` is the survivor table ``(cell, scid, vec_id, v, nrm)``
+      persisted through the bucket-pruned merge sink; per increment it is
+      equi-joined on the LEAF key (cell, scid) — cost O(batch ×
+      state-in-shared-leaves), never O(corpus²), and a √k×√k tree keeps
+      leaf occupancy ~target_cluster_docs at any corpus size.
+    * first-wins: a batch doc survives iff NO lower-id batch doc and NO
+      state survivor shares its leaf at cosine ≥ ``threshold_micro``.
+
+    ``claim`` follows the :func:`incremental_semantic_dedup` exactly-once
+    contract (retried increments ignore their own committed state rows).
+    Returns ``(novel(id, cell, scid), state_delta(cell, scid, id, v, nrm),
+    trained_pair_or_None)``; the two-increment pipeline unrolls into a full
+    value-hash oracle (catalog ``semantic_dedup_two_level_incremental_state``)."""
+    from .similarity import as_double, dot
+
+    base = batch.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
+    trained = None
+    if centroids is None:
+        if coarse_k is None or sub_k is None:
+            from ..plans.inspect import planning_row_count
+
+            auto = two_level_k(
+                planning_row_count(batch, n_rows), target_cluster_docs
+            )
+            coarse_k = coarse_k if coarse_k is not None else auto
+            sub_k = sub_k if sub_k is not None else auto
+        sub_assigned, coarse, subc = _two_level_train_assign(
+            base, id_col, coarse_k, sub_k, iters, coarse_train_filter=F.lit(True)
+        )
+        trained = (coarse, subc)
+    else:
+        coarse, subc = centroids
+        # ASSIGN-ONLY steady state: two broadcast joins, no k-means jobs —
+        # plan-guarded in tests/test_plan_quality.py
+        sub_assigned = _sub_assign(
+            _coarse_assign(base, coarse, id_col), subc.select("cell", "cid", "cv"), id_col
+        )
+
+    def _cos_ge(a_v, a_n, b_v, b_n):
+        return (
+            F.floor(dot(a_v, b_v) / (a_n * b_n) * 1_000_000 + F.lit(0.5)).cast(
+                "long"
+            )
+            >= threshold_micro
+        )
+
+    dups = _leaf_dups(sub_assigned, id_col, threshold_micro)
+    if state is not None:
+        if claim is not None:
+            state = state.where(F.col("claim_batch") != claim)
+        st = state.select(
+            F.col("cell").alias("s_cell"),
+            F.col("scid").alias("s_scid"),
+            F.col("v").alias("s_v"),
+            F.col("nrm").alias("s_nrm"),
+        )
+        vs_state = (
+            sub_assigned.alias("n")
+            .join(
+                st,
+                (F.col("n.cell") == F.col("s_cell"))
+                & (F.col("n.scid") == F.col("s_scid")),
+            )
+            .where(
+                _cos_ge(
+                    F.col("s_v"), F.col("s_nrm"), F.col("n.v"), F.col("n.nrm")
+                )
+            )
+            .select(F.col(f"n.{id_col}").alias(id_col))
+        )
+        dups = dups.unionByName(vs_state).distinct()
+    novel = sub_assigned.join(dups, on=id_col, how="left_anti")
+    delta = novel.select("cell", "scid", F.col(id_col), "v", "nrm")
+    if claim is not None:
+        delta = delta.withColumn("claim_batch", claim)
+    return novel.select(id_col, "cell", "scid"), delta, trained
 
 
 def incremental_semantic_dedup(

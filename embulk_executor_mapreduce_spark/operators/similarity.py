@@ -890,6 +890,49 @@ def semantic_dedup_oracle_sql(
     """
 
 
+def _sub_chain_sql(sub_k: int, iters: int, dim: int, src: str = "cassign") -> str:
+    """Grouped per-cell sub-trainer CTE chain (the PQ pattern keyed by
+    ``cell``, but with the per-group row_number init instead of the flat
+    id<k init): defines ``sc{iters}(cell, cid, cv)`` over a
+    ``{src}(vec_id, cell, v, ...)`` CTE. Shared by the one-shot and
+    incremental two-level oracles so their training text is identical."""
+    sc_parts = [
+        f"""sc0 AS (
+      SELECT cell, rn - 1 AS cid, v AS cv FROM (
+        SELECT cell, v, row_number() OVER (
+          PARTITION BY cell ORDER BY vec_id) AS rn
+        FROM {src}
+      ) WHERE rn <= {sub_k}
+    )"""
+    ]
+    for it in range(iters):
+        prev, cur = f"sc{it}", f"sc{it + 1}"
+        sc_parts.append(f"""sa{it} AS (
+      SELECT vec_id, cell, v, cid FROM (
+        SELECT t.vec_id, t.cell, t.v, c.cid,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY list_dot_product(t.v, t.v)
+                          - 2 * list_dot_product(t.v, c.cv)
+                          + list_dot_product(c.cv, c.cv), c.cid) AS rn
+        FROM {src} t JOIN {prev} c USING (cell)
+      ) WHERE rn = 1
+    ), sm{it} AS (
+      SELECT cell, cid, i,
+             CAST(sum(CAST(floor(val * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS BIGINT)
+               / (count(*) * {KMEANS_SCALE}) AS mv
+      FROM (SELECT a.cell, a.cid, t.i, a.v[t.i + 1] AS val
+            FROM sa{it} a, range({dim}) t(i))
+      GROUP BY cell, cid, i
+    ), {cur} AS (
+      SELECT p.cell, p.cid, coalesce(l.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cell, cid, list(mv ORDER BY i) AS cv FROM sm{it} GROUP BY cell, cid
+      ) l USING (cell, cid)
+    )""")
+    return ",\n    ".join(sc_parts)
+
+
 def semantic_dedup_two_level_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",
@@ -905,43 +948,7 @@ def semantic_dedup_two_level_oracle_sql(
     per-cell grouped sub-trainer unrolls with the row_number-per-cell init
     (``kmeans_train(train_filter=...)``'s seeding), then the identical
     first-wins within-leaf integer-threshold cosine dedup."""
-    # grouped sub-trainer chain (the PQ pattern keyed by `cell`, but with
-    # the per-group row_number init instead of the flat id<k init)
-    sc_parts = [
-        f"""sc0 AS (
-      SELECT cell, rn - 1 AS cid, v AS cv FROM (
-        SELECT cell, v, row_number() OVER (
-          PARTITION BY cell ORDER BY vec_id) AS rn
-        FROM cassign
-      ) WHERE rn <= {sub_k}
-    )"""
-    ]
-    for it in range(iters):
-        prev, cur = f"sc{it}", f"sc{it + 1}"
-        sc_parts.append(f"""sa{it} AS (
-      SELECT vec_id, cell, v, cid FROM (
-        SELECT t.vec_id, t.cell, t.v, c.cid,
-               row_number() OVER (
-                 PARTITION BY t.vec_id
-                 ORDER BY list_dot_product(t.v, t.v)
-                          - 2 * list_dot_product(t.v, c.cv)
-                          + list_dot_product(c.cv, c.cv), c.cid) AS rn
-        FROM cassign t JOIN {prev} c USING (cell)
-      ) WHERE rn = 1
-    ), sm{it} AS (
-      SELECT cell, cid, i,
-             CAST(sum(CAST(floor(val * {KMEANS_SCALE} + 0.5) AS BIGINT)) AS BIGINT)
-               / (count(*) * {KMEANS_SCALE}) AS mv
-      FROM (SELECT a.cell, a.cid, t.i, a.v[t.i + 1] AS val
-            FROM sa{it} a, range({dim}) t(i))
-      GROUP BY cell, cid, i
-    ), {cur} AS (
-      SELECT p.cell, p.cid, coalesce(l.cv, p.cv) AS cv
-      FROM {prev} p LEFT JOIN (
-        SELECT cell, cid, list(mv ORDER BY i) AS cv FROM sm{it} GROUP BY cell, cid
-      ) l USING (cell, cid)
-    )""")
-    sc_chain = ",\n    ".join(sc_parts)
+    sc_chain = _sub_chain_sql(sub_k, iters, dim)
     return f"""
     WITH base AS (
       SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
@@ -1063,4 +1070,101 @@ def incremental_semantic_oracle_sql(
     SELECT cell, vec_id FROM s1
     UNION ALL
     SELECT cell, vec_id FROM s2
+    """
+
+
+def incremental_semantic_two_level_oracle_sql(
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    coarse_k: int = 3,
+    sub_k: int = 3,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+    dim: int = 64,
+) -> str:
+    """DuckDB mirror of the two-increment
+    ``operators.dedup.incremental_semantic_dedup_two_level`` pipeline (even
+    ids then odd ids, BOTH centroid levels trained on increment 1 only and
+    reused assign-only): the unrolled coarse chain (row_number init — batch
+    ids are arbitrary) plus the grouped per-cell sub-chain over batch 1
+    feed both batches' leaf assignments, then each increment's first-wins
+    dedup — within-leaf for increment 1, within-leaf PLUS against the
+    persisted survivor state (joined on the LEAF key) for increment 2. The
+    final SELECT is the committed state the Spark query reads back through
+    the merge-sink manifest."""
+
+    def cos_ge(av, an, bv, bn) -> str:
+        return (
+            f"CAST(floor((list_dot_product({av}, {bv}) / ({an} * {bn}))"
+            f" * 1000000 + 0.5) AS BIGINT) >= {threshold_micro}"
+        )
+
+    def coarse_assign(src: str, out: str) -> str:
+        return f"""{out}_sims AS (
+      SELECT b.vec_id, b.v, sqrt(list_dot_product(b.v, b.v)) AS nrm, c.cid,
+             floor((list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v)) * c.cn)) * 1000000 + 0.5)
+               / 1000000.0 AS csim
+      FROM {src} b, cents2 c
+    ), {out} AS (
+      SELECT vec_id, v, nrm, cid AS cell FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+        FROM {out}_sims
+      ) WHERE rn = 1
+    )"""
+
+    def leaf_assign(src: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT vec_id, cell, scid, v, nrm FROM (
+        SELECT t.vec_id, t.cell, s.scid, t.v, t.nrm,
+               row_number() OVER (
+                 PARTITION BY t.vec_id
+                 ORDER BY list_dot_product(t.v, t.v)
+                          - 2 * list_dot_product(t.v, s.cv)
+                          + list_dot_product(s.cv, s.cv), s.scid) AS rn
+        FROM {src} t JOIN subc s USING (cell)
+      ) WHERE rn = 1
+    )"""
+
+    def leaf_dups(src: str, out: str) -> str:
+        return f"""{out} AS (
+      SELECT DISTINCT b.vec_id
+      FROM {src} a JOIN {src} b
+        ON a.cell = b.cell AND a.scid = b.scid AND a.vec_id < b.vec_id
+      WHERE {cos_ge("a.v", "a.nrm", "b.v", "b.nrm")}
+    )"""
+
+    return f"""
+    WITH allv AS (
+      SELECT {id_col} AS vec_id, {vec_col}::DOUBLE[] AS v FROM {table}
+    ),
+    b1 AS (SELECT vec_id, v FROM allv WHERE vec_id % 2 = 0),
+    b2 AS (SELECT vec_id, v FROM allv WHERE vec_id % 2 = 1),
+    {kmeans_cte_sql(coarse_k, iters, dim, base_cte="b1", init="sampled")},
+    cents2 AS (
+      SELECT cid, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cents
+    ),
+    {coarse_assign("b1", "cassign")},
+    {_sub_chain_sql(sub_k, iters, dim)},
+    subc AS (SELECT cell, cid AS scid, cv FROM sc{iters}),
+    {leaf_assign("cassign", "pa1")},
+    {leaf_dups("pa1", "w1")},
+    s1 AS (SELECT * FROM pa1 WHERE vec_id NOT IN (SELECT vec_id FROM w1)),
+    {coarse_assign("b2", "ca2")},
+    {leaf_assign("ca2", "pa2")},
+    {leaf_dups("pa2", "w2")},
+    x2 AS (
+      SELECT DISTINCT n.vec_id
+      FROM pa2 n JOIN s1 s ON n.cell = s.cell AND n.scid = s.scid
+      WHERE {cos_ge("s.v", "s.nrm", "n.v", "n.nrm")}
+    ),
+    s2 AS (
+      SELECT * FROM pa2 WHERE vec_id NOT IN
+        (SELECT vec_id FROM w2 UNION SELECT vec_id FROM x2)
+    )
+    SELECT cell, scid, vec_id FROM s1
+    UNION ALL
+    SELECT cell, scid, vec_id FROM s2
     """

@@ -397,3 +397,43 @@ def test_incremental_semantic_dedup_plan_shape(spark, tmp_path):
     # centroid broadcast present; state join keys on cell
     assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
     assert "cell" in plan
+
+
+def test_incremental_two_level_semantic_dedup_assign_only(spark, monkeypatch):
+    """r6 two-level incremental semantic dedup: with a stored centroid PAIR
+    the increment is ASSIGN-ONLY — kmeans_train is never invoked (poisoned
+    to prove it), both centroid levels arrive via broadcast joins, the
+    state check is an equi-join on the leaf key, and no cartesian product
+    appears anywhere."""
+    import embulk_executor_mapreduce_spark.operators.similarity as S
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        incremental_semantic_dedup_two_level,
+    )
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(8)])
+             for i in ids],
+            "vec_id long, embedding array<double>",
+        )
+
+    _, d1, trained = incremental_semantic_dedup_two_level(
+        mk(range(0, 40, 2)), None, None, coarse_k=2, sub_k=2, iters=1
+    )
+    assert trained is not None and len(trained) == 2
+    state = d1  # in-memory stand-in for the merged state
+
+    def no_retrain(*a, **k):
+        raise AssertionError("assign-only increment invoked kmeans_train")
+
+    monkeypatch.setattr(S, "kmeans_train", no_retrain)
+    novel, delta, t2 = incremental_semantic_dedup_two_level(
+        mk(range(1, 41, 2)), state, trained, coarse_k=2, sub_k=2, iters=1
+    )
+    assert t2 is None
+    plan = novel._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    assert "cell" in plan and "scid" in plan
+    # the delta carries the full leaf key for the merge sink
+    assert {"cell", "scid", "vec_id", "v", "nrm"} <= set(delta.columns)
