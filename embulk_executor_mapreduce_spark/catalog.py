@@ -4321,26 +4321,61 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registration-order priority: the round driver snapshots only the FIRST 50
-# registered queries. Round-5 rotation: the window carries every query
-# whose CURRENT body hash has never produced a green driver row
-# (scripts/window_check.py gates this mechanically against
-# scripts/VERIFIED.json) — the 2 new round-5 queries (real-PNG decode
-# roundtrip, bucketed pagerank), the 3 multimodal queries (module rewrite),
-# and 23 carried queries flagged by this round's module edits (dedup.py
-# corpus-sized k, graph.py bucketed path, sinks/writer.py multi-writer CAS,
-# plans/compiler.py ADVICE fixes). The remaining 22 slots refresh the
-# queries whose last green row is OLDEST — all 18 r01 rows plus the 4
-# oldest r02 rows (the final 17 r02 rows rotate in round 6). DEFERRED in
-# window_check.py is EMPTY this round.
+# registered queries. Round-6 rotation: 43 queries carry a CHANGED body
+# hash this round (scripts/window_check.py module-granularity gate) — the
+# 2 NEW queries (baseline-JPEG decode roundtrip, two-level incremental
+# semantic state) plus every query importing an edited module (dedup.py
+# n_rows threading + two-level refactor, similarity.py trainer guardrail
+# + oracle-helper extraction, multimodal.py JPEG decoder, graph.py unique
+# bucketed tables + n_nodes, partitioning.py strategy SPI, writer.py GC
+# race fix + eager memory sink, compiler.py SPI wiring + stream errors).
+# Driver re-verification of CHANGED code outranks refreshing unchanged
+# code, so all 43 take window slots and the remaining 7 go to the oldest
+# stale rows (r01). DEFERRED stays EMPTY; the 40 remaining r01-r03 rows
+# (5 r01, 21 r02, 14 r03) rotate in round 7.
 _VERIFY_FIRST = (
-    # new in round 5
-    "multimodal_decode_png",
+    # new in round 6
+    "multimodal_decode_jpeg",
+    "semantic_dedup_two_level_incremental_state",
+    # sinks/writer.py (merge-GC race fix, eager memory sink) +
+    # plans/compiler.py (partitioning SPI wiring, stream error messages) +
+    # spec.py (SPI validation) — module-hash flags
+    "csv_engine_roundtrip",
+    "xml_engine_roundtrip",
+    "jsonl_engine_roundtrip",
+    "orc_engine_roundtrip",
+    "merge_upsert_state",
+    "dynamic_overwrite_state",
+    "filter_chain",
+    "task_source_generate",
+    "spec_join_aggregate",
+    "spec_dedup_sql",
+    "spec_training_prep",
+    # operators/partitioning.py (strategy registry) — module-hash flags
+    "bucket_long_milli",
+    "skew_salted_agg",
+    "zorder_cluster_key",
+    # operators/graph.py (uuid-unique bucketed tables, n_nodes param)
     "graph_pagerank_bucketed",
+    "graph_pagerank_events",
+    "graph_pagerank_dangling",
+    # operators/dedup.py (planning_row_count threading, two-level
+    # train/assign refactor) — module-hash flags
+    "semantic_dedup_embeddings",
     "semantic_dedup_two_level",
     "semantic_dedup_incremental_state",
-    "spec_training_prep",
-    # similarity.py kmeans_train init changes (sampled-init cast + seeding)
-    # flag the whole module: every similarity-importing query re-verifies
+    "embedding_neardup",
+    "ngram_jaccard_pairs",
+    "decontaminate_fuzzy",
+    "dedup_incremental_state",
+    "dedup_exact",
+    "dedup_clusters",
+    "dedup_survivors",
+    "minhash_lsh_candidates",
+    "minhash_lsh_128x16",
+    "simhash64",
+    # operators/similarity.py (trainer guardrail, oracle-helper
+    # extraction) — module-hash flags
     "ann_ivf_kmeans_topk",
     "ann_pq_kmeans_topk",
     "ann_lsh_topk",
@@ -4348,55 +4383,20 @@ _VERIFY_FIRST = (
     "ann_ivf_topk",
     "ann_pq_adc_topk",
     "functions_array_gauntlet",
-    # streaming/ingest.py append (incremental_semantic_sink) flags the six
-    # stream queries — re-verified rather than waived
-    "stream_dedup_events",
-    "stream_user_rollup",
-    "stream_hourly_counts",
-    "stream_purchase_signup_join",
-    "stream_session_windows",
-    "stream_sliding_enriched",
-    # multimodal.py rewrite (stdlib real decoder + dispatch change)
+    # operators/multimodal.py (JPEG decoder + dispatch) — module-hash flags
+    "multimodal_decode_png",
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # graph.py edits (edges_distinct/checkpoint params, bucketed path)
-    "graph_pagerank_events",
-    "graph_pagerank_dangling",
-    # dedup.py edits (corpus-sized semantic_dedup k) — module-hash flags
-    "semantic_dedup_embeddings",
-    "decontaminate_fuzzy",
-    "dedup_incremental_state",
-    "dedup_exact",
-    "minhash_lsh_candidates",
-    "minhash_lsh_128x16",
-    "dedup_clusters",
-    "dedup_survivors",
-    "ngram_jaccard_pairs",
-    "simhash64",
-    "embedding_neardup",
-    # sinks/writer.py multi-writer CAS + plans/compiler.py ADVICE fixes —
-    # module-hash flags
-    "merge_upsert_state",
-    "dynamic_overwrite_state",
-    "xml_engine_roundtrip",
-    "filter_chain",
-    "csv_engine_roundtrip",
-    "jsonl_engine_roundtrip",
-    "orc_engine_roundtrip",
-    "task_source_generate",
-    "spec_join_aggregate",
-    "spec_dedup_sql",
-    # stale-row refresh (VERDICT r4 item 4): the 6 oldest r01 rows fit the
-    # remaining slots; the other 12 r01 + zscore_per_user + all 21 r02 rows
-    # rotate in round 6 (changed-hash queries always outrank refreshes —
-    # DEFERRED stays EMPTY)
-    "scan_project",
-    "topk_orders_per_customer",
-    "asof_last_signup",
-    "sessionize_events",
-    "global_topk_orders",
-    "window_lag_lead_rank",
+    # stale-row refresh (VERDICT r5 item 1): the 7 oldest r01 rows fill the
+    # remaining slots (changed-hash queries always outrank refreshes)
+    "cube_status_priority",
+    "distinct_aggs",
+    "exists_big_orders",
+    "functions_datetime_gauntlet",
+    "functions_math_gauntlet",
+    "functions_string_gauntlet",
+    "grouping_sets_revenue",
 )
 
 
