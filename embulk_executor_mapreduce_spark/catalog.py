@@ -1333,6 +1333,44 @@ def q_multimodal_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_wav",
+    oracle="""
+    SELECT doc_id,
+           CAST(16000 AS INT) AS sample_rate,
+           CAST(1 AS INT) AS n_channels,
+           CAST(16 AS INT) AS n_samples,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS a_s1,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS a_s2,
+           CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS a_s3,
+           CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS a_s4
+    FROM documents
+    """,
+    tags=("multimodal", "audio", "real-decode"),
+)
+def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, driver-gated (r6): every document becomes a
+    genuine 16-sample mono PCM16 WAV (segment amplitudes = first 4 md5
+    bytes × 128, alternating sign) and the stdlib RIFF decoder parses the
+    chunk walk, de-interleaves PCM frames, and reduces to segment mean-abs
+    features — each exactly byte/256, so round(feature·256) IS the md5
+    byte: a full value-hash oracle over a real WAV encode→decode
+    roundtrip."""
+    from .operators.multimodal import decode_audio_stdlib, encode_text_wav
+
+    dec = decode_audio_stdlib(encode_text_wav(load(spark, sf_dir, "documents")))
+    return dec.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        *[
+            F.round(dec["features"][i] * 256).cast("int").alias(f"a_s{i + 1}")
+            for i in range(4)
+        ],
+    )
+
+
+@register(
     "asof_last_signup",
     oracle="""
     SELECT e.event_id, e.user_id, epoch_us(s.ts) AS signup_us
@@ -4330,12 +4368,13 @@ def q_graph_pagerank_dangling(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bucketed tables + n_nodes, partitioning.py strategy SPI, writer.py GC
 # race fix + eager memory sink, compiler.py SPI wiring + stream errors).
 # Driver re-verification of CHANGED code outranks refreshing unchanged
-# code, so all 43 take window slots and the remaining 7 go to the oldest
+# code, so all 43 take window slots and the remaining slots go to the oldest
 # stale rows (r01). DEFERRED stays EMPTY; the 40 remaining r01-r03 rows
 # (5 r01, 21 r02, 14 r03) rotate in round 7.
 _VERIFY_FIRST = (
     # new in round 6
     "multimodal_decode_jpeg",
+    "multimodal_decode_wav",
     "semantic_dedup_two_level_incremental_state",
     # sinks/writer.py (merge-GC race fix, eager memory sink) +
     # plans/compiler.py (partitioning SPI wiring, stream error messages) +
@@ -4388,7 +4427,7 @@ _VERIFY_FIRST = (
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # stale-row refresh (VERDICT r5 item 1): the 7 oldest r01 rows fill the
+    # stale-row refresh (VERDICT r5 item 1): the 6 oldest r01 rows fill the
     # remaining slots (changed-hash queries always outrank refreshes)
     "cube_status_priority",
     "distinct_aggs",
@@ -4396,7 +4435,6 @@ _VERIFY_FIRST = (
     "functions_datetime_gauntlet",
     "functions_math_gauntlet",
     "functions_string_gauntlet",
-    "grouping_sets_revenue",
 )
 
 

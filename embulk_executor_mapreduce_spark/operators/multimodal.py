@@ -762,6 +762,174 @@ def decode_image_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.mapInPandas(run, schema=DECODE_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Audio: real RIFF/WAVE PCM decode (the audio sibling of the image decoders —
+# multimodal training corpora carry waveform columns, and PCM WAV is the
+# interchange format every resampler/feature extractor starts from)
+# ---------------------------------------------------------------------------
+
+AUDIO_SCHEMA = (
+    "doc_id long, n_bytes int, content_hash string, sample_rate int, "
+    "n_channels int, n_samples int, features array<float>"
+)
+
+
+def _wav_samples(data: bytes):
+    """Minimal stdlib WAV decoder: RIFF chunk walk, PCM 8-bit (unsigned) or
+    16-bit (signed LE), any channel count (channels average to mono).
+    Returns (sample_rate, n_channels, mono samples in [-1, 1]) or None."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)  # RIFF chunks are word-aligned
+    if fmt is None or raw is None or len(fmt) < 16:
+        return None
+    audio_fmt, nch, rate, _byte_rate, _align, bits = struct.unpack(
+        "<HHIIHH", fmt[:16]
+    )
+    if audio_fmt != 1 or nch == 0 or rate == 0 or bits not in (8, 16):
+        return None  # non-PCM (float/ADPCM/extensible) → quarantine
+    width = bits // 8
+    frame = width * nch
+    n = len(raw) // frame
+    samples = []
+    for i in range(n):
+        acc = 0.0
+        for c in range(nch):
+            o = i * frame + c * width
+            if bits == 16:
+                acc += (
+                    int.from_bytes(raw[o : o + 2], "little", signed=True)
+                    / 32768.0
+                )
+            else:
+                acc += (raw[o] - 128) / 128.0
+        samples.append(acc / nch)
+    return rate, nch, samples
+
+
+def _segment_features(samples, n_seg: int = 4) -> list[float]:
+    """Mean ABSOLUTE amplitude per equal time segment (the audio analog of
+    the luminance-quadrant means): deterministic integer-friendly math, so
+    encoder-derived payloads carry SQL oracles. Empty segments read 0."""
+    n = len(samples)
+    feats = []
+    for i in range(n_seg):
+        lo, hi = i * n // n_seg, (i + 1) * n // n_seg
+        feats.append(
+            sum(abs(s) for s in samples[lo:hi]) / (hi - lo) if hi > lo else 0.0
+        )
+    return feats
+
+
+def decode_audio_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """REAL audio decode with the standard library only: RIFF/WAVE PCM →
+    (sample_rate, n_channels, n_samples, 4 segment mean-amplitude
+    features). Same Arrow-batched mapInPandas shape and quarantine failure
+    semantics as the image decoders; a real resample/fbank extractor slots
+    into the same batch loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, hashes = [], []
+            rates, chans, counts, feats = [], [], [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                n_bytes.append(len(data))
+                hashes.append(hashlib.md5(data).hexdigest())
+                try:
+                    decoded = _wav_samples(data)
+                except Exception:  # noqa: BLE001 — corrupt payload = data
+                    decoded = None
+                if decoded is None:
+                    rates.append(None)
+                    chans.append(None)
+                    counts.append(None)
+                    feats.append(None)
+                else:
+                    rate, nch, samples = decoded
+                    rates.append(rate)
+                    chans.append(nch)
+                    counts.append(len(samples))
+                    feats.append(_segment_features(samples))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pd.array(n_bytes, dtype="int32"),
+                    "content_hash": hashes,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_channels": pd.array(chans, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int32"),
+                    "features": feats,
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def encode_wav_pcm16(
+    samples, sample_rate: int = 16_000, n_channels: int = 1
+) -> bytes:
+    """REAL PCM16 WAV encoder (mono interleave passthrough): the testable
+    inverse of :func:`_wav_samples`. ``samples`` are int16 values (for
+    stereo, interleaved frames)."""
+    import struct
+
+    raw = b"".join(
+        struct.pack("<h", max(-32768, min(32767, int(s)))) for s in samples
+    )
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate, n_channels * 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(raw))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", len(fmt))
+        + fmt
+        + b"data"
+        + struct.pack("<I", len(raw))
+        + raw
+    )
+
+
+def encode_text_wav(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic REAL-WAV generator (the audio sibling of
+    :func:`encode_text_png` / :func:`encode_text_jpeg`): each doc becomes a
+    genuine 16-sample mono PCM16 WAV at 16 kHz whose four 4-sample segments
+    hold amplitude ``md5_byte · 128`` with alternating sign (so the decoder
+    must take magnitudes). The segment mean-abs feature is then exactly
+    ``byte/256`` — a binary fraction, exact in float — giving the
+    encode→decode roundtrip a full value-hash oracle (catalog
+    ``multimodal_decode_wav``)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[text_col]:
+                b = hashlib.md5(str(text).encode()).digest()[:4]
+                samples = []
+                for seg in range(4):
+                    for j in range(4):
+                        samples.append(b[seg] * 128 * (1 if j % 2 == 0 else -1))
+                payloads.append(encode_wav_pcm16(samples))
+            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+
+    return df.mapInPandas(run, schema=f"{id_col} long, payload binary")
+
+
 def decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Decode dispatch — always a REAL decoder: Pillow (C speed, every
     format) when the optional dependency is present, else the stdlib

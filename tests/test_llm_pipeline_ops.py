@@ -900,3 +900,83 @@ def test_jpeg_decode_pipeline_and_pil_parity(spark):
         prow = decode_image_pil(df).collect()[0]
         assert (prow.width, prow.height) == (16, 16)
         assert [round(f * 255) for f in prow.features] == [10, 60, 130, 250]
+
+
+def test_wav_decode_roundtrip_and_variants():
+    """RIFF/WAVE decoder: PCM16 mono roundtrip, stereo channel averaging,
+    8-bit unsigned, extra chunks before data, and quarantine for non-PCM /
+    truncated / garbage payloads."""
+    import struct
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _segment_features,
+        _wav_samples,
+        encode_wav_pcm16,
+    )
+
+    mono = encode_wav_pcm16([1000, -1000, 2000, -2000], 8000)
+    rate, nch, samples = _wav_samples(mono)
+    assert (rate, nch) == (8000, 1)
+    assert [round(s * 32768) for s in samples] == [1000, -1000, 2000, -2000]
+
+    # stereo frames average to mono
+    stereo = encode_wav_pcm16([100, 300, -200, 400], 16000, n_channels=2)
+    rate, nch, samples = _wav_samples(stereo)
+    assert (rate, nch) == (16000, 2)
+    assert [round(s * 32768) for s in samples] == [200, 100]
+
+    # 8-bit unsigned PCM
+    raw8 = bytes([128, 255, 0, 128])
+    fmt8 = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    wav8 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt8) + 8 + len(raw8)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt8)) + fmt8
+        + b"data" + struct.pack("<I", len(raw8)) + raw8
+    )
+    rate, nch, samples = _wav_samples(wav8)
+    assert (rate, nch) == (4000, 1)
+    assert samples[0] == 0.0 and round(samples[1], 3) == round(127 / 128, 3)
+
+    # a LIST/INFO chunk before data must be skipped by the chunk walk
+    info = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    with_info = mono[:12] + info + mono[12:]
+    assert _wav_samples(with_info)[2] == _wav_samples(mono)[2]
+
+    # quarantine: float PCM (format 3), truncated, garbage
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    float_wav = (
+        b"RIFF" + struct.pack("<I", 28) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+        + b"data" + struct.pack("<I", 0)
+    )
+    assert _wav_samples(float_wav) is None
+    assert _wav_samples(mono[:20]) is None
+    assert _wav_samples(b"not audio") is None
+
+    # segment features: mean-abs per quarter
+    f = _segment_features([0.5, -0.5, 1.0, -1.0], n_seg=4)
+    assert f == [0.5, 0.5, 1.0, 1.0]
+
+
+def test_wav_decode_pipeline(spark):
+    """decode_audio_stdlib through Spark: real WAV rows decode, garbage
+    degrades to NULL metadata columns with the hash intact."""
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        decode_audio_stdlib,
+        encode_wav_pcm16,
+    )
+
+    wav = encode_wav_pcm16([256 * 128] * 8, 16000)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in decode_audio_stdlib(df).collect()}
+    assert (rows[1].sample_rate, rows[1].n_channels, rows[1].n_samples) == (
+        16000,
+        1,
+        8,
+    )
+    assert [round(f * 256) for f in rows[1].features] == [256] * 4
+    assert rows[2].sample_rate is None and rows[2].features is None
+    assert rows[2].content_hash
