@@ -490,6 +490,88 @@ def incremental_semantic_sink(
     return _process
 
 
+def incremental_semantic_two_level_sink(
+    state_path: str,
+    corpus_path: str,
+    centroid_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    merge_buckets: int = 64,
+    coarse_k: int | None = None,
+    sub_k: int | None = None,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+):
+    """``foreachBatch`` body for the TWO-LEVEL continuous-crawl semantic
+    dedup loop (r6) — :func:`incremental_semantic_sink` past the flat-k
+    65536 broadcast cap: the first batch trains BOTH centroid levels
+    (persisted as ``{centroid_path}/coarse`` and ``/sub``), every later
+    batch assigns against the stored pair (two broadcast joins, no
+    retraining) and dedups on the leaf key (cell, scid). Same exactly-once
+    construction: batch-scoped idempotent corpus dirs, claim-tagged state
+    merge, deterministic trainers so replays are bit-identical.
+
+    The two centroid writes are not atomic; a crash between them leaves a
+    partial pair, so the loader treats ANY missing half as untrained and
+    the retry retrains both — deterministically identical, overwrite-safe."""
+    from ..operators.dedup import incremental_semantic_dedup_two_level
+    from ..sinks.writer import read_merge_state, write_sink
+    from ..spec import SinkSpec
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            try:
+                cents = (
+                    spark.read.parquet(f"{centroid_path}/coarse"),
+                    spark.read.parquet(f"{centroid_path}/sub"),
+                )
+            except Exception:  # first batch (or crashed mid-pair): retrain
+                cents = None
+            try:
+                state = read_merge_state(spark, state_path)
+            except Exception:  # first batch: no state yet
+                state = None
+            novel, delta, trained = incremental_semantic_dedup_two_level(
+                batch,
+                state,
+                cents,
+                vec_col=vec_col,
+                id_col=id_col,
+                coarse_k=coarse_k,
+                sub_k=sub_k,
+                iters=iters,
+                threshold_micro=threshold_micro,
+                claim=F.lit(batch_id),
+            )
+            if trained is not None:
+                # persist BEFORE corpus/state writes; sub last so a partial
+                # pair is always coarse-without-sub (→ loader retrains)
+                trained[0].write.mode("overwrite").parquet(
+                    f"{centroid_path}/coarse"
+                )
+                trained[1].write.mode("overwrite").parquet(f"{centroid_path}/sub")
+            novel.write.mode("overwrite").parquet(
+                f"{corpus_path}/ingest_batch={batch_id}"
+            )
+            write_sink(
+                delta,
+                SinkSpec(
+                    type="parquet",
+                    path=state_path,
+                    mode="merge",
+                    merge_key=(id_col, "cell"),
+                    merge_order=("nrm",),
+                    merge_buckets=merge_buckets,
+                ),
+            )
+        finally:
+            batch.unpersist()
+
+    return _process
+
+
 def run_incremental_semantic_stream(
     vectors: DataFrame,
     state_path: str,

@@ -559,3 +559,95 @@ def test_run_incremental_semantic_stream_end_to_end(spark, tmp_path):
     )
     ids = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
     assert ids == [10, 12, 21]
+
+
+class TestIncrementalSemanticTwoLevelSink:
+    """Exactly-once for the TWO-LEVEL semantic crawl loop (r6) — the √k×√k
+    sibling of TestIncrementalSemanticSink: both centroid levels persist,
+    increments assign against the stored pair, retries ignore their own
+    claims, and a crashed half-written centroid pair retrains."""
+
+    @staticmethod
+    def _vec(seed, wiggle=0.0):
+        return [
+            ((seed * 31 + j * 7) % 13 - 6) / 6.0 + wiggle * (j % 2)
+            for j in range(8)
+        ]
+
+    @staticmethod
+    def _corpus_ids(spark, corpus):
+        return sorted(r.vec_id for r in spark.read.parquet(str(corpus)).collect())
+
+    def _sink(self, state, corpus, cents):
+        from embulk_executor_mapreduce_spark.streaming.ingest import (
+            incremental_semantic_two_level_sink,
+        )
+
+        # sub_k=1 keeps leaf == cell so the exactly-once battery mirrors the
+        # flat sink's expectations (with sub_k=2 on a 3-vector batch the
+        # row_number init seeds the near-dup PAIR as separate sub-centroids
+        # — correct tree behavior, wrong fixture for a retry test). The
+        # multi-leaf interplay is value-hash-oracled by the catalog query
+        # semantic_dedup_two_level_incremental_state.
+        return incremental_semantic_two_level_sink(
+            state, corpus, cents, merge_buckets=8, coarse_k=2, sub_k=1,
+            iters=1, threshold_micro=999_000,
+        )
+
+    def test_crawl_loop_with_retry_and_partial_centroids(self, spark, tmp_path):
+        import shutil
+
+        from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+        state = str(tmp_path / "state")
+        corpus = str(tmp_path / "corpus")
+        cents = str(tmp_path / "centroids")
+        sink = self._sink(state, corpus, cents)
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+        # batch 0: near-dup pair (11 ~ 10) + a distinct vector; trains the pair
+        sink(mk([(10, self._vec(1)), (11, self._vec(1, 1e-4)), (12, self._vec(50))]), 0)
+        assert self._corpus_ids(spark, corpus) == [10, 12]
+        assert spark.read.parquet(f"{cents}/coarse").count() == 2
+        assert {tuple(r) for r in spark.read.parquet(f"{cents}/sub").select("cell").distinct().collect()}
+
+        # batch 1: one state-dup (near 10), one novel direction — assigns only
+        sink(mk([(20, self._vec(1, 2e-4)), (21, self._vec(7))]), 1)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+
+        # crash window: state committed, corpus dir lost → retry must ignore
+        # its own claims and reconstruct vec 21
+        shutil.rmtree(f"{corpus}/ingest_batch=1")
+        sink(mk([(20, self._vec(1, 2e-4)), (21, self._vec(7))]), 1)
+        assert self._corpus_ids(spark, corpus) == [10, 12, 21]
+
+        # state carries the LEAF key and only original claims
+        st = read_merge_state(spark, state)
+        assert {"cell", "scid", "vec_id", "v", "nrm", "claim_batch"} <= set(st.columns)
+        rows = {(r.vec_id, r.claim_batch) for r in st.collect()}
+        assert {v for v, _ in rows} == {10, 12, 21}
+        assert all(c in (0, 1) for _, c in rows)
+
+    def test_partial_centroid_pair_retrains(self, spark, tmp_path):
+        """A crash between the coarse and sub writes leaves a partial pair;
+        the next replay must retrain BOTH (deterministically identical)
+        rather than assigning against half a tree."""
+        import shutil
+
+        state = str(tmp_path / "state")
+        corpus = str(tmp_path / "corpus")
+        cents = str(tmp_path / "centroids")
+        sink = self._sink(state, corpus, cents)
+        mk = lambda rows: spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+        batch0 = [(10, self._vec(1)), (11, self._vec(1, 1e-4)), (12, self._vec(50))]
+        sink(mk(batch0), 0)
+        coarse0 = sorted(map(tuple, spark.read.parquet(f"{cents}/coarse").collect()))
+        shutil.rmtree(f"{cents}/sub")  # simulate the mid-pair crash
+        sink(mk(batch0), 0)  # replay retrains both halves
+        assert sorted(map(tuple, spark.read.parquet(f"{cents}/coarse").collect())) == coarse0
+        assert spark.read.parquet(f"{cents}/sub").count() > 0
+        assert self._corpus_ids(spark, corpus) == [10, 12]
