@@ -429,7 +429,7 @@ def _jpeg_pixels(data: bytes):
     truncated headers return None (quarantine semantics), never raise."""
     try:
         return _jpeg_pixels_inner(data)
-    except (IndexError, ValueError, StopIteration):
+    except (IndexError, KeyError, ValueError, StopIteration):
         return None
 
 
@@ -448,6 +448,9 @@ def _jpeg_pixels_inner(data: bytes):
             return None
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:  # T.81 allows any run of 0xFF fill bytes
+            pos -= 1
+            continue
         if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI before any scan

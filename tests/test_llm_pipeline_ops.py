@@ -869,6 +869,13 @@ def test_jpeg_failure_modes():
     assert _jpeg_pixels(good[: len(good) // 2]) is None
     assert _jpeg_pixels(b"\xff\xd8\xff\xd9") is None
     assert _jpeg_pixels(b"not a jpeg at all") is None
+    # T.81 allows runs of 0xFF fill bytes between segments
+    i = good.index(b"\xff\xc0")
+    assert _jpeg_pixels(good[:i] + b"\xff\xff\xff" + good[i:]) is not None
+    # a scan referencing a component id absent from the frame quarantines
+    bad = bytearray(good)
+    bad[good.index(b"\xff\xda") + 5] = 9
+    assert _jpeg_pixels(bytes(bad)) is None
 
 
 def test_jpeg_decode_pipeline_and_pil_parity(spark):
