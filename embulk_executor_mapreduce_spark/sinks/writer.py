@@ -536,9 +536,24 @@ def dedup_corpus_sink_fn(spec: SinkSpec):
         incremental_dedup_sink,
         incremental_neardup_sink,
         incremental_semantic_sink,
+        incremental_semantic_two_level_sink,
     )
 
     o = spec.options
+    if o.get("semantic_two_level"):
+        # the √k×√k crawl loop for corpora past the flat-k broadcast cap
+        # (r6): both centroid levels persist under options.centroids
+        return incremental_semantic_two_level_sink(
+            str(o["state"]),
+            spec.path,
+            str(o["centroids"]),
+            vec_col=str(o.get("vector_column", "embedding")),
+            id_col=str(o.get("id_column", "vec_id")),
+            merge_buckets=int(o.get("merge_buckets", 64)),
+            coarse_k=int(o["coarse_k"]) if o.get("coarse_k") is not None else None,
+            sub_k=int(o["sub_k"]) if o.get("sub_k") is not None else None,
+            threshold_micro=int(o.get("threshold_micro", 250_000)),
+        )
     if o.get("semantic"):
         return incremental_semantic_sink(
             str(o["state"]),

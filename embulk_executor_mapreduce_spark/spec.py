@@ -192,17 +192,30 @@ class PipelineSpec:
                     "dedup_corpus options.compact must be true or a mapping "
                     "{target_file_bytes, max_generations}"
                 )
-            if self.sink.options.get("semantic"):
+            semantic_modes = [
+                m
+                for m in ("semantic", "semantic_two_level")
+                if self.sink.options.get(m)
+            ]
+            if len(semantic_modes) > 1:
+                raise ConfigError(
+                    "dedup_corpus options.semantic and "
+                    "options.semantic_two_level are mutually exclusive "
+                    "(one loop layout per state namespace)"
+                )
+            if semantic_modes:
                 # embedding crawl loop: centroids trained on the first batch
                 # and persisted to options.centroids, assign-only afterwards
+                # (two_level persists the coarse+sub PAIR under that path)
                 if self.sink.options.get("near"):
                     raise ConfigError(
-                        "dedup_corpus options.semantic and options.near are "
-                        "mutually exclusive (one loop per state namespace)"
+                        f"dedup_corpus options.{semantic_modes[0]} and "
+                        "options.near are mutually exclusive (one loop per "
+                        "state namespace)"
                     )
                 if not self.sink.options.get("centroids"):
                     raise ConfigError(
-                        "dedup_corpus options.semantic requires "
+                        f"dedup_corpus options.{semantic_modes[0]} requires "
                         "options.centroids (persisted centroid table path)"
                     )
         if self.partitioning is not None:

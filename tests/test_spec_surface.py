@@ -368,3 +368,80 @@ def test_streaming_config_errors_name_the_batch_alternative(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_spec_semantic_two_level_corpus_pipeline(spark, tmp_path):
+    """The TWO-LEVEL semantic crawl loop as pure YAML (r6): two embedding
+    batch loads through the dedup_corpus sink with
+    options.semantic_two_level — batch 1 trains and persists BOTH centroid
+    levels, batch 2 assigns against the stored pair and drops the near-dup
+    of a committed survivor. Config errors: mode exclusivity and the
+    centroids requirement name the two-level option."""
+    corpus = str(tmp_path / "corpus")
+    state = str(tmp_path / "state")
+    cents = str(tmp_path / "centroids")
+
+    def vec(seed, wiggle=0.0):
+        return [((seed * 31 + j * 7) % 13 - 6) / 6.0 + wiggle * (j % 2) for j in range(8)]
+
+    def load_batch(rows, tag):
+        src = str(tmp_path / f"src{tag}")
+        spark.createDataFrame(rows, "vec_id long, embedding array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(src)
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "out": {
+                        "type": "dedup_corpus",
+                        "path": corpus,
+                        "options": {
+                            "state": state,
+                            "centroids": cents,
+                            "semantic_two_level": True,
+                            "batch_tag": tag,
+                            "merge_buckets": 8,
+                            "coarse_k": 2,
+                            "sub_k": 1,  # leaf == cell at toy scale
+                            "threshold_micro": 999_000,
+                        },
+                    },
+                }
+            ),
+        )
+
+    load_batch([(10, vec(1)), (11, vec(1, 1e-4)), (12, vec(50))], 0)
+    load_batch([(20, vec(1, 2e-4)), (21, vec(7))], 1)
+    ids = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [10, 12, 21]
+    assert spark.read.parquet(f"{cents}/coarse").count() == 2
+    assert spark.read.parquet(f"{cents}/sub").count() > 0
+
+    # config matrix
+    base = {
+        "in": {"type": "parquet", "path": str(tmp_path / "src0")},
+        "out": {
+            "type": "dedup_corpus",
+            "path": corpus,
+            "options": {"state": state, "semantic_two_level": True},
+        },
+    }
+    with pytest.raises(ConfigError, match="semantic_two_level requires\\s+options.centroids"):
+        load_spec(base)
+    with pytest.raises(ConfigError, match="mutually exclusive"):
+        load_spec(
+            {
+                **base,
+                "out": {
+                    **base["out"],
+                    "options": {
+                        "state": state,
+                        "centroids": cents,
+                        "semantic": True,
+                        "semantic_two_level": True,
+                    },
+                },
+            }
+        )
