@@ -84,6 +84,10 @@ HEADLINE = [
     "semantic_dedup_two_level",
     "decontaminate_fuzzy",
     "quality_prune_per_source",
+    # round 6: real stdlib decode roundtrips (pure-Python entropy decode is
+    # the correctness path — these entries price it so a regression shows)
+    "multimodal_decode_jpeg",
+    "multimodal_decode_wav",
 ]
 
 SMALL_RESULT = {
