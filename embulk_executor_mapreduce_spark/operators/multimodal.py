@@ -143,10 +143,21 @@ def decode_image_pil(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 def _png_pixels(data: bytes):
     """Minimal stdlib PNG decoder: 8-bit greyscale/RGB/palette/alpha,
     non-interlaced. Returns (width, height, luminance rows) or None if the
-    payload isn't a PNG this decoder handles. Full pipeline: chunk walk →
-    zlib inflate → per-row unfilter (none/sub/up/average/paeth) → ITU-R 601
-    luminance. Pure Python per-row loops — the CI-provable correctness path;
-    the Pillow dispatch (C speed) is preferred where installed."""
+    payload isn't a PNG this decoder handles (corrupt chunk data included —
+    every stdlib decoder shares the never-raise quarantine contract, fuzz-
+    pinned). Full pipeline: chunk walk → zlib inflate → per-row unfilter
+    (none/sub/up/average/paeth) → ITU-R 601 luminance. Pure Python per-row
+    loops — the CI-provable correctness path; the Pillow dispatch (C speed)
+    is preferred where installed."""
+    import zlib
+
+    try:
+        return _png_pixels_inner(data)
+    except (IndexError, ValueError, zlib.error):
+        return None
+
+
+def _png_pixels_inner(data: bytes):
     import struct
     import zlib
 
@@ -226,35 +237,47 @@ def _png_pixels(data: bytes):
 
 def _bmp_pixels(data: bytes):
     """Minimal stdlib BMP decoder: 24-bit uncompressed (BI_RGB), bottom-up
-    or top-down. Returns (width, height, luminance rows) or None."""
+    or top-down. Returns (width, height, luminance rows) or None (never
+    raises — shared quarantine contract)."""
     import struct
 
-    if len(data) < 54 or data[:2] != b"BM":
+    try:
+        if len(data) < 54 or data[:2] != b"BM":
+            return None
+        px_off = struct.unpack("<I", data[10:14])[0]
+        w, h_signed = struct.unpack("<ii", data[18:26])
+        bpp, compression = struct.unpack("<HI", data[28:34])
+        if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
+            return None
+        h = abs(h_signed)
+        row_bytes = (w * 3 + 3) & ~3
+        if len(data) < px_off + row_bytes * h:
+            return None
+        rows = []
+        for y in range(h):
+            src_y = (h - 1 - y) if h_signed > 0 else y  # positive = bottom-up
+            o = px_off + src_y * row_bytes
+            row = []
+            for x in range(w):
+                b, g, r = data[o + 3 * x], data[o + 3 * x + 1], data[o + 3 * x + 2]
+                row.append(0.299 * r + 0.587 * g + 0.114 * b)
+            rows.append(row)
+        return w, h, rows
+    except (IndexError, ValueError, OverflowError):
         return None
-    px_off = struct.unpack("<I", data[10:14])[0]
-    w, h_signed = struct.unpack("<ii", data[18:26])
-    bpp, compression = struct.unpack("<HI", data[28:34])
-    if bpp != 24 or compression != 0 or w <= 0 or h_signed == 0:
-        return None
-    h = abs(h_signed)
-    row_bytes = (w * 3 + 3) & ~3
-    if len(data) < px_off + row_bytes * h:
-        return None
-    rows = []
-    for y in range(h):
-        src_y = (h - 1 - y) if h_signed > 0 else y  # positive height = bottom-up
-        o = px_off + src_y * row_bytes
-        row = []
-        for x in range(w):
-            b, g, r = data[o + 3 * x], data[o + 3 * x + 1], data[o + 3 * x + 2]
-            row.append(0.299 * r + 0.587 * g + 0.114 * b)
-        rows.append(row)
-    return w, h, rows
 
 
 def _ppm_pixels(data: bytes):
     """Minimal stdlib PPM decoder: P6 (binary RGB, maxval ≤ 255).
-    Returns (width, height, luminance rows) or None."""
+    Returns (width, height, luminance rows) or None (never raises —
+    shared quarantine contract)."""
+    try:
+        return _ppm_pixels_inner(data)
+    except (IndexError, ValueError, OverflowError):
+        return None
+
+
+def _ppm_pixels_inner(data: bytes):
     if not data.startswith(b"P6"):
         return None
     pos, fields = 2, []
@@ -780,7 +803,15 @@ AUDIO_SCHEMA = (
 def _wav_samples(data: bytes):
     """Minimal stdlib WAV decoder: RIFF chunk walk, PCM 8-bit (unsigned) or
     16-bit (signed LE), any channel count (channels average to mono).
-    Returns (sample_rate, n_channels, mono samples in [-1, 1]) or None."""
+    Returns (sample_rate, n_channels, mono samples in [-1, 1]) or None
+    (never raises — shared quarantine contract)."""
+    try:
+        return _wav_samples_inner(data)
+    except (IndexError, ValueError, OverflowError):
+        return None
+
+
+def _wav_samples_inner(data: bytes):
     import struct
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":

@@ -987,3 +987,36 @@ def test_wav_decode_pipeline(spark):
     assert [round(f * 256) for f in rows[1].features] == [256] * 4
     assert rows[2].sample_rate is None and rows[2].features is None
     assert rows[2].content_hash
+
+
+def test_media_decoders_never_raise_on_fuzz():
+    """Quarantine property: arbitrary byte strings — including ones that
+    start with valid magic numbers — either decode or return None; no
+    decoder may raise (a crash in mapInPandas poisons the whole task)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _bmp_pixels,
+        _jpeg_pixels,
+        _png_pixels,
+        _ppm_pixels,
+        _wav_samples,
+    )
+
+    prefixes = [
+        b"", b"\xff\xd8", b"\xff\xd8\xff\xdb", b"\x89PNG\r\n\x1a\n",
+        b"BM", b"P6", b"RIFF", b"RIFF\x10\x00\x00\x00WAVE",
+    ]
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.sampled_from(prefixes), st.binary(max_size=400))
+    def run(prefix, tail):
+        data = prefix + tail
+        for dec in (_jpeg_pixels, _png_pixels, _bmp_pixels, _ppm_pixels, _wav_samples):
+            try:
+                dec(data)
+            except Exception as exc:  # noqa: BLE001
+                raise AssertionError(f"{dec.__name__} raised on fuzz: {exc!r}")
+
+    run()
