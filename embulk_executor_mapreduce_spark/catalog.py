@@ -2789,6 +2789,60 @@ def q_semantic_dedup_two_level_incremental(
 
 
 @register(
+    "dup_span_scrub",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ), tokpos AS (
+      SELECT doc_id, u.i AS tpos, w[u.i + 1] AS tok
+      FROM d, unnest(range(len(w))) u(i)
+    ), wins AS (
+      SELECT doc_id, u.i AS pos,
+             md5(array_to_string(w[u.i + 1 : u.i + 5], ' ')) AS wh
+      FROM d, unnest(range(greatest(len(w) - 4, 0))) u(i)
+    ), r AS (
+      SELECT doc_id, pos,
+             row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+             count(*) OVER (PARTITION BY wh) AS n_occ
+      FROM wins
+    ), dup AS (
+      SELECT doc_id, pos FROM r WHERE n_occ > 1 AND rn > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + v.i AS tpos
+      FROM dup, unnest(range(5)) v(i)
+    ), kept AS (
+      SELECT t.doc_id, t.tpos, t.tok
+      FROM tokpos t ANTI JOIN covered c
+        ON t.doc_id = c.doc_id AND t.tpos = c.tpos
+    ), tot AS (
+      SELECT doc_id, len(w) AS n_total FROM d
+    )
+    SELECT k.doc_id,
+           string_agg(k.tok, ' ' ORDER BY k.tpos) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(any_value(tot.n_total) - count(*) AS BIGINT) AS n_dropped
+    FROM kept k JOIN tot ON k.doc_id = tot.doc_id
+    GROUP BY k.doc_id
+    """,
+    tags=("text", "dedup", "llm-prep"),
+)
+def q_dup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ExactSubstr-style duplicated-span scrubbing (r6): every OVERLAPPING
+    5-token window is hashed corpus-wide, only the global-first occurrence
+    of a repeated window keeps its tokens, overlapping duplicate spans
+    merge, and documents are rebuilt from surviving tokens — duplicated
+    passages are caught at ARBITRARY alignment, the property fixed
+    non-overlapping chunks (line_dedup_c4) cannot provide. Full value-hash
+    oracle: the DuckDB mirror replays windowing, global argmin, coverage
+    expansion, and ordered reassembly."""
+    from .operators.text import duplicate_span_scrub
+
+    return duplicate_span_scrub(
+        load(spark, sf_dir, "documents"), window_words=5
+    )
+
+
+@register(
     "token_count_bpe",
     oracle=r"""
     SELECT doc_id,
@@ -4376,6 +4430,7 @@ _VERIFY_FIRST = (
     "multimodal_decode_jpeg",
     "multimodal_decode_wav",
     "semantic_dedup_two_level_incremental_state",
+    "dup_span_scrub",
     # sinks/writer.py (merge-GC race fix, eager memory sink) +
     # plans/compiler.py (partitioning SPI wiring, stream error messages) +
     # spec.py (SPI validation) — module-hash flags
@@ -4427,14 +4482,13 @@ _VERIFY_FIRST = (
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # stale-row refresh (VERDICT r5 item 1): the 6 oldest r01 rows fill the
+    # stale-row refresh (VERDICT r5 item 1): the 5 oldest r01 rows fill the
     # remaining slots (changed-hash queries always outrank refreshes)
     "cube_status_priority",
     "distinct_aggs",
     "exists_big_orders",
     "functions_datetime_gauntlet",
     "functions_math_gauntlet",
-    "functions_string_gauntlet",
 )
 
 

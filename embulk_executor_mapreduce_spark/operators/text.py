@@ -319,6 +319,104 @@ def corpus_chunk_dedup(
     )
 
 
+def duplicate_span_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window_words: int = 5,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-span scrubbing (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    OVERLAPPING ``window_words``-token window is hashed corpus-wide; for a
+    window text occurring more than once, only the canonical occurrence
+    (global min (doc_id, position)) keeps its tokens — every other
+    occurrence marks its [pos, pos+k) token range for removal, overlapping
+    ranges merge, and each document is rebuilt from its surviving tokens.
+    Unlike :func:`corpus_chunk_dedup`'s fixed non-overlapping chunks, the
+    sliding windows catch duplicated passages at ARBITRARY alignment —
+    the property that makes ExactSubstr the standard strong form.
+
+    Scale shape — all linear, no suffix array needed for fixed k:
+    token fan-out ≤ 1 row/token (posexplode), window fan-out ≤ 1
+    row/position with the hash computed in codegen (`transform` over a
+    `sequence`); the global argmin is a map-side-combinable aggregate on
+    the window hash (exchange carries one row per DISTINCT window);
+    coverage expansion fans each duplicate occurrence to ≤ k positions
+    (explode of a `sequence`), deduped by (doc, pos) before the anti-join;
+    reassembly is one groupBy(doc) ordered collect. Documents shorter than
+    ``window_words`` pass through untouched; documents whose every token
+    is covered by duplicate spans disappear (pure boilerplate).
+    Output: (doc_id, clean_text, n_kept, n_dropped) with token counts.
+    """
+    from .partitioning import spread_narrow
+
+    df = spread_narrow(df, id_col)
+    toks = tokens(text_col)
+    k = window_words
+    base = df.select(F.col(id_col), toks.alias("w"))
+    tokpos = base.select(
+        F.col(id_col), F.posexplode(F.col("w")).alias("tpos", "tok")
+    )
+    # one window per start position 0..n-k (none when n < k)
+    starts = F.when(
+        F.size("w") >= k, F.sequence(F.lit(0), F.size("w") - k)
+    ).otherwise(F.array().cast("array<int>"))
+    wins = base.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda p: F.md5(F.array_join(F.slice(F.col("w"), p + 1, k), " ")),
+            )
+        ).alias("pos", "wh"),
+    )
+    first = wins.groupBy("wh").agg(
+        F.min(F.struct(F.col(id_col), F.col("pos"))).alias("f"),
+        F.count(F.lit(1)).alias("n_occ"),
+    )
+    dup_occurrences = (
+        wins.join(first, "wh")
+        .where(
+            (F.col("n_occ") > 1)
+            & ~(
+                (F.col(f"f.{id_col}") == F.col(id_col))
+                & (F.col("f.pos") == F.col("pos"))
+            )
+        )
+        .select(F.col(id_col), F.col("pos"))
+    )
+    covered = dup_occurrences.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tpos"),
+    ).distinct()
+    kept = tokpos.join(covered, [id_col, "tpos"], "left_anti")
+    n_total = base.select(
+        F.col(id_col), F.size("w").alias("n_total")
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("tpos"), F.col("tok")))
+                    ),
+                    lambda s: s.tok,
+                ),
+            ).alias("clean_text"),
+            F.count(F.lit(1)).alias("n_kept"),
+        )
+        .join(n_total, id_col)
+        .select(
+            id_col,
+            "clean_text",
+            "n_kept",
+            (F.col("n_total") - F.col("n_kept")).alias("n_dropped"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     text_col: str = "text",

@@ -42,7 +42,37 @@ _IMPORT_RE = re.compile(r"from \.([\w.]+) import")
 # they actually call are unchanged — verified by reading the module diff.
 # Each deferral must carry a justification and should rotate into the next
 # round's window.
-DEFERRED: dict[str, str] = {}
+_ADDITIVE_TEXT = (
+    "text.py r6 diff vs b17fe27 is ADDITIVE-ONLY (git diff shows zero "
+    "removed lines; one new function duplicate_span_scrub appended) — every "
+    "function this query calls is byte-identical to its r04-green state"
+)
+_ADDITIVE_STREAM = (
+    "streaming/ingest.py r6 diff vs b17fe27 is ADDITIVE-ONLY (zero removed "
+    "lines; one new function incremental_semantic_two_level_sink appended) — "
+    "every function this query calls is byte-identical to its r05-green state"
+)
+DEFERRED: dict[str, str] = {
+    "text_stats": _ADDITIVE_TEXT,
+    "text_fingerprint": _ADDITIVE_TEXT,
+    "language_id": _ADDITIVE_TEXT,
+    "quality_score": _ADDITIVE_TEXT,
+    "quality_prune_per_source": _ADDITIVE_TEXT,
+    "quality_repetition": _ADDITIVE_TEXT,
+    "token_count_bpe": _ADDITIVE_TEXT,
+    "chunk_token_windows": _ADDITIVE_TEXT,
+    "contamination_ngram": _ADDITIVE_TEXT,
+    "pii_scrub_props": _ADDITIVE_TEXT,
+    "line_dedup_c4": _ADDITIVE_TEXT,
+    "pack_sequences": _ADDITIVE_TEXT,
+    "vocab_topk": _ADDITIVE_TEXT,
+    "stream_hourly_counts": _ADDITIVE_STREAM,
+    "stream_dedup_events": _ADDITIVE_STREAM,
+    "stream_sliding_enriched": _ADDITIVE_STREAM,
+    "stream_user_rollup": _ADDITIVE_STREAM,
+    "stream_session_windows": _ADDITIVE_STREAM,
+    "stream_purchase_signup_join": _ADDITIVE_STREAM,
+}
 
 
 def _module_file(dotted: str) -> Path | None:

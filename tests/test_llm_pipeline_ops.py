@@ -1020,3 +1020,42 @@ def test_media_decoders_never_raise_on_fuzz():
                 raise AssertionError(f"{dec.__name__} raised on fuzz: {exc!r}")
 
     run()
+
+
+def test_duplicate_span_scrub_exactsubstr_semantics(spark):
+    """ExactSubstr properties: the canonical (global-first) occurrence
+    keeps its tokens; an offset copy inside another doc is scrubbed while
+    its unique context survives; a whole-doc copy vanishes; docs shorter
+    than the window pass untouched; overlapping duplicate windows merge
+    (no double-count in n_dropped)."""
+    from embulk_executor_mapreduce_spark.operators.text import (
+        duplicate_span_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e UNIQ1 x y z w"),  # canonical copy of "a b c d e"
+            (2, "PRE1 PRE2 a b c d e POST1 POST2"),  # offset copy
+            (3, "a b c d e"),  # whole-doc later duplicate
+            (4, "short doc"),  # < k tokens
+            # 6-token duplicated run inside doc 5 = two OVERLAPPING dup
+            # windows vs doc 1's "a b c d e" + shifted window; interval
+            # merge must drop exactly the covered tokens once
+            (5, "a b c d e f MID tail1 tail2 tail3"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in duplicate_span_scrub(docs, window_words=5).collect()
+    }
+    assert out[1].clean_text == "a b c d e UNIQ1 x y z w"
+    assert (out[1].n_kept, out[1].n_dropped) == (10, 0)
+    assert out[2].clean_text == "PRE1 PRE2 POST1 POST2"
+    assert (out[2].n_kept, out[2].n_dropped) == (4, 5)
+    assert 3 not in out  # fully duplicated doc disappears
+    assert out[4].clean_text == "short doc" and out[4].n_dropped == 0
+    # doc 5: window "a b c d e" duplicates doc 1's canonical → tokens 0-4
+    # drop; "b c d e f" occurs only here (count 1) → token 5 ("f") stays
+    assert out[5].clean_text == "f MID tail1 tail2 tail3"
+    assert (out[5].n_kept, out[5].n_dropped) == (5, 5)
