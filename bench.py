@@ -88,6 +88,7 @@ HEADLINE = [
     # the correctness path — these entries price it so a regression shows)
     "multimodal_decode_jpeg",
     "multimodal_decode_wav",
+    "dup_span_scrub",
 ]
 
 SMALL_RESULT = {

