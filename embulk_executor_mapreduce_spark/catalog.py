@@ -1371,6 +1371,47 @@ def q_multimodal_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize_real",
+    oracle="""
+    SELECT doc_id,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(2 AS INT) AS out_width,
+           CAST(2 AS INT) AS out_height,
+           CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS p_tl,
+           CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS p_tr,
+           CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS p_bl,
+           CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS p_br
+    FROM documents
+    """,
+    tags=("multimodal", "real-decode"),
+)
+def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize on the stdlib decode path (r6): each document's
+    16×16 generated JPEG decodes and AREA-AVERAGES down to 2×2 — each
+    output pixel is the exact box mean of one constant 8×8 block, i.e. the
+    md5 byte, so the decode→resize pipeline carries a full value-hash
+    oracle. (The integer-math resize_stub remains for plumbing benches;
+    this is the decoded-pixel path a vision preprocessor needs.)"""
+    from .operators.multimodal import encode_text_jpeg, resize_image_stdlib
+
+    rs = resize_image_stdlib(
+        encode_text_jpeg(load(spark, sf_dir, "documents")), 2, 2
+    )
+    return rs.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        *[
+            F.round(rs["pixels"][i] * 255).cast("int").alias(n)
+            for i, n in enumerate(("p_tl", "p_tr", "p_bl", "p_br"))
+        ],
+    )
+
+
+@register(
     "asof_last_signup",
     oracle="""
     SELECT e.event_id, e.user_id, epoch_us(s.ts) AS signup_us
@@ -4431,6 +4472,7 @@ _VERIFY_FIRST = (
     "multimodal_decode_wav",
     "semantic_dedup_two_level_incremental_state",
     "dup_span_scrub",
+    "multimodal_resize_real",
     # sinks/writer.py (merge-GC race fix, eager memory sink) +
     # plans/compiler.py (partitioning SPI wiring, stream error messages) +
     # spec.py (SPI validation) — module-hash flags
@@ -4482,13 +4524,12 @@ _VERIFY_FIRST = (
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # stale-row refresh (VERDICT r5 item 1): the 5 oldest r01 rows fill the
+    # stale-row refresh (VERDICT r5 item 1): the 4 oldest r01 rows fill the
     # remaining slots (changed-hash queries always outrank refreshes)
     "cube_status_priority",
     "distinct_aggs",
     "exists_big_orders",
     "functions_datetime_gauntlet",
-    "functions_math_gauntlet",
 )
 
 

@@ -1059,3 +1059,32 @@ def test_duplicate_span_scrub_exactsubstr_semantics(spark):
     # drop; "b c d e f" occurs only here (count 1) → token 5 ("f") stays
     assert out[5].clean_text == "f MID tail1 tail2 tail3"
     assert (out[5].n_kept, out[5].n_dropped) == (5, 5)
+
+
+def test_resize_image_stdlib_box_means(spark):
+    """Real area-average resize: integer-ratio downscale is the exact box
+    mean (16×16 quadrant JPEG → 2×2 = the quadrant values); fractional
+    ratios use partial-pixel area weights (independent reference check in
+    module smoke); garbage payloads quarantine to NULL dims/pixels."""
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        encode_gray_jpeg,
+        resize_image_stdlib,
+    )
+
+    img = np.zeros((16, 16))
+    img[:8, :8], img[:8, 8:], img[8:, :8], img[8:, 8:] = 40, 80, 120, 200
+    payload = encode_gray_jpeg(img, np.full((8, 8), 8.0))
+    df = spark.createDataFrame(
+        [(1, bytearray(payload)), (2, bytearray(b"junk"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in resize_image_stdlib(df, 2, 2).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].out_width) == (16, 16, 2)
+    assert [round(p * 255) for p in rows[1].pixels] == [40, 80, 120, 200]
+    assert rows[2].pixels is None and rows[2].out_width is None
+    # fractional ratio: 3×3 output still averages to the image mean overall
+    r33 = resize_image_stdlib(df.filter("doc_id = 1"), 3, 3).collect()[0]
+    mean = sum(r33.pixels) / 9 * 255
+    assert abs(mean - img.mean()) < 0.5, mean
