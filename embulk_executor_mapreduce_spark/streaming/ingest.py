@@ -606,3 +606,42 @@ def run_incremental_semantic_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_incremental_semantic_two_level_stream(
+    vectors: DataFrame,
+    state_path: str,
+    corpus_path: str,
+    centroid_path: str,
+    checkpoint: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    merge_buckets: int = 64,
+    coarse_k: int | None = None,
+    sub_k: int | None = None,
+    threshold_micro: int = 250_000,
+) -> None:
+    """Drive an embedding stream through
+    :func:`incremental_semantic_two_level_sink` to completion (availableNow
+    — bounded replay of the unbounded crawl; checkpoint + claim-tagged
+    state give exactly-once across restarts, same contract as
+    :func:`run_incremental_semantic_stream`)."""
+    q = (
+        vectors.writeStream.foreachBatch(
+            incremental_semantic_two_level_sink(
+                state_path,
+                corpus_path,
+                centroid_path,
+                vec_col=vec_col,
+                id_col=id_col,
+                merge_buckets=merge_buckets,
+                coarse_k=coarse_k,
+                sub_k=sub_k,
+                threshold_micro=threshold_micro,
+            )
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

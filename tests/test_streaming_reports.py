@@ -651,3 +651,51 @@ class TestIncrementalSemanticTwoLevelSink:
         assert sorted(map(tuple, spark.read.parquet(f"{cents}/coarse").collect())) == coarse0
         assert spark.read.parquet(f"{cents}/sub").count() > 0
         assert self._corpus_ids(spark, corpus) == [10, 12]
+
+
+def test_run_incremental_semantic_two_level_stream_end_to_end(spark, tmp_path):
+    """The two-level embedding crawl as a real Structured Streaming run:
+    first availableNow pass trains + persists the centroid PAIR, a RESTART
+    with new files assigns against the stored pair and continues against
+    the persisted state — the streaming twin of
+    test_run_incremental_semantic_stream_end_to_end."""
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        run_incremental_semantic_two_level_stream,
+    )
+
+    def vec(seed, wiggle=0.0):
+        return [((seed * 31 + j * 7) % 13 - 6) / 6.0 + wiggle * (j % 2) for j in range(8)]
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    state = str(tmp_path / "state")
+    corpus = str(tmp_path / "corpus")
+    cents = str(tmp_path / "centroids")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "vec_id long, embedding array<double>"
+
+    spark.createDataFrame(
+        [(10, vec(1)), (11, vec(1, 1e-4)), (12, vec(50))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f0"))
+
+    def stream():
+        return spark.readStream.schema(schema).option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(str(src) + "/*")
+
+    kw = dict(merge_buckets=8, coarse_k=2, sub_k=1, threshold_micro=999_000)
+    run_incremental_semantic_two_level_stream(
+        stream(), state, corpus, cents, ckpt, **kw
+    )
+    ids = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [10, 12]
+    assert spark.read.parquet(f"{cents}/coarse").count() == 2
+
+    spark.createDataFrame(
+        [(20, vec(1, 2e-4)), (21, vec(7))], schema
+    ).coalesce(1).write.mode("overwrite").parquet(str(src / "f1"))
+    run_incremental_semantic_two_level_stream(
+        stream(), state, corpus, cents, ckpt, **kw
+    )
+    ids = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
+    assert ids == [10, 12, 21]
