@@ -89,6 +89,7 @@ HEADLINE = [
     "multimodal_decode_jpeg",
     "multimodal_decode_wav",
     "dup_span_scrub",
+    "bpe_train_merges",
 ]
 
 SMALL_RESULT = {

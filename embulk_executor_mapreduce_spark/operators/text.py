@@ -557,3 +557,157 @@ def quality_prune_per_source(
         )
         .select(id_col, source_col, "quality")
     )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 8,
+    end_marker: str = "</w>",
+) -> DataFrame:
+    """REAL byte-pair-encoding tokenizer training (Sennrich et al. 2016 —
+    the standard LLM tokenizer construction) as iterative DataFrame
+    aggregates, the fixed-iteration Pregel-style pattern shared with
+    k-means and PageRank. Returns the learned merge table
+    ``(merge_rank, pair, merged)`` — the artifact a tokenizer ships.
+
+    Scale shape — the textbook scalable decomposition: ONE corpus pass
+    builds the word-frequency table (vocabulary-sized, ~1M rows at any
+    corpus size), then every merge iteration runs entirely over that
+    bounded table: adjacent-symbol pair counts (weighted by word
+    frequency, map-side combinable), a 1-row deterministic argmax
+    (max count, lexicographically-smallest pair on ties — min over
+    struct(-cnt, pair), no window), broadcast back into a literal string
+    replace. Per-iteration state is localCheckpoint'ed so the plan stays
+    flat across ``n_merges`` iterations.
+
+    Determinism: greedy leftmost non-overlapping ``replace`` of
+    ``' left right '`` framed by spaces reproduces BPE's simultaneous
+    left-to-right merge pass exactly (the replacement's trailing space
+    re-serves as the next match's leading space), and the argmax tie-break
+    is binary-collation string order — both bit-portable to DuckDB, so
+    the whole training run unrolls into a value-hash oracle
+    (:func:`bpe_oracle_sql`). If fewer than ``n_merges`` merges are
+    possible (tiny corpora) the remaining ranks emit NULL pairs rather
+    than corrupting the segmentation."""
+    words = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    seg = words.select(
+        F.expr(
+            "concat_ws(' ', transform(sequence(1, length(w)), "
+            f"i -> substr(w, i, 1)), '{end_marker}')"
+        ).alias("seg"),
+        "n",
+    ).localCheckpoint(eager=True)
+    merge_rows = []
+    for r in range(n_merges):
+        syms = F.split(F.col("seg"), " ")
+        # a fully-merged word is ONE symbol; sequence(0, -1) would generate
+        # a DESCENDING [0, -1] in Spark, so guard to an empty pair list
+        pair_idx = F.when(
+            F.size(syms) >= 2, F.sequence(F.lit(0), F.size(syms) - 2)
+        ).otherwise(F.array().cast("array<int>"))
+        pairs = (
+            seg.select(
+                F.explode(
+                    F.transform(
+                        pair_idx,
+                        lambda j: F.concat(
+                            F.element_at(syms, j + 1),
+                            F.lit(" "),
+                            F.element_at(syms, j + 2),
+                        ),
+                    )
+                ).alias("pair"),
+                "n",
+            )
+            .groupBy("pair")
+            .agg(F.sum("n").alias("cnt"))
+        )
+        best = pairs.agg(
+            F.min(F.struct((-F.col("cnt")).alias("nc"), F.col("pair"))).alias("b")
+        ).select(F.col("b.pair").alias("bp"))
+        seg = (
+            seg.crossJoin(F.broadcast(best))
+            .select(
+                F.when(F.col("bp").isNull(), F.col("seg"))
+                .otherwise(
+                    F.expr(
+                        "trim(replace(concat(' ', seg, ' '), "
+                        "concat(' ', bp, ' '), "
+                        "concat(' ', replace(bp, ' ', ''), ' ')))"
+                    )
+                )
+                .alias("seg"),
+                "n",
+            )
+            .localCheckpoint(eager=True)
+        )
+        merge_rows.append(
+            best.select(
+                F.lit(r).cast("int").alias("merge_rank"),
+                F.col("bp").alias("pair"),
+                F.replace(F.col("bp"), F.lit(" "), F.lit("")).alias("merged"),
+            )
+        )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def bpe_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = 8,
+    end_marker: str = "</w>",
+) -> str:
+    """DuckDB mirror of :func:`bpe_train`, generated in lockstep: the fixed
+    merge count unrolls into a CTE chain — per merge, the weighted adjacent
+    pair count, the (cnt DESC, pair ASC) argmax, and the identical
+    space-framed leftmost replace — so the learned merge table matches
+    bit-exactly. Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    each merge references its predecessor ~3x, so an un-materialized chain
+    re-expands the corpus scan 3^n times (observed as a too-many-open-files
+    failure at n=8)."""
+    parts = [
+        f"""w0 AS MATERIALIZED (
+      SELECT w, count(*) AS n FROM (
+        SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table}
+      ) WHERE w <> '' GROUP BY w
+    ), s0 AS MATERIALIZED (
+      SELECT array_to_string(
+               list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
+               ' ') || ' {end_marker}' AS seg, n
+      FROM w0
+    )"""
+    ]
+    for r in range(n_merges):
+        parts.append(f"""p{r} AS MATERIALIZED (
+      SELECT pr AS pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+        SELECT unnest(list_transform(
+                 range(len(string_split(seg, ' ')) - 1),
+                 j -> string_split(seg, ' ')[j + 1] || ' '
+                      || string_split(seg, ' ')[j + 2])) AS pr, n
+        FROM s{r}
+      ) GROUP BY pr
+    ), b{r} AS MATERIALIZED (
+      SELECT pair FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+    ), s{r + 1} AS MATERIALIZED (
+      SELECT CASE WHEN (SELECT pair FROM b{r}) IS NULL THEN seg ELSE
+        trim(replace(' ' || seg || ' ',
+                     ' ' || (SELECT pair FROM b{r}) || ' ',
+                     ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '))
+      END AS seg, n FROM s{r}
+    )""")
+    selects = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({r} AS INT) AS merge_rank, pair, "
+        f"replace(pair, ' ', '') AS merged FROM b{r}"
+        for r in range(n_merges)
+    )
+    chain = ",\n    ".join(parts)
+    return f"WITH {chain}\n    {selects}"

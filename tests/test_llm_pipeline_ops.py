@@ -1088,3 +1088,30 @@ def test_resize_image_stdlib_box_means(spark):
     r33 = resize_image_stdlib(df.filter("doc_id = 1"), 3, 3).collect()[0]
     mean = sum(r33.pixels) / 9 * 255
     assert abs(mean - img.mean()) < 0.5, mean
+
+
+def test_bpe_train_classic_example(spark):
+    """BPE on the canonical Sennrich-style corpus: merges follow weighted
+    pair frequency with lexicographic tie-breaks, fully-merged words stop
+    producing pairs (no crash past full collapse), and exhausted corpora
+    emit NULL ranks instead of corrupting segmentation."""
+    from embulk_executor_mapreduce_spark.operators.text import bpe_train
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new")], "doc_id long, text string"
+    )
+    got = {r.merge_rank: (r.pair, r.merged) for r in bpe_train(docs, n_merges=6).collect()}
+    # hand-derived: 'l o' (5) > all; then 'lo w' (5); 'low </w>' (3);
+    # then 'e r' vs 'e w' vs ... both 2 — lexicographic 'e r' first
+    assert got[0] == ("l o", "lo")
+    assert got[1] == ("lo w", "low")
+    assert got[2] == ("low </w>", "low</w>")
+    assert got[3] == ("e r", "er")
+    assert got[4] == ("e w", "ew")
+    assert got[5] == ("er </w>", "er</w>")
+
+    # exhausted corpus: a single 1-char word runs out after 1 merge
+    tiny = spark.createDataFrame([(1, "a a")], "doc_id long, text string")
+    rows = {r.merge_rank: r.pair for r in bpe_train(tiny, n_merges=3).collect()}
+    assert rows[0] == "a </w>"
+    assert rows[1] is None and rows[2] is None
