@@ -1412,6 +1412,49 @@ def q_multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_video",
+    oracle="""
+    SELECT doc_id,
+           CAST(4 AS INT) AS n_frames,
+           CAST(t.i AS INT) AS frame_idx,
+           CAST(16 AS INT) AS width,
+           CAST(16 AS INT) AS height,
+           CAST(('0x' || substr(md5(text), 8 * t.i + 1, 2)) AS INT) AS q_tl,
+           CAST(('0x' || substr(md5(text), 8 * t.i + 3, 2)) AS INT) AS q_tr,
+           CAST(('0x' || substr(md5(text), 8 * t.i + 5, 2)) AS INT) AS q_bl,
+           CAST(('0x' || substr(md5(text), 8 * t.i + 7, 2)) AS INT) AS q_br
+    FROM documents, unnest(range(4)) t(i)
+    """,
+    tags=("multimodal", "video", "real-decode"),
+)
+def q_multimodal_video(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode, driver-gated (r6): every document becomes a
+    genuine 4-frame MJPEG AVI (frame i = the 16×16 quadrant JPEG over md5
+    bytes 4i..4i+3 — all 16 digest bytes used across the clip), the RIFF
+    demuxer walks hdrl/movi and the baseline JPEG decoder runs per frame —
+    one output row per frame with exact quadrant luminances, a full
+    value-hash oracle over a real container+codec roundtrip. (The
+    frame-sample stub stays for plumbing benches; ffmpeg slots in for
+    H.264+ with this exact batch shape.)"""
+    from .operators.multimodal import decode_video_stdlib, encode_text_avi
+
+    dec = decode_video_stdlib(
+        encode_text_avi(load(spark, sf_dir, "documents")), stride=1
+    )
+    return dec.select(
+        "doc_id",
+        "n_frames",
+        "frame_idx",
+        "width",
+        "height",
+        *[
+            F.round(dec["features"][i] * 255).cast("int").alias(n)
+            for i, n in enumerate(("q_tl", "q_tr", "q_bl", "q_br"))
+        ],
+    )
+
+
+@register(
     "asof_last_signup",
     oracle="""
     SELECT e.event_id, e.user_id, epoch_us(s.ts) AS signup_us
@@ -4496,6 +4539,7 @@ _VERIFY_FIRST = (
     "dup_span_scrub",
     "multimodal_resize_real",
     "bpe_train_merges",
+    "multimodal_decode_video",
     # sinks/writer.py (merge-GC race fix, eager memory sink) +
     # plans/compiler.py (partitioning SPI wiring, stream error messages) +
     # spec.py (SPI validation) — module-hash flags
@@ -4547,11 +4591,10 @@ _VERIFY_FIRST = (
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # stale-row refresh (VERDICT r5 item 1): the 3 oldest r01 rows fill the
+    # stale-row refresh (VERDICT r5 item 1): the 2 oldest r01 rows fill the
     # remaining slots (changed-hash queries always outrank refreshes)
     "cube_status_priority",
     "distinct_aggs",
-    "exists_big_orders",
 )
 
 

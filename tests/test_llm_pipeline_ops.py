@@ -1115,3 +1115,47 @@ def test_bpe_train_classic_example(spark):
     rows = {r.merge_rank: r.pair for r in bpe_train(tiny, n_merges=3).collect()}
     assert rows[0] == "a </w>"
     assert rows[1] is None and rows[2] is None
+
+
+def test_avi_mjpeg_video_decode(spark):
+    """Real video path: the RIFF demuxer walks hdrl/movi lists and returns
+    MJPEG frames byte-identical to what the encoder wrote; stride sampling
+    fans one payload to one row per sampled frame; garbage payloads
+    quarantine to a single NULL-frame row; truncated containers never
+    raise."""
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _avi_mjpeg_frames,
+        decode_video_stdlib,
+        encode_gray_jpeg,
+        encode_mjpeg_avi,
+    )
+
+    frames = [
+        encode_gray_jpeg(np.full((16, 16), float(v)), np.full((8, 8), 8.0))
+        for v in (10, 200, 90)
+    ]
+    avi = encode_mjpeg_avi(frames)
+    got = _avi_mjpeg_frames(avi)
+    assert len(got) == 3 and all(a == b for a, b in zip(got, frames))
+    assert _avi_mjpeg_frames(avi[: len(avi) // 2]) is not None or True  # never raises
+    assert _avi_mjpeg_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+    assert _avi_mjpeg_frames(b"junk") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(avi)), (2, bytearray(b"nope"))],
+        "doc_id long, payload binary",
+    )
+    rows = sorted(
+        decode_video_stdlib(df, stride=2).collect(),
+        key=lambda r: (r.doc_id, r.frame_idx or 0),
+    )
+    assert [(r.doc_id, r.n_frames, r.frame_idx) for r in rows] == [
+        (1, 3, 0),
+        (1, 3, 2),
+        (2, None, None),
+    ]
+    assert [round(f * 255) for f in rows[0].features] == [10] * 4
+    assert [round(f * 255) for f in rows[1].features] == [90] * 4
+    assert rows[2].features is None
