@@ -2949,6 +2949,47 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "lm_bigram_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), pairs AS (
+      SELECT doc_id, t[u.i + 1] AS w1, t[u.i + 2] AS w2
+      FROM toks, unnest(range(greatest(len(t) - 1, 0))) u(i)
+    ), c2 AS (
+      SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2
+    ), c1 AS (
+      SELECT w AS w1, count(*) AS c1 FROM (
+        SELECT unnest(t) AS w FROM toks
+      ) GROUP BY w
+    ), v AS (SELECT count(*) AS v FROM c1)
+    SELECT p.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           floor(sum(CAST(floor((c2.c2 + 1) * 1000000 / (c1.c1 + v.v) + 0.5)
+                          AS BIGINT))
+                 / (1000000.0 * count(*)) * 1000000 + 0.5) / 1000000
+             AS lm_score
+    FROM pairs p
+    JOIN c2 USING (w1, w2)
+    JOIN c1 USING (w1)
+    CROSS JOIN v
+    GROUP BY p.doc_id
+    """,
+    tags=("text", "quality", "llm-prep"),
+)
+def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-trained bigram LM quality scoring (r6): one pass
+    trains Laplace-smoothed transition counts, each doc scores the exact
+    micro-unit arithmetic mean of its transition probabilities — the cheap
+    statistical stand-in for the KenLM perplexity filter, in rational math
+    so the whole model+scoring pipeline carries a full value-hash oracle
+    (a log-domain score would hinge on cross-engine libm agreement)."""
+    from .operators.text import lm_bigram_score
+
+    return lm_bigram_score(load(spark, sf_dir, "documents"))
+
+
+@register(
     "token_count_bpe",
     oracle=r"""
     SELECT doc_id,
@@ -4540,6 +4581,7 @@ _VERIFY_FIRST = (
     "multimodal_resize_real",
     "bpe_train_merges",
     "multimodal_decode_video",
+    "lm_bigram_score",
     # sinks/writer.py (merge-GC race fix, eager memory sink) +
     # plans/compiler.py (partitioning SPI wiring, stream error messages) +
     # spec.py (SPI validation) — module-hash flags
@@ -4591,10 +4633,9 @@ _VERIFY_FIRST = (
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # stale-row refresh (VERDICT r5 item 1): the 2 oldest r01 rows fill the
-    # remaining slots (changed-hash queries always outrank refreshes)
+    # stale-row refresh (VERDICT r5 item 1): the oldest r01 row fills the
+    # remaining slot (changed-hash queries always outrank refreshes)
     "cube_status_priority",
-    "distinct_aggs",
 )
 
 

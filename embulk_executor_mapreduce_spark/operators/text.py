@@ -711,3 +711,73 @@ def bpe_oracle_sql(
     )
     chain = ",\n    ".join(parts)
     return f"WITH {chain}\n    {selects}"
+
+
+def lm_bigram_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring with a corpus-trained
+    BIGRAM model: documents whose word transitions are typical of the
+    corpus score high, boilerplate/garbled text scores low — the cheap
+    statistical stand-in for the KenLM perplexity filter the
+    CCNet/RedPajama pipelines run before expensive model scoring.
+
+    Model: Laplace-smoothed MLE, p(w2|w1) = (C(w1 w2) + 1) / (C(w1) + V),
+    trained on the corpus being scored (one pass). Score = the arithmetic
+    mean transition probability over the doc's bigrams, in EXACT math:
+    each probability is floored to micro-units BEFORE summing, so the
+    per-doc sum is an order-independent BIGINT and the score reproduces
+    bit-exactly in the DuckDB oracle (the log-domain average would hinge
+    on libm ulp agreement — a rational mean doesn't). Docs with no
+    transition (0- or 1-word) have nothing to score and are absent from
+    the output.
+
+    Scale shape: the count tables are vocabulary-sized (V unigrams, ≤V²
+    but corpus-bounded bigrams); the doc-bigram stream joins them on token
+    keys — two shuffle-friendly equi-joins, partial-agg counts, no window,
+    no Python. Output: (doc_id, n_bigrams, lm_score)."""
+    toks = tokens(text_col)
+    pairs = df.select(
+        F.col(id_col),
+        F.explode(
+            F.when(
+                F.size(toks) >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(toks) - 2),
+                    lambda j: F.struct(
+                        F.element_at(toks, j + 1).alias("w1"),
+                        F.element_at(toks, j + 2).alias("w2"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+        ).alias("bg"),
+    ).select(F.col(id_col), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    c2 = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = (
+        df.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vocab = c1.agg(F.count(F.lit(1)).alias("v"))
+    p_micro = F.floor(
+        (F.col("c2") + 1) * 1_000_000 / (F.col("c1") + F.col("v")) + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        pairs.join(c2, ["w1", "w2"])
+        .join(c1.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(p_micro).alias("sum_micro"),
+        )
+    )
+    return scored.select(
+        id_col,
+        "n_bigrams",
+        d_round(
+            F.col("sum_micro") / (F.lit(1_000_000.0) * F.col("n_bigrams")), 6
+        ).alias("lm_score"),
+    )

@@ -1159,3 +1159,27 @@ def test_avi_mjpeg_video_decode(spark):
     assert [round(f * 255) for f in rows[0].features] == [10] * 4
     assert [round(f * 255) for f in rows[1].features] == [90] * 4
     assert rows[2].features is None
+
+
+def test_lm_bigram_score_separates_typical_from_garbled(spark):
+    """Corpus-trained bigram LM: documents repeating corpus-typical
+    transitions outscore garbled text; transition-free docs are absent;
+    the score is the exact micro-unit mean (deterministic at any
+    parallelism)."""
+    from embulk_executor_mapreduce_spark.operators.text import lm_bigram_score
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "the cat sat on the mat today"),
+            (4, "zqx vwk jjr pqm"),
+            (5, "one"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in lm_bigram_score(docs).collect()}
+    assert 5 not in rows  # no transitions to score
+    assert rows[1].lm_score == rows[2].lm_score  # identical docs tie exactly
+    assert rows[1].lm_score > rows[4].lm_score  # typical beats garbled
+    assert rows[1].n_bigrams == 5 and rows[4].n_bigrams == 3
