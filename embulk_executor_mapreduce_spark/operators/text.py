@@ -581,10 +581,12 @@ def bpe_train(
     replace. Per-iteration state is localCheckpoint'ed so the plan stays
     flat across ``n_merges`` iterations.
 
-    Determinism: greedy leftmost non-overlapping ``replace`` of
-    ``' left right '`` framed by spaces reproduces BPE's simultaneous
-    left-to-right merge pass exactly (the replacement's trailing space
-    re-serves as the next match's leading space), and the argmax tie-break
+    Determinism: the re-segmentation DOUBLES inner separators before a
+    space-framed literal ``replace`` — a match's consumed trailing space
+    then still leaves a boundary space for an immediately following
+    occurrence, which reproduces BPE's textbook left-to-right merge pass
+    exactly (``a b a b`` → ``ab ab`` in one pass; a plain space-framed
+    replace merges only alternate repeats) — and the argmax tie-break
     is binary-collation string order — both bit-portable to DuckDB, so
     the whole training run unrolls into a value-hash oracle
     (:func:`bpe_oracle_sql`). If fewer than ``n_merges`` merges are
@@ -636,10 +638,19 @@ def bpe_train(
             .select(
                 F.when(F.col("bp").isNull(), F.col("seg"))
                 .otherwise(
+                    # inner separators are DOUBLED before the replace so a
+                    # match's consumed trailing space still leaves a boundary
+                    # for an immediately following occurrence ('a b a b'
+                    # must merge to 'ab ab' in ONE pass, as the textbook
+                    # left-to-right scan does — a plain space-framed replace
+                    # merges only alternate repeats; caught by the
+                    # independent-reference test), then runs collapse back
                     F.expr(
-                        "trim(replace(concat(' ', seg, ' '), "
-                        "concat(' ', bp, ' '), "
-                        "concat(' ', replace(bp, ' ', ''), ' ')))"
+                        "trim(replace(replace("
+                        "concat(' ', replace(seg, ' ', '  '), ' '), "
+                        "concat(' ', replace(bp, ' ', '  '), ' '), "
+                        "concat(' ', replace(bp, ' ', ''), ' ')), "
+                        "'  ', ' '))"
                     )
                 )
                 .alias("seg"),
@@ -699,9 +710,11 @@ def bpe_oracle_sql(
       SELECT pair FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
     ), s{r + 1} AS MATERIALIZED (
       SELECT CASE WHEN (SELECT pair FROM b{r}) IS NULL THEN seg ELSE
-        trim(replace(' ' || seg || ' ',
-                     ' ' || (SELECT pair FROM b{r}) || ' ',
-                     ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '))
+        trim(replace(replace(
+          ' ' || replace(seg, ' ', '  ') || ' ',
+          ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
+          ' ' || replace((SELECT pair FROM b{r}), ' ', '') || ' '),
+          '  ', ' '))
       END AS seg, n FROM s{r}
     )""")
     selects = "\n    UNION ALL\n    ".join(

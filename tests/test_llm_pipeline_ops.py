@@ -1183,3 +1183,104 @@ def test_lm_bigram_score_separates_typical_from_garbled(spark):
     assert rows[1].lm_score == rows[2].lm_score  # identical docs tie exactly
     assert rows[1].lm_score > rows[4].lm_score  # typical beats garbled
     assert rows[1].n_bigrams == 5 and rows[4].n_bigrams == 3
+
+
+def _reference_bpe(word_freqs, n_merges, end="</w>"):
+    """Independent pure-Python BPE (textbook algorithm) for cross-checking
+    the DataFrame trainer: returns the merge list."""
+    segs = {tuple(list(w) + [end]): n for w, n in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        counts = {}
+        for sym, n in segs.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            merges.append(None)
+            continue
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(" ".join(best))
+        out = {}
+        for sym, n in segs.items():
+            new, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    new.append(sym[i] + sym[i + 1])
+                    i += 2
+                else:
+                    new.append(sym[i])
+                    i += 1
+            out[tuple(new)] = out.get(tuple(new), 0) + n
+        segs = out
+    return merges
+
+
+def test_bpe_train_matches_independent_reference(spark):
+    """The DataFrame BPE trainer agrees merge-for-merge with an
+    independent textbook implementation on randomized corpora — including
+    tie-breaks and post-collapse rounds."""
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.text import bpe_train
+
+    rng = random.Random(42)
+    for trial in range(4):
+        vocab = ["ab", "abc", "abd", "xy", "xyz", "q", "abab", "ba"]
+        words = [rng.choice(vocab) for _ in range(30)]
+        text = " ".join(words)
+        freqs = {}
+        for w in words:
+            freqs[w] = freqs.get(w, 0) + 1
+        expected = _reference_bpe(freqs, 6)
+        docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        got = {
+            r.merge_rank: r.pair for r in bpe_train(docs, n_merges=6).collect()
+        }
+        assert [got[i] for i in range(6)] == expected, (trial, text)
+
+
+def test_wav_pcm_random_roundtrip():
+    """Property: any int16 sample vector survives encode→decode exactly
+    (mono and stereo)."""
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _wav_samples,
+        encode_wav_pcm16,
+    )
+
+    rng = random.Random(7)
+    for nch in (1, 2):
+        samples = [rng.randint(-32768, 32767) for _ in range(64)]
+        rate, ch, mono = _wav_samples(
+            encode_wav_pcm16(samples, 22050, n_channels=nch)
+        )
+        assert (rate, ch) == (22050, nch)
+        if nch == 1:
+            got = [round(s * 32768) for s in mono]
+            assert got == samples
+        else:
+            ref = [
+                (samples[2 * i] + samples[2 * i + 1]) / 2 / 32768.0
+                for i in range(32)
+            ]
+            assert all(abs(a - b) < 1e-12 for a, b in zip(mono, ref))
+
+
+def test_jpeg_random_images_roundtrip_property():
+    """Property: random images of assorted sizes survive the quant-1
+    encode→decode roundtrip within FDCT/IDCT rounding (< 1.5 gray levels),
+    across non-multiple-of-8 dims."""
+    import numpy as np
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _jpeg_pixels,
+        encode_gray_jpeg,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in ((8, 8), (5, 11), (24, 9), (16, 40)):
+        img = rng.integers(0, 256, (h, w)).astype(float)
+        out_w, out_h, rows = _jpeg_pixels(encode_gray_jpeg(img))
+        assert (out_w, out_h) == (w, h)
+        assert np.abs(np.array(rows) - img).max() < 1.5, (h, w)
