@@ -1284,3 +1284,101 @@ def test_jpeg_random_images_roundtrip_property():
         out_w, out_h, rows = _jpeg_pixels(encode_gray_jpeg(img))
         assert (out_w, out_h) == (w, h)
         assert np.abs(np.array(rows) - img).max() < 1.5, (h, w)
+
+
+def test_duplicate_span_scrub_matches_independent_reference(spark):
+    """ExactSubstr vs an independent pure-Python implementation on
+    randomized corpora with planted duplicate passages — guards against
+    self-consistent-but-wrong window/coverage logic (the failure class the
+    BPE reference test caught)."""
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.text import (
+        duplicate_span_scrub,
+    )
+
+    def reference(docs, k):
+        wins = {}  # window text -> (doc, pos) of global first occurrence
+        toks = {d: t.split(" ") for d, t in docs}
+        for d in sorted(toks):
+            w = toks[d]
+            for p in range(len(w) - k + 1):
+                key = " ".join(w[p : p + k])
+                wins.setdefault(key, []).append((d, p))
+        covered = {d: set() for d in toks}
+        for occs in wins.values():
+            if len(occs) > 1:
+                first = min(occs)
+                for d, p in occs:
+                    if (d, p) != first:
+                        covered[d].update(range(p, p + k))
+        out = {}
+        for d, w in toks.items():
+            kept = [t for i, t in enumerate(w) if i not in covered[d]]
+            if kept:
+                out[d] = (" ".join(kept), len(kept), len(w) - len(kept))
+        return out
+
+    rng = random.Random(9)
+    passages = [
+        " ".join(f"p{i}_{j}" for j in range(7)) for i in range(3)
+    ]  # 7-token passages that will be planted across docs
+    docs = []
+    for d in range(12):
+        parts = [f"u{d}_{j}" for j in range(rng.randint(0, 6))]
+        for _ in range(rng.randint(0, 2)):
+            parts.insert(rng.randrange(len(parts) + 1), rng.choice(passages))
+        docs.append((d, " ".join(" ".join(parts).split())))
+    docs = [(d, t) for d, t in docs if t]
+    expected = reference(docs, 5)
+    got = {
+        r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+        for r in duplicate_span_scrub(
+            spark.createDataFrame(docs, "doc_id long, text string"),
+            window_words=5,
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_lm_bigram_score_matches_independent_reference(spark):
+    """Bigram LM scoring vs an independent pure-Python implementation."""
+    import math
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.text import lm_bigram_score
+
+    rng = random.Random(5)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (d, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for d in range(10)
+    ]
+
+    c1, c2 = {}, {}
+    for _, t in docs:
+        w = t.split(" ")
+        for x in w:
+            c1[x] = c1.get(x, 0) + 1
+        for a, b in zip(w, w[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    v = len(c1)
+    expected = {}
+    for d, t in docs:
+        w = t.split(" ")
+        bgs = list(zip(w, w[1:]))
+        if not bgs:
+            continue
+        s = sum(
+            math.floor((c2[(a, b)] + 1) * 1_000_000 / (c1[a] + v) + 0.5)
+            for a, b in bgs
+        )
+        score = math.floor(s / (1_000_000.0 * len(bgs)) * 1_000_000 + 0.5) / 1_000_000
+        expected[d] = (len(bgs), score)
+    got = {
+        r.doc_id: (r.n_bigrams, r.lm_score)
+        for r in lm_bigram_score(
+            spark.createDataFrame(docs, "doc_id long, text string")
+        ).collect()
+    }
+    assert got == expected
