@@ -120,6 +120,7 @@ TIME_INCLUDES_BUILD = {
     "ann_pq_kmeans_topk",
     "semantic_dedup_embeddings",
     "semantic_dedup_two_level",
+    "bpe_train_merges",  # merge iterations localCheckpoint during fn()
 }
 
 # events.ts physical-encoding normalization, probed from the footer
