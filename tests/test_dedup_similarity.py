@@ -641,3 +641,66 @@ def test_minhash_candidates_match_independent_reference(spark):
     }
     assert got == expected
     assert (0, 100) in got  # the planted duplicate pair surfaced
+
+
+def test_kmeans_train_matches_independent_reference(spark):
+    """kmeans_train vs a from-scratch Lloyd's implementation of the
+    documented exactmath semantics (flat id<k init, L2 argmin with
+    smallest-cid tie-break, scaled-integer means, empty clusters keep
+    their previous centroid) — the trainer underlies 10+ lockstep-oracled
+    queries, so an independent derivation matters most here."""
+    import math
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        KMEANS_SCALE,
+        kmeans_train,
+    )
+
+    def ref_kmeans(vecs, k, iters):
+        cents = {i: list(vecs[i]) for i in sorted(vecs) if i < k}
+        for _ in range(iters):
+            assign = {}
+            for vid, v in vecs.items():
+                best = min(
+                    cents.items(),
+                    key=lambda kv: (
+                        sum(x * x for x in v)
+                        - 2 * sum(a * b for a, b in zip(v, kv[1]))
+                        + sum(x * x for x in kv[1]),
+                        kv[0],
+                    ),
+                )[0]
+                assign.setdefault(best, []).append(v)
+            new = {}
+            for cid, cv in cents.items():
+                members = assign.get(cid)
+                if not members:
+                    new[cid] = cv  # empty cluster keeps its centroid
+                    continue
+                dim = len(cv)
+                new[cid] = [
+                    sum(
+                        math.floor(m[d] * KMEANS_SCALE + 0.5) for m in members
+                    )
+                    / (len(members) * KMEANS_SCALE)
+                    for d in range(dim)
+                ]
+            cents = new
+        return cents
+
+    rng = random.Random(21)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(6)] for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<double>"
+    )
+    got = {
+        r.cid: list(r.cv)
+        for r in kmeans_train(df, "vec_id", "embedding", k=4, iters=3).collect()
+    }
+    want = ref_kmeans(vecs, 4, 3)
+    assert sorted(got) == sorted(want)
+    for cid in want:
+        assert got[cid] == want[cid], cid  # exact equality, not approx
