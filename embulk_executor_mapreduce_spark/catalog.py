@@ -2989,6 +2989,27 @@ def q_lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lm_bigram_score(load(spark, sf_dir, "documents"))
 
 
+from .operators.text import bpe_segment_oracle_sql  # noqa: E402
+
+
+@register(
+    "bpe_segment_corpus",
+    oracle=bpe_segment_oracle_sql(table="documents", n_merges=8),
+    tags=("text", "tokenizer", "llm-prep"),
+)
+def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of the BPE tokenizer (r6): train the 8-merge vocab
+    (same deterministic loop as ``bpe_train_merges``), then tokenize the
+    corpus under it — one corpus-token-sized equi-join against the
+    vocabulary-sized segmentation table, yielding per-doc word and
+    BPE-token counts (the packing/budgeting numbers a training pipeline
+    needs under a real tokenizer). Full value-hash oracle: the chain plus
+    the per-doc join replays in DuckDB."""
+    from .operators.text import bpe_segment
+
+    return bpe_segment(load(spark, sf_dir, "documents"), n_merges=8)
+
+
 @register(
     "token_count_bpe",
     oracle=r"""
@@ -4580,6 +4601,7 @@ _VERIFY_FIRST = (
     "dup_span_scrub",
     "multimodal_resize_real",
     "bpe_train_merges",
+    "bpe_segment_corpus",
     "multimodal_decode_video",
     "lm_bigram_score",
     # sinks/writer.py (merge-GC race fix, eager memory sink) +
@@ -4633,9 +4655,8 @@ _VERIFY_FIRST = (
     "multimodal_decode",
     "multimodal_resize",
     "multimodal_frames",
-    # stale-row refresh (VERDICT r5 item 1): the oldest r01 row fills the
-    # remaining slot (changed-hash queries always outrank refreshes)
-    "cube_status_priority",
+    # no refresh slots remain: all 50 go to never-verified/changed-hash
+    # queries (9 new + 41 flagged); the r01-r03 stale rows rotate in r7
 )
 
 

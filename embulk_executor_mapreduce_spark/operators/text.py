@@ -592,13 +592,30 @@ def bpe_train(
     (:func:`bpe_oracle_sql`). If fewer than ``n_merges`` merges are
     possible (tiny corpora) the remaining ranks emit NULL pairs rather
     than corrupting the segmentation."""
-    words = (
+    merge_rows, _seg = _bpe_merge_loop(
+        _bpe_words(df, text_col), n_merges, end_marker
+    )
+    out = merge_rows[0]
+    for m in merge_rows[1:]:
+        out = out.unionByName(m)
+    return out
+
+
+def _bpe_words(df: DataFrame, text_col: str) -> DataFrame:
+    return (
         df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def _bpe_merge_loop(words: DataFrame, n_merges: int, end_marker: str):
+    """The shared training loop: returns (per-rank merge frames, the final
+    segmentation frame ``(w, seg, n)``) — ``bpe_train`` ships the merges,
+    ``bpe_segment`` joins the segmentation back onto the corpus."""
     seg = words.select(
+        "w",
         F.expr(
             "concat_ws(' ', transform(sequence(1, length(w)), "
             f"i -> substr(w, i, 1)), '{end_marker}')"
@@ -636,6 +653,7 @@ def bpe_train(
         seg = (
             seg.crossJoin(F.broadcast(best))
             .select(
+                "w",
                 F.when(F.col("bp").isNull(), F.col("seg"))
                 .otherwise(
                     # inner separators are DOUBLED before the replace so a
@@ -665,33 +683,60 @@ def bpe_train(
                 F.replace(F.col("bp"), F.lit(" "), F.lit("")).alias("merged"),
             )
         )
-    out = merge_rows[0]
-    for m in merge_rows[1:]:
-        out = out.unionByName(m)
-    return out
+    return merge_rows, seg
 
 
-def bpe_oracle_sql(
-    table: str = "documents",
+def bpe_segment(
+    df: DataFrame,
     text_col: str = "text",
+    id_col: str = "doc_id",
     n_merges: int = 8,
     end_marker: str = "</w>",
+) -> DataFrame:
+    """Tokenize the corpus under the learned BPE vocabulary — the APPLY
+    half of the tokenizer: train the merges (:func:`bpe_train`'s loop),
+    then join the per-word segmentation back onto the corpus and count
+    tokens per document. Output ``(doc_id, n_words, n_bpe_tokens)`` —
+    the compression the learned vocab achieves per doc, the number a
+    data pipeline needs for packing/budgeting under a real tokenizer.
+
+    Scale shape: training is vocabulary-bounded (see :func:`bpe_train`);
+    the apply is ONE corpus-token-sized equi-join against the
+    vocabulary-sized segmentation table (AQE broadcasts it when small).
+    Docs with no non-empty word are absent."""
+    words = _bpe_words(df, text_col)
+    _, seg = _bpe_merge_loop(words, n_merges, end_marker)
+    vocab = seg.select(
+        "w", F.size(F.split(F.col("seg"), " ")).alias("w_tokens")
+    )
+    doc_words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    return (
+        doc_words.join(vocab, "w")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("w_tokens").alias("n_bpe_tokens"),
+        )
+    )
+
+
+def _bpe_chain_sql(
+    table: str, text_col: str, n_merges: int, end_marker: str
 ) -> str:
-    """DuckDB mirror of :func:`bpe_train`, generated in lockstep: the fixed
-    merge count unrolls into a CTE chain — per merge, the weighted adjacent
-    pair count, the (cnt DESC, pair ASC) argmax, and the identical
-    space-framed leftmost replace — so the learned merge table matches
-    bit-exactly. Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
-    each merge references its predecessor ~3x, so an un-materialized chain
-    re-expands the corpus scan 3^n times (observed as a too-many-open-files
-    failure at n=8)."""
+    """The shared BPE training CTE chain (w0, s0..s{n}, per-merge p/b).
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each merge
+    references its predecessor ~3x, so an un-materialized chain re-expands
+    the corpus scan 3^n times (observed as a too-many-open-files failure
+    at n=8)."""
     parts = [
         f"""w0 AS MATERIALIZED (
       SELECT w, count(*) AS n FROM (
         SELECT unnest(string_split({text_col}, ' ')) AS w FROM {table}
       ) WHERE w <> '' GROUP BY w
     ), s0 AS MATERIALIZED (
-      SELECT array_to_string(
+      SELECT w, array_to_string(
                list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)),
                ' ') || ' {end_marker}' AS seg, n
       FROM w0
@@ -709,7 +754,7 @@ def bpe_oracle_sql(
     ), b{r} AS MATERIALIZED (
       SELECT pair FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
     ), s{r + 1} AS MATERIALIZED (
-      SELECT CASE WHEN (SELECT pair FROM b{r}) IS NULL THEN seg ELSE
+      SELECT w, CASE WHEN (SELECT pair FROM b{r}) IS NULL THEN seg ELSE
         trim(replace(replace(
           ' ' || replace(seg, ' ', '  ') || ' ',
           ' ' || replace((SELECT pair FROM b{r}), ' ', '  ') || ' ',
@@ -717,13 +762,51 @@ def bpe_oracle_sql(
           '  ', ' '))
       END AS seg, n FROM s{r}
     )""")
+    return ",\n    ".join(parts)
+
+
+def bpe_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    n_merges: int = 8,
+    end_marker: str = "</w>",
+) -> str:
+    """DuckDB mirror of :func:`bpe_train`, generated in lockstep: the fixed
+    merge count unrolls into the shared chain — per merge, the weighted
+    adjacent pair count, the (cnt DESC, pair ASC) argmax, and the identical
+    doubled-separator leftmost replace — so the learned merge table matches
+    bit-exactly."""
     selects = "\n    UNION ALL\n    ".join(
         f"SELECT CAST({r} AS INT) AS merge_rank, pair, "
         f"replace(pair, ' ', '') AS merged FROM b{r}"
         for r in range(n_merges)
     )
-    chain = ",\n    ".join(parts)
+    chain = _bpe_chain_sql(table, text_col, n_merges, end_marker)
     return f"WITH {chain}\n    {selects}"
+
+
+def bpe_segment_oracle_sql(
+    table: str = "documents",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_merges: int = 8,
+    end_marker: str = "</w>",
+) -> str:
+    """DuckDB mirror of :func:`bpe_segment`: the same MATERIALIZED merge
+    chain, then the per-doc word stream joined to the final segmentation."""
+    chain = _bpe_chain_sql(table, text_col, n_merges, end_marker)
+    return f"""WITH {chain},
+    doc_words AS (
+      SELECT {id_col}, w FROM (
+        SELECT {id_col}, unnest(string_split({text_col}, ' ')) AS w
+        FROM {table}
+      ) WHERE w <> ''
+    )
+    SELECT d.{id_col},
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(len(string_split(s.seg, ' '))) AS BIGINT) AS n_bpe_tokens
+    FROM doc_words d JOIN s{n_merges} s USING (w)
+    GROUP BY d.{id_col}"""
 
 
 def lm_bigram_score(

@@ -1382,3 +1382,50 @@ def test_lm_bigram_score_matches_independent_reference(spark):
         ).collect()
     }
     assert got == expected
+
+
+def test_bpe_segment_corpus_counts(spark):
+    """The apply half of the tokenizer: per-doc BPE token counts under the
+    learned vocab match a hand-derivable example, and compression improves
+    for words the merges cover."""
+    from embulk_executor_mapreduce_spark.operators.text import bpe_segment
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low newer new"), (2, "low new new"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.n_words, r.n_bpe_tokens) for r in bpe_segment(docs, n_merges=4).collect()}
+    # expected derived via the independent reference trainer + segmenter
+    texts = {1: "low lower lowest low low newer new", 2: "low new new"}
+    freqs = {}
+    for t in texts.values():
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+    segs = {tuple(list(w) + ["</w>"]): n for w, n in freqs.items()}
+    word_of = {tuple(list(w) + ["</w>"]): w for w in freqs}
+    for _ in range(4):
+        counts = {}
+        for sym, n in segs.items():
+            for a, b in zip(sym, sym[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        out, wo = {}, {}
+        for sym, n in segs.items():
+            new_sym, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and (sym[i], sym[i + 1]) == best:
+                    new_sym.append(sym[i] + sym[i + 1]); i += 2
+                else:
+                    new_sym.append(sym[i]); i += 1
+            out[tuple(new_sym)] = n
+            wo[tuple(new_sym)] = word_of[sym]
+        segs, word_of = out, wo
+    tok_len = {w: len(sym) for sym, w in word_of.items()}
+    expected = {
+        d: (len(t.split(" ")), sum(tok_len[w] for w in t.split(" ")))
+        for d, t in texts.items()
+    }
+    assert got == expected
+    assert 3 not in got  # empty doc absent
+    # compression: merges shrink token counts below character counts
+    assert got[1][1] < sum(len(w) + 1 for w in texts[1].split(" "))
