@@ -704,3 +704,50 @@ def test_kmeans_train_matches_independent_reference(spark):
     assert sorted(got) == sorted(want)
     for cid in want:
         assert got[cid] == want[cid], cid  # exact equality, not approx
+
+
+def test_connected_components_matches_union_find_reference(spark):
+    """Cluster formation vs an independent union-find on random graphs —
+    every vertex must map to the smallest id reachable from it, including
+    long chains (transitivity beyond pairwise) and isolated pairs."""
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        connected_components,
+    )
+
+    def union_find_clusters(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return {v: find(v) for v in parent}
+
+    rng = random.Random(17)
+    for trial in range(3):
+        edges = set()
+        # random sparse graph + a deliberate long chain (worst case for
+        # min-label propagation) + an isolated pair
+        for _ in range(25):
+            a, b = rng.randrange(40), rng.randrange(40)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        edges |= {(100 + i, 101 + i) for i in range(12)}  # chain 100..112
+        edges.add((900, 901))
+        df = spark.createDataFrame(
+            sorted(edges), "id_a long, id_b long"
+        )
+        got = {
+            r.doc_id: r.cluster_id for r in connected_components(df).collect()
+        }
+        want = union_find_clusters(edges)
+        assert got == want, (trial, sorted(edges))
