@@ -1429,3 +1429,42 @@ def test_bpe_segment_corpus_counts(spark):
     assert 3 not in got  # empty doc absent
     # compression: merges shrink token counts below character counts
     assert got[1][1] < sum(len(w) + 1 for w in texts[1].split(" "))
+
+
+def test_pack_sequences_matches_independent_reference(spark):
+    """Concat-then-chop packing vs an independent sequential accumulator:
+    per-group id-ordered concatenation, bin index / offset of each doc's
+    first token, and bins spanned — including docs longer than a bin."""
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.text import pack_sequences
+
+    rng = random.Random(23)
+    rows = []
+    for g in ("s1", "s2"):
+        for d in range(10):
+            n = rng.randint(1, 40)
+            rows.append((g.__hash__() % 1000 * 100 + d, g,
+                         " ".join(f"t{j}" for j in range(n))))
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    seq_len = 16
+    expected = {}
+    for g in ("s1", "s2"):
+        cum = 0
+        for doc_id, grp, text in sorted(r for r in rows if r[1] == g):
+            n = len(text.split(" "))
+            start, end = cum, cum + n - 1
+            expected[doc_id] = (
+                grp,
+                n,
+                start // seq_len,
+                start % seq_len,
+                end // seq_len - start // seq_len + 1,
+            )
+            cum += n
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.pack_bin, r.bin_offset, r.n_bins_spanned)
+        for r in pack_sequences(df, seq_len=seq_len).collect()
+    }
+    assert got == expected
