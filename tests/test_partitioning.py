@@ -160,3 +160,35 @@ def test_timestamp_ntz_buckets_like_timestamp(spark):
     assert dict(df.dtypes)["ts"] == "timestamp_ntz"
     b = _buckets(df, unit="hour")
     assert b == [EPOCH0 // 3600, EPOCH0 // 3600 + 1]
+
+
+def test_z_interleave_matches_independent_reference(spark):
+    """Morton key vs an independent bit-by-bit interleave on random
+    coordinates — the storage-clustering key must place a's bits in even
+    positions and b's in odd ones exactly."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from embulk_executor_mapreduce_spark.operators.partitioning import (
+        z_interleave,
+    )
+
+    def ref_morton(a, b, bits):
+        v = 0
+        for i in range(bits):
+            v |= ((a >> i) & 1) << (2 * i)
+            v |= ((b >> i) & 1) << (2 * i + 1)
+        return v
+
+    rng = random.Random(31)
+    rows = [(i, rng.randrange(1 << 10), rng.randrange(1 << 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, a long, b long")
+    got = {
+        r.id: r.z
+        for r in df.select(
+            "id", z_interleave(F.col("a"), F.col("b"), bits=10).alias("z")
+        ).collect()
+    }
+    for i, a, b in rows:
+        assert got[i] == ref_morton(a, b, 10), (i, a, b)
