@@ -1468,3 +1468,44 @@ def test_pack_sequences_matches_independent_reference(spark):
         for r in pack_sequences(df, seq_len=seq_len).collect()
     }
     assert got == expected
+
+
+def test_sessionize_matches_independent_reference(spark):
+    """Gap-based sessionization vs an independent sequential pass:
+    session_seq increments exactly when the gap from the previous event of
+    the same key exceeds the threshold, with (ts, event_id) tie order —
+    including events exactly AT the gap boundary (not a new session)."""
+    import datetime as dt
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.relational import sessionize
+
+    rng = random.Random(41)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(4):
+        t = 0
+        for _ in range(12):
+            # gaps around the 1800s boundary, incl. exactly 1800
+            t += rng.choice([10, 600, 1800, 1801, 4000])
+            rows.append((eid, u, base + dt.timedelta(seconds=t)))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+
+    def ref(rows, gap=1800):
+        out = {}
+        by_user = {}
+        for e, u, ts in sorted(rows, key=lambda r: (r[1], r[2], r[0])):
+            by_user.setdefault(u, []).append((e, ts))
+        for u, evs in by_user.items():
+            seq, prev = 0, None
+            for e, ts in evs:
+                if prev is None or (ts - prev).total_seconds() > gap:
+                    seq += 1
+                out[e] = seq
+                prev = ts
+        return out
+
+    got = {r.event_id: r.session_seq for r in sessionize(df).collect()}
+    assert got == ref(rows)
