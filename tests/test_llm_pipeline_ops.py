@@ -1509,3 +1509,50 @@ def test_sessionize_matches_independent_reference(spark):
 
     got = {r.event_id: r.session_seq for r in sessionize(df).collect()}
     assert got == ref(rows)
+
+
+def test_funnel_matches_independent_reference(spark):
+    """Funnel conversion vs a pure-Python (pyarrow) pass over the real
+    sf0.001 events table — first signup per user, first purchase at/after
+    it, per-day rollup with integer-second latency. Independent of BOTH
+    engines (no SQL at all)."""
+    import collections
+    import datetime as dt
+
+    import pyarrow.parquet as pq
+
+    from embulk_executor_mapreduce_spark import catalog
+
+    tbl = pq.read_table("/root/testdata/sf0.001/events.parquet").to_pylist()
+
+    def to_dt(v):
+        if isinstance(v, int):  # nanos-long testdata encoding
+            return dt.datetime.utcfromtimestamp(v / 1e9)
+        if v.tzinfo is not None:
+            return v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v
+
+    signups, purchases = {}, collections.defaultdict(list)
+    for r in tbl:
+        ts = to_dt(r["ts"])
+        if r["event_type"] == "signup":
+            u = r["user_id"]
+            if u not in signups or ts < signups[u]:
+                signups[u] = ts
+        elif r["event_type"] == "purchase":
+            purchases[r["user_id"]].append(ts)
+    expected = collections.defaultdict(lambda: [0, 0, 0])
+    for u, sts in signups.items():
+        day = sts.date()
+        expected[day][0] += 1
+        after = [p for p in purchases.get(u, ()) if p >= sts]
+        if after:
+            expected[day][1] += 1
+            expected[day][2] += int((min(after) - sts).total_seconds())
+    got = {
+        r.signup_day: (r.n_signups, r.n_converted, r.total_latency_sec)
+        for r in catalog.REGISTRY["funnel_signup_purchase"]
+        .fn(spark, "/root/testdata/sf0.001")
+        .collect()
+    }
+    assert got == {d: tuple(v) for d, v in expected.items()}
