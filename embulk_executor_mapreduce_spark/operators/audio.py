@@ -1,0 +1,173 @@
+"""Audio analysis operators over decoded PCM (training-data pipeline).
+
+The reference engine has no multimodal surface at all (its six scalar types
+stop at string/json — SURVEY §1.3); this module is north-star extension
+work: the feature/filter pass an audio training-data pipeline runs after
+``multimodal.decode_audio_stdlib`` proves the payloads decode. Analysis
+features (zero-crossing rate, energy, peak, silence ratio) are the standard
+first-stage audio quality filters (silence/clipping screens before ASR or
+audio-LM training); the resampling primitives are the rate-normalization
+step before batching.
+
+Spark-first design: Arrow-batched ``mapInPandas`` with the same quarantine
+contract as the image decoders (corrupt payload → NULL features, never a
+task failure); all feature math is **exact integer arithmetic in int16
+sample units** (sum of squares, strict sign-change counting, integer
+thresholds), so encoder-derived payloads carry full value-hash SQL oracles
+at the driver — the catalog query ``audio_features_wav`` pins the whole
+decode→analyze pipeline bit-exactly. At 100 TB the op is embarrassingly
+parallel (map-only over payload partitions, no shuffle); feature columns
+prune to nothing upstream because the batch loop reads only (id, payload).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from .multimodal import _wav_samples
+
+FEATURES_SCHEMA = (
+    "doc_id long, n_bytes int, content_hash string, sample_rate int, "
+    "n_samples int, zero_crossings int, sum_sq long, peak int, silence_cnt int"
+)
+
+
+def _pcm_int16(samples) -> list[int]:
+    """Recover exact int16 units from the decoder's [-1, 1] floats (the
+    decoder divides by 32768, a power of two, so the float is exact and the
+    round-trip is lossless for mono 16-bit PCM)."""
+    return [round(s * 32768) for s in samples]
+
+
+def pcm_features(v: list[int], silence_threshold: int = 1024) -> tuple:
+    """Exact integer features over int16 samples: strict sign-change count
+    (v[i]·v[i+1] < 0 — zero samples break runs, matching the textbook ZCR
+    definition), energy as the exact sum of squares, peak magnitude, and
+    the count of samples below the silence threshold."""
+    zc = sum(1 for a, b in zip(v, v[1:]) if a * b < 0)
+    sum_sq = sum(x * x for x in v)
+    peak = max((abs(x) for x in v), default=0)
+    silence = sum(1 for x in v if abs(x) < silence_threshold)
+    return zc, sum_sq, peak, silence
+
+
+def decimate(v: list[int], factor: int) -> list[int]:
+    """Strided decimation (every ``factor``-th sample, no anti-alias
+    filter) — the cheapest integer-exact downsampler."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+    return v[::factor]
+
+
+def resample_linear(v: list[int], out_n: int) -> list[float]:
+    """Linear-interpolation resample to ``out_n`` samples over the same
+    time span, evaluated at exact rational positions j·(n−1)/(out_n−1).
+    Deterministic: interpolation arithmetic is integer until the final
+    single division, so equal inputs give bit-equal outputs everywhere."""
+    n = len(v)
+    if out_n < 1:
+        raise ValueError("out_n must be >= 1")
+    if n == 0:
+        return []
+    if n == 1 or out_n == 1:
+        return [float(v[0])] * out_n
+    out = []
+    d = out_n - 1
+    for j in range(out_n):
+        num = j * (n - 1)
+        k, rem = divmod(num, d)
+        if rem == 0:
+            out.append(float(v[k]))
+        else:
+            # v[k] + (v[k+1]-v[k]) * rem/d, exact numerator then one divide
+            out.append((v[k] * (d - rem) + v[k + 1] * rem) / d)
+    return out
+
+
+def audio_features(
+    df: DataFrame, id_col: str = "doc_id", silence_threshold: int = 1024
+) -> DataFrame:
+    """Decode WAV payloads and compute the exact-integer analysis features
+    in one Arrow-batched pass: ``(sample_rate, n_samples, zero_crossings,
+    sum_sq, peak, silence_cnt)``. Quarantine: undecodable payloads keep
+    their (n_bytes, content_hash) forensics with NULL features."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, hashes = [], []
+            rates, counts = [], []
+            zcs, energies, peaks, silences = [], [], [], []
+            for payload in pdf["payload"]:
+                data = bytes(payload)
+                n_bytes.append(len(data))
+                hashes.append(hashlib.md5(data).hexdigest())
+                decoded = _wav_samples(data)
+                if decoded is None:
+                    for col in (rates, counts, zcs, energies, peaks, silences):
+                        col.append(None)
+                    continue
+                rate, _nch, samples = decoded
+                v = _pcm_int16(samples)
+                zc, sum_sq, peak, silence = pcm_features(v, silence_threshold)
+                rates.append(rate)
+                counts.append(len(v))
+                zcs.append(zc)
+                energies.append(sum_sq)
+                peaks.append(peak)
+                silences.append(silence)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_bytes": pd.array(n_bytes, dtype="int32"),
+                    "content_hash": hashes,
+                    "sample_rate": pd.array(rates, dtype="Int32"),
+                    "n_samples": pd.array(counts, dtype="Int32"),
+                    "zero_crossings": pd.array(zcs, dtype="Int32"),
+                    "sum_sq": pd.array(energies, dtype="Int64"),
+                    "peak": pd.array(peaks, dtype="Int32"),
+                    "silence_cnt": pd.array(silences, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+
+
+def audio_resample(
+    df: DataFrame, out_n: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Rate-normalization pass: decode, linear-resample every clip to
+    ``out_n`` samples, and report the resampled peak + sum of |rounded|
+    values (integer-exact after rounding, so unit tests can pin values).
+    Same batch shape and quarantine semantics as :func:`audio_features`."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts, peaks, abs_sums = [], [], []
+            for payload in pdf["payload"]:
+                decoded = _wav_samples(bytes(payload))
+                if decoded is None:
+                    counts.append(None)
+                    peaks.append(None)
+                    abs_sums.append(None)
+                    continue
+                _rate, _nch, samples = decoded
+                r = [round(x) for x in resample_linear(_pcm_int16(samples), out_n)]
+                counts.append(len(r))
+                peaks.append(max((abs(x) for x in r), default=0))
+                abs_sums.append(sum(abs(x) for x in r))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "out_samples": pd.array(counts, dtype="Int32"),
+                    "peak": pd.array(peaks, dtype="Int32"),
+                    "abs_sum": pd.array(abs_sums, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="doc_id long, out_samples int, peak int, abs_sum long"
+    )

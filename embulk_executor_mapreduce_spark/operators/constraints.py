@@ -1,0 +1,166 @@
+"""Declarative data-quality constraint suite (Deequ-style verification pass).
+
+The reference engine's only data-quality surface is the CSV parser's
+``stop_on_invalid_record`` switch (reference
+``embulk-executor-mapreduce/src/main/java/org/embulk/executor/mapreduce/
+CsvParserPlugin`` usage via the bulk-load spec) — row-level parse policing,
+nothing about the *content* of loaded data. A 100 TB training-data pipeline
+needs the next layer: assert completeness / uniqueness / domains / ranges /
+referential integrity over whole tables and get a machine-readable report,
+the architecture published as AWS Deequ ("Automating Large-Scale Data
+Quality Verification", Schelter et al., VLDB 2018) and popularized by Great
+Expectations.
+
+Spark-first design:
+
+* Every per-table check family compiles into **one aggregate pass** over
+  that table — each constraint is a ``sum(when(violation, 1))`` column in a
+  single ``agg``, so partial aggregation is map-side combinable and the
+  whole family costs one scan + a single-row reduce no matter how many
+  constraints it contains. ``unique`` adds a ``count(distinct)`` to the
+  same pass (Catalyst plans it via expand; still one scan).
+* Referential (foreign-key-subset) checks are one **left-anti join** each,
+  shuffling on the key — broadcastable when the parent side is a dim table.
+* The report itself is assembled in-plan (explode over a literal struct
+  array on the 1-row aggregate), so there is no driver-side loop over data:
+  result size is O(#constraints), never O(rows).
+
+At 100 TB: N constraints on one fact table still read the table exactly
+once; the only data-sized shuffles are the FK anti-joins, which reuse the
+same key partitioning a downstream join would need anyway.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# constraint kinds and their violation predicates (NULL child keys are not
+# FK violations, mirroring SQL FK semantics; domain/format checks skip NULLs
+# so completeness is asserted separately and explicitly via not_null)
+_KINDS = (
+    "not_null",
+    "unique",
+    "in_set",
+    "matches",
+    "bounds",
+    "expr_holds",
+    "size_min",
+    "fk_subset",
+)
+
+
+@dataclass(frozen=True)
+class Check:
+    """One declarative constraint.
+
+    ``metric`` in the report is the observed violation count (``size_min``:
+    the row count); ``passed`` is ``metric <= tol`` (``size_min``:
+    ``metric >= params[0]``). ``tol`` admits Deequ-style tolerant checks
+    ("at most K bad rows") without a second metric column.
+    """
+
+    cid: str  # stable report id
+    table: str
+    kind: str
+    column: str | None = None
+    params: tuple = ()
+    tol: int = 0
+
+    def __post_init__(self) -> None:
+        if self.kind not in _KINDS:
+            raise ValueError(f"unknown constraint kind {self.kind!r}; known: {_KINDS}")
+
+
+def _violation_metric(c: Check) -> F.Column:
+    """The aggregate column counting this check's violations (one term of
+    the single per-table agg pass)."""
+    col = F.col(c.column) if c.column else None
+    if c.kind == "not_null":
+        bad = col.isNull()
+    elif c.kind == "unique":
+        # non-null duplicates: count(col) - count(distinct col)
+        return (F.count(col) - F.count_distinct(col)).cast("long")
+    elif c.kind == "in_set":
+        bad = col.isNotNull() & ~col.isin(list(c.params))
+    elif c.kind == "matches":
+        bad = col.isNotNull() & ~col.rlike(c.params[0])
+    elif c.kind == "bounds":
+        lo, hi = c.params
+        bad = col.isNull() | (col < F.lit(lo)) | (col > F.lit(hi))
+    elif c.kind == "expr_holds":
+        bad = ~F.coalesce(F.expr(c.params[0]), F.lit(False))
+    elif c.kind == "size_min":
+        return F.count(F.lit(1)).cast("long")
+    else:  # pragma: no cover - fk handled by constraint_report
+        raise ValueError(f"{c.kind} is not an aggregate-pass kind")
+    return F.sum(F.when(bad, F.lit(1)).otherwise(F.lit(0))).cast("long")
+
+
+def _passed(c: Check, metric: F.Column) -> F.Column:
+    if c.kind == "size_min":
+        return metric >= F.lit(int(c.params[0]))
+    return metric <= F.lit(int(c.tol))
+
+
+def _report_rows(checks: Sequence[Check], one_row: DataFrame) -> DataFrame:
+    """Explode the 1-row aggregate (one metric column per check) into tidy
+    report rows — all in-plan, no driver collect."""
+    structs = [
+        F.struct(
+            F.lit(c.cid).alias("constraint_id"),
+            F.lit(c.table).alias("tbl"),
+            F.lit(c.column or "").alias("col"),
+            F.lit(c.kind).alias("kind"),
+            F.col(c.cid).alias("metric"),
+            _passed(c, F.col(c.cid)).alias("passed"),
+        )
+        for c in checks
+    ]
+    return one_row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+
+
+def constraint_report(
+    tables: dict[str, DataFrame], checks: Sequence[Check]
+) -> DataFrame:
+    """Evaluate ``checks`` against ``tables`` and return the tidy report
+    ``(constraint_id, tbl, col, kind, metric, passed)``.
+
+    One aggregate pass per distinct table (all that table's non-FK checks
+    fused into a single ``agg``), plus one left-anti join per ``fk_subset``
+    check. Output has exactly ``len(checks)`` rows.
+    """
+    ids = [c.cid for c in checks]
+    if len(set(ids)) != len(ids):
+        raise ValueError("constraint ids must be unique")
+    frames: list[DataFrame] = []
+    agg_checks: dict[str, list[Check]] = {}
+    for c in checks:
+        if c.kind == "fk_subset":
+            parent_table, parent_col = c.params
+            child = tables[c.table].alias("c")
+            parent = tables[parent_table].alias("p")
+            viol = (
+                child.where(F.col(f"c.{c.column}").isNotNull())
+                .join(
+                    parent,
+                    F.col(f"c.{c.column}") == F.col(f"p.{parent_col}"),
+                    "left_anti",
+                )
+                .agg(F.count(F.lit(1)).cast("long").alias(c.cid))
+            )
+            frames.append(_report_rows([c], viol))
+        else:
+            agg_checks.setdefault(c.table, []).append(c)
+    for table, tchecks in agg_checks.items():
+        one_row = tables[table].agg(
+            *[_violation_metric(c).alias(c.cid) for c in tchecks]
+        )
+        frames.append(_report_rows(tchecks, one_row))
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out

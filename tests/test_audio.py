@@ -1,0 +1,107 @@
+"""Audio analysis operators (operators/audio.py): exact-integer feature
+math, resampling primitives, DataFrame batch shape + quarantine, and an
+INDEPENDENT decode reference (stdlib ``wave``) so the feature pipeline is
+not self-referee'd against the repo's own RIFF parser."""
+
+from __future__ import annotations
+
+import io
+import wave
+
+import pytest
+
+from embulk_executor_mapreduce_spark.operators.audio import (
+    _pcm_int16,
+    audio_features,
+    audio_resample,
+    decimate,
+    pcm_features,
+    resample_linear,
+)
+from embulk_executor_mapreduce_spark.operators.multimodal import (
+    _wav_samples,
+    encode_wav_pcm16,
+)
+
+
+def test_pcm_features_hand_computed():
+    v = [0, 100, -100, 100, 0, 5000]
+    zc, sum_sq, peak, silence = pcm_features(v)
+    assert zc == 2  # only the strict sign flips; zeros break runs
+    assert sum_sq == 100**2 * 3 + 5000**2
+    assert peak == 5000
+    assert silence == 5  # |x| < 1024 for all but the 5000
+
+
+def test_pcm_features_empty_and_threshold():
+    assert pcm_features([]) == (0, 0, 0, 0)
+    assert pcm_features([10, -10], silence_threshold=5) == (1, 200, 10, 0)
+
+
+def test_decimate():
+    assert decimate([1, 2, 3, 4, 5], 2) == [1, 3, 5]
+    assert decimate([1, 2, 3], 1) == [1, 2, 3]
+    with pytest.raises(ValueError):
+        decimate([1], 0)
+
+
+def test_resample_linear_exact_positions():
+    # 4 -> 7 samples: positions j/2 over [0,3] hit every half-step exactly
+    assert resample_linear([0, 10, 20, 30], 7) == [0, 5, 10, 15, 20, 25, 30]
+    # identity when out_n == n
+    assert resample_linear([3, 1, 4], 3) == [3.0, 1.0, 4.0]
+    # degenerate shapes
+    assert resample_linear([7], 5) == [7.0] * 5
+    assert resample_linear([5, 9], 1) == [5.0]
+    assert resample_linear([], 3) == []
+    with pytest.raises(ValueError):
+        resample_linear([1, 2], 0)
+
+
+def test_stdlib_wave_independent_decode_reference():
+    """encode_wav_pcm16 → repo RIFF decoder must agree bit-for-bit with
+    Python's stdlib ``wave`` module on the recovered int16 samples."""
+    ints = [0, 1, -1, 32767, -32768, 12345, -12345, 128]
+    payload = encode_wav_pcm16(ints, sample_rate=8000)
+    rate, nch, samples = _wav_samples(payload)
+    assert (rate, nch) == (8000, 1)
+    assert _pcm_int16(samples) == ints
+    with wave.open(io.BytesIO(payload)) as w:
+        assert w.getframerate() == 8000
+        assert w.getnchannels() == 1
+        assert w.getsampwidth() == 2
+        raw = w.readframes(w.getnframes())
+    ref = [
+        int.from_bytes(raw[i : i + 2], "little", signed=True)
+        for i in range(0, len(raw), 2)
+    ]
+    assert ref == _pcm_int16(samples)
+
+
+def test_audio_features_df_and_quarantine(spark):
+    good = encode_wav_pcm16([1000, -1000, 0, 500], sample_rate=4000)
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(b"not a wav"))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in audio_features(df).collect()}
+    g = rows[1]
+    assert (g.sample_rate, g.n_samples) == (4000, 4)
+    # all four samples sit below the 1024 default silence threshold
+    assert (g.zero_crossings, g.sum_sq, g.peak, g.silence_cnt) == (
+        1,
+        1000**2 * 2 + 500**2,
+        1000,
+        4,
+    )
+    bad = rows[2]
+    assert bad.n_bytes == 9 and bad.content_hash is not None
+    assert bad.sample_rate is None and bad.sum_sq is None
+
+
+def test_audio_resample_df(spark):
+    # ramp 0..30 step 10 resampled to 7 → [0,5,10,15,20,25,30]
+    payload = encode_wav_pcm16([0, 10, 20, 30])
+    df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
+    r = audio_resample(df, 7).collect()[0]
+    assert (r.out_samples, r.peak, r.abs_sum) == (7, 30, 0 + 5 + 10 + 15 + 20 + 25 + 30)
