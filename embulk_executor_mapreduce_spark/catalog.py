@@ -4750,6 +4750,88 @@ def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "merge_table_changes",
+    oracle="""
+    WITH b1 AS (
+      SELECT o_custkey AS k, o_orderdate AS v, o_totalprice AS p,
+             o_orderkey AS ok
+      FROM orders WHERE o_orderkey % 3 = 0
+    ), b2 AS (
+      SELECT o_custkey AS k, o_orderdate AS v, o_totalprice AS p,
+             o_orderkey AS ok
+      FROM orders WHERE o_orderkey % 3 = 1
+    ), s1 AS (
+      SELECT k, v, p, ok FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY k ORDER BY v DESC, p DESC, ok DESC) AS rn
+        FROM b1
+      ) WHERE rn = 1
+    ), u AS (
+      SELECT k, v, p, ok, 0 AS gen FROM s1
+      UNION ALL
+      SELECT k, v, p, ok, 1 AS gen FROM b2
+    ), s2 AS (
+      SELECT k, v, p, ok FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY k ORDER BY v DESC, gen DESC, p DESC, ok DESC) AS rn
+        FROM u
+      ) WHERE rn = 1
+    ), upd AS (
+      SELECT s1.k AS k, s1.v AS v1, s1.p AS p1, s1.ok AS ok1,
+             s2.v AS v2, s2.p AS p2, s2.ok AS ok2
+      FROM s1 JOIN s2 ON s1.k = s2.k
+      WHERE s1.v IS DISTINCT FROM s2.v OR s1.p IS DISTINCT FROM s2.p
+         OR s1.ok IS DISTINCT FROM s2.ok
+    )
+    SELECT s2.k, s2.v, s2.p, s2.ok, 'insert' AS _change_type
+    FROM s2 LEFT JOIN s1 ON s2.k = s1.k WHERE s1.k IS NULL
+    UNION ALL
+    SELECT k, v1, p1, ok1, 'update_preimage' FROM upd
+    UNION ALL
+    SELECT k, v2, p2, ok2, 'update_postimage' FROM upd
+    """,
+    tags=("etl", "sink", "merge", "cdc"),
+)
+def q_merge_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC change feed over the merge sink (Delta-CDF shape): the same two
+    deterministic order-slices as ``merge_upsert_state`` are upserted as
+    versions v0 and v1, then ``table_changes(v0 → v1)`` reads ONLY the
+    buckets whose manifest directories differ and emits
+    insert / update_preimage / update_postimage rows from one full-outer
+    join. The oracle replays both snapshots and diffs them logically, so
+    the hash pins bucket pruning + join classification end to end (a
+    pruning bug that dropped a changed bucket, or a classifier that
+    mislabeled an update, flips the hash)."""
+    import tempfile
+
+    from .sinks.changes import table_changes
+    from .sinks.writer import write_sink
+    from .spec import SinkSpec
+
+    o = load(spark, sf_dir, "orders")
+
+    def batch(rem: int) -> DataFrame:
+        return o.filter(F.col("o_orderkey") % 3 == rem).select(
+            F.col("o_custkey").alias("k"),
+            F.col("o_orderdate").alias("v"),
+            F.col("o_totalprice").alias("p"),
+            F.col("o_orderkey").alias("ok"),
+        )
+
+    path = tempfile.mkdtemp(prefix="q_merge_changes_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("v",),
+    )
+    write_sink(batch(0), sink)
+    write_sink(batch(1), sink)
+    return table_changes(spark, path, ["k"], from_version=0, to_version=1)
+
+
 # Registration-order priority: the round driver snapshots only the FIRST 50
 # registered queries. Round-6 rotation: 43 queries carry a CHANGED body
 # hash this round (scripts/window_check.py module-granularity gate) — the

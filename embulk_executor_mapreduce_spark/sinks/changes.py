@@ -1,0 +1,139 @@
+"""CDC-style change feed between committed merge-sink versions.
+
+The merge sink (``sinks/writer.py``, reference O10 extended: SCD1 upsert
+with pointer-committed immutable version trees) already gives time travel —
+``read_merge_state(version=N)`` — because every retained manifest is a
+complete bucket map. This module adds the warehouse feature built on top of
+that contract in public systems (Delta Lake's Change Data Feed, Iceberg's
+changelog scan): ``table_changes(from_version, to_version)`` emits the rows
+that differ between two committed snapshots, tagged
+``insert`` / ``delete`` / ``update_preimage`` / ``update_postimage``
+(Delta CDF naming).
+
+Spark-first, scale-first design:
+
+* **Changed-bucket pruning.** A committed manifest reuses the previous
+  version's directory for every untouched bucket, so two manifests diff in
+  O(buckets) driver-side and only buckets whose directories CHANGED are
+  read on either side. An increment that touched 3 of 4096 buckets reads 6
+  bucket dirs total, not two full snapshots — the file-listing analog of
+  partition pruning, and the property that makes a per-increment CDC feed
+  viable on a 100 TB state.
+* **One join.** The diff itself is a single full-outer join on the merge
+  keys (both sides are bucket-subset reads sharing the sink's
+  ``pmod(xxhash64(key), merge_buckets)`` layout) followed by an in-plan
+  explode over literal structs — no driver-side row handling, output size
+  O(changed rows).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .writer import (
+    MERGE_BUCKET_COL,
+    _load_manifest,
+    _local,
+    _manifest_path,
+    _pointer_version,
+)
+
+CHANGE_TYPE_COL = "_change_type"
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+    """Row-level diff of two key-unique snapshots: full-outer join on
+    ``keys``, then per-row change classification. Rows identical on every
+    column produce nothing; a changed row produces BOTH its
+    ``update_preimage`` and ``update_postimage``. Output schema = snapshot
+    schema + ``_change_type`` string."""
+    cols = new.columns
+    if old.columns != cols:
+        raise ValueError(
+            f"snapshot schemas differ: old={old.columns} new={cols} "
+            "(the merge sink does not evolve schemas between versions)"
+        )
+    value_cols = [c for c in cols if c not in keys]
+    o, n = old.alias("o"), new.alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    joined = o.join(n, cond, "full_outer")
+
+    def side(tag: str, prefix: str) -> F.Column:
+        return F.struct(
+            *[F.col(f"{prefix}.{c}").alias(c) for c in cols],
+            F.lit(tag).alias(CHANGE_TYPE_COL),
+        )
+
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    differs = F.lit(False)
+    for c in value_cols:
+        differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    # the no-change branch needs an empty array of the same struct type;
+    # slicing a one-element literal array to length 0 keeps it in-plan
+    changes = (
+        F.when(~in_old, F.array(side("insert", "n")))
+        .when(~in_new, F.array(side("delete", "o")))
+        .when(
+            differs,
+            F.array(side("update_preimage", "o"), side("update_postimage", "n")),
+        )
+        .otherwise(F.slice(F.array(side("insert", "n")), 1, 0))
+    )
+    return joined.select(F.explode(changes).alias("r")).select("r.*")
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Change feed of a merge-sink state between two committed versions
+    (both must still be retained — raise with the ``merge_keep_versions``
+    hint otherwise, like ``read_merge_state``). ``keys`` are the sink's
+    ``merge_key`` columns. Bucket membership is a pure function of the
+    merge key, so rows for one key never straddle buckets and the manifest
+    directory diff is a safe superset of the changed keys — unchanged
+    buckets are never listed, let alone read."""
+    local = _local(path)
+    current = _pointer_version(local)
+    if current is None:
+        raise FileNotFoundError(
+            f"{path} is a pre-pointer (legacy) state: no versions to diff"
+        )
+    to_v = current if to_version is None else to_version
+    if from_version > to_v:
+        raise ValueError(f"from_version {from_version} > to_version {to_v}")
+    for v in (from_version, to_v):
+        if not os.path.exists(_manifest_path(local, v)):
+            raise FileNotFoundError(
+                f"merge state {path} has no version {v} (current={current}; "
+                "older snapshots are GC'd per the sink's merge_keep_versions "
+                "retention)"
+            )
+    man_from = _load_manifest(local, from_version)
+    man_to = _load_manifest(local, to_v)
+    bf, bt = man_from["buckets"], man_to["buckets"]
+    changed = sorted(
+        b for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)
+    )
+    old_dirs = [os.path.join(local, bf[b]) for b in changed if b in bf]
+    new_dirs = [os.path.join(local, bt[b]) for b in changed if b in bt]
+
+    def read(dirs: list[str]) -> DataFrame:
+        if not dirs:
+            # empty side: schema from any committed bucket of the other
+            # version, minus rows (limit 0 is planned away, no data read)
+            any_dirs = [os.path.join(local, rel) for rel in (bt or bf).values()]
+            return spark.read.format(fmt).load(any_dirs).limit(0)
+        return spark.read.format(fmt).load(dirs)
+
+    old = read(old_dirs).drop(MERGE_BUCKET_COL)
+    new = read(new_dirs).drop(MERGE_BUCKET_COL)
+    return snapshot_diff(old, new, list(keys))

@@ -1,0 +1,120 @@
+"""CDC change feed over the merge sink (sinks/changes.py): snapshot-diff
+classification (incl. deletes and NULL transitions the catalog query can't
+exercise — the merge sink never deletes), changed-bucket pruning proven via
+the files the diff actually reads, and the retention/legacy error paths."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from embulk_executor_mapreduce_spark.sinks.changes import (
+    snapshot_diff,
+    table_changes,
+)
+from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+
+def _rows(df):
+    return sorted(
+        (tuple(r[c] for c in sorted(df.columns))) for r in df.collect()
+    )
+
+
+def test_snapshot_diff_classification(spark):
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k bigint, s string, x bigint",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged, 2 updated, 3 deleted, 4 NULL→value update, 5 inserted
+        [(1, "a", 10), (2, "B", 20), (4, "now", 40), (5, "e", 50)],
+        "k bigint, s string, x bigint",
+    )
+    got = {
+        (r.k, r._change_type): (r.s, r.x)
+        for r in snapshot_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        (2, "update_preimage"): ("b", 20),
+        (2, "update_postimage"): ("B", 20),
+        (3, "delete"): ("c", 30),
+        (4, "update_preimage"): (None, 40),
+        (4, "update_postimage"): ("now", 40),
+        (5, "insert"): ("e", 50),
+    }
+
+
+def test_snapshot_diff_value_to_null_is_update(spark):
+    old = spark.createDataFrame([(1, "x")], "k bigint, s string")
+    new = spark.createDataFrame([(1, None)], "k bigint, s string")
+    types = sorted(r._change_type for r in snapshot_diff(old, new, ["k"]).collect())
+    assert types == ["update_postimage", "update_preimage"]
+
+
+def test_snapshot_diff_identical_is_empty(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
+    assert snapshot_diff(df, df, ["k"]).count() == 0
+
+
+def test_snapshot_diff_schema_mismatch_raises(spark):
+    a = spark.createDataFrame([(1, "a")], "k bigint, s string")
+    b = spark.createDataFrame([(1,)], "k bigint")
+    with pytest.raises(ValueError, match="schemas differ"):
+        snapshot_diff(a, b, ["k"])
+
+
+@pytest.fixture()
+def state(spark):
+    path = tempfile.mkdtemp(prefix="tc_state_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=8,
+    )
+    base = spark.createDataFrame(
+        [(k, 1, f"v{k}") for k in range(16)], "k bigint, o int, s string"
+    )
+    write_sink(base, sink)  # v0: all 8 buckets
+    inc = spark.createDataFrame([(3, 2, "CHANGED")], "k bigint, o int, s string")
+    write_sink(inc, sink)  # v1: exactly one bucket rewritten
+    return path
+
+
+def test_table_changes_end_to_end_and_bucket_pruning(spark, state):
+    diff = table_changes(spark, state, ["k"], from_version=0, to_version=1)
+    rows = {(r.k, r._change_type): (r.o, r.s) for r in diff.collect()}
+    assert rows == {
+        (3, "update_preimage"): (1, "v3"),
+        (3, "update_postimage"): (2, "CHANGED"),
+    }
+    # pruning proof: the diff's scan lists files from exactly 2 bucket dirs
+    # (the changed bucket in v0 and in v1), not the 16 dirs of 2 snapshots
+    dirs = {f.rsplit("/", 1)[0] for f in diff.inputFiles()}
+    assert len(dirs) == 2, dirs
+    assert all("__mbd=" in d for d in dirs)
+    # one dir from each version tree
+    assert {d.split("_trees/")[1].split("/")[0] for d in dirs} == {"v0", "v1"}
+
+
+def test_table_changes_default_to_version_is_current(spark, state):
+    diff = table_changes(spark, state, ["k"], from_version=0)
+    assert diff.count() == 2
+
+
+def test_table_changes_same_version_is_empty(spark, state):
+    assert table_changes(spark, state, ["k"], 1, 1).count() == 0
+
+
+def test_table_changes_error_paths(spark, state):
+    with pytest.raises(ValueError, match="from_version"):
+        table_changes(spark, state, ["k"], 1, 0)
+    with pytest.raises(FileNotFoundError, match="merge_keep_versions"):
+        table_changes(spark, state, ["k"], 0, 99)
+    with pytest.raises(FileNotFoundError, match="legacy"):
+        table_changes(spark, tempfile.mkdtemp(prefix="tc_nostate_"), ["k"], 0)
