@@ -57,7 +57,15 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
             "(the merge sink does not evolve schemas between versions)"
         )
     value_cols = [c for c in cols if c not in keys]
-    o, n = old.alias("o"), new.alias("n")
+    # Presence is tracked by marker columns, NOT key nullability: the join
+    # condition is eqNullSafe, so the merge sink's NULL-keyed rows match
+    # across snapshots like any other key — a key-IS-NULL presence test
+    # would misread them as absent (spurious inserts / lost deletes).
+    in_o_col, in_n_col = "__cdc_in_o", "__cdc_in_n"
+    if in_o_col in cols or in_n_col in cols:
+        raise ValueError(f"snapshot columns collide with {in_o_col}/{in_n_col}")
+    o = old.withColumn(in_o_col, F.lit(True)).alias("o")
+    n = new.withColumn(in_n_col, F.lit(True)).alias("n")
     cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
     joined = o.join(n, cond, "full_outer")
 
@@ -67,8 +75,8 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
             F.lit(tag).alias(CHANGE_TYPE_COL),
         )
 
-    in_old = F.col(f"o.{keys[0]}").isNotNull()
-    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    in_old = F.col(f"o.{in_o_col}").isNotNull()
+    in_new = F.col(f"n.{in_n_col}").isNotNull()
     differs = F.lit(False)
     for c in value_cols:
         differs = differs | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
@@ -128,10 +136,12 @@ def table_changes(
 
     def read(dirs: list[str]) -> DataFrame:
         if not dirs:
-            # empty side: schema from any committed bucket of the other
-            # version, minus rows (limit 0 is planned away, no data read)
-            any_dirs = [os.path.join(local, rel) for rel in (bt or bf).values()]
-            return spark.read.format(fmt).load(any_dirs).limit(0)
+            # empty side: schema from ONE committed bucket of the other
+            # version, minus rows (limit 0) — listing every bucket dir of a
+            # 4096-bucket state just to infer a schema would defeat the
+            # O(changed buckets) pruning story for first-version diffs
+            one = next(iter((bt or bf).values()))
+            return spark.read.format(fmt).load(os.path.join(local, one)).limit(0)
         return spark.read.format(fmt).load(dirs)
 
     old = read(old_dirs).drop(MERGE_BUCKET_COL)

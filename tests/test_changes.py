@@ -54,6 +54,52 @@ def test_snapshot_diff_value_to_null_is_update(spark):
     assert types == ["update_postimage", "update_preimage"]
 
 
+def test_snapshot_diff_null_keys(spark):
+    """NULL-keyed rows (which the merge sink accepts — groupBy/xxhash64
+    both handle NULL keys) must classify by PRESENCE markers, not key
+    nullability: identical NULL-keyed rows emit nothing, a NULL-keyed row
+    only in `old` is a delete, and a changed one is a pre/post pair."""
+    old = spark.createDataFrame(
+        [(None, "same", 1), (None, "gone", 2), (1, "a", 3)],
+        "k bigint, s string, x bigint",
+    )
+    new = spark.createDataFrame(
+        [(None, "same", 1), (1, "A", 3)], "k bigint, s string, x bigint"
+    )
+    # NULL keys under eqNullSafe join: the two old NULL rows each match the
+    # one new NULL row; (same,1)x(same,1) is identical → no emit, while
+    # (gone,2)x(same,1) differs → update pair. The (1,...) row updates too.
+    got = sorted(
+        (
+            (r.k, r._change_type, r.s, r.x)
+            for r in snapshot_diff(old, new, ["k"]).collect()
+        ),
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1]),
+    )
+    assert (None, "insert", "same", 1) not in got  # the r6 spurious insert
+    assert got == [
+        (None, "update_postimage", "same", 1),
+        (None, "update_preimage", "gone", 2),
+        (1, "update_postimage", "A", 3),
+        (1, "update_preimage", "a", 3),
+    ]
+
+
+def test_snapshot_diff_null_key_delete(spark):
+    old = spark.createDataFrame([(None, "only-old")], "k bigint, s string")
+    new = spark.createDataFrame([], "k bigint, s string")
+    rows = snapshot_diff(old, new, ["k"]).collect()
+    assert [(r.k, r._change_type, r.s) for r in rows] == [
+        (None, "delete", "only-old")
+    ]
+
+
+def test_snapshot_diff_marker_collision_raises(spark):
+    df = spark.createDataFrame([(1, True)], "k bigint, __cdc_in_o boolean")
+    with pytest.raises(ValueError, match="collide"):
+        snapshot_diff(df, df, ["k"])
+
+
 def test_snapshot_diff_identical_is_empty(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
     assert snapshot_diff(df, df, ["k"]).count() == 0
@@ -100,6 +146,47 @@ def test_table_changes_end_to_end_and_bucket_pruning(spark, state):
     assert all("__mbd=" in d for d in dirs)
     # one dir from each version tree
     assert {d.split("_trees/")[1].split("/")[0] for d in dirs} == {"v0", "v1"}
+
+
+def test_table_changes_one_sided_diff_probes_one_bucket(spark):
+    """An increment that only ADDS a bucket leaves old_dirs empty; the
+    empty side must take its schema from ONE bucket dir of the other
+    version, not list every committed bucket (the r6 `(bt or bf).values()`
+    probe defeated pruning for first-version/empty-side diffs)."""
+    from pyspark.sql import functions as F
+
+    # pick two keys landing in different buckets under the sink's layout
+    ks = (
+        spark.range(20)
+        .withColumn("b", F.pmod(F.xxhash64("id"), F.lit(2)))
+        .collect()
+    )
+    by_bucket = {}
+    for r in ks:
+        by_bucket.setdefault(r.b, r.id)
+    ka, kb = sorted(by_bucket.values())
+    path = tempfile.mkdtemp(prefix="tc_oneside_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=2,
+    )
+    write_sink(
+        spark.createDataFrame([(ka, 1, "a")], "k bigint, o int, s string"), sink
+    )
+    write_sink(
+        spark.createDataFrame([(kb, 1, "b")], "k bigint, o int, s string"), sink
+    )
+    diff = table_changes(spark, path, ["k"], from_version=0, to_version=1)
+    assert [(r.k, r._change_type, r.s) for r in diff.collect()] == [
+        (kb, "insert", "b")
+    ]
+    # scan surface: the added bucket in v1 plus at most one schema-probe dir
+    dirs = {f.rsplit("/", 1)[0] for f in diff.inputFiles()}
+    assert len(dirs) <= 2, dirs
 
 
 def test_table_changes_default_to_version_is_current(spark, state):
