@@ -4832,83 +4832,186 @@ def q_merge_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_changes(spark, path, ["k"], from_version=0, to_version=1)
 
 
+@register(
+    "url_canonical_dedup",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents),
+    c AS (SELECT g, min(doc_id) AS keep_doc_id, count(*) AS n_dups
+          FROM d GROUP BY g),
+    u AS (SELECT g, keep_doc_id, n_dups,
+        CASE WHEN g % 2 = 0 THEN 'http' ELSE 'https' END AS scheme,
+        'src' || (g % 5) || '.' ||
+          CASE g % 3 WHEN 0 THEN 'example.com'
+                     WHEN 1 THEN 'sample.co.uk'
+                     ELSE 'data.org' END AS host,
+        CASE g % 3 WHEN 0 THEN 'example.com'
+                   WHEN 1 THEN 'sample.co.uk'
+                   ELSE 'data.org' END AS registrable_domain,
+        CASE WHEN g % 7 = 0 THEN ':8080' ELSE '' END AS port,
+        CASE WHEN g % 6 = 5 THEN '/' ELSE '/p' || (g % 6) || '/x' END AS pth,
+        CASE WHEN g % 4 = 0 THEN 'a=2&id=' || g || '&z=1'
+             ELSE 'id=' || g END AS q
+      FROM c),
+    canon AS (SELECT registrable_domain, host,
+        scheme || '://' || host || port || pth || '?' || q AS canon_url,
+        keep_doc_id, n_dups FROM u),
+    r AS (SELECT *, row_number() OVER (
+            PARTITION BY registrable_domain
+            ORDER BY md5(keep_doc_id::VARCHAR), keep_doc_id) AS rn
+          FROM canon)
+    SELECT registrable_domain, host, canon_url, keep_doc_id,
+           n_dups::BIGINT AS n_dups, rn::INT AS domain_rank,
+           rn <= 5 AS kept
+    FROM r
+    """,
+    tags=("web", "dedup", "url"),
+)
+def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus URL pipeline front door: canonicalize → exact-dedup on
+    the canonical URL → deterministic per-registrable-domain cap. Each
+    document is assigned a deliberately MESSY surface URL (uppercase
+    scheme/host, redundant default ports, duplicate slashes, trailing
+    slashes, unsorted query params, utm_*/gclid/bare-fbclid tracking noise,
+    fragments) whose canonical form is a closed-form function of
+    ``doc_id % 100`` — so the oracle constructs the expected canonical URL
+    directly while the Spark side must actually parse and normalize every
+    surface variant (``operators/web.py``: pure regexp/array expressions,
+    whole-stage codegen, map-only). Dedup then keys on ``canon_url``
+    (md5-groupBy, lowest doc_id survives — `exact_dedup` composition) and
+    the per-domain cap is the `sample_k_per_group` hash-ordered window.
+    At 100 TB: one partial-aggregatable exchange on the canonical hash,
+    one on the (3-value) domain key for the cap window."""
+    from .operators.web import url_canonicalize
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 100).cast("long")
+    gs = g.cast("string")
+    scheme_l = F.when(g % 2 == 0, F.lit("http")).otherwise(F.lit("https"))
+    domain = (
+        F.when(g % 3 == 0, F.lit("example.com"))
+        .when(g % 3 == 1, F.lit("sample.co.uk"))
+        .otherwise(F.lit("data.org"))
+    )
+    host_l = F.concat(F.lit("src"), (g % 5).cast("string"), F.lit("."), domain)
+    v = (F.col("doc_id") % 4).cast("int")
+    scheme_s = F.when(v == 1, F.upper(scheme_l)).otherwise(scheme_l)
+    host_s = F.when(v == 2, F.upper(host_l)).otherwise(host_l)
+    port_s = (
+        F.when(g % 7 == 0, F.lit(":8080"))
+        .when(
+            v == 1,
+            F.when(scheme_l == "http", F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .otherwise(F.lit(""))
+    )
+    path_l = F.when(g % 6 == 5, F.lit("")).otherwise(
+        F.concat(F.lit("/p"), (g % 6).cast("string"), F.lit("/x"))
+    )
+    path_s = (
+        F.when(v == 1, F.regexp_replace(path_l, "/", "//"))
+        .when((v == 2) | (v == 3), F.concat(path_l, F.lit("/")))
+        .otherwise(path_l)
+    )
+    query_l = F.when(
+        g % 4 == 0, F.concat(F.lit("z=1&id="), gs, F.lit("&a=2"))
+    ).otherwise(F.concat(F.lit("id="), gs))
+    query_s = F.concat(
+        F.when(v == 0, F.lit("utm_source=x&")).otherwise(F.lit("")),
+        query_l,
+        F.when(v == 2, F.lit("&gclid=123"))
+        .when(v == 3, F.lit("&fbclid"))
+        .otherwise(F.lit("")),
+    )
+    frag_s = F.when(v % 2 == 1, F.lit("#sec")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme_s, F.lit("://"), host_s, port_s, path_s,
+        F.lit("?"), query_s, frag_s,
+    )
+    canon = url_canonicalize(d.withColumn("url", url))
+    groups = canon.groupBy("canon_url", "host", "registrable_domain").agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count("*").alias("n_dups"),
+    )
+    w = W.partitionBy("registrable_domain").orderBy(
+        F.md5(F.col("keep_doc_id").cast("string")), F.col("keep_doc_id")
+    )
+    return groups.withColumn("domain_rank", F.row_number().over(w)).select(
+        "registrable_domain",
+        "host",
+        "canon_url",
+        "keep_doc_id",
+        "n_dups",
+        "domain_rank",
+        (F.col("domain_rank") <= 5).alias("kept"),
+    )
+
+
 # Registration-order priority: the round driver snapshots only the FIRST 50
-# registered queries. Round-6 rotation: 43 queries carry a CHANGED body
-# hash this round (scripts/window_check.py module-granularity gate) — the
-# 2 NEW queries (baseline-JPEG decode roundtrip, two-level incremental
-# semantic state) plus every query importing an edited module (dedup.py
-# n_rows threading + two-level refactor, similarity.py trainer guardrail
-# + oracle-helper extraction, multimodal.py JPEG decoder, graph.py unique
-# bucketed tables + n_nodes, partitioning.py strategy SPI, writer.py GC
-# race fix + eager memory sink, compiler.py SPI wiring + stream errors).
-# Driver re-verification of CHANGED code outranks refreshing unchanged
-# code, so all 43 take window slots and the remaining slots go to the oldest
-# stale rows (r01). DEFERRED stays EMPTY; the 40 remaining r01-r03 rows
-# (5 r01, 21 r02, 14 r03) rotate in round 7.
+# registered queries. Round-7 rotation (VERDICT r6 items 1+4): the 3
+# post-window r6 queries (never driver-verified — window_check VIOLATIONS)
+# lead, then the 1 new r7 query, then the 19 r6 DEFERRED waivers (text.py /
+# streaming-ingest.py additive-diff deferrals — draining them to zero so no
+# waiver carries into r8), then the oldest stale rows (all 12 r01, then 15
+# of the 21 r02). The remaining 6 r02 + 14 r03 rows rotate in r8 — with 69
+# slot-needing queries and 50 slots, oldest-first is the documented
+# tiebreak after never-verified and waived entries.
 _VERIFY_FIRST = (
-    # new in round 6
-    "multimodal_decode_jpeg",
-    "multimodal_decode_wav",
-    "semantic_dedup_two_level_incremental_state",
-    "dup_span_scrub",
-    "multimodal_resize_real",
-    "bpe_train_merges",
-    "bpe_segment_corpus",
-    "multimodal_decode_video",
-    "lm_bigram_score",
-    # sinks/writer.py (merge-GC race fix, eager memory sink) +
-    # plans/compiler.py (partitioning SPI wiring, stream error messages) +
-    # spec.py (SPI validation) — module-hash flags
-    "csv_engine_roundtrip",
-    "xml_engine_roundtrip",
-    "jsonl_engine_roundtrip",
-    "orc_engine_roundtrip",
-    "merge_upsert_state",
-    "dynamic_overwrite_state",
-    "filter_chain",
-    "task_source_generate",
-    "spec_join_aggregate",
-    "spec_dedup_sql",
-    "spec_training_prep",
-    # operators/partitioning.py (strategy registry) — module-hash flags
-    "bucket_long_milli",
-    "skew_salted_agg",
-    "zorder_cluster_key",
-    # operators/graph.py (uuid-unique bucketed tables, n_nodes param)
-    "graph_pagerank_bucketed",
-    "graph_pagerank_events",
-    "graph_pagerank_dangling",
-    # operators/dedup.py (planning_row_count threading, two-level
-    # train/assign refactor) — module-hash flags
-    "semantic_dedup_embeddings",
-    "semantic_dedup_two_level",
-    "semantic_dedup_incremental_state",
-    "embedding_neardup",
-    "ngram_jaccard_pairs",
-    "decontaminate_fuzzy",
-    "dedup_incremental_state",
-    "dedup_exact",
-    "dedup_clusters",
-    "dedup_survivors",
-    "minhash_lsh_candidates",
-    "minhash_lsh_128x16",
-    "simhash64",
-    # operators/similarity.py (trainer guardrail, oracle-helper
-    # extraction) — module-hash flags
-    "ann_ivf_kmeans_topk",
-    "ann_pq_kmeans_topk",
-    "ann_lsh_topk",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
-    "ann_pq_adc_topk",
-    "functions_array_gauntlet",
-    # operators/multimodal.py (JPEG decoder + dispatch) — module-hash flags
-    "multimodal_decode_png",
-    "multimodal_decode",
-    "multimodal_resize",
-    "multimodal_frames",
-    # no refresh slots remain: all 50 go to never-verified/changed-hash
-    # queries (9 new + 41 flagged); the r01-r03 stale rows rotate in r7
+    # never driver-verified (r6 post-window commits — window_check VIOLATIONS)
+    "dq_constraint_report",
+    "audio_features_wav",
+    "merge_table_changes",
+    # new in round 7
+    "url_canonical_dedup",
+    # r6 DEFERRED waivers: text.py additive-diff family
+    "text_stats",
+    "text_fingerprint",
+    "language_id",
+    "quality_score",
+    "quality_prune_per_source",
+    "quality_repetition",
+    "token_count_bpe",
+    "chunk_token_windows",
+    "contamination_ngram",
+    "pii_scrub_props",
+    "line_dedup_c4",
+    "pack_sequences",
+    "vocab_topk",
+    # r6 DEFERRED waivers: streaming/ingest.py additive-diff family
+    "stream_hourly_counts",
+    "stream_dedup_events",
+    "stream_sliding_enriched",
+    "stream_user_rollup",
+    "stream_session_windows",
+    "stream_purchase_signup_join",
+    # oldest stale rows: all 12 r01
+    "cube_status_priority",
+    "distinct_aggs",
+    "exists_big_orders",
+    "functions_datetime_gauntlet",
+    "functions_math_gauntlet",
+    "functions_string_gauntlet",
+    "grouping_sets_revenue",
+    "json_props_extract",
+    "pivot_linestatus",
+    "semi_anti_join",
+    "setops_segments",
+    "zscore_per_user",
+    # oldest stale rows: 15 of 21 r02 (alphabetical tiebreak)
+    "bag_setops",
+    "conditional_aggs",
+    "exact_percentiles",
+    "funnel_signup_purchase",
+    "gapfill_hourly",
+    "hash_sample_10pct",
+    "levenshtein_near_names",
+    "null_scalar_gauntlet",
+    "q3_segment_revenue",
+    "retention_cohorts",
+    "sample_k_per_group",
+    "scalar_subquery_above_avg",
+    "session_paths_topk",
+    "stratified_sample_sources",
+    "tfidf_top_terms",
 )
 
 
