@@ -25,6 +25,7 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
@@ -36,26 +37,40 @@ FEATURES_SCHEMA = (
 )
 
 
-def _pcm_int16(samples) -> list[int]:
+def _pcm_int16(samples) -> np.ndarray:
     """Recover exact int16 units from the decoder's [-1, 1] floats (the
     decoder divides by 32768, a power of two, so the float is exact and the
-    round-trip is lossless for mono 16-bit PCM)."""
-    return [round(s * 32768) for s in samples]
+    round-trip is lossless for mono 16-bit PCM). Vectorized: np.rint is
+    round-half-to-even, identical to Python's round(); values are < 2^53 so
+    the float64 → int64 cast is exact. int64 (not int16) because channel
+    AVERAGES of multi-channel clips can carry fractional .5 units that
+    round to the full int16 range and because downstream math (squares,
+    sums) must not wrap."""
+    return np.rint(np.asarray(samples, dtype=np.float64) * 32768).astype(
+        np.int64
+    )
 
 
-def pcm_features(v: list[int], silence_threshold: int = 1024) -> tuple:
+def pcm_features(v, silence_threshold: int = 1024) -> tuple:
     """Exact integer features over int16 samples: strict sign-change count
     (v[i]·v[i+1] < 0 — zero samples break runs, matching the textbook ZCR
     definition), energy as the exact sum of squares, peak magnitude, and
-    the count of samples below the silence threshold."""
-    zc = sum(1 for a, b in zip(v, v[1:]) if a * b < 0)
-    sum_sq = sum(x * x for x in v)
-    peak = max((abs(x) for x in v), default=0)
-    silence = sum(1 for x in v if abs(x) < silence_threshold)
+    the count of samples below the silence threshold.
+
+    All int64 numpy (VERDICT r6 item 5 — the per-sample Python loops were
+    10-100× off on real 10⁶-sample clips): products of int16-range values
+    fit int64 with no overflow (max |v|=32768 → v² ≤ 2^30; sum over 10⁹
+    samples ≤ 2^60), and every reduction is bit-identical to the scalar
+    definition it replaces."""
+    v = np.asarray(v, dtype=np.int64)
+    zc = int(np.count_nonzero(v[:-1] * v[1:] < 0)) if v.size > 1 else 0
+    sum_sq = int(np.dot(v, v))
+    peak = int(np.max(np.abs(v))) if v.size else 0
+    silence = int(np.count_nonzero(np.abs(v) < silence_threshold))
     return zc, sum_sq, peak, silence
 
 
-def decimate(v: list[int], factor: int) -> list[int]:
+def decimate(v, factor: int):
     """Strided decimation (every ``factor``-th sample, no anti-alias
     filter) — the cheapest integer-exact downsampler."""
     if factor < 1:
@@ -63,29 +78,33 @@ def decimate(v: list[int], factor: int) -> list[int]:
     return v[::factor]
 
 
-def resample_linear(v: list[int], out_n: int) -> list[float]:
+def resample_linear(v, out_n: int) -> list[float]:
     """Linear-interpolation resample to ``out_n`` samples over the same
     time span, evaluated at exact rational positions j·(n−1)/(out_n−1).
     Deterministic: interpolation arithmetic is integer until the final
-    single division, so equal inputs give bit-equal outputs everywhere."""
-    n = len(v)
+    single division, so equal inputs give bit-equal outputs everywhere.
+
+    Vectorized int64 numpy, bit-identical to the scalar form it replaces:
+    the numerator v[k]·(d−rem) + v[k+1]·rem is ≤ 2·32768·out_n — exact in
+    int64 AND in float64 (< 2^53), so the single float64 divide is the same
+    correctly-rounded result CPython's int/int true division produces."""
+    v = np.asarray(v, dtype=np.int64)
+    n = v.size
     if out_n < 1:
         raise ValueError("out_n must be >= 1")
     if n == 0:
         return []
     if n == 1 or out_n == 1:
         return [float(v[0])] * out_n
-    out = []
     d = out_n - 1
-    for j in range(out_n):
-        num = j * (n - 1)
-        k, rem = divmod(num, d)
-        if rem == 0:
-            out.append(float(v[k]))
-        else:
-            # v[k] + (v[k+1]-v[k]) * rem/d, exact numerator then one divide
-            out.append((v[k] * (d - rem) + v[k + 1] * rem) / d)
-    return out
+    num = np.arange(out_n, dtype=np.int64) * (n - 1)
+    k, rem = np.divmod(num, d)
+    kp1 = np.minimum(k + 1, n - 1)  # k+1 is only read where rem > 0
+    numer = v[k] * (d - rem) + v[kp1] * rem
+    out = np.where(
+        rem == 0, v[k].astype(np.float64), numer.astype(np.float64) / d
+    )
+    return out.tolist()
 
 
 def audio_features(
@@ -155,10 +174,13 @@ def audio_resample(
                     abs_sums.append(None)
                     continue
                 _rate, _nch, samples = decoded
-                r = [round(x) for x in resample_linear(_pcm_int16(samples), out_n)]
-                counts.append(len(r))
-                peaks.append(max((abs(x) for x in r), default=0))
-                abs_sums.append(sum(abs(x) for x in r))
+                # np.rint = round-half-even, identical to Python round()
+                r = np.rint(
+                    np.asarray(resample_linear(_pcm_int16(samples), out_n))
+                ).astype(np.int64)
+                counts.append(int(r.size))
+                peaks.append(int(np.max(np.abs(r))) if r.size else 0)
+                abs_sums.append(int(np.sum(np.abs(r))))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],

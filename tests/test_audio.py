@@ -65,7 +65,7 @@ def test_stdlib_wave_independent_decode_reference():
     payload = encode_wav_pcm16(ints, sample_rate=8000)
     rate, nch, samples = _wav_samples(payload)
     assert (rate, nch) == (8000, 1)
-    assert _pcm_int16(samples) == ints
+    assert list(_pcm_int16(samples)) == ints
     with wave.open(io.BytesIO(payload)) as w:
         assert w.getframerate() == 8000
         assert w.getnchannels() == 1
@@ -75,7 +75,7 @@ def test_stdlib_wave_independent_decode_reference():
         int.from_bytes(raw[i : i + 2], "little", signed=True)
         for i in range(0, len(raw), 2)
     ]
-    assert ref == _pcm_int16(samples)
+    assert ref == list(_pcm_int16(samples))
 
 
 def test_audio_features_df_and_quarantine(spark):
