@@ -41,38 +41,10 @@ _IMPORT_RE = re.compile(r"from \.([\w.]+) import")
 # coarse) module-granularity hash whose own fn/oracle AND every function
 # they actually call are unchanged — verified by reading the module diff.
 # Each deferral must carry a justification and should rotate into the next
-# round's window.
-_ADDITIVE_TEXT = (
-    "text.py r6 diff vs b17fe27 is ADDITIVE-ONLY (git diff shows zero "
-    "removed lines; appended functions only: duplicate_span_scrub, the bpe_* trainer/segmenter/oracle family, lm_bigram_score) — every "
-    "function this query calls is byte-identical to its r04-green state; locally re-verified green vs the DuckDB oracle at sf0.01 this round"
-)
-_ADDITIVE_STREAM = (
-    "streaming/ingest.py r6 diff vs b17fe27 is ADDITIVE-ONLY (zero removed "
-    "lines; one new function incremental_semantic_two_level_sink appended) — "
-    "every function this query calls is byte-identical to its r05-green state; locally re-verified green vs the DuckDB oracle at sf0.01 this round"
-)
-DEFERRED: dict[str, str] = {
-    "text_stats": _ADDITIVE_TEXT,
-    "text_fingerprint": _ADDITIVE_TEXT,
-    "language_id": _ADDITIVE_TEXT,
-    "quality_score": _ADDITIVE_TEXT,
-    "quality_prune_per_source": _ADDITIVE_TEXT,
-    "quality_repetition": _ADDITIVE_TEXT,
-    "token_count_bpe": _ADDITIVE_TEXT,
-    "chunk_token_windows": _ADDITIVE_TEXT,
-    "contamination_ngram": _ADDITIVE_TEXT,
-    "pii_scrub_props": _ADDITIVE_TEXT,
-    "line_dedup_c4": _ADDITIVE_TEXT,
-    "pack_sequences": _ADDITIVE_TEXT,
-    "vocab_topk": _ADDITIVE_TEXT,
-    "stream_hourly_counts": _ADDITIVE_STREAM,
-    "stream_dedup_events": _ADDITIVE_STREAM,
-    "stream_sliding_enriched": _ADDITIVE_STREAM,
-    "stream_user_rollup": _ADDITIVE_STREAM,
-    "stream_session_windows": _ADDITIVE_STREAM,
-    "stream_purchase_signup_join": _ADDITIVE_STREAM,
-}
+# round's window. Round 7: EMPTY — all 19 r6 waivers (text.py / streaming
+# additive-diff deferrals) hold window slots this round and zero new
+# deferrals were taken (VERDICT r6 item 4: waiver debt drains to zero).
+DEFERRED: dict[str, str] = {}
 
 
 def _module_file(dotted: str) -> Path | None:

@@ -42,6 +42,14 @@ def pytest_configure(config):
         "markers",
         "driver_sweep: driver-scale (sf0.01) oracle sweep, opt-in via --driver-sweep",
     )
+    config.addinivalue_line(
+        "markers",
+        "pillow_env_waiver: ENVIRONMENT WAIVER — the build container cannot "
+        "install Pillow (no pip/apt), so the production C-speed decode twin "
+        "cannot run here; the stdlib decode twin runs unconditionally and "
+        "SCALING.md §'Media codec breadth' records the constraint. On any "
+        "host with Pillow this test runs (and must pass) automatically.",
+    )
 
 
 def pytest_collection_modifyitems(config, items):

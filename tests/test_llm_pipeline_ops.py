@@ -4,6 +4,7 @@ overlap/coverage invariants)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from embulk_executor_mapreduce_spark.operators.text import (
@@ -150,11 +151,14 @@ _TINY_BMP = bytes(
 )
 
 
+@pytest.mark.pillow_env_waiver
 def test_decode_image_pil_real_dimensions(spark):
-    """Pillow decode path (skipped where Pillow is absent — the stdlib twin
-    below runs UNCONDITIONALLY): actual pixel dimensions from a hand-crafted
-    BMP, luminance features in [0,1], and unparseable payloads degrade to
-    NULL dims instead of failing the job."""
+    """Pillow decode path (explicit ENVIRONMENT WAIVER where Pillow is
+    absent — see the `pillow_env_waiver` marker text and SCALING.md §'Media
+    codec breadth'; the stdlib twin below runs UNCONDITIONALLY): actual
+    pixel dimensions from a hand-crafted BMP, luminance features in [0,1],
+    and unparseable payloads degrade to NULL dims instead of failing the
+    job."""
     import pytest
 
     from embulk_executor_mapreduce_spark.operators.multimodal import (
@@ -163,7 +167,12 @@ def test_decode_image_pil_real_dimensions(spark):
     )
 
     if not pil_available():
-        pytest.skip("Pillow not installed in this container")
+        pytest.skip(
+            "ENVIRONMENT WAIVER (pillow_env_waiver marker, SCALING.md "
+            "§'Media codec breadth'): this container cannot install Pillow "
+            "(no pip/apt); the stdlib decode twin covers correctness here "
+            "and this test self-activates on any Pillow-equipped host"
+        )
     df = spark.createDataFrame(
         [(1, bytearray(_TINY_BMP)), (2, bytearray(b"not an image"))],
         "doc_id long, payload binary",
