@@ -4954,7 +4954,12 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # waiver carries into r8), then the oldest stale rows (all 12 r01, then 15
 # of the 21 r02). The remaining 6 r02 + 14 r03 rows rotate in r8 — with 69
 # slot-needing queries and 50 slots, oldest-first is the documented
-# tiebreak after never-verified and waived entries.
+# tiebreak after never-verified and waived entries. Late-round amendment:
+# the r7 pagerank hoist (graph.py: static edge-outdeg join lifted out of
+# the iteration loop) re-flags the 3 pagerank queries, which take the last
+# 3 slots — displacing 3 r02 rotations (session_paths_topk,
+# stratified_sample_sources, tfidf_top_terms) to r8, since re-verifying
+# CHANGED code outranks refreshing unchanged code.
 _VERIFY_FIRST = (
     # never driver-verified (r6 post-window commits — window_check VIOLATIONS)
     "dq_constraint_report",
@@ -5009,9 +5014,10 @@ _VERIFY_FIRST = (
     "retention_cohorts",
     "sample_k_per_group",
     "scalar_subquery_above_avg",
-    "session_paths_topk",
-    "stratified_sample_sources",
-    "tfidf_top_terms",
+    # r7 graph.py hoist — changed body hashes, must re-verify
+    "graph_pagerank_events",
+    "graph_pagerank_bucketed",
+    "graph_pagerank_dangling",
 )
 
 

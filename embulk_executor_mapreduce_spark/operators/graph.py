@@ -96,6 +96,26 @@ def pagerank(
         .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # The (src, dst, outdeg) table is STATIC across iterations — join it
+    # once, outside the loop (r7: previously the outdeg join ran inside
+    # every iteration). Non-bucketed path: repartition("src") + persist
+    # pins the cached edge table to hash(src), so each iteration's
+    # rank-join reads that partitioning straight off the cache and only
+    # the node-cardinality rank frame shuffles — the edge (data-sized)
+    # side never re-exchanges. Bucketed path (edges_distinct): the scan
+    # already provides src bucketing; a repartition would ADD the very
+    # exchange the layout exists to avoid, and the caller's storage is
+    # the materialization, so neither repartition nor persist applies.
+    # Skew note: hash(src) layouts (this cache AND the bucketed table)
+    # place a hot out-degree node's edges in one partition; that is the
+    # inherent cost of co-locating the repeated join, and the straggler
+    # bound is outdeg(hot)/|E| of a map-side pass — acceptable where
+    # AQE skew-split would anyway re-shuffle the full edge list per
+    # iteration. Graphs with pathological single-node fan-out should
+    # raise spark.sql.shuffle.partitions, not abandon the layout.
+    ew = e.join(outdeg, "src")
+    if not edges_distinct:
+        ew = ew.repartition("src").persist()
     # planning-time scalar (node count), not row data
     n = n_nodes if n_nodes is not None else nodes.count()
     init = scale // n
@@ -105,8 +125,7 @@ def pagerank(
     ranks = nodes.select("node", F.lit(init).cast("long").alias("rank"))
     for _ in range(iters):
         contrib = (
-            e.join(ranks, e.src == ranks.node)
-            .join(outdeg, "src")
+            ew.join(ranks, ew.src == ranks.node)
             .select(
                 "dst",
                 F.expr(
@@ -142,6 +161,7 @@ def pagerank(
             ranks = ranks.localCheckpoint(eager=True)
     if not edges_distinct:
         e.unpersist()
+        ew.unpersist()
     nodes.unpersist()
     return ranks
 
