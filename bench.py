@@ -90,6 +90,12 @@ HEADLINE = [
     "multimodal_decode_wav",
     "dup_span_scrub",
     "bpe_train_merges",
+    # round 7 additions: constraint suite, audio analysis, CDC feed, URL
+    # canonicalization — pricing the r6/r7 families so regressions show
+    "dq_constraint_report",
+    "audio_features_wav",
+    "merge_table_changes",
+    "url_canonical_dedup",
 ]
 
 SMALL_RESULT = {
@@ -110,6 +116,8 @@ SMALL_RESULT = {
     "semantic_dedup_two_level",
     "decontaminate_fuzzy",
     "quality_prune_per_source",
+    "dq_constraint_report",
+    "url_canonical_dedup",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -121,6 +129,7 @@ TIME_INCLUDES_BUILD = {
     "semantic_dedup_embeddings",
     "semantic_dedup_two_level",
     "bpe_train_merges",  # merge iterations localCheckpoint during fn()
+    "merge_table_changes",  # fn() writes the two sink versions it diffs
 }
 
 # events.ts physical-encoding normalization, probed from the footer

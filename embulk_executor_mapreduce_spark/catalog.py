@@ -4879,8 +4879,13 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen, map-only). Dedup then keys on ``canon_url``
     (md5-groupBy, lowest doc_id survives — `exact_dedup` composition) and
     the per-domain cap is the `sample_k_per_group` hash-ordered window.
-    At 100 TB: one partial-aggregatable exchange on the canonical hash,
-    one on the (3-value) domain key for the cap window."""
+    At 100 TB: one partial-aggregatable exchange on the canonical hash;
+    the cap window runs over the DEDUPED group table (orders of magnitude
+    below corpus size) partitioned by domain — for mega-domains holding
+    >10^7 canonical URLs each, swap the rank window for the
+    `quality_prune_per_source` counts+hash-boundary pattern, which never
+    total-orders a partition. Plan audit: ReadSchema=doc_id only, 2
+    exchanges, zero Python nodes."""
     from .operators.web import url_canonicalize
 
     d = load(spark, sf_dir, "documents").select("doc_id")

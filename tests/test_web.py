@@ -6,6 +6,7 @@ and the PSL broadcast-join exact path vs the zero-dependency heuristic."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from embulk_executor_mapreduce_spark.operators.web import (
     registrable_domain_psl,
@@ -106,6 +107,123 @@ def test_registrable_domain_psl_exact(spark):
         # host IS a public suffix → no registrable domain below it
         "com": "com",
     }
+
+
+def _py_canon(url: str) -> str:
+    """Independent Python reference for the documented canonicalization
+    rules (string ops only — no regexes shared with the Spark pipeline)."""
+    pre_frag = url.split("#", 1)[0]
+    scheme, rest = pre_frag.split("://", 1)
+    scheme = scheme.lower()
+    for i, ch in enumerate(rest):
+        if ch in "/?":
+            authority, tail = rest[:i], rest[i:]
+            break
+    else:
+        authority, tail = rest, ""
+    hostport = authority.rsplit("@", 1)[-1]
+    if hostport.startswith("["):
+        close = hostport.index("]")
+        host = hostport[: close + 1].lower()
+        after = hostport[close + 1 :]
+        port = after[1:] if after.startswith(":") and after[1:].isdigit() else ""
+    elif ":" in hostport and hostport.rsplit(":", 1)[1].isdigit():
+        host, port = hostport.rsplit(":", 1)
+        host = host.lower()
+    else:
+        host, port = hostport.lower(), ""
+    if (scheme, port) in (("http", "80"), ("https", "443")):
+        port = ""
+    q_at = tail.find("?")
+    path, query = (tail, "") if q_at < 0 else (tail[:q_at], tail[q_at + 1 :])
+    while "//" in path:
+        path = path.replace("//", "/")
+    if len(path) > 1 and path.endswith("/"):
+        path = path[:-1]
+    path = path or "/"
+    keep = []
+    for p in query.split("&"):
+        if not p:
+            continue
+        key = p.split("=", 1)[0]
+        if key in ("gclid", "fbclid") or (
+            key.startswith("utm_") and key[4:].isalpha() and key[4:].islower()
+            and key[4:] != ""
+        ):
+            continue
+        keep.append(p)
+    canon_q = "&".join(sorted(keep))
+    return (
+        scheme + "://" + host + (":" + port if port else "") + path
+        + ("?" + canon_q if canon_q else "")
+    )
+
+
+def _messy_urls(n=300, seed=20260814):
+    import random
+
+    rng = random.Random(seed)
+    urls = []
+    for _ in range(n):
+        scheme = rng.choice(["http", "HTTP", "https", "HTTPS", "ftp"])
+        user = rng.choice(["", "", "", "alice@", "u:p@"])
+        host = rng.choice(
+            [
+                "Example.COM",
+                "a.B.example.com",
+                "news.sample.co.uk",
+                "x" + str(rng.randint(0, 9)) + ".Data.org",
+                "10.0.0." + str(rng.randint(1, 254)),
+                "[2001:DB8::1]",
+                "localhost",
+            ]
+        )
+        port = rng.choice(["", "", ":80", ":443", ":8080", ":8443"])
+        path = rng.choice(
+            ["", "/", "/a/b", "/a//b", "/a/b/", "//x", "/p%20q", "/a/b//c/"]
+        )
+        params = rng.sample(
+            [
+                "id=" + str(rng.randint(0, 99)),
+                "z=1",
+                "a=2",
+                "utm_source=x",
+                "utm_campaign=C",
+                "gclid=123",
+                "fbclid",
+                "gclid",
+                "b=x@y",
+                "empty=",
+            ],
+            k=rng.randint(0, 5),
+        )
+        query = "?" + "&".join(params) if params else rng.choice(["", "?"])
+        frag = rng.choice(["", "#sec", "#a?b=1", "#x/y"])
+        urls.append(f"{scheme}://{user}{host}{port}{path}{query}{frag}")
+    return urls
+
+
+def test_canonicalization_idempotent_and_matches_python_reference(spark):
+    """Two properties over 300 seeded messy URLs: (1) canonicalization is
+    a FIXED POINT — canon(canon(u)) == canon(u) (re-keying an already
+    canonical corpus is a no-op, which incremental URL dedup relies on);
+    (2) the Spark regex pipeline agrees with an independent pure-Python
+    string-ops reference on every URL."""
+    urls = _messy_urls()
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = url_canonicalize(df).select(
+        "url", F.col("canon_url").alias("c1")
+    )
+    twice = url_canonicalize(once, url_col="c1").select(
+        "url", "c1", F.col("canon_url").alias("c2")
+    )
+    rows = {r.url: (r.c1, r.c2) for r in twice.collect()}
+    for u in urls:
+        c1, c2 = rows[u]
+        assert c1 == c2, f"not idempotent: {u!r} -> {c1!r} -> {c2!r}"
+        assert c1 == _py_canon(u), (
+            f"spark vs python reference: {u!r} -> {c1!r} != {_py_canon(u)!r}"
+        )
 
 
 def test_url_canonicalize_is_codegen_only(spark):
