@@ -105,3 +105,40 @@ def test_audio_resample_df(spark):
     df = spark.createDataFrame([(1, bytearray(payload))], "doc_id long, payload binary")
     r = audio_resample(df, 7).collect()[0]
     assert (r.out_samples, r.peak, r.abs_sum) == (7, 30, 0 + 5 + 10 + 15 + 20 + 25 + 30)
+
+
+def test_audio_chain_never_raises_on_mutated_valid_wavs():
+    """Mutation fuzz one level past random-bytes: start from VALID encoded
+    WAVs (which reach deep into the RIFF walk and PCM math), then flip
+    bytes, truncate, and extend — the decode → int16 → features → resample
+    chain must return values or None, never raise (the quarantine
+    contract audio_features relies on inside mapInPandas)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = encode_wav_pcm16([0, 1, -1, 32767, -32768, 500, -500, 12345] * 4,
+                            sample_rate=16000)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(0, len(base) - 1),
+        st.integers(0, 255),
+        st.integers(0, len(base)),
+        st.binary(max_size=32),
+    )
+    def run(flip_at, new_byte, trunc, tail):
+        data = bytearray(base)
+        data[flip_at] = new_byte
+        mutated = bytes(data[:trunc]) + tail
+        try:
+            decoded = _wav_samples(mutated)
+            if decoded is not None:
+                _rate, _nch, samples = decoded
+                v = _pcm_int16(samples)
+                pcm_features(v)
+                resample_linear(v, 8)
+                decimate(v, 3)
+        except Exception as exc:  # noqa: BLE001
+            raise AssertionError(f"audio chain raised on mutation: {exc!r}")
+
+    run()
