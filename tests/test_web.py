@@ -237,3 +237,16 @@ def test_url_canonicalize_is_codegen_only(spark):
         .toString()
     )
     assert "Python" not in plan
+
+
+def test_degenerate_inputs_never_raise(spark):
+    """Garbage in, deterministic garbage out — but never an exception (a
+    crawl corpus WILL contain malformed URL fields, and a crash inside the
+    expression poisons the whole stage)."""
+    urls = ["", "notaurl", "http://", "://x", "http:///path", "a b c",
+            "http://h.org:notaport/p", "🦆://emoji", "http://@/", "?", "#"]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    rows = url_canonicalize(df).collect()
+    assert len(rows) == len(urls)  # no exception, one row per input
+    for r in rows:
+        assert r.canon_url is not None and r.host is not None
