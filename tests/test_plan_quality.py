@@ -457,3 +457,16 @@ def test_dup_span_scrub_plan_shape(spark):
     assert "CartesianProduct" not in plan, plan
     assert "Window" not in plan, plan  # argmin is an aggregate, not a window
     assert "partial_min" in plan or "HashAggregate" in plan, plan
+
+
+def test_url_canonical_dedup_plan_shape(spark):
+    """URL pipeline plan budget: ReadSchema prunes to doc_id alone (the
+    surface URLs are synthesized in-plan), exactly 2 exchanges (canonical
+    groupBy + the domain cap window), and zero Python nodes — the whole
+    canonicalization is JVM-side expressions."""
+    df = catalog.entries()["url_canonical_dedup"].fn(spark, SF)
+    schemas = read_schemas(df)
+    assert schemas and all(s.count(":") <= 1 and "doc_id" in s for s in schemas), schemas
+    assert num_exchanges(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
