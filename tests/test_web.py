@@ -250,3 +250,43 @@ def test_degenerate_inputs_never_raise(spark):
     assert len(rows) == len(urls)  # no exception, one row per input
     for r in rows:
         assert r.canon_url is not None and r.host is not None
+
+
+def test_registrable_domain_psl_property_vs_python_reference(spark):
+    """Longest-suffix-match property over generated host/PSL combinations:
+    the broadcast-join implementation must agree with an independent
+    Python reference (pure suffix-list scan) on every host — including
+    hosts that ARE a suffix, hosts with no match, and nested suffixes."""
+    import random
+
+    rng = random.Random(20260814)
+    suffixes = ["com", "org", "co.uk", "gov.uk", "uk", "github.io", "io",
+                "k12.ca.us", "ca.us", "us"]
+    labels = ["a", "b", "www", "x1", "deep"]
+    hosts = set()
+    for _ in range(120):
+        base = rng.choice(suffixes + ["zzz", "example.zzz"])
+        depth = rng.randint(0, 3)
+        prefix = ".".join(rng.choice(labels) for _ in range(depth))
+        hosts.add((prefix + "." + base) if prefix else base)
+    hosts = sorted(hosts)
+
+    def py_ref(host: str) -> str:
+        hl = host.split(".")
+        best = -1
+        for s in suffixes:
+            sl = s.split(".")
+            if len(sl) <= len(hl) and hl[-len(sl):] == sl and len(sl) > best:
+                best = len(sl)
+        if best < 0 or best == len(hl):
+            return host
+        return ".".join(hl[-(best + 1):])
+
+    hdf = spark.createDataFrame([(h,) for h in hosts], "host string")
+    psl = spark.createDataFrame([(s,) for s in suffixes], "suffix string")
+    got = {
+        r.host: r.registrable_domain_psl
+        for r in registrable_domain_psl(hdf, psl).collect()
+    }
+    for h in hosts:
+        assert got[h] == py_ref(h), (h, got[h], py_ref(h))
