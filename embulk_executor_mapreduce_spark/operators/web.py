@@ -105,7 +105,10 @@ def canonical_url_columns(url: Column) -> dict[str, Column]:
     )
     ip_literal = is_v6 | host.rlike(r"^[0-9]+(\.[0-9]+){3}$")
     registrable = (
-        F.when(ip_literal | (n <= 2), host)
+        # NULL url propagates as NULL (concat_ws in the branches below
+        # would otherwise swallow it into '')
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(ip_literal | (n <= 2), host)
         .when(cc_3label, F.concat_ws(".", F.slice(labels, -3, 3)))
         .otherwise(F.concat_ws(".", F.slice(labels, -2, 2)))
     )

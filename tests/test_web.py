@@ -250,6 +250,11 @@ def test_degenerate_inputs_never_raise(spark):
     assert len(rows) == len(urls)  # no exception, one row per input
     for r in rows:
         assert r.canon_url is not None and r.host is not None
+    # NULL url propagates NULL through all three derived columns
+    ndf = spark.createDataFrame([(None,)], "url string")
+    nrow = url_canonicalize(ndf).collect()[0]
+    assert nrow.canon_url is None and nrow.host is None
+    assert nrow.registrable_domain is None
 
 
 def test_registrable_domain_psl_property_vs_python_reference(spark):
