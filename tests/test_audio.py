@@ -142,3 +142,86 @@ def test_audio_chain_never_raises_on_mutated_valid_wavs():
             raise AssertionError(f"audio chain raised on mutation: {exc!r}")
 
     run()
+
+
+def _np_wav_reference(data: bytes):
+    """Vectorized twin of multimodal._wav_samples, staged here as the
+    proof-of-safety for the planned r8 refactor (CHANGES_r7 deferral):
+    numpy per-channel columns, but channel accumulation kept SEQUENTIAL
+    (c0 + c1 + ... then / nch) so float addition order — and therefore
+    every output bit — matches the scalar decoder exactly."""
+    import struct
+
+    import numpy as np
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, fmt, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)
+    if fmt is None or raw is None or len(fmt) < 16:
+        return None
+    audio_fmt, nch, rate, _br, _al, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_fmt != 1 or nch == 0 or rate == 0 or bits not in (8, 16):
+        return None
+    width = bits // 8
+    frame = width * nch
+    n = len(raw) // frame
+    if bits == 16:
+        arr = np.frombuffer(raw[: n * frame], dtype="<i2").reshape(n, nch)
+        chans = arr.astype(np.float64) / 32768.0
+    else:
+        arr = np.frombuffer(raw[: n * frame], dtype=np.uint8).reshape(n, nch)
+        chans = (arr.astype(np.float64) - 128.0) / 128.0
+    acc = np.zeros(n, dtype=np.float64)
+    for c in range(nch):  # sequential channel order = scalar bit order
+        acc += chans[:, c]
+    return rate, nch, (acc / nch).tolist()
+
+
+def test_numpy_wav_reference_bit_identical_to_scalar_decoder():
+    """The r8 vectorization candidate must agree with the shipped scalar
+    decoder on every sample bit — across 8/16-bit, 1/2/3 channels, odd
+    chunk padding, and pathological amplitudes."""
+    import random
+    import struct
+
+    rng = random.Random(20260814)
+
+    def mk_wav(bits, nch, n, rate=8000):
+        if bits == 16:
+            frames = b"".join(
+                struct.pack("<h", rng.randint(-32768, 32767))
+                for _ in range(n * nch)
+            )
+        else:
+            frames = bytes(rng.randint(0, 255) for _ in range(n * nch))
+        fmt = struct.pack(
+            "<HHIIHH", 1, nch, rate, rate * nch * bits // 8, nch * bits // 8, bits
+        )
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        chunks += b"data" + struct.pack("<I", len(frames)) + frames
+        if len(frames) % 2:
+            chunks += b"\x00"  # RIFF word alignment
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    cases = [(16, 1, 64), (16, 2, 33), (16, 3, 17), (8, 1, 50), (8, 2, 25),
+             (8, 3, 11), (16, 2, 1), (16, 1, 0)]
+    for bits, nch, n in cases:
+        payload = mk_wav(bits, nch, n)
+        got = _np_wav_reference(payload)
+        want = _wav_samples(payload)
+        assert (got is None) == (want is None), (bits, nch, n)
+        if want is None:
+            continue
+        assert got[0] == want[0] and got[1] == want[1]
+        assert len(got[2]) == len(want[2])
+        for a, b in zip(got[2], want[2]):
+            assert a == b and (a == 0.0 or str(a) == str(b)), (bits, nch, n, a, b)
