@@ -144,15 +144,15 @@ def test_audio_chain_never_raises_on_mutated_valid_wavs():
     run()
 
 
-def _np_wav_reference(data: bytes):
-    """Vectorized twin of multimodal._wav_samples, staged here as the
-    proof-of-safety for the planned r8 refactor (CHANGES_r7 deferral):
-    numpy per-channel columns, but channel accumulation kept SEQUENTIAL
-    (c0 + c1 + ... then / nch) so float addition order — and therefore
-    every output bit — matches the scalar decoder exactly."""
+def _scalar_wav_reference(data: bytes):
+    """Per-sample scalar decoder — the r1-r7 shipped implementation of
+    multimodal._wav_samples, preserved here VERBATIM as the bit-identity
+    reference now that the shipped decoder is the vectorized numpy twin
+    (VERDICT r7 item 1; the roles of twin and shipped code swapped when the
+    refactor landed in r8). Sequential channel accumulation (c0 + c1 + ...
+    then / nch) defines the float addition order the vectorized decoder
+    must reproduce bit for bit."""
     import struct
-
-    import numpy as np
 
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         return None
@@ -174,50 +174,55 @@ def _np_wav_reference(data: bytes):
     width = bits // 8
     frame = width * nch
     n = len(raw) // frame
-    if bits == 16:
-        arr = np.frombuffer(raw[: n * frame], dtype="<i2").reshape(n, nch)
-        chans = arr.astype(np.float64) / 32768.0
-    else:
-        arr = np.frombuffer(raw[: n * frame], dtype=np.uint8).reshape(n, nch)
-        chans = (arr.astype(np.float64) - 128.0) / 128.0
-    acc = np.zeros(n, dtype=np.float64)
-    for c in range(nch):  # sequential channel order = scalar bit order
-        acc += chans[:, c]
-    return rate, nch, (acc / nch).tolist()
+    samples = []
+    for i in range(n):
+        acc = 0.0
+        for c in range(nch):
+            o = i * frame + c * width
+            if bits == 16:
+                acc += (
+                    int.from_bytes(raw[o : o + 2], "little", signed=True)
+                    / 32768.0
+                )
+            else:
+                acc += (raw[o] - 128) / 128.0
+        samples.append(acc / nch)
+    return rate, nch, samples
 
 
-def test_numpy_wav_reference_bit_identical_to_scalar_decoder():
-    """The r8 vectorization candidate must agree with the shipped scalar
-    decoder on every sample bit — across 8/16-bit, 1/2/3 channels, odd
-    chunk padding, and pathological amplitudes."""
-    import random
+def _mk_wav(rng, bits, nch, n, rate=8000):
     import struct
 
-    rng = random.Random(20260814)
-
-    def mk_wav(bits, nch, n, rate=8000):
-        if bits == 16:
-            frames = b"".join(
-                struct.pack("<h", rng.randint(-32768, 32767))
-                for _ in range(n * nch)
-            )
-        else:
-            frames = bytes(rng.randint(0, 255) for _ in range(n * nch))
-        fmt = struct.pack(
-            "<HHIIHH", 1, nch, rate, rate * nch * bits // 8, nch * bits // 8, bits
+    if bits == 16:
+        frames = b"".join(
+            struct.pack("<h", rng.randint(-32768, 32767))
+            for _ in range(n * nch)
         )
-        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        chunks += b"data" + struct.pack("<I", len(frames)) + frames
-        if len(frames) % 2:
-            chunks += b"\x00"  # RIFF word alignment
-        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+    else:
+        frames = bytes(rng.randint(0, 255) for _ in range(n * nch))
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, rate, rate * nch * bits // 8, nch * bits // 8, bits
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    chunks += b"data" + struct.pack("<I", len(frames)) + frames
+    if len(frames) % 2:
+        chunks += b"\x00"  # RIFF word alignment
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
 
+
+def test_vectorized_decoder_bit_identical_to_scalar_reference():
+    """The shipped vectorized decoder must agree with the preserved scalar
+    reference on every sample bit — across 8/16-bit, 1/2/3 channels, odd
+    chunk padding, and pathological amplitudes."""
+    import random
+
+    rng = random.Random(20260814)
     cases = [(16, 1, 64), (16, 2, 33), (16, 3, 17), (8, 1, 50), (8, 2, 25),
              (8, 3, 11), (16, 2, 1), (16, 1, 0)]
     for bits, nch, n in cases:
-        payload = mk_wav(bits, nch, n)
-        got = _np_wav_reference(payload)
-        want = _wav_samples(payload)
+        payload = _mk_wav(rng, bits, nch, n)
+        got = _wav_samples(payload)
+        want = _scalar_wav_reference(payload)
         assert (got is None) == (want is None), (bits, nch, n)
         if want is None:
             continue
@@ -225,3 +230,4 @@ def test_numpy_wav_reference_bit_identical_to_scalar_decoder():
         assert len(got[2]) == len(want[2])
         for a, b in zip(got[2], want[2]):
             assert a == b and (a == 0.0 or str(a) == str(b)), (bits, nch, n, a, b)
+        assert all(type(s) is float for s in got[2])  # .tolist() contract
