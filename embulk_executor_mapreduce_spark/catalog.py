@@ -4951,6 +4951,80 @@ def q_url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "url_registrable_psl",
+    oracle="""
+    WITH d AS (SELECT doc_id, doc_id % 14 AS g FROM documents),
+    h AS (SELECT doc_id,
+        CASE g % 7
+          WHEN 0 THEN 'src' || g || '.example.gov.uk'
+          WHEN 1 THEN 'src' || g || '.b.example.co.uk'
+          WHEN 2 THEN 'src' || g || '.apps.github.io'
+          WHEN 3 THEN 'src' || g || '.www.data.org'
+          WHEN 4 THEN 'src' || g || '.example.com'
+          WHEN 5 THEN 'gov.uk'
+          ELSE 'src' || g || '.example.internal' END AS host,
+        CASE g % 7
+          WHEN 0 THEN 'example.gov.uk'
+          WHEN 1 THEN 'example.co.uk'
+          WHEN 2 THEN 'apps.github.io'
+          WHEN 3 THEN 'data.org'
+          WHEN 4 THEN 'example.com'
+          WHEN 5 THEN 'gov.uk'
+          ELSE 'src' || g || '.example.internal' END AS reg
+      FROM d)
+    SELECT host, reg AS registrable_domain_psl,
+           count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
+    FROM h GROUP BY host, reg
+    """,
+    tags=("web", "url", "psl"),
+)
+def q_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Public-Suffix-List registrable domain under a driver oracle
+    (VERDICT r7 item 4): hosts are a closed-form function of ``doc_id % 14``
+    chosen so the 2-label heuristic gets them WRONG while the PSL
+    longest-suffix join gets them right — multi-label public suffixes
+    (``a.example.gov.uk`` → ``example.gov.uk``, not ``gov.uk``),
+    private-domain-style suffixes (``x.apps.github.io`` → ``apps.github.io``),
+    a host that IS a public suffix (``gov.uk`` → itself), and a TLD absent
+    from the table (``.internal`` → whole host, the left-join NULL branch).
+    The suffix table is an in-query fixture standing in for the real PSL
+    data file (``operators/web.py`` docstring: the PSL is data, the
+    broadcast join is the algorithm). The oracle computes the expected
+    registrable domain closed-form, so any regression in the in-plan suffix
+    expansion, the longest-match ``max_by``, or the boundary branches flips
+    the value hash. At 100 TB: the PSL is ~10k rows broadcast; the suffix
+    explode is bounded at ``max_labels`` rows per DISTINCT host and the
+    groupBys are partial-aggregatable — one broadcast hash join, no
+    corpus-sized shuffle beyond the host rollup."""
+    from .operators.web import registrable_domain_psl
+
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    g = (F.col("doc_id") % 14).cast("long")
+    gs = g.cast("string")
+    cls = (g % 7).cast("int")
+    src = F.concat(F.lit("src"), gs, F.lit("."))
+    host = (
+        F.when(cls == 0, F.concat(src, F.lit("example.gov.uk")))
+        .when(cls == 1, F.concat(src, F.lit("b.example.co.uk")))
+        .when(cls == 2, F.concat(src, F.lit("apps.github.io")))
+        .when(cls == 3, F.concat(src, F.lit("www.data.org")))
+        .when(cls == 4, F.concat(src, F.lit("example.com")))
+        .when(cls == 5, F.lit("gov.uk"))
+        .otherwise(F.concat(src, F.lit("example.internal")))
+    )
+    psl = spark.createDataFrame(
+        [("com",), ("org",), ("io",), ("uk",), ("co.uk",), ("gov.uk",),
+         ("github.io",)],
+        "suffix string",
+    )
+    out = registrable_domain_psl(d.withColumn("host", host), psl)
+    return out.groupBy("host", "registrable_domain_psl").agg(
+        F.count("*").alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
+
+
 # Registration-order priority: the round driver snapshots only the FIRST 50
 # registered queries. Round-8 rotation (VERDICT r7 items 1-4): changed code
 # outranks everything — the vectorized WAV decode (multimodal.py) flags the

@@ -35,6 +35,10 @@ pipelines):
   (operators/graph.py); follow with a ``join`` stage to weight documents
   by the rank of their source node (crawl-quality weighting). Batch-only:
   the fixed-iteration loop is eager.
+- ``url_canonicalize``: {column: url col (default "url")} — appends
+  ``canon_url``, ``host``, ``registrable_domain`` (operators/web.py: pure
+  JVM regexp/array expressions, map-only, streamable); chain with ``dedup``
+  on canon_url and per-domain capping for the web-corpus front door.
 """
 
 from __future__ import annotations
@@ -138,6 +142,17 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             raise ConfigError("sql filter query must reference __input")
         df.createOrReplaceTempView("__input")
         return df.sparkSession.sql(query)
+    if spec.type == "url_canonicalize":
+        from .web import url_canonicalize
+
+        url_col = cfg.get("column", "url")
+        if url_col not in df.columns:
+            # reference findColumnByName config-time error
+            # (TimestampPartitioning.java:152-161)
+            raise ConfigError(
+                f"url_canonicalize filter column {url_col!r} missing from the data"
+            )
+        return url_canonicalize(df, url_col=url_col)
     if spec.type == "pagerank":
         from .graph import pagerank
 

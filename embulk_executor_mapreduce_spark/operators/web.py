@@ -147,6 +147,15 @@ def registrable_domain_psl(
     transform+explode (no Python), and the longest matching suffix wins via
     a max_by aggregation keyed on the host — one broadcast hash join plus
     one partial-aggregatable groupBy at any corpus size."""
+    for taken in ("__psl_suffix", "registrable_domain_psl"):
+        if taken in df.columns:
+            # mirror the snapshot_diff marker-collision guard (ADVICE r7):
+            # the helper column joined back onto df would otherwise raise an
+            # ambiguous-column AnalysisException or silently overwrite
+            raise ValueError(
+                f"column {taken!r} already exists in the input frame; "
+                "registrable_domain_psl reserves it"
+            )
     labels = F.split(F.col(host_col), r"\.")
     n = F.size(labels)
     depth = F.least(n, F.lit(max_labels))

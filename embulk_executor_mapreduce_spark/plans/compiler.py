@@ -179,6 +179,7 @@ _STREAM_SAFE_FILTERS = {
     "pandas",
     "join",
     "sql",
+    "url_canonicalize",  # pure column expressions — map-only, streams as-is
 }
 
 

@@ -50,6 +50,11 @@ _FILTER_TYPES = {
     "limit",
     "sql",
     "pagerank",  # edge list → (node, rank) centrality (operators/graph.py)
+    # web-corpus front door: append canon_url/host/registrable_domain from a
+    # surface-URL column (operators/web.py — pure JVM expressions, map-only);
+    # composes with the dedup / sample_k_per_group stages for URL-level
+    # dedup and per-domain caps declared entirely in the spec
+    "url_canonicalize",
 }
 
 
