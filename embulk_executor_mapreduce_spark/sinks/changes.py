@@ -134,16 +134,24 @@ def table_changes(
     old_dirs = [os.path.join(local, bf[b]) for b in changed if b in bf]
     new_dirs = [os.path.join(local, bt[b]) for b in changed if b in bt]
 
-    def read(dirs: list[str]) -> DataFrame:
-        if not dirs:
-            # empty side: schema from ONE committed bucket of the other
-            # version, minus rows (limit 0) — listing every bucket dir of a
-            # 4096-bucket state just to infer a schema would defeat the
-            # O(changed buckets) pruning story for first-version diffs
-            one = next(iter((bt or bf).values()))
-            return spark.read.format(fmt).load(os.path.join(local, one)).limit(0)
-        return spark.read.format(fmt).load(dirs)
-
-    old = read(old_dirs).drop(MERGE_BUCKET_COL)
-    new = read(new_dirs).drop(MERGE_BUCKET_COL)
+    old = spark.read.format(fmt).load(old_dirs) if old_dirs else None
+    new = spark.read.format(fmt).load(new_dirs) if new_dirs else None
+    if old is None and new is None:
+        # zero changed buckets: the feed is empty either way; schema from
+        # ONE committed bucket dir (listing every bucket of a 4096-bucket
+        # state just to infer a schema would defeat the O(changed buckets)
+        # pruning story)
+        one = next(iter((bt or bf).values()))
+        old = new = spark.read.format(fmt).load(os.path.join(local, one)).limit(0)
+    elif old is None:
+        # empty side built FROM the non-empty side's frame, not a separate
+        # read (ADVICE r7): schema-on-read formats (csv/json via fmt) can
+        # infer differently from a single-bucket probe than from the
+        # multi-dir read, tripping snapshot_diff's schema-equality check or
+        # silently changing types; limit(0) guarantees identical schemas
+        old = new.limit(0)
+    elif new is None:
+        new = old.limit(0)
+    old = old.drop(MERGE_BUCKET_COL)
+    new = new.drop(MERGE_BUCKET_COL)
     return snapshot_diff(old, new, list(keys))
