@@ -4751,6 +4751,66 @@ def q_audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "audio_quality_screen",
+    oracle="""
+    WITH b AS (SELECT doc_id,
+        CAST(('0x' || substr(md5(text), 1, 2)) AS INT) AS b1,
+        CAST(('0x' || substr(md5(text), 3, 2)) AS INT) AS b2,
+        CAST(('0x' || substr(md5(text), 5, 2)) AS INT) AS b3,
+        CAST(('0x' || substr(md5(text), 7, 2)) AS INT) AS b4
+      FROM documents),
+    c AS (SELECT doc_id,
+        (b1 >= 192)::INT AS c1, (b2 >= 192)::INT AS c2,
+        (b3 >= 192)::INT AS c3, (b4 >= 192)::INT AS c4
+      FROM b),
+    r AS (SELECT doc_id, c1 + c2 + c3 + c4 AS cs,
+        greatest(c1*(1 + c2*(1 + c3*(1 + c4))),
+                 c2*(1 + c3*(1 + c4)),
+                 c3*(1 + c4),
+                 c4) AS mr
+      FROM c)
+    SELECT doc_id, CAST(16 AS INT) AS n_samples,
+           CAST(4*cs AS INT) AS clip_count,
+           CAST(4*mr AS INT) AS max_clip_run,
+           (4*cs)::DOUBLE / 16 AS clip_ratio,
+           4*mr >= 8 AS sustained
+    FROM r
+    """,
+    tags=("multimodal", "audio", "analysis", "quality"),
+)
+def q_audio_quality_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping screen over REAL decoded PCM (VERDICT r7 item 8 — rounding
+    out the ASR-prep filter set beyond ZCR/energy/peak/silence): each
+    generated WAV's segment amplitude is ``md5_byte · 128``, so a sample
+    clips at the 0.75-FS threshold (24576) exactly when its byte ≥ 192 —
+    clip_count is 4 per hot byte and the longest run is 4 × the longest
+    consecutive hot-byte chain (runs MERGE across segment boundaries
+    because the screen tests |v|; the oracle's nested-greatest expression
+    enumerates the 4-element chains closed-form). clip_ratio is k/16, a
+    binary fraction exact in float; ``sustained`` (run ≥ 8 = two adjacent
+    hot segments) is the keep/drop bit an ASR pipeline would filter on.
+    Map-only at any scale; the run-length math is a vectorized diff over
+    the clip mask (operators/audio.py:clipping_features), no per-sample
+    Python."""
+    from .operators.audio import audio_quality_screen
+    from .operators.multimodal import encode_text_wav
+
+    screen = audio_quality_screen(
+        encode_text_wav(load(spark, sf_dir, "documents"))
+    )
+    return screen.select(
+        "doc_id",
+        "n_samples",
+        "clip_count",
+        "max_clip_run",
+        (F.col("clip_count").cast("double") / F.col("n_samples")).alias(
+            "clip_ratio"
+        ),
+        (F.col("max_clip_run") >= 8).alias("sustained"),
+    )
+
+
+@register(
     "merge_table_changes",
     oracle="""
     WITH b1 AS (

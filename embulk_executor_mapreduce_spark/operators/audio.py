@@ -155,6 +155,63 @@ def audio_features(
     return df.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
+def clipping_features(v, clip_threshold: int = 24576) -> tuple:
+    """ASR-prep clipping screen (VERDICT r7 item 8): ``(clip_count,
+    max_clip_run)`` — how many samples sit at/above the clipping magnitude
+    and the longest CONSECUTIVE run of them (sustained clipping is what
+    actually ruins a training clip; isolated peaks are often fine). Exact
+    integer over int16-range values, fully vectorized: run lengths fall out
+    of a diff over the padded clip mask (starts where the mask rises, ends
+    where it falls), no Python loop at any clip length."""
+    v = np.asarray(v, dtype=np.int64)
+    mask = np.abs(v) >= clip_threshold
+    clip_count = int(np.count_nonzero(mask))
+    if clip_count == 0:
+        return 0, 0
+    edges = np.diff(np.concatenate(([0], mask.astype(np.int8), [0])))
+    starts = np.flatnonzero(edges == 1)
+    ends = np.flatnonzero(edges == -1)
+    return clip_count, int(np.max(ends - starts))
+
+
+def audio_quality_screen(
+    df: DataFrame, id_col: str = "doc_id", clip_threshold: int = 24576
+) -> DataFrame:
+    """Decode WAV payloads and compute the clipping screen in one
+    Arrow-batched pass: ``(n_samples, clip_count, max_clip_run)``. Same
+    quarantine semantics as :func:`audio_features` (undecodable → NULLs).
+    Map-only at any scale — prunes to (id, payload), no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            counts, clips, runs = [], [], []
+            for payload in pdf["payload"]:
+                decoded = _wav_samples(bytes(payload))
+                if decoded is None:
+                    counts.append(None)
+                    clips.append(None)
+                    runs.append(None)
+                    continue
+                _rate, _nch, samples = decoded
+                v = _pcm_int16(samples)
+                clip_count, max_run = clipping_features(v, clip_threshold)
+                counts.append(len(v))
+                clips.append(clip_count)
+                runs.append(max_run)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "n_samples": pd.array(counts, dtype="Int32"),
+                    "clip_count": pd.array(clips, dtype="Int32"),
+                    "max_clip_run": pd.array(runs, dtype="Int32"),
+                }
+            )
+
+    return df.mapInPandas(
+        run, schema="doc_id long, n_samples int, clip_count int, max_clip_run int"
+    )
+
+
 def audio_resample(
     df: DataFrame, out_n: int, id_col: str = "doc_id"
 ) -> DataFrame:

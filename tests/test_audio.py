@@ -231,3 +231,49 @@ def test_vectorized_decoder_bit_identical_to_scalar_reference():
         for a, b in zip(got[2], want[2]):
             assert a == b and (a == 0.0 or str(a) == str(b)), (bits, nch, n, a, b)
         assert all(type(s) is float for s in got[2])  # .tolist() contract
+
+
+def test_clipping_features_hand_computed():
+    from embulk_executor_mapreduce_spark.operators.audio import (
+        clipping_features,
+    )
+
+    # runs merge across sign flips (the screen tests |v|)
+    assert clipping_features([30000, -30000, 0, 30000]) == (3, 2)
+    assert clipping_features([]) == (0, 0)
+    assert clipping_features([100, -200, 0]) == (0, 0)
+    assert clipping_features([32767] * 5) == (5, 5)
+    # threshold is inclusive
+    assert clipping_features([24576, 24575]) == (1, 1)
+    assert clipping_features([1, 30000, 30000, 1, 30000]) == (3, 2)
+    assert clipping_features([30000, 1, 30000, 30000, 30000]) == (4, 3)
+
+
+def test_clipping_features_matches_scalar_reference():
+    """Vectorized run-length math vs an obvious per-sample loop."""
+    import random
+
+    from embulk_executor_mapreduce_spark.operators.audio import (
+        clipping_features,
+    )
+
+    def scalar(v, thr=24576):
+        count = run = best = 0
+        for s in v:
+            if abs(s) >= thr:
+                count += 1
+                run += 1
+                best = max(best, run)
+            else:
+                run = 0
+        return count, best
+
+    rng = random.Random(8)
+    for trial in range(50):
+        n = rng.randrange(0, 40)
+        # skew amplitudes so clipping is common and runs form
+        v = [
+            rng.choice([0, 1000, -25000, 30000, -32768, 32767, 24576, 24575])
+            for _ in range(n)
+        ]
+        assert clipping_features(v) == scalar(v), v
