@@ -96,6 +96,9 @@ HEADLINE = [
     "audio_features_wav",
     "merge_table_changes",
     "url_canonical_dedup",
+    # round 8 additions: exact-PSL registrable domain, clipping screen
+    "url_registrable_psl",
+    "audio_quality_screen",
 ]
 
 SMALL_RESULT = {
@@ -118,6 +121,8 @@ SMALL_RESULT = {
     "quality_prune_per_source",
     "dq_constraint_report",
     "url_canonical_dedup",
+    "url_registrable_psl",
+    "audio_quality_screen",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -273,6 +278,41 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
         )
 
     rec.record("pipeline_merge_increment", b4)
+
+    # B4b CDC feed priced ALONE (VERDICT r7 item 5): the headline
+    # merge_table_changes entry builds two sink versions inside its timed
+    # run, conflating write cost with read cost. Here a 2-version state is
+    # committed UNTIMED — v0 = the full orders seed, v1 = the ~9-key batch
+    # with o_totalprice bumped (merge_order ties go to the incoming batch,
+    # so the mutation lands) — and the timed run is table_changes only:
+    # manifest diff + changed-bucket subset reads + one full-outer join,
+    # the steady-state per-increment cost of the feed.
+    from pyspark.sql import functions as F
+
+    from embulk_executor_mapreduce_spark.sinks.changes import table_changes
+
+    cdc_state = f"{tmp}/b4b_state"
+    cdc_spec = {**seed_spec, "out": {**seed_spec["out"], "path": cdc_state}}
+    run_pipeline(spark, load_spec(cdc_spec))  # v0, untimed
+    mut_src = f"{tmp}/b4b_batch"
+    batch_df = spark.read.parquet(batch_src)
+    price_t = dict(batch_df.dtypes)["o_totalprice"]
+    batch_df.withColumn(
+        "o_totalprice", F.expr(f"CAST(o_totalprice + 1 AS {price_t})")
+    ).write.mode("overwrite").parquet(mut_src)
+    run_pipeline(
+        spark,
+        load_spec({**cdc_spec, "in": {"type": "parquet", "path": mut_src}}),
+    )  # v1, untimed
+
+    def b4b():
+        return _timed(
+            lambda: table_changes(
+                spark, cdc_state, ["o_orderkey"], from_version=0, to_version=1
+            ).collect()
+        )
+
+    rec.record("cdc_table_changes_diff", b4b)
 
     # B5 link-graph centrality: integer PageRank over the event-transition
     # graph (per-user lag window over the full events table feeds a ~100-node
