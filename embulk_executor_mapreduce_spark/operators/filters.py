@@ -30,11 +30,18 @@ pipelines):
 - ``limit``: {n: int}
 - ``sql``: {query: "... FROM __input ..."}          — full SQL escape hatch
 - ``pagerank``: {src: col, dst: col, iters: int (default 5),
-  redistribute_dangling: bool} — treats the incoming frame as an edge list
-  and replaces it with (node, rank) integer centrality scores
-  (operators/graph.py); follow with a ``join`` stage to weight documents
-  by the rank of their source node (crawl-quality weighting). Batch-only:
-  the fixed-iteration loop is eager.
+  redistribute_dangling: bool, edges_distinct: bool} — treats the incoming
+  frame as an edge list and replaces it with (node, rank) integer
+  centrality scores (operators/graph.py); follow with a ``join`` stage to
+  weight documents by the rank of their source node (crawl-quality
+  weighting). Batch-only: the fixed-iteration loop is eager.
+  ``edges_distinct: true`` is the production-form selector (SCALING.md §3
+  decision rule): the caller declares the input ALREADY deduplicated —
+  e.g. an ``in: {type: table}`` source over a ``bucketBy(src)`` standing
+  graph — so the stage skips the distinct+repartition+persist and every
+  iteration reads the storage layout with zero edge-side exchanges.
+  Declaring it on a frame with duplicate edges double-counts their
+  contributions; leave false unless the upstream layout guarantees it.
 - ``url_canonicalize``: {column: url col (default "url")} — appends
   ``canon_url``, ``host``, ``registrable_domain`` (operators/web.py: pure
   JVM regexp/array expressions, map-only, streamable); chain with ``dedup``
@@ -175,6 +182,7 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             dst_col=dst,
             iters=iters,
             redistribute_dangling=bool(cfg.get("redistribute_dangling", False)),
+            edges_distinct=bool(cfg.get("edges_distinct", False)),
         )
     raise ConfigError(f"unknown filter type {spec.type!r}")
 

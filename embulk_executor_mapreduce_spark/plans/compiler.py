@@ -283,6 +283,13 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             .text(_as_stream_dir(src.path))
             .withColumnRenamed("value", line_col)
         )
+    elif src.type == "table":
+        raise ConfigError(
+            "table source is not streamable (vanilla-Spark managed tables "
+            "have no streaming-capable provider; readStream.table needs a "
+            "Delta-class format); scan it through the batch path "
+            "(run_pipeline)"
+        )
     else:
         raise ConfigError(f"source type {src.type!r} is not streamable")
 

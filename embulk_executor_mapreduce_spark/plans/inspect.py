@@ -106,6 +106,58 @@ def parquet_scan_row_count(df: DataFrame) -> int | None:
         return None
 
 
+def live_plan_nodes(jplan) -> list[tuple[int, str, tuple[str, ...]]]:
+    """Flatten a JVM ``SparkPlan`` tree into ``(depth, className, output
+    columns)`` rows, WITHOUT descending into cached relations — an
+    ``InMemoryTableScanExec`` is treated as a leaf because its build plan ran
+    once at materialization, not per consuming query. This is what
+    ``explain`` string-parsing cannot give you: ``toString`` inlines the
+    cached relation's own (already-executed) plan, so counting ``Exchange``
+    lines over-counts work that never re-runs.
+
+    Built for the iterative-operator loop-body guards (pagerank): capture
+    each iteration's ``executedPlan`` via a ``localCheckpoint`` spy, then
+    assert the LIVE per-iteration tree shuffles only rank-cardinality
+    frames. ``AdaptiveSparkPlanExec`` descends through ``initialPlan`` —
+    pre-execution shape, which is where exchange placement is decided."""
+    out: list[tuple[int, str, tuple[str, ...]]] = []
+
+    def _walk(jp, depth: int) -> None:
+        name = jp.getClass().getSimpleName()
+        try:
+            attrs = jp.output()
+            cols = tuple(attrs.apply(i).name() for i in range(attrs.size()))
+        except Exception:
+            cols = ()
+        out.append((depth, name, cols))
+        if name == "AdaptiveSparkPlanExec":
+            _walk(jp.initialPlan(), depth + 1)
+            return
+        if name == "InMemoryTableScanExec":
+            return
+        ch = jp.children()
+        for i in range(ch.size()):
+            _walk(ch.apply(i), depth + 1)
+
+    _walk(jplan, 0)
+    return out
+
+
+def ancestor_names(
+    nodes: list[tuple[int, str, tuple[str, ...]]], idx: int
+) -> list[str]:
+    """Ancestor class names (nearest first) of ``nodes[idx]`` in a
+    :func:`live_plan_nodes` flattening — each ancestor is the closest
+    preceding row with strictly smaller depth."""
+    depth = nodes[idx][0]
+    names: list[str] = []
+    for d, name, _ in reversed(nodes[:idx]):
+        if d < depth:
+            names.append(name)
+            depth = d
+    return names
+
+
 def planning_row_count(df: DataFrame, n_rows: int | None = None) -> int:
     """Planning-time row-count scalar for auto-parameter heuristics:
     caller-supplied ``n_rows`` (the spec layer often knows it) beats parquet

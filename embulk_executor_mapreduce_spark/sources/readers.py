@@ -427,6 +427,12 @@ def read_source(
 ) -> DataFrame:
     if spec.type == "csv":
         return _read_csv(spark, spec)
+    if spec.type == "table":
+        # managed-table scan (read-back of the "table" sink): a bucketBy
+        # layout rides along, so downstream joins/aggregates on the bucket
+        # key plan with zero exchanges on this side — the spec-level entry
+        # to the standing-graph pagerank path (SCALING.md §3 decision rule)
+        return spark.table(spec.table)
     if spec.type == "binaryfile":
         return _read_binaryfile(spark, spec)
     if spec.type == "task":

@@ -21,7 +21,21 @@ from .errors import ConfigError, PartitionError
 from .operators.partitioning import MAX_SPLIT
 from .types import ColumnSpec
 
-_SOURCE_TYPES = {"parquet", "csv", "json", "orc", "xml", "task", "binaryfile", "text"}
+_SOURCE_TYPES = {
+    "parquet",
+    "csv",
+    "json",
+    "orc",
+    "xml",
+    "task",
+    "binaryfile",
+    "text",
+    # managed (possibly bucketed) table — the read-back of the "table" SINK:
+    # a standing dataset whose bucketBy layout feeds co-located joins /
+    # zero-edge-exchange pagerank (SCALING.md §3 decision rule) straight
+    # from the scan, no path plumbing
+    "table",
+}
 _SINK_TYPES = {
     "parquet",
     "csv",
@@ -72,6 +86,8 @@ class SourceSpec:
     invalid_record_path: str | None = None
     # plugin-style source: number of parallel input tasks + a task fn name
     task_count: int | None = None
+    # type == "table": managed-table name (read-back of the table sink)
+    table: str | None = None
 
 
 @dataclass(frozen=True)
@@ -162,7 +178,9 @@ class PipelineSpec:
     def validate(self) -> None:
         if self.source.type not in _SOURCE_TYPES:
             raise ConfigError(f"unknown source type {self.source.type!r}")
-        if self.source.type != "task" and not self.source.path:
+        if self.source.type == "table" and not self.source.table:
+            raise ConfigError("table source requires a 'table' name")
+        if self.source.type not in ("task", "table") and not self.source.path:
             raise ConfigError(f"source type {self.source.type!r} requires a path")
         if self.source.type == "csv" and not self.source.columns:
             raise ConfigError("csv source requires an explicit columns schema")
@@ -298,6 +316,7 @@ def source_from(raw: dict[str, Any]) -> SourceSpec:
         stop_on_invalid_record=src_raw.pop("stop_on_invalid_record", False),
         invalid_record_path=src_raw.pop("invalid_record_path", None),
         task_count=src_raw.pop("task_count", None),
+        table=src_raw.pop("table", None),
         options=src_raw.pop("options", src_raw),
     )
 

@@ -182,6 +182,78 @@ def test_pagerank_dangling_mass_conservation_property(spark):
     assert drop == _reference_pagerank(edges, iters=iters)
 
 
+def test_pagerank_nonbucketed_loop_body_no_edge_side_exchange(spark):
+    """VERDICT r7 item 6: the non-bucketed path's repartition("src") +
+    persist cache must make every steady-state iteration shuffle ONLY
+    rank-cardinality frames — the edge (data-sized) cache feeds the
+    contribution join straight from InMemoryTableScan with no Exchange
+    above it. Checked on the REAL loop: a localCheckpoint spy captures each
+    iteration's executedPlan before truncation, and the JVM tree-walk
+    (plans.inspect.live_plan_nodes) counts only live nodes — toString
+    string-counting would double-count the cached relation's one-time
+    build plan. Broadcast is disabled so the tiny test graph plans the
+    same SMJ shape a 100 TB edge list gets."""
+    from embulk_executor_mapreduce_spark.plans.inspect import (
+        ancestor_names,
+        live_plan_nodes,
+    )
+
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # pre-connect pyspark: one DataFrame class
+        from pyspark.sql import DataFrame as _CDF
+
+    captured = []
+    orig = _CDF.localCheckpoint
+
+    def spy(self, eager=True):
+        captured.append(self._jdf.queryExecution().executedPlan())
+        return orig(self, eager=eager)
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    _CDF.localCheckpoint = spy
+    try:
+        pagerank(
+            spark.createDataFrame(_pseudo_edges(50), "src long, dst long"),
+            iters=3,
+        )
+    finally:
+        _CDF.localCheckpoint = orig
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+    assert len(captured) == 3
+    edge_cols = {"src", "dst", "outdeg"}
+    for it in (1, 2):  # steady state: the cache is materialized after iter 0
+        nodes = live_plan_nodes(captured[it])
+        shuffles = [
+            (i, cols)
+            for i, (_, name, cols) in enumerate(nodes)
+            if name == "ShuffleExchangeExec"
+        ]
+        # exactly two live shuffles per iteration, both node-cardinality:
+        # the rank frame meeting the cache's hash(src) partitioning, and
+        # the contribution groupBy(dst) partial-agg exchange
+        assert len(shuffles) == 2, nodes
+        for _, cols in shuffles:
+            assert "outdeg" not in cols, nodes
+            assert not edge_cols <= set(cols), nodes
+        # the edge cache is actually used, as a leaf of the join ...
+        scans = [
+            i
+            for i, (_, name, cols) in enumerate(nodes)
+            if name == "InMemoryTableScanExec" and edge_cols <= set(cols)
+        ]
+        assert scans, nodes
+        # ... with no shuffle between it and the join that consumes it
+        for i in scans:
+            anc = ancestor_names(nodes, i)
+            join_path = anc[: next(
+                k for k, n in enumerate(anc) if "Join" in n
+            )]
+            assert "ShuffleExchangeExec" not in join_path, anc
+
+
 def test_pagerank_bucketed_edges_zero_edge_exchanges(spark):
     """Pre-bucketed edge layout (VERDICT r4 item 8): with the edge list
     written bucketBy(src), the per-iteration rank-join and the outdeg

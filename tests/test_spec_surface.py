@@ -535,3 +535,106 @@ def test_spec_url_canonicalize_pipeline(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_spec_table_source_bucketed_pagerank_production_form(spark, tmp_path):
+    """SCALING.md §3 decision rule at the spec surface (VERDICT r7 item 6):
+    a standing graph written once via the TABLE SINK (bucketBy src), then
+    ranked via ``in: {type: table}`` + the pagerank stage's
+    ``edges_distinct: true`` production selector. Ranks must equal the
+    ad-hoc (non-bucketed) form bit for bit, the table-source scan must
+    actually ride the bucket layout, and config errors stay reference-style."""
+    import uuid
+
+    from embulk_executor_mapreduce_spark.operators.graph import pagerank
+    from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+
+    edges = str(tmp_path / "edges")
+    spark.createDataFrame(TINY, "src long, dst long").write.parquet(edges)
+    table = f"spec_edges_{uuid.uuid4().hex[:12]}"
+    try:
+        # one-time layout write: parquet edge dump → dedup → bucketed table
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": edges},
+                    "filters": [{"type": "dedup", "columns": ["src", "dst"]}],
+                    "out": {
+                        "type": "table",
+                        "table": table,
+                        "bucket_by": ["src"],
+                        "buckets": 4,
+                        "sort_by": ["src"],
+                    },
+                }
+            ),
+        )
+        # the table source rides the bucket layout (no path plumbing): a
+        # bucket-key aggregate plans bucketed with ZERO shuffle exchanges
+        from embulk_executor_mapreduce_spark.plans.inspect import num_exchanges
+
+        probe = compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "table", "table": table},
+                    "filters": [
+                        {
+                            "type": "aggregate",
+                            "group_by": ["src"],
+                            "aggs": {"outdeg": "count(*)"},
+                        }
+                    ],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+        assert "Bucketed: true" in probe._jdf.queryExecution().toString()
+        assert num_exchanges(probe) == 0
+        # production-form ranking, pure YAML
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "table", "table": table},
+                    "filters": [
+                        {
+                            "type": "pagerank",
+                            "src": "src",
+                            "dst": "dst",
+                            "iters": 4,
+                            "edges_distinct": True,
+                        }
+                    ],
+                    "out": {"type": "memory", "options": {"view": "pr_prod"}},
+                }
+            ),
+        )
+        got = {r.node: r.rank for r in spark.table("pr_prod").collect()}
+        want = {
+            r.node: r.rank
+            for r in pagerank(
+                spark.createDataFrame(TINY, "src long, dst long"), iters=4
+            ).collect()
+        }
+        assert got == want
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    # config-time errors: nameless table source; unknown table type combos
+    with pytest.raises(ConfigError, match="table source requires"):
+        load_spec(
+            {"in": {"type": "table"}, "out": {"type": "null"}}
+        ).validate()
+    # streaming rejection names the batch alternative (repo convention)
+    with pytest.raises(ConfigError, match=r"batch path \(run_pipeline\)"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "table", "table": "whatever"},
+                    "out": {"type": "parquet", "path": str(tmp_path / "s")},
+                }
+            ),
+        )
