@@ -147,7 +147,22 @@ def _ts_normalize_filters(sf_dir: str) -> list[dict]:
 class _Recorder:
     """Best-of-2 with a wall-clock budget: every entry runs twice and the min
     is reported (``first`` keeps run 1); once the budget is spent, second
-    runs are skipped so the driver's timeout always gets its JSON line."""
+    runs are skipped so the driver's timeout always gets its JSON line.
+
+    THIRD-RUN ESCAPE (r8): transient host stalls (writeback after a heavy
+    preceding job, ContextCleaner bursts in a long-lived 60-entry session)
+    were observed to cluster across CONSECUTIVE entries, slowing BOTH runs
+    of an entry 3-6x — best-of-2 cannot absorb noise that covers the whole
+    pair (an idle-host solo re-run of the same commit showed gapfill_hourly
+    at 0.5 s where an affected bench pair read 4.1/3.1 s, with a different
+    entry set affected on each full bench run). When the second run shows no
+    warm-up improvement (>= NO_WARMUP_RATIO of run 1) and the pair is not
+    trivially cheap, one more run is taken after the gc.collect — by then
+    the stall has usually passed. Min of all runs is reported; ``third_run``
+    in the artifact lists the entries that needed it."""
+
+    NO_WARMUP_RATIO = 0.7
+    THIRD_RUN_MIN_SEC = 0.75
 
     def __init__(self, budget_sec: float = 420.0):
         self.t0 = time.time()
@@ -155,17 +170,29 @@ class _Recorder:
         self.best: dict[str, float] = {}
         self.first: dict[str, float] = {}
         self.second_skipped: list[str] = []
+        self.third_run: list[str] = []
 
     def record(self, name: str, run, rerun=None) -> None:
         t1 = run()
         self.first[name] = t1
-        if time.time() - self.t0 < self.budget:
-            self.best[name] = round(min(t1, (rerun or run)()), 3)
-        else:
+        if time.time() - self.t0 >= self.budget:
             self.best[name] = t1
             self.second_skipped.append(name)
+            gc.collect()
+            return
+        t2 = (rerun or run)()
+        best = min(t1, t2)
         gc.collect()  # release py4j DF refs so ContextCleaner can drop
         # finished broadcasts/RDDs instead of accumulating across entries
+        if (
+            best > self.THIRD_RUN_MIN_SEC
+            and t2 >= self.NO_WARMUP_RATIO * t1
+            and time.time() - self.t0 < self.budget
+        ):
+            best = min(best, (rerun or run)())
+            self.third_run.append(name)
+            gc.collect()
+        self.best[name] = round(best, 3)
 
 
 def _timed(fn) -> float:
@@ -577,9 +604,12 @@ def main() -> None:
         "load_wait_sec": load_wait,
         "load_contaminated": bool(load_start > LOAD_THRESHOLD),
         "second_run_skipped": rec.second_skipped,
+        "third_run": rec.third_run,
         "methodology": (
             "best-of-2 warm per entry since r4 (first runs under "
-            "queries_first); rounds <=3 recorded single runs"
+            "queries_first); r8 adds a third run when run 2 shows no "
+            "warm-up improvement on a non-trivial entry (transient-stall "
+            "escape); rounds <=3 recorded single runs"
         ),
     }
     # VERDICT r4 finding 1: BENCH_r04.json was driver-unparseable because the
