@@ -46,6 +46,44 @@ pipelines):
   ``canon_url``, ``host``, ``registrable_domain`` (operators/web.py: pure
   JVM regexp/array expressions, map-only, streamable); chain with ``dedup``
   on canon_url and per-domain capping for the web-corpus front door.
+- ``sample_k_per_group``: {group_by: [cols], k: int (default 5),
+  order_by: [...] | hash_on: unique id col} — keep at most k rows per
+  group: ``order_by`` gives top-k, ``hash_on`` gives the deterministic
+  hash-ordered sample (per-domain caps, 'k examples per class'). One
+  exchange on the group key, rank window only — no global sort. Batch-only
+  (row_number needs the whole group).
+
+Training-data text stages (operators/text.py + dedup.py re-exposed at the
+config surface — the reference's filter-plugin UX over the LLM-prep
+operators, so the whole corpus front door is declarative: url_canonicalize
+→ dedup → language_id → filter → quality_score → filter → pii_scrub →
+minhash_dedup → out). APPEND-semantics stages reuse the operators verbatim
+through a struct-pack: the full input row becomes the operator's ``id``
+column, so the computed columns ride a single map-only projection — no
+join-back, no shuffle, streamable. Appended names collide-guard against
+existing columns (ConfigError, not silent overwrite):
+
+- ``text_stats``: {column: text col (default "text")} — appends
+  ``n_tokens``, ``n_chars_computed``, ``avg_token_len``
+- ``quality_score``: {column} — appends ``quality`` in [0,1]; chain a
+  ``filter`` stage (``quality >= 0.7``) to prune
+- ``language_id``: {column} — appends ``lang_guess``, ``marker_hits``
+- ``token_count``: {column} — appends ``n_words``, ``n_bpeish_tokens``,
+  ``n_unique_tokens``
+- ``fingerprint``: {column} — appends order-insensitive content
+  ``fingerprint``; chain ``dedup: {columns: [fingerprint]}`` for exact
+  content dedup
+- ``pii_scrub``: {column, patterns: {name: regex} (optional)} — REPLACES
+  the text column with the redacted form and appends per-pattern audit
+  counts ``n_<name>``
+- ``repetition_stats``: {column, id: unique id col} — appends Gopher-style
+  ``top_token_frac``, ``unique_token_frac``, ``rep_keep`` (id + join-back:
+  the stats are a per-doc aggregate, so this stage costs one id-keyed
+  shuffle; batch-only)
+- ``minhash_dedup``: {column, id, num_hashes: 16, bands: 4, shingle_n: 3}
+  — removes near-duplicate LOSERS: banded MinHash LSH candidate pairs →
+  connected components → keep only each cluster's min-id doc (batch-only:
+  the label-propagation loop is eager)
 """
 
 from __future__ import annotations
@@ -184,7 +222,177 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             redistribute_dangling=bool(cfg.get("redistribute_dangling", False)),
             edges_distinct=bool(cfg.get("edges_distinct", False)),
         )
+    if spec.type == "sample_k_per_group":
+        from pyspark.sql import Window as W
+
+        group_by = cfg.get("group_by")
+        if not group_by:
+            raise ConfigError("sample_k_per_group filter requires 'group_by'")
+        for c in group_by:
+            if c not in df.columns:
+                raise ConfigError(
+                    f"sample_k_per_group group column {c!r} missing from the data"
+                )
+        k = int(cfg.get("k", 5))
+        if k < 1:
+            raise ConfigError(f"sample_k_per_group k must be >= 1, got {k}")
+        order_by = cfg.get("order_by")
+        if order_by:
+            order = [_sort_col(s) for s in order_by]  # top-k per group
+        else:
+            # deterministic hash-ordered SAMPLE (the per-domain cap / 'k
+            # examples per class' pattern): stable across runs and engines,
+            # no global sort — one exchange on the group key. hash_on must
+            # be a unique id for a uniform, reproducible pick.
+            hash_on = cfg.get("hash_on")
+            if not hash_on:
+                raise ConfigError(
+                    "sample_k_per_group filter requires 'order_by' (top-k) "
+                    "or 'hash_on' (deterministic sample)"
+                )
+            if hash_on not in df.columns:
+                raise ConfigError(
+                    f"sample_k_per_group hash column {hash_on!r} missing from the data"
+                )
+            order = [F.md5(F.col(hash_on).cast("string")), F.col(hash_on)]
+        w = W.partitionBy(*group_by).orderBy(*order)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    if spec.type in _TEXT_APPEND_STAGES:
+        return _apply_text_append(df, spec.type, cfg)
+    if spec.type == "pii_scrub":
+        return _apply_pii_scrub(df, cfg)
+    if spec.type == "repetition_stats":
+        from .text import repetition_quality
+
+        text_col, id_col = _text_and_id(df, cfg, spec.type)
+        _guard_new_columns(
+            df, ["top_token_frac", "unique_token_frac", "rep_keep"], spec.type
+        )
+        stats = repetition_quality(df, text_col=text_col, id_col=id_col).select(
+            F.col(id_col),
+            "top_token_frac",
+            "unique_token_frac",
+            F.col("keep").alias("rep_keep"),
+        )
+        # per-doc aggregate → one id-keyed shuffle join-back (the struct-pack
+        # trick would shuffle (row × tokens)-sized frames; the id join is the
+        # scale shape). ``id`` must be unique or rows fan out.
+        return df.join(stats, on=id_col, how="left")
+    if spec.type == "minhash_dedup":
+        from .dedup import connected_components, minhash_candidates
+
+        text_col, id_col = _text_and_id(df, cfg, spec.type)
+        pairs = minhash_candidates(
+            df,
+            text_col,
+            id_col,
+            num_hashes=int(cfg.get("num_hashes", 16)),
+            bands=int(cfg.get("bands", 4)),
+            shingle_n=int(cfg.get("shingle_n", 3)),
+        )
+        losers = (
+            connected_components(pairs)
+            .filter(F.col("cluster_id") != F.col("doc_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return df.join(losers, on=id_col, how="left_anti")
     raise ConfigError(f"unknown filter type {spec.type!r}")
+
+
+#: append-semantics text stages: stage type → (operator name in
+#: operators.text, appended output columns). Each operator is a single
+#: SELECT projection keyed on its id column, so the struct-pack in
+#: _apply_text_append keeps the stage map-only.
+_TEXT_APPEND_STAGES = {
+    "text_stats": ("text_stats", ["n_tokens", "n_chars_computed", "avg_token_len"]),
+    "quality_score": ("quality_score", ["quality"]),
+    "language_id": ("language_id", ["lang_guess", "marker_hits"]),
+    "token_count": ("token_counts", ["n_words", "n_bpeish_tokens", "n_unique_tokens"]),
+    "fingerprint": ("fingerprint", ["fingerprint"]),
+}
+
+_ROW = "__row"
+
+
+def _text_and_id(df: DataFrame, cfg: dict, stage: str) -> tuple[str, str]:
+    text_col = cfg.get("column", "text")
+    if text_col not in df.columns:
+        # reference findColumnByName config-time error
+        # (TimestampPartitioning.java:152-161)
+        raise ConfigError(f"{stage} filter column {text_col!r} missing from the data")
+    id_col = cfg.get("id")
+    if not id_col:
+        raise ConfigError(f"{stage} filter requires an 'id' column")
+    if id_col not in df.columns:
+        raise ConfigError(
+            f"{stage} filter id column {id_col!r} missing from the data"
+        )
+    return text_col, id_col
+
+
+def _guard_new_columns(df: DataFrame, new_cols: list[str], stage: str) -> None:
+    clash = [c for c in new_cols if c in df.columns]
+    if clash:
+        raise ConfigError(
+            f"{stage} filter would append column(s) {clash} that already "
+            f"exist in the data — rename or drop them first"
+        )
+
+
+def _pack_rows(df: DataFrame) -> DataFrame:
+    if _ROW in df.columns:
+        raise ConfigError(
+            f"column name {_ROW!r} is reserved by append-semantics filters"
+        )
+    return df.select(F.struct(*df.columns).alias(_ROW))
+
+
+def _apply_text_append(df: DataFrame, stage: str, cfg: dict) -> DataFrame:
+    """Run an operators.text projection with the WHOLE ROW as its id column:
+    ``struct(*) → op(text_col=__row.text, id_col=__row) → __row.*, computed``.
+    One narrow projection end to end — the appended columns cost zero
+    shuffles and zero extra scans (vs. joining the operator's (id, computed)
+    frame back, which re-scans and shuffles), and the stage stays
+    streamable."""
+    from . import text as text_ops
+
+    op_name, out_cols = _TEXT_APPEND_STAGES[stage]
+    text_col = cfg.get("column", "text")
+    if text_col not in df.columns:
+        raise ConfigError(f"{stage} filter column {text_col!r} missing from the data")
+    _guard_new_columns(df, out_cols, stage)
+    packed = _pack_rows(df)
+    res = getattr(text_ops, op_name)(
+        packed, text_col=f"{_ROW}.{text_col}", id_col=_ROW
+    )
+    return res.select(f"{_ROW}.*", *out_cols)
+
+
+def _apply_pii_scrub(df: DataFrame, cfg: dict) -> DataFrame:
+    from .text import pii_scrub
+
+    text_col = cfg.get("column", "text")
+    if text_col not in df.columns:
+        raise ConfigError(f"pii_scrub filter column {text_col!r} missing from the data")
+    patterns = cfg.get("patterns")
+    audit_cols = [f"n_{name}" for name in (patterns or {"email": 0, "digits": 0})]
+    _guard_new_columns(df, audit_cols, "pii_scrub")
+    res = pii_scrub(
+        _pack_rows(df), text_col=f"{_ROW}.{text_col}", id_col=_ROW, patterns=patterns
+    )
+    # original row with the text column REPLACED by its redacted form,
+    # audit counts appended — still one map-only projection
+    keep = [
+        F.col("scrubbed").alias(text_col)
+        if c == text_col
+        else F.col(f"{_ROW}.{c}").alias(c)
+        for c in df.columns
+    ]
+    return res.select(*keep, *audit_cols)
 
 
 def _sort_col(s: str):

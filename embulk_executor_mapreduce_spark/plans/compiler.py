@@ -180,6 +180,16 @@ _STREAM_SAFE_FILTERS = {
     "join",
     "sql",
     "url_canonicalize",  # pure column expressions — map-only, streams as-is
+    # r8 text append stages: struct-pack projections (operators/filters.py),
+    # map-only, stream as-is; the batch-only siblings (repetition_stats,
+    # minhash_dedup, pagerank) are NOT here — eager loops / corpus-wide
+    # self-aggregation have no incremental form
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "token_count",
+    "fingerprint",
+    "pii_scrub",
 }
 
 
@@ -215,8 +225,10 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
     for f in spec.filters:
         if f.type not in _STREAM_SAFE_FILTERS:
             raise ConfigError(
-                f"filter type {f.type!r} is not streamable (needs watermark/"
-                f"output-mode semantics the batch spec does not carry)"
+                f"filter type {f.type!r} is not streamable (eager iteration, "
+                f"corpus-wide self-aggregation, or watermark/output-mode "
+                f"semantics the batch spec does not carry); run it through "
+                f"the batch path (run_pipeline)"
             )
     if spec.sink.type in ("null", "memory"):
         raise ConfigError(
@@ -360,6 +372,12 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             # contention, state consistent — don't blur it into the generic
             # infra bucket (callers back off and re-run the load)
             raise
+        if isinstance(exc, ConfigError):
+            # config-time user error (reference ConfigException fails fast
+            # before job submission) — a bad filter config is neither a data
+            # error nor an infra failure; surface it as-is so callers can
+            # fix the spec instead of retrying the load
+            raise
         if _is_user_data_error(exc):
             raise RemoteTaskFailedDataError(report.error) from exc
         raise RemoteTaskFailedError(report.error) from exc
@@ -489,6 +507,12 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
             # already precisely classified: retryable multi-writer
             # contention, state consistent — don't blur it into the generic
             # infra bucket (callers back off and re-run the load)
+            raise
+        if isinstance(exc, ConfigError):
+            # config-time user error (reference ConfigException fails fast
+            # before job submission) — a bad filter config is neither a data
+            # error nor an infra failure; surface it as-is so callers can
+            # fix the spec instead of retrying the load
             raise
         if _is_user_data_error(exc):
             raise RemoteTaskFailedDataError(report.error) from exc

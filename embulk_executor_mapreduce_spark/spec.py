@@ -69,6 +69,19 @@ _FILTER_TYPES = {
     # composes with the dedup / sample_k_per_group stages for URL-level
     # dedup and per-domain caps declared entirely in the spec
     "url_canonicalize",
+    "sample_k_per_group",  # per-group cap / deterministic k-per-class sample
+    # training-data text stages (operators/text.py + dedup.py at the config
+    # surface — operators/filters.py docstring documents each config shape):
+    # append-semantics projections ride a struct-pack (map-only, streamable);
+    # repetition_stats / minhash_dedup are id-keyed aggregates (batch-only)
+    "text_stats",
+    "quality_score",
+    "language_id",
+    "token_count",
+    "fingerprint",
+    "pii_scrub",
+    "repetition_stats",
+    "minhash_dedup",
 }
 
 

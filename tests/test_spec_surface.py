@@ -638,3 +638,341 @@ def test_spec_table_source_bucketed_pagerank_production_form(spark, tmp_path):
                 }
             ),
         )
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_spec_text_append_stages_map_only_and_parity(spark):
+    """The r8 training-data text stages (filters.py docstring): every
+    append-semantics stage rides the struct-pack — ONE map-only projection,
+    ZERO exchanges for the whole five-stage chain — and each appended value
+    equals the operators/text.py function it reuses, joined back by doc_id."""
+    from embulk_executor_mapreduce_spark.operators import text as text_ops
+    from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+    from embulk_executor_mapreduce_spark.plans.inspect import num_exchanges
+
+    out = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{SF001}/documents.parquet"},
+                "filters": [
+                    {"type": "text_stats"},
+                    {"type": "quality_score"},
+                    {"type": "language_id"},
+                    {"type": "token_count"},
+                    {"type": "fingerprint"},
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert num_exchanges(out) == 0  # five append stages, still map-only
+    got = {r["doc_id"]: r.asDict() for r in out.collect()}
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    assert set(got) == {r.doc_id for r in docs.select("doc_id").collect()}
+    checks = {
+        "text_stats": ["n_tokens", "n_chars_computed", "avg_token_len"],
+        "quality_score": ["quality"],
+        "language_id": ["lang_guess", "marker_hits"],
+        "token_counts": ["n_words", "n_bpeish_tokens", "n_unique_tokens"],
+        "fingerprint": ["fingerprint"],
+    }
+    for op_name, cols in checks.items():
+        want = {
+            r["doc_id"]: r.asDict()
+            for r in getattr(text_ops, op_name)(docs).collect()
+        }
+        for doc_id, row in got.items():
+            for c in cols:
+                assert row[c] == want[doc_id][c], (op_name, c, doc_id)
+
+
+def test_spec_pii_scrub_stage_replaces_text_in_place(spark, tmp_path):
+    """pii_scrub stage: the text column is REPLACED by its redacted form with
+    audit counts appended; all other columns and their order survive."""
+    from embulk_executor_mapreduce_spark.operators.text import pii_scrub
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (0, "mail me at a.b@example.com now", "crawl"),
+        (1, "call 5551234567 or 911", "books"),
+        (2, "clean text only", "web"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "filters": [{"type": "pii_scrub"}],
+                "out": {"type": "memory", "options": {"view": "scrubbed_docs"}},
+            }
+        ),
+    )
+    out = spark.table("scrubbed_docs")
+    assert out.columns == ["doc_id", "text", "source", "n_email", "n_digits"]
+    got = {r.doc_id: r for r in out.collect()}
+    want = {
+        r["doc_id"]: r
+        for r in pii_scrub(
+            spark.createDataFrame(rows, "doc_id long, text string, source string"),
+            "text",
+            "doc_id",
+        ).collect()
+    }
+    for i in got:
+        assert got[i].text == want[i]["scrubbed"]
+        assert (got[i].n_email, got[i].n_digits) == (
+            want[i]["n_email"],
+            want[i]["n_digits"],
+        )
+    assert "<EMAIL>" in got[0].text and "<DIGITS>" in got[1].text
+
+
+def test_spec_fingerprint_dedup_chain_and_minhash_dedup(spark, tmp_path):
+    """The declarative corpus front door: fingerprint + dedup removes exact
+    content dups (order-insensitive), minhash_dedup removes near-dup LOSERS
+    (cluster min-id survives) — both as pure YAML, parity against the
+    operator-level pipeline."""
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        connected_components,
+        minhash_candidates,
+    )
+
+    src = str(tmp_path / "docs")
+    base = "the quick brown fox jumps over the lazy dog " * 6
+    rows = [
+        (0, base.strip()),
+        (1, base.strip()),  # exact dup of 0
+        (2, (base + "with one extra suffix token").strip()),  # near-dup of 0
+        (3, "completely different content about spark shuffles and joins"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "filters": [
+                    {"type": "fingerprint"},
+                    {"type": "dedup", "columns": ["fingerprint"], "order_by": ["doc_id"]},
+                    {"type": "drop", "columns": ["fingerprint"]},
+                    {"type": "minhash_dedup", "id": "doc_id"},
+                ],
+                "out": {"type": "memory", "options": {"view": "front_door"}},
+            }
+        ),
+    )
+    kept = sorted(r.doc_id for r in spark.table("front_door").collect())
+
+    # operator-level expectation: exact dedup keeps min doc_id per content,
+    # then near-dup CC keeps each cluster's min id
+    docs = spark.createDataFrame([rows[0], rows[2], rows[3]], "doc_id long, text string")
+    pairs = minhash_candidates(docs, "text", "doc_id")
+    losers = {
+        r.doc_id
+        for r in connected_components(pairs)
+        .filter("cluster_id != doc_id")
+        .collect()
+    }
+    want = sorted({0, 2, 3} - losers)
+    assert kept == want
+    assert 2 not in kept  # the near-dup actually dropped
+    assert kept[0] == 0 and 3 in kept
+
+
+def test_spec_repetition_stats_stage(spark, tmp_path):
+    """repetition_stats appends the Gopher fracs + rep_keep via id join-back;
+    values equal the operator, all original columns survive."""
+    from embulk_executor_mapreduce_spark.operators.text import repetition_quality
+
+    src = str(tmp_path / "docs")
+    rows = [
+        (0, "spam spam spam spam spam spam spam spam spam ham"),
+        (1, "a genuinely varied sentence with mostly unique words here"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "filters": [{"type": "repetition_stats", "id": "doc_id"}],
+                "out": {"type": "memory", "options": {"view": "rep_docs"}},
+            }
+        ),
+    )
+    out = spark.table("rep_docs")
+    assert set(out.columns) == {
+        "doc_id", "text", "top_token_frac", "unique_token_frac", "rep_keep",
+    }
+    got = {r.doc_id: r for r in out.collect()}
+    want = {
+        r["doc_id"]: r
+        for r in repetition_quality(
+            spark.createDataFrame(rows, "doc_id long, text string")
+        ).collect()
+    }
+    for i in got:
+        assert got[i].rep_keep == want[i]["keep"]
+        assert got[i].top_token_frac == want[i]["top_token_frac"]
+        assert got[i].unique_token_frac == want[i]["unique_token_frac"]
+    assert got[0].rep_keep is False and got[1].rep_keep is True
+
+
+def test_spec_text_stage_config_errors(spark, tmp_path):
+    """Reference ConfigException style: missing column, missing id, appended
+    name collision, reserved struct-pack name, streaming rejection naming
+    the batch alternative."""
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "hello world", 5)], "doc_id long, text string, n_tokens int"
+    ).write.parquet(src)
+
+    def run_with(filters, path=src):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": path},
+                    "filters": filters,
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+
+    with pytest.raises(ConfigError, match="missing from the data"):
+        run_with([{"type": "quality_score", "column": "body"}])
+    with pytest.raises(ConfigError, match="requires an 'id'"):
+        run_with([{"type": "minhash_dedup"}])
+    with pytest.raises(ConfigError, match="id column 'nope'"):
+        run_with([{"type": "repetition_stats", "id": "nope"}])
+    # doc already has n_tokens → text_stats must refuse, not overwrite
+    with pytest.raises(ConfigError, match="already"):
+        run_with([{"type": "text_stats"}])
+    # appending the same stage twice collides on its own output
+    with pytest.raises(ConfigError, match="already"):
+        run_with([{"type": "drop", "columns": ["n_tokens"]},
+                  {"type": "fingerprint"}, {"type": "fingerprint"}])
+    # reserved struct-pack name
+    rsrc = str(tmp_path / "rdocs")
+    spark.createDataFrame([(0, "x")], "`__row` long, text string").write.parquet(rsrc)
+    with pytest.raises(ConfigError, match="reserved"):
+        run_with([{"type": "quality_score"}], path=rsrc)
+    # streaming: batch-only stages rejected up front with the alternative named
+    with pytest.raises(ConfigError, match=r"batch path \(run_pipeline\)"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "csv",
+                        "path": src,
+                        "columns": [{"name": "text", "type": "string"}],
+                    },
+                    "filters": [{"type": "minhash_dedup", "id": "text"}],
+                    "out": {"type": "parquet", "path": str(tmp_path / "s")},
+                }
+            ),
+        )
+
+
+def test_spec_text_append_stages_stream(spark, tmp_path):
+    """The struct-pack append stages are pure projections, so the IDENTICAL
+    chain streams (unified batch/streaming story): quality_score + filter
+    prune + pii_scrub over a file stream equals the batch run row for row."""
+    src = str(tmp_path / "docs")
+    rows = [
+        (0, "the and for are with his they this have from one had word"),
+        (1, "x"),  # fails the length band -> pruned
+        (2, "the quick brown fox mail me at who@example.org with this and that"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(src)
+    spec = {
+        "in": {"type": "parquet", "path": src},
+        "filters": [
+            {"type": "quality_score"},
+            {"type": "filter", "predicate": "quality >= 0.7"},
+            {"type": "pii_scrub"},
+        ],
+        "out": {"type": "parquet", "path": str(tmp_path / "batch_out")},
+    }
+    run_pipeline(spark, load_spec(spec))
+    batch = {
+        r.doc_id: (r.text, r.quality, r.n_email)
+        for r in spark.read.parquet(str(tmp_path / "batch_out")).collect()
+    }
+    stream_out = str(tmp_path / "stream_out")
+    report = run_pipeline_streaming(
+        spark, load_spec({**spec, "out": {"type": "parquet", "path": stream_out}})
+    )
+    assert report.succeeded
+    streamed = {
+        r.doc_id: (r.text, r.quality, r.n_email)
+        for r in spark.read.parquet(stream_out).collect()
+    }
+    assert streamed == batch
+    assert sorted(streamed) == [0, 2]  # doc 1 pruned by the quality gate
+    assert "<EMAIL>" in streamed[2][0]
+
+
+def test_spec_sample_k_per_group_stage(spark, tmp_path):
+    """Per-group cap as YAML: hash_on gives the deterministic hash-ordered
+    sample (parity with the sample_k_per_group catalog query's window),
+    order_by gives top-k; k and membership invariants hold."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "rows")
+    data = [(i, f"g{i % 3}", float(i * 7 % 11)) for i in range(60)]
+    spark.createDataFrame(data, "id long, grp string, score double").write.parquet(src)
+
+    def run_stage(cfg, view):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": [{"type": "sample_k_per_group", **cfg}],
+                    "out": {"type": "memory", "options": {"view": view}},
+                }
+            ),
+        )
+        return spark.table(view).collect()
+
+    # hash-ordered deterministic sample: equals the hand-built window
+    got = sorted(r.id for r in run_stage({"group_by": ["grp"], "k": 4, "hash_on": "id"}, "s1"))
+    w = W.partitionBy("grp").orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+    want = sorted(
+        r.id
+        for r in spark.read.parquet(src)
+        .withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 4")
+        .collect()
+    )
+    assert got == want and len(got) == 12
+    # rerun is identical (deterministic)
+    assert got == sorted(r.id for r in run_stage({"group_by": ["grp"], "k": 4, "hash_on": "id"}, "s2"))
+
+    # order_by top-k: the 2 highest scores per group survive
+    top = run_stage({"group_by": ["grp"], "k": 2, "order_by": ["score desc", "id"]}, "s3")
+    by_grp = {}
+    for r in top:
+        by_grp.setdefault(r.grp, []).append(r.score)
+    full = spark.read.parquet(src).collect()
+    for g, scores in by_grp.items():
+        best = sorted((r.score for r in full if r.grp == g), reverse=True)[:2]
+        assert sorted(scores, reverse=True) == best
+
+    # config errors, reference ConfigException style
+    with pytest.raises(ConfigError, match="requires 'group_by'"):
+        run_stage({"k": 3, "hash_on": "id"}, "e1")
+    with pytest.raises(ConfigError, match="'order_by' .*or 'hash_on'"):
+        run_stage({"group_by": ["grp"]}, "e2")
+    with pytest.raises(ConfigError, match="k must be >= 1"):
+        run_stage({"group_by": ["grp"], "k": 0, "hash_on": "id"}, "e3")
+    with pytest.raises(ConfigError, match="missing from the data"):
+        run_stage({"group_by": ["nope"], "k": 3, "hash_on": "id"}, "e4")
