@@ -84,6 +84,18 @@ existing columns (ConfigError, not silent overwrite):
   — removes near-duplicate LOSERS: banded MinHash LSH candidate pairs →
   connected components → keep only each cluster's min-id doc (batch-only:
   the label-propagation loop is eager)
+- ``chunk``: {column, window: 64, stride: 48} — fans every document out
+  into overlapping fixed-size token windows (the training-example
+  materialization step), appending ``chunk_idx``, ``chunk_text``,
+  ``chunk_tokens`` while keeping every input column (struct-pack +
+  posexplode — rows multiply inside codegen, no shuffle, streamable)
+- ``decontaminate``: {benchmark: {in-block}, column, id,
+  method: minhash (default) | ngram, …method knobs} — drops corpus docs
+  that leak a held-out benchmark/eval set: ``minhash`` catches paraphrased
+  leakage via banded signatures + ``min_matches``/``num_hashes``
+  agreement, ``ngram`` flags any shared word n-gram (``n``: 5). Corpus
+  shuffles once on band/gram keys; the benchmark side is eval-set-sized
+  so AQE broadcasts it. Batch-only (corpus-wide signature aggregation).
 """
 
 from __future__ import annotations
@@ -260,6 +272,71 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
             .drop("__rn")
+        )
+    if spec.type == "chunk":
+        from .text import chunk_token_windows
+
+        text_col = cfg.get("column", "text")
+        if text_col not in df.columns:
+            raise ConfigError(
+                f"chunk filter column {text_col!r} missing from the data"
+            )
+        window = int(cfg.get("window", 64))
+        stride = int(cfg.get("stride", 48))
+        if window < 1 or stride < 1:
+            raise ConfigError(
+                f"chunk window/stride must be >= 1, got {window}/{stride}"
+            )
+        _guard_new_columns(df, ["chunk_idx", "chunk_text", "chunk_tokens"], "chunk")
+        res = chunk_token_windows(
+            _pack_rows(df),
+            text_col=f"{_ROW}.{text_col}",
+            id_col=_ROW,
+            window=window,
+            stride=stride,
+        )
+        return res.select(f"{_ROW}.*", "chunk_idx", "chunk_text", "chunk_tokens")
+    if spec.type == "decontaminate":
+        from ..sources.readers import read_source
+        from ..spec import source_from
+
+        if "benchmark" not in cfg:
+            raise ConfigError("decontaminate filter requires a 'benchmark' block")
+        text_col, id_col = _text_and_id(df, cfg, spec.type)
+        benchmark = read_source(df.sparkSession, source_from(cfg["benchmark"]))
+        if text_col not in benchmark.columns:
+            raise ConfigError(
+                f"decontaminate benchmark lacks the text column {text_col!r}"
+            )
+        if id_col not in benchmark.columns:
+            # both methods key the benchmark side by id internally, but its
+            # ids never surface — synthesize one when the eval set is bare
+            benchmark = benchmark.withColumn(id_col, F.monotonically_increasing_id())
+        method = cfg.get("method", "minhash")
+        if method == "minhash":
+            from ..operators.dedup import minhash_decontaminate
+
+            clean, _contaminated = minhash_decontaminate(
+                df,
+                benchmark,
+                text_col,
+                id_col,
+                num_hashes=int(cfg.get("num_hashes", 16)),
+                bands=int(cfg.get("bands", 4)),
+                shingle_n=int(cfg.get("shingle_n", 3)),
+                min_matches=int(cfg.get("min_matches", 12)),
+            )
+            return clean
+        if method == "ngram":
+            from .text import ngram_contamination
+
+            flagged = ngram_contamination(
+                df, benchmark, text_col=text_col, id_col=id_col,
+                n=int(cfg.get("n", 5)),
+            ).select(id_col)
+            return df.join(flagged, on=id_col, how="left_anti")
+        raise ConfigError(
+            f"decontaminate method {method!r} unknown (want minhash or ngram)"
         )
     if spec.type in _TEXT_APPEND_STAGES:
         return _apply_text_append(df, spec.type, cfg)

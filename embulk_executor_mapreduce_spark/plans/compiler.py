@@ -190,6 +190,7 @@ _STREAM_SAFE_FILTERS = {
     "token_count",
     "fingerprint",
     "pii_scrub",
+    "chunk",  # posexplode fan-out — per-row, no state
 }
 
 

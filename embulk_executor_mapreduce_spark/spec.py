@@ -82,6 +82,8 @@ _FILTER_TYPES = {
     "pii_scrub",
     "repetition_stats",
     "minhash_dedup",
+    "chunk",  # token-window training-example fan-out (map-only, streamable)
+    "decontaminate",  # drop benchmark-leaking docs (minhash or exact n-gram)
 }
 
 

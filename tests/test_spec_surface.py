@@ -976,3 +976,144 @@ def test_spec_sample_k_per_group_stage(spark, tmp_path):
         run_stage({"group_by": ["grp"], "k": 0, "hash_on": "id"}, "e3")
     with pytest.raises(ConfigError, match="missing from the data"):
         run_stage({"group_by": ["nope"], "k": 3, "hash_on": "id"}, "e4")
+
+
+def test_spec_chunk_and_decontaminate_stages(spark, tmp_path):
+    """Training-example materialization + benchmark hygiene as YAML:
+    chunk fans documents into overlapping token windows (all input columns
+    kept, parity vs chunk_token_windows, streams); decontaminate drops
+    benchmark-leaking docs under both methods (exact n-gram and minhash)."""
+    from embulk_executor_mapreduce_spark.operators.text import chunk_token_windows
+
+    src = str(tmp_path / "docs")
+    long_text = " ".join(f"tok{i}" for i in range(20))
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (0, long_text, "web"),
+        (1, bench_text + " plus a tail", "crawl"),
+        (2, "short odd words nothing shared anywhere really", "books"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, source string").write.parquet(src)
+
+    # chunk: window 8 stride 4 over doc 0 (20 tokens) -> starts 0,4,8,12 -> 4 chunks
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "filters": [
+                    {"type": "filter", "predicate": "doc_id = 0"},
+                    {"type": "chunk", "window": 8, "stride": 4},
+                ],
+                "out": {"type": "memory", "options": {"view": "chunks"}},
+            }
+        ),
+    )
+    got = sorted(
+        (r.chunk_idx, r.chunk_text, r.chunk_tokens, r.source)
+        for r in spark.table("chunks").collect()
+    )
+    assert len(got) == 4 and all(s == "web" for (_, _, _, s) in got)
+    want = sorted(
+        (r.chunk_idx, r.chunk_text, r.chunk_tokens)
+        for r in chunk_token_windows(
+            spark.createDataFrame([rows[0]], "doc_id long, text string, source string"),
+            window=8,
+            stride=4,
+        ).collect()
+    )
+    assert [(i, t, n) for (i, t, n, _) in got] == want
+
+    # decontaminate: benchmark shares 5-grams with doc 1 only
+    bench = str(tmp_path / "bench")
+    spark.createDataFrame([(bench_text,)], "text string").write.parquet(bench)
+    # doc 1 = benchmark + 3-word tail: J ~ 0.67, measured signature
+    # agreement 15/16 (deterministic hash family) — min_matches 8 separates
+    # the leak cleanly; unrelated docs share no shingles (agreement 0)
+    for method, knobs in (("ngram", {"n": 5}), ("minhash", {"min_matches": 8})):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": [
+                        {
+                            "type": "decontaminate",
+                            "benchmark": {"type": "parquet", "path": bench},
+                            "id": "doc_id",
+                            "method": method,
+                            **knobs,
+                        }
+                    ],
+                    "out": {"type": "memory", "options": {"view": f"clean_{method}"}},
+                }
+            ),
+        )
+        kept = sorted(r.doc_id for r in spark.table(f"clean_{method}").collect())
+        assert kept == [0, 2], method  # doc 1 leaked the benchmark
+
+    # config errors + streaming behavior
+    with pytest.raises(ConfigError, match="requires a 'benchmark'"):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": [{"type": "decontaminate", "id": "doc_id"}],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+    with pytest.raises(ConfigError, match="method 'zip' unknown"):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": [
+                        {
+                            "type": "decontaminate",
+                            "benchmark": {"type": "parquet", "path": bench},
+                            "id": "doc_id",
+                            "method": "zip",
+                        }
+                    ],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+    # chunk streams; decontaminate does not (named batch alternative)
+    stream_out = str(tmp_path / "chunk_stream")
+    report = run_pipeline_streaming(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "filters": [{"type": "chunk", "window": 8, "stride": 4}],
+                "out": {"type": "parquet", "path": stream_out},
+            }
+        ),
+    )
+    assert report.succeeded
+    n_batch = chunk_token_windows(
+        spark.createDataFrame(rows, "doc_id long, text string, source string"),
+        window=8, stride=4,
+    ).count()
+    assert spark.read.parquet(stream_out).count() == n_batch
+    with pytest.raises(ConfigError, match=r"batch path \(run_pipeline\)"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": [
+                        {
+                            "type": "decontaminate",
+                            "benchmark": {"type": "parquet", "path": bench},
+                            "id": "doc_id",
+                        }
+                    ],
+                    "out": {"type": "parquet", "path": str(tmp_path / "nope")},
+                }
+            ),
+        )
