@@ -306,6 +306,46 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
 
     rec.record("pipeline_merge_increment", b4)
 
+    # B4a declarative corpus front door (r8): the training-data text stages
+    # composed as pure YAML over the documents table — fingerprint + exact
+    # content dedup, language gate, quality gate, PII scrub, per-source cap.
+    # Every append stage is a struct-pack projection (zero exchanges); the
+    # whole pipeline should price as ~2 shuffles (dedup + the cap window)
+    # plus the parquet write.
+    def b4a():
+        return _timed(
+            lambda: run_pipeline(
+                spark,
+                load_spec(
+                    {
+                        "in": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+                        "filters": [
+                            {"type": "fingerprint"},
+                            {
+                                "type": "dedup",
+                                "columns": ["fingerprint"],
+                                "order_by": ["doc_id"],
+                            },
+                            {"type": "language_id"},
+                            {"type": "filter", "predicate": "lang_guess = lang"},
+                            {"type": "quality_score"},
+                            {"type": "filter", "predicate": "quality >= 0.4"},
+                            {"type": "pii_scrub"},
+                            {
+                                "type": "sample_k_per_group",
+                                "group_by": ["source"],
+                                "k": 1000,
+                                "hash_on": "doc_id",
+                            },
+                        ],
+                        "out": {"type": "parquet", "path": f"{tmp}/b4a"},
+                    }
+                ),
+            )
+        )
+
+    rec.record("pipeline_front_door", b4a)
+
     # B4b CDC feed priced ALONE (VERDICT r7 item 5): the headline
     # merge_table_changes entry builds two sink versions inside its timed
     # run, conflating write cost with read cost. Here a 2-version state is

@@ -470,3 +470,41 @@ def test_url_canonical_dedup_plan_shape(spark):
     assert num_exchanges(df) == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_front_door_spec_pipeline_plan_shape(spark):
+    """The r8 declarative corpus front door (bench pipeline_front_door): the
+    8-stage YAML chain — fingerprint, exact dedup, language gate, quality
+    gate, pii_scrub, per-source cap — must plan EXACTLY 2 exchanges (the
+    dedup aggregate and the cap window; every append stage is a struct-pack
+    projection) with zero Python nodes, end to end."""
+    from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{SF}/documents.parquet"},
+                "filters": [
+                    {"type": "fingerprint"},
+                    {"type": "dedup", "columns": ["fingerprint"], "order_by": ["doc_id"]},
+                    {"type": "language_id"},
+                    {"type": "filter", "predicate": "lang_guess = lang"},
+                    {"type": "quality_score"},
+                    {"type": "filter", "predicate": "quality >= 0.4"},
+                    {"type": "pii_scrub"},
+                    {
+                        "type": "sample_k_per_group",
+                        "group_by": ["source"],
+                        "k": 1000,
+                        "hash_on": "doc_id",
+                    },
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert num_exchanges(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
