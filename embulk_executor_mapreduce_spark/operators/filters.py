@@ -290,7 +290,7 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
         _guard_new_columns(df, ["chunk_idx", "chunk_text", "chunk_tokens"], "chunk")
         res = chunk_token_windows(
             _pack_rows(df),
-            text_col=f"{_ROW}.{text_col}",
+            text_col=f"{_ROW}.{_bt(text_col)}",
             id_col=_ROW,
             window=window,
             stride=stride,
@@ -425,7 +425,15 @@ def _pack_rows(df: DataFrame) -> DataFrame:
         raise ConfigError(
             f"column name {_ROW!r} is reserved by append-semantics filters"
         )
-    return df.select(F.struct(*df.columns).alias(_ROW))
+    return df.select(F.struct(*[F.col(_bt(c)) for c in df.columns]).alias(_ROW))
+
+
+def _bt(name: str) -> str:
+    """Backtick-quote a column/field name so dotted names survive nested
+    struct-field references (``__row.`my.text```)."""
+    if "`" in name:
+        raise ConfigError(f"column name {name!r} contains a backtick")
+    return f"`{name}`"
 
 
 def _apply_text_append(df: DataFrame, stage: str, cfg: dict) -> DataFrame:
@@ -444,7 +452,7 @@ def _apply_text_append(df: DataFrame, stage: str, cfg: dict) -> DataFrame:
     _guard_new_columns(df, out_cols, stage)
     packed = _pack_rows(df)
     res = getattr(text_ops, op_name)(
-        packed, text_col=f"{_ROW}.{text_col}", id_col=_ROW
+        packed, text_col=f"{_ROW}.{_bt(text_col)}", id_col=_ROW
     )
     return res.select(f"{_ROW}.*", *out_cols)
 
@@ -459,14 +467,14 @@ def _apply_pii_scrub(df: DataFrame, cfg: dict) -> DataFrame:
     audit_cols = [f"n_{name}" for name in (patterns or {"email": 0, "digits": 0})]
     _guard_new_columns(df, audit_cols, "pii_scrub")
     res = pii_scrub(
-        _pack_rows(df), text_col=f"{_ROW}.{text_col}", id_col=_ROW, patterns=patterns
+        _pack_rows(df), text_col=f"{_ROW}.{_bt(text_col)}", id_col=_ROW, patterns=patterns
     )
     # original row with the text column REPLACED by its redacted form,
     # audit counts appended — still one map-only projection
     keep = [
         F.col("scrubbed").alias(text_col)
         if c == text_col
-        else F.col(f"{_ROW}.{c}").alias(c)
+        else F.col(f"{_ROW}.{_bt(c)}").alias(c)
         for c in df.columns
     ]
     return res.select(*keep, *audit_cols)

@@ -1117,3 +1117,32 @@ def test_spec_chunk_and_decontaminate_stages(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_spec_text_append_stages_dotted_column_names(spark, tmp_path):
+    """Struct-pack field references survive dotted column names (the nested
+    reference is backtick-quoted); a backtick IN a name is a ConfigError."""
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(0, "hello world wide web")], "`doc.id` long, `my.text` string"
+    ).write.parquet(src)
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "filters": [
+                    {"type": "quality_score", "column": "my.text"},
+                    {"type": "pii_scrub", "column": "my.text"},
+                    {"type": "chunk", "column": "my.text", "window": 2, "stride": 2},
+                ],
+                "out": {"type": "memory", "options": {"view": "dotted"}},
+            }
+        ),
+    )
+    out = spark.table("dotted")
+    assert out.columns == [
+        "doc.id", "my.text", "quality", "n_email", "n_digits",
+        "chunk_idx", "chunk_text", "chunk_tokens",
+    ]
+    assert out.count() == 2  # 4 tokens / window 2 stride 2
