@@ -25,6 +25,13 @@ scale. Canonicalization rules (the common subset of RFC 3986 normalization
   identity;
 * fragment dropped.
 
+Scheme-less inputs (no ``scheme://``) are out of contract for this crawl
+front door, where URLs are absolute: they canonicalize to a degenerate
+``"://"``-prefixed string with an empty host (never raising — the
+degenerate-input tests pin that), and their registrable domain is the empty
+string. Callers holding relative or scheme-less references should absolutize
+them upstream; NULL in propagates NULL out.
+
 Registrable domain uses the standard 2-label rule with a ccTLD second-level
 heuristic (``co.uk``-style: 3 labels when the TLD is 2 letters and the
 second level is a known registry label) — a documented approximation of the
