@@ -155,18 +155,28 @@ class _Recorder:
     of an entry 3-6x — best-of-2 cannot absorb noise that covers the whole
     pair (an idle-host solo re-run of the same commit showed gapfill_hourly
     at 0.5 s where an affected bench pair read 4.1/3.1 s, with a different
-    entry set affected on each full bench run). When the second run shows no
-    warm-up improvement (>= NO_WARMUP_RATIO of run 1) and the pair is not
-    trivially cheap, one more run is taken after the gc.collect — by then
-    the stall has usually passed. Min of all runs is reported; ``third_run``
-    in the artifact lists the entries that needed it."""
+    entry set affected on each full bench run). A third run after the
+    gc.collect — by then the stall has usually passed — is taken when the
+    pair is not trivially cheap AND the pair actually looks stalled: the
+    best-of-2 regressed > PRIOR_STALL_RATIO over the same entry in the
+    COMMITTED ``bench_detail.json`` (the sealed prior run, read before this
+    run overwrites it; only consulted at the same sf). Entries with no
+    same-sf prior fall back to the broad no-warm-up rule (t2 >=
+    NO_WARMUP_RATIO * t1) — without a reference, steady state and
+    double-stall are indistinguishable. The prior gate keeps the escape
+    exceptional (r8 seal: the broad rule fired on 21/61 entries, nearly all
+    steady-state, wasting budget the escape exists to protect). Min of all
+    runs is reported; ``third_run`` in the artifact lists the entries that
+    needed it."""
 
     NO_WARMUP_RATIO = 0.7
     THIRD_RUN_MIN_SEC = 0.75
+    PRIOR_STALL_RATIO = 1.3
 
-    def __init__(self, budget_sec: float = 420.0):
+    def __init__(self, budget_sec: float = 420.0, prior: dict | None = None):
         self.t0 = time.time()
         self.budget = budget_sec
+        self.prior = prior or {}
         self.best: dict[str, float] = {}
         self.first: dict[str, float] = {}
         self.second_skipped: list[str] = []
@@ -184,9 +194,15 @@ class _Recorder:
         best = min(t1, t2)
         gc.collect()  # release py4j DF refs so ContextCleaner can drop
         # finished broadcasts/RDDs instead of accumulating across entries
+        prior = self.prior.get(name)
+        looks_stalled = (
+            best > self.PRIOR_STALL_RATIO * prior
+            if prior
+            else t2 >= self.NO_WARMUP_RATIO * t1
+        )
         if (
             best > self.THIRD_RUN_MIN_SEC
-            and t2 >= self.NO_WARMUP_RATIO * t1
+            and looks_stalled
             and time.time() - self.t0 < self.budget
         ):
             best = min(best, (rerun or run)())
@@ -593,9 +609,21 @@ def main() -> None:
 
     spark = get_spark(app_name="bench")
     entries = catalog.entries()
+    # the committed sealed run is the third-run escape's stall reference —
+    # read it BEFORE this run overwrites the file, use it only at this sf
+    prior_best: dict = {}
+    try:
+        _prior = json.loads(
+            (Path(__file__).resolve().parent / "bench_detail.json").read_text()
+        )
+        if _prior.get("sf") == sf:
+            prior_best = dict(_prior.get("queries") or {})
+    except (OSError, ValueError):
+        pass
+
     # the loadavg wait spends real wall-clock from the driver's timeout —
     # shrink the best-of-2 budget by what the gate consumed
-    rec = _Recorder(budget_sec=max(180.0, 420.0 - load_wait))
+    rec = _Recorder(budget_sec=max(180.0, 420.0 - load_wait), prior=prior_best)
 
     def run_once(name: str, e) -> float:
         if name in TIME_INCLUDES_BUILD:
@@ -647,9 +675,11 @@ def main() -> None:
         "third_run": rec.third_run,
         "methodology": (
             "best-of-2 warm per entry since r4 (first runs under "
-            "queries_first); r8 adds a third run when run 2 shows no "
-            "warm-up improvement on a non-trivial entry (transient-stall "
-            "escape); rounds <=3 recorded single runs"
+            "queries_first); r8 adds a third run on non-trivial entries "
+            "that look stalled — best-of-2 > 1.3x the same entry in the "
+            "committed prior bench_detail.json at the same sf, or (no "
+            "prior) run 2 shows no warm-up improvement; rounds <=3 "
+            "recorded single runs"
         ),
     }
     # VERDICT r4 finding 1: BENCH_r04.json was driver-unparseable because the

@@ -16,8 +16,9 @@ sample units** (sum of squares, strict sign-change counting, integer
 thresholds), so encoder-derived payloads carry full value-hash SQL oracles
 at the driver — the catalog query ``audio_features_wav`` pins the whole
 decode→analyze pipeline bit-exactly. At 100 TB the op is embarrassingly
-parallel (map-only over payload partitions, no shuffle); feature columns
-prune to nothing upstream because the batch loop reads only (id, payload).
+parallel (map-only over payload partitions, no shuffle); every entry point
+selects (id, payload) BEFORE the Arrow exchange (``_id_payload``), since
+Catalyst cannot column-prune into an opaque ``mapInPandas``.
 """
 
 from __future__ import annotations
@@ -31,10 +32,29 @@ from pyspark.sql import DataFrame
 
 from .multimodal import _wav_samples
 
-FEATURES_SCHEMA = (
-    "doc_id long, n_bytes int, content_hash string, sample_rate int, "
+_FEATURES_TAIL = (
+    "n_bytes int, content_hash string, sample_rate int, "
     "n_samples int, zero_crossings int, sum_sq long, peak int, silence_cnt int"
 )
+FEATURES_SCHEMA = "doc_id long, " + _FEATURES_TAIL
+
+
+def _id_payload(df: DataFrame, id_col: str) -> tuple[DataFrame, str]:
+    """Prune the input to (id, payload) BEFORE the Arrow exchange —
+    Catalyst cannot column-prune into an opaque ``mapInPandas``, so
+    without this select every input column ships to Python per batch.
+    Returns the pruned frame plus the id column's DDL type so output
+    schemas carry the caller's id name and type instead of a hard-coded
+    ``doc_id long``."""
+    for c in (id_col, "payload"):
+        if c not in df.columns:
+            raise ValueError(f"audio operators need column {c!r} in the input")
+    if "`" in id_col:
+        raise ValueError(f"id column name {id_col!r} contains a backtick")
+    return (
+        df.select(id_col, "payload"),
+        df.schema[id_col].dataType.simpleString(),
+    )
 
 
 def _pcm_int16(samples) -> np.ndarray:
@@ -114,6 +134,7 @@ def audio_features(
     in one Arrow-batched pass: ``(sample_rate, n_samples, zero_crossings,
     sum_sq, peak, silence_cnt)``. Quarantine: undecodable payloads keep
     their (n_bytes, content_hash) forensics with NULL features."""
+    df, id_type = _id_payload(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -140,7 +161,7 @@ def audio_features(
                 silences.append(silence)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_bytes": pd.array(n_bytes, dtype="int32"),
                     "content_hash": hashes,
                     "sample_rate": pd.array(rates, dtype="Int32"),
@@ -152,7 +173,9 @@ def audio_features(
                 }
             )
 
-    return df.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return df.mapInPandas(
+        run, schema=f"`{id_col}` {id_type}, {_FEATURES_TAIL}"
+    )
 
 
 def clipping_features(v, clip_threshold: int = 24576) -> tuple:
@@ -181,6 +204,7 @@ def audio_quality_screen(
     Arrow-batched pass: ``(n_samples, clip_count, max_clip_run)``. Same
     quarantine semantics as :func:`audio_features` (undecodable → NULLs).
     Map-only at any scale — prunes to (id, payload), no shuffle."""
+    df, id_type = _id_payload(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -200,7 +224,7 @@ def audio_quality_screen(
                 runs.append(max_run)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "n_samples": pd.array(counts, dtype="Int32"),
                     "clip_count": pd.array(clips, dtype="Int32"),
                     "max_clip_run": pd.array(runs, dtype="Int32"),
@@ -208,7 +232,8 @@ def audio_quality_screen(
             )
 
     return df.mapInPandas(
-        run, schema="doc_id long, n_samples int, clip_count int, max_clip_run int"
+        run,
+        schema=f"`{id_col}` {id_type}, n_samples int, clip_count int, max_clip_run int",
     )
 
 
@@ -219,6 +244,7 @@ def audio_resample(
     ``out_n`` samples, and report the resampled peak + sum of |rounded|
     values (integer-exact after rounding, so unit tests can pin values).
     Same batch shape and quarantine semantics as :func:`audio_features`."""
+    df, id_type = _id_payload(df, id_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -240,7 +266,7 @@ def audio_resample(
                 abs_sums.append(int(np.sum(np.abs(r))))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    id_col: pdf[id_col],
                     "out_samples": pd.array(counts, dtype="Int32"),
                     "peak": pd.array(peaks, dtype="Int32"),
                     "abs_sum": pd.array(abs_sums, dtype="Int64"),
@@ -248,5 +274,5 @@ def audio_resample(
             )
 
     return df.mapInPandas(
-        run, schema="doc_id long, out_samples int, peak int, abs_sum long"
+        run, schema=f"`{id_col}` {id_type}, out_samples int, peak int, abs_sum long"
     )

@@ -267,6 +267,12 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
                     f"sample_k_per_group hash column {hash_on!r} missing from the data"
                 )
             order = [F.md5(F.col(hash_on).cast("string")), F.col(hash_on)]
+        if "__rn" in df.columns:
+            raise ConfigError(
+                "sample_k_per_group filter uses '__rn' as its scratch rank "
+                "column, which already exists in the data — rename or drop "
+                "it first"
+            )
         w = W.partitionBy(*group_by).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))
@@ -464,11 +470,14 @@ def _apply_pii_scrub(df: DataFrame, cfg: dict) -> DataFrame:
     if text_col not in df.columns:
         raise ConfigError(f"pii_scrub filter column {text_col!r} missing from the data")
     patterns = cfg.get("patterns")
-    audit_cols = [f"n_{name}" for name in (patterns or {"email": 0, "digits": 0})]
-    _guard_new_columns(df, audit_cols, "pii_scrub")
     res = pii_scrub(
         _pack_rows(df), text_col=f"{_ROW}.{_bt(text_col)}", id_col=_ROW, patterns=patterns
     )
+    # audit columns come from the operator's own output schema (lazy — no
+    # job runs), so the default pattern set has ONE source of truth in
+    # operators/text.py rather than a literal copy here
+    audit_cols = [c for c in res.columns if c not in (_ROW, "scrubbed")]
+    _guard_new_columns(df, audit_cols, "pii_scrub")
     # original row with the text column REPLACED by its redacted form,
     # audit counts appended — still one map-only projection
     keep = [

@@ -841,7 +841,7 @@ def _wav_samples_inner(data: bytes):
     # / nch), so float addition order — and therefore every output bit —
     # matches the per-sample scalar decoder this replaced. Bit-identity is
     # pinned by tests/test_audio.py::
-    # test_numpy_wav_reference_bit_identical_to_scalar_decoder, whose
+    # test_vectorized_decoder_bit_identical_to_scalar_reference, whose
     # _scalar_wav_reference preserves the replaced loop verbatim as the
     # reference. Measured 5-7× end-to-end on 10⁶-sample clips (the former
     # `for i in range(n): for c in range(nch):` loop ran int.from_bytes per

@@ -277,3 +277,52 @@ def test_clipping_features_matches_scalar_reference():
             for _ in range(n)
         ]
         assert clipping_features(v) == scalar(v), v
+
+
+def test_audio_ops_honor_id_col_name_and_type(spark):
+    """``id_col`` is a real parameter (r8 review): the output id column
+    keeps the caller's NAME and TYPE — the previous hard-coded ``doc_id
+    long`` schema silently renamed the id and made any non-long id an
+    Arrow cast failure inside a task. Missing id/payload columns raise
+    plan-time ValueError, not a task failure."""
+    from embulk_executor_mapreduce_spark.operators.audio import (
+        audio_quality_screen,
+    )
+
+    good = encode_wav_pcm16([30000, 30000, -30000, 100], sample_rate=4000)
+    df = spark.createDataFrame(
+        [("u1", bytearray(good), "wide " * 50)],
+        "url_id string, payload binary, extra string",
+    )
+    ops = {
+        "features": lambda d: audio_features(d, id_col="url_id"),
+        "screen": lambda d: audio_quality_screen(d, id_col="url_id"),
+        "resample": lambda d: audio_resample(d, 3, id_col="url_id"),
+    }
+    for name, op in ops.items():
+        out = op(df)
+        assert out.columns[0] == "url_id", name
+        assert dict(out.dtypes)["url_id"] == "string", name
+        assert out.collect()[0].url_id == "u1", name
+    srow = ops["screen"](df).collect()[0]
+    # |30000|,|30000|,|-30000| >= 24576 and consecutive; 100 is not
+    assert (srow.n_samples, srow.clip_count, srow.max_clip_run) == (4, 3, 3)
+    with pytest.raises(ValueError, match="payload"):
+        audio_features(df.drop("payload"), id_col="url_id")
+    with pytest.raises(ValueError, match="url_id"):
+        audio_quality_screen(df.drop("url_id"), id_col="url_id")
+
+
+def test_audio_ops_prune_input_before_arrow_exchange(spark, tmp_path):
+    """Catalyst cannot column-prune into an opaque mapInPandas, so the
+    entry points select (id, payload) FIRST — a wide unused column must
+    not reach the scan (ReadSchema) or the Arrow exchange."""
+    good = encode_wav_pcm16([1, 2, 3], sample_rate=4000)
+    src = str(tmp_path / "clips")
+    spark.createDataFrame(
+        [(1, bytearray(good), "x" * 100)],
+        "doc_id long, payload binary, extra_wide string",
+    ).write.parquet(src)
+    out = audio_features(spark.read.parquet(src))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "extra_wide" not in plan

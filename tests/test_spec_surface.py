@@ -730,6 +730,31 @@ def test_spec_pii_scrub_stage_replaces_text_in_place(spark, tmp_path):
         )
     assert "<EMAIL>" in got[0].text and "<DIGITS>" in got[1].text
 
+    # custom pattern set: audit columns derive from the OPERATOR's output
+    # (r8 review — no literal copy of text.pii_scrub's defaults here), so
+    # n_<name> follows whatever patterns the spec declares
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "filters": [
+                    {
+                        "type": "pii_scrub",
+                        "patterns": {"phone": r"[0-9]{7,}"},
+                    }
+                ],
+                "out": {"type": "memory", "options": {"view": "scrub_custom"}},
+            }
+        ),
+    )
+    cust = spark.table("scrub_custom")
+    assert cust.columns == ["doc_id", "text", "source", "n_phone"]
+    crow = {r.doc_id: r for r in cust.collect()}
+    assert crow[1].n_phone == 1 and "<PHONE>" in crow[1].text
+    assert crow[0].n_phone == 0  # the email stays — not in the custom set
+    assert "@example.com" in crow[0].text
+
 
 def test_spec_fingerprint_dedup_chain_and_minhash_dedup(spark, tmp_path):
     """The declarative corpus front door: fingerprint + dedup removes exact
@@ -976,6 +1001,32 @@ def test_spec_sample_k_per_group_stage(spark, tmp_path):
         run_stage({"group_by": ["grp"], "k": 0, "hash_on": "id"}, "e3")
     with pytest.raises(ConfigError, match="missing from the data"):
         run_stage({"group_by": ["nope"], "k": 3, "hash_on": "id"}, "e4")
+
+    # __rn is the stage's scratch rank column: a pre-existing __rn is a
+    # ConfigError (r8 review), not a silent overwrite-then-drop of the
+    # user's column — same contract as the append stages' collision guard
+    src_rn = str(tmp_path / "rows_rn")
+    spark.createDataFrame(
+        [(1, "g", 7)], "id long, grp string, __rn long"
+    ).write.parquet(src_rn)
+    with pytest.raises(ConfigError, match="__rn"):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src_rn},
+                    "filters": [
+                        {
+                            "type": "sample_k_per_group",
+                            "group_by": ["grp"],
+                            "k": 1,
+                            "hash_on": "id",
+                        }
+                    ],
+                    "out": {"type": "memory", "options": {"view": "ern"}},
+                }
+            ),
+        )
 
 
 def test_spec_chunk_and_decontaminate_stages(spark, tmp_path):
