@@ -182,6 +182,50 @@ def test_pagerank_dangling_mass_conservation_property(spark):
     assert drop == _reference_pagerank(edges, iters=iters)
 
 
+def test_pagerank_releases_distinct_edge_cache_after_first_iteration(spark):
+    """VERDICT r8 item 2 (ADVICE r7-3): the non-bucketed path must not hold
+    TWO edge-sized caches for the whole loop. Once the first iteration's
+    eager checkpoint has materialized the ``ew`` and ``nodes`` caches, the
+    distinct-edge cache ``e`` they derive from must be released. Pinned by
+    event order: exactly one unpersist fires between the first and second
+    localCheckpoint calls (the early release of ``e``), and the values on a
+    dangling-heavy graph are bit-identical to the plain-Python reference —
+    i.e. the in-loop dangling anti-join no longer depends on the released
+    cache."""
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
+    except ImportError:  # pre-connect pyspark: one DataFrame class
+        from pyspark.sql import DataFrame as _CDF
+
+    events = []
+    orig_cp, orig_up = _CDF.localCheckpoint, _CDF.unpersist
+
+    def spy_cp(self, eager=True):
+        events.append("checkpoint")
+        return orig_cp(self, eager=eager)
+
+    def spy_up(self, blocking=False):
+        events.append("unpersist")
+        return orig_up(self, blocking=blocking)
+
+    edges = [(i % 23, (i * 5 + 1) % 29) for i in range(200)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    _CDF.localCheckpoint, _CDF.unpersist = spy_cp, spy_up
+    try:
+        got = pagerank(df, iters=3, redistribute_dangling=True).collect()
+    finally:
+        _CDF.localCheckpoint, _CDF.unpersist = orig_cp, orig_up
+
+    i0, i1 = events.index("checkpoint"), events.index("checkpoint", events.index("checkpoint") + 1)
+    between = events[i0 + 1 : i1]
+    assert between == ["unpersist"], events
+    # tail cleanup still runs: e (idempotent re-call) + ew + nodes
+    assert events.count("unpersist") == 4, events
+    assert sorted((r.node, r.rank) for r in got) == sorted(
+        _reference_pagerank_dangling(edges, iters=3).items()
+    )
+
+
 def test_pagerank_nonbucketed_loop_body_no_edge_side_exchange(spark):
     """VERDICT r7 item 6: the non-bucketed path's repartition("src") +
     persist cache must make every steady-state iteration shuffle ONLY
