@@ -161,15 +161,16 @@ class _Recorder:
     best-of-2 regressed > PRIOR_STALL_RATIO over the same entry in the
     COMMITTED ``bench_detail.json`` (the sealed prior run, read before this
     run overwrites it; only consulted at the same sf). Entries with no
-    same-sf prior fall back to the broad no-warm-up rule (t2 >=
-    NO_WARMUP_RATIO * t1) — without a reference, steady state and
-    double-stall are indistinguishable. The prior gate keeps the escape
-    exceptional (r8 seal: the broad rule fired on 21/61 entries, nearly all
-    steady-state, wasting budget the escape exists to protect). Min of all
-    runs is reported; ``third_run`` in the artifact lists the entries that
-    needed it."""
+    same-sf prior get NO third run (r9, ADVICE r8): the old fallback
+    (t2 >= 0.7·t1, "no warm-up improvement") is true for essentially every
+    warmed steady-state entry, so every new entry above the cheap floor
+    paid a guaranteed triple run on its first sealed appearance — and
+    without a reference, steady state and double-stall are genuinely
+    indistinguishable, so the extra run bought no signal. A new entry's
+    first sealed number is best-of-2; from the next run on, the committed
+    prior gates it like everyone else. Min of all runs is reported;
+    ``third_run`` in the artifact lists the entries that needed it."""
 
-    NO_WARMUP_RATIO = 0.7
     THIRD_RUN_MIN_SEC = 0.75
     PRIOR_STALL_RATIO = 1.3
 
@@ -186,7 +187,7 @@ class _Recorder:
         t1 = run()
         self.first[name] = t1
         if time.time() - self.t0 >= self.budget:
-            self.best[name] = t1
+            self.best[name] = round(t1, 3)
             self.second_skipped.append(name)
             gc.collect()
             return
@@ -195,11 +196,7 @@ class _Recorder:
         gc.collect()  # release py4j DF refs so ContextCleaner can drop
         # finished broadcasts/RDDs instead of accumulating across entries
         prior = self.prior.get(name)
-        looks_stalled = (
-            best > self.PRIOR_STALL_RATIO * prior
-            if prior
-            else t2 >= self.NO_WARMUP_RATIO * t1
-        )
+        looks_stalled = bool(prior) and best > self.PRIOR_STALL_RATIO * prior
         if (
             best > self.THIRD_RUN_MIN_SEC
             and looks_stalled
@@ -215,6 +212,30 @@ def _timed(fn) -> float:
     t0 = time.time()
     fn()
     return round(time.time() - t0, 3)
+
+
+# Host-drift probe (VERDICT r8 item 5): three same-day runs of identical
+# code spanned 61.9-72.5 s at the r8 seal, drowning round-over-round
+# signal under ~1.3x. A FIXED pure-CPU workload — whole-stage-codegen
+# xxhash64 over spark.range, no I/O, no shuffle, sf-independent, untouched
+# by any operator edit — is timed at the start and end of every bench run;
+# its ratio against the pinned reference converts raw totals into
+# drift-normalized ones. bit_xor (not sum) because the session runs ANSI
+# and a 4B-row sum of hashes overflows BIGINT.
+DRIFT_PROBE_ROWS = 4_000_000_000
+# min-of-3 warm on a loadavg-clean host (0.05/cpu), 2026-08-15 r9 build
+DRIFT_PROBE_REF_SEC = 0.70
+
+
+def _drift_probe(spark) -> float:
+    def once() -> float:
+        t0 = time.time()
+        spark.range(0, DRIFT_PROBE_ROWS, 1, 32).selectExpr(
+            "bit_xor(xxhash64(id)) AS s"
+        ).collect()
+        return time.time() - t0
+
+    return round(min(once() for _ in range(3)), 3)
 
 
 def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
@@ -625,6 +646,8 @@ def main() -> None:
     # shrink the best-of-2 budget by what the gate consumed
     rec = _Recorder(budget_sec=max(180.0, 420.0 - load_wait), prior=prior_best)
 
+    probe_start = _drift_probe(spark)
+
     def run_once(name: str, e) -> float:
         if name in TIME_INCLUDES_BUILD:
             # eager-training entries (k-means localCheckpoint iterations):
@@ -654,10 +677,20 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     load_end = _load_per_cpu()
+    probe_end = _drift_probe(spark)
+    # min of the two probe points: a stall covering one end of the run
+    # should not inflate the drift estimate for the whole run
+    drift_ratio = round(min(probe_start, probe_end) / DRIFT_PROBE_REF_SEC, 3)
     total = round(sum(rec.best.values()), 3)
     detail = {
         "metric": "catalog_headline_total",
         "value": total,
+        # raw total divided by the fixed-probe drift ratio — the
+        # round-over-round comparable number on a drifting host
+        "value_normalized": round(total / max(drift_ratio, 0.01), 3),
+        "drift_probe_sec": {"start": probe_start, "end": probe_end},
+        "drift_probe_ref_sec": DRIFT_PROBE_REF_SEC,
+        "drift_ratio": drift_ratio,
         "unit": "sec",
         "queries": rec.best,
         "queries_first": rec.first,
@@ -677,9 +710,12 @@ def main() -> None:
             "best-of-2 warm per entry since r4 (first runs under "
             "queries_first); r8 adds a third run on non-trivial entries "
             "that look stalled — best-of-2 > 1.3x the same entry in the "
-            "committed prior bench_detail.json at the same sf, or (no "
-            "prior) run 2 shows no warm-up improvement; rounds <=3 "
-            "recorded single runs"
+            "committed prior bench_detail.json at the same sf (r9: "
+            "entries with no same-sf prior get NO third run — their first "
+            "sealed number is best-of-2); rounds <=3 recorded single "
+            "runs. r9 adds a fixed pure-CPU drift probe at both ends of "
+            "the run; value_normalized = value / drift_ratio is the "
+            "cross-round comparable total on a drifting host"
         ),
     }
     # VERDICT r4 finding 1: BENCH_r04.json was driver-unparseable because the
@@ -695,6 +731,8 @@ def main() -> None:
             {
                 "metric": "catalog_headline_total",
                 "value": total,
+                "value_normalized": round(total / max(drift_ratio, 0.01), 3),
+                "drift_ratio": drift_ratio,
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(rec.best),

@@ -3715,6 +3715,125 @@ def q_spec_training_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FRONT_DOOR_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "spec_front_door_pipeline",
+    oracle=r"""
+    WITH fp AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             md5(array_to_string(list_sort(string_split(text, ' ')), ' '))
+               AS fingerprint
+      FROM documents
+    ), dd AS (
+      SELECT * EXCLUDE (__rn) FROM (
+        SELECT fp.*, row_number() OVER (
+          PARTITION BY fingerprint ORDER BY doc_id) AS __rn
+        FROM fp
+      ) WHERE __rn = 1
+    ), li0 AS (
+      SELECT dd.*, list_max([
+        {'hits': len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['der','die','das','und'])), 'rank': 4, 'lang': 'de'},
+        {'hits': len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['the','a','of','and'])),    'rank': 3, 'lang': 'en'},
+        {'hits': len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['el','la','los','y'])),     'rank': 2, 'lang': 'es'},
+        {'hits': len(list_intersect(list_distinct(string_split(text, ' ')),
+                     ['le','la','les','et'])),    'rank': 1, 'lang': 'fr'}
+      ]) AS best
+      FROM dd
+    ), li AS (
+      SELECT * EXCLUDE (best),
+             best.lang AS lang_guess, best.hits::INT AS marker_hits
+      FROM li0 WHERE best.lang = lang
+    ), q0 AS (
+      SELECT li.*,
+             len(string_split(text, ' ')) AS __ntok,
+             length(text) * 1.0 / len(string_split(text, ' ')) AS __mlen,
+             len(list_intersect(string_split(text, ' '),
+                                ['the','a','of','and'])) > 0 AS __stop
+      FROM li
+    ), q AS (
+      SELECT * EXCLUDE (__ntok, __mlen, __stop), floor((
+          (CASE WHEN __ntok BETWEEN 10 AND 100000 THEN 0.4::DOUBLE ELSE 0.0::DOUBLE END)
+        + (CASE WHEN __stop THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        + (CASE WHEN __mlen BETWEEN 3.0 AND 12.0 THEN 0.3::DOUBLE ELSE 0.0::DOUBLE END)
+        ) * 100 + 0.5) / 100.0 AS quality
+      FROM q0
+    ), qf AS (
+      SELECT * FROM q WHERE quality >= 0.4
+    ), pii AS (
+      SELECT * EXCLUDE (text),
+             regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 'table', '<TBL>', 'g') AS text,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::INT AS n_email,
+             len(regexp_extract_all(text, 'table'))::INT AS n_tbl
+      FROM qf
+    )
+    SELECT * EXCLUDE (__rn) FROM (
+      SELECT pii.*, row_number() OVER (
+        PARTITION BY source ORDER BY md5(doc_id::VARCHAR), doc_id) AS __rn
+      FROM pii
+    ) WHERE __rn <= 8
+    """,
+    tags=("spec", "llm-prep", "composite", "front-door"),
+)
+def q_spec_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 declarative LLM-prep stages driven through the YAML front
+    door itself — ``load_spec → compile_pipeline`` — under a full value
+    oracle (VERDICT r8 item 1: the spec parser/compiler path is the
+    reference's own e2e level, ``TestMapReduceExecutor.java:76-110`` runs
+    ``embulk_mapred_config.yml``; the prior spec_* queries compile generic
+    expression stages, not the r8 stage types). Chain: fingerprint → exact
+    content dedup (first-wins) → language gate → quality gate → PII scrub
+    (the corpus-firing 'table' pattern proves the text REPLACEMENT hashes,
+    the email pattern the zero-hit path) → per-source cap (deterministic
+    md5-ordered sample). Plan shape: the append stages ride ONE struct-pack
+    projection each, so the whole document is two exchanges (dedup key +
+    cap window) — plan-guarded in tests/test_plan_quality.py."""
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+                "filters": [
+                    {"type": "fingerprint"},
+                    {
+                        "type": "dedup",
+                        "columns": ["fingerprint"],
+                        "order_by": ["doc_id"],
+                    },
+                    {"type": "language_id"},
+                    {"type": "filter", "predicate": "lang_guess = lang"},
+                    {"type": "quality_score"},
+                    {"type": "filter", "predicate": "quality >= 0.4"},
+                    {
+                        "type": "pii_scrub",
+                        "patterns": {
+                            "email": _FRONT_DOOR_EMAIL,
+                            "tbl": "table",
+                        },
+                    },
+                    {
+                        "type": "sample_k_per_group",
+                        "group_by": ["source"],
+                        "k": 8,
+                        "hash_on": "doc_id",
+                    },
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline surface, round 2: repetition quality rules,
 # token-window chunking, benchmark decontamination, stratified source mixing,

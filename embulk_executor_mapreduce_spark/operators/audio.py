@@ -29,6 +29,7 @@ from typing import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .multimodal import _wav_samples
 
@@ -39,20 +40,31 @@ _FEATURES_TAIL = (
 FEATURES_SCHEMA = "doc_id long, " + _FEATURES_TAIL
 
 
+# Internal id alias carried through the Arrow stage. PySpark's own
+# mapInPandas re-selects each input column via ``self[col]``, which
+# misresolves a dotted top-level name (``doc.id``) as a struct-field path
+# (ADVICE r8) — so the entry points alias the caller's id to this safe
+# name before mapInPandas and rename it back on the way out.
+_AID = "__audio_id"
+
+
 def _id_payload(df: DataFrame, id_col: str) -> tuple[DataFrame, str]:
     """Prune the input to (id, payload) BEFORE the Arrow exchange —
     Catalyst cannot column-prune into an opaque ``mapInPandas``, so
     without this select every input column ships to Python per batch.
-    Returns the pruned frame plus the id column's DDL type so output
-    schemas carry the caller's id name and type instead of a hard-coded
-    ``doc_id long``."""
+    Returns the pruned frame (id aliased to ``_AID``, see above) plus the
+    id column's DDL type so output schemas carry the caller's id name and
+    type instead of a hard-coded ``doc_id long``."""
     for c in (id_col, "payload"):
         if c not in df.columns:
             raise ValueError(f"audio operators need column {c!r} in the input")
     if "`" in id_col:
         raise ValueError(f"id column name {id_col!r} contains a backtick")
+    # backticked ref so a dotted top-level id column (e.g. "doc.id")
+    # selects the column itself, not a nested-field path (the _bt
+    # convention in operators/filters.py)
     return (
-        df.select(id_col, "payload"),
+        df.select(F.col(f"`{id_col}`").alias(_AID), F.col("payload")),
         df.schema[id_col].dataType.simpleString(),
     )
 
@@ -161,7 +173,7 @@ def audio_features(
                 silences.append(silence)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
+                    _AID: pdf[_AID],
                     "n_bytes": pd.array(n_bytes, dtype="int32"),
                     "content_hash": hashes,
                     "sample_rate": pd.array(rates, dtype="Int32"),
@@ -174,8 +186,8 @@ def audio_features(
             )
 
     return df.mapInPandas(
-        run, schema=f"`{id_col}` {id_type}, {_FEATURES_TAIL}"
-    )
+        run, schema=f"{_AID} {id_type}, {_FEATURES_TAIL}"
+    ).withColumnRenamed(_AID, id_col)
 
 
 def clipping_features(v, clip_threshold: int = 24576) -> tuple:
@@ -224,7 +236,7 @@ def audio_quality_screen(
                 runs.append(max_run)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
+                    _AID: pdf[_AID],
                     "n_samples": pd.array(counts, dtype="Int32"),
                     "clip_count": pd.array(clips, dtype="Int32"),
                     "max_clip_run": pd.array(runs, dtype="Int32"),
@@ -233,8 +245,8 @@ def audio_quality_screen(
 
     return df.mapInPandas(
         run,
-        schema=f"`{id_col}` {id_type}, n_samples int, clip_count int, max_clip_run int",
-    )
+        schema=f"{_AID} {id_type}, n_samples int, clip_count int, max_clip_run int",
+    ).withColumnRenamed(_AID, id_col)
 
 
 def audio_resample(
@@ -266,7 +278,7 @@ def audio_resample(
                 abs_sums.append(int(np.sum(np.abs(r))))
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
+                    _AID: pdf[_AID],
                     "out_samples": pd.array(counts, dtype="Int32"),
                     "peak": pd.array(peaks, dtype="Int32"),
                     "abs_sum": pd.array(abs_sums, dtype="Int64"),
@@ -274,5 +286,5 @@ def audio_resample(
             )
 
     return df.mapInPandas(
-        run, schema=f"`{id_col}` {id_type}, out_samples int, peak int, abs_sum long"
-    )
+        run, schema=f"{_AID} {id_type}, out_samples int, peak int, abs_sum long"
+    ).withColumnRenamed(_AID, id_col)

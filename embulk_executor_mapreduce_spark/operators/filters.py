@@ -183,7 +183,9 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             return df.dropDuplicates(list(cols))
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(*cols).orderBy(*[_sort_col(s) for s in order_by])
+        w = W.partitionBy(*[F.col(_bt(c)) for c in cols]).orderBy(
+            *[_sort_col(s) for s in order_by]
+        )
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
@@ -266,14 +268,19 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
                 raise ConfigError(
                     f"sample_k_per_group hash column {hash_on!r} missing from the data"
                 )
-            order = [F.md5(F.col(hash_on).cast("string")), F.col(hash_on)]
+            order = [
+                F.md5(F.col(_bt(hash_on)).cast("string")),
+                F.col(_bt(hash_on)),
+            ]
         if "__rn" in df.columns:
             raise ConfigError(
                 "sample_k_per_group filter uses '__rn' as its scratch rank "
                 "column, which already exists in the data — rename or drop "
                 "it first"
             )
-        w = W.partitionBy(*group_by).orderBy(*order)
+        # _bt so a dotted top-level group column partitions on the column
+        # itself, not a struct-field path (ADVICE r8)
+        w = W.partitionBy(*[F.col(_bt(c)) for c in group_by]).orderBy(*order)
         return (
             df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k)
@@ -490,13 +497,15 @@ def _apply_pii_scrub(df: DataFrame, cfg: dict) -> DataFrame:
 
 
 def _sort_col(s: str):
+    # backtick via _bt so a dotted top-level name sorts as a column, not a
+    # struct-field path (same convention as the text-append stages)
     parts = s.split()
     if len(parts) == 2 and parts[1].lower() == "desc":
-        return F.col(parts[0]).desc()
+        return F.col(_bt(parts[0])).desc()
     if len(parts) == 2 and parts[1].lower() == "asc":
-        return F.col(parts[0]).asc()
+        return F.col(_bt(parts[0])).asc()
     if len(parts) == 1:
-        return F.col(s)
+        return F.col(_bt(s))
     raise ConfigError(f"bad sort spec {s!r} (want 'col' or 'col desc')")
 
 

@@ -313,6 +313,28 @@ def test_audio_ops_honor_id_col_name_and_type(spark):
         audio_quality_screen(df.drop("url_id"), id_col="url_id")
 
 
+def test_audio_ops_accept_dotted_id_column(spark):
+    """ADVICE r8: a dotted TOP-LEVEL id column ("doc.id") must select as
+    the column itself, not misresolve as a nested-field reference inside
+    planning — the entry points backtick refs like operators/filters._bt."""
+    from embulk_executor_mapreduce_spark.operators.audio import (
+        audio_quality_screen,
+    )
+
+    good = encode_wav_pcm16([30000, 30000, -30000, 100], sample_rate=4000)
+    df = spark.createDataFrame(
+        [("d7", bytearray(good))], "`doc.id` string, payload binary"
+    )
+    for op in (
+        lambda d: audio_features(d, id_col="doc.id"),
+        lambda d: audio_quality_screen(d, id_col="doc.id"),
+        lambda d: audio_resample(d, 3, id_col="doc.id"),
+    ):
+        out = op(df)
+        assert out.columns[0] == "doc.id"
+        assert out.collect()[0]["doc.id"] == "d7"
+
+
 def test_audio_ops_prune_input_before_arrow_exchange(spark, tmp_path):
     """Catalyst cannot column-prune into an opaque mapInPandas, so the
     entry points select (id, payload) FIRST — a wide unused column must

@@ -42,10 +42,12 @@ def test_third_run_prior_gated():
     rec.record("stalled", _runner(c, 3.0))
     assert c["n"] == 3 and rec.third_run == ["stalled"]
 
-    # no prior for this entry + no warm-up improvement: broad fallback
+    # no prior for this entry: best-of-2 only (ADVICE r8 — the old
+    # no-warm-up fallback triple-ran every new non-trivial entry on its
+    # first sealed appearance while buying no stall signal)
     c = {"n": 0}
     rec.record("fresh", _runner(c, 0.9))
-    assert c["n"] == 3 and "fresh" in rec.third_run
+    assert c["n"] == 2 and "fresh" not in rec.third_run
 
     # trivially cheap entries never take a third run, prior or not
     c = {"n": 0}

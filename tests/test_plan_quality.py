@@ -508,3 +508,15 @@ def test_front_door_spec_pipeline_plan_shape(spark):
     assert num_exchanges(df) == 2
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_spec_front_door_catalog_query_plan_shape(spark):
+    """VERDICT r8 item 1: the driver-oracled catalog query that runs the r8
+    stages through load_spec → compile_pipeline keeps the same 2-exchange /
+    zero-Python plan as the bench chain it mirrors."""
+    from embulk_executor_mapreduce_spark import catalog
+
+    df = catalog.entries()["spec_front_door_pipeline"].fn(spark, SF)
+    assert num_exchanges(df) == 2
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan

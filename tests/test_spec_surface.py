@@ -1029,6 +1029,50 @@ def test_spec_sample_k_per_group_stage(spark, tmp_path):
         )
 
 
+def test_spec_sample_and_sort_stages_accept_dotted_columns(spark, tmp_path):
+    """ADVICE r8: sample_k_per_group's group_by/hash_on and the
+    dedup/sort stages' column specs must treat a dotted TOP-LEVEL name
+    ("a.b") as the column itself (backticked via _bt, like the r8
+    text-append stages), not a struct-field path."""
+    src = str(tmp_path / "dotted")
+    data = [(i, f"g{i % 2}", i % 5) for i in range(20)]
+    spark.createDataFrame(data, "`my.id` long, `my.grp` string, v long").write.parquet(src)
+
+    def run_stage(filt, view):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": [filt],
+                    "out": {"type": "memory", "options": {"view": view}},
+                }
+            ),
+        )
+        return spark.table(view).collect()
+
+    got = run_stage(
+        {"type": "sample_k_per_group", "group_by": ["my.grp"], "k": 3, "hash_on": "my.id"},
+        "dot1",
+    )
+    assert len(got) == 6
+    from collections import Counter
+
+    assert Counter(r["my.grp"] for r in got) == {"g0": 3, "g1": 3}
+    # order_by with a dotted sort spec (exercises _sort_col's _bt)
+    top = run_stage(
+        {"type": "sample_k_per_group", "group_by": ["my.grp"], "k": 1, "order_by": ["my.id desc"]},
+        "dot2",
+    )
+    assert sorted(r["my.id"] for r in top) == [18, 19]
+    # dedup stage with dotted partition + order columns
+    dd = run_stage(
+        {"type": "dedup", "columns": ["my.grp"], "order_by": ["my.id"]},
+        "dot3",
+    )
+    assert sorted(r["my.id"] for r in dd) == [0, 1]
+
+
 def test_spec_chunk_and_decontaminate_stages(spark, tmp_path):
     """Training-example materialization + benchmark hygiene as YAML:
     chunk fans documents into overlapping token windows (all input columns
