@@ -5307,21 +5307,24 @@ def q_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registration-order priority: the round driver snapshots only the FIRST 50
-# registered queries. Round-8 rotation (VERDICT r7 items 1-4): changed code
-# outranks everything — the vectorized WAV decode (multimodal.py) flags the
-# 8 multimodal queries + audio_features_wav; registering url_canonicalize
-# as a spec filter stage (spec.py, the r7 build-then-revert) flags 15; the
-# web.py PSL collision guard flags url_canonical_dedup. Then the 2 new r8
-# queries (exact-PSL driver oracle, audio clipping/flatness screen), then
-# the FULL pre-r04 evidence backlog — all 9 remaining r02 + all 14 r03 rows
-# — drains to zero (judge item 2: "no row older than r04"). 9+15+1+2+23 =
-# exactly 50. The graph.py unpersist (ADVICE low, memory-only) is the one
-# item that did not fit: it would flag the 3 freshly-r7-verified pagerank
-# queries, displacing 3 backlog rows — deferred to r9, documented in
-# CHANGES_r8.md.
+# registered queries. Round-9 rotation (VERDICT r8 items 1-6): changed code
+# outranks everything — the pagerank early cache release (graph.py) flags
+# the 3 pagerank queries; the ndarray WAV decode contract (multimodal.py)
+# flags the 8 multimodal queries + both audio queries; the per-version CDC
+# extension (sinks/changes.py) flags merge_table_changes. Then the 2 new
+# r9 queries (the YAML front door under a driver oracle, per-commit CDC),
+# then the evidence backlog oldest-first: all 6 r05 rows + all 25 r06 rows
+# + the first 3 r07 rows. 3+10+1+2+6+25+3 = exactly 50; after this round
+# the oldest evidence is r07.
 _VERIFY_FIRST = (
-    # r8 changed code: vectorized WAV decode (multimodal.py edit)
+    # r9 changed code: pagerank distinct-edge cache release (graph.py)
+    "graph_pagerank_events",
+    "graph_pagerank_bucketed",
+    "graph_pagerank_dangling",
+    # r9 changed code: ndarray WAV decode contract (multimodal.py) +
+    # dotted-id alias through the Arrow stage (audio.py)
     "audio_features_wav",
+    "audio_quality_screen",
     "multimodal_decode",
     "multimodal_decode_png",
     "multimodal_decode_jpeg",
@@ -5330,52 +5333,48 @@ _VERIFY_FIRST = (
     "multimodal_decode_video",
     "multimodal_resize",
     "multimodal_frames",
-    # r8 changed code: spec.py url_canonicalize filter stage registration
+    # r9 changed code: per-version CDC (sinks/changes.py)
     "merge_table_changes",
-    "filter_chain",
-    "dedup_incremental_state",
-    "csv_engine_roundtrip",
-    "xml_engine_roundtrip",
-    "task_source_generate",
-    "semantic_dedup_incremental_state",
-    "semantic_dedup_two_level_incremental_state",
-    "jsonl_engine_roundtrip",
-    "orc_engine_roundtrip",
-    "spec_join_aggregate",
-    "spec_dedup_sql",
-    "spec_training_prep",
-    "merge_upsert_state",
-    "dynamic_overwrite_state",
-    # r8 changed code: web.py PSL collision guard
-    "url_canonical_dedup",
-    # new in round 8
-    "url_registrable_psl",
-    "audio_quality_screen",
-    # stale backlog: the 9 remaining r02 rows
-    "session_paths_topk",
-    "stratified_sample_sources",
-    "tfidf_top_terms",
-    "train_val_test_split",
-    "training_shuffle_shards",
-    "unpivot_measures",
-    "upsample_by_weight",
-    "value_histogram",
-    "window_frames_gauntlet",
-    # stale backlog: all 14 r03 rows — drains the pre-r04 set to zero
-    "approx_distinct_users",
-    "bucket_day",
-    "bucket_hour",
-    "embedding_centroids",
-    "outer_join_customer_orders",
-    "q1_pricing_summary",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "quantize_embeddings_int8",
-    "range_join_value_tiers",
-    "rollup_order_priority",
-    "scd2_customer_history",
-    "stats_aggs",
-    "window_running_sum",
+    # new in round 9
+    "spec_front_door_pipeline",
+    "cdc_per_version_changes",
+    # stale backlog: all 6 r05 rows
+    "asof_last_signup",
+    "global_topk_orders",
+    "scan_project",
+    "sessionize_events",
+    "topk_orders_per_customer",
+    "window_lag_lead_rank",
+    # stale backlog: all 25 r06 rows
+    "ann_bruteforce_topk",
+    "ann_ivf_kmeans_topk",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_pq_adc_topk",
+    "ann_pq_kmeans_topk",
+    "bpe_segment_corpus",
+    "bpe_train_merges",
+    "bucket_long_milli",
+    "decontaminate_fuzzy",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_survivors",
+    "dup_span_scrub",
+    "embedding_neardup",
+    "functions_array_gauntlet",
+    "lm_bigram_score",
+    "minhash_lsh_128x16",
+    "minhash_lsh_candidates",
+    "ngram_jaccard_pairs",
+    "semantic_dedup_embeddings",
+    "semantic_dedup_two_level",
+    "simhash64",
+    "skew_salted_agg",
+    "zorder_cluster_key",
+    # stale backlog: the first 3 r07 rows
+    "bag_setops",
+    "chunk_token_windows",
+    "conditional_aggs",
 )
 
 

@@ -843,11 +843,10 @@ def _wav_samples_inner(data: bytes):
     # pinned by tests/test_audio.py::
     # test_vectorized_decoder_bit_identical_to_scalar_reference, whose
     # _scalar_wav_reference preserves the replaced loop verbatim as the
-    # reference. Measured 5-7× end-to-end on 10⁶-sample clips (the former
-    # `for i in range(n): for c in range(nch):` loop ran int.from_bytes per
-    # sample per channel; the remaining cost is the .tolist() the
-    # list-typed return contract requires — downstream _pcm_int16
-    # re-vectorizes via np.asarray).
+    # reference. Samples return as a float64 ndarray (r9, VERDICT r8 item
+    # 6): the old list contract's .tolist() was one O(n) Python-object
+    # materialization per clip that downstream _pcm_int16 immediately
+    # re-vectorized away — every element is still the same IEEE double.
     if bits == 16:
         arr = np.frombuffer(raw[: n * frame], dtype="<i2").reshape(n, nch)
         chans = arr.astype(np.float64) / 32768.0
@@ -857,19 +856,27 @@ def _wav_samples_inner(data: bytes):
     acc = np.zeros(n, dtype=np.float64)
     for c in range(nch):  # sequential channel order = scalar bit order
         acc += chans[:, c]
-    return rate, nch, (acc / nch).tolist()
+    return rate, nch, acc / nch
 
 
 def _segment_features(samples, n_seg: int = 4) -> list[float]:
     """Mean ABSOLUTE amplitude per equal time segment (the audio analog of
     the luminance-quadrant means): deterministic integer-friendly math, so
-    encoder-derived payloads carry SQL oracles. Empty segments read 0."""
-    n = len(samples)
+    encoder-derived payloads carry SQL oracles. Empty segments read 0.
+
+    Vectorized (r9, with the ndarray decode contract) but bit-identical to
+    the scalar ``sum(abs(s) for s in samples[lo:hi]) / (hi - lo)`` it
+    replaces: ``cumsum`` is DEFINED as sequential accumulation
+    (``r[i] = r[i-1] + a[i]``), so its final partial sum adds the same
+    doubles in the same order as the old per-element loop — unlike
+    ``np.sum``, whose pairwise reduction rounds differently."""
+    a = np.abs(np.asarray(samples, dtype=np.float64))
+    n = a.size
     feats = []
     for i in range(n_seg):
         lo, hi = i * n // n_seg, (i + 1) * n // n_seg
         feats.append(
-            sum(abs(s) for s in samples[lo:hi]) / (hi - lo) if hi > lo else 0.0
+            float(np.cumsum(a[lo:hi])[-1]) / (hi - lo) if hi > lo else 0.0
         )
     return feats
 

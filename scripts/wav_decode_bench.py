@@ -75,7 +75,8 @@ def main() -> None:
         got = _wav_samples(payload)
         t_vec = time.perf_counter() - t0
         assert got[0] == want[0] and got[1] == want[1]
-        assert got[2] == want[2], f"{name}: bit mismatch"
+        # got[2] is an ndarray since r9; exact per-bit list compare
+        assert got[2].tolist() == want[2], f"{name}: bit mismatch"
         out[name] = {
             "scalar_sec": round(t_scalar, 4),
             "vectorized_sec": round(t_vec, 4),

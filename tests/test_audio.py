@@ -230,7 +230,10 @@ def test_vectorized_decoder_bit_identical_to_scalar_reference():
         assert len(got[2]) == len(want[2])
         for a, b in zip(got[2], want[2]):
             assert a == b and (a == 0.0 or str(a) == str(b)), (bits, nch, n, a, b)
-        assert all(type(s) is float for s in got[2])  # .tolist() contract
+        # r9 ndarray contract (VERDICT r8 item 6): no per-clip .tolist()
+        import numpy as np
+
+        assert isinstance(got[2], np.ndarray) and got[2].dtype == np.float64
 
 
 def test_clipping_features_hand_computed():

@@ -956,7 +956,7 @@ def test_wav_decode_roundtrip_and_variants():
     # a LIST/INFO chunk before data must be skipped by the chunk walk
     info = b"LIST" + struct.pack("<I", 4) + b"INFO"
     with_info = mono[:12] + info + mono[12:]
-    assert _wav_samples(with_info)[2] == _wav_samples(mono)[2]
+    assert list(_wav_samples(with_info)[2]) == list(_wav_samples(mono)[2])
 
     # quarantine: float PCM (format 3), truncated, garbage
     bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
