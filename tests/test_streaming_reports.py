@@ -699,3 +699,122 @@ def test_run_incremental_semantic_two_level_stream_end_to_end(spark, tmp_path):
     )
     ids = sorted(r.vec_id for r in spark.read.parquet(corpus).collect())
     assert ids == [10, 12, 21]
+
+
+class TestSpecStagesStream:
+    """Streaming front door for the r8 declarative text stages (VERDICT r8
+    item 8): text_stats → quality_score → gate → pii_scrub over a FILE
+    STREAM into the batch-scoped idempotent corpus sink, retry-interleaved
+    like the dedup loops. The stages are pure struct-pack projections
+    (stream-classified), so the foreachBatch body is apply_filter_chain +
+    one partition-dir overwrite — the same exactly-once-from-at-least-once
+    contract as incremental_dedup_sink."""
+
+    FILTERS = [
+        {"type": "text_stats"},
+        {"type": "quality_score"},
+        {"type": "filter", "predicate": "quality >= 0.4"},
+        {"type": "pii_scrub"},
+    ]
+    GOOD = (
+        "the quick brown fox and a dozen of steady hands mail "
+        "reports to ops@example.com citing badge 123456 in the log"
+    )
+    BAD = "x y z"  # < 10 tokens, no stopword band → quality below the gate
+    ROWS1 = [(0, GOOD, "src0"), (1, BAD, "src0")]
+    ROWS2 = [(2, GOOD + " again and again the end", "src1")]
+
+    def _spec_filters(self):
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        return load_spec(
+            {
+                "in": {"type": "parquet", "path": "/dev/null"},
+                "filters": self.FILTERS,
+                "out": {"type": "null"},
+            }
+        ).filters
+
+    def _sink(self, corpus: str):
+        from embulk_executor_mapreduce_spark.operators.filters import (
+            apply_filter_chain,
+        )
+
+        filters = self._spec_filters()
+
+        def _process(batch, batch_id: int) -> None:
+            out = apply_filter_chain(batch, filters)
+            # batch-scoped partition dir, mode=overwrite: a retry
+            # overwrites its own rows, never duplicates them
+            out.write.mode("overwrite").parquet(
+                f"{corpus}/ingest_batch={batch_id}"
+            )
+
+        return _process
+
+    def _corpus(self, spark, corpus):
+        return sorted(
+            (r.doc_id, r.text)
+            for r in spark.read.parquet(str(corpus)).collect()
+        )
+
+    def test_stream_equals_batch_and_retry_idempotence(self, spark, tmp_path):
+        import os
+
+        import pandas as pd
+
+        from embulk_executor_mapreduce_spark.operators.filters import (
+            apply_filter_chain,
+        )
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        cols = ["doc_id", "text", "source"]
+        pd.DataFrame(self.ROWS1, columns=cols).to_parquet(land / "b1.parquet")
+        pd.DataFrame(self.ROWS2, columns=cols).to_parquet(land / "b2.parquet")
+        os.utime(land / "b1.parquet", (1_700_000_000,) * 2)
+        os.utime(land / "b2.parquet", (1_700_000_100,) * 2)
+
+        corpus = str(tmp_path / "corpus")
+        docs = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(land))
+        )
+        q = (
+            docs.writeStream.foreachBatch(self._sink(corpus))
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        got = self._corpus(spark, corpus)
+        # parity: the streamed corpus equals the SAME stage chain run batch
+        batch_df = spark.createDataFrame(
+            self.ROWS1 + self.ROWS2, "doc_id long, text string, source string"
+        )
+        want = sorted(
+            (r.doc_id, r.text)
+            for r in apply_filter_chain(batch_df, self._spec_filters()).collect()
+        )
+        assert got == want
+        # the gate dropped the junk doc; the scrub REPLACED the pii
+        ids = [i for i, _ in got]
+        assert ids == [0, 2]
+        assert all("<EMAIL>" in t and "<DIGITS>" in t for _, t in got)
+        assert all("ops@example.com" not in t for _, t in got)
+        # audit columns landed
+        out_cols = spark.read.parquet(corpus).columns
+        for c in ("n_tokens", "quality", "n_email", "n_digits"):
+            assert c in out_cols, out_cols
+
+        # RETRY of batch 1 (at-least-once replay): converges, no duplicates
+        sink = self._sink(corpus)
+        sink(
+            spark.createDataFrame(
+                self.ROWS2, "doc_id long, text string, source string"
+            ),
+            1,
+        )
+        assert self._corpus(spark, corpus) == want
