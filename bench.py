@@ -160,7 +160,10 @@ class _Recorder:
     pair is not trivially cheap AND the pair actually looks stalled: the
     best-of-2 regressed > PRIOR_STALL_RATIO over the same entry in the
     COMMITTED ``bench_detail.json`` (the sealed prior run, read before this
-    run overwrites it; only consulted at the same sf). Entries with no
+    run overwrites it; only consulted at the same sf), with the prior
+    scaled up by ``prior_scale`` — the start drift probe's ratio against
+    the pinned reference — so a host that is uniformly slower than the
+    seal host does not look like a wall-to-wall stall. Entries with no
     same-sf prior get NO third run (r9, ADVICE r8): the old fallback
     (t2 >= 0.7·t1, "no warm-up improvement") is true for essentially every
     warmed steady-state entry, so every new entry above the cheap floor
@@ -174,10 +177,22 @@ class _Recorder:
     THIRD_RUN_MIN_SEC = 0.75
     PRIOR_STALL_RATIO = 1.3
 
-    def __init__(self, budget_sec: float = 420.0, prior: dict | None = None):
+    def __init__(
+        self,
+        budget_sec: float = 420.0,
+        prior: dict | None = None,
+        prior_scale: float = 1.0,
+    ):
         self.t0 = time.time()
         self.budget = budget_sec
         self.prior = prior or {}
+        # drift correction for the stall gate (r9 review): the sealed prior
+        # was recorded on a possibly-faster host; uniform drift above the
+        # stall ratio would otherwise third-run EVERY entry — the budget
+        # waste the prior gate exists to prevent. Scaled UP only (never
+        # below 1): a faster-than-reference host must not shrink priors and
+        # fire the gate on entries that match their prior exactly.
+        self.prior_scale = max(1.0, prior_scale)
         self.best: dict[str, float] = {}
         self.first: dict[str, float] = {}
         self.second_skipped: list[str] = []
@@ -196,7 +211,10 @@ class _Recorder:
         gc.collect()  # release py4j DF refs so ContextCleaner can drop
         # finished broadcasts/RDDs instead of accumulating across entries
         prior = self.prior.get(name)
-        looks_stalled = bool(prior) and best > self.PRIOR_STALL_RATIO * prior
+        looks_stalled = (
+            bool(prior)
+            and best > self.PRIOR_STALL_RATIO * prior * self.prior_scale
+        )
         if (
             best > self.THIRD_RUN_MIN_SEC
             and looks_stalled
@@ -417,6 +435,46 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
         )
 
     rec.record("cdc_table_changes_diff", b4b)
+
+    # B4c per-version CDC priced alone (r9): a 3-version state is committed
+    # UNTIMED (keep=3 so the whole range is retained), the timed run emits
+    # BOTH adjacent-pair diffs tagged _commit_version — two manifest diffs,
+    # two changed-bucket subset reads, two joins, one union. Steady-state
+    # cost of a per-commit consumer catching up across commits.
+    pv_state = f"{tmp}/b4c_state"
+    pv_spec = {
+        **seed_spec,
+        "out": {
+            **seed_spec["out"],
+            "path": pv_state,
+            "merge_keep_versions": 3,
+        },
+    }
+    run_pipeline(spark, load_spec(pv_spec))  # v0, untimed
+    mut2_src = f"{tmp}/b4c_batch2"
+    batch_df.withColumn(
+        "o_totalprice", F.expr(f"CAST(o_totalprice + 2 AS {price_t})")
+    ).write.mode("overwrite").parquet(mut2_src)
+    run_pipeline(
+        spark, load_spec({**pv_spec, "in": {"type": "parquet", "path": mut_src}})
+    )  # v1, untimed
+    run_pipeline(
+        spark, load_spec({**pv_spec, "in": {"type": "parquet", "path": mut2_src}})
+    )  # v2, untimed
+
+    def b4c():
+        return _timed(
+            lambda: table_changes(
+                spark,
+                pv_state,
+                ["o_orderkey"],
+                from_version=0,
+                to_version=2,
+                per_version=True,
+            ).collect()
+        )
+
+    rec.record("cdc_per_version_diff", b4c)
 
     # B5 link-graph centrality: integer PageRank over the event-transition
     # graph (per-user lag window over the full events table feeds a ~100-node
@@ -644,9 +702,14 @@ def main() -> None:
 
     # the loadavg wait spends real wall-clock from the driver's timeout —
     # shrink the best-of-2 budget by what the gate consumed
-    rec = _Recorder(budget_sec=max(180.0, 420.0 - load_wait), prior=prior_best)
-
+    # the start probe runs BEFORE any entry, so the stall gate can judge
+    # priors at this host's current speed rather than the seal host's
     probe_start = _drift_probe(spark)
+    rec = _Recorder(
+        budget_sec=max(180.0, 420.0 - load_wait),
+        prior=prior_best,
+        prior_scale=probe_start / DRIFT_PROBE_REF_SEC,
+    )
 
     def run_once(name: str, e) -> float:
         if name in TIME_INCLUDES_BUILD:
@@ -710,12 +773,14 @@ def main() -> None:
             "best-of-2 warm per entry since r4 (first runs under "
             "queries_first); r8 adds a third run on non-trivial entries "
             "that look stalled — best-of-2 > 1.3x the same entry in the "
-            "committed prior bench_detail.json at the same sf (r9: "
-            "entries with no same-sf prior get NO third run — their first "
-            "sealed number is best-of-2); rounds <=3 recorded single "
-            "runs. r9 adds a fixed pure-CPU drift probe at both ends of "
-            "the run; value_normalized = value / drift_ratio is the "
-            "cross-round comparable total on a drifting host"
+            "committed prior bench_detail.json at the same sf, with the "
+            "prior scaled up by the start drift probe so uniform host "
+            "slowdown does not third-run every entry (r9: entries with no "
+            "same-sf prior get NO third run — their first sealed number "
+            "is best-of-2); rounds <=3 recorded single runs. r9 adds a "
+            "fixed pure-CPU drift probe at both ends of the run; "
+            "value_normalized = value / drift_ratio is the cross-round "
+            "comparable total on a drifting host"
         ),
     }
     # VERDICT r4 finding 1: BENCH_r04.json was driver-unparseable because the

@@ -37,12 +37,43 @@ DECODE_SCHEMA = (
 )
 
 
+# Internal id alias carried through the Arrow stage (same contract as
+# operators/audio._AID). PySpark's own mapInPandas re-selects each input
+# column via ``self[col]``, which misresolves a dotted top-level name
+# ("doc.id") as a struct-field path (ADVICE r8) — so every entry point
+# below aliases the caller's id to this safe name before mapInPandas.
+_MID = "__mm_id"
+
+
+def _mid_input(df: DataFrame, id_col: str, value_col: str):
+    """Prune the input to (id, value) BEFORE the Arrow exchange — Catalyst
+    cannot column-prune into an opaque ``mapInPandas``, so without this
+    select every input column ships to Python per batch — with the id
+    aliased to ``_MID`` (see above). Returns the pruned frame plus the id
+    column's DDL type (for entry points that propagate the caller's id
+    name/type into their output schema)."""
+    for c in (id_col, value_col):
+        if c not in df.columns:
+            raise ValueError(
+                f"multimodal operators need column {c!r} in the input"
+            )
+    if "`" in id_col or "`" in value_col:
+        raise ValueError("column names must not contain backticks")
+    return (
+        df.select(F.col(f"`{id_col}`").alias(_MID), F.col(f"`{value_col}`")),
+        df.schema[id_col].dataType.simpleString(),
+    )
+
+
 def to_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Binary ingestion surface: typed binary payload + metadata struct.
     (Real pipelines land here via ``spark.read.format('binaryFile')``.)"""
-    payload = F.encode(F.col(text_col), "UTF-8")
+    if "`" in id_col or "`" in text_col:
+        raise ValueError("column names must not contain backticks")
+    # backticked refs: dotted top-level names select the column itself
+    payload = F.encode(F.col(f"`{text_col}`"), "UTF-8")
     return df.select(
-        F.col(id_col),
+        F.col(f"`{id_col}`"),
         payload.alias("payload"),
         F.struct(
             F.lit("application/octet-stream").alias("mime"),
@@ -102,6 +133,7 @@ def decode_image_pil(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     narrow scan should wrap the input in ``spread_narrow`` first (module
     docstring) — the stub deliberately doesn't, the real path should.
     """
+    df, _ = _mid_input(df, id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -128,7 +160,7 @@ def decode_image_pil(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     heights.append(None)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    "doc_id": pdf[_MID],
                     "n_bytes": pd.array(n_bytes, dtype="int32"),
                     "content_hash": hashes,
                     "features": feats,
@@ -747,6 +779,7 @@ def decode_image_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     yield NULL features/dims. Feature = the same 2×2 luminance-quadrant
     means (exact box means here; Pillow's resize kernel may differ in the
     low digits — dims/hash/n_bytes are identical across paths)."""
+    df, _ = _mid_input(df, id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -776,7 +809,7 @@ def decode_image_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     heights.append(h)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    "doc_id": pdf[_MID],
                     "n_bytes": pd.array(n_bytes, dtype="int32"),
                     "content_hash": hashes,
                     "features": feats,
@@ -887,6 +920,7 @@ def decode_audio_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     features). Same Arrow-batched mapInPandas shape and quarantine failure
     semantics as the image decoders; a real resample/fbank extractor slots
     into the same batch loop."""
+    df, _ = _mid_input(df, id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -913,7 +947,7 @@ def decode_audio_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     feats.append(_segment_features(samples))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    "doc_id": pdf[_MID],
                     "n_bytes": pd.array(n_bytes, dtype="int32"),
                     "content_hash": hashes,
                     "sample_rate": pd.array(rates, dtype="Int32"),
@@ -963,6 +997,7 @@ def encode_text_wav(
     ``byte/256`` — a binary fraction, exact in float — giving the
     encode→decode roundtrip a full value-hash oracle (catalog
     ``multimodal_decode_wav``)."""
+    df, id_type = _mid_input(df, id_col, text_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -974,9 +1009,11 @@ def encode_text_wav(
                     for j in range(4):
                         samples.append(b[seg] * 128 * (1 if j % 2 == 0 else -1))
                 payloads.append(encode_wav_pcm16(samples))
-            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+            yield pd.DataFrame({_MID: pdf[_MID], "payload": payloads})
 
-    return df.mapInPandas(run, schema=f"{id_col} long, payload binary")
+    return df.mapInPandas(
+        run, schema=f"{_MID} {id_type}, payload binary"
+    ).withColumnRenamed(_MID, id_col)
 
 
 def decode(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -1015,10 +1052,12 @@ def encode_text_png(
     ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0))
     iend = chunk(b"IEND", b"")
 
+    df, id_type = _mid_input(df, id_col, text_col)
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+            for doc_id, text in zip(pdf[_MID], pdf[text_col]):
                 b = hashlib.md5(str(text).encode()).digest()[:4]
                 row0 = b"\x00" + bytes(b[:2])
                 f1 = int(doc_id) % 3
@@ -1036,9 +1075,11 @@ def encode_text_png(
                     + chunk(b"IDAT", zlib.compress(row0 + row1))
                     + iend
                 )
-            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+            yield pd.DataFrame({_MID: pdf[_MID], "payload": payloads})
 
-    return df.mapInPandas(run, schema=f"{id_col} long, payload binary")
+    return df.mapInPandas(
+        run, schema=f"{_MID} {id_type}, payload binary"
+    ).withColumnRenamed(_MID, id_col)
 
 
 def encode_text_jpeg(
@@ -1055,6 +1096,7 @@ def encode_text_jpeg(
     ``multimodal_decode_jpeg``), not just unit tests."""
 
     quant = np.full((8, 8), 8.0)
+    df, id_type = _mid_input(df, id_col, text_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1067,9 +1109,11 @@ def encode_text_jpeg(
                 img[8:, :8] = b[2]
                 img[8:, 8:] = b[3]
                 payloads.append(encode_gray_jpeg(img, quant))
-            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+            yield pd.DataFrame({_MID: pdf[_MID], "payload": payloads})
 
-    return df.mapInPandas(run, schema=f"{id_col} long, payload binary")
+    return df.mapInPandas(
+        run, schema=f"{_MID} {id_type}, payload binary"
+    ).withColumnRenamed(_MID, id_col)
 
 
 def _fake_features(data: bytes, n: int = 4) -> list[float]:
@@ -1088,13 +1132,14 @@ def decode_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     needs. Raises nothing here — a real implementation should classify decode
     failures as user-data errors (errors.RemoteTaskFailedDataError).
     """
+    df, _ = _mid_input(df, id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    "doc_id": pdf[_MID],
                     "n_bytes": payloads.map(len).astype("int32"),
                     "content_hash": payloads.map(
                         lambda b: hashlib.md5(bytes(b)).hexdigest()
@@ -1160,11 +1205,12 @@ def decode_video_stdlib(
     (rows-out != rows-in through mapInPandas, the real shape of the old
     stub). Non-AVI / frameless / corrupt payloads quarantine to a single
     NULL-frame row so provenance survives."""
+    df, _ = _mid_input(df, id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, n_fr, idxs, ws, hs, feats = [], [], [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+            for doc_id, payload in zip(pdf[_MID], pdf["payload"]):
                 frames = _avi_mjpeg_frames(bytes(payload))
                 if frames is None:
                     ids.append(doc_id)
@@ -1256,6 +1302,7 @@ def encode_text_avi(
     the demux→decode roundtrip carries a full value-hash oracle (catalog
     ``multimodal_decode_video``)."""
     quant = np.full((8, 8), 8.0)
+    df, id_type = _mid_input(df, id_col, text_col)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1271,9 +1318,11 @@ def encode_text_avi(
                     img[8:, 8:] = b[4 * i + 3]
                     frames.append(encode_gray_jpeg(img, quant))
                 payloads.append(encode_mjpeg_avi(frames))
-            yield pd.DataFrame({id_col: pdf[id_col], "payload": payloads})
+            yield pd.DataFrame({_MID: pdf[_MID], "payload": payloads})
 
-    return df.mapInPandas(run, schema=f"{id_col} long, payload binary")
+    return df.mapInPandas(
+        run, schema=f"{_MID} {id_type}, payload binary"
+    ).withColumnRenamed(_MID, id_col)
 
 
 RESIZE_REAL_SCHEMA = (
@@ -1344,10 +1393,12 @@ def resize_image_stdlib(
                     )
         return out
 
+    df, _ = _mid_input(df, id_col, "payload")
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, pixels = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+            for doc_id, payload in zip(pdf[_MID], pdf["payload"]):
                 data = bytes(payload)
                 ids.append(doc_id)
                 decoded = (
@@ -1397,6 +1448,7 @@ def resize_stub(df: DataFrame, id_col: str = "doc_id", target: int = 256) -> Dat
     ``target``) so the stub is oracle-portable; a real decoder (PIL) replaces
     the body, keeping the same batch shape and output schema.
     """
+    df, _ = _mid_input(df, id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1406,7 +1458,7 @@ def resize_stub(df: DataFrame, id_col: str = "doc_id", target: int = 256) -> Dat
             m = np.maximum(w, h)
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf[id_col],
+                    "doc_id": pdf[_MID],
                     "width": w.astype("int32"),
                     "height": h.astype("int32"),
                     "out_width": (w * target // m).astype("int32"),
@@ -1424,11 +1476,12 @@ def frame_sample_stub(
     to one output row per sampled frame — the mapInPandas batch shape a real
     ffmpeg-style sampler needs (rows-out != rows-in). Frame count and frame
     hashes are deterministic fakes from the payload bytes."""
+    df, _ = _mid_input(df, id_col, "payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_n, out_idx, out_hash = [], [], [], []
-            for doc_id, payload in zip(pdf[id_col], pdf["payload"]):
+            for doc_id, payload in zip(pdf[_MID], pdf["payload"]):
                 data = bytes(payload)
                 n_frames = 1 + len(data) % 240
                 content = hashlib.md5(data).hexdigest()

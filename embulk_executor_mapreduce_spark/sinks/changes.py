@@ -96,24 +96,45 @@ def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
 
 
 def _pair_frames(
-    spark: SparkSession, local: str, man_a: dict, man_b: dict, fmt: str
+    spark: SparkSession,
+    local: str,
+    man_a: dict,
+    man_b: dict,
+    fmt: str,
+    schema=None,
 ) -> tuple[DataFrame, DataFrame]:
     """(old, new) bucket-subset frames for one manifest pair: only buckets
-    whose directories differ are listed or read on either side."""
+    whose directories differ are listed or read on either side. ``schema``
+    (optional) pins the read schema — required when a per-version feed
+    reads schema-on-read formats, so every adjacent pair infers
+    identically (see :func:`table_changes`)."""
     ba, bb = man_a["buckets"], man_b["buckets"]
     changed = sorted(b for b in set(ba) | set(bb) if ba.get(b) != bb.get(b))
     old_dirs = [os.path.join(local, ba[b]) for b in changed if b in ba]
     new_dirs = [os.path.join(local, bb[b]) for b in changed if b in bb]
 
-    old = spark.read.format(fmt).load(old_dirs) if old_dirs else None
-    new = spark.read.format(fmt).load(new_dirs) if new_dirs else None
+    def _read(dirs):
+        r = spark.read.format(fmt)
+        return (r.schema(schema) if schema is not None else r).load(dirs)
+
+    old = _read(old_dirs) if old_dirs else None
+    new = _read(new_dirs) if new_dirs else None
     if old is None and new is None:
         # zero changed buckets: the feed is empty either way; schema from
         # ONE committed bucket dir (listing every bucket of a 4096-bucket
         # state just to infer a schema would defeat the O(changed buckets)
-        # pruning story)
-        one = next(iter((bb or ba).values()))
-        old = new = spark.read.format(fmt).load(os.path.join(local, one)).limit(0)
+        # pruning story). An EMPTY committed state (a stream whose first
+        # micro-batch had no rows) has manifests with zero buckets — no
+        # schema exists anywhere to shape the feed, same contract as
+        # read_merge_state.
+        probe = bb or ba
+        if not probe:
+            raise FileNotFoundError(
+                "merge state has no committed buckets to take the feed "
+                "schema from"
+            )
+        one = next(iter(probe.values()))
+        old = new = _read(os.path.join(local, one)).limit(0)
     elif old is None:
         # empty side built FROM the non-empty side's frame, not a separate
         # read (ADVICE r7): schema-on-read formats (csv/json via fmt) can
@@ -191,10 +212,33 @@ def table_changes(
     manifests = {
         v: _load_manifest(local, v) for v in range(from_version, to_v + 1)
     }
-    sample = manifests[to_v]["buckets"]
+    # One committed bucket dir (newest manifest first) anchors the feed
+    # schema. Self-describing formats (parquet/ORC) don't need a pinned
+    # read schema; schema-on-read formats (csv/json) DO — each adjacent
+    # pair reads a different bucket subset, and independent inference per
+    # pair could type the same column differently (all-null in one pair's
+    # buckets, populated in another's), breaking the cross-pair union.
+    probe_dir = None
+    for v in range(to_v, from_version - 1, -1):
+        b = manifests[v]["buckets"]
+        if b:
+            probe_dir = os.path.join(local, next(iter(b.values())))
+            break
+    if probe_dir is None:
+        raise FileNotFoundError(
+            f"merge state {path} has no committed buckets in versions "
+            f"{from_version}..{to_v} to take the feed schema from"
+        )
+    schema = (
+        None
+        if fmt in ("parquet", "orc")
+        else spark.read.format(fmt).load(probe_dir).schema
+    )
     feeds = []
     for v in range(from_version + 1, to_v + 1):
-        old, new = _pair_frames(spark, local, manifests[v - 1], manifests[v], fmt)
+        old, new = _pair_frames(
+            spark, local, manifests[v - 1], manifests[v], fmt, schema
+        )
         if COMMIT_VERSION_COL in new.columns:
             raise ValueError(
                 f"snapshot columns collide with {COMMIT_VERSION_COL}"
@@ -206,13 +250,16 @@ def table_changes(
         )
     if not feeds:
         # from_version == to_version: empty feed with the full output schema
-        one = next(iter(sample.values()))
         empty = (
             spark.read.format(fmt)
-            .load(os.path.join(local, one))
+            .load(probe_dir)
             .limit(0)
             .drop(MERGE_BUCKET_COL)
         )
+        if COMMIT_VERSION_COL in empty.columns:
+            raise ValueError(
+                f"snapshot columns collide with {COMMIT_VERSION_COL}"
+            )
         return snapshot_diff(empty, empty, list(keys)).withColumn(
             COMMIT_VERSION_COL, F.lit(to_v).cast("int")
         )

@@ -55,6 +55,28 @@ def test_third_run_prior_gated():
     assert c["n"] == 2 and "cheap" not in rec.third_run
 
 
+def test_third_run_gate_is_drift_scaled():
+    """r9 review: on a host running uniformly 1.4x slower than the seal
+    host (prior_scale from the start drift probe), an entry at 1.4x its
+    prior is drift, not a stall — no third run; a genuine stall well past
+    the scaled prior still fires. prior_scale never scales DOWN on a
+    faster-than-reference host."""
+    b = _bench()
+    rec = b._Recorder(budget_sec=1000, prior={"e": 1.0, "s": 1.0}, prior_scale=1.4)
+    c = {"n": 0}
+    rec.record("e", _runner(c, 1.4))  # 1.4 <= 1.3 * 1.0 * 1.4
+    assert c["n"] == 2 and "e" not in rec.third_run
+    c = {"n": 0}
+    rec.record("s", _runner(c, 3.0))  # 3.0 > 1.82: real stall
+    assert c["n"] == 3 and "s" in rec.third_run
+
+    fast = b._Recorder(budget_sec=1000, prior={"e": 1.0}, prior_scale=0.5)
+    assert fast.prior_scale == 1.0  # clamped: never shrinks priors
+    c = {"n": 0}
+    fast.record("e", _runner(c, 1.05))
+    assert c["n"] == 2 and "e" not in fast.third_run
+
+
 def test_budget_exhaustion_skips_second_run():
     b = _bench()
     rec = b._Recorder(budget_sec=0.0, prior={})
