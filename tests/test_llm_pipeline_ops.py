@@ -268,6 +268,76 @@ def test_multimodal_ops_accept_dotted_id_column(spark):
         decode_stub(df, id_col="my.id")
 
 
+def test_segment_features_bit_identical_to_scalar_reference():
+    """r9 (_segment_features vectorization): the per-segment cumsum must
+    add the same doubles in the same order as the scalar loop it replaced
+    — property-checked over random lengths, segment boundaries that don't
+    divide evenly, and pathological amplitudes."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        _segment_features,
+    )
+
+    def scalar_reference(samples, n_seg=4):
+        # the replaced implementation, preserved verbatim
+        n = len(samples)
+        feats = []
+        for i in range(n_seg):
+            lo, hi = i * n // n_seg, (i + 1) * n // n_seg
+            feats.append(
+                sum(abs(s) for s in samples[lo:hi]) / (hi - lo)
+                if hi > lo
+                else 0.0
+            )
+        return feats
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.integers(min_value=-32768, max_value=32767),
+            min_size=0,
+            max_size=97,
+        ),
+        st.integers(min_value=1, max_value=7),
+    )
+    def check(units, n_seg):
+        samples = [u / 32768.0 for u in units]
+        got = _segment_features(np.asarray(samples, dtype=np.float64), n_seg)
+        want = scalar_reference(samples, n_seg)
+        assert got == want  # exact float equality — bit identity
+
+    check()
+
+
+def test_multimodal_ops_prune_input_before_arrow_exchange(spark, tmp_path):
+    """r9 (_mid_input): the multimodal mapInPandas entry points now
+    pre-select (id, payload/text) like operators/audio — a wide unused
+    column must not reach the scan (ReadSchema) or the Arrow exchange."""
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        decode_image_stdlib,
+        encode_text_png,
+    )
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "payload text", "y" * 200)],
+        "doc_id long, text string, extra_wide string",
+    ).write.parquet(src)
+    enc = encode_text_png(spark.read.parquet(src))
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "extra_wide" not in plan
+
+    src2 = str(tmp_path / "payloads")
+    enc.withColumn("extra_wide", enc.payload.cast("string")).write.parquet(src2)
+    dec = decode_image_stdlib(spark.read.parquet(src2))
+    plan2 = dec._jdf.queryExecution().executedPlan().toString()
+    assert "extra_wide" not in plan2
+    assert dec.collect()[0].width == 2
+
+
 def test_decode_image_stdlib_real_dimensions(spark):
     """REAL decode, unconditionally runnable (VERDICT r4 item 5): the
     stdlib decoder inflates + unfilters a genuine PNG, parses a 24-bit BMP
