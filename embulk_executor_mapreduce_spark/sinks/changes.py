@@ -147,6 +147,34 @@ def _pair_frames(
     return old.drop(MERGE_BUCKET_COL), new.drop(MERGE_BUCKET_COL)
 
 
+def _pinned_schema(spark, local: str, manifests_newest_first, fmt: str, path: str):
+    """(schema-or-None, full dir list of the newest manifest with buckets).
+
+    The newest manifest with any committed buckets anchors the feed
+    schema. Self-describing formats (parquet/ORC) need no pinned read
+    schema (one bucket dir suffices as an empty-frame schema probe);
+    schema-on-read formats (csv/json) DO — the diff reads different bucket
+    subsets on each side (and, per-version, per pair), and independent
+    inference could type the same column differently (all-null in one
+    subset, populated or numeric-looking in another), breaking the join or
+    the cross-pair union. For those, infer over the FULL snapshot, never
+    one bucket dir: a json bucket whose rows are all null in a column
+    writes no field for it, so a single-bucket probe would silently DROP
+    the column feed-wide. One inference pass over the snapshot is the
+    documented cost of running a CDC feed over a schema-less format."""
+    for man in manifests_newest_first:
+        b = man["buckets"]
+        if b:
+            dirs = [os.path.join(local, rel) for rel in b.values()]
+            if fmt in ("parquet", "orc"):
+                return None, dirs
+            return spark.read.format(fmt).load(dirs).schema, dirs
+    raise FileNotFoundError(
+        f"merge state {path} has no committed buckets in the requested "
+        "version range to take the feed schema from"
+    )
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -200,39 +228,21 @@ def table_changes(
                 )
             )
     if not per_version:
-        old, new = _pair_frames(
-            spark,
-            local,
-            _load_manifest(local, from_version),
-            _load_manifest(local, to_v),
-            fmt,
-        )
+        man_from = _load_manifest(local, from_version)
+        man_to = _load_manifest(local, to_v)
+        schema, _ = _pinned_schema(spark, local, [man_to, man_from], fmt, path)
+        old, new = _pair_frames(spark, local, man_from, man_to, fmt, schema)
         return snapshot_diff(old, new, list(keys))
 
     manifests = {
         v: _load_manifest(local, v) for v in range(from_version, to_v + 1)
     }
-    # One committed bucket dir (newest manifest first) anchors the feed
-    # schema. Self-describing formats (parquet/ORC) don't need a pinned
-    # read schema; schema-on-read formats (csv/json) DO — each adjacent
-    # pair reads a different bucket subset, and independent inference per
-    # pair could type the same column differently (all-null in one pair's
-    # buckets, populated in another's), breaking the cross-pair union.
-    probe_dir = None
-    for v in range(to_v, from_version - 1, -1):
-        b = manifests[v]["buckets"]
-        if b:
-            probe_dir = os.path.join(local, next(iter(b.values())))
-            break
-    if probe_dir is None:
-        raise FileNotFoundError(
-            f"merge state {path} has no committed buckets in versions "
-            f"{from_version}..{to_v} to take the feed schema from"
-        )
-    schema = (
-        None
-        if fmt in ("parquet", "orc")
-        else spark.read.format(fmt).load(probe_dir).schema
+    schema, probe_dirs = _pinned_schema(
+        spark,
+        local,
+        [manifests[v] for v in range(to_v, from_version - 1, -1)],
+        fmt,
+        path,
     )
     feeds = []
     for v in range(from_version + 1, to_v + 1):
@@ -249,13 +259,13 @@ def table_changes(
             )
         )
     if not feeds:
-        # from_version == to_version: empty feed with the full output schema
-        empty = (
-            spark.read.format(fmt)
-            .load(probe_dir)
-            .limit(0)
-            .drop(MERGE_BUCKET_COL)
-        )
+        # from_version == to_version: empty feed with the full output
+        # schema (pinned schema for schema-on-read formats; one bucket dir
+        # is enough under self-describing formats)
+        rdr = spark.read.format(fmt)
+        if schema is not None:
+            rdr = rdr.schema(schema)
+        empty = rdr.load(probe_dirs[0]).limit(0).drop(MERGE_BUCKET_COL)
         if COMMIT_VERSION_COL in empty.columns:
             raise ValueError(
                 f"snapshot columns collide with {COMMIT_VERSION_COL}"

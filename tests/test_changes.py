@@ -331,6 +331,66 @@ def test_cdc_per_version_reconstructs_every_snapshot(spark, tmp_path):
             assert r.k not in snapshots[r._commit_version - 1]
 
 
+def test_table_changes_per_version_schema_on_read_pinned(spark, tmp_path):
+    """r9 review fix (second cycle): under a schema-on-read format the feed
+    schema is inferred ONCE over the full newest-with-buckets snapshot —
+    (a) per-pair inference would type the same column differently across
+    pairs (all-null buckets vs populated, '42' alone reads as bigint) and
+    break the union; (b) a single-bucket probe is just as unsound, since a
+    json bucket all-null in a column writes no field for it and the pinned
+    schema would DROP the column feed-wide."""
+    path = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="json",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=4,
+        merge_keep_versions=4,
+    )
+    write_sink(
+        spark.createDataFrame(
+            [(1, 0, None), (2, 0, None)], "k bigint, o int, s string"
+        ),
+        sink,
+    )  # v0: s all-null everywhere
+    write_sink(
+        spark.createDataFrame([(3, 0, "hello")], "k bigint, o int, s string"),
+        sink,
+    )  # v1
+    write_sink(
+        spark.createDataFrame([(1, 0, "42")], "k bigint, o int, s string"),
+        sink,
+    )  # v2: numeric-looking string — pair-alone inference would say bigint
+    feed = table_changes(
+        spark, path, ["k"], from_version=0, to_version=2, fmt="json",
+        per_version=True,
+    )
+    assert dict(feed.dtypes)["s"] == "string"
+    rows = sorted(
+        (r.k, r._commit_version, r._change_type, r.s) for r in feed.collect()
+    )
+    assert rows == [
+        (1, 2, "update_postimage", "42"),
+        (1, 2, "update_preimage", None),
+        (3, 1, "insert", "hello"),
+    ]
+    # net mode shares the pin: the old side's changed buckets are all-null
+    # in s (no field written), the new side's carry '42' — independent
+    # per-side inference would drop/retype s and trip the schema check
+    net = table_changes(spark, path, ["k"], from_version=0, to_version=2, fmt="json")
+    assert dict(net.dtypes)["s"] == "string"
+    net_rows = sorted(
+        (r.k, r._change_type, r.s) for r in net.collect()
+    )
+    assert net_rows == [
+        (1, "update_postimage", "42"),
+        (1, "update_preimage", None),
+        (3, "insert", "hello"),
+    ]
+
+
 def test_table_changes_per_version_needs_full_range(spark):
     """Default retention (keep 2) GCs v0 by v2: the per-version feed must
     refuse with the retention hint rather than silently skip a commit."""
