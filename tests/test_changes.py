@@ -100,6 +100,47 @@ def test_snapshot_diff_marker_collision_raises(spark):
         snapshot_diff(df, df, ["k"])
 
 
+def test_snapshot_diff_matches_python_reference_property(spark):
+    """Property pin for the classifier over random keyed snapshots —
+    including NULL keys (eqNullSafe join semantics), NULL values, and
+    DELETES, which the merge-sink-backed tests can never produce (the sink
+    only upserts). Reference: a plain-Python dict diff."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    kv = st.dictionaries(
+        st.one_of(st.none(), st.integers(0, 9)),
+        st.one_of(st.none(), st.integers(0, 5)),
+        max_size=8,
+    )
+
+    def mk(d):
+        rows = [(k, v) for k, v in d.items()]
+        return spark.createDataFrame(rows, schema="k int, v int")
+
+    @settings(max_examples=20, deadline=None)
+    @given(old=kv, new=kv)
+    def check(old, new):
+        got = Counter(
+            (r.k, r.v, r._change_type)
+            for r in snapshot_diff(mk(old), mk(new), ["k"]).collect()
+        )
+        want = Counter()
+        for k in set(old) | set(new):
+            if k not in old:
+                want[(k, new[k], "insert")] += 1
+            elif k not in new:
+                want[(k, old[k], "delete")] += 1
+            elif old[k] != new[k]:
+                want[(k, old[k], "update_preimage")] += 1
+                want[(k, new[k], "update_postimage")] += 1
+        assert got == want, (old, new)
+
+    check()
+
+
 def test_snapshot_diff_identical_is_empty(spark):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, s string")
     assert snapshot_diff(df, df, ["k"]).count() == 0
