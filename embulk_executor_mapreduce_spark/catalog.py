@@ -5011,9 +5011,13 @@ def q_merge_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_changes(spark, path, ["k"], from_version=0, to_version=1)
 
 
-@register(
-    "cdc_per_version_changes",
-    oracle="""
+# shared by cdc_per_version_changes (pair-diff recompute) and
+# cdc_persisted_changes (materialized changelog read): both build the same
+# 3-version merge state, so the SAME logical feed — and therefore the same
+# oracle — must come out of either provenance. Two independently-hashed
+# driver rows over one oracle IS the bit-equality contract at the driver's
+# own verification level (VERDICT r9 item 3).
+_CDC_PER_VERSION_ORACLE = """
     WITH d AS (
       SELECT doc_id, n_chars AS val, 0::INT AS mo FROM documents
     ), b1 AS (
@@ -5033,45 +5037,38 @@ def q_merge_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
       UNION ALL
       SELECT * FROM s1 WHERE doc_id NOT IN (SELECT doc_id FROM b2)
     )
-    SELECT b.doc_id, b.val, b.mo, 'insert' AS _change_type, 1::INT AS _commit_version
+    SELECT b.doc_id, b.val, b.mo, 'insert' AS _change_type, 1::BIGINT AS _commit_version
     FROM s1 b LEFT JOIN d a ON a.doc_id = b.doc_id WHERE a.doc_id IS NULL
     UNION ALL
-    SELECT a.doc_id, a.val, a.mo, 'update_preimage', 1::INT
+    SELECT a.doc_id, a.val, a.mo, 'update_preimage', 1::BIGINT
     FROM d a JOIN s1 b ON a.doc_id = b.doc_id
     WHERE a.val IS DISTINCT FROM b.val OR a.mo IS DISTINCT FROM b.mo
     UNION ALL
-    SELECT b.doc_id, b.val, b.mo, 'update_postimage', 1::INT
+    SELECT b.doc_id, b.val, b.mo, 'update_postimage', 1::BIGINT
     FROM d a JOIN s1 b ON a.doc_id = b.doc_id
     WHERE a.val IS DISTINCT FROM b.val OR a.mo IS DISTINCT FROM b.mo
     UNION ALL
-    SELECT b.doc_id, b.val, b.mo, 'insert', 2::INT
+    SELECT b.doc_id, b.val, b.mo, 'insert', 2::BIGINT
     FROM s2 b LEFT JOIN s1 a ON a.doc_id = b.doc_id WHERE a.doc_id IS NULL
     UNION ALL
-    SELECT a.doc_id, a.val, a.mo, 'update_preimage', 2::INT
+    SELECT a.doc_id, a.val, a.mo, 'update_preimage', 2::BIGINT
     FROM s1 a JOIN s2 b ON a.doc_id = b.doc_id
     WHERE a.val IS DISTINCT FROM b.val OR a.mo IS DISTINCT FROM b.mo
     UNION ALL
-    SELECT b.doc_id, b.val, b.mo, 'update_postimage', 2::INT
+    SELECT b.doc_id, b.val, b.mo, 'update_postimage', 2::BIGINT
     FROM s1 a JOIN s2 b ON a.doc_id = b.doc_id
     WHERE a.val IS DISTINCT FROM b.val OR a.mo IS DISTINCT FROM b.mo
-    """,
-    tags=("etl", "sink", "merge", "cdc"),
-)
-def q_cdc_per_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-commit CDC granularity (VERDICT r8 item 3, Delta-CDF
-    ``table_changes`` semantics): three committed versions, then
-    ``table_changes(0 → 2, per_version=True)`` emits adjacent-pair diffs
-    tagged ``_commit_version``. The state is built so the per-version feed
-    provably differs from the net endpoint diff: v1 updates every third
-    doc (and inserts a few new keys), v2 REVERTS half of those updates
-    byte-identically to their v0 rows (constant ``merge_order`` → the
-    incoming batch wins ties, so the revert lands) and applies a second
-    update wave. The reverted keys vanish from a net 0→2 feed but MUST
-    appear twice here — once per commit — and the oracle replays all
-    three snapshots to pin exactly that."""
+    """
+
+
+def _cdc_three_version_state(spark: SparkSession, sf_dir: str) -> str:
+    """The shared 3-version merge state behind both per-version CDC rows:
+    v1 updates every third doc and inserts a few new keys; v2 reverts half
+    of v1's updates byte-identically (constant ``merge_order`` → incoming
+    wins ties) and applies a second update wave. The revert makes the
+    per-commit feed provably different from the net endpoint diff."""
     import tempfile
 
-    from .sinks.changes import table_changes
     from .sinks.writer import write_sink
     from .spec import SinkSpec
 
@@ -5094,7 +5091,6 @@ def q_cdc_per_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             "val", F.col("val") + 21
         )
     )
-
     path = tempfile.mkdtemp(prefix="q_cdc_per_version_") + "/state"
     sink = SinkSpec(
         type="parquet",
@@ -5108,8 +5104,70 @@ def q_cdc_per_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for batch in (d, b1, b2):
         write_sink(batch, sink)
+    return path
+
+
+@register(
+    "cdc_per_version_changes",
+    oracle=_CDC_PER_VERSION_ORACLE,
+    tags=("etl", "sink", "merge", "cdc"),
+)
+def q_cdc_per_version_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-commit CDC granularity (VERDICT r8 item 3, Delta-CDF
+    ``table_changes`` semantics): three committed versions, then
+    ``table_changes(0 → 2, per_version=True)`` emits adjacent-pair diffs
+    tagged ``_commit_version``. The state is built so the per-version feed
+    provably differs from the net endpoint diff: v1 updates every third
+    doc (and inserts a few new keys), v2 REVERTS half of those updates
+    byte-identically to their v0 rows (constant ``merge_order`` → the
+    incoming batch wins ties, so the revert lands) and applies a second
+    update wave. The reverted keys vanish from a net 0→2 feed but MUST
+    appear twice here — once per commit — and the oracle replays all
+    three snapshots to pin exactly that. ``use_changelog=False`` pins THIS
+    row to the pair-diff recompute provenance (``cdc_persisted_changes``
+    pins the materialized one; same oracle — the bit-equality contract)."""
+    from .sinks.changes import table_changes
+
+    path = _cdc_three_version_state(spark, sf_dir)
     return table_changes(
-        spark, path, ["doc_id"], from_version=0, to_version=2, per_version=True
+        spark,
+        path,
+        ["doc_id"],
+        from_version=0,
+        to_version=2,
+        per_version=True,
+        use_changelog=False,
+    )
+
+
+@register(
+    "cdc_persisted_changes",
+    oracle=_CDC_PER_VERSION_ORACLE,
+    tags=("etl", "sink", "merge", "cdc"),
+)
+def q_cdc_persisted_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted per-commit change files (VERDICT r9 item 3, Delta CDF's
+    ``_change_data`` parity — reference O10's sink contract carried to the
+    warehouse feature set): the SAME 3-version state as
+    ``cdc_per_version_changes``, but ``materialize_changes`` writes each
+    commit's diff once at materialize time and the feed is served with
+    ``use_changelog=True`` — a pure pruned parquet scan (zero joins, plan
+    width O(1) in range length; plan-guarded in tests/test_plan_quality.py)
+    instead of the O(commits) pair-diff recompute. Sharing the oracle with
+    the recompute row makes the driver itself verify both provenances
+    produce the identical feed (rows + schema + value hash)."""
+    from .sinks.changes import materialize_changes, table_changes
+
+    path = _cdc_three_version_state(spark, sf_dir)
+    materialize_changes(spark, path, ["doc_id"])
+    return table_changes(
+        spark,
+        path,
+        ["doc_id"],
+        from_version=0,
+        to_version=2,
+        per_version=True,
+        use_changelog=True,
     )
 
 
@@ -5307,74 +5365,77 @@ def q_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registration-order priority: the round driver snapshots only the FIRST 50
-# registered queries. Round-9 rotation (VERDICT r8 items 1-6): changed code
-# outranks everything — the pagerank early cache release (graph.py) flags
-# the 3 pagerank queries; the ndarray WAV decode contract (multimodal.py)
-# flags the 8 multimodal queries + both audio queries; the per-version CDC
-# extension (sinks/changes.py) flags merge_table_changes. Then the 2 new
-# r9 queries (the YAML front door under a driver oracle, per-commit CDC),
-# then the evidence backlog oldest-first: all 6 r05 rows + all 25 r06 rows
-# + the first 3 r07 rows. 3+10+1+2+6+25+3 = exactly 50; after this round
-# the oldest evidence is r07.
+# registered queries. Round-10 rotation (VERDICT r9 items 1-3, 5): changed
+# code outranks everything — the persisted-changelog extension + the
+# _commit_version long cast (sinks/changes.py, ADVICE r9-3) flag
+# merge_table_changes + cdc_per_version_changes; the cross-version drift
+# constraints (operators/constraints.py) flag dq_constraint_report (itself
+# r07 backlog). Then the 3 new r10 queries (the remaining-six-stages YAML
+# prep chain, the partitioned YAML flagship, the persisted CDC feed), then
+# the ENTIRE remaining r07 backlog (40 rows — VERDICT item 5: after this
+# round no evidence is older than r08), then 4 spare slots on the oldest
+# r08 rows. 2+1+3+40+4 = exactly 50.
 _VERIFY_FIRST = (
-    # r9 changed code: pagerank distinct-edge cache release (graph.py)
-    "graph_pagerank_events",
-    "graph_pagerank_bucketed",
-    "graph_pagerank_dangling",
-    # r9 changed code: ndarray WAV decode contract (multimodal.py) +
-    # dotted-id alias through the Arrow stage (audio.py)
-    "audio_features_wav",
-    "audio_quality_screen",
-    "multimodal_decode",
-    "multimodal_decode_png",
-    "multimodal_decode_jpeg",
-    "multimodal_decode_wav",
-    "multimodal_resize_real",
-    "multimodal_decode_video",
-    "multimodal_resize",
-    "multimodal_frames",
-    # r9 changed code: per-version CDC (sinks/changes.py)
+    # r10 changed code: persisted per-commit change files + long
+    # _commit_version (sinks/changes.py)
     "merge_table_changes",
-    # new in round 9
-    "spec_front_door_pipeline",
     "cdc_per_version_changes",
-    # stale backlog: all 6 r05 rows
-    "asof_last_signup",
-    "global_topk_orders",
-    "scan_project",
-    "sessionize_events",
-    "topk_orders_per_customer",
-    "window_lag_lead_rank",
-    # stale backlog: all 25 r06 rows
-    "ann_bruteforce_topk",
-    "ann_ivf_kmeans_topk",
-    "ann_ivf_topk",
-    "ann_lsh_topk",
-    "ann_pq_adc_topk",
-    "ann_pq_kmeans_topk",
-    "bpe_segment_corpus",
-    "bpe_train_merges",
-    "bucket_long_milli",
-    "decontaminate_fuzzy",
-    "dedup_clusters",
-    "dedup_exact",
-    "dedup_survivors",
-    "dup_span_scrub",
-    "embedding_neardup",
-    "functions_array_gauntlet",
-    "lm_bigram_score",
-    "minhash_lsh_128x16",
-    "minhash_lsh_candidates",
-    "ngram_jaccard_pairs",
-    "semantic_dedup_embeddings",
-    "semantic_dedup_two_level",
-    "simhash64",
-    "skew_salted_agg",
-    "zorder_cluster_key",
-    # stale backlog: the first 3 r07 rows
-    "bag_setops",
-    "chunk_token_windows",
-    "conditional_aggs",
+    # r10 changed code: drift constraints (operators/constraints.py);
+    # also the oldest r07 backlog row
+    "dq_constraint_report",
+    # new in round 10
+    "cdc_persisted_changes",
+    "spec_prep_pipeline",
+    "spec_partitioned_pipeline",
+    # stale backlog: the remaining 40 r07 rows (oldest evidence drains to
+    # zero this round)
+    "contamination_ngram",
+    "cube_status_priority",
+    "distinct_aggs",
+    "exact_percentiles",
+    "exists_big_orders",
+    "functions_datetime_gauntlet",
+    "functions_math_gauntlet",
+    "functions_string_gauntlet",
+    "funnel_signup_purchase",
+    "gapfill_hourly",
+    "grouping_sets_revenue",
+    "hash_sample_10pct",
+    "json_props_extract",
+    "language_id",
+    "levenshtein_near_names",
+    "line_dedup_c4",
+    "null_scalar_gauntlet",
+    "pack_sequences",
+    "pii_scrub_props",
+    "pivot_linestatus",
+    "q3_segment_revenue",
+    "quality_prune_per_source",
+    "quality_repetition",
+    "quality_score",
+    "retention_cohorts",
+    "sample_k_per_group",
+    "scalar_subquery_above_avg",
+    "semi_anti_join",
+    "setops_segments",
+    "stream_dedup_events",
+    "stream_hourly_counts",
+    "stream_purchase_signup_join",
+    "stream_session_windows",
+    "stream_sliding_enriched",
+    "stream_user_rollup",
+    "text_fingerprint",
+    "text_stats",
+    "token_count_bpe",
+    "vocab_topk",
+    "zscore_per_user",
+    # spare slots: the 4 oldest r08 rows by name (csv/xml engine
+    # roundtrips, task source, filter_chain — the spec-surface block r11's
+    # planned spec.py edit will flag anyway)
+    "csv_engine_roundtrip",
+    "filter_chain",
+    "task_source_generate",
+    "xml_engine_roundtrip",
 )
 
 

@@ -24,6 +24,19 @@ Spark-first, scale-first design:
   ``pmod(xxhash64(key), merge_buckets)`` layout) followed by an in-plan
   explode over literal structs — no driver-side row handling, output size
   O(changed rows).
+* **Persisted per-commit change files** (VERDICT r9 item 3, Delta CDF's
+  ``_change_data`` parity): :func:`materialize_changes` writes each
+  commit's adjacent-pair diff ONCE under ``<state>/_changelog/v<N>/`` (the
+  recompute path above is the writer), after which
+  ``table_changes(per_version=True)`` is a pure parquet scan — no join, no
+  per-pair recompute, plan width O(1) instead of O(commits in range). The
+  recompute path stays as the oracle (bit-equality asserted in
+  tests/test_changes.py and the ``cdc_persisted_changes`` catalog query).
+  Unlike Delta, the changelog is DERIVED state here — every retained
+  manifest pair can reproduce it — so persistence is a materialization
+  step (run it after commits, idempotent, concurrent-safe, catch-up
+  capable) rather than a commit-path obligation; a materialized commit's
+  feed also OUTLIVES snapshot retention, which recompute cannot offer.
 """
 
 from __future__ import annotations
@@ -35,6 +48,7 @@ from pyspark.sql import functions as F
 
 from .writer import (
     MERGE_BUCKET_COL,
+    _fsync_write,
     _load_manifest,
     _local,
     _manifest_path,
@@ -43,6 +57,15 @@ from .writer import (
 
 CHANGE_TYPE_COL = "_change_type"
 COMMIT_VERSION_COL = "_commit_version"
+
+#: persisted per-commit change files live under ``<state>/_changelog/``:
+#: ``v<N>/`` (parquet data) + ``v<N>.json`` (the commit marker, written
+#: AFTER the data dir's atomic rename — a data dir without its marker is a
+#: crash orphan and gets rebuilt). The sink's GC only sweeps ``_trees/`` +
+#: manifests + known Spark write artifacts at the state ROOT, so the
+#: changelog survives snapshot retention by design.
+CHANGELOG_DIR = "_changelog"
+_CHANGELOG_INPROGRESS = ".inprogress-"
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
@@ -175,6 +198,141 @@ def _pinned_schema(spark, local: str, manifests_newest_first, fmt: str, path: st
     )
 
 
+def _changelog_data_dir(local: str, version: int) -> str:
+    return os.path.join(local, CHANGELOG_DIR, f"v{version}")
+
+
+def _changelog_meta_path(local: str, version: int) -> str:
+    return os.path.join(local, CHANGELOG_DIR, f"v{version}.json")
+
+
+def _changelog_meta(local: str, version: int) -> dict | None:
+    """Committed changelog metadata for one version, or None. The meta file
+    is the commit marker; a data dir without it is a crash orphan."""
+    import json
+
+    p = _changelog_meta_path(local, version)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def changelog_versions(path: str) -> list[int]:
+    """Versions with a COMMITTED persisted change file (sorted). Presence
+    means ``table_changes(..., per_version=True)`` can serve that commit as
+    a pure scan — even after its snapshots age out of merge retention."""
+    import re
+
+    cdir = os.path.join(_local(path), CHANGELOG_DIR)
+    if not os.path.isdir(cdir):
+        return []
+    out = []
+    for name in os.listdir(cdir):
+        m = re.match(r"^v(\d+)\.json$", name)
+        if m and os.path.isdir(os.path.join(cdir, f"v{m.group(1)}")):
+            out.append(int(m.group(1)))
+    return sorted(out)
+
+
+def materialize_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    fmt: str = "parquet",
+    through_version: int | None = None,
+) -> list[int]:
+    """Persist the per-commit change files for every commit whose adjacent
+    manifest pair is still retained and whose changelog is missing; returns
+    the versions materialized by THIS call (idempotent — a second call
+    returns ``[]``). Run it after a batch of merge commits (or on a
+    schedule): each commit's ``snapshot_diff`` is computed ONCE here, and
+    every subsequent ``table_changes(per_version=True)`` over materialized
+    ranges is a pruned parquet scan instead of an O(range) recompute.
+
+    The change files are always PARQUET regardless of the sink ``fmt`` —
+    the changelog is derived state and a self-describing format sidesteps
+    the per-pair schema-inference hazards of csv/json (for those source
+    formats the pair frames are read under the same full-snapshot pinned
+    schema as the recompute path; see :func:`_pinned_schema`). Durability
+    protocol per version: write to an ``.inprogress-`` scratch dir, atomic
+    rename to ``v<N>/``, then fsync-write the ``v<N>.json`` marker —
+    readers only trust marked dirs, concurrent materializers race safely
+    (first rename wins, losers discard), and a crash between rename and
+    marker leaves an orphan that the next call rebuilds."""
+    import shutil
+    import time
+    import uuid
+
+    local = _local(path)
+    current = _pointer_version(local)
+    if current is None:
+        raise FileNotFoundError(
+            f"{path} is a pre-pointer (legacy) state: no versions to diff"
+        )
+    to_v = current if through_version is None else through_version
+    cdir = os.path.join(local, CHANGELOG_DIR)
+    os.makedirs(cdir, exist_ok=True)
+    # sweep crash-orphaned scratch dirs (stale by mtime, same rule as the
+    # sink GC's in-progress attempts — a FRESH one belongs to a live
+    # concurrent materializer and is never touched)
+    for name in os.listdir(cdir):
+        if name.startswith(_CHANGELOG_INPROGRESS):
+            full = os.path.join(cdir, name)
+            try:
+                stale = time.time() - os.path.getmtime(full) > 3600
+            except OSError:
+                continue
+            if stale:
+                shutil.rmtree(full, ignore_errors=True)
+    done: list[int] = []
+    for v in range(1, to_v + 1):
+        if not (
+            os.path.exists(_manifest_path(local, v - 1))
+            and os.path.exists(_manifest_path(local, v))
+        ):
+            continue  # pair aged out of retention — recompute can't either
+        data_dir = _changelog_data_dir(local, v)
+        if _changelog_meta(local, v) is not None:
+            continue  # committed by an earlier/concurrent call
+        if os.path.isdir(data_dir):
+            # crash orphan: data dir renamed but marker never written —
+            # the write may be incomplete, rebuild it
+            shutil.rmtree(data_dir, ignore_errors=True)
+        man_a = _load_manifest(local, v - 1)
+        man_b = _load_manifest(local, v)
+        schema, _ = _pinned_schema(spark, local, [man_b, man_a], fmt, path)
+        old, new = _pair_frames(spark, local, man_a, man_b, fmt, schema)
+        if COMMIT_VERSION_COL in new.columns:
+            raise ValueError(
+                f"snapshot columns collide with {COMMIT_VERSION_COL}"
+            )
+        diff = snapshot_diff(old, new, list(keys)).withColumn(
+            COMMIT_VERSION_COL, F.lit(v).cast("long")
+        )
+        scratch = os.path.join(
+            cdir, f"{_CHANGELOG_INPROGRESS}v{v}-{uuid.uuid4().hex[:12]}"
+        )
+        diff.write.mode("overwrite").parquet(scratch)
+        try:
+            os.rename(scratch, data_dir)
+        except OSError:
+            # a concurrent materializer committed v first; ours is redundant
+            shutil.rmtree(scratch, ignore_errors=True)
+            continue
+        import json
+
+        _fsync_write(
+            _changelog_meta_path(local, v),
+            json.dumps(
+                {"version": v, "keys": list(keys), "source_format": fmt},
+                sort_keys=True,
+            ),
+        )
+        done.append(v)
+    return done
+
+
 def table_changes(
     spark: SparkSession,
     path: str,
@@ -183,6 +341,7 @@ def table_changes(
     to_version: int | None = None,
     fmt: str = "parquet",
     per_version: bool = False,
+    use_changelog: bool | None = None,
 ) -> DataFrame:
     """Change feed of a merge-sink state between two committed versions
     (both must still be retained — raise with the ``merge_keep_versions``
@@ -202,7 +361,20 @@ def table_changes(
     bucket map, so each pair still prunes to ITS OWN changed buckets; the
     total work is O(sum of per-commit changed buckets), which is exactly
     the data a per-commit consumer must see anyway. Requires every
-    manifest in the range to still be retained."""
+    manifest in the range to still be retained — unless the range is
+    served from the persisted changelog (below), which needs no manifests
+    at all.
+
+    ``use_changelog`` (per_version only): ``None`` (default) serves the
+    feed from :func:`materialize_changes`' persisted per-commit files when
+    EVERY commit in ``(from, to]`` has one — a pure pruned parquet scan,
+    zero joins, plan width O(1) — and falls back to the pair-diff
+    recompute otherwise (never a mix: one deterministic provenance per
+    read). ``True`` requires full coverage and raises with the
+    materialize hint when any commit lacks its file; ``False`` forces the
+    recompute path (the oracle side of the bit-equality contract). The
+    empty ``from == to`` range always takes the recompute branch — there
+    is no persisted file to take an output schema from."""
     local = _local(path)
     current = _pointer_version(local)
     if current is None:
@@ -212,6 +384,31 @@ def table_changes(
     to_v = current if to_version is None else to_version
     if from_version > to_v:
         raise ValueError(f"from_version {from_version} > to_version {to_v}")
+    if use_changelog and not per_version:
+        raise ValueError(
+            "use_changelog=True requires per_version=True (the net endpoint "
+            "feed is a two-snapshot diff, not a replay of per-commit files)"
+        )
+    if per_version and use_changelog is not False and from_version < to_v:
+        want = list(range(from_version + 1, to_v + 1))
+        missing = [v for v in want if _changelog_meta(local, v) is None]
+        if use_changelog and missing:
+            raise FileNotFoundError(
+                f"merge state {path} has no persisted change file for "
+                f"version(s) {missing}; run materialize_changes() first or "
+                "read with use_changelog=None/False (pair-diff recompute)"
+            )
+        if not missing:
+            for v in want:
+                meta_keys = _changelog_meta(local, v)["keys"]
+                if meta_keys != list(keys):
+                    raise ValueError(
+                        f"persisted change file v{v} was materialized with "
+                        f"keys={meta_keys}, read requested keys={list(keys)}"
+                    )
+            return spark.read.parquet(
+                *[_changelog_data_dir(local, v) for v in want]
+            )
     need = (
         range(from_version, to_v + 1) if per_version else (from_version, to_v)
     )
@@ -255,7 +452,7 @@ def table_changes(
             )
         feeds.append(
             snapshot_diff(old, new, list(keys)).withColumn(
-                COMMIT_VERSION_COL, F.lit(v).cast("int")
+                COMMIT_VERSION_COL, F.lit(v).cast("long")
             )
         )
     if not feeds:
@@ -271,7 +468,7 @@ def table_changes(
                 f"snapshot columns collide with {COMMIT_VERSION_COL}"
             )
         return snapshot_diff(empty, empty, list(keys)).withColumn(
-            COMMIT_VERSION_COL, F.lit(to_v).cast("int")
+            COMMIT_VERSION_COL, F.lit(to_v).cast("long")
         )
     out = feeds[0]
     for f in feeds[1:]:
