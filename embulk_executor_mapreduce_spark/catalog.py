@@ -3834,6 +3834,161 @@ def q_spec_front_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _spec_prep_oracle() -> str:
+    """Composite DuckDB replay of the ``spec_prep_pipeline`` YAML chain —
+    each fragment is the corresponding stage's own established oracle
+    (text_stats / token_count_bpe / quality_repetition / contamination_ngram
+    / the minhash+recursive-CC pair behind dedup_survivors / the
+    chunk_token_windows window math), composed over the SAME intermediate
+    frames the spec compiler threads through the stages."""
+    prelude = _minhash_banded_prelude(_MINHASH_HASHES, _MINHASH_BANDS).replace(
+        "FROM documents", "FROM clean"
+    )
+    return rf"""
+    WITH RECURSIVE ts AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             len(string_split(text, ' '))::INT AS n_tokens,
+             length(text)::INT AS n_chars_computed,
+             floor((length(text) * 1.0 / len(string_split(text, ' '))) * 100 + 0.5) / 100.0
+               AS avg_token_len,
+             len(string_split(text, ' '))::INT AS n_words,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))::INT
+               AS n_bpeish_tokens,
+             len(list_distinct(
+               regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::INT
+               AS n_unique_tokens
+      FROM documents
+    ), rep1 AS (
+      SELECT doc_id, tok, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY 1, 2
+    ), rep AS (
+      SELECT doc_id,
+             floor((max(c) / sum(c)) * 10000 + 0.5) / 10000.0 AS top_token_frac,
+             floor((count(*) / sum(c)) * 10000 + 0.5) / 10000.0 AS unique_token_frac
+      FROM rep1 GROUP BY doc_id
+    ), kept AS (
+      SELECT ts.*, rep.top_token_frac, rep.unique_token_frac,
+             (rep.top_token_frac <= 0.2 AND rep.unique_token_frac >= 0.3) AS rep_keep
+      FROM ts JOIN rep USING (doc_id)
+      WHERE (rep.top_token_frac <= 0.2 AND rep.unique_token_frac >= 0.3)
+        AND doc_id % 97 <> 0
+    ), cg AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 4, 1) + 1),
+               i -> array_to_string(w[i:i+4], ' ')))) AS g
+      FROM (SELECT doc_id, string_split(text, ' ') AS w FROM kept)
+    ), bg AS (
+      SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, greatest(len(w) - 4, 1) + 1),
+               i -> array_to_string(w[i:i+4], ' ')))) AS g
+      FROM (SELECT string_split(text, ' ') AS w FROM documents WHERE doc_id % 97 = 0)
+    ), flagged AS (
+      SELECT DISTINCT cg.doc_id FROM cg JOIN bg USING (g)
+    ), clean AS (
+      SELECT * FROM kept WHERE doc_id NOT IN (SELECT doc_id FROM flagged)
+    ), {prelude}, pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b ON a.band = b.band AND a.band_key = b.band_key
+                                 AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), reach(node, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ), clusters AS (
+      SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node
+    ), surv AS (
+      SELECT * FROM clean WHERE doc_id NOT IN (
+        SELECT doc_id FROM clusters WHERE doc_id <> cluster_id
+      )
+    ), st AS (
+      SELECT s.*,
+             unnest(range(0, ((greatest(len(w) - 32, 0) + 23) // 24) * 24 + 1, 24)) AS start,
+             w
+      FROM (SELECT surv.*, string_split(text, ' ') AS w FROM surv) s
+    )
+    SELECT doc_id, text, lang, source, n_chars, n_tokens, n_chars_computed,
+           avg_token_len, n_words, n_bpeish_tokens, n_unique_tokens,
+           top_token_frac, unique_token_frac, rep_keep,
+           (start // 24)::INT AS chunk_idx,
+           array_to_string(w[start+1:start+32], ' ') AS chunk_text,
+           len(string_split(array_to_string(w[start+1:start+32], ' '), ' '))::INT
+             AS chunk_tokens
+    FROM st
+    """
+
+
+@register(
+    "spec_prep_pipeline",
+    oracle=_spec_prep_oracle(),
+    tags=("spec", "llm-prep", "composite", "front-door"),
+)
+def q_spec_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The six spec stage types ``spec_front_door_pipeline`` left uncovered
+    (VERDICT r9 item 1), driven through the YAML front door itself —
+    ``load_spec → compile_pipeline`` — under a full value oracle: text_stats
+    → token_count → repetition_stats (id-keyed join-back) → rep_keep gate →
+    benchmark carve-out → decontaminate (exact 5-gram method, benchmark
+    read from a real parquet ``in``-block the fn stages first) →
+    minhash_dedup (banded LSH candidates → connected components → losers
+    dropped) → chunk (32-token windows, stride 24, fan-out last so every
+    surviving doc materializes training examples). With
+    ``spec_front_door_pipeline`` this puts the ENTIRE declarative stage
+    surface under driver oracles — the reference's own e2e level
+    (``TestMapReduceExecutor.java:76-110``). Scale notes: the append stages
+    ride struct-pack projections (map-only), repetition_stats is one
+    id-keyed shuffle, both anti-join stages shuffle on high-cardinality
+    gram/band keys with eval-set-sized build sides, chunk fans out inside
+    codegen."""
+    import tempfile
+
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    bench_path = tempfile.mkdtemp(prefix="q_spec_prep_") + "/benchmark"
+    docs = load(spark, sf_dir, "documents")
+    docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text").write.mode(
+        "overwrite"
+    ).parquet(bench_path)
+
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+                "filters": [
+                    {"type": "text_stats"},
+                    {"type": "token_count"},
+                    {"type": "repetition_stats", "id": "doc_id"},
+                    {"type": "filter", "predicate": "rep_keep"},
+                    {"type": "filter", "predicate": "doc_id % 97 <> 0"},
+                    {
+                        "type": "decontaminate",
+                        "benchmark": {"type": "parquet", "path": bench_path},
+                        "method": "ngram",
+                        "n": 5,
+                        "id": "doc_id",
+                    },
+                    {
+                        "type": "minhash_dedup",
+                        "id": "doc_id",
+                        "num_hashes": _MINHASH_HASHES,
+                        "bands": _MINHASH_BANDS,
+                        "shingle_n": 3,
+                    },
+                    {"type": "chunk", "window": 32, "stride": 24},
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-training-data pipeline surface, round 2: repetition quality rules,
 # token-window chunking, benchmark decontamination, stratified source mixing,
