@@ -52,6 +52,16 @@ _KINDS = (
     "fk_subset",
 )
 
+# cross-version drift kinds (VERDICT r9 item 8): evaluated per COMMIT over a
+# per-version CDC feed (sinks/changes.table_changes(per_version=True)) by
+# :func:`drift_report`, not over a table snapshot — constraint_report
+# rejects them with a pointer there. ``params`` = (lo, hi) bounds on the
+# per-commit metric.
+_DRIFT_KINDS = (
+    "row_delta",  # net row-count change a commit applied: inserts − deletes
+    "null_delta",  # net change in `column`'s NULL count across the commit
+)
+
 
 @dataclass(frozen=True)
 class Check:
@@ -71,8 +81,11 @@ class Check:
     tol: int = 0
 
     def __post_init__(self) -> None:
-        if self.kind not in _KINDS:
-            raise ValueError(f"unknown constraint kind {self.kind!r}; known: {_KINDS}")
+        if self.kind not in _KINDS and self.kind not in _DRIFT_KINDS:
+            raise ValueError(
+                f"unknown constraint kind {self.kind!r}; known: "
+                f"{_KINDS + _DRIFT_KINDS}"
+            )
 
 
 def _violation_metric(c: Check) -> F.Column:
@@ -139,6 +152,12 @@ def constraint_report(
     frames: list[DataFrame] = []
     agg_checks: dict[str, list[Check]] = {}
     for c in checks:
+        if c.kind in _DRIFT_KINDS:
+            raise ValueError(
+                f"constraint {c.cid!r} is a cross-version drift kind "
+                f"({c.kind}); evaluate it with drift_report over a "
+                "per-version CDC feed, not constraint_report over a snapshot"
+            )
         if c.kind == "fk_subset":
             parent_table, parent_col = c.params
             child = tables[c.table].alias("c")
@@ -164,3 +183,94 @@ def constraint_report(
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def _drift_metric(c: Check, change_type_col: str) -> F.Column:
+    """One fused-agg term: the signed per-commit delta this check watches.
+    Rows the commit ADDS to the snapshot (insert / update_postimage) count
+    +1, rows it REMOVES (delete / update_preimage) count −1 — so the sum
+    over one commit's feed is exactly (metric at v) − (metric at v−1),
+    with updates contributing only when the watched property flips."""
+    ct = F.col(change_type_col)
+    sign = (
+        F.when(ct.isin("insert", "update_postimage"), F.lit(1))
+        .when(ct.isin("delete", "update_preimage"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    if c.kind == "row_delta":
+        # updates carry a +1 postimage and a −1 preimage that cancel: only
+        # inserts/deletes move the row count, with zero special-casing
+        watched = F.lit(True)
+    elif c.kind == "null_delta":
+        watched = F.col(c.column).isNull()
+    else:  # pragma: no cover - guarded by drift_report
+        raise ValueError(f"{c.kind} is not a drift kind")
+    return F.sum(F.when(watched, sign).otherwise(F.lit(0))).cast("long")
+
+
+def drift_report(feed: DataFrame, checks: Sequence[Check]) -> DataFrame:
+    """Cross-version data-quality drift over a per-commit CDC feed
+    (``sinks.changes.table_changes(..., per_version=True)`` — recomputed or
+    served from the persisted changelog, either provenance works): evaluate
+    each drift check PER COMMIT and return the tidy report
+    ``(constraint_id, tbl, col, kind, _commit_version, metric, passed)``.
+
+    ``row_delta`` pins how much a commit may grow/shrink the state
+    (``params=(lo, hi)`` on inserts − deletes); ``null_delta`` pins how
+    many net NULLs a commit may introduce into ``column`` (update pre/post
+    images cancel unless the nullness actually flips). ``passed`` is
+    ``lo <= metric <= hi``.
+
+    One fused aggregation pass: every check is a signed-sum term in a
+    single ``groupBy(_commit_version).agg(...)``, so N checks over a feed
+    cost one shuffle keyed on the commit version — map-side combinable,
+    report size O(commits × checks). A commit whose diff is EMPTY (a
+    re-merge of identical rows) emits no feed rows and therefore no report
+    rows — its drift is zero by construction."""
+    from ..sinks.changes import CHANGE_TYPE_COL, COMMIT_VERSION_COL
+
+    for col in (CHANGE_TYPE_COL, COMMIT_VERSION_COL):
+        if col not in feed.columns:
+            raise ValueError(
+                f"drift_report needs a per-version CDC feed with {col!r} "
+                "(table_changes(..., per_version=True))"
+            )
+    ids = [c.cid for c in checks]
+    if not checks or len(set(ids)) != len(ids):
+        raise ValueError("drift checks must be non-empty with unique ids")
+    for c in checks:
+        if c.kind not in _DRIFT_KINDS:
+            raise ValueError(
+                f"constraint {c.cid!r} ({c.kind}) is not a drift kind; "
+                "evaluate snapshot kinds with constraint_report"
+            )
+        if c.kind == "null_delta" and c.column not in feed.columns:
+            raise ValueError(
+                f"drift check {c.cid!r} watches column {c.column!r}, "
+                "missing from the feed"
+            )
+        if len(c.params) != 2:
+            raise ValueError(
+                f"drift check {c.cid!r} needs params=(lo, hi), got {c.params!r}"
+            )
+    per_commit = feed.groupBy(COMMIT_VERSION_COL).agg(
+        *[_drift_metric(c, CHANGE_TYPE_COL).alias(c.cid) for c in checks]
+    )
+    structs = [
+        F.struct(
+            F.lit(c.cid).alias("constraint_id"),
+            F.lit(c.table).alias("tbl"),
+            F.lit(c.column or "").alias("col"),
+            F.lit(c.kind).alias("kind"),
+            F.col(COMMIT_VERSION_COL).alias(COMMIT_VERSION_COL),
+            F.col(c.cid).alias("metric"),
+            (
+                (F.col(c.cid) >= F.lit(int(c.params[0])))
+                & (F.col(c.cid) <= F.lit(int(c.params[1])))
+            ).alias("passed"),
+        )
+        for c in checks
+    ]
+    return per_commit.select(F.explode(F.array(*structs)).alias("r")).select(
+        "r.*"
+    )
