@@ -3996,7 +3996,7 @@ def q_spec_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_hour
     FROM events
-    WHERE event_id % 10 <> 0
+    WHERE event_id % 10 <> 0 AND epoch(ts) < 1704672000
     """,
     tags=("spec", "parity", "partitioning", "sink", "front-door"),
 )
@@ -4013,7 +4013,13 @@ def q_spec_partitioned_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     reduce tasks and must be invisible in the result (content-hash salt:
     deterministic under task retry — partitioning.salt_expr). Plan shape:
     exactly ONE exchange (bucket+salt repartition) between scan and sink,
-    asserted in tests/test_plan_quality.py."""
+    asserted in tests/test_plan_quality.py. The time-range filter (the
+    first week, epoch 1704672000 = 2024-01-08T00Z) bounds the layout at
+    ~168 hour dirs × ≤4 salt files: a salted hour bucket intrinsically
+    writes one file per salt per bucket — at production volume that IS the
+    wanted parallelism (each file a reduce task's output), but at catalog
+    scale an unbounded month costs ~2900 near-empty file commits that
+    price filesystem overhead, not the engine."""
     import tempfile
 
     from .plans.compiler import run_pipeline
@@ -4025,7 +4031,11 @@ def q_spec_partitioned_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
             "filters": [
                 *events_ts_normalize_filters(sf_dir),
-                {"type": "filter", "predicate": "event_id % 10 <> 0"},
+                {
+                    "type": "filter",
+                    "predicate": "event_id % 10 <> 0 "
+                    "AND unix_timestamp(ts) < 1704672000",
+                },
                 {
                     "type": "with_column",
                     "name": "value_cents",

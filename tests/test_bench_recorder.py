@@ -102,3 +102,43 @@ def test_wav_bench_payloads_are_run_stable():
     a = wb.mk_wav_np(16, 2, 1000, seed=seed)
     b2 = wb.mk_wav_np(16, 2, 1000, seed=seed)
     assert a == b2 and len(a) > 4000
+
+
+def test_segment_normalized_total_under_intra_run_drift():
+    """VERDICT r9 item 4: min-of-endpoints normalized the whole run by its
+    fastest probe point; per-segment normalization divides each entry by
+    the host speed it actually ran at. Scenario: host at 2x reference for
+    the first segment, 1x for the second — the first segment's entries
+    halve, the second's pass through, and uniform drift reduces to the old
+    single-ratio division."""
+    b = _bench()
+    best = {"a": 2.0, "b": 4.0, "c": 3.0, "d": 1.0}
+    order = ["a", "b", "c", "d"]
+    ref = b.DRIFT_PROBE_REF_SEC
+    # boundaries: start probe 2x ref, mid probe (after 2 entries) 2x ref,
+    # end probe ... make segments flat so expectations are exact
+    probes = [(0, 2 * ref), (2, 2 * ref), (4, 1 * ref)]
+    # a, b in the 2x segment → (2+4)/2 = 3; c, d between probes at 2x and
+    # 1x → ratio (2+1)/2 = 1.5 → (3+1)/1.5
+    got = b._segment_normalized_total(best, order, probes, ref=ref)
+    assert got == round((2.0 + 4.0) / 2 + (3.0 + 1.0) / 1.5, 3)
+    # uniform drift == old behavior: every segment at the same ratio
+    uniform = b._segment_normalized_total(
+        best, order, [(0, 1.3 * ref), (4, 1.3 * ref)], ref=ref
+    )
+    assert uniform == round(10.0 / 1.3, 3)
+    # no probes → raw sum (defensive)
+    assert b._segment_normalized_total(best, order, [], ref=ref) == 10.0
+
+
+def test_recorder_interleaves_probe_every_n_entries():
+    b = _bench()
+    calls = []
+    rec = b._Recorder(budget_sec=1000, prior={}, probe=lambda: calls.append(1) or 0.7)
+    rec.probes.append((0, 0.7))
+    for i in range(25):
+        rec.record(f"e{i}", lambda: 0.01)
+    # probes fire BEFORE entries 11 and 21 (after 10 and 20 completions)
+    assert len(calls) == 2
+    assert [p[0] for p in rec.probes] == [0, 10, 20]
+    assert rec.order == [f"e{i}" for i in range(25)]
