@@ -238,6 +238,12 @@ def drift_report(feed: DataFrame, checks: Sequence[Check]) -> DataFrame:
     ids = [c.cid for c in checks]
     if not checks or len(set(ids)) != len(ids):
         raise ValueError("drift checks must be non-empty with unique ids")
+    if COMMIT_VERSION_COL in ids:
+        # each cid becomes a metric column alongside the group key
+        raise ValueError(
+            f"constraint id {COMMIT_VERSION_COL!r} collides with the feed's "
+            "commit-version column"
+        )
     for c in checks:
         if c.kind not in _DRIFT_KINDS:
             raise ValueError(
