@@ -829,12 +829,14 @@ def main() -> None:
     load_end = _load_per_cpu()
     probe_end = _drift_probe(spark)
     rec.probes.append((len(rec.order), probe_end))
-    # time-weighted mean of ALL probes (start + one per ~10 entries + end):
-    # the single-number summary of host speed over this run. The old
-    # min-of-endpoints estimate overcorrected under intra-run drift (r9:
-    # the driver's own run normalized to 93.6 s where the builder's
-    # same-tree run normalized to 73.5 s) — value_normalized is now the
-    # PER-SEGMENT sum from _segment_normalized_total instead.
+    # unweighted mean of ALL probes (start + one per ~10 entries + end):
+    # the single-number summary of host speed over this run — probes are
+    # spaced by entry count, not wall-clock, so slow segments are not
+    # overweighted; informational only. The old min-of-endpoints estimate
+    # overcorrected under intra-run drift (r9: the driver's own run
+    # normalized to 93.6 s where the builder's same-tree run normalized to
+    # 73.5 s) — value_normalized is now the PER-SEGMENT sum from
+    # _segment_normalized_total instead.
     drift_ratio = round(
         (sum(p[1] for p in rec.probes) / len(rec.probes)) / DRIFT_PROBE_REF_SEC,
         3,

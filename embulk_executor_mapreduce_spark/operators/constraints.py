@@ -119,21 +119,32 @@ def _passed(c: Check, metric: F.Column) -> F.Column:
     return metric <= F.lit(int(c.tol))
 
 
-def _report_rows(checks: Sequence[Check], one_row: DataFrame) -> DataFrame:
-    """Explode the 1-row aggregate (one metric column per check) into tidy
-    report rows — all in-plan, no driver collect."""
+def _report_rows(
+    checks: Sequence[Check],
+    agg_rows: DataFrame,
+    key_cols: Sequence[str] = (),
+    passed=None,
+) -> DataFrame:
+    """Explode an aggregate frame (one metric column per check) into tidy
+    report rows — all in-plan, no driver collect. ``agg_rows`` is 1-row for
+    snapshot checks; grouped evaluations (drift_report's per-commit pass)
+    pass their group keys as ``key_cols`` to carry through, and may swap
+    the ``passed(check, metric) -> Column`` predicate (default: the
+    tolerance semantics of :func:`_passed`)."""
+    passed = passed or _passed
     structs = [
         F.struct(
             F.lit(c.cid).alias("constraint_id"),
             F.lit(c.table).alias("tbl"),
             F.lit(c.column or "").alias("col"),
             F.lit(c.kind).alias("kind"),
+            *[F.col(k).alias(k) for k in key_cols],
             F.col(c.cid).alias("metric"),
-            _passed(c, F.col(c.cid)).alias("passed"),
+            passed(c, F.col(c.cid)).alias("passed"),
         )
         for c in checks
     ]
-    return one_row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
+    return agg_rows.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
 def constraint_report(
@@ -262,21 +273,12 @@ def drift_report(feed: DataFrame, checks: Sequence[Check]) -> DataFrame:
     per_commit = feed.groupBy(COMMIT_VERSION_COL).agg(
         *[_drift_metric(c, CHANGE_TYPE_COL).alias(c.cid) for c in checks]
     )
-    structs = [
-        F.struct(
-            F.lit(c.cid).alias("constraint_id"),
-            F.lit(c.table).alias("tbl"),
-            F.lit(c.column or "").alias("col"),
-            F.lit(c.kind).alias("kind"),
-            F.col(COMMIT_VERSION_COL).alias(COMMIT_VERSION_COL),
-            F.col(c.cid).alias("metric"),
-            (
-                (F.col(c.cid) >= F.lit(int(c.params[0])))
-                & (F.col(c.cid) <= F.lit(int(c.params[1])))
-            ).alias("passed"),
+
+    def in_bounds(c: Check, metric: F.Column) -> F.Column:
+        return (metric >= F.lit(int(c.params[0]))) & (
+            metric <= F.lit(int(c.params[1]))
         )
-        for c in checks
-    ]
-    return per_commit.select(F.explode(F.array(*structs)).alias("r")).select(
-        "r.*"
+
+    return _report_rows(
+        checks, per_commit, key_cols=(COMMIT_VERSION_COL,), passed=in_bounds
     )

@@ -66,6 +66,10 @@ COMMIT_VERSION_COL = "_commit_version"
 #: changelog survives snapshot retention by design.
 CHANGELOG_DIR = "_changelog"
 _CHANGELOG_INPROGRESS = ".inprogress-"
+# an UNMARKED changelog artifact (scratch dir or renamed-but-unmarked data
+# dir) younger than this belongs to a live concurrent materializer; older
+# is a crash orphan and gets swept/rebuilt
+_CHANGELOG_STALE_SEC = 3600.0
 
 
 def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
@@ -253,13 +257,18 @@ def materialize_changes(
     The change files are always PARQUET regardless of the sink ``fmt`` —
     the changelog is derived state and a self-describing format sidesteps
     the per-pair schema-inference hazards of csv/json (for those source
-    formats the pair frames are read under the same full-snapshot pinned
-    schema as the recompute path; see :func:`_pinned_schema`). Durability
-    protocol per version: write to an ``.inprogress-`` scratch dir, atomic
-    rename to ``v<N>/``, then fsync-write the ``v<N>.json`` marker —
-    readers only trust marked dirs, concurrent materializers race safely
-    (first rename wins, losers discard), and a crash between rename and
-    marker leaves an orphan that the next call rebuilds."""
+    formats each pair is read under a full-snapshot pinned schema; see
+    :func:`_pinned_schema` and the schema-evolution caveat on
+    :func:`table_changes`). Durability protocol per version: write to an
+    ``.inprogress-`` scratch dir, atomic rename to ``v<N>/``, then
+    fsync-write the ``v<N>.json`` marker — readers only trust marked dirs.
+    Concurrent materializers race safely: first rename wins, losers
+    discard; an UNMARKED data dir is rebuilt only once it is stale by
+    mtime (a fresh one belongs to a live peer inside its rename→marker
+    window — r10 review finding 3: deleting it eagerly could strand that
+    peer's marker with no data); a marker with no data dir (a deleted or
+    never-completed payload) is repaired immediately — the marker is
+    dropped and the version rebuilt."""
     import shutil
     import time
     import uuid
@@ -280,7 +289,7 @@ def materialize_changes(
         if name.startswith(_CHANGELOG_INPROGRESS):
             full = os.path.join(cdir, name)
             try:
-                stale = time.time() - os.path.getmtime(full) > 3600
+                stale = time.time() - os.path.getmtime(full) > _CHANGELOG_STALE_SEC
             except OSError:
                 continue
             if stale:
@@ -294,10 +303,33 @@ def materialize_changes(
             continue  # pair aged out of retention — recompute can't either
         data_dir = _changelog_data_dir(local, v)
         if _changelog_meta(local, v) is not None:
-            continue  # committed by an earlier/concurrent call
+            if os.path.isdir(data_dir):
+                continue  # committed by an earlier/concurrent call
+            # marker without data (r10 review finding 2): the payload was
+            # deleted out from under the marker — drop the marker and
+            # rebuild, otherwise the version is wedged forever (reads of a
+            # marker-only version fall back to recompute, never error)
+            try:
+                os.remove(_changelog_meta_path(local, v))
+            except FileNotFoundError:
+                pass
         if os.path.isdir(data_dir):
-            # crash orphan: data dir renamed but marker never written —
-            # the write may be incomplete, rebuild it
+            # unmarked data dir: EITHER a crash orphan (rename landed,
+            # marker write didn't) OR a live concurrent materializer inside
+            # its rename→marker window. Distinguish by mtime, same rule as
+            # the .inprogress sweep: only a stale one is rebuilt; a fresh
+            # one is skipped this call (its owner's marker is milliseconds
+            # away — r10 review finding 3: an eager rmtree here could
+            # delete a live peer's committed payload).
+            try:
+                stale = (
+                    time.time() - os.path.getmtime(data_dir)
+                    > _CHANGELOG_STALE_SEC
+                )
+            except OSError:
+                continue
+            if not stale:
+                continue
             shutil.rmtree(data_dir, ignore_errors=True)
         man_a = _load_manifest(local, v - 1)
         man_b = _load_manifest(local, v)
@@ -367,14 +399,30 @@ def table_changes(
 
     ``use_changelog`` (per_version only): ``None`` (default) serves the
     feed from :func:`materialize_changes`' persisted per-commit files when
-    EVERY commit in ``(from, to]`` has one — a pure pruned parquet scan,
-    zero joins, plan width O(1) — and falls back to the pair-diff
+    EVERY commit in ``(from, to]`` has a COMMITTED one (marker AND data
+    dir) materialized under the requested ``keys`` — a pure pruned parquet
+    scan, zero joins, plan width O(1) — and falls back to the pair-diff
     recompute otherwise (never a mix: one deterministic provenance per
-    read). ``True`` requires full coverage and raises with the
-    materialize hint when any commit lacks its file; ``False`` forces the
-    recompute path (the oracle side of the bit-equality contract). The
-    empty ``from == to`` range always takes the recompute branch — there
-    is no persisted file to take an output schema from."""
+    read; a half-deleted or differently-keyed changelog degrades to
+    recompute, it never errors the default path). ``True`` requires full
+    committed coverage — it raises with the materialize hint on missing
+    files and rejects a keys mismatch. ``False`` forces the recompute path
+    (the oracle side of the bit-equality contract). The empty ``from ==
+    to`` range always takes the recompute branch — there is no persisted
+    file to take an output schema from.
+
+    Schema-evolution caveat (schema-on-read source formats only): each
+    commit's change file pins the csv/json-inferred schema of ITS OWN
+    newest snapshot at materialize time, while the recompute path pins one
+    schema for the whole requested range — under column-level inference
+    drift (a json column all-null in early snapshots, populated later) the
+    two provenances can legitimately differ in column set, and the
+    changelog read merges per-file schemas (``mergeSchema``) so later
+    columns surface as NULL in earlier commits rather than dropping
+    feed-wide; type-level drift across commits makes the merged read fail
+    loudly (remedy: ``use_changelog=False``). Self-describing sink formats
+    (parquet/ORC) have no inference step and the provenances are
+    bit-identical unconditionally."""
     local = _local(path)
     current = _pointer_version(local)
     if current is None:
@@ -391,7 +439,15 @@ def table_changes(
         )
     if per_version and use_changelog is not False and from_version < to_v:
         want = list(range(from_version + 1, to_v + 1))
-        missing = [v for v in want if _changelog_meta(local, v) is None]
+        # committed = marker AND data dir (a marker whose payload was
+        # deleted must degrade to recompute in auto mode, not PATH_NOT_FOUND
+        # at scan time — r10 review finding 2); metas parsed once
+        metas = {
+            v: _changelog_meta(local, v)
+            for v in want
+            if os.path.isdir(_changelog_data_dir(local, v))
+        }
+        missing = [v for v in want if metas.get(v) is None]
         if use_changelog and missing:
             raise FileNotFoundError(
                 f"merge state {path} has no persisted change file for "
@@ -399,16 +455,23 @@ def table_changes(
                 "read with use_changelog=None/False (pair-diff recompute)"
             )
         if not missing:
-            for v in want:
-                meta_keys = _changelog_meta(local, v)["keys"]
-                if meta_keys != list(keys):
-                    raise ValueError(
-                        f"persisted change file v{v} was materialized with "
-                        f"keys={meta_keys}, read requested keys={list(keys)}"
-                    )
-            return spark.read.parquet(
-                *[_changelog_data_dir(local, v) for v in want]
-            )
+            mismatched = {
+                v: m["keys"] for v, m in metas.items() if m["keys"] != list(keys)
+            }
+            if mismatched and use_changelog:
+                v, meta_keys = next(iter(sorted(mismatched.items())))
+                raise ValueError(
+                    f"persisted change file v{v} was materialized with "
+                    f"keys={meta_keys}, read requested keys={list(keys)}"
+                )
+            if not mismatched:
+                # mergeSchema: per-commit files may carry different column
+                # SETS under schema-on-read inference drift (see caveat
+                # above); merging surfaces later columns as NULL in earlier
+                # commits — the same shape the range-pinned recompute gives
+                return spark.read.option("mergeSchema", "true").parquet(
+                    *[_changelog_data_dir(local, v) for v in want]
+                )
     need = (
         range(from_version, to_v + 1) if per_version else (from_version, to_v)
     )

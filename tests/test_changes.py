@@ -571,11 +571,15 @@ def test_changelog_outlives_snapshot_retention(spark):
 
 
 def test_changelog_crash_orphan_rebuilt(spark, state3):
-    """A data dir without its json marker is a crash orphan (rename landed,
-    marker write didn't): the next materialize must rebuild it rather than
-    trust a possibly-partial write."""
+    """A STALE data dir without its json marker is a crash orphan (rename
+    landed, marker write didn't): the next materialize must rebuild it
+    rather than trust a possibly-partial write. A FRESH unmarked dir is a
+    live concurrent materializer inside its rename→marker window and must
+    be left alone (r10 review finding 3 — an eager rmtree could delete a
+    peer's committed payload and strand its marker)."""
     import os
     import shutil
+    import time
 
     materialize_changes(spark, state3, ["k"])
     from embulk_executor_mapreduce_spark.sinks.changes import (
@@ -590,11 +594,105 @@ def test_changelog_crash_orphan_rebuilt(spark, state3):
     shutil.rmtree(_changelog_data_dir(local, 2))
     os.makedirs(_changelog_data_dir(local, 2))
     assert changelog_versions(state3) == [1]
+    # fresh orphan → owned by a live peer → skipped, nothing rebuilt
+    assert materialize_changes(spark, state3, ["k"]) == []
+    assert changelog_versions(state3) == [1]
+    # aged past the staleness bound → crash orphan → rebuilt
+    old = time.time() - 7200
+    os.utime(_changelog_data_dir(local, 2), (old, old))
     assert materialize_changes(spark, state3, ["k"]) == [2]
     feed = table_changes(
         spark, state3, ["k"], 1, 2, per_version=True, use_changelog=True
     )
     assert feed.count() == 4  # k=3 revert pre+post, k=5 update pre+post
+
+
+def test_changelog_marker_without_data_repairs_and_reads_degrade(
+    spark, state3
+):
+    """r10 review finding 2: a marker whose data dir was deleted must (a)
+    degrade the default-mode read to recompute instead of PATH_NOT_FOUND,
+    and (b) be repaired by the next materialize (marker dropped, version
+    rebuilt) instead of being skipped forever."""
+    import shutil
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _changelog_data_dir,
+        _local,
+    )
+
+    materialize_changes(spark, state3, ["k"])
+    shutil.rmtree(_changelog_data_dir(_local(state3), 2))
+    # auto mode: coverage is incomplete → recompute, no error, right rows
+    feed = table_changes(spark, state3, ["k"], 0, 2, per_version=True)
+    assert not any("/_changelog/" in f for f in feed.inputFiles())
+    assert feed.count() == 7
+    # strict mode names the missing version
+    with pytest.raises(FileNotFoundError, match=r"\[2\]"):
+        table_changes(
+            spark, state3, ["k"], 0, 2, per_version=True, use_changelog=True
+        )
+    # materialize repairs: marker dropped, version rebuilt
+    assert materialize_changes(spark, state3, ["k"]) == [2]
+    assert changelog_versions(state3) == [1, 2]
+
+
+def test_changelog_keys_mismatch_auto_mode_falls_back(spark, state3):
+    """r10 review finding 4: in default (auto) mode a keys mismatch means
+    'this changelog is not for this read' — degrade to recompute exactly
+    like missing coverage; only use_changelog=True raises."""
+    materialize_changes(spark, state3, ["k"])
+    feed = table_changes(spark, state3, ["k", "o"], 0, 2, per_version=True)
+    assert not any("/_changelog/" in f for f in feed.inputFiles())
+    assert feed.count() > 0
+
+
+def test_changelog_schema_on_read_evolution_not_silently_dropped(
+    spark, tmp_path
+):
+    """r10 review finding 1 (the empirically-confirmed scenario): a json
+    merge sink whose column x is all-null through v1 (json omits the
+    field) and populated in v2. Each commit's change file pins its own
+    snapshot's inferred schema, so v1's file lacks x — the merged
+    changelog read must still surface x (NULL for the v1 commit, 'XX' on
+    the v2 postimage), matching the range-pinned recompute instead of
+    silently dropping the column."""
+    path = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="json",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=4,
+        merge_keep_versions=3,
+    )
+    rows = "k bigint, o int, s string, x string"
+    write_sink(
+        spark.createDataFrame([(1, 0, "a", None), (2, 0, "b", None)], rows),
+        sink,
+    )  # v0: x all-null → json writes no x field
+    write_sink(spark.createDataFrame([(1, 0, "a2", None)], rows), sink)  # v1
+    write_sink(spark.createDataFrame([(2, 0, "b2", "XX")], rows), sink)  # v2
+
+    # materialize incrementally (v1's file pinned before x ever appears)
+    assert materialize_changes(spark, path, ["k"], fmt="json") == [1, 2]
+    recompute = table_changes(
+        spark, path, ["k"], 0, 2, fmt="json", per_version=True,
+        use_changelog=False,
+    )
+    persisted = table_changes(
+        spark, path, ["k"], 0, 2, fmt="json", per_version=True,
+        use_changelog=True,
+    )
+    assert sorted(persisted.columns) == sorted(recompute.columns)
+    assert _rows(persisted) == _rows(recompute)
+    post = {
+        (r.k, r._commit_version): r.x
+        for r in persisted.collect()
+        if r._change_type == "update_postimage"
+    }
+    assert post == {(1, 1): None, (2, 2): "XX"}
 
 
 def test_materialize_changes_legacy_state_raises(spark, tmp_path):
