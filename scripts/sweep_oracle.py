@@ -37,6 +37,22 @@ def main() -> int:
     ap.add_argument("--start", type=int, default=0, help="first entry index")
     ap.add_argument("--stop", type=int, default=None, help="stop entry index")
     ap.add_argument("--only", default=None, help="comma-separated query names")
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=32,
+        help="adversarial-partitioning sweeps (r9 ran the catalog at 7 — a "
+        "tiny prime nothing like the driver's 16/32 — to prove no hash "
+        "depends on aggregation/merge order across partitions)",
+    )
+    ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra session conf, repeatable (e.g. "
+        "--conf spark.sql.adaptive.enabled=false for the AQE-off sweep)",
+    )
     args = ap.parse_args()
     sf_dir = args.sf_dir
     if "/" not in sf_dir:
@@ -46,7 +62,12 @@ def main() -> int:
     from embulk_executor_mapreduce_spark.session import get_spark
     from tests.oracle import compare
 
-    spark = get_spark(app_name="sweep_oracle", shuffle_partitions=32)
+    spark = get_spark(
+        app_name="sweep_oracle", shuffle_partitions=args.shuffle_partitions
+    )
+    for kv in args.conf:
+        k, _, v = kv.partition("=")
+        spark.conf.set(k, v)
     entries = catalog.entries()
     names = list(entries)[args.start : args.stop]
     if args.only:
@@ -73,6 +94,8 @@ def main() -> int:
             {
                 "metric": "oracle_sweep",
                 "sf_dir": sf_dir,
+                "shuffle_partitions": args.shuffle_partitions,
+                "conf": args.conf,
                 "swept": n,
                 "fails": fails,
                 "skipped_no_oracle": skipped,

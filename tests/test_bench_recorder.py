@@ -142,3 +142,43 @@ def test_recorder_interleaves_probe_every_n_entries():
     assert len(calls) == 2
     assert [p[0] for p in rec.probes] == [0, 10, 20]
     assert rec.order == [f"e{i}" for i in range(25)]
+
+
+def test_segment_normalized_total_properties():
+    """Hypothesis pin for the r10 per-segment normalization: (a) the
+    normalized total is bounded by the raw total divided by the max/min
+    probe ratios; (b) scaling every probe AND every entry time by the same
+    factor leaves the normalized total invariant (a uniformly k×-slower
+    host normalizes back to the same number — the whole point)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    b = _bench()
+    ref = b.DRIFT_PROBE_REF_SEC
+
+    times = st.lists(st.floats(0.05, 30.0), min_size=1, max_size=20)
+    probe_vals = st.lists(st.floats(0.2, 3.0), min_size=2, max_size=6)
+
+    @settings(max_examples=100, deadline=None)
+    @given(ts=times, pv=probe_vals, k=st.floats(0.5, 4.0))
+    def check(ts, pv, k):
+        order = [f"e{i}" for i in range(len(ts))]
+        best = dict(zip(order, ts))
+        # spread probe boundaries across the run, endpoints included
+        n = len(ts)
+        pts = [(round(i * n / (len(pv) - 1)), p) for i, p in enumerate(pv)]
+        got = b._segment_normalized_total(best, order, pts, ref=ref)
+        raw = sum(ts)
+        lo = raw / max(max(pv) / ref, 0.01)
+        hi = raw / max(min(pv) / ref, 0.01)
+        assert lo - 0.01 <= got <= hi + 0.01, (got, lo, hi)
+        # uniform-slowdown invariance: k× slower host, k× slower probes
+        scaled = b._segment_normalized_total(
+            {n_: t * k for n_, t in best.items()},
+            order,
+            [(i, p * k) for i, p in pts],
+            ref=ref,
+        )
+        assert abs(scaled - got) <= max(0.02, 0.01 * got), (scaled, got)
+
+    check()

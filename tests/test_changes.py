@@ -698,3 +698,54 @@ def test_changelog_schema_on_read_evolution_not_silently_dropped(
 def test_materialize_changes_legacy_state_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError, match="pre-pointer"):
         materialize_changes(spark, str(tmp_path / "nope"), ["k"])
+
+
+def test_changelog_survives_sink_gc_and_new_commits(spark, tmp_path):
+    """The design claim the module docstring makes — the sink GC sweeps
+    _trees/ + manifests + known Spark artifacts at the state ROOT and never
+    the _changelog/ dir — proven by running real commits past the retention
+    bound: materialized change files for GC'd versions remain committed and
+    readable while their manifests are gone."""
+    import os
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _changelog_data_dir,
+        _local,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import _manifest_path
+
+    path = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=4,
+    )
+    for i, tag in enumerate(("a", "b", "c", "d", "e")):
+        write_sink(
+            spark.createDataFrame([(1, 0, tag)], "k bigint, o int, s string"),
+            sink,
+        )
+        materialize_changes(spark, path, ["k"])
+    # keep=2: only v3/v4 manifests retained; v1..v4 changelogs all committed
+    assert changelog_versions(path) == [1, 2, 3, 4]
+    for v in (0, 1, 2):
+        assert not os.path.exists(_manifest_path(_local(path), v))
+    for v in (1, 2, 3, 4):
+        assert os.path.isdir(_changelog_data_dir(_local(path), v))
+    feed = table_changes(spark, path, ["k"], 0, 4, per_version=True)
+    assert [
+        (r._commit_version, r._change_type, r.s)
+        for r in feed.orderBy("_commit_version", "_change_type").collect()
+    ] == [
+        (1, "update_postimage", "b"),
+        (1, "update_preimage", "a"),
+        (2, "update_postimage", "c"),
+        (2, "update_preimage", "b"),
+        (3, "update_postimage", "d"),
+        (3, "update_preimage", "c"),
+        (4, "update_postimage", "e"),
+        (4, "update_preimage", "d"),
+    ]
