@@ -749,3 +749,37 @@ def test_changelog_survives_sink_gc_and_new_commits(spark, tmp_path):
         (4, "update_postimage", "e"),
         (4, "update_preimage", "d"),
     ]
+
+
+def test_materialize_changes_concurrent_threads_commit_once(spark, state3):
+    """Protocol pin under a REAL race: N threads materialize the same state
+    concurrently. Exactly one writer wins each version (the sum of all
+    threads' returned version lists is a permutation of [1, 2] with no
+    duplicates — os.rename is the arbiter), every loser discards cleanly
+    (no .inprogress- residue, no unmarked dirs), and the committed feed is
+    bit-identical to the recompute oracle."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    from embulk_executor_mapreduce_spark.sinks.changes import _local
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        results = list(
+            ex.map(
+                lambda _: materialize_changes(spark, state3, ["k"]),
+                range(4),
+            )
+        )
+    committed = sorted(v for r in results for v in r)
+    assert committed == [1, 2], results  # each version committed exactly once
+    cdir = os.path.join(_local(state3), "_changelog")
+    leftovers = [n for n in os.listdir(cdir) if n.startswith(".inprogress-")]
+    assert leftovers == []
+    assert changelog_versions(state3) == [1, 2]
+    persisted = table_changes(
+        spark, state3, ["k"], 0, 2, per_version=True, use_changelog=True
+    )
+    recomputed = table_changes(
+        spark, state3, ["k"], 0, 2, per_version=True, use_changelog=False
+    )
+    assert _rows(persisted) == _rows(recomputed)

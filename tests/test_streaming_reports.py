@@ -818,3 +818,100 @@ class TestSpecStagesStream:
             1,
         )
         assert self._corpus(spark, corpus) == want
+
+
+class TestPrepStagesStream:
+    """Streaming front door for the stream-safe subset of the r10-oracled
+    prep stages (token_count / fingerprint / chunk are pure struct-pack /
+    posexplode projections — classified in _STREAM_SAFE_FILTERS; the
+    batch-only siblings repetition_stats / minhash_dedup / decontaminate
+    are correctly rejected). Runs the SAME spec through
+    run_pipeline_streaming and run_pipeline and asserts multiset equality —
+    the unified batch/streaming contract at the chunk fan-out's row
+    multiplication, not just row-level maps."""
+
+    def _spec(self, src: str, out: str, sink_type: str = "parquet") -> dict:
+        return {
+            "in": {"type": "parquet", "path": src},
+            "filters": [
+                {"type": "text_stats"},
+                {"type": "token_count"},
+                {"type": "fingerprint"},
+                {"type": "chunk", "window": 4, "stride": 3},
+            ],
+            "out": {"type": sink_type, "path": out},
+        }
+
+    def test_stream_equals_batch_through_chunk_fanout(self, spark, tmp_path):
+        import pandas as pd
+
+        from embulk_executor_mapreduce_spark.plans.compiler import (
+            run_pipeline,
+            run_pipeline_streaming,
+        )
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        land = tmp_path / "landing"
+        land.mkdir()
+        rows = [
+            (0, "alpha beta gamma delta epsilon zeta eta theta", "s0"),
+            (1, "one two three", "s0"),
+            (2, "solo", "s1"),
+        ]
+        pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+            land / "b.parquet"
+        )
+        stream_out = str(tmp_path / "stream_out")
+        batch_out = str(tmp_path / "batch_out")
+
+        rep = run_pipeline_streaming(
+            spark, load_spec(self._spec(str(land), stream_out))
+        )
+        assert rep.succeeded and rep.partitioned is False
+        run_pipeline(spark, load_spec(self._spec(str(land), batch_out)))
+
+        def rows_of(path):
+            df = spark.read.parquet(path)
+            cols = sorted(df.columns)
+            return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+        got, want = rows_of(stream_out), rows_of(batch_out)
+        assert got == want and len(got) > 0
+        # the fan-out really multiplied rows: doc 0 has 8 tokens → windows
+        # at starts 0/3/6 (window 4, stride 3) = 3 chunks; docs 1, 2 → 1
+        by_doc = {}
+        df = spark.read.parquet(stream_out)
+        for r in df.select("doc_id", "chunk_idx").collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.chunk_idx)
+        assert {k: len(v) for k, v in sorted(by_doc.items())} == {0: 3, 1: 1, 2: 1}
+        # appended columns rode through the stream
+        for c in ("n_tokens", "n_bpeish_tokens", "fingerprint", "chunk_text"):
+            assert c in df.columns
+
+    def test_batch_only_prep_stages_rejected_for_streaming(self, spark, tmp_path):
+        import pytest as _pytest
+
+        from embulk_executor_mapreduce_spark.errors import ConfigError
+        from embulk_executor_mapreduce_spark.plans.compiler import (
+            run_pipeline_streaming,
+        )
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        for stage in (
+            {"type": "repetition_stats", "id": "doc_id"},
+            {"type": "minhash_dedup", "id": "doc_id"},
+            {
+                "type": "decontaminate",
+                "benchmark": {"type": "parquet", "path": str(tmp_path)},
+                "id": "doc_id",
+            },
+        ):
+            spec = load_spec(
+                {
+                    "in": {"type": "parquet", "path": str(tmp_path)},
+                    "filters": [stage],
+                    "out": {"type": "parquet", "path": str(tmp_path / "o")},
+                }
+            )
+            with _pytest.raises(ConfigError, match="not streamable"):
+                run_pipeline_streaming(spark, spec)
