@@ -3992,7 +3992,8 @@ def q_spec_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "spec_partitioned_pipeline",
     oracle="""
-    SELECT event_id, ts, user_id, event_type, value, props,
+    SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value,
+           props,
            CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
            CAST(floor(epoch(ts) / 3600) AS BIGINT) AS bucket_hour
     FROM events
@@ -4059,9 +4060,15 @@ def q_spec_partitioned_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_pipeline(spark, spec)
     rb = spark.read.parquet(out)
+    # ts surfaces as exact epoch micros, not a raw timestamp column — the
+    # catalog-wide convention (every green oracle converts via
+    # epoch_us/DATE): the driver has shipped three different physical ts
+    # encodings across rounds, and integer micros hash identically under
+    # all of them on both engines while a raw timestamp's canonical form
+    # is at the mercy of each engine's tz-awareness for that encoding
     return rb.select(
         "event_id",
-        "ts",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
         "user_id",
         "event_type",
         "value",
