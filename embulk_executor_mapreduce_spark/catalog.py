@@ -53,15 +53,32 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 #   TIMESTAMP_NTZ → cast to TIMESTAMP            (session tz is pinned UTC,
 #     so the wall-clock reading is the same instant DuckDB sees for the same
 #     naive value — both sides of the oracle stay in lockstep)
-_NANO_TS_COLUMNS = {"events": ("ts",)}
+# The nanos case is detected from the parquet FOOTER per table (metadata
+# only, no data read) rather than a hardcoded {table: columns} map: the
+# flips have historically hit events.ts, but an r10 canary sweep proved a
+# nanos-encoded o_orderdate would break 5 queries (raw bigint leaking
+# through year()/date comparisons) — footer probing makes EVERY table's
+# timestamp columns flip-proof, and is a no-op under the micros encodings.
+
+
+def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    import pyarrow.parquet as pq
+
+    return tuple(
+        f.name
+        for f in pq.read_schema(path)
+        if getattr(f.type, "unit", None) == "ns"
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
-    for col in _NANO_TS_COLUMNS.get(table, ()):
-        if dict(df.dtypes).get(col) == "bigint":
-            df = df.withColumn(col, F.expr(f"timestamp_micros({col} div 1000)"))
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    dtypes = dict(df.dtypes)
+    for col in _nanos_ts_columns(path):
+        if dtypes.get(col) == "bigint":
+            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))

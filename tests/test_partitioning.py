@@ -192,3 +192,39 @@ def test_z_interleave_matches_independent_reference(spark):
     }
     for i, a, b in rows:
         assert got[i] == ref_morton(a, b, 10), (i, a, b)
+
+
+def test_load_normalizes_nanos_timestamps_on_any_table(spark, tmp_path):
+    """r10 canary finding: the nanos normalization in catalog.load was
+    hardcoded to events.ts, so a TIMESTAMP(NANOS)-encoded o_orderdate
+    would leak through as bigint and break year()/date comparisons in 5
+    queries. load() now probes the parquet FOOTER per table: every
+    nanos-encoded timestamp column on every table normalizes to
+    TimestampType with exact integer division, and the micros encodings
+    are untouched (no-op probe)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_executor_mapreduce_spark.catalog import load
+
+    base = dt.datetime(2024, 3, 1, 12, 30, 45, 123456)
+    rows = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], pa.int64()),
+            "o_orderdate": pa.array([base, base + dt.timedelta(hours=1)]).cast(
+                pa.timestamp("ns")
+            ),
+            "note": pa.array(["a", "b"]),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(rows, str(sf / "orders.parquet"), version="2.6")
+    df = load(spark, str(sf), "orders")
+    assert dict(df.dtypes)["o_orderdate"] == "timestamp"
+    got = sorted(r.o_orderdate for r in df.collect())
+    assert got == [base, base + dt.timedelta(hours=1)]  # micros preserved
+    # a genuine bigint column must never be touched by the probe
+    assert dict(df.dtypes)["o_orderkey"] == "bigint"
