@@ -62,12 +62,17 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 
 
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    # is_timestamp, not unit=='ns' alone: duration('ns')/time64('ns') also
+    # report unit 'ns' (and duration stores as plain INT64 → bigint in
+    # Spark), so a unit-only probe would rewrite an elapsed-time column
+    # into a bogus wall-clock timestamp (r10 review finding)
     return tuple(
         f.name
         for f in pq.read_schema(path)
-        if getattr(f.type, "unit", None) == "ns"
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
     )
 
 

@@ -66,7 +66,11 @@ def main() -> int:
         app_name="sweep_oracle", shuffle_partitions=args.shuffle_partitions
     )
     for kv in args.conf:
-        k, _, v = kv.partition("=")
+        k, sep, v = kv.partition("=")
+        if not sep or not k or not v:
+            # a typo'd --conf must fail loudly, not archive a green sweep
+            # under an adversarial config that never applied
+            ap.error(f"--conf wants K=V, got {kv!r}")
         spark.conf.set(k, v)
     entries = catalog.entries()
     names = list(entries)[args.start : args.stop]

@@ -27,6 +27,7 @@ from __future__ import annotations
 import inspect
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -39,17 +40,22 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 ENCODINGS = {
-    # name → (pyarrow timestamp type, parquet writer kwargs)
-    "nanos": (pa.timestamp("ns"), {"coerce_timestamps": None}),
-    "micros_ntz": (pa.timestamp("us"), {}),
-    "micros_utc": (pa.timestamp("us", tz="UTC"), {}),
+    # name → pyarrow timestamp type (written with parquet version 2.6 so
+    # nanos stay TIMESTAMP(NANOS) instead of coercing to micros)
+    "nanos": pa.timestamp("ns"),
+    "micros_ntz": pa.timestamp("us"),
+    "micros_utc": pa.timestamp("us", tz="UTC"),
 }
 
 
 def _reencode(src: str, dst: str, ts_type: pa.DataType) -> None:
     t = pq.read_table(src)
     idx = t.schema.get_field_index("ts")
-    col = t.column("ts").cast(ts_type)
+    # safe=False: a genuinely sub-microsecond nanos source truncates to
+    # micros instead of raising ArrowInvalid and killing the whole sweep
+    # while it builds the micros scratch copies (the sweep must report
+    # per-query results for the OTHER encodings regardless)
+    col = t.column("ts").cast(ts_type, safe=False)
     t = t.set_column(idx, pa.field("ts", ts_type), col)
     # version 2.6 keeps nanos as TIMESTAMP(NANOS) instead of silently
     # coercing to micros (the 1.0 writer cannot represent nanos)
@@ -76,24 +82,38 @@ def main() -> int:
     from tests.oracle import compare
 
     spark = get_spark(app_name="ts_encoding_sweep", shuffle_partitions=32)
+    # events-touching = the literal table name in the fn source OR the
+    # oracle SQL (catches fns that reach events through a helper while the
+    # oracle names the view) — over-selection only costs runtime,
+    # under-selection costs a mid-round encoding surprise
     events_queries = [
         (name, e)
         for name, e in catalog.entries().items()
-        if e.oracle is not None and "events" in inspect.getsource(e.fn)
+        if e.oracle is not None
+        and ("events" in inspect.getsource(e.fn) or "events" in e.oracle)
     ]
     t0 = time.time()
     fails, n = [], 0
-    for encoding, (ts_type, _) in ENCODINGS.items():
-        scratch = _scratch_sf(sf_dir, encoding, ts_type)
-        for name, e in events_queries:
-            try:
-                ok, msg = compare(spark, scratch, e.fn, e.oracle)
-            except Exception as ex:  # noqa: BLE001 — sweep must not die mid-list
-                ok, msg = False, f"EXC {type(ex).__name__}: {str(ex)[:160]}"
-            n += 1
-            if not ok:
-                print(f"FAIL [{encoding}] {name}: {msg}", flush=True)
-                fails.append(f"{encoding}:{name}")
+    for encoding, ts_type in ENCODINGS.items():
+        try:
+            scratch = _scratch_sf(sf_dir, encoding, ts_type)
+        except Exception as ex:  # noqa: BLE001 — report, keep sweeping others
+            print(f"FAIL [{encoding}] <scratch build>: "
+                  f"{type(ex).__name__}: {str(ex)[:160]}", flush=True)
+            fails.append(f"{encoding}:<scratch build>")
+            continue
+        try:
+            for name, e in events_queries:
+                try:
+                    ok, msg = compare(spark, scratch, e.fn, e.oracle)
+                except Exception as ex:  # noqa: BLE001 — sweep must not die mid-list
+                    ok, msg = False, f"EXC {type(ex).__name__}: {str(ex)[:160]}"
+                n += 1
+                if not ok:
+                    print(f"FAIL [{encoding}] {name}: {msg}", flush=True)
+                    fails.append(f"{encoding}:{name}")
+        finally:
+            shutil.rmtree(scratch, ignore_errors=True)
     print(
         json.dumps(
             {

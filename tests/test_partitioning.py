@@ -228,3 +228,40 @@ def test_load_normalizes_nanos_timestamps_on_any_table(spark, tmp_path):
     assert got == [base, base + dt.timedelta(hours=1)]  # micros preserved
     # a genuine bigint column must never be touched by the probe
     assert dict(df.dtypes)["o_orderkey"] == "bigint"
+
+
+def test_load_nanos_probe_ignores_duration_columns(spark, tmp_path):
+    """r10 second-review finding: duration('ns') (and time64('ns')) also
+    report unit 'ns' from the footer and store as INT64 → bigint in Spark;
+    a unit-only probe would rewrite an elapsed-time column into a bogus
+    wall-clock timestamp. The probe must require an actual timestamp type."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_executor_mapreduce_spark.catalog import load
+
+    rows = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "elapsed": pa.array(
+                [dt.timedelta(seconds=5), dt.timedelta(seconds=9)],
+                pa.duration("ns"),
+            ),
+            "ts": pa.array(
+                [dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)]
+            ).cast(pa.timestamp("ns")),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(rows, str(sf / "events.parquet"), version="2.6")
+    df = load(spark, str(sf), "events")
+    dtypes = dict(df.dtypes)
+    assert dtypes["ts"] == "timestamp"  # real nanos ts still normalizes
+    assert dtypes["elapsed"] in ("bigint", "interval day to second"), dtypes
+    got = sorted(r.elapsed for r in df.select("elapsed").collect())
+    # whatever Spark surfaces duration as, the VALUES are elapsed time,
+    # not 1970-adjacent wall clocks
+    assert all(not hasattr(v, "year") for v in got)
