@@ -43,6 +43,22 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
     return deco
 
 
+#: scratch dirs for state-building queries: the TemporaryDirectory objects
+#: are kept alive here so each invocation's artifacts are removed at
+#: interpreter exit instead of accumulating in /tmp across sweep/seal
+#: cycles (VERDICT r10). Every call still gets a FRESH dir — the rows'
+#: determinism comes from their batch constructions, never from reuse.
+_SCRATCH_DIRS: list = []
+
+
+def scratch_dir(prefix: str) -> str:
+    import tempfile
+
+    td = tempfile.TemporaryDirectory(prefix=prefix, ignore_cleanup_errors=True)
+    _SCRATCH_DIRS.append(td)
+    return td.name
+
+
 # The driver's testdata generator has shipped timestamps under three physical
 # parquet encodings across rounds: TIMESTAMP(NANOS) (Spark reads as long via
 # the nanosAsLong legacy conf), TIMESTAMP(MICROS) isAdjustedToUTC=false
@@ -59,6 +75,12 @@ def register(name: str, oracle: str | None, tags: tuple[str, ...] = ()):
 # nanos-encoded o_orderdate would break 5 queries (raw bigint leaking
 # through year()/date comparisons) — footer probing makes EVERY table's
 # timestamp columns flip-proof, and is a no-op under the micros encodings.
+# The ns→µs step is FLOOR division in integer math — `x div 1000`
+# truncates toward zero, so a pre-epoch (negative) nanos value with a
+# sub-microsecond remainder would land one µs late (ADVICE r10); the
+# `(x - pmod(x, 1000)) div 1000` form stays exact for every int64 without
+# detouring through doubles (an int64 ns magnitude exceeds 2^53, so
+# floor(x / 1000.0) would silently lose precision).
 
 
 def _nanos_ts_columns(path: str) -> tuple[str, ...]:
@@ -83,7 +105,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     dtypes = dict(df.dtypes)
     for col in _nanos_ts_columns(path):
         if dtypes.get(col) == "bigint":
-            df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+            df = df.withColumn(
+                col,
+                F.expr(
+                    f"timestamp_micros((`{col}` - pmod(`{col}`, 1000)) div 1000)"
+                ),
+            )
     for col, dtype in df.dtypes:
         if dtype == "timestamp_ntz":
             df = df.withColumn(col, F.col(col).cast("timestamp"))
@@ -106,7 +133,8 @@ def events_ts_normalize_filters(sf_dir: str) -> list[dict]:
     # regardless of isAdjustedToUTC, so 'timestamp[ns, tz=UTC]' must take the
     # nanos branch, not the tz-aware no-op branch.
     if getattr(t, "unit", None) == "ns":
-        expr = "timestamp_micros(ts div 1000)"
+        # floor-division form — exact for pre-epoch nanos too (see load())
+        expr = "timestamp_micros((ts - pmod(ts, 1000)) div 1000)"
     elif getattr(t, "tz", None) is None:
         expr = "cast(ts as timestamp)"
     else:
@@ -915,7 +943,7 @@ def q_dedup_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .spec import SinkSpec
 
     docs = load(spark, sf_dir, "documents")
-    path = tempfile.mkdtemp(prefix="q_incr_state_") + "/band_index"
+    path = scratch_dir("q_incr_state_") + "/band_index"
     sink = SinkSpec(
         type="parquet",
         path=path,
@@ -2274,7 +2302,7 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.compiler import compile_pipeline, run_pipeline
     from .spec import load_spec
 
-    outdir = tempfile.mkdtemp(prefix="csv_rt_") + "/li"
+    outdir = scratch_dir("csv_rt_") + "/li"
     run_pipeline(
         spark,
         load_spec(
@@ -2333,7 +2361,7 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.compiler import compile_pipeline, run_pipeline
     from .spec import load_spec
 
-    outdir = tempfile.mkdtemp(prefix="xml_rt_") + "/ord"
+    outdir = scratch_dir("xml_rt_") + "/ord"
     run_pipeline(
         spark,
         load_spec(
@@ -2807,7 +2835,7 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .spec import SinkSpec
 
     emb = load(spark, sf_dir, "embeddings")
-    root = tempfile.mkdtemp(prefix="q_sem_incr_")
+    root = scratch_dir("q_sem_incr_")
     cent_path = f"{root}/centroids"
     state_path = f"{root}/state"
     sink = SinkSpec(
@@ -2866,7 +2894,7 @@ def q_semantic_dedup_two_level_incremental(
     from .spec import SinkSpec
 
     emb = load(spark, sf_dir, "embeddings")
-    root = tempfile.mkdtemp(prefix="q_sem2l_incr_")
+    root = scratch_dir("q_sem2l_incr_")
     sink = SinkSpec(
         type="parquet",
         path=f"{root}/state",
@@ -3116,7 +3144,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.compiler import compile_pipeline, run_pipeline
     from .spec import load_spec
 
-    outdir = tempfile.mkdtemp(prefix="jsonl_rt_") + "/orders"
+    outdir = scratch_dir("jsonl_rt_") + "/orders"
     run_pipeline(
         spark,
         load_spec(
@@ -3469,7 +3497,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.compiler import compile_pipeline, run_pipeline
     from .spec import load_spec
 
-    outdir = tempfile.mkdtemp(prefix="orc_rt_") + "/customer"
+    outdir = scratch_dir("orc_rt_") + "/customer"
     run_pipeline(
         spark,
         load_spec(
@@ -3972,7 +4000,7 @@ def q_spec_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.compiler import compile_pipeline
     from .spec import load_spec
 
-    bench_path = tempfile.mkdtemp(prefix="q_spec_prep_") + "/benchmark"
+    bench_path = scratch_dir("q_spec_prep_") + "/benchmark"
     docs = load(spark, sf_dir, "documents")
     docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text").write.mode(
         "overwrite"
@@ -4048,7 +4076,7 @@ def q_spec_partitioned_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.compiler import run_pipeline
     from .spec import load_spec
 
-    out = tempfile.mkdtemp(prefix="q_spec_partitioned_") + "/out"
+    out = scratch_dir("q_spec_partitioned_") + "/out"
     spec = load_spec(
         {
             "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
@@ -4724,7 +4752,7 @@ def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("ok"),
         )
 
-    path = tempfile.mkdtemp(prefix="q_merge_state_") + "/state"
+    path = scratch_dir("q_merge_state_") + "/state"
     sink = SinkSpec(
         type="parquet",
         path=path,
@@ -4770,7 +4798,7 @@ def q_dynamic_overwrite_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
     )
-    path = tempfile.mkdtemp(prefix="q_dynover_state_") + "/state"
+    path = scratch_dir("q_dynover_state_") + "/state"
     write_sink(
         base,
         SinkSpec(type="parquet", path=path, partition_by=("event_type",)),
@@ -5264,7 +5292,7 @@ def q_merge_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderkey").alias("ok"),
         )
 
-    path = tempfile.mkdtemp(prefix="q_merge_changes_") + "/state"
+    path = scratch_dir("q_merge_changes_") + "/state"
     sink = SinkSpec(
         type="parquet",
         path=path,
@@ -5357,7 +5385,7 @@ def _cdc_three_version_state(spark: SparkSession, sf_dir: str) -> str:
             "val", F.col("val") + 21
         )
     )
-    path = tempfile.mkdtemp(prefix="q_cdc_per_version_") + "/state"
+    path = scratch_dir("q_cdc_per_version_") + "/state"
     sink = SinkSpec(
         type="parquet",
         path=path,

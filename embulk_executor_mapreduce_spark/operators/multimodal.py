@@ -37,21 +37,24 @@ DECODE_SCHEMA = (
 )
 
 
-# Internal id alias carried through the Arrow stage (same contract as
-# operators/audio._AID). PySpark's own mapInPandas re-selects each input
+# Internal id/value aliases carried through the Arrow stage (same contract
+# as operators/audio._AID). PySpark's own mapInPandas re-selects each input
 # column via ``self[col]``, which misresolves a dotted top-level name
-# ("doc.id") as a struct-field path (ADVICE r8) — so every entry point
-# below aliases the caller's id to this safe name before mapInPandas.
+# ("doc.id", "my.text") as a struct-field path (ADVICE r8 for the id,
+# ADVICE r9 for the value column) — so every entry point below aliases the
+# caller's id AND value to these safe names before mapInPandas.
 _MID = "__mm_id"
+_MVAL = "__mm_val"
 
 
 def _mid_input(df: DataFrame, id_col: str, value_col: str):
     """Prune the input to (id, value) BEFORE the Arrow exchange — Catalyst
     cannot column-prune into an opaque ``mapInPandas``, so without this
     select every input column ships to Python per batch — with the id
-    aliased to ``_MID`` (see above). Returns the pruned frame plus the id
-    column's DDL type (for entry points that propagate the caller's id
-    name/type into their output schema)."""
+    aliased to ``_MID`` and the value (payload or caller-named text) to
+    ``_MVAL`` (see above). Returns the pruned frame plus the id column's
+    DDL type (for entry points that propagate the caller's id name/type
+    into their output schema)."""
     for c in (id_col, value_col):
         if c not in df.columns:
             raise ValueError(
@@ -60,7 +63,10 @@ def _mid_input(df: DataFrame, id_col: str, value_col: str):
     if "`" in id_col or "`" in value_col:
         raise ValueError("column names must not contain backticks")
     return (
-        df.select(F.col(f"`{id_col}`").alias(_MID), F.col(f"`{value_col}`")),
+        df.select(
+            F.col(f"`{id_col}`").alias(_MID),
+            F.col(f"`{value_col}`").alias(_MVAL),
+        ),
         df.schema[id_col].dataType.simpleString(),
     )
 
@@ -142,7 +148,7 @@ def decode_image_pil(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
         for pdf in batches:
             n_bytes, hashes, feats, widths, heights = [], [], [], [], []
-            for payload in pdf["payload"]:
+            for payload in pdf[_MVAL]:
                 data = bytes(payload)
                 n_bytes.append(len(data))
                 hashes.append(hashlib.md5(data).hexdigest())
@@ -784,7 +790,7 @@ def decode_image_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             n_bytes, hashes, feats, widths, heights = [], [], [], [], []
-            for payload in pdf["payload"]:
+            for payload in pdf[_MVAL]:
                 data = bytes(payload)
                 n_bytes.append(len(data))
                 hashes.append(hashlib.md5(data).hexdigest())
@@ -926,7 +932,7 @@ def decode_audio_stdlib(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
         for pdf in batches:
             n_bytes, hashes = [], []
             rates, chans, counts, feats = [], [], [], []
-            for payload in pdf["payload"]:
+            for payload in pdf[_MVAL]:
                 data = bytes(payload)
                 n_bytes.append(len(data))
                 hashes.append(hashlib.md5(data).hexdigest())
@@ -1002,7 +1008,7 @@ def encode_text_wav(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for text in pdf[text_col]:
+            for text in pdf[_MVAL]:
                 b = hashlib.md5(str(text).encode()).digest()[:4]
                 samples = []
                 for seg in range(4):
@@ -1057,7 +1063,7 @@ def encode_text_png(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for doc_id, text in zip(pdf[_MID], pdf[text_col]):
+            for doc_id, text in zip(pdf[_MID], pdf[_MVAL]):
                 b = hashlib.md5(str(text).encode()).digest()[:4]
                 row0 = b"\x00" + bytes(b[:2])
                 f1 = int(doc_id) % 3
@@ -1101,7 +1107,7 @@ def encode_text_jpeg(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for text in pdf[text_col]:
+            for text in pdf[_MVAL]:
                 b = hashlib.md5(str(text).encode()).digest()[:4]
                 img = np.zeros((16, 16))
                 img[:8, :8] = b[0]
@@ -1136,7 +1142,7 @@ def decode_stub(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf["payload"]
+            payloads = pdf[_MVAL]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[_MID],
@@ -1210,7 +1216,7 @@ def decode_video_stdlib(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, n_fr, idxs, ws, hs, feats = [], [], [], [], [], []
-            for doc_id, payload in zip(pdf[_MID], pdf["payload"]):
+            for doc_id, payload in zip(pdf[_MID], pdf[_MVAL]):
                 frames = _avi_mjpeg_frames(bytes(payload))
                 if frames is None:
                     ids.append(doc_id)
@@ -1307,7 +1313,7 @@ def encode_text_avi(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
-            for text in pdf[text_col]:
+            for text in pdf[_MVAL]:
                 b = hashlib.md5(str(text).encode()).digest()
                 frames = []
                 for i in range(4):
@@ -1398,7 +1404,7 @@ def resize_image_stdlib(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, pixels = [], [], [], []
-            for doc_id, payload in zip(pdf[_MID], pdf["payload"]):
+            for doc_id, payload in zip(pdf[_MID], pdf[_MVAL]):
                 data = bytes(payload)
                 ids.append(doc_id)
                 decoded = (
@@ -1452,7 +1458,7 @@ def resize_stub(df: DataFrame, id_col: str = "doc_id", target: int = 256) -> Dat
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            lens = pdf["payload"].map(len)
+            lens = pdf[_MVAL].map(len)
             w = (1 + lens % 1024).astype("int64")
             h = (1 + lens % 768).astype("int64")
             m = np.maximum(w, h)
@@ -1481,7 +1487,7 @@ def frame_sample_stub(
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_ids, out_n, out_idx, out_hash = [], [], [], []
-            for doc_id, payload in zip(pdf[_MID], pdf["payload"]):
+            for doc_id, payload in zip(pdf[_MID], pdf[_MVAL]):
                 data = bytes(payload)
                 n_frames = 1 + len(data) % 240
                 content = hashlib.md5(data).hexdigest()

@@ -60,6 +60,10 @@ _USER_DATA_MARKERS = (
     "CannotParse",
     "CANNOT_PARSE",
     "DateTimeException",
+    # worker-wrapped raise_error/assert_true (the structured condition is
+    # often lost through the stage-failure wrapping; the formatted message
+    # keeps the class name)
+    "USER_RAISED_EXCEPTION",
 )
 
 # Spark 4 error classes that mean "your data is bad" (structured complement
@@ -71,6 +75,10 @@ _USER_DATA_ERROR_CLASSES = (
     "CANNOT_PARSE_JSON_FIELD",
     "CAST_INVALID_INPUT",
     "NUMERIC_VALUE_OUT_OF_RANGE",
+    # raise_error()/assert_true() fired in-plan — the drift_report stage's
+    # gate and any user-authored with_column assertion: definitionally a
+    # data-contract failure, not infra
+    "USER_RAISED_EXCEPTION",
 )
 
 
@@ -302,6 +310,13 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             "have no streaming-capable provider; readStream.table needs a "
             "Delta-class format); scan it through the batch path "
             "(run_pipeline)"
+        )
+    elif src.type == "table_changes":
+        raise ConfigError(
+            "table_changes source is not streamable (the feed is a bounded "
+            "replay of committed versions — a continuous CDC stream needs a "
+            "Delta-class readStream provider); read it through the batch "
+            "path (run_pipeline), advancing from_version per run"
         )
     else:
         raise ConfigError(f"source type {src.type!r} is not streamable")

@@ -222,6 +222,38 @@ def _changelog_meta(local: str, version: int) -> dict | None:
         return json.load(f)
 
 
+def _changelog_merge_compatible(local: str, versions: list[int]) -> bool:
+    """True when the persisted change files for ``versions`` can be read
+    under one ``mergeSchema`` parquet scan: every column name that appears
+    in more than one commit's file carries the SAME physical type. Only
+    schema-on-read source formats can drift here (csv/json inference is
+    pinned per commit at materialize time); the probe is parquet-footer
+    metadata per commit, no data read. Any unreadable footer counts as
+    incompatible — the caller (auto mode) degrades to recompute, which is
+    always safe."""
+    import pyarrow.parquet as pq
+
+    seen: dict[str, object] = {}
+    for v in versions:
+        ddir = _changelog_data_dir(local, v)
+        try:
+            parts = [
+                n
+                for n in os.listdir(ddir)
+                if n.startswith("part-") and n.endswith(".parquet")
+            ]
+            if not parts:
+                continue  # empty diff: nothing to conflict
+            schema = pq.read_schema(os.path.join(ddir, sorted(parts)[0]))
+        except OSError:
+            return False
+        for f in schema:
+            if f.name in seen and seen[f.name] != f.type:
+                return False
+            seen[f.name] = f.type
+    return True
+
+
 def changelog_versions(path: str) -> list[int]:
     """Versions with a COMMITTED persisted change file (sorted). Presence
     means ``table_changes(..., per_version=True)`` can serve that commit as
@@ -239,12 +271,65 @@ def changelog_versions(path: str) -> list[int]:
     return sorted(out)
 
 
+def expire_changelog(path: str, before_version: int) -> list[int]:
+    """Expire persisted per-commit change files for every version strictly
+    below ``before_version``; returns the versions whose artifacts this call
+    removed (idempotent — a second call returns ``[]``). This is the
+    changelog's retention discipline (VERDICT r10 item 4): ``_changelog/``
+    deliberately survives the sink's snapshot GC — outliving
+    ``merge_keep_versions`` is the feature's point, so nothing expires it
+    implicitly — but a long-lived merge state accumulates one small parquet
+    dir per commit forever without an explicit bound. Call this (or pass
+    ``keep_versions`` to :func:`materialize_changes`) on whatever schedule
+    the feed's consumers allow.
+
+    Removal order per version: marker FIRST, then the data dir — a
+    concurrent ``use_changelog=None`` reader that loses the race sees a
+    missing marker and degrades to the pair-diff recompute (or, past
+    manifest retention, the documented version-not-retained error); it
+    never scans a half-deleted dir, because coverage is checked before the
+    read and requires marker AND data. A crash between the two steps
+    leaves an unmarked data dir, which the next ``expire_changelog`` call
+    sweeps (data dirs below the cutoff are removed regardless of marker
+    presence)."""
+    import re
+    import shutil
+
+    local = _local(path)
+    cdir = os.path.join(local, CHANGELOG_DIR)
+    if not os.path.isdir(cdir):
+        return []
+    markers: set[int] = set()
+    data: set[int] = set()
+    for name in os.listdir(cdir):
+        m = re.match(r"^v(\d+)(\.json)?$", name)
+        if m and int(m.group(1)) < before_version:
+            (markers if m.group(2) else data).add(int(m.group(1)))
+    removed: set[int] = set()
+    for v in sorted(markers | data):
+        # marker strictly before data dir (see protocol in the docstring)
+        if v in markers:
+            try:
+                os.remove(_changelog_meta_path(local, v))
+                removed.add(v)
+            except FileNotFoundError:
+                pass  # concurrent expire got it first
+        if v in data:
+            try:
+                shutil.rmtree(_changelog_data_dir(local, v))
+                removed.add(v)
+            except FileNotFoundError:
+                pass
+    return sorted(removed)
+
+
 def materialize_changes(
     spark: SparkSession,
     path: str,
     keys: list[str],
     fmt: str = "parquet",
     through_version: int | None = None,
+    keep_versions: int | None = None,
 ) -> list[int]:
     """Persist the per-commit change files for every commit whose adjacent
     manifest pair is still retained and whose changelog is missing; returns
@@ -268,11 +353,21 @@ def materialize_changes(
     window — r10 review finding 3: deleting it eagerly could strand that
     peer's marker with no data); a marker with no data dir (a deleted or
     never-completed payload) is repaired immediately — the marker is
-    dropped and the version rebuilt."""
+    dropped and the version rebuilt.
+
+    ``keep_versions`` (default ``None`` = keep every materialized commit
+    forever — the changelog deliberately outlives ``merge_keep_versions``
+    snapshot retention, that asymmetry being the feature's point) bounds
+    the changelog after this call commits its versions: only the newest N
+    COMMITTED change files are retained, the rest expired through
+    :func:`expire_changelog`. A version this call just skipped as
+    already-committed counts toward the N like any other."""
     import shutil
     import time
     import uuid
 
+    if keep_versions is not None and keep_versions < 1:
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     local = _local(path)
     current = _pointer_version(local)
     if current is None:
@@ -308,11 +403,30 @@ def materialize_changes(
             # marker without data (r10 review finding 2): the payload was
             # deleted out from under the marker — drop the marker and
             # rebuild, otherwise the version is wedged forever (reads of a
-            # marker-only version fall back to recompute, never error)
+            # marker-only version fall back to recompute, never error).
+            # The drop is a rename ASIDE, not an unlink (ADVICE r10): a
+            # concurrent materializer can land its data dir in the window
+            # between our isdir probe and the removal — if the dir exists
+            # once the marker is in our hands, the marker belongs to a LIVE
+            # commit and is put straight back (marker content is the
+            # deterministic {version, keys, source_format} record, so a
+            # same-config peer's marker restores bit-identically; a
+            # different-keys peer surfaces as the documented keys-mismatch
+            # degrade, never as a destroyed commit).
+            marker = _changelog_meta_path(local, v)
+            aside = f"{marker}.repair-{uuid.uuid4().hex[:12]}"
             try:
-                os.remove(_changelog_meta_path(local, v))
+                os.rename(marker, aside)
             except FileNotFoundError:
-                pass
+                pass  # a concurrent repair got here first
+            else:
+                if os.path.isdir(data_dir):
+                    try:
+                        os.rename(aside, marker)
+                    except OSError:
+                        os.remove(aside)
+                    continue
+                os.remove(aside)
         if os.path.isdir(data_dir):
             # unmarked data dir: EITHER a crash orphan (rename landed,
             # marker write didn't) OR a live concurrent materializer inside
@@ -362,6 +476,10 @@ def materialize_changes(
             ),
         )
         done.append(v)
+    if keep_versions is not None:
+        committed = changelog_versions(path)
+        if len(committed) > keep_versions:
+            expire_changelog(path, committed[-keep_versions])
     return done
 
 
@@ -419,9 +537,13 @@ def table_changes(
     two provenances can legitimately differ in column set, and the
     changelog read merges per-file schemas (``mergeSchema``) so later
     columns surface as NULL in earlier commits rather than dropping
-    feed-wide; type-level drift across commits makes the merged read fail
-    loudly (remedy: ``use_changelog=False``). Self-describing sink formats
-    (parquet/ORC) have no inference step and the provenances are
+    feed-wide. TYPE-level drift (the same column inferred long in one
+    commit, double or string in another) cannot merge: auto mode detects
+    it up front (a parquet-footer probe per commit, metadata only) and
+    degrades to the recompute path, so the default read never errors; only
+    the explicit ``use_changelog=True`` read fails loudly at scan time
+    (remedy: ``use_changelog=False``/``None``). Self-describing sink
+    formats (parquet/ORC) have no inference step and the provenances are
     bit-identical unconditionally."""
     local = _local(path)
     current = _pointer_version(local)
@@ -464,11 +586,21 @@ def table_changes(
                     f"persisted change file v{v} was materialized with "
                     f"keys={meta_keys}, read requested keys={list(keys)}"
                 )
-            if not mismatched:
+            if not mismatched and (
+                use_changelog
+                or fmt in ("parquet", "orc")
+                or _changelog_merge_compatible(local, want)
+            ):
                 # mergeSchema: per-commit files may carry different column
                 # SETS under schema-on-read inference drift (see caveat
                 # above); merging surfaces later columns as NULL in earlier
-                # commits — the same shape the range-pinned recompute gives
+                # commits — the same shape the range-pinned recompute gives.
+                # Auto mode pre-validates that csv/json-derived files are
+                # TYPE-level merge-compatible first (footer metadata probe)
+                # and degrades to recompute otherwise — the default path
+                # never turns a previously-working read into a scan-time
+                # merge failure (ADVICE r10); only the explicit
+                # use_changelog=True read fails loudly on type drift.
                 return spark.read.option("mergeSchema", "true").parquet(
                     *[_changelog_data_dir(local, v) for v in want]
                 )

@@ -433,6 +433,28 @@ def read_source(
         # key plan with zero exchanges on this side — the spec-level entry
         # to the standing-graph pagerank path (SCALING.md §3 decision rule)
         return spark.table(spec.table)
+    if spec.type == "table_changes":
+        # merge-sink CDC feed as a declarative source (VERDICT r10 item 1):
+        # the whole filter surface composes downstream, so drift gates /
+        # enrichment over a feed run from pure YAML. Plan shape is the
+        # API's own — a pruned changelog scan when covered, else the
+        # changed-bucket pair-diff recompute (sinks/changes.table_changes).
+        # Import is local: sinks.changes → sinks.writer, and writer/readers
+        # are siblings with no cycle today, but keeping the sink machinery
+        # out of this module's import graph is the established pattern for
+        # the source dispatch's optional branches.
+        from ..sinks.changes import table_changes
+
+        return table_changes(
+            spark,
+            spec.path,
+            list(spec.keys),
+            from_version=spec.from_version,
+            to_version=spec.to_version,
+            fmt=spec.options.get("format", "parquet"),
+            per_version=spec.per_version,
+            use_changelog=spec.use_changelog,
+        )
     if spec.type == "binaryfile":
         return _read_binaryfile(spark, spec)
     if spec.type == "task":

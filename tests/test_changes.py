@@ -783,3 +783,134 @@ def test_materialize_changes_concurrent_threads_commit_once(spark, state3):
         spark, state3, ["k"], 0, 2, per_version=True, use_changelog=False
     )
     assert _rows(persisted) == _rows(recomputed)
+
+
+# ---------------------------------------------------------------------------
+# Changelog retention (VERDICT r10 item 4) + auto-mode type-drift degrade
+# (ADVICE r10)
+# ---------------------------------------------------------------------------
+
+from embulk_executor_mapreduce_spark.sinks.changes import (  # noqa: E402
+    expire_changelog,
+)
+
+
+def test_expire_changelog_removes_and_reads_degrade(spark, state3):
+    """Expiry removes marker AND data for versions below the cutoff; an
+    expired range degrades to recompute in auto mode and raises the
+    materialize hint under use_changelog=True; an unexpired suffix range is
+    still served persisted. A second expire call is a no-op."""
+    import os
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _changelog_data_dir,
+        _changelog_meta_path,
+        _local,
+    )
+
+    materialize_changes(spark, state3, ["k"])
+    assert expire_changelog(state3, 2) == [1]
+    assert expire_changelog(state3, 2) == []
+    local = _local(state3)
+    assert not os.path.exists(_changelog_meta_path(local, 1))
+    assert not os.path.isdir(_changelog_data_dir(local, 1))
+    assert changelog_versions(state3) == [2]
+    # auto mode: coverage of (0, 2] is broken → pair-diff recompute
+    feed = table_changes(spark, state3, ["k"], 0, 2, per_version=True)
+    assert not any("/_changelog/" in f for f in feed.inputFiles())
+    assert feed.count() > 0
+    # strict mode names the expired commit and the remedy
+    with pytest.raises(FileNotFoundError, match=r"\[1\].*materialize_changes"):
+        table_changes(
+            spark, state3, ["k"], 0, 2, per_version=True, use_changelog=True
+        )
+    # the surviving suffix range still reads persisted
+    tail = table_changes(spark, state3, ["k"], 1, 2, per_version=True)
+    assert all("/_changelog/v2/" in f for f in tail.inputFiles())
+    # re-materialize repopulates the expired version (manifests retained)
+    assert materialize_changes(spark, state3, ["k"]) == [1]
+
+
+def test_materialize_keep_versions_bounds_changelog(spark, state3):
+    """The retention knob on the writer: keep only the newest N committed
+    change files after materializing; invalid N rejected up front."""
+    assert materialize_changes(spark, state3, ["k"], keep_versions=1) == [1, 2]
+    assert changelog_versions(state3) == [2]
+    with pytest.raises(ValueError, match="keep_versions"):
+        materialize_changes(spark, state3, ["k"], keep_versions=0)
+
+
+def test_expire_changelog_sweeps_crash_orphan_data_dir(spark, state3):
+    """A crash between expiry's marker removal and its rmtree leaves an
+    unmarked data dir below the cutoff; the next expire call sweeps it
+    (data dirs below the cutoff are removed regardless of marker
+    presence)."""
+    import os
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _changelog_data_dir,
+        _changelog_meta_path,
+        _local,
+    )
+
+    materialize_changes(spark, state3, ["k"])
+    os.remove(_changelog_meta_path(_local(state3), 1))  # simulated crash
+    assert expire_changelog(state3, 2) == [1]
+    assert not os.path.isdir(_changelog_data_dir(_local(state3), 1))
+
+
+def test_expire_changelog_missing_dir_is_noop(spark, state3):
+    assert expire_changelog(state3, 99) == []  # no _changelog/ yet
+
+
+def test_changelog_type_drift_auto_degrades_strict_fails(spark, tmp_path):
+    """ADVICE r10: TYPE-level inference drift across commits (the same
+    column long in one commit's file, string in another) makes the merged
+    parquet read fail at scan time. Auto mode must detect it from the
+    footers and degrade to the recompute path (the default read never
+    errors); only use_changelog=True surfaces the loud failure. Drift is
+    simulated by rewriting one committed change file with a conflicting
+    type — the shape historical csv/json inference drift produces."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _changelog_data_dir,
+        _local,
+    )
+
+    path = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="json",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=4,
+        merge_keep_versions=3,
+    )
+    rows = "k bigint, o int, s string"
+    write_sink(spark.createDataFrame([(1, 0, "a"), (2, 0, "b")], rows), sink)
+    write_sink(spark.createDataFrame([(1, 0, "a2")], rows), sink)  # v1
+    write_sink(spark.createDataFrame([(2, 0, "b2")], rows), sink)  # v2
+    assert materialize_changes(spark, path, ["k"], fmt="json") == [1, 2]
+
+    # rewrite v1's change file with s typed long instead of string
+    ddir = _changelog_data_dir(_local(path), 1)
+    v1 = spark.read.parquet(ddir).withColumn("s", F.lit(1).cast("long"))
+    v1.write.mode("overwrite").parquet(ddir + "_drift")
+    shutil.rmtree(ddir)
+    shutil.move(ddir + "_drift", ddir)
+
+    feed = table_changes(
+        spark, path, ["k"], 0, 2, per_version=True, fmt="json",
+        use_changelog=None,
+    )
+    assert not any("/_changelog/" in f for f in feed.inputFiles())
+    assert feed.count() > 0
+    with pytest.raises(Exception, match="[Mm]erg|[Ss]chema"):
+        table_changes(
+            spark, path, ["k"], 0, 2, per_version=True, fmt="json",
+            use_changelog=True,
+        ).collect()

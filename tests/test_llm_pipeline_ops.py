@@ -268,6 +268,41 @@ def test_multimodal_ops_accept_dotted_id_column(spark):
         decode_stub(df, id_col="my.id")
 
 
+def test_multimodal_ops_accept_dotted_value_column(spark):
+    """ADVICE r9-1 (closed r11): the VALUE column rides the dot-free _MVAL
+    alias through every mapInPandas entry point too — a dotted top-level
+    text column through the encode builders (the only caller-named value
+    path; decode inputs are always the literal 'payload') must produce the
+    same payloads as its dot-free twin, and a dotted 'payload'-producing
+    chain keeps decoding end to end."""
+    from embulk_executor_mapreduce_spark.operators.multimodal import (
+        decode_image_stdlib,
+        encode_text_avi,
+        encode_text_jpeg,
+        encode_text_png,
+        encode_text_wav,
+    )
+
+    dotted = spark.createDataFrame(
+        [(7, "hello world")], "`doc.id` long, `my.text` string"
+    )
+    plain = spark.createDataFrame(
+        [(7, "hello world")], "id long, text string"
+    )
+    for enc in (encode_text_png, encode_text_wav, encode_text_jpeg,
+                encode_text_avi):
+        got = enc(dotted, text_col="my.text", id_col="doc.id")
+        want = enc(plain, text_col="text", id_col="id")
+        assert got.columns == ["doc.id", "payload"]
+        assert bytes(got.collect()[0].payload) == bytes(
+            want.collect()[0].payload
+        ), enc.__name__
+    # the dotted-built payload stays decodable
+    png = encode_text_png(dotted, text_col="my.text", id_col="doc.id")
+    row = decode_image_stdlib(png, id_col="doc.id").collect()[0]
+    assert (row.doc_id, row.width, row.height) == (7, 2, 2)
+
+
 def test_segment_features_bit_identical_to_scalar_reference():
     """r9 (_segment_features vectorization): the per-segment cumsum must
     add the same doubles in the same order as the scalar loop it replaced

@@ -265,3 +265,44 @@ def test_load_nanos_probe_ignores_duration_columns(spark, tmp_path):
     # whatever Spark surfaces duration as, the VALUES are elapsed time,
     # not 1970-adjacent wall clocks
     assert all(not hasattr(v, "year") for v in got)
+
+
+def test_load_nanos_normalization_exact_for_pre_epoch(spark, tmp_path):
+    """ADVICE r10: `x div 1000` truncates toward zero, so a PRE-EPOCH
+    (negative) nanos value with a sub-microsecond remainder would map one
+    µs late; the floor-division form `(x - pmod(x, 1000)) div 1000` must
+    floor exactly for both signs — pinned against Python's true floor on
+    values straddling the epoch with every remainder class."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from embulk_executor_mapreduce_spark.catalog import load
+
+    nanos = [
+        -1_500_000_123_457,  # pre-epoch, non-zero sub-µs remainder
+        -999,  # just below epoch, pure remainder
+        -1_000,
+        0,
+        999,
+        1_500_000_123_457,
+    ]
+    rows = pa.table(
+        {
+            "k": pa.array(range(len(nanos)), pa.int64()),
+            "ts": pa.array(nanos, pa.timestamp("ns")),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(rows, str(sf / "events.parquet"), version="2.6")
+    df = load(spark, str(sf), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    epoch = dt.datetime(1970, 1, 1)
+    got = {r.k: r.ts for r in df.collect()}
+    want = {
+        k: epoch + dt.timedelta(microseconds=n // 1000)  # Python // floors
+        for k, n in zip(range(len(nanos)), nanos)
+    }
+    assert got == want

@@ -1,0 +1,333 @@
+"""Declarative CDC source (``in: {type: table_changes}``) and the
+``drift_report`` gate stage (VERDICT r10 items 1 + 8): the merge sink's
+change feed read from pure YAML, composing with the existing filter
+surface, plus the Deequ-style "verification as part of the pipeline"
+story — a spec that fails a load when a commit drifts out of bounds."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from embulk_executor_mapreduce_spark.errors import (
+    ConfigError,
+    RemoteTaskFailedDataError,
+)
+from embulk_executor_mapreduce_spark.plans.compiler import (
+    compile_pipeline,
+    run_pipeline,
+    run_pipeline_streaming,
+)
+from embulk_executor_mapreduce_spark.sinks.changes import (
+    materialize_changes,
+    table_changes,
+)
+from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+from embulk_executor_mapreduce_spark.spec import SinkSpec, load_spec
+
+
+@pytest.fixture()
+def state3(spark):
+    """3-commit merge state: v1 updates k=3 and inserts k=100; v2 updates
+    k=5 (same construction family as tests/test_changes.py)."""
+    path = tempfile.mkdtemp(prefix="spec_cdc_state_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=8,
+        merge_keep_versions=3,
+    )
+    base = spark.createDataFrame(
+        [(k, 0, f"v{k}") for k in range(16)], "k bigint, o int, s string"
+    )
+    write_sink(base, sink)  # v0
+    write_sink(
+        spark.createDataFrame(
+            [(3, 0, "CHANGED"), (100, 0, "NEW")], "k bigint, o int, s string"
+        ),
+        sink,
+    )  # v1
+    write_sink(
+        spark.createDataFrame([(5, 0, "ALSO")], "k bigint, o int, s string"),
+        sink,
+    )  # v2
+    return path
+
+
+def _cdc_in(path, **over):
+    block = {
+        "type": "table_changes",
+        "path": path,
+        "keys": ["k"],
+        "from_version": 0,
+        "to_version": 2,
+        "per_version": True,
+    }
+    block.update(over)
+    return block
+
+
+def test_spec_cdc_source_matches_api_and_composes_with_filters(spark, state3):
+    """The YAML feed must equal the API feed bit for bit, and the filter
+    chain composes downstream (a consumer enriching / gating a feed writes
+    zero Python)."""
+    report = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": _cdc_in(state3),
+                "filters": [
+                    {"type": "filter", "predicate": "_change_type <> 'update_preimage'"},
+                    {
+                        "type": "with_column",
+                        "name": "is_insert",
+                        "expr": "_change_type = 'insert'",
+                    },
+                ],
+                "out": {"type": "memory", "options": {"view": "cdc_yaml"}},
+            }
+        ),
+    )
+    got = spark.table("cdc_yaml")
+    api = (
+        table_changes(spark, state3, ["k"], 0, 2, per_version=True)
+        .filter("_change_type <> 'update_preimage'")
+        .selectExpr("*", "_change_type = 'insert' as is_insert")
+    )
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+    assert got.columns == api.columns
+    assert key(got) == key(api)
+    assert report.output_rows == got.count() > 0
+
+
+def test_spec_cdc_source_net_endpoint_default(spark, state3):
+    """per_version defaults false: the net endpoint diff, no commit column."""
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "table_changes",
+                    "path": state3,
+                    "keys": ["k"],
+                    "from_version": 0,
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert "_commit_version" not in df.columns
+    assert "_change_type" in df.columns
+    assert df.count() > 0
+
+
+def test_spec_cdc_source_changelog_provenance(spark, state3):
+    """use_changelog: true through YAML serves the persisted files — the
+    scan reads only _changelog/ (the O(1)-plan-width path)."""
+    materialize_changes(spark, state3, ["k"])
+    df = compile_pipeline(
+        spark,
+        load_spec({"in": _cdc_in(state3, use_changelog=True), "out": {"type": "null"}}),
+    )
+    files = df.inputFiles()
+    assert files and all("/_changelog/" in f for f in files)
+
+
+def test_spec_cdc_source_validation_matrix(spark, state3):
+    """The plan-time ConfigError matrix (reference ConfigException parity:
+    a bad config never submits a job)."""
+    bad = [
+        ({"type": "table_changes", "keys": ["k"], "from_version": 0}, "path"),
+        (_cdc_in(state3, keys=[]), "keys"),
+        ({k: v for k, v in _cdc_in(state3).items() if k != "from_version"},
+         "from_version"),
+        (_cdc_in(state3, from_version=-1), "from_version"),
+        (_cdc_in(state3, to_version=0, from_version=2), "to_version"),
+        ({**_cdc_in(state3, use_changelog=True), "per_version": False},
+         "per_version"),
+        (_cdc_in(state3, options={"format": "avro"}), "format"),
+        (_cdc_in(state3, columns=[{"name": "k", "type": "long"}]), "columns"),
+        (_cdc_in(state3, stop_on_invalid_record=True), "invalid-record"),
+    ]
+    for block, needle in bad:
+        with pytest.raises(ConfigError, match=needle):
+            load_spec({"in": block, "out": {"type": "null"}})
+    # CDC-only fields on a non-CDC source are rejected too
+    with pytest.raises(ConfigError, match="table_changes"):
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": state3, "keys": ["k"]},
+                "out": {"type": "null"},
+            }
+        )
+
+
+def test_spec_cdc_source_not_streamable(spark, state3):
+    with pytest.raises(ConfigError, match="run_pipeline.*from_version"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": _cdc_in(state3),
+                    "out": {"type": "parquet", "path": tempfile.mkdtemp() + "/o"},
+                }
+            ),
+        )
+
+
+# ---------------------------------------------------------------------------
+# drift_report stage
+# ---------------------------------------------------------------------------
+
+
+def _drift_filters(gate=False, checks=None):
+    return [
+        {
+            "type": "drift_report",
+            "checks": checks
+            if checks is not None
+            else [
+                {"id": "rows", "kind": "row_delta", "lo": 0, "hi": 0},
+                {
+                    "id": "nulls",
+                    "kind": "null_delta",
+                    "column": "s",
+                    "lo": 0,
+                    "hi": 0,
+                },
+            ],
+            "gate": gate,
+        }
+    ]
+
+
+def test_spec_drift_report_stage_report_rows(spark, state3):
+    """gate: false → the stage replaces the feed with the tidy report;
+    v1's insert (k=100) lands row_delta=1 (out of the [0,0] bounds), v2's
+    pure update lands 0; null flips never happen so null_delta passes."""
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": _cdc_in(state3),
+                "filters": _drift_filters(),
+                "out": {"type": "memory", "options": {"view": "drift_yaml"}},
+            }
+        ),
+    )
+    rows = {
+        (r.constraint_id, r._commit_version): (r.metric, r.passed)
+        for r in spark.table("drift_yaml").collect()
+    }
+    assert rows == {
+        ("rows", 1): (1, False),
+        ("rows", 2): (0, True),
+        ("nulls", 1): (0, True),
+        ("nulls", 2): (0, True),
+    }
+
+
+def test_spec_drift_gate_fails_load_as_user_data_error(spark, state3):
+    """gate: true → the out-of-bounds commit fails the load in-plan, and
+    run_pipeline classifies it as a user-data failure (the reference's
+    user-data vs infra split, AttemptState.java:97-116)."""
+    with pytest.raises(RemoteTaskFailedDataError, match="drift_gate violation"):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": _cdc_in(state3),
+                    "filters": _drift_filters(gate=True),
+                    "out": {"type": "memory", "options": {"view": "gate_fail"}},
+                }
+            ),
+        )
+    # in-bounds checks sail through the same gate
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": _cdc_in(state3),
+                "filters": _drift_filters(
+                    gate=True,
+                    checks=[{"id": "rows", "kind": "row_delta", "lo": 0, "hi": 5}],
+                ),
+                "out": {"type": "memory", "options": {"view": "gate_ok"}},
+            }
+        ),
+    )
+    got = spark.table("gate_ok")
+    assert {(r.constraint_id, r._commit_version) for r in got.collect()} == {
+        ("rows", 1),
+        ("rows", 2),
+    }
+    assert all(r.passed for r in got.collect())
+
+
+def test_spec_drift_report_config_errors(spark, state3):
+    """The stage's own ConfigError matrix, including the not-a-CDC-feed
+    shape (drift over a plain parquet source is a spec bug, caught at
+    plan time, never a runtime AnalysisException)."""
+    cases = [
+        (_cdc_in(state3), [{"type": "drift_report"}], "checks"),
+        (_cdc_in(state3), _drift_filters(checks=[{"kind": "row_delta"}]), "lo"),
+        (
+            _cdc_in(state3),
+            _drift_filters(checks=[{"kind": "nope", "lo": 0, "hi": 0}]),
+            "unknown constraint kind",
+        ),
+        (
+            _cdc_in(state3),
+            _drift_filters(
+                checks=[{"kind": "null_delta", "column": "zz", "lo": 0, "hi": 0}]
+            ),
+            "missing from the feed",
+        ),
+        (
+            _cdc_in(state3),
+            _drift_filters(
+                checks=[{"kind": "not_null", "column": "s", "lo": 0, "hi": 0}]
+            ),
+            "not a drift kind",
+        ),
+    ]
+    for in_block, filters, needle in cases:
+        with pytest.raises(ConfigError, match=needle):
+            compile_pipeline(
+                spark,
+                load_spec(
+                    {"in": in_block, "filters": filters, "out": {"type": "null"}}
+                ),
+            )
+    # a non-CDC source under the stage: the feed lacks _change_type
+    src = tempfile.mkdtemp(prefix="drift_plain_") + "/t"
+    spark.createDataFrame([(1, "a")], "k long, s string").write.parquet(src)
+    with pytest.raises(ConfigError, match="per-version CDC feed"):
+        compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": _drift_filters(),
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+    # batch-only: the streaming front door rejects it up front
+    with pytest.raises(ConfigError, match="not streamable"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": _drift_filters(),
+                    "out": {"type": "parquet", "path": src + "_o"},
+                }
+            ),
+        )
