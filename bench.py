@@ -103,6 +103,13 @@ HEADLINE = [
     # stage types; the partitioned flagship with sink read-back)
     "spec_prep_pipeline",
     "spec_partitioned_pipeline",
+    # round 11 additions: the declarative CDC source and the drift-check
+    # pass over the persisted changelog. Both share one memoized 3-version
+    # state build (catalog._cdc_three_version_state), so each entry prices
+    # its own feature — the first CDC-family entry of the run pays the
+    # build (same amortization story as b4d's untimed materialize)
+    "spec_cdc_source_pipeline",
+    "cdc_drift_report",
 ]
 
 SMALL_RESULT = {
@@ -521,6 +528,10 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
     )  # v2, untimed
 
     def b4c():
+        # use_changelog=False BY CONSTRUCTION (ADVICE r10): this entry
+        # prices the pair-diff RECOMPUTE; the default (auto) would silently
+        # serve the changelog if any ordering change put b4d's materialize
+        # before this runs, collapsing the b4c-vs-b4d comparison.
         return _timed(
             lambda: table_changes(
                 spark,
@@ -529,6 +540,7 @@ def _pipeline_benches(spark, sf_dir: str, tmp: str, rec: _Recorder) -> None:
                 from_version=0,
                 to_version=2,
                 per_version=True,
+                use_changelog=False,
             ).collect()
         )
 
@@ -846,9 +858,18 @@ def main() -> None:
     detail = {
         "metric": "catalog_headline_total",
         "value": total,
-        # per-entry times divided by their own probe segment's drift ratio —
-        # the round-over-round comparable number on a drifting host
+        # per-entry times divided by their own probe segment's drift ratio.
+        # INFORMATIONAL ONLY since r11 (VERDICT r10 item 5): the pure-CPU
+        # probe systematically mis-scales I/O-heavy entries — on the r10
+        # seal day two same-tree runs agreed on RAW within 2.1% while
+        # normalized disagreed 14%, because the probe read the host 0.93 vs
+        # 1.10 while the entries ran at identical speed. The DOCUMENTED
+        # regression signal is per-entry raw A/Bs cross-checked against
+        # module byte-identity (BASELINE.md "Reading the bench"): a real
+        # regression shows as an outlier entry on changed code; uniform
+        # ratio shifts on byte-identical code are host drift.
         "value_normalized": total_normalized,
+        "value_normalized_informational": True,
         "drift_probe_sec": {
             "start": probe_start,
             "end": probe_end,
@@ -889,7 +910,12 @@ def main() -> None:
             "entries and value_normalized sums each entry divided by its "
             "own probe-segment ratio (min-of-endpoints overcorrected under "
             "intra-run drift); drift_ratio is the probe mean over the "
-            "pinned reference, informational"
+            "pinned reference, informational. r11 formally demotes "
+            "value_normalized to informational too (a CPU-only probe "
+            "mis-scales I/O-heavy entries — r10 seal day: raw within 2.1% "
+            "across two same-tree runs, normalized apart 14%); the "
+            "regression signal is per-entry raw A/Bs against module "
+            "byte-identity, per BASELINE.md"
         ),
     }
     # VERDICT r4 finding 1: BENCH_r04.json was driver-unparseable because the

@@ -936,7 +936,6 @@ def q_dedup_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash pins the operator AND the sink's on-disk truth together
     (cf. embulk-executor-mapreduce's golden e2e multiset contract,
     TestMapReduceExecutor.java:311-331)."""
-    import tempfile
 
     from .operators.dedup import incremental_minhash_dedup
     from .sinks.writer import read_merge_state, write_sink
@@ -2297,7 +2296,6 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2 parity through the engine itself: parquet → csv sink → csv source
     (declared schema, timestamp format) → aggregate. The oracle sees only the
     original table — so the round trip must be lossless."""
-    import tempfile
 
     from .plans.compiler import compile_pipeline, run_pipeline
     from .spec import load_spec
@@ -2356,7 +2354,6 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     timestampFormat defaults and surrounding-whitespace fidelity
     (ignoreSurroundingSpaces off — the reader default trims values). The
     oracle sees only the original table, so the trip must be lossless."""
-    import tempfile
 
     from .plans.compiler import compile_pipeline, run_pipeline
     from .spec import load_spec
@@ -2828,7 +2825,6 @@ def q_semantic_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means, both cosine assignments, within-batch and vs-state first-wins
     drops — so the hash pins the operator AND the sink round-trip (centroid
     parquet + merge manifest) together."""
-    import tempfile
 
     from .operators.dedup import incremental_semantic_dedup
     from .sinks.writer import read_merge_state, write_sink
@@ -2887,7 +2883,6 @@ def q_semantic_dedup_two_level_incremental(
     oracle replays both increments — unrolled two-level training, all four
     assignments, within-leaf and vs-state first-wins drops — pinning the
     operator AND the sink round-trip together."""
-    import tempfile
 
     from .operators.dedup import incremental_semantic_dedup_two_level
     from .sinks.writer import read_merge_state, write_sink
@@ -3139,7 +3134,6 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines sink → source round trip through the engine (declared
     schema on read, like the reference's config-declared columns). The
     oracle sees only the original table, so the trip must be lossless."""
-    import tempfile
 
     from .plans.compiler import compile_pipeline, run_pipeline
     from .spec import load_spec
@@ -3492,7 +3486,6 @@ def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC sink → source round trip through the engine (third columnar
     format after parquet/csv/json; oracle sees only the original table)."""
-    import tempfile
 
     from .plans.compiler import compile_pipeline, run_pipeline
     from .spec import load_spec
@@ -3995,7 +3988,6 @@ def q_spec_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     id-keyed shuffle, both anti-join stages shuffle on high-cardinality
     gram/band keys with eval-set-sized build sides, chunk fans out inside
     codegen."""
-    import tempfile
 
     from .plans.compiler import compile_pipeline
     from .spec import load_spec
@@ -4071,7 +4063,6 @@ def q_spec_partitioned_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     wanted parallelism (each file a reduce task's output), but at catalog
     scale an unbounded month costs ~2900 near-empty file commits that
     price filesystem overhead, not the engine."""
-    import tempfile
 
     from .plans.compiler import run_pipeline
     from .spec import load_spec
@@ -4737,7 +4728,6 @@ def q_merge_upsert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     (merge_order, generation, payload) with batch 2 beating stored state on
     order ties. Round 2 covered this surface with pytest only; this row puts
     the sink's on-disk truth under the hash gate."""
-    import tempfile
 
     from .sinks.writer import MERGE_BUCKET_COL, read_merge_state, write_sink
     from .spec import SinkSpec
@@ -4787,7 +4777,6 @@ def q_dynamic_overwrite_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overwrite replaced exactly one directory. A static overwrite would
     truncate the other partitions and fail the row count; rewriting the
     wrong partition would fail the hash."""
-    import tempfile
 
     from .sinks.writer import write_sink
     from .spec import SinkSpec
@@ -5276,7 +5265,6 @@ def q_merge_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hash pins bucket pruning + join classification end to end (a
     pruning bug that dropped a changed bucket, or a classifier that
     mislabeled an update, flips the hash)."""
-    import tempfile
 
     from .sinks.changes import table_changes
     from .sinks.writer import write_sink
@@ -5355,16 +5343,30 @@ _CDC_PER_VERSION_ORACLE = """
     """
 
 
+_CDC_STATE_CACHE: dict[str, str] = {}
+
+
 def _cdc_three_version_state(spark: SparkSession, sf_dir: str) -> str:
-    """The shared 3-version merge state behind both per-version CDC rows:
+    """The shared 3-version merge state behind the per-version CDC rows:
     v1 updates every third doc and inserts a few new keys; v2 reverts half
     of v1's updates byte-identically (constant ``merge_order`` → incoming
     wins ties) and applies a second update wave. The revert makes the
-    per-commit feed provably different from the net endpoint diff."""
-    import tempfile
+    per-commit feed provably different from the net endpoint diff.
+
+    Memoized per ``sf_dir`` within a process (r11): the construction is
+    deterministic and every consumer treats the state as read-only or
+    touches it idempotently (``materialize_changes`` rewrites nothing
+    committed), so the four CDC/drift rows share one build — each bench
+    entry then prices ITS OWN feature, with the build amortized into the
+    first consumer instead of repeated per row."""
+    import os
 
     from .sinks.writer import write_sink
     from .spec import SinkSpec
+
+    cached = _CDC_STATE_CACHE.get(sf_dir)
+    if cached is not None and os.path.isdir(cached):
+        return cached
 
     d = load(spark, sf_dir, "documents").select(
         "doc_id",
@@ -5398,6 +5400,7 @@ def _cdc_three_version_state(spark: SparkSession, sf_dir: str) -> str:
     )
     for batch in (d, b1, b2):
         write_sink(batch, sink)
+    _CDC_STATE_CACHE[sf_dir] = path
     return path
 
 
@@ -5462,6 +5465,128 @@ def q_cdc_persisted_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         to_version=2,
         per_version=True,
         use_changelog=True,
+    )
+
+
+_SPEC_CDC_SOURCE_ORACLE = f"""
+    WITH feed AS ({_CDC_PER_VERSION_ORACLE})
+    SELECT doc_id, val, mo, _change_type, _commit_version,
+           (_change_type = 'insert') AS is_insert
+    FROM feed
+    WHERE _change_type <> 'update_preimage'
+    """
+
+
+@register(
+    "spec_cdc_source_pipeline",
+    oracle=_SPEC_CDC_SOURCE_ORACLE,
+    tags=("spec", "etl", "cdc", "front-door"),
+)
+def q_spec_cdc_source_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC feed as a DECLARATIVE source (VERDICT r10 item 1, closing
+    the r9 item 6 deferral): ``in: {type: table_changes, ...}`` through
+    ``load_spec → compile_pipeline`` over the same replayed 3-version
+    state, with ``use_changelog: true`` pinning the persisted-changelog
+    provenance from pure YAML (materialized first — the O(1)-plan-width
+    scan path) and the ordinary filter stages composing downstream
+    (preimages dropped, an ``is_insert`` enrichment column appended) — a
+    warehouse consumer writes zero Python to gate or enrich a feed, the
+    reference's config-first UX
+    (``TEST/resources/config/embulk_mapred_config.yml``). The oracle
+    replays all three snapshots and applies the same stage algebra, so a
+    wrong provenance, a mis-parsed spec field, or a stage ordering bug all
+    flip the hash."""
+    from .plans.compiler import compile_pipeline
+    from .sinks.changes import materialize_changes
+    from .spec import load_spec
+
+    path = _cdc_three_version_state(spark, sf_dir)
+    materialize_changes(spark, path, ["doc_id"])
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "table_changes",
+                    "path": path,
+                    "keys": ["doc_id"],
+                    "from_version": 0,
+                    "to_version": 2,
+                    "per_version": True,
+                    "use_changelog": True,
+                },
+                "filters": [
+                    {
+                        "type": "filter",
+                        "predicate": "_change_type <> 'update_preimage'",
+                    },
+                    {
+                        "type": "with_column",
+                        "name": "is_insert",
+                        "expr": "_change_type = 'insert'",
+                    },
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
+_CDC_DRIFT_ORACLE = """
+    WITH ins AS (
+      SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id % 97 = 0
+    )
+    SELECT 'rows' AS constraint_id, 'state' AS tbl, '' AS col,
+           'row_delta' AS kind, 1::BIGINT AS _commit_version,
+           (SELECT n FROM ins) AS metric, (SELECT n FROM ins) = 0 AS passed
+    UNION ALL
+    SELECT 'rows', 'state', '', 'row_delta', 2::BIGINT, 0::BIGINT, TRUE
+    UNION ALL
+    SELECT 'nulls', 'state', 'val', 'null_delta', 1::BIGINT, 0::BIGINT, TRUE
+    UNION ALL
+    SELECT 'nulls', 'state', 'val', 'null_delta', 2::BIGINT, 0::BIGINT, TRUE
+    """
+
+
+@register(
+    "cdc_drift_report",
+    oracle=_CDC_DRIFT_ORACLE,
+    tags=("etl", "cdc", "quality", "drift"),
+)
+def q_cdc_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-version drift checks over the 3-version CDC state (VERDICT
+    r10 item 6 — the last r10 module surface without its own driver row):
+    ``row_delta`` bounds (0, 0) catch v1's inserts (every ``doc_id % 97``
+    key → metric > 0, ``passed`` false) while v2's pure update wave nets 0
+    and passes; ``null_delta`` on ``val`` stays 0 for both commits (no
+    null flips exist in this state — the closed-form zero IS the
+    expectation, pinned by the oracle). The feed is served from the
+    persisted changelog (materialize + ``use_changelog=True``), so the
+    whole driver plan is a pruned ``_changelog/`` scan into ONE fused
+    ``groupBy(_commit_version)`` pass — N checks = one map-side-combinable
+    exchange, plan-guarded in tests/test_plan_quality.py. The closed-form
+    oracle derives both commits' metrics from the documents table
+    directly (v1 row_delta = the insert count; everything else 0)."""
+    from .operators.constraints import Check, drift_report
+    from .sinks.changes import materialize_changes, table_changes
+
+    path = _cdc_three_version_state(spark, sf_dir)
+    materialize_changes(spark, path, ["doc_id"])
+    feed = table_changes(
+        spark,
+        path,
+        ["doc_id"],
+        from_version=0,
+        to_version=2,
+        per_version=True,
+        use_changelog=True,
+    )
+    return drift_report(
+        feed,
+        [
+            Check("rows", "state", "row_delta", params=(0, 0)),
+            Check("nulls", "state", "null_delta", column="val", params=(0, 0)),
+        ],
     )
 
 

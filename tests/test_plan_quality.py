@@ -554,6 +554,38 @@ def test_cdc_persisted_changes_read_plan_is_pure_scan(spark):
     assert files and all("/_changelog/" in f for f in files)
 
 
+def test_cdc_drift_report_driver_plan_one_exchange_pure_scan(spark):
+    """VERDICT r10 item 6: the cdc_drift_report catalog row's WHOLE plan is
+    a pruned _changelog/ scan into one fused groupBy(_commit_version) pass
+    — N drift checks cost exactly ONE exchange, no joins (the feed is the
+    persisted changelog, not the pair-diff recompute), no Python."""
+    from embulk_executor_mapreduce_spark import catalog
+
+    df = catalog.entries()["cdc_drift_report"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+    files = df.inputFiles()
+    assert files and all("/_changelog/" in f for f in files)
+
+
+def test_spec_cdc_source_pipeline_plan_stays_pure_scan(spark):
+    """VERDICT r10 item 1: the declarative table_changes source adds no
+    plan weight over the API — the YAML row's filter+enrichment stages
+    fold into the changelog scan (no exchange at all: predicates and
+    projections ride the scan stage), and no joins/Python appear."""
+    from embulk_executor_mapreduce_spark import catalog
+
+    df = catalog.entries()["spec_cdc_source_pipeline"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 0, plan
+    assert "Join" not in plan
+    assert "Python" not in plan
+    files = df.inputFiles()
+    assert files and all("/_changelog/" in f for f in files)
+
+
 def test_spec_partitioned_pipeline_compiled_plan_one_exchange(spark):
     """VERDICT r9 item 2: the partitioned YAML flagship compiles to the
     reference's map+shuffle+reduce shape — exactly ONE exchange (the
