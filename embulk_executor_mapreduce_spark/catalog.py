@@ -5795,66 +5795,72 @@ def q_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
 # round no evidence is older than r08), then 4 spare slots on the oldest
 # r08 rows. 2+1+3+40+4 = exactly 50.
 _VERIFY_FIRST = (
-    # r10 changed code: persisted per-commit change files + long
-    # _commit_version (sinks/changes.py)
+    # new in round 11: the declarative CDC source (VERDICT r10 item 1) and
+    # the drift-check pass over the persisted changelog (item 6)
+    "spec_cdc_source_pipeline",
+    "cdc_drift_report",
+    # r11 changed code, sinks/changes.py (retention + repair-race +
+    # auto-mode merge-compat degrade): the three CDC rows
     "merge_table_changes",
     "cdc_per_version_changes",
-    # r10 changed code: drift constraints (operators/constraints.py);
-    # also the oldest r07 backlog row
-    "dq_constraint_report",
-    # new in round 10
     "cdc_persisted_changes",
+    # r11 changed code, spec.py/plans/compiler.py (table_changes source,
+    # drift_report stage) + sources/readers.py + the catalog scratch-dir
+    # conversion: the whole spec/engine-source surface (10 of these are
+    # also the r08 backlog)
     "spec_prep_pipeline",
     "spec_partitioned_pipeline",
-    # stale backlog: the remaining 40 r07 rows (oldest evidence drains to
-    # zero this round)
-    "contamination_ngram",
-    "cube_status_priority",
-    "distinct_aggs",
-    "exact_percentiles",
-    "exists_big_orders",
-    "functions_datetime_gauntlet",
-    "functions_math_gauntlet",
-    "functions_string_gauntlet",
-    "funnel_signup_purchase",
-    "gapfill_hourly",
-    "grouping_sets_revenue",
-    "hash_sample_10pct",
-    "json_props_extract",
-    "language_id",
-    "levenshtein_near_names",
-    "line_dedup_c4",
-    "null_scalar_gauntlet",
-    "pack_sequences",
-    "pii_scrub_props",
-    "pivot_linestatus",
-    "q3_segment_revenue",
-    "quality_prune_per_source",
-    "quality_repetition",
-    "quality_score",
-    "retention_cohorts",
-    "sample_k_per_group",
-    "scalar_subquery_above_avg",
-    "semi_anti_join",
-    "setops_segments",
-    "stream_dedup_events",
-    "stream_hourly_counts",
-    "stream_purchase_signup_join",
-    "stream_session_windows",
-    "stream_sliding_enriched",
-    "stream_user_rollup",
-    "text_fingerprint",
-    "text_stats",
-    "token_count_bpe",
-    "vocab_topk",
-    "zscore_per_user",
-    # spare slots: the 4 oldest r08 rows by name (csv/xml engine
-    # roundtrips, task source, filter_chain — the spec-surface block r11's
-    # planned spec.py edit will flag anyway)
+    "spec_front_door_pipeline",
+    "spec_join_aggregate",
+    "spec_dedup_sql",
+    "spec_training_prep",
     "csv_engine_roundtrip",
+    "xml_engine_roundtrip",
+    "jsonl_engine_roundtrip",
+    "orc_engine_roundtrip",
     "filter_chain",
     "task_source_generate",
-    "xml_engine_roundtrip",
+    "dedup_incremental_state",
+    "semantic_dedup_incremental_state",
+    "semantic_dedup_two_level_incremental_state",
+    "merge_upsert_state",
+    "dynamic_overwrite_state",
+    # r11 changed code, operators/multimodal.py (_MVAL value-column alias,
+    # ADVICE r9-1): every row importing the module
+    "multimodal_decode",
+    "multimodal_decode_png",
+    "multimodal_decode_jpeg",
+    "multimodal_decode_wav",
+    "multimodal_decode_video",
+    "multimodal_resize",
+    "multimodal_resize_real",
+    "multimodal_frames",
+    "audio_features_wav",
+    "audio_quality_screen",
+    # r08 evidence drain (VERDICT r10 item 3): 18 of the 25 remaining r08
+    # rows; the 7 leftovers (approx_distinct_users, stats_aggs,
+    # unpivot_measures, rollup_order_priority, value_histogram,
+    # range_join_value_tiers, outer_join_customer_orders — all pure
+    # relational rows no module edit can flag) hold r08 until r12, window
+    # arithmetic in CHANGES_r11.md
+    "bucket_hour",
+    "bucket_day",
+    "q1_pricing_summary",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "window_running_sum",
+    "window_frames_gauntlet",
+    "scd2_customer_history",
+    "session_paths_topk",
+    "embedding_centroids",
+    "quantize_embeddings_int8",
+    "tfidf_top_terms",
+    "stratified_sample_sources",
+    "train_val_test_split",
+    "training_shuffle_shards",
+    "upsample_by_weight",
+    "url_canonical_dedup",
+    "url_registrable_psl",
 )
 
 
