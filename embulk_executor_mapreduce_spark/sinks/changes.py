@@ -377,18 +377,29 @@ def materialize_changes(
     to_v = current if through_version is None else through_version
     cdir = os.path.join(local, CHANGELOG_DIR)
     os.makedirs(cdir, exist_ok=True)
-    # sweep crash-orphaned scratch dirs (stale by mtime, same rule as the
-    # sink GC's in-progress attempts — a FRESH one belongs to a live
-    # concurrent materializer and is never touched)
+    # sweep crash-orphaned scratch dirs and repair-aside marker files
+    # (stale by mtime, same rule as the sink GC's in-progress attempts —
+    # a FRESH one belongs to a live concurrent materializer/repairer and
+    # is never touched). `.repair-` asides are the marker-without-data
+    # protocol's scratch (below): a crash between the rename-aside and
+    # its removal would otherwise leave the file forever.
     for name in os.listdir(cdir):
-        if name.startswith(_CHANGELOG_INPROGRESS):
+        is_scratch_dir = name.startswith(_CHANGELOG_INPROGRESS)
+        is_repair_file = ".repair-" in name
+        if is_scratch_dir or is_repair_file:
             full = os.path.join(cdir, name)
             try:
                 stale = time.time() - os.path.getmtime(full) > _CHANGELOG_STALE_SEC
             except OSError:
                 continue
             if stale:
-                shutil.rmtree(full, ignore_errors=True)
+                if is_scratch_dir:
+                    shutil.rmtree(full, ignore_errors=True)
+                else:
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
     done: list[int] = []
     for v in range(1, to_v + 1):
         if not (

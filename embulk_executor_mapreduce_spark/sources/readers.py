@@ -445,6 +445,15 @@ def read_source(
         # the source dispatch's optional branches.
         from ..sinks.changes import table_changes
 
+        # re-assert the required fields here: the `join` filter stage
+        # parses its lookup-side source straight through source_from →
+        # read_source, bypassing PipelineSpec.validate() — a malformed
+        # CDC block must still fail as config, not as a TypeError inside
+        # table_changes
+        if not spec.path or not spec.keys or spec.from_version is None:
+            raise ConfigError(
+                "table_changes source requires path, keys and from_version"
+            )
         return table_changes(
             spark,
             spec.path,
