@@ -5784,16 +5784,16 @@ def q_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Registration-order priority: the round driver snapshots only the FIRST 50
-# registered queries. Round-10 rotation (VERDICT r9 items 1-3, 5): changed
-# code outranks everything — the persisted-changelog extension + the
-# _commit_version long cast (sinks/changes.py, ADVICE r9-3) flag
-# merge_table_changes + cdc_per_version_changes; the cross-version drift
-# constraints (operators/constraints.py) flag dq_constraint_report (itself
-# r07 backlog). Then the 3 new r10 queries (the remaining-six-stages YAML
-# prep chain, the partitioned YAML flagship, the persisted CDC feed), then
-# the ENTIRE remaining r07 backlog (40 rows — VERDICT item 5: after this
-# round no evidence is older than r08), then 4 spare slots on the oldest
-# r08 rows. 2+1+3+40+4 = exactly 50.
+# registered queries. Round-11 rotation (VERDICT r10 items 1-3, 6): changed
+# code outranks everything — the spec.py/plans/compiler.py/sources/readers
+# edits (declarative table_changes source + drift_report stage) flag 18
+# rows (10 of them the r08 backlog), the operators/multimodal.py _MVAL
+# value alias (ADVICE r9-1) flags 10, and the sinks/changes.py
+# retention/repair/degrade work flags the 3 CDC rows (1 shared with the
+# spec set). Then the 2 new r11 queries (the YAML CDC source row, the
+# drift-report row), then 18 spare slots draining the r08 backlog.
+# 2+18+10+2+18 = exactly 50; the 7 r08 leftovers (pure relational rows no
+# module edit can flag) are named in CHANGES_r11.md and hold until r12.
 _VERIFY_FIRST = (
     # new in round 11: the declarative CDC source (VERDICT r10 item 1) and
     # the drift-check pass over the persisted changelog (item 6)

@@ -66,6 +66,7 @@ COMMIT_VERSION_COL = "_commit_version"
 #: changelog survives snapshot retention by design.
 CHANGELOG_DIR = "_changelog"
 _CHANGELOG_INPROGRESS = ".inprogress-"
+_CHANGELOG_EXPIRED = ".expired-"
 # an UNMARKED changelog artifact (scratch dir or renamed-but-unmarked data
 # dir) younger than this belongs to a live concurrent materializer; older
 # is a crash orphan and gets swept/rebuilt
@@ -245,7 +246,11 @@ def _changelog_merge_compatible(local: str, versions: list[int]) -> bool:
             if not parts:
                 continue  # empty diff: nothing to conflict
             schema = pq.read_schema(os.path.join(ddir, sorted(parts)[0]))
-        except OSError:
+        except Exception:  # noqa: BLE001 — unreadable = incompatible
+            # not just OSError: pyarrow raises ArrowInvalid (a ValueError)
+            # on a corrupt/truncated footer, and the contract here is that
+            # ANY unreadable footer degrades the auto-mode read to the
+            # recompute path rather than erroring (r11 review finding 2)
             return False
         for f in schema:
             if f.name in seen and seen[f.name] != f.type:
@@ -286,14 +291,21 @@ def expire_changelog(path: str, before_version: int) -> list[int]:
     Removal order per version: marker FIRST, then the data dir — a
     concurrent ``use_changelog=None`` reader that loses the race sees a
     missing marker and degrades to the pair-diff recompute (or, past
-    manifest retention, the documented version-not-retained error); it
-    never scans a half-deleted dir, because coverage is checked before the
-    read and requires marker AND data. A crash between the two steps
-    leaves an unmarked data dir, which the next ``expire_changelog`` call
-    sweeps (data dirs below the cutoff are removed regardless of marker
-    presence)."""
+    manifest retention, the documented version-not-retained error). The
+    data dir itself is removed by an ATOMIC rename to an ``.expired-``
+    scratch name before the recursive delete (r11 review finding 1: a
+    bare rmtree deletes part files one by one, so a reader that passed
+    the coverage check an instant earlier could list a half-deleted dir
+    and silently serve a partial commit — after the rename it either
+    sees the dir whole or not at all; a read whose resolved file list
+    already pointed inside fails LOUDLY at scan instead). A crash
+    between the steps leaves an unmarked data dir or an ``.expired-``
+    orphan; the next ``expire_changelog`` call sweeps the former (data
+    dirs below the cutoff go regardless of marker presence) and
+    ``materialize_changes``' stale sweep the latter."""
     import re
     import shutil
+    import uuid
 
     local = _local(path)
     cdir = os.path.join(local, CHANGELOG_DIR)
@@ -315,11 +327,17 @@ def expire_changelog(path: str, before_version: int) -> list[int]:
             except FileNotFoundError:
                 pass  # concurrent expire got it first
         if v in data:
+            ddir = _changelog_data_dir(local, v)
+            aside = os.path.join(
+                cdir, f"{_CHANGELOG_EXPIRED}v{v}-{uuid.uuid4().hex[:12]}"
+            )
             try:
-                shutil.rmtree(_changelog_data_dir(local, v))
+                os.rename(ddir, aside)
                 removed.add(v)
             except FileNotFoundError:
-                pass
+                pass  # concurrent expire got it first
+            else:
+                shutil.rmtree(aside, ignore_errors=True)
     return sorted(removed)
 
 
@@ -377,14 +395,16 @@ def materialize_changes(
     to_v = current if through_version is None else through_version
     cdir = os.path.join(local, CHANGELOG_DIR)
     os.makedirs(cdir, exist_ok=True)
-    # sweep crash-orphaned scratch dirs and repair-aside marker files
-    # (stale by mtime, same rule as the sink GC's in-progress attempts —
-    # a FRESH one belongs to a live concurrent materializer/repairer and
-    # is never touched). `.repair-` asides are the marker-without-data
-    # protocol's scratch (below): a crash between the rename-aside and
-    # its removal would otherwise leave the file forever.
+    # sweep crash-orphaned scratch dirs (.inprogress- writes, .expired-
+    # expiry asides) and repair-aside marker files — all stale by mtime,
+    # same rule as the sink GC's in-progress attempts: a FRESH one belongs
+    # to a live concurrent materializer/expirer/repairer and is never
+    # touched. A crash between each protocol's rename and its removal
+    # would otherwise leave the artifact forever.
     for name in os.listdir(cdir):
-        is_scratch_dir = name.startswith(_CHANGELOG_INPROGRESS)
+        is_scratch_dir = name.startswith(
+            (_CHANGELOG_INPROGRESS, _CHANGELOG_EXPIRED)
+        )
         is_repair_file = ".repair-" in name
         if is_scratch_dir or is_repair_file:
             full = os.path.join(cdir, name)
@@ -401,7 +421,14 @@ def materialize_changes(
                     except OSError:
                         pass
     done: list[int] = []
-    for v in range(1, to_v + 1):
+    # under keep_versions only the newest N commits can survive the expiry
+    # below, and retained manifest pairs are a SUFFIX of history (the sink
+    # GC keeps the newest merge_keep_versions manifests), so versions below
+    # the cutoff would be built and then deleted seconds later — skip them
+    # up front (r11 review finding 3: a 1000-commit catch-up with
+    # keep_versions=10 must run ~10 diff jobs, not ~1000)
+    start = 1 if keep_versions is None else max(1, to_v - keep_versions + 1)
+    for v in range(start, to_v + 1):
         if not (
             os.path.exists(_manifest_path(local, v - 1))
             and os.path.exists(_manifest_path(local, v))

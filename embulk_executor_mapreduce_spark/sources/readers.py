@@ -444,16 +444,14 @@ def read_source(
         # out of this module's import graph is the established pattern for
         # the source dispatch's optional branches.
         from ..sinks.changes import table_changes
+        from ..spec import validate_table_changes_source
 
-        # re-assert the required fields here: the `join` filter stage
+        # re-run the FULL config matrix here: the `join` filter stage
         # parses its lookup-side source straight through source_from →
         # read_source, bypassing PipelineSpec.validate() — a malformed
-        # CDC block must still fail as config, not as a TypeError inside
-        # table_changes
-        if not spec.path or not spec.keys or spec.from_version is None:
-            raise ConfigError(
-                "table_changes source requires path, keys and from_version"
-            )
+        # CDC block must still fail as config with the same messages, not
+        # as a ValueError/AnalysisException inside table_changes
+        validate_table_changes_source(spec)
         return table_changes(
             spark,
             spec.path,

@@ -222,50 +222,7 @@ class PipelineSpec:
         if self.source.type == "csv" and not self.source.columns:
             raise ConfigError("csv source requires an explicit columns schema")
         if self.source.type == "table_changes":
-            src = self.source
-            if not src.keys:
-                raise ConfigError(
-                    "table_changes source requires 'keys' (the merge sink's "
-                    "merge_key columns)"
-                )
-            if src.from_version is None:
-                raise ConfigError(
-                    "table_changes source requires 'from_version' (the "
-                    "feed covers (from_version, to_version], to_version "
-                    "defaulting to the state's current commit)"
-                )
-            if src.from_version < 0:
-                raise ConfigError(
-                    f"from_version must be >= 0, got {src.from_version}"
-                )
-            if src.to_version is not None and src.to_version < src.from_version:
-                raise ConfigError(
-                    f"to_version {src.to_version} < from_version "
-                    f"{src.from_version}"
-                )
-            if src.use_changelog is not None and not src.per_version:
-                raise ConfigError(
-                    "use_changelog requires per_version: true (the net "
-                    "endpoint feed is a two-snapshot diff, not a replay of "
-                    "per-commit files)"
-                )
-            fmt = src.options.get("format", "parquet")
-            if fmt not in ("parquet", "orc", "csv", "json"):
-                raise ConfigError(
-                    f"table_changes options.format must be one of "
-                    f"parquet|orc|csv|json (the merge sink's storage "
-                    f"format), got {fmt!r}"
-                )
-            if src.columns:
-                raise ConfigError(
-                    "table_changes source takes its schema from the merge "
-                    "state; 'columns' is not configurable"
-                )
-            if src.stop_on_invalid_record or src.invalid_record_path:
-                raise ConfigError(
-                    "invalid-record policy does not apply to a table_changes "
-                    "source (the feed reads committed state, not raw records)"
-                )
+            validate_table_changes_source(self.source)
         elif (
             self.source.keys
             or self.source.from_version is not None
@@ -389,6 +346,60 @@ class PipelineSpec:
                 )
 
 
+def validate_table_changes_source(src: SourceSpec) -> None:
+    """The full plan-time ConfigError matrix for a ``table_changes``
+    source block. Module-level (not inlined in PipelineSpec.validate)
+    because the ``join`` filter stage parses its lookup-side source
+    through ``source_from → read_source`` WITHOUT a PipelineSpec — the
+    reader re-runs this so a malformed CDC join-source still fails as
+    config, never as a ValueError/AnalysisException deep inside
+    ``sinks.changes.table_changes`` (r11 review finding 4)."""
+    if not src.path:
+        raise ConfigError("table_changes source requires a path")
+    if not src.keys or isinstance(src.keys, str):
+        # isinstance: YAML `keys: doc_id` (scalar instead of list) would
+        # otherwise iterate as single CHARACTERS and fail later with an
+        # unresolvable-column error (r11 review finding 5)
+        raise ConfigError(
+            "table_changes source requires 'keys' as a LIST of the merge "
+            "sink's merge_key column names"
+        )
+    if src.from_version is None:
+        raise ConfigError(
+            "table_changes source requires 'from_version' (the feed "
+            "covers (from_version, to_version], to_version defaulting to "
+            "the state's current commit)"
+        )
+    if src.from_version < 0:
+        raise ConfigError(f"from_version must be >= 0, got {src.from_version}")
+    if src.to_version is not None and src.to_version < src.from_version:
+        raise ConfigError(
+            f"to_version {src.to_version} < from_version {src.from_version}"
+        )
+    if src.use_changelog is not None and not src.per_version:
+        raise ConfigError(
+            "use_changelog requires per_version: true (the net endpoint "
+            "feed is a two-snapshot diff, not a replay of per-commit files)"
+        )
+    fmt = src.options.get("format", "parquet")
+    if fmt not in ("parquet", "orc", "csv", "json"):
+        raise ConfigError(
+            f"table_changes options.format must be one of "
+            f"parquet|orc|csv|json (the merge sink's storage format), "
+            f"got {fmt!r}"
+        )
+    if src.columns:
+        raise ConfigError(
+            "table_changes source takes its schema from the merge state; "
+            "'columns' is not configurable"
+        )
+    if src.stop_on_invalid_record or src.invalid_record_path:
+        raise ConfigError(
+            "invalid-record policy does not apply to a table_changes "
+            "source (the feed reads committed state, not raw records)"
+        )
+
+
 def _columns_from(raw: list[dict[str, Any]]) -> tuple[ColumnSpec, ...]:
     out = []
     for c in raw:
@@ -404,6 +415,15 @@ def source_from(raw: dict[str, Any]) -> SourceSpec:
     src_raw = dict(raw)
     from_v = src_raw.pop("from_version", None)
     to_v = src_raw.pop("to_version", None)
+    keys_raw = src_raw.pop("keys", ())
+    if isinstance(keys_raw, str):
+        # tuple('doc_id') would explode a scalar YAML `keys:` into single
+        # characters BEFORE validation could see the mistake — reject the
+        # shape at parse time with the field named (r11 review finding 5)
+        raise ConfigError(
+            "source 'keys' must be a LIST of column names, got the string "
+            f"{keys_raw!r}"
+        )
     return SourceSpec(
         type=src_raw.pop("type", "parquet"),
         path=src_raw.pop("path", None),
@@ -412,7 +432,7 @@ def source_from(raw: dict[str, Any]) -> SourceSpec:
         invalid_record_path=src_raw.pop("invalid_record_path", None),
         task_count=src_raw.pop("task_count", None),
         table=src_raw.pop("table", None),
-        keys=tuple(src_raw.pop("keys", ())),
+        keys=tuple(keys_raw),
         from_version=None if from_v is None else int(from_v),
         to_version=None if to_v is None else int(to_v),
         per_version=bool(src_raw.pop("per_version", False)),

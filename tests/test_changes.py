@@ -914,3 +914,94 @@ def test_changelog_type_drift_auto_degrades_strict_fails(spark, tmp_path):
             spark, path, ["k"], 0, 2, per_version=True, fmt="json",
             use_changelog=True,
         ).collect()
+
+
+def test_expire_changelog_is_atomic_per_dir_and_sweeps_asides(spark, state3):
+    """r11 review finding 1: expiry renames the data dir aside before the
+    recursive delete, so a concurrent reader either sees a whole dir or
+    none. A crash-orphaned .expired- aside (simulated) is swept by the
+    next materialize once stale."""
+    import os
+    import time as _time
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _CHANGELOG_EXPIRED,
+        _local,
+    )
+
+    materialize_changes(spark, state3, ["k"])
+    cdir = os.path.join(_local(state3), "_changelog")
+    # simulate an expiry crash: aside dir left behind, made stale
+    orphan = os.path.join(cdir, f"{_CHANGELOG_EXPIRED}v9-deadbeef")
+    os.mkdir(orphan)
+    past = _time.time() - 7200
+    os.utime(orphan, (past, past))
+    assert materialize_changes(spark, state3, ["k"]) == []  # sweep ran
+    assert not os.path.isdir(orphan)
+    # normal expiry leaves no .expired- residue
+    assert expire_changelog(state3, 2) == [1]
+    assert not any(_CHANGELOG_EXPIRED in n for n in os.listdir(cdir))
+
+
+def test_changelog_probe_corrupt_footer_degrades(spark, tmp_path):
+    """r11 review finding 2: a corrupt/truncated part file in a committed
+    change file makes the footer probe raise ArrowInvalid (not OSError);
+    auto mode must still degrade to recompute, never error."""
+    import os
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _changelog_data_dir,
+        _local,
+    )
+
+    path = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="json",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=4,
+        merge_keep_versions=3,
+    )
+    rows = "k bigint, o int, s string"
+    write_sink(spark.createDataFrame([(1, 0, "a")], rows), sink)
+    write_sink(spark.createDataFrame([(1, 0, "b")], rows), sink)
+    assert materialize_changes(spark, path, ["k"], fmt="json") == [1]
+    ddir = _changelog_data_dir(_local(path), 1)
+    part = next(
+        n for n in os.listdir(ddir)
+        if n.startswith("part-") and n.endswith(".parquet")
+    )
+    with open(os.path.join(ddir, part), "wb") as f:
+        f.write(b"not a parquet file")
+    feed = table_changes(
+        spark, path, ["k"], 0, 1, per_version=True, fmt="json",
+        use_changelog=None,
+    )
+    assert not any("/_changelog/" in f for f in feed.inputFiles())
+    assert feed.count() > 0
+
+
+def test_materialize_keep_versions_skips_below_cutoff(spark, tmp_path):
+    """r11 review finding 3: with keep_versions=N a catch-up materialize
+    builds only the newest N commits' diffs — versions below the cutoff
+    are never built-then-deleted."""
+    path = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=4,
+        merge_keep_versions=6,
+    )
+    for i, tag in enumerate(("a", "b", "c", "d", "e")):
+        write_sink(
+            spark.createDataFrame([(1, 0, tag)], "k bigint, o int, s string"),
+            sink,
+        )
+    # 5 commits retained (v0..v4); keep only the newest 2
+    assert materialize_changes(spark, path, ["k"], keep_versions=2) == [3, 4]
+    assert changelog_versions(path) == [3, 4]

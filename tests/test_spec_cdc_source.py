@@ -331,3 +331,52 @@ def test_spec_drift_report_config_errors(spark, state3):
                 }
             ),
         )
+
+
+def test_spec_cdc_source_scalar_keys_rejected_and_join_path_validates(
+    spark, state3
+):
+    """r11 review findings 4+5: a scalar YAML `keys:` fails at parse time
+    with the field named (tuple('doc_id') would silently become single
+    characters), and the JOIN filter's lookup-side path — which bypasses
+    PipelineSpec.validate — runs the same full config matrix."""
+    with pytest.raises(ConfigError, match="LIST of column names"):
+        load_spec(
+            {"in": _cdc_in(state3, keys="doc_id"), "out": {"type": "null"}}
+        )
+    src = tempfile.mkdtemp(prefix="cdc_join_") + "/t"
+    spark.createDataFrame([(3, "x")], "k long, s string").write.parquet(src)
+
+    def join_spec(lookup):
+        return load_spec(
+            {
+                "in": {"type": "parquet", "path": src},
+                "filters": [
+                    {"type": "join", "source": lookup, "on": ["k"]}
+                ],
+                "out": {"type": "null"},
+            }
+        )
+
+    # use_changelog without per_version through the JOIN path: ConfigError
+    # with the spec-level message, not a ValueError from table_changes
+    bad = {
+        "type": "table_changes",
+        "path": state3,
+        "keys": ["k"],
+        "from_version": 0,
+        "use_changelog": True,
+    }
+    with pytest.raises(ConfigError, match="per_version"):
+        compile_pipeline(spark, join_spec(bad))
+    # and a well-formed CDC lookup source works through the join
+    good = {
+        "type": "table_changes",
+        "path": state3,
+        "keys": ["k"],
+        "from_version": 0,
+        "to_version": 2,
+        "per_version": True,
+    }
+    out = compile_pipeline(spark, join_spec(good))
+    assert out.count() > 0  # k=3 changed in v1 and v2 → join hits
