@@ -833,9 +833,13 @@ def test_expire_changelog_removes_and_reads_degrade(spark, state3):
 
 def test_materialize_keep_versions_bounds_changelog(spark, state3):
     """The retention knob on the writer: keep only the newest N committed
-    change files after materializing; invalid N rejected up front."""
-    assert materialize_changes(spark, state3, ["k"], keep_versions=1) == [1, 2]
-    assert changelog_versions(state3) == [2]
+    change files — and (r11 review finding 3) only ever BUILD the newest N
+    (versions below the cutoff are skipped up front, not built-then-
+    expired). A pre-existing older commit below the cutoff is expired.
+    Invalid N rejected up front."""
+    materialize_changes(spark, state3, ["k"], through_version=1)  # v1 exists
+    assert materialize_changes(spark, state3, ["k"], keep_versions=1) == [2]
+    assert changelog_versions(state3) == [2]  # v1 expired by the knob
     with pytest.raises(ValueError, match="keep_versions"):
         materialize_changes(spark, state3, ["k"], keep_versions=0)
 
