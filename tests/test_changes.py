@@ -1009,3 +1009,102 @@ def test_materialize_keep_versions_skips_below_cutoff(spark, tmp_path):
     # 5 commits retained (v0..v4); keep only the newest 2
     assert materialize_changes(spark, path, ["k"], keep_versions=2) == [3, 4]
     assert changelog_versions(path) == [3, 4]
+
+
+def test_changelog_lifecycle_churn_property(spark, tmp_path):
+    """Post-seal r11 addition: a deterministic churn of the round's whole
+    changelog lifecycle — commits interleaved with materialize
+    (through_version / keep_versions), expire_changelog, and reads under
+    all three provenance modes. Invariants after every step: committed
+    changelog versions are a sorted subset of history; the AUTO read of
+    any in-retention range is bit-equal to the recompute read (whatever
+    mix of persisted/expired files exists); strict mode either raises the
+    materialize hint or matches; no scratch residue (.inprogress- /
+    .repair- / .expired-) survives a crash-free sequence."""
+    import os
+    import random
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _local,
+        changelog_versions,
+        expire_changelog,
+        materialize_changes,
+    )
+
+    path = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=4,
+        merge_keep_versions=9,  # retain everything: reads stay legal
+    )
+    rng = random.Random(0xC0FFEE)
+    current = -1
+
+    def commit():
+        nonlocal current
+        current += 1
+        rows = [
+            (k, 0, f"v{current}-{k}")
+            for k in range(8)
+            if rng.random() < 0.6
+        ] or [(0, 0, f"v{current}-forced")]
+        write_sink(
+            spark.createDataFrame(rows, "k bigint, o int, s string"), sink
+        )
+
+    for _ in range(3):
+        commit()  # v0..v2
+
+    for step in range(10):
+        op = rng.choice(["commit", "mat", "mat_keep", "expire", "read"])
+        if op == "commit" and current < 6:
+            commit()
+        elif op == "mat":
+            materialize_changes(
+                spark, path, ["k"],
+                through_version=rng.randint(1, current),
+            )
+        elif op == "mat_keep":
+            materialize_changes(
+                spark, path, ["k"], keep_versions=rng.randint(1, 3)
+            )
+        elif op == "expire":
+            expire_changelog(path, rng.randint(0, current + 1))
+        # invariants + a read check every step
+        committed = changelog_versions(path)
+        assert committed == sorted(set(committed))
+        assert all(1 <= v <= current for v in committed)
+        lo = rng.randint(0, current - 1)
+        hi = rng.randint(lo + 1, current)
+        auto = table_changes(spark, path, ["k"], lo, hi, per_version=True)
+        recomputed = table_changes(
+            spark, path, ["k"], lo, hi, per_version=True,
+            use_changelog=False,
+        )
+        assert _rows(auto) == _rows(recomputed), (step, lo, hi, committed)
+        want = set(range(lo + 1, hi + 1))
+        if want <= set(committed):
+            strict = table_changes(
+                spark, path, ["k"], lo, hi, per_version=True,
+                use_changelog=True,
+            )
+            assert _rows(strict) == _rows(recomputed)
+        else:
+            with pytest.raises(FileNotFoundError, match="materialize"):
+                table_changes(
+                    spark, path, ["k"], lo, hi, per_version=True,
+                    use_changelog=True,
+                )
+        cdir = os.path.join(_local(path), "_changelog")
+        if os.path.isdir(cdir):
+            residue = [
+                n
+                for n in os.listdir(cdir)
+                if n.startswith((".inprogress-", ".expired-"))
+                or ".repair-" in n
+            ]
+            assert residue == [], residue
