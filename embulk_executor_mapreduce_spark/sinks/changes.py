@@ -213,14 +213,19 @@ def _changelog_meta_path(local: str, version: int) -> str:
 
 def _changelog_meta(local: str, version: int) -> dict | None:
     """Committed changelog metadata for one version, or None. The meta file
-    is the commit marker; a data dir without it is a crash orphan."""
+    is the commit marker; a data dir without it is a crash orphan. The
+    open races a concurrent :func:`expire_changelog` removing the marker —
+    a vanished file means exactly "no longer committed", never an error
+    (r11 second-cycle fix: the exists→open TOCTOU could crash a reader or
+    materializer with FileNotFoundError mid-expiry)."""
     import json
 
     p = _changelog_meta_path(local, version)
-    if not os.path.exists(p):
+    try:
+        with open(p) as f:
+            return json.load(f)
+    except FileNotFoundError:
         return None
-    with open(p) as f:
-        return json.load(f)
 
 
 def _changelog_merge_compatible(local: str, versions: list[int]) -> bool:
