@@ -71,7 +71,13 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(events_stream_schema(sf_dir)).parquet(str(watch_dir))
     ts_type = dict(raw.dtypes)["ts"]
     if ts_type == "bigint":
-        return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # Floor (not truncate) nanos→micros so pre-epoch values with sub-µs
+        # components land on the same instant as the batch path (catalog.load
+        # uses the identical form). `div` alone truncates toward zero, which
+        # is 1 µs late for negative nanos.
+        return raw.withColumn(
+            "ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)")
+        )
     if ts_type == "timestamp_ntz":
         return raw.withColumn("ts", F.col("ts").cast("timestamp"))
     return raw

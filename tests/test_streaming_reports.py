@@ -27,6 +27,52 @@ def test_stream_is_incremental(spark):
     assert df.isStreaming
 
 
+def test_stream_nanos_normalization_exact_for_pre_epoch(spark, tmp_path):
+    """Streaming sibling of test_load_nanos_normalization_exact_for_pre_epoch
+    (ADVICE r11): read_events_stream must use the same floor form as the batch
+    loader for nanos→micros, so pre-epoch values with sub-µs remainders land
+    on identical instants in both engines."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    nanos = [
+        -1_500_000_123_457,  # pre-epoch, non-zero sub-µs remainder
+        -999,  # just below epoch, pure remainder
+        -1_000,
+        0,
+        999,
+        1_500_000_123_457,
+    ]
+    n = len(nanos)
+    rows = pa.table(
+        {
+            "event_id": pa.array(range(n), pa.int64()),
+            "ts": pa.array(nanos, pa.timestamp("ns")),
+            "user_id": pa.array([1] * n, pa.int64()),
+            "event_type": pa.array(["t"] * n),
+            "value": pa.array([0.0] * n),
+            "props": pa.array(["{}"] * n),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(rows, str(sf / "events.parquet"), version="2.6")
+    out = run_stream_to_memory(
+        read_events_stream(spark, str(sf)).select("event_id", "ts"),
+        "t_nanos_floor",
+        output_mode="append",
+    )
+    got = {r.event_id: r.ts for r in out.collect()}
+    epoch = dt.datetime(1970, 1, 1)
+    want = {
+        k: epoch + dt.timedelta(microseconds=v // 1000)  # Python // floors
+        for k, v in enumerate(nanos)
+    }
+    assert got == want
+
+
 def test_progress_monitor_sees_tasks(spark):
     # needs a job slow enough to sample: sf0.1 lineitem with two shuffles
     li = spark.read.parquet("/root/testdata/sf0.1/lineitem.parquet")
