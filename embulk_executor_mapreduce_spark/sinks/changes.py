@@ -305,11 +305,18 @@ def expire_changelog(path: str, before_version: int) -> list[int]:
     sees the dir whole or not at all; a read whose resolved file list
     already pointed inside fails LOUDLY at scan instead). A crash
     between the steps leaves an unmarked data dir or an ``.expired-``
-    orphan; the next ``expire_changelog`` call sweeps the former (data
-    dirs below the cutoff go regardless of marker presence) and
-    ``materialize_changes``' stale sweep the latter."""
+    orphan; the next ``expire_changelog`` call sweeps the former once it
+    is STALE by mtime and ``materialize_changes``' stale sweep the latter.
+    The staleness guard on unmarked dirs (ADVICE r11) matters because an
+    unmarked-but-fresh data dir below the cutoff may belong to a live
+    ``materialize_changes`` peer inside its rename→marker window —
+    expiring it would let the peer's marker land with no data, a
+    transient marker-without-data wedge (self-healing via the repair
+    pass, but avoidable). A marked data dir is a completed commit and
+    expires regardless of age."""
     import re
     import shutil
+    import time
     import uuid
 
     local = _local(path)
@@ -333,6 +340,19 @@ def expire_changelog(path: str, before_version: int) -> list[int]:
                 pass  # concurrent expire got it first
         if v in data:
             ddir = _changelog_data_dir(local, v)
+            if v not in markers:
+                # unmarked: crash orphan OR a live peer mid-commit — only a
+                # stale one goes (same rule as materialize_changes' sweep);
+                # a fresh one is left for a later expiry pass.
+                try:
+                    fresh = (
+                        time.time() - os.path.getmtime(ddir)
+                        <= _CHANGELOG_STALE_SEC
+                    )
+                except OSError:
+                    continue  # vanished under us — a concurrent pass got it
+                if fresh:
+                    continue
             aside = os.path.join(
                 cdir, f"{_CHANGELOG_EXPIRED}v{v}-{uuid.uuid4().hex[:12]}"
             )
@@ -374,7 +394,9 @@ def materialize_changes(
     discard; an UNMARKED data dir is rebuilt only once it is stale by
     mtime (a fresh one belongs to a live peer inside its rename→marker
     window — r10 review finding 3: deleting it eagerly could strand that
-    peer's marker with no data); a marker with no data dir (a deleted or
+    peer's marker with no data; :func:`expire_changelog` honors the same
+    mtime rule for unmarked dirs below its cutoff, ADVICE r11); a marker
+    with no data dir (a deleted or
     never-completed payload) is repaired immediately — the marker is
     dropped and the version rebuilt.
 

@@ -376,10 +376,22 @@ def validate_table_changes_source(src: SourceSpec) -> None:
         raise ConfigError(
             f"to_version {src.to_version} < from_version {src.from_version}"
         )
-    if src.use_changelog is not None and not src.per_version:
+    if src.use_changelog is not None and not isinstance(src.use_changelog, bool):
+        # YAML `use_changelog: "false"` / `"auto"` is a truthy STRING — it
+        # would silently select strict changelog mode (ADVICE r11). The
+        # tri-state is spelled true / false / omitted (= auto).
         raise ConfigError(
-            "use_changelog requires per_version: true (the net endpoint "
-            "feed is a two-snapshot diff, not a replay of per-commit files)"
+            "use_changelog must be a YAML boolean (true/false) or omitted "
+            f"for auto mode, got {src.use_changelog!r}"
+        )
+    if src.use_changelog and not src.per_version:
+        # mirrors the sinks API exactly (sinks/changes.py table_changes):
+        # only TRUE forces per-commit files; false = recompute, which is
+        # valid for the net endpoint feed too (ADVICE r11)
+        raise ConfigError(
+            "use_changelog: true requires per_version: true (the net "
+            "endpoint feed is a two-snapshot diff, not a replay of "
+            "per-commit files; use_changelog: false is allowed either way)"
         )
     fmt = src.options.get("format", "parquet")
     if fmt not in ("parquet", "orc", "csv", "json"):

@@ -844,14 +844,18 @@ def test_materialize_keep_versions_bounds_changelog(spark, state3):
         materialize_changes(spark, state3, ["k"], keep_versions=0)
 
 
-def test_expire_changelog_sweeps_crash_orphan_data_dir(spark, state3):
+def test_expire_changelog_sweeps_stale_crash_orphan_data_dir(spark, state3):
     """A crash between expiry's marker removal and its rmtree leaves an
-    unmarked data dir below the cutoff; the next expire call sweeps it
-    (data dirs below the cutoff are removed regardless of marker
-    presence)."""
+    unmarked data dir below the cutoff; once STALE by mtime the next
+    expire call sweeps it. While still FRESH it is left alone (ADVICE
+    r11: an unmarked-but-fresh dir may belong to a live materializer
+    inside its rename→marker window — expiring it would wedge the peer's
+    imminent marker as marker-without-data)."""
     import os
+    import time
 
     from embulk_executor_mapreduce_spark.sinks.changes import (
+        _CHANGELOG_STALE_SEC,
         _changelog_data_dir,
         _changelog_meta_path,
         _local,
@@ -859,6 +863,28 @@ def test_expire_changelog_sweeps_crash_orphan_data_dir(spark, state3):
 
     materialize_changes(spark, state3, ["k"])
     os.remove(_changelog_meta_path(_local(state3), 1))  # simulated crash
+    ddir = _changelog_data_dir(_local(state3), 1)
+    # fresh: skipped this pass, dir intact
+    assert expire_changelog(state3, 2) == []
+    assert os.path.isdir(ddir)
+    # stale: swept
+    past = time.time() - _CHANGELOG_STALE_SEC - 60
+    os.utime(ddir, (past, past))
+    assert expire_changelog(state3, 2) == [1]
+    assert not os.path.isdir(ddir)
+
+
+def test_expire_changelog_marked_data_dir_goes_regardless_of_age(spark, state3):
+    """A MARKED data dir is a completed commit — normal retention expiry
+    removes it immediately even though it was materialized seconds ago."""
+    import os
+
+    from embulk_executor_mapreduce_spark.sinks.changes import (
+        _changelog_data_dir,
+        _local,
+    )
+
+    materialize_changes(spark, state3, ["k"])
     assert expire_changelog(state3, 2) == [1]
     assert not os.path.isdir(_changelog_data_dir(_local(state3), 1))
 

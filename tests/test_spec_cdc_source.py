@@ -168,6 +168,44 @@ def test_spec_cdc_source_validation_matrix(spark, state3):
         )
 
 
+def test_spec_cdc_source_use_changelog_must_be_bool(spark, state3):
+    """ADVICE r11: a quoted YAML scalar (`use_changelog: "false"` / "auto")
+    is a truthy STRING and would silently select strict changelog mode —
+    rejected at load with the field named."""
+    for bad in ("false", "true", "auto", 1, 0):
+        with pytest.raises(ConfigError, match="use_changelog"):
+            load_spec(
+                {
+                    "in": _cdc_in(state3, use_changelog=bad),
+                    "out": {"type": "null"},
+                }
+            )
+
+
+def test_spec_cdc_source_use_changelog_false_net_endpoint_ok(spark, state3):
+    """ADVICE r11: `use_changelog: false` just pins the recompute
+    provenance, which is valid for the NET endpoint feed too (per_version
+    defaulting false) — the spec layer must not be stricter than the
+    sinks API. The pinned read equals the default read bit for bit."""
+    block = {
+        "type": "table_changes",
+        "path": state3,
+        "keys": ["k"],
+        "from_version": 0,
+        "use_changelog": False,
+    }
+    df = compile_pipeline(
+        spark, load_spec({"in": block, "out": {"type": "null"}})
+    )
+    assert "_commit_version" not in df.columns
+    api = table_changes(spark, state3, ["k"], 0, use_changelog=False)
+    key = lambda f: sorted(  # noqa: E731
+        tuple(r[c] for c in sorted(f.columns)) for r in f.collect()
+    )
+    assert df.columns == api.columns
+    assert key(df) == key(api)
+
+
 def test_spec_cdc_source_not_streamable(spark, state3):
     with pytest.raises(ConfigError, match="run_pipeline.*from_version"):
         run_pipeline_streaming(
