@@ -5532,6 +5532,61 @@ def q_spec_cdc_source_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "stream_cdc_tail",
+    oracle=_CDC_PER_VERSION_ORACLE,
+    tags=("streaming", "etl", "cdc", "front-door"),
+)
+def q_stream_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC tail (VERDICT r11 item 3 — the r11 declarative
+    ``table_changes`` source wired into the STREAMING front door): the
+    same replayed 3-version state consumed by
+    ``run_pipeline_streaming``'s rate-limited version-tail loop —
+    per-version increments in commit order, each written exactly-once
+    under a ``_commit_version=<v>`` dynamic-overwrite partition with a
+    checkpointed offset advancing after every commit (retry of a
+    half-delivered version REPLACES its partition; see
+    ``plans/compiler._run_cdc_tail``). The returned frame is the SINK
+    READBACK, not the feed — a wrong increment boundary, a double-applied
+    version, or a lost partition all flip the hash. Third provenance
+    under the shared per-version oracle: recompute
+    (``cdc_per_version_changes``), persisted changelog
+    (``cdc_persisted_changes``), and now the streamed delivery must all
+    be bit-equal. At 100 TB each increment is one commit's changes
+    (changed-bucket pruned) and per-poll driver work is one pointer
+    read — the tail's cost scales with change volume, never state size."""
+    from .plans.compiler import run_pipeline_streaming
+    from .spec import load_spec
+
+    state = _cdc_three_version_state(spark, sf_dir)
+    root = scratch_dir("q_stream_cdc_tail_")
+    run_pipeline_streaming(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "table_changes",
+                    "path": state,
+                    "keys": ["doc_id"],
+                    "from_version": 0,
+                    "to_version": 2,
+                    "per_version": True,
+                    "options": {"checkpoint": f"{root}/ck"},
+                },
+                "out": {"type": "parquet", "path": f"{root}/out"},
+            }
+        ),
+    )
+    return spark.read.parquet(f"{root}/out").select(
+        "doc_id",
+        "val",
+        "mo",
+        "_change_type",
+        # discovered partition column (int) → the feed's long
+        F.col("_commit_version").cast("long").alias("_commit_version"),
+    )
+
+
 _CDC_DRIFT_ORACLE = """
     WITH ins AS (
       SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id % 97 = 0

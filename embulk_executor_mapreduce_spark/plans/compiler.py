@@ -202,6 +202,185 @@ _STREAM_SAFE_FILTERS = {
 }
 
 
+def _run_cdc_tail(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
+    """Streaming consumption of a merge-sink change feed: a rate-limited
+    version-tail loop that applies each committed version's increment
+    through the SAME filter chain and sink machinery as the batch path —
+    the natural consumer of the r11 declarative CDC source (VERDICT r11
+    item 3: merge-sink upserts → stream consumers).
+
+    Execution model (deliberately NOT a Spark file-stream over
+    ``_changelog/``): the changelog's commit point is the version MARKER,
+    which a path-listing file source cannot honor — it would consume
+    unmarked in-flight dirs and double-count stale-rebuilt part files.
+    Instead the loop reads the state pointer, applies per-version
+    increments ``table_changes(v-1, v, per_version=True)`` in commit
+    order, and records progress in a checkpoint file after each version
+    commits — per-version increments via the driver, the same shape as a
+    foreachBatch consumer with the version as the epoch.
+
+    Exactly-once across retries:
+
+    - **file sinks** (parquet/orc/json/csv): each increment is written
+      under a ``_commit_version=<v>`` partition with dynamic partition
+      overwrite, so a retry of version v (crash after write, before the
+      checkpoint advance) REPLACES that version's partition instead of
+      appending duplicates — increments are deterministic (committed
+      state + deterministic filter chain), so the rewrite is bit-equal.
+    - **merge sinks**: the increment is upserted by key (keyed argmax);
+      re-applying the same increment converges to the same state content
+      (one extra no-op state version is the only trace of a retry). The
+      sink receives the feed ROWS as an upsert batch — ``delete`` /
+      ``update_preimage`` rows are data like any other; a consumer
+      mirroring the source state filters ``_change_type`` in the chain
+      (e.g. keep insert+update_postimage) rather than expecting the sink
+      to interpret CDC semantics.
+
+    Checkpoint: ``options.checkpoint`` (a directory). Omitted = a fresh
+    tempdir, i.e. one bounded availableNow-style pass per call (the same
+    durability the file-stream pipelines get from their per-run tempdir
+    checkpointLocation); set it to make successive calls incremental and
+    retries resumable. ``options.max_polls`` (default 1) and
+    ``options.poll_seconds`` (default 1.0) turn the single pass into a
+    rate-limited follow loop — each poll re-reads the pointer and drains
+    any versions committed since.
+
+    At 100 TB: each increment is one commit's changes — a changed-bucket
+    pruned pair-diff, or with a materialized changelog a join-free pruned
+    scan of one ``_changelog/v<N>/`` dir; per-poll driver work is one
+    pointer read (O(1) metadata), so the loop's cost scales with change
+    volume, never with state size.
+    """
+    import json as _json
+    import os
+    import tempfile
+
+    from pyspark.sql import Observation
+
+    from ..sinks.changes import COMMIT_VERSION_COL, table_changes
+    from ..sinks.writer import _fsync_write, _local, _merge_file_sink, _pointer_version
+    from ..spec import validate_table_changes_source
+
+    src = spec.source
+    # re-validate at the dispatch (r11 review finding 4: secondary entry
+    # paths must not skip validation)
+    validate_table_changes_source(src)
+    if not src.per_version:
+        raise ConfigError(
+            "streaming table_changes requires per_version: true (the tail "
+            "applies per-commit increments; the net endpoint feed is a "
+            "bounded two-snapshot diff — read it through run_pipeline)"
+        )
+    if spec.sink.type not in ("parquet", "orc", "json", "csv"):
+        raise ConfigError(
+            f"streaming table_changes sink type {spec.sink.type!r} is not "
+            "supported (file sinks parquet|orc|json|csv, optionally with "
+            "mode: merge); null/memory sinks are batch-only"
+        )
+    fmt = src.options.get("format", "parquet")
+    ck_dir = src.options.get("checkpoint") or tempfile.mkdtemp(prefix="ckpt_cdc_tail_")
+    os.makedirs(ck_dir, exist_ok=True)
+    ck_file = os.path.join(ck_dir, "offset.json")
+    start = src.from_version
+    # open-and-catch, not exists→open (TOCTOU discipline; a vanished or
+    # never-written checkpoint means "start from the spec")
+    try:
+        with open(ck_file) as f:
+            start = max(start, int(_json.load(f)["last_version"]))
+    except FileNotFoundError:
+        pass
+    max_polls = int(src.options.get("max_polls", 1))
+    poll_seconds = float(src.options.get("poll_seconds", 1.0))
+    if max_polls < 1:
+        raise ConfigError(f"options.max_polls must be >= 1, got {max_polls}")
+    local = _local(src.path)
+    merge_mode = spec.sink.mode == "merge"
+    version_sink = spec.sink
+    if not merge_mode:
+        if COMMIT_VERSION_COL in spec.sink.partition_by:
+            raise ConfigError(
+                f"sink partition_by already contains {COMMIT_VERSION_COL} "
+                "(the streaming tail adds it as the exactly-once partition)"
+            )
+        from dataclasses import replace as _replace
+
+        version_sink = _replace(
+            spec.sink,
+            mode="overwrite",
+            partition_overwrite="dynamic",
+            partition_by=(*spec.sink.partition_by, COMMIT_VERSION_COL),
+        )
+    report = PipelineReport(partitioned=spec.partitioning is not None)
+    t0 = time.time()
+    try:
+        for poll in range(max_polls):
+            if poll:
+                time.sleep(poll_seconds)
+            current = _pointer_version(local)
+            if current is None:
+                raise FileNotFoundError(
+                    f"{src.path} is a pre-pointer (legacy) state: no "
+                    "versions to tail"
+                )
+            to_v = current if src.to_version is None else min(current, src.to_version)
+            for v in range(start + 1, to_v + 1):
+                inc = table_changes(
+                    spark,
+                    src.path,
+                    list(src.keys),
+                    v - 1,
+                    v,
+                    fmt=fmt,
+                    per_version=True,
+                    use_changelog=src.use_changelog,
+                )
+                df = apply_filter_chain(inc, spec.filters)
+                bucket = None
+                if spec.partitioning is not None:
+                    p = spec.partitioning
+                    strategy, _ = resolve_partitioning(p.type)
+                    df = df.withColumn(BUCKET_COL, strategy(df, p))
+                    n = (
+                        spec.execution.reducers
+                        or spark.sparkContext.defaultParallelism
+                        or 1
+                    )
+                    df = df.repartition(n, F.col(BUCKET_COL))
+                    if spec.sink.partition_by_bucket:
+                        bucket = BUCKET_COL
+                    else:
+                        df = df.drop(BUCKET_COL)
+                obs = Observation(f"cdc_tail_v{v}")
+                df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                if merge_mode:
+                    _merge_file_sink(df, spec.sink)
+                else:
+                    write_sink(df, version_sink, bucket_col=bucket)
+                try:
+                    rows = int(obs.get["rows"])
+                except Exception as metric_exc:  # noqa: BLE001 — see run_pipeline
+                    rows = 0
+                    report.metrics_error = repr(metric_exc)
+                report.input_rows += rows
+                report.output_rows += rows
+                # checkpoint advance is the tail's commit point: a crash
+                # before this line re-runs version v idempotently (see
+                # exactly-once notes above)
+                _fsync_write(ck_file, _json.dumps({"last_version": v}))
+                start = v
+        report.succeeded = True
+    except Exception as exc:  # noqa: BLE001 — classify then re-raise
+        report.error = f"{type(exc).__name__}: {exc}"
+        if isinstance(exc, (MergeCommitConflictError, ConfigError)):
+            raise
+        if _is_user_data_error(exc):
+            raise RemoteTaskFailedDataError(report.error) from exc
+        raise RemoteTaskFailedError(report.error) from exc
+    finally:
+        report.wall_seconds = time.time() - t0
+    return report
+
+
 def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
     """Execute the SAME pipeline spec incrementally: readStream source →
     identical filter chain → writeStream file sink, driven to completion with
@@ -312,12 +491,10 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             "(run_pipeline)"
         )
     elif src.type == "table_changes":
-        raise ConfigError(
-            "table_changes source is not streamable (the feed is a bounded "
-            "replay of committed versions — a continuous CDC stream needs a "
-            "Delta-class readStream provider); read it through the batch "
-            "path (run_pipeline), advancing from_version per run"
-        )
+        # the CDC tail is its own runner: per-version increments in commit
+        # order with a checkpointed offset, not a file-stream (which cannot
+        # honor the changelog's marker commit point) — see _run_cdc_tail
+        return _run_cdc_tail(spark, spec)
     else:
         raise ConfigError(f"source type {src.type!r} is not streamable")
 

@@ -206,16 +206,135 @@ def test_spec_cdc_source_use_changelog_false_net_endpoint_ok(spark, state3):
     assert key(df) == key(api)
 
 
-def test_spec_cdc_source_not_streamable(spark, state3):
-    with pytest.raises(ConfigError, match="run_pipeline.*from_version"):
+def test_cdc_tail_stream_equals_batch_and_retry_idempotence(spark, state3):
+    """r12 (VERDICT r11 item 3): the streaming CDC tail must deliver the
+    SAME multiset as the batch per-version feed, write exactly-once under
+    a retry that re-runs an already-written version (crash after write,
+    before the checkpoint advance), and resume incrementally — a later
+    call with the same checkpoint processes only newly committed
+    versions."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = tempfile.mkdtemp(prefix="cdc_tail_")
+    out, ck = base + "/out", base + "/ck"
+    spec_doc = {
+        "in": _cdc_in(state3, options={"checkpoint": ck}),
+        "out": {"type": "parquet", "path": out},
+    }
+    report = run_pipeline_streaming(spark, load_spec(spec_doc))
+    assert report.succeeded and report.partitioned is False
+
+    def read_out():
+        # _commit_version comes back as a discovered partition column
+        # (int); cast to the feed's long for the comparison
+        return (
+            spark.read.parquet(out)
+            .withColumn("_commit_version", F.col("_commit_version").cast("long"))
+        )
+
+    key = lambda df: sorted(  # noqa: E731
+        tuple(r[c] for c in sorted(df.columns)) for r in df.collect()
+    )
+    batch = table_changes(spark, state3, ["k"], 0, 2, per_version=True)
+    batch_rows = key(batch)  # collected NOW — v0's manifest ages out below
+    first = key(read_out())
+    assert sorted(read_out().columns) == sorted(batch.columns)
+    assert first == batch_rows
+    assert report.input_rows == len(first) > 0
+
+    # retry: rewind the checkpoint one version — the tail re-runs v2 and
+    # the dynamic _commit_version partition overwrite leaves the output
+    # bit-identical (no appended duplicates)
+    with open(os.path.join(ck, "offset.json")) as f:
+        assert json.load(f) == {"last_version": 2}
+    with open(os.path.join(ck, "offset.json"), "w") as f:
+        json.dump({"last_version": 1}, f)
+    run_pipeline_streaming(spark, load_spec(spec_doc))
+    assert key(read_out()) == first
+
+    # incremental: commit v3, re-tail with the SAME checkpoint (and no
+    # to_version cap) — only the new version is processed and appended
+    sink = SinkSpec(
+        type="parquet",
+        path=state3,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=8,
+        merge_keep_versions=3,
+    )
+    write_sink(
+        spark.createDataFrame([(7, 0, "TAIL")], "k bigint, o int, s string"),
+        sink,
+    )  # v3
+    doc3 = dict(spec_doc)
+    doc3["in"] = {k: v for k, v in spec_doc["in"].items() if k != "to_version"}
+    r3 = run_pipeline_streaming(spark, load_spec(doc3))
+    v3_rows = key(table_changes(spark, state3, ["k"], 2, 3, per_version=True))
+    assert r3.input_rows == len(v3_rows) > 0
+    assert key(read_out()) == sorted(batch_rows + v3_rows)
+
+
+def test_cdc_tail_into_downstream_merge_mirror(spark, state3):
+    """The natural consumer pairing (VERDICT r11): merge-sink upserts →
+    streamed change feed → a DOWNSTREAM merge sink. Keeping postimage+insert
+    rows and upserting them by key makes the mirror's live rows converge to
+    the source state's (minus rows the mirror never saw change)."""
+    from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+    base = tempfile.mkdtemp(prefix="cdc_mirror_")
+    mirror = base + "/mirror"
+    report = run_pipeline_streaming(
+        spark,
+        load_spec(
+            {
+                "in": _cdc_in(state3, options={"checkpoint": base + "/ck"}),
+                "filters": [
+                    {
+                        "type": "filter",
+                        "predicate": "_change_type IN ('insert', 'update_postimage')",
+                    },
+                    {"type": "drop", "columns": ["_change_type"]},
+                ],
+                "out": {
+                    "type": "parquet",
+                    "path": mirror,
+                    "mode": "merge",
+                    "merge_key": ["k"],
+                    "merge_order": ["_commit_version"],
+                    "merge_buckets": 4,
+                },
+            }
+        ),
+    )
+    assert report.succeeded
+    got = {
+        r.k: r.s
+        for r in read_merge_state(spark, mirror).select("k", "s").collect()
+    }
+    # v1 changed k=3 and inserted k=100; v2 changed k=5 — exactly the keys
+    # the feed carries, at their POST-change values
+    assert got == {3: "CHANGED", 100: "NEW", 5: "ALSO"}
+
+
+def test_cdc_tail_requires_per_version_and_file_sink(spark, state3):
+    with pytest.raises(ConfigError, match="per_version"):
         run_pipeline_streaming(
             spark,
             load_spec(
                 {
-                    "in": _cdc_in(state3),
+                    "in": _cdc_in(state3, per_version=False),
                     "out": {"type": "parquet", "path": tempfile.mkdtemp() + "/o"},
                 }
             ),
+        )
+    with pytest.raises(ConfigError, match="memory"):
+        run_pipeline_streaming(
+            spark,
+            load_spec({"in": _cdc_in(state3), "out": {"type": "memory"}}),
         )
 
 
