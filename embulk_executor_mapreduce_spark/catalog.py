@@ -578,6 +578,46 @@ def q_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
 
 
+@register(
+    "json_variant_gauntlet",
+    oracle="""
+    SELECT json_extract(props, '$.k')::BIGINT % 10 AS k_mod,
+           count(*)::BIGINT AS n,
+           sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+           min(json(props)::VARCHAR) AS min_txt
+    FROM events GROUP BY 1
+    """,
+    tags=("functions", "json", "variant"),
+)
+def q_json_variant_gauntlet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VariantType pilot (SURVEY §7.5.2 revisit, VERDICT r11 item 4): the
+    json gauntlet through Spark 4's native VARIANT instead of canonical
+    text — ``parse_json`` once, then TYPED access via ``variant_get``
+    (no per-query from_json schema; heterogeneous columns keep working)
+    and the ``to_json`` canonical re-serialization that text-class sinks
+    use. The oracle runs the same gauntlet over DuckDB's canonical json
+    text (``json(props)`` compacts identically to Spark's ``to_json``),
+    so a variant decode bug, a typed-extraction bug, or a
+    re-serialization drift all flip the hash. Canonical-string stays the
+    engine DEFAULT for json columns; variant is the spec opt-in
+    ``options: {json_type: variant}`` (sources/readers.apply_json_type,
+    exercised in tests/test_spec_surface.py)."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.select(F.parse_json("props").alias("v"))
+    return (
+        v.select(
+            F.expr("variant_get(v, '$.k', 'long')").alias("k"),
+            F.to_json("v").alias("txt"),
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("txt").alias("min_txt"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline operators: dedup / text (SURVEY §2.4 north star)
 # ---------------------------------------------------------------------------

@@ -498,6 +498,9 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
     else:
         raise ConfigError(f"source type {src.type!r} is not streamable")
 
+    from ..sources.readers import apply_json_type
+
+    df = apply_json_type(df, src)  # json_type: variant opt-in (batch parity)
     df = apply_filter_chain(df, spec.filters)
     if spec.partitioning is not None:
         p = spec.partitioning

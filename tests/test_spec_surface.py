@@ -1241,3 +1241,140 @@ def test_spec_text_append_stages_dotted_column_names(spark, tmp_path):
         "chunk_idx", "chunk_text", "chunk_tokens",
     ]
     assert out.count() == 2  # 4 tokens / window 2 stride 2
+
+
+def test_spec_json_type_variant_pipeline(spark, tmp_path):
+    """VariantType pilot (SURVEY §7.5.2, r12): `options: {json_type:
+    variant}` converts declared json columns to native VARIANT after the
+    read — typed access downstream, parquet sink round-trips the variant
+    natively, and the batch/streaming front doors agree."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "doc": {"k": 7, "tags": ["a", "b"]}}\n'
+        '{"id": 2, "doc": [1, 2, 3]}\n'  # heterogeneous: array in the same column
+        '{"id": 3, "doc": null}\n'
+    )
+    out = str(tmp_path / "out")
+    doc = {
+        "in": {
+            "type": "json",
+            "path": str(src),
+            "columns": [
+                {"name": "id", "type": "long"},
+                {"name": "doc", "type": "json"},
+            ],
+            "options": {"json_type": "variant"},
+        },
+        "filters": [
+            {
+                "type": "with_column",
+                "name": "k",
+                "expr": "variant_get(doc, '$.k', 'long')",
+            }
+        ],
+        "out": {"type": "parquet", "path": out},
+    }
+    report = run_pipeline(spark, load_spec(doc))
+    assert report.succeeded and report.output_rows == 3
+    back = spark.read.parquet(out)
+    assert dict(back.dtypes)["doc"] == "variant"
+    got = {r.id: (r.k, r.txt) for r in back.selectExpr(
+        "id", "k", "to_json(doc) AS txt"
+    ).collect()}
+    assert got[1] == (7, '{"k":7,"tags":["a","b"]}')
+    assert got[2] == (None, "[1,2,3]")
+    assert got[3][0] is None
+
+    # streaming front door, same spec shape → same rows
+    sout = str(tmp_path / "sout")
+    sdoc = dict(doc)
+    sdoc["out"] = {"type": "parquet", "path": sout}
+    sreport = run_pipeline_streaming(spark, load_spec(sdoc))
+    assert sreport.succeeded
+    sback = spark.read.parquet(sout)
+    assert dict(sback.dtypes)["doc"] == "variant"
+    sgot = {r.id: (r.k, r.txt) for r in sback.selectExpr(
+        "id", "k", "to_json(doc) AS txt"
+    ).collect()}
+    assert sgot == got
+
+
+def test_spec_json_type_variant_invalid_value_policy(spark, tmp_path):
+    """Value-level invalid-JSON policy mirrors the row-level policy:
+    stop_on_invalid_record false → malformed value becomes NULL variant
+    (skip analog); true → loud user-data failure."""
+    from embulk_executor_mapreduce_spark.errors import RemoteTaskFailedDataError
+
+    src = tmp_path / "in"
+    src.mkdir()
+    # the json LINES are well-formed; the json-typed COLUMN value is a
+    # string whose content is not valid JSON
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "doc": "{\\"ok\\": true}"}\n{"id": 2, "doc": "{broken"}\n'
+    )
+    base = {
+        "in": {
+            "type": "json",
+            "path": str(src),
+            "columns": [
+                {"name": "id", "type": "long"},
+                {"name": "doc", "type": "json"},
+            ],
+            "options": {"json_type": "variant"},
+        },
+    }
+    out1 = str(tmp_path / "skip")
+    report = run_pipeline(
+        spark, load_spec({**base, "out": {"type": "parquet", "path": out1}})
+    )
+    assert report.succeeded
+    vals = {
+        r.id: r.txt
+        for r in spark.read.parquet(out1)
+        .selectExpr("id", "to_json(doc) AS txt")
+        .collect()
+    }
+    assert vals == {1: '{"ok":true}', 2: None}
+
+    strict = {**base, "out": {"type": "parquet", "path": str(tmp_path / "strict")}}
+    strict["in"] = {**base["in"], "stop_on_invalid_record": True}
+    with pytest.raises(RemoteTaskFailedDataError):
+        run_pipeline(spark, load_spec(strict))
+
+
+def test_spec_json_type_variant_config_errors(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text('{"id": 1}\n')
+    with pytest.raises(ConfigError, match="json_type"):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "json",
+                        "path": str(src),
+                        "columns": [{"name": "id", "type": "long"}],
+                        "options": {"json_type": "bogus"},
+                    },
+                    "out": {"type": "memory"},
+                }
+            ),
+        )
+    # variant with no json-typed columns: nothing to convert → loud
+    with pytest.raises(ConfigError, match="json"):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "json",
+                        "path": str(src),
+                        "columns": [{"name": "id", "type": "long"}],
+                        "options": {"json_type": "variant"},
+                    },
+                    "out": {"type": "memory"},
+                }
+            ),
+        )
