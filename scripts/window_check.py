@@ -97,9 +97,30 @@ def main() -> None:
         if verified.get(n, {}).get("hash") == cur[n]
     ]
     print(f"queries: {len(names)}, window: {len(in_window)}, beyond: {len(beyond)}")
-    print(f"window slots spent on already-green-at-current-hash: {len(stale_in_window)}")
-    if stale_in_window:
-        print("  (rotation candidates):", ", ".join(sorted(stale_in_window)))
+    print(
+        "window slots on already-green-at-current-hash rows (spare capacity, "
+        f"auto-filled oldest-evidence-first since r12): {len(stale_in_window)}"
+    )
+    # Rotation health (VERDICT r11 item 8): with catalog.entries() ordering
+    # by verification need, no green IN-WINDOW row should carry NEWER
+    # evidence than a green BEYOND-window row — such a pair means a slot is
+    # wasted on fresh evidence while older evidence waits. List offenders.
+    oldest_beyond = min(
+        (
+            verified[n]["round"]
+            for n in beyond
+            if verified.get(n, {}).get("hash") == cur[n]
+        ),
+        default=None,
+    )
+    misordered = sorted(
+        n
+        for n in stale_in_window
+        if oldest_beyond is not None and verified[n]["round"] > oldest_beyond
+    )
+    print(f"rotation candidates (misordered vs oldest beyond-window evidence): {len(misordered)}")
+    if misordered:
+        print("  ", ", ".join(misordered))
     if violations:
         print(f"\nVIOLATIONS ({len(violations)}): beyond-window queries lacking a")
         print("green driver row at their current body hash:")
