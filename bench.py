@@ -110,6 +110,11 @@ HEADLINE = [
     # build (same amortization story as b4d's untimed materialize)
     "spec_cdc_source_pipeline",
     "cdc_drift_report",
+    # round 12 additions: the streaming CDC tail (version-tail loop with
+    # exactly-once per-version partition overwrite; prices the whole
+    # deliver-and-read-back path) and the VariantType json gauntlet
+    "stream_cdc_tail",
+    "json_variant_gauntlet",
 ]
 
 SMALL_RESULT = {
@@ -134,6 +139,7 @@ SMALL_RESULT = {
     "url_canonical_dedup",
     "url_registrable_psl",
     "audio_quality_screen",
+    "json_variant_gauntlet",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -148,6 +154,7 @@ TIME_INCLUDES_BUILD = {
     "merge_table_changes",  # fn() writes the two sink versions it diffs
     "spec_prep_pipeline",  # minhash_dedup's CC loop + benchmark stage write
     "spec_partitioned_pipeline",  # fn() runs the partitioned write it reads
+    "stream_cdc_tail",  # fn() drives the version-tail loop it reads back
 }
 
 # events.ts physical-encoding normalization, probed from the footer
