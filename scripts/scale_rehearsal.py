@@ -193,9 +193,12 @@ def synthesize_sf1(spark) -> None:
     print(f"# synthesized sf1 at {SF1}", file=sys.stderr)
 
 
-def _stage_totals(spark) -> tuple[int, int]:
-    """(shuffle_read_bytes, shuffle_write_bytes) summed over all completed
-    stages so far, via the UI REST API (local mode has it on by default)."""
+def _stage_totals(spark) -> tuple[int, int, int]:
+    """(shuffle_read_bytes, shuffle_write_bytes, shuffle_write_records)
+    summed over all completed stages so far, via the UI REST API (local
+    mode has it on by default). Records are the cleaner scaling signal:
+    bytes also move with the data's compressibility (synthesized noise
+    compresses worse than the generator's quantized values)."""
     base = spark.sparkContext.uiWebUrl
     apps = json.load(
         urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10)
@@ -209,22 +212,24 @@ def _stage_totals(spark) -> tuple[int, int]:
     )
     rd = sum(s.get("shuffleReadBytes", 0) for s in stages)
     wr = sum(s.get("shuffleWriteBytes", 0) for s in stages)
-    return rd, wr
+    wrec = sum(s.get("shuffleWriteRecords", 0) for s in stages)
+    return rd, wr, wrec
 
 
 def measure(spark, fn, sf_dir: str, runs: int) -> dict:
     best = None
     for _ in range(runs):
-        rd0, wr0 = _stage_totals(spark)
+        rd0, wr0, wc0 = _stage_totals(spark)
         t0 = time.time()
         n = fn(spark, sf_dir).count()
         wall = time.time() - t0
-        rd1, wr1 = _stage_totals(spark)
+        rd1, wr1, wc1 = _stage_totals(spark)
         rec = {
             "wall_sec": round(wall, 3),
             "rows": n,
             "shuffle_read_mb": round((rd1 - rd0) / 1e6, 2),
             "shuffle_write_mb": round((wr1 - wr0) / 1e6, 2),
+            "shuffle_write_records": wc1 - wc0,
         }
         if best is None or rec["wall_sec"] < best["wall_sec"]:
             best = rec
@@ -271,6 +276,7 @@ def main() -> None:
             "sf1": m1,
             "alpha_wall": alpha("wall_sec"),
             "alpha_shuffle_write": alpha("shuffle_write_mb"),
+            "alpha_shuffle_records": alpha("shuffle_write_records"),
         }
         print(f"# {name}: {json.dumps(out[name])}", file=sys.stderr)
     print(json.dumps(out, indent=1))
