@@ -5945,6 +5945,17 @@ def _body_hash(entry, _file_cache: dict) -> str:
     return hashlib.sha256("\n".join(parts).encode()).hexdigest()
 
 
+def _round_key(tag) -> tuple:
+    """Numeric ordering for round tags: 'r9' < 'r09+1'... lexicographic
+    comparison breaks on unpadded tags and at 'r100' (r12 review finding
+    7 — record_verified takes the tag as a free-form CLI arg), so compare
+    the embedded integer first."""
+    import re
+
+    m = re.search(r"(\d+)", str(tag))
+    return (int(m.group(1)) if m else -1, str(tag))
+
+
 def _verification_order() -> list:
     """Names in driver-window priority order (computed once per process —
     code and VERIFIED.json are immutable within a run). Falls back to
@@ -5966,10 +5977,10 @@ def _verification_order() -> list:
         def key(n):
             rec = verified.get(n)
             if rec is None:
-                return (0, "", n)  # never driver-verified
+                return (0, (-1, ""), n)  # never driver-verified
             if rec["hash"] != _body_hash(REGISTRY[n], file_cache):
-                return (1, rec["round"], n)  # changed since its green row
-            return (2, rec["round"], n)  # green — oldest evidence first
+                return (1, _round_key(rec["round"]), n)  # changed since green
+            return (2, _round_key(rec["round"]), n)  # green — oldest first
 
         _ORDER_CACHE = sorted(names, key=key)
     except Exception:  # noqa: BLE001 — ordering is best-effort, never fatal

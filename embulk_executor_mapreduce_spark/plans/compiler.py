@@ -283,16 +283,31 @@ def _run_cdc_tail(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
     ck_file = os.path.join(ck_dir, "offset.json")
     start = src.from_version
     # open-and-catch, not exists→open (TOCTOU discipline; a vanished or
-    # never-written checkpoint means "start from the spec")
+    # never-written checkpoint means "start from the spec"). A PRESENT but
+    # unreadable checkpoint is a config-class problem — resuming silently
+    # from from_version would reprocess already-delivered versions, so name
+    # the file and let the operator decide (delete it to restart).
     try:
         with open(ck_file) as f:
             start = max(start, int(_json.load(f)["last_version"]))
     except FileNotFoundError:
         pass
-    max_polls = int(src.options.get("max_polls", 1))
-    poll_seconds = float(src.options.get("poll_seconds", 1.0))
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ConfigError(
+            f"corrupt CDC tail checkpoint {ck_file!r} ({exc}); delete it to "
+            "restart from from_version (per-version delivery is idempotent)"
+        ) from exc
+    try:
+        max_polls = int(src.options.get("max_polls", 1))
+        poll_seconds = float(src.options.get("poll_seconds", 1.0))
+    except (ValueError, TypeError) as exc:
+        raise ConfigError(f"bad max_polls/poll_seconds: {exc}") from exc
     if max_polls < 1:
         raise ConfigError(f"options.max_polls must be >= 1, got {max_polls}")
+    if poll_seconds < 0:
+        raise ConfigError(
+            f"options.poll_seconds must be >= 0, got {poll_seconds}"
+        )
     local = _local(src.path)
     merge_mode = spec.sink.mode == "merge"
     version_sink = spec.sink
@@ -318,9 +333,11 @@ def _run_cdc_tail(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
                 time.sleep(poll_seconds)
             current = _pointer_version(local)
             if current is None:
-                raise FileNotFoundError(
-                    f"{src.path} is a pre-pointer (legacy) state: no "
-                    "versions to tail"
+                # config-shaped, not infra: the path is not a pointer-era
+                # merge state — nothing to tail (r12 review finding 5)
+                raise ConfigError(
+                    f"table_changes path {src.path!r} is not a pointer-era "
+                    "merge state (no version pointer found): nothing to tail"
                 )
             to_v = current if src.to_version is None else min(current, src.to_version)
             for v in range(start + 1, to_v + 1):
@@ -334,22 +351,11 @@ def _run_cdc_tail(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
                     per_version=True,
                     use_changelog=src.use_changelog,
                 )
-                df = apply_filter_chain(inc, spec.filters)
-                bucket = None
-                if spec.partitioning is not None:
-                    p = spec.partitioning
-                    strategy, _ = resolve_partitioning(p.type)
-                    df = df.withColumn(BUCKET_COL, strategy(df, p))
-                    n = (
-                        spec.execution.reducers
-                        or spark.sparkContext.defaultParallelism
-                        or 1
-                    )
-                    df = df.repartition(n, F.col(BUCKET_COL))
-                    if spec.sink.partition_by_bucket:
-                        bucket = BUCKET_COL
-                    else:
-                        df = df.drop(BUCKET_COL)
+                # the SAME stage pipeline as the batch path (filter chain +
+                # bucket/salt repartition) — one implementation, salt parity
+                # included (r12 review finding 4)
+                df = _apply_stages(inc, spec)
+                bucket = BUCKET_COL if spec.sink.partition_by_bucket else None
                 obs = Observation(f"cdc_tail_v{v}")
                 df = df.observe(obs, F.count(F.lit(1)).alias("rows"))
                 if merge_mode:
@@ -501,15 +507,10 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
     from ..sources.readers import apply_json_type
 
     df = apply_json_type(df, src)  # json_type: variant opt-in (batch parity)
-    df = apply_filter_chain(df, spec.filters)
-    if spec.partitioning is not None:
-        p = spec.partitioning
-        strategy, _ = resolve_partitioning(p.type)
-        df = df.withColumn(BUCKET_COL, strategy(df, p))
-        n = spec.execution.reducers or spark.sparkContext.defaultParallelism or 1
-        df = df.repartition(n, F.col(BUCKET_COL))
-        if not spec.sink.partition_by_bucket:
-            df = df.drop(BUCKET_COL)
+    # the SAME stage pipeline as the batch path (filter chain + bucket/salt
+    # repartition; salt_expr is content-hash based, so it is deterministic
+    # per micro-batch retry too) — one implementation (r12 review finding 4)
+    df = _apply_stages(df, spec)
 
     report = PipelineReport(partitioned=spec.partitioning is not None)
     # recentProgress is capped (spark.sql.streaming.numRecentProgressUpdates,
@@ -539,6 +540,9 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             q = writer.start()
             q.awaitTermination()
         else:
+            from ..sinks.writer import _render_variants
+
+            df = _render_variants(df, spec.sink.type)  # variant → json text
             writer = (
                 df.writeStream.format(spec.sink.type)
                 .outputMode("append")

@@ -576,6 +576,24 @@ def dedup_corpus_sink_fn(spec: SinkSpec):
     return incremental_dedup_sink(str(o["state"]), spec.path, **kwargs)
 
 
+def _render_variants(df: DataFrame, sink_type: str) -> DataFrame:
+    """VARIANT columns → canonical JSON text for sink formats that cannot
+    store variant natively (csv, ORC — probed on Spark 4.1.2; parquet,
+    json-lines, and xml all write it natively). Without this, a
+    ``json_type: variant`` pipeline into a csv sink dies at write time
+    with UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE, misclassified as a
+    user-data error because 'CSV' is a user-data message marker (r12
+    review finding 1). ``to_json`` is the lossless inverse of
+    ``parse_json`` for JSON-sourced values, so the rendered text
+    round-trips through the engine's own json-typed sources."""
+    if sink_type not in ("csv", "orc"):
+        return df
+    for f in df.schema.fields:
+        if f.dataType.simpleString() == "variant":
+            df = df.withColumn(f.name, F.to_json(F.col(f.name)))
+    return df
+
+
 def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> None:
     if spec.type == "dedup_corpus":
         dedup_corpus_sink_fn(spec)(df, int(spec.options.get("batch_tag", 0)))
@@ -619,6 +637,7 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
     if spec.mode == "merge":
         _merge_file_sink(df, spec)
         return
+    df = _render_variants(df, spec.type)
     opts = dict(spec.options)
     if spec.type == "csv":
         # quote/escape default to the reference formatter's ('"'/'"',

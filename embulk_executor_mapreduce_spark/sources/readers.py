@@ -426,8 +426,9 @@ def apply_json_type(df: DataFrame, spec: SourceSpec) -> DataFrame:
     via ``parse_json`` — typed access (``variant_get``) without a
     per-query ``from_json`` schema, heterogeneous object-vs-array columns
     included. Canonical-string stays the DEFAULT: variant is a binary
-    encoding that only parquet-class sinks round-trip natively; text
-    sinks re-serialize through ``to_json`` (lossless for JSON-sourced
+    encoding; parquet/json/xml sinks write it natively, csv/ORC sinks
+    re-serialize it through ``to_json`` at the sink
+    (``sinks/writer._render_variants`` — lossless for JSON-sourced
     values).
 
     Invalid-JSON policy mirrors the row-level invalid-record policy at

@@ -82,8 +82,11 @@ def synthesize_sf1(spark) -> None:
     langs = [r.lang for r in docs.select("lang").distinct().collect()]
     n_src = docs.select("source").distinct().count()
     base_n = docs.count()
+    # max+1 span, NOT count-based range: collision-free even if the
+    # generator ever emits sparse/non-zero-based ids (r12 review finding 6)
+    doc_span = docs.agg(F.max("doc_id")).first()[0] + 1
     new_docs = (
-        spark.range(base_n, base_n * 10)
+        spark.range(doc_span, doc_span + base_n * 9)
         .select(F.col("id").alias("doc_id"))
         .withColumn(
             "n_words",
@@ -133,8 +136,9 @@ def synthesize_sf1(spark) -> None:
     emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
     dim = len(emb.select("embedding").first().embedding)
     n_emb = emb.count()
+    vec_span = emb.agg(F.max("vec_id")).first()[0] + 1
     new_emb = (
-        spark.range(n_emb, n_emb * 10)
+        spark.range(vec_span, vec_span + n_emb * 9)
         .select(F.col("id").alias("vec_id"))
         .withColumn(
             "label", F.pmod(F.xxhash64("vec_id"), F.lit(10)).cast("int")
@@ -247,16 +251,20 @@ def main() -> None:
 
     # the UI REST API is the shuffle-bytes source; get_spark disables the
     # UI by default (bench hygiene), so opt back in for this script
-    spark = get_spark(
-        shuffle_partitions=32, extra_conf={"spark.ui.enabled": "true"}
-    )
+    # retainedStages must exceed the whole run's stage count: _stage_totals
+    # diffs CUMULATIVE completed-stage sums, and the default 1000-stage
+    # eviction silently deflates later entries' deltas (r12 review finding 2)
+    ui_conf = {
+        "spark.ui.enabled": "true",
+        "spark.ui.retainedStages": "200000",
+        "spark.ui.retainedJobs": "200000",
+    }
+    spark = get_spark(shuffle_partitions=32, extra_conf=ui_conf)
     if spark.sparkContext.uiWebUrl is None:
         # getOrCreate reused a UI-less session from the same process; this
         # script must own its session
         spark.stop()
-        spark = get_spark(
-            shuffle_partitions=32, extra_conf={"spark.ui.enabled": "true"}
-        )
+        spark = get_spark(shuffle_partitions=32, extra_conf=ui_conf)
     synthesize_sf1(spark)
     reg = catalog.entries()
     out = {}

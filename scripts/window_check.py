@@ -19,10 +19,7 @@ Run: ``python scripts/window_check.py`` (prints the violation list).
 
 from __future__ import annotations
 
-import hashlib
-import inspect
 import json
-import re
 import sys
 from pathlib import Path
 
@@ -35,8 +32,6 @@ PKG = ROOT / "embulk_executor_mapreduce_spark"
 WINDOW = 50
 VERIFIED_PATH = ROOT / "scripts" / "VERIFIED.json"
 
-_IMPORT_RE = re.compile(r"from \.([\w.]+) import")
-
 # Explicit over-the-cap waivers: queries flagged by the (deliberately
 # coarse) module-granularity hash whose own fn/oracle AND every function
 # they actually call are unchanged — verified by reading the module diff.
@@ -47,23 +42,16 @@ _IMPORT_RE = re.compile(r"from \.([\w.]+) import")
 DEFERRED: dict[str, str] = {}
 
 
-def _module_file(dotted: str) -> Path | None:
-    p = PKG / (dotted.replace(".", "/") + ".py")
-    return p if p.exists() else None
-
-
-def body_hash(entry) -> str:
-    src = inspect.getsource(entry.fn)
-    parts = [src, entry.oracle or "<no-oracle>"]
-    for dotted in sorted(set(_IMPORT_RE.findall(src))):
-        f = _module_file(dotted)
-        if f is not None:
-            parts.append(f.read_text())
-    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+def body_hash(entry, _cache: dict | None = None) -> str:
+    """Delegates to catalog._body_hash — ONE implementation (r12 review
+    finding 3: a hand-synchronized copy here silently diverged the gate's
+    hash from the window-ordering hash the moment either changed)."""
+    return catalog._body_hash(entry, _cache if _cache is not None else {})
 
 
 def current_hashes() -> dict[str, str]:
-    return {name: body_hash(e) for name, e in catalog.entries().items()}
+    cache: dict = {}
+    return {name: body_hash(e, cache) for name, e in catalog.entries().items()}
 
 
 def main() -> None:
@@ -107,7 +95,7 @@ def main() -> None:
     # wasted on fresh evidence while older evidence waits. List offenders.
     oldest_beyond = min(
         (
-            verified[n]["round"]
+            catalog._round_key(verified[n]["round"])
             for n in beyond
             if verified.get(n, {}).get("hash") == cur[n]
         ),
@@ -116,7 +104,8 @@ def main() -> None:
     misordered = sorted(
         n
         for n in stale_in_window
-        if oldest_beyond is not None and verified[n]["round"] > oldest_beyond
+        if oldest_beyond is not None
+        and catalog._round_key(verified[n]["round"]) > oldest_beyond
     )
     print(f"rotation candidates (misordered vs oldest beyond-window evidence): {len(misordered)}")
     if misordered:

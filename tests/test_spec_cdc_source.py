@@ -537,3 +537,34 @@ def test_spec_cdc_source_scalar_keys_rejected_and_join_path_validates(
     }
     out = compile_pipeline(spark, join_spec(good))
     assert out.count() > 0  # k=3 changed in v1 and v2 → join hits
+
+
+def test_cdc_tail_config_error_contract(spark, state3, tmp_path):
+    """r12 review finding 5: config-class mistakes surface as ConfigError,
+    never as raw JSONDecodeError / infra-classified failures — a corrupt
+    checkpoint, a negative poll rate, and a non-merge-state path."""
+    import os
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)
+    with open(os.path.join(ck, "offset.json"), "w") as f:
+        f.write("{truncated")
+    out = {"type": "parquet", "path": str(tmp_path / "o")}
+    with pytest.raises(ConfigError, match="checkpoint"):
+        run_pipeline_streaming(
+            spark,
+            load_spec({"in": _cdc_in(state3, options={"checkpoint": ck}), "out": out}),
+        )
+    with pytest.raises(ConfigError, match="poll_seconds"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {"in": _cdc_in(state3, options={"poll_seconds": -1}), "out": out}
+            ),
+        )
+    not_state = str(tmp_path / "empty")
+    os.makedirs(not_state)
+    with pytest.raises(ConfigError, match="merge state"):
+        run_pipeline_streaming(
+            spark, load_spec({"in": _cdc_in(not_state), "out": out})
+        )

@@ -1378,3 +1378,38 @@ def test_spec_json_type_variant_config_errors(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_spec_json_type_variant_csv_sink_renders_text(spark, tmp_path):
+    """r12 review finding 1: csv/ORC sinks cannot store VARIANT — the sink
+    re-serializes variant columns to canonical JSON text (to_json) instead
+    of dying at write with a misclassified user-data error."""
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "doc": {"k": 7}}\n{"id": 2, "doc": [1, 2]}\n'
+    )
+    base_in = {
+        "type": "json",
+        "path": str(src),
+        "columns": [
+            {"name": "id", "type": "long"},
+            {"name": "doc", "type": "json"},
+        ],
+        "options": {"json_type": "variant"},
+    }
+    for sink_type in ("csv", "orc"):
+        out = str(tmp_path / f"out_{sink_type}")
+        report = run_pipeline(
+            spark, load_spec({"in": base_in, "out": {"type": sink_type, "path": out}})
+        )
+        assert report.succeeded and report.output_rows == 2
+        back = getattr(
+            spark.read.options(
+                header=True, inferSchema=False, quote='"', escape='"'
+            ),
+            sink_type,
+        )(out)
+        got = {r.id: r.doc for r in back.collect()}
+        assert got == {"1" if sink_type == "csv" else 1: '{"k":7}',
+                       "2" if sink_type == "csv" else 2: "[1,2]"}
