@@ -5946,10 +5946,12 @@ def _body_hash(entry, _file_cache: dict) -> str:
 
 
 def _round_key(tag) -> tuple:
-    """Numeric ordering for round tags: 'r9' < 'r09+1'... lexicographic
-    comparison breaks on unpadded tags and at 'r100' (r12 review finding
-    7 — record_verified takes the tag as a free-form CLI arg), so compare
-    the embedded integer first."""
+    """Ordering key for round tags: the embedded integer first (so 'r9' ==
+    round 9 sorts before 'r10' and 'r100' sorts after 'r11' — lexicographic
+    comparison breaks on both, r12 review finding 7; record_verified takes
+    the tag as a free-form CLI arg), then the raw string as a deterministic
+    tie-break with NO freshness meaning — same-integer tags ('r9' vs
+    'r09') are the same round and their relative order is arbitrary."""
     import re
 
     m = re.search(r"(\d+)", str(tag))

@@ -540,13 +540,17 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             q = writer.start()
             q.awaitTermination()
         else:
-            from ..sinks.writer import _render_variants
+            # the batch writer's per-format preparation (variant → json
+            # text, csv quote/escape/header defaults, xml rowTag) — one
+            # implementation, so batch and streaming runs of one spec
+            # produce files the engine's own sources read back identically
+            from ..sinks.writer import prepare_file_sink
 
-            df = _render_variants(df, spec.sink.type)  # variant → json text
+            df, sink_opts = prepare_file_sink(df, spec.sink)
             writer = (
                 df.writeStream.format(spec.sink.type)
                 .outputMode("append")
-                .options(**{str(k): str(v) for k, v in spec.sink.options.items()})
+                .options(**{str(k): v for k, v in sink_opts.items()})
                 .option(
                     "checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pipeline_")
                 )
@@ -686,12 +690,19 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
             # reads this instead of re-counting the output)
             import json as _json
 
+            # manifest records the AS-WRITTEN schema: csv/orc sinks render
+            # variant columns to json text inside write_sink, so the
+            # pre-render df's types would lie to downstream readers (r12
+            # review finding 3)
+            from ..sinks.writer import _render_variants
+
+            written = _render_variants(df, spec.sink.type)
             manifest = {
                 "rows": report.output_rows,
                 "output_tasks": report.output_tasks,
                 "columns": [
                     {"name": f.name, "type": f.dataType.simpleString()}
-                    for f in df.schema.fields
+                    for f in written.schema.fields
                 ],
                 "partitioned": report.partitioned,
                 "sink_type": spec.sink.type,

@@ -590,53 +590,21 @@ def _render_variants(df: DataFrame, sink_type: str) -> DataFrame:
         return df
     for f in df.schema.fields:
         if f.dataType.simpleString() == "variant":
-            df = df.withColumn(f.name, F.to_json(F.col(f.name)))
+            # backticked: a dotted top-level column name must not resolve
+            # as a struct-field path (the r8 dotted-name trap)
+            safe = f.name.replace("`", "``")
+            df = df.withColumn(f.name, F.to_json(F.col(f"`{safe}`")))
     return df
 
 
-def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> None:
-    if spec.type == "dedup_corpus":
-        dedup_corpus_sink_fn(spec)(df, int(spec.options.get("batch_tag", 0)))
-        compact = spec.options.get("compact")
-        if compact:
-            # spec-driven corpus maintenance: fold committed batch dirs into
-            # size-targeted generations (and bound the generation count) as
-            # part of the load, so a pure-YAML user never accumulates the
-            # small-dirs problem the Python API solves with compact_corpus
-            from .compact import compact_corpus
-
-            c = compact if isinstance(compact, dict) else {}
-            compact_corpus(
-                df.sparkSession,
-                spec.path,
-                target_file_bytes=int(
-                    c.get("target_file_bytes", 512 * 1024 * 1024)
-                ),
-                max_generations=int(c.get("max_generations", 8)),
-            )
-        return
-    if spec.type == "null":
-        # still execute the plan (reference NullOutputFormat still runs tasks)
-        df.write.format("noop").mode("overwrite").save()
-        return
-    if spec.type == "memory":
-        # EAGER by default (verify-probe regression, r6): a lazy temp view
-        # defers the whole plan, so a FAILFAST parse error under
-        # stop_on_invalid_record surfaced later — raw, outside run_pipeline's
-        # error classification — while the report claimed success. cache() +
-        # count() executes the plan NOW (errors classify; observe() metrics
-        # fire) and the view serves from the materialized cache.
-        # options.eager=false restores the lazy view for plans too big to pin.
-        eager = str(spec.options.get("eager", "true")).lower() != "false"
-        if eager:
-            df = df.cache()
-        df.createOrReplaceTempView(spec.options.get("view", "pipeline_out"))
-        if eager:
-            df.count()
-        return
-    if spec.mode == "merge":
-        _merge_file_sink(df, spec)
-        return
+def prepare_file_sink(df: DataFrame, spec: SinkSpec) -> tuple[DataFrame, dict]:
+    """Shared file-sink preparation: variant rendering + per-format writer
+    option defaults. Used by BOTH the batch writer below and the streaming
+    ``writeStream`` branch (plans/compiler.run_pipeline_streaming) — r12
+    review finding: the streaming csv sink passed raw spec options only,
+    skipping the quote/escape/header defaults, so the same spec produced
+    backslash-escaped, headerless files the engine's own csv source could
+    not read back (a silent batch/stream parity break)."""
     df = _render_variants(df, spec.type)
     opts = dict(spec.options)
     if spec.type == "csv":
@@ -704,6 +672,53 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
             **opts,
         }
+    return df, opts
+
+
+def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> None:
+    if spec.type == "dedup_corpus":
+        dedup_corpus_sink_fn(spec)(df, int(spec.options.get("batch_tag", 0)))
+        compact = spec.options.get("compact")
+        if compact:
+            # spec-driven corpus maintenance: fold committed batch dirs into
+            # size-targeted generations (and bound the generation count) as
+            # part of the load, so a pure-YAML user never accumulates the
+            # small-dirs problem the Python API solves with compact_corpus
+            from .compact import compact_corpus
+
+            c = compact if isinstance(compact, dict) else {}
+            compact_corpus(
+                df.sparkSession,
+                spec.path,
+                target_file_bytes=int(
+                    c.get("target_file_bytes", 512 * 1024 * 1024)
+                ),
+                max_generations=int(c.get("max_generations", 8)),
+            )
+        return
+    if spec.type == "null":
+        # still execute the plan (reference NullOutputFormat still runs tasks)
+        df.write.format("noop").mode("overwrite").save()
+        return
+    if spec.type == "memory":
+        # EAGER by default (verify-probe regression, r6): a lazy temp view
+        # defers the whole plan, so a FAILFAST parse error under
+        # stop_on_invalid_record surfaced later — raw, outside run_pipeline's
+        # error classification — while the report claimed success. cache() +
+        # count() executes the plan NOW (errors classify; observe() metrics
+        # fire) and the view serves from the materialized cache.
+        # options.eager=false restores the lazy view for plans too big to pin.
+        eager = str(spec.options.get("eager", "true")).lower() != "false"
+        if eager:
+            df = df.cache()
+        df.createOrReplaceTempView(spec.options.get("view", "pipeline_out"))
+        if eager:
+            df.count()
+        return
+    if spec.mode == "merge":
+        _merge_file_sink(df, spec)
+        return
+    df, opts = prepare_file_sink(df, spec)
     if spec.sort_by and spec.type != "table":
         # per-file clustering for data skipping: sorting WITHIN write
         # partitions (no extra exchange) makes each parquet/orc row group's

@@ -500,6 +500,18 @@ def _read_source_dispatch(
         # CDC block must still fail as config with the same messages, not
         # as a ValueError/AnalysisException inside table_changes
         validate_table_changes_source(spec)
+        # pointing the source at a non-merge-state path is a CONFIG
+        # mistake: surface it as ConfigError at the spec layer (the sinks
+        # API keeps its pythonic FileNotFoundError; run_pipeline would
+        # otherwise classify that as retryable infra — r12 review). The
+        # probe is metadata-only (one pointer read).
+        from ..sinks.writer import _local, _pointer_version
+
+        if spec.path and _pointer_version(_local(spec.path)) is None:
+            raise ConfigError(
+                f"table_changes path {spec.path!r} is not a pointer-era "
+                "merge state (no version pointer found): nothing to read"
+            )
         return table_changes(
             spark,
             spec.path,

@@ -961,3 +961,57 @@ class TestPrepStagesStream:
             )
             with _pytest.raises(ConfigError, match="not streamable"):
                 run_pipeline_streaming(spark, spec)
+
+
+def test_streaming_csv_sink_matches_batch_writer_conventions(spark, tmp_path):
+    """r12 review (second pass): the streaming csv sink must apply the SAME
+    writer defaults as the batch path (header, quote='\"', escape='\"') so
+    the engine's own csv source reads either output identically — pinned
+    with a value containing quotes and commas."""
+    from embulk_executor_mapreduce_spark.plans.compiler import (
+        run_pipeline,
+        run_pipeline_streaming,
+    )
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.jsonl").write_text(
+        '{"id": 1, "s": "plain"}\n{"id": 2, "s": "a \\"quoted\\", comma"}\n'
+    )
+    cols = [{"name": "id", "type": "long"}, {"name": "s", "type": "string"}]
+    outs = {}
+    for mode, runner in (("batch", run_pipeline), ("stream", run_pipeline_streaming)):
+        out = str(tmp_path / mode)
+        runner(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "json", "path": str(src), "columns": cols},
+                    "out": {"type": "csv", "path": out},
+                }
+            ),
+        )
+        # read back through the ENGINE's csv source (quote/escape '"',
+        # header skip) — the roundtrip contract both paths must meet
+        from embulk_executor_mapreduce_spark.sources.readers import read_source
+
+        back = read_source(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "csv",
+                        "path": out,
+                        "columns": cols,
+                        "options": {"skip_header_lines": 1},
+                    },
+                    "out": {"type": "null"},
+                }
+            ).source,
+        )
+        outs[mode] = sorted((r.id, r.s) for r in back.collect())
+    assert outs["batch"] == outs["stream"] == [
+        (1, "plain"),
+        (2, 'a "quoted", comma'),
+    ]
