@@ -115,6 +115,7 @@ HEADLINE = [
     # deliver-and-read-back path) and the VariantType json gauntlet
     "stream_cdc_tail",
     "json_variant_gauntlet",
+    "spec_merge_state_read",
 ]
 
 SMALL_RESULT = {

@@ -5647,6 +5647,64 @@ def q_stream_cdc_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "spec_merge_state_read",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, n_chars AS val, 0::INT AS mo FROM documents
+    ), b1 AS (
+      SELECT doc_id, val + 7 AS val, mo FROM d WHERE doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 10000000 AS doc_id, val, mo FROM d WHERE doc_id % 97 = 0
+    ), s1 AS (
+      SELECT * FROM b1
+      UNION ALL
+      SELECT * FROM d WHERE doc_id NOT IN (SELECT doc_id FROM b1)
+    )
+    SELECT doc_id, val, mo, val % 10 AS val_mod FROM s1
+    """,
+    tags=("spec", "etl", "merge", "time-travel", "front-door"),
+)
+def q_spec_merge_state_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative merge-state read-back with TIME TRAVEL (r12): `in:
+    {type: merge_state, options: {version: 1}}` resolves the state's
+    _CURRENT pointer → the v1 manifest → an explicit bucket-dir scan
+    (sinks/writer.read_merge_state — a plain `type: parquet` scan of a
+    pointer-era state sees ZERO files and is rejected loudly), then the
+    ordinary filter surface composes downstream. Reads the SAME memoized
+    3-version state as the CDC rows at its POST-v1 snapshot, so the
+    oracle replays exactly batch-1-over-base — a pointer bug, a manifest
+    pointing at stale buckets, or time-travel off by one commit all flip
+    the hash. At 100 TB: the read lists only the manifest's bucket dirs
+    (O(buckets) metadata), never the whole state root; retained versions
+    are immutable, so a training job pinned to options.version is
+    bit-reproducible for the retention window."""
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    path = _cdc_three_version_state(spark, sf_dir)
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "merge_state",
+                    "path": path,
+                    "options": {"version": 1},
+                },
+                "filters": [
+                    {
+                        "type": "with_column",
+                        "name": "val_mod",
+                        "expr": "val % 10",
+                    }
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
 _CDC_DRIFT_ORACLE = """
     WITH ins AS (
       SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id % 97 = 0

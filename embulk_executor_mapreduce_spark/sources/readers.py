@@ -522,6 +522,25 @@ def _read_source_dispatch(
             per_version=spec.per_version,
             use_changelog=spec.use_changelog,
         )
+    if spec.type == "merge_state":
+        # direct read-back of the merge SINK's keyed state (r12): pointer →
+        # manifest → explicit bucket-dir scan (sinks/writer.read_merge_state
+        # — the ONLY supported read path; the data dirs are underscore-
+        # prefixed, invisible to a naive file listing). options.version
+        # time-travels to any retained snapshot — the training-
+        # reproducibility contract from pure YAML. The internal bucket
+        # column is an implementation detail and is dropped.
+        from ..sinks.writer import MERGE_BUCKET_COL, read_merge_state
+        from ..spec import validate_merge_state_source
+
+        validate_merge_state_source(spec)  # join-path re-validation
+        state = read_merge_state(
+            spark,
+            spec.path,
+            fmt=spec.options.get("format", "parquet"),
+            version=spec.options.get("version"),
+        )
+        return state.drop(MERGE_BUCKET_COL)
     if spec.type == "binaryfile":
         return _read_binaryfile(spark, spec)
     if spec.type == "task":
@@ -563,6 +582,19 @@ def _read_source_dispatch(
             reader = reader.schema(build_schema(list(spec.columns)))
         return reader.format("xml").load(spec.path)
     if spec.type in ("parquet", "orc"):
+        import os
+
+        if spec.path and os.path.exists(
+            os.path.join(spec.path[7:] if spec.path.startswith("file://") else spec.path, "_CURRENT")
+        ):
+            # pointer-era merge state: its data dirs are underscore-prefixed,
+            # so a naive file-source scan reads ZERO rows — fail loud with
+            # the fix instead of silently returning an empty frame (r12)
+            raise ConfigError(
+                f"{spec.path!r} is a merge-sink state (it has a _CURRENT "
+                "pointer); read it with `type: merge_state` — a plain "
+                f"{spec.type} scan of a pointer-era state sees no files"
+            )
         if spec.type == "parquet":
             # tolerate TIMESTAMP(NANOS) parquet files (read as long nanos)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

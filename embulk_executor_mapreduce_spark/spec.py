@@ -41,6 +41,14 @@ _SOURCE_TYPES = {
     # YAML (the reference's config-first UX, embulk_mapred_config.yml) —
     # VERDICT r10 item 1
     "table_changes",
+    # direct read-back of the "merge" SINK's keyed state (r12): resolves
+    # the _CURRENT pointer → manifest → bucket dirs (sinks/writer.
+    # read_merge_state), optionally time-traveling to a retained version
+    # via options.version. Without this a user has NO declarative way to
+    # read a state they wrote declaratively — and `type: parquet` on a
+    # pointer-era state silently reads ZERO rows (underscore-prefixed
+    # dirs), which the parquet source now rejects loudly.
+    "merge_state",
 }
 _SINK_TYPES = {
     "parquet",
@@ -223,6 +231,8 @@ class PipelineSpec:
             raise ConfigError("csv source requires an explicit columns schema")
         if self.source.type == "table_changes":
             validate_table_changes_source(self.source)
+        elif self.source.type == "merge_state":
+            validate_merge_state_source(self.source)
         elif (
             self.source.keys
             or self.source.from_version is not None
@@ -344,6 +354,49 @@ class PipelineSpec:
                     "invalid_record_path is only supported for csv and json "
                     "sources"
                 )
+
+
+def validate_merge_state_source(src: SourceSpec) -> None:
+    """Plan-time ConfigError matrix for a ``merge_state`` source block
+    (module-level for the same reason as the table_changes matrix: the
+    ``join`` filter stage reaches read_source without a PipelineSpec)."""
+    if not src.path:
+        raise ConfigError("merge_state source requires a path")
+    if (
+        src.keys
+        or src.from_version is not None
+        or src.to_version is not None
+        or src.per_version
+        or src.use_changelog is not None
+    ):
+        raise ConfigError(
+            "keys/from_version/to_version/per_version/use_changelog are "
+            "only meaningful for a table_changes source; merge_state "
+            "time-travel is options.version"
+        )
+    version = src.options.get("version")
+    if version is not None and (isinstance(version, bool) or not isinstance(version, int) or version < 0):
+        raise ConfigError(
+            f"merge_state options.version must be a non-negative integer "
+            f"commit version, got {version!r}"
+        )
+    fmt = src.options.get("format", "parquet")
+    if fmt not in ("parquet", "orc", "csv", "json"):
+        raise ConfigError(
+            f"merge_state options.format must be one of "
+            f"parquet|orc|csv|json (the merge sink's storage format), "
+            f"got {fmt!r}"
+        )
+    if src.columns:
+        raise ConfigError(
+            "merge_state source takes its schema from the committed state; "
+            "'columns' is not configurable"
+        )
+    if src.stop_on_invalid_record or src.invalid_record_path:
+        raise ConfigError(
+            "invalid-record policy does not apply to a merge_state source "
+            "(the read serves committed state, not raw records)"
+        )
 
 
 def validate_table_changes_source(src: SourceSpec) -> None:

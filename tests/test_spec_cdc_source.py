@@ -568,3 +568,88 @@ def test_cdc_tail_config_error_contract(spark, state3, tmp_path):
         run_pipeline_streaming(
             spark, load_spec({"in": _cdc_in(not_state), "out": out})
         )
+
+
+def test_spec_merge_state_source_reads_and_time_travels(spark, state3):
+    """r12: `in: {type: merge_state}` reads the committed keyed state
+    (pointer → manifest → bucket dirs) and options.version time-travels;
+    the internal bucket column never leaks into the result."""
+    cur = compile_pipeline(
+        spark,
+        load_spec(
+            {"in": {"type": "merge_state", "path": state3}, "out": {"type": "null"}}
+        ),
+    )
+    assert cur.columns == ["k", "o", "s"]
+    got = {r.k: r.s for r in cur.collect()}
+    assert got[3] == "CHANGED" and got[5] == "ALSO" and got[100] == "NEW"
+
+    v0 = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "merge_state",
+                    "path": state3,
+                    "options": {"version": 0},
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    base = {r.k: r.s for r in v0.collect()}
+    assert base == {k: f"v{k}" for k in range(16)}
+
+
+def test_spec_merge_state_source_validation_and_parquet_trap(spark, state3, tmp_path):
+    """Bad merge_state configs fail as ConfigError at plan time, an expired
+    version names the retention, and the old silent-zero-rows trap — a
+    plain parquet source pointed at a pointer-era state — is rejected
+    loudly with the fix named."""
+    from embulk_executor_mapreduce_spark.sources.readers import read_source
+
+    bad = [
+        ({"type": "merge_state"}, "path"),
+        ({"type": "merge_state", "path": state3, "options": {"version": -1}},
+         "version"),
+        ({"type": "merge_state", "path": state3, "options": {"version": "x"}},
+         "version"),
+        ({"type": "merge_state", "path": state3,
+          "options": {"format": "avro"}}, "format"),
+        ({"type": "merge_state", "path": state3,
+          "columns": [{"name": "k", "type": "long"}]}, "columns"),
+        ({"type": "merge_state", "path": state3, "keys": ["k"]},
+         "table_changes"),
+        ({"type": "merge_state", "path": state3,
+          "stop_on_invalid_record": True}, "invalid-record"),
+    ]
+    for block, needle in bad:
+        with pytest.raises(ConfigError, match=needle):
+            load_spec({"in": block, "out": {"type": "null"}})
+    # expired / never-committed version: the sinks API's retention error
+    with pytest.raises(FileNotFoundError, match="no version"):
+        compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "merge_state",
+                        "path": state3,
+                        "options": {"version": 99},
+                    },
+                    "out": {"type": "null"},
+                }
+            ),
+        ).count()
+    # the trap: type: parquet on a pointer-era state must not silently
+    # return an empty frame
+    with pytest.raises(ConfigError, match="merge_state"):
+        read_source(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": state3},
+                    "out": {"type": "null"},
+                }
+            ).source,
+        )
