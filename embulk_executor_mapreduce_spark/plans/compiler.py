@@ -333,11 +333,16 @@ def _run_cdc_tail(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
                 time.sleep(poll_seconds)
             current = _pointer_version(local)
             if current is None:
-                # config-shaped, not infra: the path is not a pointer-era
-                # merge state — nothing to tail (r12 review finding 5)
+                # config-shaped, not infra (r12 review finding 5). Accurate
+                # wording: a pre-pointer (legacy directory-swap) state may
+                # hold real data — it has no VERSIONS, which is what the
+                # tail consumes (one migrating merge commit fixes that).
                 raise ConfigError(
-                    f"table_changes path {src.path!r} is not a pointer-era "
-                    "merge state (no version pointer found): nothing to tail"
+                    f"table_changes path {src.path!r} has no version "
+                    "pointer — a pre-pointer (legacy) merge state or not a "
+                    "merge state at all; the tail consumes committed "
+                    "versions (one merge commit with the current sink "
+                    "migrates a legacy state)"
                 )
             to_v = current if src.to_version is None else min(current, src.to_version)
             for v in range(start + 1, to_v + 1):
@@ -690,13 +695,23 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
             # reads this instead of re-counting the output)
             import json as _json
 
-            # manifest records the AS-WRITTEN schema: csv/orc sinks render
-            # variant columns to json text inside write_sink, so the
-            # pre-render df's types would lie to downstream readers (r12
-            # review finding 3)
-            from ..sinks.writer import _render_variants
+            # manifest records the AS-WRITTEN schema: the file-sink
+            # preparation can rewrite column types (variant → json text on
+            # csv/orc, per-column timestamp formats → formatted strings on
+            # csv), so the pre-write df's types would lie to downstream
+            # readers (r12 review findings 3 + second pass). Re-deriving
+            # the prepared frame is plan-only — no job runs.
+            written = df
+            if spec.sink.mode != "merge" and spec.sink.type in (
+                "parquet",
+                "csv",
+                "json",
+                "orc",
+                "xml",
+            ):
+                from ..sinks.writer import prepare_file_sink
 
-            written = _render_variants(df, spec.sink.type)
+                written, _ = prepare_file_sink(df, spec.sink)
             manifest = {
                 "rows": report.output_rows,
                 "output_tasks": report.output_tasks,

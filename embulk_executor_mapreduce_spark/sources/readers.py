@@ -474,6 +474,7 @@ def _read_source_dispatch(
     error_sink=None,
 ) -> DataFrame:
     if spec.type == "csv":
+        _reject_merge_state_path(spec)
         return _read_csv(spark, spec)
     if spec.type == "table":
         # managed-table scan (read-back of the "table" sink): a bucketBy
@@ -500,28 +501,7 @@ def _read_source_dispatch(
         # CDC block must still fail as config with the same messages, not
         # as a ValueError/AnalysisException inside table_changes
         validate_table_changes_source(spec)
-        # pointing the source at a non-merge-state path is a CONFIG
-        # mistake: surface it as ConfigError at the spec layer (the sinks
-        # API keeps its pythonic FileNotFoundError; run_pipeline would
-        # otherwise classify that as retryable infra — r12 review). The
-        # probe is metadata-only (one pointer read).
-        from ..sinks.writer import _local, _pointer_version
-
-        if spec.path and _pointer_version(_local(spec.path)) is None:
-            raise ConfigError(
-                f"table_changes path {spec.path!r} is not a pointer-era "
-                "merge state (no version pointer found): nothing to read"
-            )
-        return table_changes(
-            spark,
-            spec.path,
-            list(spec.keys),
-            from_version=spec.from_version,
-            to_version=spec.to_version,
-            fmt=spec.options.get("format", "parquet"),
-            per_version=spec.per_version,
-            use_changelog=spec.use_changelog,
-        )
+        return _table_changes_config_shaped(spark, table_changes, spec)
     if spec.type == "merge_state":
         # direct read-back of the merge SINK's keyed state (r12): pointer →
         # manifest → explicit bucket-dir scan (sinks/writer.read_merge_state
@@ -562,6 +542,7 @@ def _read_source_dispatch(
             )
         return df
     if spec.type == "json":
+        _reject_merge_state_path(spec)
         return _read_json(spark, spec)
     if spec.type == "xml":
         # Spark 4 native XML datasource (built in since 4.0 — no external
@@ -582,19 +563,7 @@ def _read_source_dispatch(
             reader = reader.schema(build_schema(list(spec.columns)))
         return reader.format("xml").load(spec.path)
     if spec.type in ("parquet", "orc"):
-        import os
-
-        if spec.path and os.path.exists(
-            os.path.join(spec.path[7:] if spec.path.startswith("file://") else spec.path, "_CURRENT")
-        ):
-            # pointer-era merge state: its data dirs are underscore-prefixed,
-            # so a naive file-source scan reads ZERO rows — fail loud with
-            # the fix instead of silently returning an empty frame (r12)
-            raise ConfigError(
-                f"{spec.path!r} is a merge-sink state (it has a _CURRENT "
-                "pointer); read it with `type: merge_state` — a plain "
-                f"{spec.type} scan of a pointer-era state sees no files"
-            )
+        _reject_merge_state_path(spec)
         if spec.type == "parquet":
             # tolerate TIMESTAMP(NANOS) parquet files (read as long nanos)
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -603,6 +572,51 @@ def _read_source_dispatch(
             reader = reader.schema(build_schema(list(spec.columns)))
         return getattr(reader, spec.type)(spec.path)
     raise ConfigError(f"unknown source type {spec.type!r}")
+
+
+def _reject_merge_state_path(spec: SourceSpec) -> None:
+    """Pointer-era merge-state paths must not be scanned as plain file
+    sources: the data dirs are underscore-prefixed, so the scan silently
+    reads ZERO rows — fail loud with the fix instead (r12). Covers every
+    file source that can point at a state dir (a merge sink stores
+    parquet/orc/csv/json, all four of which validate_merge_state_source
+    allows). Reuses the writer's own _local/_CURRENT_FILE so the probe
+    cannot drift from the pointer protocol."""
+    import os
+
+    from ..sinks.writer import _CURRENT_FILE, _local
+
+    if spec.path and os.path.exists(
+        os.path.join(_local(spec.path), _CURRENT_FILE)
+    ):
+        raise ConfigError(
+            f"{spec.path!r} is a merge-sink state (it has a {_CURRENT_FILE} "
+            "pointer); read it with `type: merge_state` — a plain "
+            f"{spec.type} scan of a pointer-era state sees no files"
+        )
+
+
+def _table_changes_config_shaped(spark: SparkSession, table_changes, spec: SourceSpec) -> DataFrame:
+    """Call the sinks API, re-shaping its accurate pre-pointer diagnostic
+    as ConfigError at the spec layer (r12 review: run_pipeline would
+    otherwise classify a config mistake as retryable infra; and a
+    pre-probe here would both double the pointer read and mislabel a
+    populated legacy state as 'nothing to read')."""
+    try:
+        return table_changes(
+            spark,
+            spec.path,
+            list(spec.keys),
+            from_version=spec.from_version,
+            to_version=spec.to_version,
+            fmt=spec.options.get("format", "parquet"),
+            per_version=spec.per_version,
+            use_changelog=spec.use_changelog,
+        )
+    except FileNotFoundError as exc:
+        if "pre-pointer" in str(exc):
+            raise ConfigError(str(exc)) from exc
+        raise
 
 
 def _read_json(spark: SparkSession, spec: SourceSpec) -> DataFrame:

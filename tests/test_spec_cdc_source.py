@@ -641,15 +641,21 @@ def test_spec_merge_state_source_validation_and_parquet_trap(spark, state3, tmp_
                 }
             ),
         ).count()
-    # the trap: type: parquet on a pointer-era state must not silently
-    # return an empty frame
-    with pytest.raises(ConfigError, match="merge_state"):
-        read_source(
-            spark,
-            load_spec(
-                {
-                    "in": {"type": "parquet", "path": state3},
-                    "out": {"type": "null"},
-                }
-            ).source,
-        )
+    # the trap: a plain file source on a pointer-era state must not
+    # silently return an empty frame — for EVERY format a merge sink can
+    # store (r12 review second pass: csv/json were initially unguarded)
+    for blk in (
+        {"type": "parquet", "path": state3},
+        {"type": "orc", "path": state3},
+        {"type": "json", "path": state3},
+        {
+            "type": "csv",
+            "path": state3,
+            "columns": [{"name": "k", "type": "long"}],
+        },
+    ):
+        with pytest.raises(ConfigError, match="merge_state"):
+            read_source(
+                spark,
+                load_spec({"in": blk, "out": {"type": "null"}}).source,
+            )

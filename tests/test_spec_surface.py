@@ -1413,3 +1413,11 @@ def test_spec_json_type_variant_csv_sink_renders_text(spark, tmp_path):
         got = {r.id: r.doc for r in back.collect()}
         assert got == {"1" if sink_type == "csv" else 1: '{"k":7}',
                        "2" if sink_type == "csv" else 2: "[1,2]"}
+        # the commit-audit manifest must record the AS-WRITTEN type
+        # (string after the variant render), not the pre-write variant
+        # (r12 review finding 3)
+        import json as _json
+        from pathlib import Path as _Path
+
+        man = _json.loads((_Path(out) / "_manifest.json").read_text())
+        assert {c["name"]: c["type"] for c in man["columns"]}["doc"] == "string"
