@@ -659,3 +659,57 @@ def test_spec_merge_state_source_validation_and_parquet_trap(spark, state3, tmp_
                 spark,
                 load_spec({"in": blk, "out": {"type": "null"}}).source,
             )
+
+
+def test_cdc_tail_follow_mode_picks_up_live_commits(spark, state3, tmp_path):
+    """max_polls > 1 turns the tail into a follow loop: a version committed
+    AFTER the tail starts (between polls) is delivered in the same run."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    out, ck = str(tmp_path / "o"), str(tmp_path / "ck")
+    doc = {
+        "in": {
+            "type": "table_changes",
+            "path": state3,
+            "keys": ["k"],
+            "from_version": 0,
+            "per_version": True,
+            "options": {"checkpoint": ck, "max_polls": 6, "poll_seconds": 1.0},
+        },
+        "out": {"type": "parquet", "path": out},
+    }
+    sink = SinkSpec(
+        type="parquet",
+        path=state3,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("o",),
+        merge_buckets=8,
+        merge_keep_versions=3,
+    )
+
+    def commit_late():
+        _time.sleep(2.0)
+        write_sink(
+            spark.createDataFrame(
+                [(42, 0, "LIVE")], "k bigint, o int, s string"
+            ),
+            sink,
+        )  # v3, lands mid-follow
+
+    t = threading.Thread(target=commit_late)
+    t.start()
+    report = run_pipeline_streaming(spark, load_spec(doc))
+    t.join()
+    assert report.succeeded
+    vs = sorted(
+        r.v
+        for r in spark.read.parquet(out)
+        .select(F.col("_commit_version").cast("long").alias("v"))
+        .distinct()
+        .collect()
+    )
+    assert vs == [1, 2, 3], vs  # the live commit was tailed in-run

@@ -1015,3 +1015,49 @@ def test_streaming_csv_sink_matches_batch_writer_conventions(spark, tmp_path):
         (1, "plain"),
         (2, 'a "quoted", comma'),
     ]
+
+
+def test_streaming_pipeline_salt_parity_with_batch(spark, tmp_path):
+    """r12 (post-seal test pin): the streaming front door now runs the
+    SAME _apply_stages chain as batch, so map_side_partition_split salt
+    applies to streams too — salt must spread write tasks WITHOUT leaking
+    into the output or the directory layout, and the multiset must equal
+    the batch run."""
+    from pathlib import Path
+
+    from embulk_executor_mapreduce_spark.plans.compiler import (
+        run_pipeline,
+        run_pipeline_streaming,
+    )
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    doc = {
+        "in": {"type": "parquet", "path": "/root/testdata/sf0.001/events.parquet"},
+        "filters": [*events_ts_normalize_filters("/root/testdata/sf0.001")],
+        "exec": {
+            "reducers": 4,
+            "partitioning": {
+                "column": "ts",
+                "unit": "day",
+                "map_side_partition_split": 4,
+            },
+        },
+    }
+    outs = {}
+    for mode, runner in (("batch", run_pipeline), ("stream", run_pipeline_streaming)):
+        out = str(tmp_path / mode)
+        rep = runner(
+            spark,
+            load_spec(
+                {**doc, "out": {"type": "parquet", "path": out, "partition_by_bucket": True}}
+            ),
+        )
+        assert rep.succeeded and rep.partitioned
+        back = spark.read.parquet(out)
+        assert "__salt" not in back.columns  # salt never leaks
+        assert len(list(Path(out).glob("__salt=*"))) == 0
+        assert len(list(Path(out).glob("__bucket=*"))) >= 28
+        outs[mode] = sorted(
+            tuple(r[c] for c in ("event_id", "__bucket")) for r in back.select("event_id", "__bucket").collect()
+        )
+    assert outs["batch"] == outs["stream"] and len(outs["batch"]) == 1000
