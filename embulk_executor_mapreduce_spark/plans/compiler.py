@@ -443,6 +443,13 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
         )
 
     src = spec.source
+    if src.type in ("csv", "parquet", "orc", "json", "text"):
+        # same silent-zero-rows trap as the batch path, but worse here: a
+        # file STREAM on a pointer-era merge state watches an (apparently)
+        # empty directory forever — no error, no data (r12 residue close)
+        from ..sources.readers import _reject_merge_state_path
+
+        _reject_merge_state_path(src)
     if src.type == "csv":
         opts, skip_header, per_col = _csv_options(src)
         if skip_header > 1:

@@ -522,6 +522,7 @@ def _read_source_dispatch(
         )
         return state.drop(MERGE_BUCKET_COL)
     if spec.type == "binaryfile":
+        _reject_merge_state_path(spec)
         return _read_binaryfile(spark, spec)
     if spec.type == "task":
         return _read_task(spark, spec, retry_tasks=retry_tasks, error_sink=error_sink)
@@ -531,6 +532,7 @@ def _read_source_dispatch(
         # C4-style text pipelines: text source → quality/dedup filter chain
         # → parquet sink. wholetext: true yields one row per FILE instead
         # (document-per-file corpora); both stay a narrow scan, no shuffle.
+        _reject_merge_state_path(spec)
         opts = dict(spec.options)
         line_col = opts.pop("line_column", "line")
         wholetext = bool(opts.pop("wholetext", False))
@@ -578,10 +580,13 @@ def _reject_merge_state_path(spec: SourceSpec) -> None:
     """Pointer-era merge-state paths must not be scanned as plain file
     sources: the data dirs are underscore-prefixed, so the scan silently
     reads ZERO rows — fail loud with the fix instead (r12). Covers every
-    file source that can point at a state dir (a merge sink stores
-    parquet/orc/csv/json, all four of which validate_merge_state_source
-    allows). Reuses the writer's own _local/_CURRENT_FILE so the probe
-    cannot drift from the pointer protocol."""
+    file source that can point at a state dir: the four formats a merge
+    sink stores (parquet/orc/csv/json, all of which
+    validate_merge_state_source allows) plus text/binaryfile, which see
+    the same zero-file listing when misdirected at a state dir (every
+    state artifact is underscore-prefixed). Reuses the writer's own
+    _local/_CURRENT_FILE so the probe cannot drift from the pointer
+    protocol."""
     import os
 
     from ..sinks.writer import _CURRENT_FILE, _local

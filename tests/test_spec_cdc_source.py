@@ -653,12 +653,28 @@ def test_spec_merge_state_source_validation_and_parquet_trap(spark, state3, tmp_
             "path": state3,
             "columns": [{"name": "k", "type": "long"}],
         },
+        # text/binaryfile see the same zero-file listing on a state dir
+        # (every state artifact is underscore-prefixed) — r12 residue
+        {"type": "text", "path": state3},
+        {"type": "binaryfile", "path": state3},
     ):
         with pytest.raises(ConfigError, match="merge_state"):
             read_source(
                 spark,
                 load_spec({"in": blk, "out": {"type": "null"}}).source,
             )
+    # the STREAMING front door shares the trap, and silently worse: a file
+    # stream on a state dir watches an empty directory forever
+    with pytest.raises(ConfigError, match="merge_state"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": state3},
+                    "out": {"type": "parquet", "path": str(tmp_path / "so")},
+                }
+            ),
+        )
 
 
 def test_cdc_tail_follow_mode_picks_up_live_commits(spark, state3, tmp_path):
