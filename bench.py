@@ -116,6 +116,9 @@ HEADLINE = [
     "stream_cdc_tail",
     "json_variant_gauntlet",
     "spec_merge_state_read",
+    # round 12 (cont.): bloom-bitmap runtime prefilter — prices the
+    # build-probe-verify composite against the plain anti-join it replaces
+    "bloom_prefilter_dedup",
 ]
 
 SMALL_RESULT = {
