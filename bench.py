@@ -119,6 +119,9 @@ HEADLINE = [
     # round 12 (cont.): bloom-bitmap runtime prefilter — prices the
     # build-probe-verify composite against the plain anti-join it replaces
     "bloom_prefilter_dedup",
+    # round 12 (cont.): positional posting-list build — the corpus-search
+    # structure; prices the explode + composite-key aggregate
+    "inverted_index_postings",
 ]
 
 SMALL_RESULT = {

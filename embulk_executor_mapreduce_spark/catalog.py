@@ -5018,6 +5018,47 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inverted_index_postings",
+    oracle="""
+    SELECT doc_id, term, count(*) AS tf,
+           string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+    FROM (
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS term,
+             generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+      FROM documents
+    )
+    WHERE term <> ''
+    GROUP BY doc_id, term
+    """,
+    tags=("text", "search"),
+)
+def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted-index build (the corpus-search structure phrase
+    queries and contamination audits need): one posting entry per
+    (term, doc) with the 0-based token positions, canonical comma-joined.
+    Plan shape: posexplode is a map-only fan-out, then ONE exchange on the
+    (doc_id, term) composite for a map-side-combinable count +
+    collect_list; positions sort per-group (bounded by a doc's term
+    frequency, never corpus-global). At 100 TB the serving step writes
+    this table term-bucketed/sorted (the `table` sink's bucketBy layout,
+    same decision rule as the pagerank edge table) so a term lookup is
+    one pruned bucket scan; the BUILD here is the expensive, shuffled
+    part and it carries exactly one exchange."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    ).filter(F.col("term") != "")
+    return toks.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list("pos")), lambda x: x.cast("string")),
+            ",",
+        ).alias("positions"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Link-graph centrality (crawl-quality weighting for pretraining corpora)
 # ---------------------------------------------------------------------------

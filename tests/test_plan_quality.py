@@ -86,6 +86,15 @@ def test_topk_single_exchange(spark):
     assert num_exchanges(df) == 1, "window top-k needs only the key exchange"
 
 
+def test_inverted_index_single_exchange_no_global_sort(spark):
+    df = catalog.entries()["inverted_index_postings"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert num_exchanges(df) == 1, "postings build is one composite-key exchange"
+    assert "Exchange rangepartitioning" not in plan, (
+        "position ordering must stay per-group (array_sort), never global"
+    )
+
+
 def test_ann_bruteforce_broadcasts_queries(spark):
     df = catalog.entries()["ann_bruteforce_topk"].fn(spark, SF)
     assert num_broadcasts(df) >= 1, "probe vectors must broadcast"
