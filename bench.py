@@ -122,6 +122,9 @@ HEADLINE = [
     # round 12 (cont.): positional posting-list build — the corpus-search
     # structure; prices the explode + composite-key aggregate
     "inverted_index_postings",
+    # round 12 (cont.): the anti_state YAML stage — prices the declarative
+    # delta-vs-landed-state dedup (merge_state read + bitmap + verify join)
+    "spec_anti_state_pipeline",
 ]
 
 SMALL_RESULT = {

@@ -5798,6 +5798,65 @@ def q_spec_merge_state_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "spec_anti_state_pipeline",
+    oracle="""
+    SELECT source, count(*)::BIGINT AS n,
+           sum(doc_id + 10000000)::BIGINT AS sum_id
+    FROM documents WHERE doc_id % 97 <> 0 GROUP BY source
+    """,
+    tags=("spec", "dedup", "runtimefilter", "incremental", "front-door"),
+)
+def q_spec_anti_state_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingestion front door from pure YAML (r12 cont.): the
+    `anti_state` filter stage drops delta rows whose key already exists
+    in a landed merge state, through the bloom-bitmap runtime prefilter
+    (operators/runtimefilter.py — exact result, probe-negative rows never
+    enter the state join). The delta here is the documents table with
+    keys shifted by 10M, which collides with EXACTLY the state's
+    v1-inserted `doc_id + 10M (doc_id % 97 = 0)` keys — a mostly-new
+    delta with a thin overlap, the prefilter's design regime. The oracle
+    replays the state's final keyset closed-form (base doc_ids never
+    collide with the shifted delta at any tested SF: doc_id < 10M), so a
+    bitmap false NEGATIVE (dropped new row), a verify-join bug (kept
+    present row), or a stage-wiring bug all flip the hash. Downstream
+    the ordinary aggregate stage composes — the whole chain is config."""
+    from .plans.compiler import compile_pipeline
+    from .spec import load_spec
+
+    path = _cdc_three_version_state(spark, sf_dir)
+    return compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/documents.parquet"},
+                "filters": [
+                    {"type": "select", "columns": ["doc_id", "source"]},
+                    {
+                        "type": "with_column",
+                        "name": "doc_id",
+                        "expr": "doc_id + 10000000",
+                    },
+                    {
+                        "type": "anti_state",
+                        "state": {"type": "merge_state", "path": path},
+                        "keys": ["doc_id"],
+                        # spec-declared sizing (manifest/table stats at
+                        # scale) — no eager count at compile time
+                        "expected_keys": 8192,
+                    },
+                    {
+                        "type": "aggregate",
+                        "group_by": ["source"],
+                        "aggs": {"n": "count(*)", "sum_id": "sum(doc_id)"},
+                    },
+                ],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+
+
 _CDC_DRIFT_ORACLE = """
     WITH ins AS (
       SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id % 97 = 0

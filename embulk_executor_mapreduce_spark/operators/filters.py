@@ -390,6 +390,64 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             .select(F.col("doc_id").alias(id_col))
         )
         return df.join(losers, on=id_col, how="left_anti")
+    if spec.type == "anti_state":
+        # incremental-ingestion front door: drop rows whose key already
+        # exists in a landed state — an EXACT anti-join, routed through the
+        # bloom-bitmap runtime prefilter so a mostly-new delta's exchange
+        # carries only the probe-positive sliver (operators/runtimefilter.py;
+        # prefilter: false degrades to the plain anti-join for tiny states).
+        from ..sources.readers import read_source
+        from ..spec import source_from
+        from .runtimefilter import new_keys_via_bitmap, suggest_m_bits
+
+        if "state" not in cfg:
+            raise ConfigError(
+                "anti_state filter requires a 'state' source block "
+                "(typically {type: merge_state, path: ...})"
+            )
+        keys = cfg.get("keys")
+        if not keys:
+            raise ConfigError("anti_state filter requires 'keys'")
+        state = read_source(df.sparkSession, source_from(dict(cfg["state"])))
+        for c in keys:
+            if c not in df.columns:
+                # reference findColumnByName config-time error
+                # (TimestampPartitioning.java:152-161)
+                raise ConfigError(
+                    f"anti_state key column {c!r} missing from the data"
+                )
+            if c not in state.columns:
+                raise ConfigError(
+                    f"anti_state key column {c!r} missing from the state"
+                )
+        if not cfg.get("prefilter", True):
+            return df.join(
+                state.select(*keys).distinct(), on=list(keys), how="left_anti"
+            )
+        num_hashes = int(cfg.get("num_hashes", 2))
+        if not (1 <= num_hashes <= 8):
+            raise ConfigError(
+                f"anti_state num_hashes must be in [1, 8], got {num_hashes}"
+            )
+        bits_per_key = int(cfg.get("bits_per_key", 16))
+        if not (1 <= bits_per_key <= 64):
+            raise ConfigError(
+                f"anti_state bits_per_key must be in [1, 64], got {bits_per_key}"
+            )
+        expected = cfg.get("expected_keys")
+        if expected is not None and int(expected) < 1:
+            raise ConfigError(
+                f"anti_state expected_keys must be >= 1, got {expected}"
+            )
+        # filter sizing: declared key count when the spec knows it (table
+        # stats / manifest at scale), else one count over the state —
+        # an eager probe at compile time, same class as the streaming
+        # schema peek. Sizing only tunes wasted verify work, never rows.
+        n = int(expected) if expected is not None else state.count()
+        m_bits = suggest_m_bits(n, bits_per_key=bits_per_key)
+        return new_keys_via_bitmap(
+            df, state, list(keys), m_bits, num_hashes=num_hashes
+        )
     if spec.type == "drift_report":
         # Deequ-style "verification as part of the pipeline" over a CDC
         # feed (VERDICT r10 item 8, completing the config surface): the

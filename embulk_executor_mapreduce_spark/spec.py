@@ -98,6 +98,11 @@ _FILTER_TYPES = {
     "minhash_dedup",
     "chunk",  # token-window training-example fan-out (map-only, streamable)
     "decontaminate",  # drop benchmark-leaking docs (minhash or exact n-gram)
+    # drop rows whose key already exists in a landed state (typically a
+    # merge_state source block) — exact anti-join through the bloom-bitmap
+    # runtime prefilter (operators/runtimefilter.py); batch-only (the
+    # streaming analog is the dedup_corpus sink's claim-tag loop)
+    "anti_state",
     # cross-version data-quality gate over a table_changes source (one fused
     # groupBy(_commit_version) pass; gate: true fails the load in-plan on an
     # out-of-bounds commit — operators/constraints.drift_report)

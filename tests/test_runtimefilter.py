@@ -123,6 +123,168 @@ class TestFilterQuality:
         assert m >= 16_000_000 and (m & (m - 1)) == 0
 
 
+class TestAntiStateStage:
+    """`anti_state` declarative filter stage: exact dedup of a delta
+    against a landed merge state, through the bloom prefilter."""
+
+    @pytest.fixture(scope="class")
+    def state_dir(self, spark, tmp_path_factory):
+        from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+        from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+        path = str(tmp_path_factory.mktemp("anti_state") / "state")
+        landed = spark.range(0, 300).selectExpr(
+            "id as k", "id * 3 as v", "0 as mo"
+        )
+        write_sink(
+            landed,
+            SinkSpec(
+                type="parquet",
+                path=path,
+                mode="merge",
+                merge_key=("k",),
+                merge_order=("mo",),
+            ),
+        )
+        return path
+
+    def test_spec_stage_matches_plain_anti_join(self, spark, state_dir, tmp_path):
+        from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        inc_path = str(tmp_path / "delta")
+        spark.range(200, 600).selectExpr("id as k", "id * 7 as p").write.parquet(
+            inc_path
+        )
+        df = compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": inc_path},
+                    "filters": [
+                        {
+                            "type": "anti_state",
+                            "state": {"type": "merge_state", "path": state_dir},
+                            "keys": ["k"],
+                        }
+                    ],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+        got = sorted(r.k for r in df.collect())
+        assert got == list(range(300, 600))
+
+    def test_prefilter_false_degrades_to_plain_anti_join(
+        self, spark, state_dir, tmp_path
+    ):
+        from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        inc_path = str(tmp_path / "delta2")
+        spark.range(250, 350).selectExpr("id as k").write.parquet(inc_path)
+        df = compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": inc_path},
+                    "filters": [
+                        {
+                            "type": "anti_state",
+                            "state": {"type": "merge_state", "path": state_dir},
+                            "keys": ["k"],
+                            "prefilter": False,
+                        }
+                    ],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+        assert sorted(r.k for r in df.collect()) == list(range(300, 350))
+        assert "LeftAnti" in df._jdf.queryExecution().executedPlan().toString()
+
+    def test_config_error_matrix(self, spark, state_dir, tmp_path):
+        from embulk_executor_mapreduce_spark.errors import ConfigError
+        from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        inc_path = str(tmp_path / "delta3")
+        spark.range(0, 10).selectExpr("id as k").write.parquet(inc_path)
+
+        def run(stage):
+            compile_pipeline(
+                spark,
+                load_spec(
+                    {
+                        "in": {"type": "parquet", "path": inc_path},
+                        "filters": [stage],
+                        "out": {"type": "null"},
+                    }
+                ),
+            )
+
+        state = {"type": "merge_state", "path": state_dir}
+        bad = [
+            ({"type": "anti_state", "keys": ["k"]}, "state"),
+            ({"type": "anti_state", "state": state}, "keys"),
+            ({"type": "anti_state", "state": state, "keys": ["nope"]}, "missing from the data"),
+            ({"type": "anti_state", "state": state, "keys": ["k", "v2"]}, "missing from the data"),
+            ({"type": "anti_state", "state": state, "keys": ["k"], "num_hashes": 0}, "num_hashes"),
+            ({"type": "anti_state", "state": state, "keys": ["k"], "bits_per_key": 0}, "bits_per_key"),
+            ({"type": "anti_state", "state": state, "keys": ["k"], "expected_keys": 0}, "expected_keys"),
+        ]
+        for stage, needle in bad:
+            with pytest.raises(ConfigError, match=needle):
+                run(stage)
+        # a key present in the data but absent from the state
+        inc2 = str(tmp_path / "delta4")
+        spark.range(0, 10).selectExpr("id as k", "id as extra").write.parquet(inc2)
+        with pytest.raises(ConfigError, match="missing from the state"):
+            compile_pipeline(
+                spark,
+                load_spec(
+                    {
+                        "in": {"type": "parquet", "path": inc2},
+                        "filters": [
+                            {
+                                "type": "anti_state",
+                                "state": state,
+                                "keys": ["extra"],
+                            }
+                        ],
+                        "out": {"type": "null"},
+                    }
+                ),
+            )
+
+    def test_not_streamable(self, spark, state_dir, tmp_path):
+        from embulk_executor_mapreduce_spark.errors import ConfigError
+        from embulk_executor_mapreduce_spark.plans.compiler import (
+            run_pipeline_streaming,
+        )
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        inc_path = str(tmp_path / "delta5")
+        spark.range(0, 10).selectExpr("id as k").write.parquet(inc_path)
+        with pytest.raises(ConfigError, match="not streamable"):
+            run_pipeline_streaming(
+                spark,
+                load_spec(
+                    {
+                        "in": {"type": "parquet", "path": inc_path},
+                        "filters": [
+                            {
+                                "type": "anti_state",
+                                "state": {"type": "merge_state", "path": state_dir},
+                                "keys": ["k"],
+                            }
+                        ],
+                        "out": {"type": "parquet", "path": str(tmp_path / "o")},
+                    }
+                ),
+            )
+
+
 class TestCatalogRowPlan:
     def test_bloom_row_plan_shape(self, spark):
         """Plan guard for catalog `bloom_prefilter_dedup`: the verify
