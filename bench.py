@@ -125,6 +125,8 @@ HEADLINE = [
     # round 12 (cont.): the anti_state YAML stage — prices the declarative
     # delta-vs-landed-state dedup (merge_state read + bitmap + verify join)
     "spec_anti_state_pipeline",
+    # round 12 (cont.): positional phrase query (the index USE side)
+    "phrase_search_postings",
 ]
 
 SMALL_RESULT = {

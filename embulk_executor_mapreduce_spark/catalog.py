@@ -5059,6 +5059,60 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "phrase_search_postings",
+    oracle="""
+    SELECT doc_id, n_occ FROM (
+      SELECT doc_id,
+             len(list_filter(range(1, len(sp)),
+                             i -> sp[i] = 'fast' AND sp[i+1] = 'table'))::BIGINT
+               AS n_occ
+      FROM (SELECT doc_id, string_split(text, ' ') AS sp FROM documents)
+    ) WHERE n_occ > 0
+    """,
+    tags=("text", "search"),
+)
+def q_phrase_search_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase query — the USE side of the inverted index
+    (`inverted_index_postings` is the build side): find documents where
+    'fast' is immediately followed by 'table', with the exact occurrence
+    count, via position-list adjacency (shift the first term's positions
+    by one and intersect). Plan shape: the token explode filters to the
+    phrase's terms BEFORE the exchange (postings for 2 terms, not the
+    vocabulary), then ONE groupBy(doc_id) builds both position lists as
+    conditional collects — no self-join, no second exchange. Against a
+    served term-bucketed postings table the same intersection runs on 2
+    pruned bucket scans; counting overlapping occurrences stays correct
+    where substring-count tricks break (adjacent matches share the
+    boundary token). The oracle replays the adjacency scan closed-form
+    over DuckDB token arrays."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term")
+    ).filter(F.col("term").isin("fast", "table"))
+    lists = toks.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.when(F.col("term") == "fast", F.col("pos")))
+        ).alias("p_first"),
+        F.array_sort(
+            F.collect_list(F.when(F.col("term") == "table", F.col("pos")))
+        ).alias("p_next"),
+    )
+    return (
+        lists.select(
+            "doc_id",
+            F.size(
+                F.array_intersect(
+                    F.transform(F.col("p_first"), lambda x: x + 1), F.col("p_next")
+                )
+            )
+            .cast("long")
+            .alias("n_occ"),
+        )
+        .filter(F.col("n_occ") > 0)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Link-graph centrality (crawl-quality weighting for pretraining corpora)
 # ---------------------------------------------------------------------------

@@ -95,6 +95,15 @@ def test_inverted_index_single_exchange_no_global_sort(spark):
     )
 
 
+def test_phrase_search_one_exchange_no_join(spark):
+    # both position lists build in ONE conditional-collect aggregate —
+    # a per-term self-join would double the exchange and the scan
+    df = catalog.entries()["phrase_search_postings"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert num_exchanges(df) == 1
+    assert "Join" not in plan
+
+
 def test_ann_bruteforce_broadcasts_queries(spark):
     df = catalog.entries()["ann_bruteforce_topk"].fn(spark, SF)
     assert num_broadcasts(df) >= 1, "probe vectors must broadcast"
