@@ -439,6 +439,39 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             raise ConfigError(
                 f"anti_state expected_keys must be >= 1, got {expected}"
             )
+        if cfg.get("bitmap_cache", False):
+            # steady-state increments probe the bitmap PERSISTED beside the
+            # merge state (write_state_bitmap, the materialize_changes-class
+            # maintenance step) — no state scan to build the filter. The
+            # cache is version-pinned; absent/stale falls through to the
+            # inline build below. Only the state's CURRENT version can be
+            # covered, so a time-travel read never consults the cache.
+            from .runtimefilter import new_keys_with_bitmap, read_state_bitmap
+
+            st = cfg["state"]
+            if st.get("type") != "merge_state":
+                raise ConfigError(
+                    "anti_state bitmap_cache requires a merge_state state "
+                    "block (the bitmap is pinned to the state's commit "
+                    "version)"
+                )
+            if dict(st.get("options") or {}).get("version") is not None:
+                raise ConfigError(
+                    "anti_state bitmap_cache cannot serve a time-travel "
+                    "read (options.version) — the persisted bitmap covers "
+                    "only the state's current version"
+                )
+            cached = read_state_bitmap(df.sparkSession, st["path"], list(keys))
+            if cached is not None:
+                bitmap, meta = cached
+                return new_keys_with_bitmap(
+                    df,
+                    state,
+                    list(keys),
+                    bitmap,
+                    int(meta["m_bits"]),
+                    num_hashes=int(meta["num_hashes"]),
+                )
         # filter sizing: declared key count when the spec knows it (table
         # stats / manifest at scale), else one count over the state —
         # an eager probe at compile time, same class as the streaming

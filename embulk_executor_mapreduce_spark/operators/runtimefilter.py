@@ -165,8 +165,30 @@ def new_keys_via_bitmap(
     # built once, probed num_hashes× by each of the two branches: persist so
     # the state scan happens one time (the persisted footprint is the bitmap
     # itself — ≤ m/64 rows — not the state). The standing-state pattern at
-    # 100 TB persists it to storage beside the state instead (module doc).
+    # 100 TB persists it to storage beside the state instead
+    # (:func:`write_state_bitmap`).
     bitmap = keyset_bitmap(state, key_cols, m_bits, num_hashes).persist()
+    return new_keys_with_bitmap(
+        incoming, state, key_cols, bitmap, m_bits, num_hashes, broadcast=broadcast
+    )
+
+
+def new_keys_with_bitmap(
+    incoming: DataFrame,
+    state: DataFrame,
+    key_cols: list[str],
+    bitmap: DataFrame,
+    m_bits: int,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    broadcast: bool = True,
+) -> DataFrame:
+    """:func:`new_keys_via_bitmap` with a PREBUILT bitmap (typically the
+    persisted one from :func:`read_state_bitmap`) — the steady-state
+    increment never scans the state to build the filter, only the
+    probe-positive sliver touches it in the verify join. The bitmap MUST
+    cover the state's current key set (a stale bitmap has false negatives
+    = silently dropped new rows); ``read_state_bitmap`` enforces that by
+    pinning the bitmap to the state's commit version."""
     probed = probe_bitmap(
         incoming, bitmap, key_cols, m_bits, num_hashes, broadcast=broadcast
     )
@@ -176,3 +198,142 @@ def new_keys_via_bitmap(
         state.select(*key_cols).distinct(), on=key_cols, how="left_anti"
     )
     return definite_new.unionByName(verified_new)
+
+
+# --------------------------------------------------------------------------
+# Persisted bitmap beside a merge-sink state (the standing-state pattern)
+# --------------------------------------------------------------------------
+#
+# Layout: <state>/_bitmaps/v<N>/  — parquet (w, bits) + _meta.json
+# ({version, m_bits, num_hashes, key_cols, n_keys}). The directory name and
+# the meta pin the bitmap to the state's pointer version N: a later merge
+# commit flips the pointer, the bitmap goes stale, and read_state_bitmap
+# returns None (a stale bitmap would have false NEGATIVES for keys the new
+# commit inserted — correctness, not tuning). Underscore-prefixed, so state
+# scans never see it; same staging→rename commit + staleness-window orphan
+# sweep as the sink's changelog (sinks/changes.py).
+
+_BITMAP_DIR = "_bitmaps"
+_BITMAP_META = "_meta.json"
+_BITMAP_STAGING_PREFIX = ".staging-"
+_BITMAP_STALE_SEC = 3600.0
+
+
+def _bitmap_root(state_path: str) -> str:
+    import os
+
+    from ..sinks.writer import _local
+
+    return os.path.join(_local(state_path), _BITMAP_DIR)
+
+
+def _state_version(state_path: str) -> int:
+    from ..errors import ConfigError
+    from ..sinks.writer import _local, _pointer_version
+
+    version = _pointer_version(_local(state_path))
+    if version is None:
+        raise ConfigError(
+            f"{state_path!r} is not a pointer-era merge state (no _CURRENT); "
+            "state bitmaps attach to merge-sink states only"
+        )
+    return version
+
+
+def write_state_bitmap(
+    spark,
+    state_path: str,
+    key_cols: list[str],
+    bits_per_key: int = DEFAULT_BITS_PER_KEY,
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    fmt: str = "parquet",
+) -> dict:
+    """Maintenance step (run after a merge commit or compaction, like
+    ``materialize_changes``): build the bloom bitmap over the state's
+    CURRENT key set and persist it under ``_bitmaps/v<version>/``. Returns
+    the meta dict. Idempotent — an existing committed bitmap for the same
+    version is kept (the build is deterministic); older versions' bitmaps
+    are GC'd after commit. One linear pass over the state, O(m/64) rows
+    written."""
+    import json
+    import os
+    import shutil
+    import time
+    import uuid
+
+    from ..sinks.writer import _fsync_write, read_merge_state
+
+    version = _state_version(state_path)
+    root = _bitmap_root(state_path)
+    target = os.path.join(root, f"v{version}")
+    os.makedirs(root, exist_ok=True)
+    # orphaned staging from a crashed peer: sweep past the staleness window
+    # only (a live writer's staging is younger — same rule as the changelog)
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        if name.startswith(_BITMAP_STAGING_PREFIX) and (
+            time.time() - os.path.getmtime(full) > _BITMAP_STALE_SEC
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+    if os.path.exists(os.path.join(target, _BITMAP_META)):
+        meta = json.loads(
+            open(os.path.join(target, _BITMAP_META), encoding="utf-8").read()
+        )
+        if meta.get("key_cols") == list(key_cols):
+            return meta  # committed and current: the build is deterministic
+
+    state = read_merge_state(spark, state_path, fmt=fmt)
+    n_keys = state.select(*key_cols).distinct().count()
+    m_bits = suggest_m_bits(n_keys, bits_per_key=bits_per_key)
+    meta = {
+        "version": version,
+        "m_bits": m_bits,
+        "num_hashes": num_hashes,
+        "key_cols": list(key_cols),
+        "n_keys": n_keys,
+    }
+    staging = os.path.join(root, f"{_BITMAP_STAGING_PREFIX}{uuid.uuid4().hex[:12]}")
+    keyset_bitmap(state, list(key_cols), m_bits, num_hashes).write.mode(
+        "overwrite"
+    ).parquet(staging)
+    _fsync_write(os.path.join(staging, _BITMAP_META), json.dumps(meta, sort_keys=True))
+    try:
+        os.rename(staging, target)  # commit point
+    except OSError:
+        # a concurrent writer committed the same deterministic bitmap first
+        shutil.rmtree(staging, ignore_errors=True)
+        if not os.path.exists(os.path.join(target, _BITMAP_META)):
+            raise
+    for name in os.listdir(root):  # GC superseded versions after commit
+        full = os.path.join(root, name)
+        if name.startswith("v") and name != f"v{version}":
+            shutil.rmtree(full, ignore_errors=True)
+    return meta
+
+
+def read_state_bitmap(
+    spark, state_path: str, key_cols: list[str]
+) -> tuple[DataFrame, dict] | None:
+    """The persisted bitmap for the state's CURRENT version, or None when
+    absent or stale (the state advanced past the bitmap's version: keys
+    inserted since would probe NEGATIVE — a false negative that silently
+    re-admits their duplicates — so a stale bitmap is never returned; the
+    caller falls back to building from the state). Raises ConfigError on a
+    key-column mismatch — that is a misconfiguration, not staleness."""
+    import json
+    import os
+
+    from ..errors import ConfigError
+
+    version = _state_version(state_path)
+    target = os.path.join(_bitmap_root(state_path), f"v{version}")
+    meta_path = os.path.join(target, _BITMAP_META)
+    if not os.path.exists(meta_path):
+        return None
+    meta = json.loads(open(meta_path, encoding="utf-8").read())
+    if meta.get("key_cols") != list(key_cols):
+        raise ConfigError(
+            f"state bitmap at {target!r} was built over keys "
+            f"{meta.get('key_cols')!r}, not {list(key_cols)!r}"
+        )
+    return spark.read.parquet(target), meta

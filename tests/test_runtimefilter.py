@@ -285,6 +285,224 @@ class TestAntiStateStage:
             )
 
 
+class TestPersistedStateBitmap:
+    """write_state_bitmap / read_state_bitmap: the standing-state pattern —
+    the filter is built once per commit (a maintenance step beside the
+    merge state) and increments probe it without scanning the state."""
+
+    def _mk_state(self, spark, path, hi=300):
+        from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+        from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+        sink = SinkSpec(
+            type="parquet",
+            path=path,
+            mode="merge",
+            merge_key=("k",),
+            merge_order=("mo",),
+        )
+        write_sink(
+            spark.range(0, hi).selectExpr("id as k", "id * 3 as v", "0 as mo"),
+            sink,
+        )
+        return sink
+
+    def test_write_read_probe_matches_inline_build(self, spark, tmp_path):
+        from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+            new_keys_with_bitmap,
+            read_state_bitmap,
+            write_state_bitmap,
+        )
+        from embulk_executor_mapreduce_spark.sinks.writer import read_merge_state
+
+        path = str(tmp_path / "state")
+        self._mk_state(spark, path)
+        meta = write_state_bitmap(spark, path, ["k"])
+        assert meta["version"] == 0 and meta["n_keys"] == 300
+        got = read_state_bitmap(spark, path, ["k"])
+        assert got is not None
+        bitmap, meta2 = got
+        assert meta2 == meta
+        incoming = spark.range(200, 500).selectExpr("id as k")
+        state = read_merge_state(spark, path)
+        out = new_keys_with_bitmap(
+            incoming, state, ["k"], bitmap, meta["m_bits"], meta["num_hashes"]
+        )
+        assert sorted(r.k for r in out.collect()) == list(range(300, 500))
+
+    def test_stale_after_state_advances_and_rewrite_gcs(self, spark, tmp_path):
+        import os
+
+        from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+            read_state_bitmap,
+            write_state_bitmap,
+        )
+        from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+
+        path = str(tmp_path / "state")
+        sink = self._mk_state(spark, path)
+        write_state_bitmap(spark, path, ["k"])
+        # a second merge commit advances the pointer → bitmap stale
+        write_sink(
+            spark.range(300, 400).selectExpr("id as k", "id as v", "0 as mo"),
+            sink,
+        )
+        assert read_state_bitmap(spark, path, ["k"]) is None
+        meta = write_state_bitmap(spark, path, ["k"])
+        assert meta["version"] == 1 and meta["n_keys"] == 400
+        vs = sorted(os.listdir(os.path.join(path, "_bitmaps")))
+        assert vs == ["v1"], f"superseded bitmap not GC'd: {vs}"
+
+    def test_key_mismatch_is_config_error(self, spark, tmp_path):
+        from embulk_executor_mapreduce_spark.errors import ConfigError
+        from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+            read_state_bitmap,
+            write_state_bitmap,
+        )
+
+        path = str(tmp_path / "state")
+        self._mk_state(spark, path)
+        write_state_bitmap(spark, path, ["k"])
+        with pytest.raises(ConfigError, match="keys"):
+            read_state_bitmap(spark, path, ["v"])
+
+    def test_non_state_path_is_config_error(self, spark, tmp_path):
+        from embulk_executor_mapreduce_spark.errors import ConfigError
+        from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+            write_state_bitmap,
+        )
+
+        plain = str(tmp_path / "plain")
+        spark.range(5).write.parquet(plain)
+        with pytest.raises(ConfigError, match="merge state"):
+            write_state_bitmap(spark, plain, ["id"])
+
+    def test_anti_state_stage_uses_cache_without_state_scan(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from embulk_executor_mapreduce_spark import operators
+        from embulk_executor_mapreduce_spark.operators import runtimefilter
+        from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+            write_state_bitmap,
+        )
+        from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        path = str(tmp_path / "state")
+        self._mk_state(spark, path)
+        write_state_bitmap(spark, path, ["k"])
+        inc = str(tmp_path / "delta")
+        spark.range(250, 450).selectExpr("id as k").write.parquet(inc)
+
+        def boom(*a, **k):
+            raise AssertionError("bitmap must come from the cache, not a build")
+
+        monkeypatch.setattr(runtimefilter, "keyset_bitmap", boom)
+        df = compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": inc},
+                    "filters": [
+                        {
+                            "type": "anti_state",
+                            "state": {"type": "merge_state", "path": path},
+                            "keys": ["k"],
+                            "bitmap_cache": True,
+                        }
+                    ],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+        assert sorted(r.k for r in df.collect()) == list(range(300, 450))
+
+    def test_anti_state_cache_falls_back_when_stale(self, spark, tmp_path):
+        from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+            write_state_bitmap,
+        )
+        from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+        from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        path = str(tmp_path / "state")
+        sink = self._mk_state(spark, path)
+        write_state_bitmap(spark, path, ["k"])
+        # pointer advances; keys 300..400 land AFTER the bitmap — a stale
+        # probe would re-admit them, the fallback must not
+        write_sink(
+            spark.range(300, 400).selectExpr("id as k", "id as v", "0 as mo"),
+            sink,
+        )
+        inc = str(tmp_path / "delta")
+        spark.range(350, 500).selectExpr("id as k").write.parquet(inc)
+        df = compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": inc},
+                    "filters": [
+                        {
+                            "type": "anti_state",
+                            "state": {"type": "merge_state", "path": path},
+                            "keys": ["k"],
+                            "bitmap_cache": True,
+                        }
+                    ],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+        assert sorted(r.k for r in df.collect()) == list(range(400, 500))
+
+    def test_anti_state_cache_config_errors(self, spark, tmp_path):
+        from embulk_executor_mapreduce_spark.errors import ConfigError
+        from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        path = str(tmp_path / "state")
+        self._mk_state(spark, path)
+        inc = str(tmp_path / "delta")
+        spark.range(0, 10).selectExpr("id as k").write.parquet(inc)
+
+        def run(stage):
+            compile_pipeline(
+                spark,
+                load_spec(
+                    {
+                        "in": {"type": "parquet", "path": inc},
+                        "filters": [stage],
+                        "out": {"type": "null"},
+                    }
+                ),
+            )
+
+        with pytest.raises(ConfigError, match="time-travel"):
+            run(
+                {
+                    "type": "anti_state",
+                    "state": {
+                        "type": "merge_state",
+                        "path": path,
+                        "options": {"version": 0},
+                    },
+                    "keys": ["k"],
+                    "bitmap_cache": True,
+                }
+            )
+        plain = str(tmp_path / "plainx")
+        spark.range(0, 20).selectExpr("id as k").write.parquet(plain)
+        with pytest.raises(ConfigError, match="merge_state state"):
+            run(
+                {
+                    "type": "anti_state",
+                    "state": {"type": "parquet", "path": plain},
+                    "keys": ["k"],
+                    "bitmap_cache": True,
+                }
+            )
+
+
 class TestCatalogRowPlan:
     def test_bloom_row_plan_shape(self, spark):
         """Plan guard for catalog `bloom_prefilter_dedup`: the verify
