@@ -106,6 +106,19 @@ def main() -> int:
     ex.add_argument("path")
     ex.add_argument("--before", type=int, required=True)
 
+    bm = sub.add_parser(
+        "bitmap",
+        help=(
+            "(re)build the anti_state bloom bitmap for the state's current "
+            "version (operators/runtimefilter.write_state_bitmap)"
+        ),
+    )
+    bm.add_argument("path")
+    bm.add_argument("--keys", required=True, help="comma-separated merge keys")
+    bm.add_argument("--format", default="parquet", dest="fmt")
+    bm.add_argument("--bits-per-key", type=int, default=16)
+    bm.add_argument("--num-hashes", type=int, default=2)
+
     args = ap.parse_args()
     if args.cmd == "status":
         print(json.dumps(_status(args.path), indent=1))
@@ -117,6 +130,23 @@ def main() -> int:
 
         removed = expire_changelog(args.path, args.before)
         print(json.dumps({"expired": removed}))
+        return 0
+    if args.cmd == "bitmap":
+        from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+            write_state_bitmap,
+        )
+        from embulk_executor_mapreduce_spark.session import get_spark
+
+        spark = get_spark(app_name="changelog_admin")
+        meta = write_state_bitmap(
+            spark,
+            args.path,
+            [k.strip() for k in args.keys.split(",") if k.strip()],
+            bits_per_key=args.bits_per_key,
+            num_hashes=args.num_hashes,
+            fmt=args.fmt,
+        )
+        print(json.dumps(meta))
         return 0
     # materialize
     from embulk_executor_mapreduce_spark.session import get_spark

@@ -106,3 +106,27 @@ def test_materialize_cli_parses():
     assert out.returncode == 0
     for flag in ("--keys", "--format", "--through-version", "--keep-versions"):
         assert flag in out.stdout
+
+
+def test_bitmap_verb_wiring(state, spark):
+    # the engine path (write_state_bitmap) is covered in
+    # tests/test_runtimefilter.py; here assert the CLI flags parse and the
+    # verb is wired to it (in-process — the subprocess would spin a second
+    # Spark session just for the wiring check)
+    out = subprocess.run(
+        [sys.executable, SCRIPT, "bitmap", "--help"],
+        capture_output=True,
+        text=True,
+        timeout=60,
+    )
+    assert out.returncode == 0
+    for flag in ("--keys", "--format", "--bits-per-key", "--num-hashes"):
+        assert flag in out.stdout
+    from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+        read_state_bitmap,
+        write_state_bitmap,
+    )
+
+    meta = write_state_bitmap(spark, state, ["k"])
+    assert meta["version"] == 2 and meta["n_keys"] == 1
+    assert read_state_bitmap(spark, state, ["k"])[1] == meta
