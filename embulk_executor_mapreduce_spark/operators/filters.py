@@ -424,21 +424,41 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
             return df.join(
                 state.select(*keys).distinct(), on=list(keys), how="left_anti"
             )
-        num_hashes = int(cfg.get("num_hashes", 2))
+
+        def _int_cfg(key, default):
+            raw = cfg.get(key, default)
+            try:
+                return int(raw)
+            except (TypeError, ValueError):
+                # a config typo must classify as config, not as an internal
+                # ValueError (r12 review)
+                raise ConfigError(
+                    f"anti_state {key} must be an integer, got {raw!r}"
+                ) from None
+
+        num_hashes = _int_cfg("num_hashes", 2)
         if not (1 <= num_hashes <= 8):
             raise ConfigError(
                 f"anti_state num_hashes must be in [1, 8], got {num_hashes}"
             )
-        bits_per_key = int(cfg.get("bits_per_key", 16))
+        bits_per_key = _int_cfg("bits_per_key", 16)
         if not (1 <= bits_per_key <= 64):
             raise ConfigError(
                 f"anti_state bits_per_key must be in [1, 64], got {bits_per_key}"
             )
-        expected = cfg.get("expected_keys")
-        if expected is not None and int(expected) < 1:
-            raise ConfigError(
-                f"anti_state expected_keys must be >= 1, got {expected}"
-            )
+        expected = None
+        if cfg.get("expected_keys") is not None:
+            expected = _int_cfg("expected_keys", None)
+            if expected < 1:
+                raise ConfigError(
+                    f"anti_state expected_keys must be >= 1, got {expected}"
+                )
+        # broadcast: true (default) hints the bitmap side of the probe
+        # joins; false lets Catalyst/AQE pick for a bitmap past the
+        # broadcast threshold (the shuffle-probe path the operator
+        # supports — r12 review: the stage must not force an 8 GB+
+        # broadcast with no opt-out)
+        broadcast = bool(cfg.get("broadcast", True))
         if cfg.get("bitmap_cache", False):
             # steady-state increments probe the bitmap PERSISTED beside the
             # merge state (write_state_bitmap, the materialize_changes-class
@@ -471,15 +491,17 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
                     bitmap,
                     int(meta["m_bits"]),
                     num_hashes=int(meta["num_hashes"]),
+                    broadcast=broadcast,
                 )
         # filter sizing: declared key count when the spec knows it (table
         # stats / manifest at scale), else one count over the state —
         # an eager probe at compile time, same class as the streaming
         # schema peek. Sizing only tunes wasted verify work, never rows.
-        n = int(expected) if expected is not None else state.count()
+        n = expected if expected is not None else state.count()
         m_bits = suggest_m_bits(n, bits_per_key=bits_per_key)
         return new_keys_via_bitmap(
-            df, state, list(keys), m_bits, num_hashes=num_hashes
+            df, state, list(keys), m_bits, num_hashes=num_hashes,
+            broadcast=broadcast,
         )
     if spec.type == "drift_report":
         # Deequ-style "verification as part of the pipeline" over a CDC

@@ -141,6 +141,29 @@ def probe_bitmap(
     )
 
 
+def _check_key_types(incoming: DataFrame, state: DataFrame, key_cols: list[str]):
+    """xxhash64 hashes by PHYSICAL type: CAST(5 AS INT) and CAST(5 AS
+    BIGINT) hash differently, while the verify anti-join would COERCE the
+    comparison and match them — so a dtype mismatch between delta and
+    state turns true duplicates into probe-negatives (false negatives =
+    silently re-admitted rows), breaking the bit-equal contract. Refuse
+    loudly instead of guessing a coercion: the caller casts one side
+    (the spec's `cast` filter stage is the declarative fix)."""
+    from ..errors import ConfigError
+
+    inc_types = dict(incoming.dtypes)
+    st_types = dict(state.dtypes)
+    for c in key_cols:
+        if inc_types.get(c) != st_types.get(c):
+            raise ConfigError(
+                f"anti-state key {c!r} has type {inc_types.get(c)} in the "
+                f"incoming data but {st_types.get(c)} in the state — the "
+                "bloom probe hashes by exact type, so a mismatch would "
+                "silently re-admit duplicates; cast one side first (e.g. "
+                "the `cast` filter stage)"
+            )
+
+
 def new_keys_via_bitmap(
     incoming: DataFrame,
     state: DataFrame,
@@ -161,12 +184,19 @@ def new_keys_via_bitmap(
       against the distinct state keys; survivors are the verified-new rest.
 
     The union is bit-equal to ``incoming.join(state, keys, "left_anti")``.
+    Key columns must have IDENTICAL types on both sides (checked loudly —
+    see :func:`_check_key_types`).
     """
+    _check_key_types(incoming, state, key_cols)
     # built once, probed num_hashes× by each of the two branches: persist so
     # the state scan happens one time (the persisted footprint is the bitmap
-    # itself — ≤ m/64 rows — not the state). The standing-state pattern at
-    # 100 TB persists it to storage beside the state instead
-    # (:func:`write_state_bitmap`).
+    # itself — ≤ m/64 rows — not the state). No explicit unpersist: the
+    # returned frame is lazy, so there is no post-action hook here; once the
+    # caller drops the result, Spark's ContextCleaner unpersists the
+    # unreachable cached plan (same lifecycle as operators/dedup.py's
+    # persisted frontier frames). The standing-state pattern at 100 TB
+    # persists the bitmap to storage instead (:func:`write_state_bitmap`) —
+    # that path never creates an executor-cache entry per increment.
     bitmap = keyset_bitmap(state, key_cols, m_bits, num_hashes).persist()
     return new_keys_with_bitmap(
         incoming, state, key_cols, bitmap, m_bits, num_hashes, broadcast=broadcast
@@ -189,6 +219,7 @@ def new_keys_with_bitmap(
     cover the state's current key set (a stale bitmap has false negatives
     = silently dropped new rows); ``read_state_bitmap`` enforces that by
     pinning the bitmap to the state's commit version."""
+    _check_key_types(incoming, state, key_cols)
     probed = probe_bitmap(
         incoming, bitmap, key_cols, m_bits, num_hashes, broadcast=broadcast
     )
@@ -205,7 +236,8 @@ def new_keys_with_bitmap(
 # --------------------------------------------------------------------------
 #
 # Layout: <state>/_bitmaps/v<N>/  — parquet (w, bits) + _meta.json
-# ({version, m_bits, num_hashes, key_cols, n_keys}). The directory name and
+# ({version, m_bits, num_hashes, bits_per_key, key_cols, n_keys}). The
+# directory name and
 # the meta pin the bitmap to the state's pointer version N: a later merge
 # commit flips the pointer, the bitmap goes stale, and read_state_bitmap
 # returns None (a stale bitmap would have false NEGATIVES for keys the new
@@ -275,12 +307,23 @@ def write_state_bitmap(
             time.time() - os.path.getmtime(full) > _BITMAP_STALE_SEC
         ):
             shutil.rmtree(full, ignore_errors=True)
+    def _params_match(m: dict) -> bool:
+        return (
+            m.get("key_cols") == list(key_cols)
+            and m.get("num_hashes") == num_hashes
+            and m.get("bits_per_key") == bits_per_key
+        )
+
     if os.path.exists(os.path.join(target, _BITMAP_META)):
         meta = json.loads(
             open(os.path.join(target, _BITMAP_META), encoding="utf-8").read()
         )
-        if meta.get("key_cols") == list(key_cols):
+        if _params_match(meta):
             return meta  # committed and current: the build is deterministic
+        # different parameters for the same version: fall through and
+        # REPLACE (rename-aside below) — returning the old meta while
+        # claiming the new parameters would leave disk and caller
+        # disagreeing (r12 review)
 
     state = read_merge_state(spark, state_path, fmt=fmt)
     n_keys = state.select(*key_cols).distinct().count()
@@ -289,6 +332,7 @@ def write_state_bitmap(
         "version": version,
         "m_bits": m_bits,
         "num_hashes": num_hashes,
+        "bits_per_key": bits_per_key,
         "key_cols": list(key_cols),
         "n_keys": n_keys,
     }
@@ -297,13 +341,37 @@ def write_state_bitmap(
         "overwrite"
     ).parquet(staging)
     _fsync_write(os.path.join(staging, _BITMAP_META), json.dumps(meta, sort_keys=True))
+    # commit. A live target here carries DIFFERENT parameters (identical
+    # ones returned above): rename it aside first — the aside name uses the
+    # staging prefix so a crash leaves it to the staleness sweep, and a
+    # crash in the aside→commit gap just makes read_state_bitmap return
+    # None (callers fall back to the inline build; the next write heals).
+    aside = None
+    if os.path.isdir(target):
+        aside = os.path.join(
+            root, f"{_BITMAP_STAGING_PREFIX}expired{uuid.uuid4().hex[:8]}"
+        )
+        try:
+            os.rename(target, aside)
+        except OSError:
+            aside = None  # a concurrent writer already moved it
     try:
         os.rename(staging, target)  # commit point
     except OSError:
-        # a concurrent writer committed the same deterministic bitmap first
+        # a concurrent writer committed between the aside and here
         shutil.rmtree(staging, ignore_errors=True)
-        if not os.path.exists(os.path.join(target, _BITMAP_META)):
-            raise
+        committed_meta = os.path.join(target, _BITMAP_META)
+        if os.path.exists(committed_meta):
+            peer = json.loads(open(committed_meta, encoding="utf-8").read())
+            if _params_match(peer):
+                return peer  # identical deterministic build won the race
+            raise RuntimeError(
+                f"concurrent write_state_bitmap committed different "
+                f"parameters for {target!r}: {peer}"
+            ) from None
+        raise
+    if aside is not None:
+        shutil.rmtree(aside, ignore_errors=True)
     for name in os.listdir(root):  # GC superseded versions after commit
         full = os.path.join(root, name)
         if name.startswith("v") and name != f"v{version}":

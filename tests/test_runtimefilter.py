@@ -83,6 +83,18 @@ class TestExactness:
         )
         _assert_exact(incoming, state, ["k"], 2048)
 
+    def test_key_dtype_mismatch_refused_loudly(self, spark):
+        # r12 review (reproduced): xxhash64 hashes by physical type —
+        # bigint 5 and int 5 hash differently while the verify join would
+        # coerce and match, so a silent mismatch re-admits every duplicate.
+        # The operator must refuse instead.
+        from embulk_executor_mapreduce_spark.errors import ConfigError
+
+        state = spark.range(0, 100).selectExpr("id as k")  # bigint
+        incoming = spark.range(50, 150).selectExpr("cast(id as int) as k")
+        with pytest.raises(ConfigError, match="type"):
+            new_keys_via_bitmap(incoming, state, ["k"], 4096)
+
     def test_shuffle_probe_variant_matches(self, spark):
         # broadcast=False: the probe joins go through whatever strategy
         # Catalyst picks — correctness is identical (giant-bitmap path)
@@ -175,6 +187,33 @@ class TestAntiStateStage:
         got = sorted(r.k for r in df.collect())
         assert got == list(range(300, 600))
 
+    def test_broadcast_false_stage_option(self, spark, state_dir, tmp_path):
+        # r12 review: a bitmap past the broadcast cap needs the shuffle
+        # probe from YAML, not just from the library API
+        from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+        from embulk_executor_mapreduce_spark.spec import load_spec
+
+        inc_path = str(tmp_path / "delta_b")
+        spark.range(200, 600).selectExpr("id as k").write.parquet(inc_path)
+        df = compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": inc_path},
+                    "filters": [
+                        {
+                            "type": "anti_state",
+                            "state": {"type": "merge_state", "path": state_dir},
+                            "keys": ["k"],
+                            "broadcast": False,
+                        }
+                    ],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+        assert sorted(r.k for r in df.collect()) == list(range(300, 600))
+
     def test_prefilter_false_degrades_to_plain_anti_join(
         self, spark, state_dir, tmp_path
     ):
@@ -232,6 +271,9 @@ class TestAntiStateStage:
             ({"type": "anti_state", "state": state, "keys": ["k"], "num_hashes": 0}, "num_hashes"),
             ({"type": "anti_state", "state": state, "keys": ["k"], "bits_per_key": 0}, "bits_per_key"),
             ({"type": "anti_state", "state": state, "keys": ["k"], "expected_keys": 0}, "expected_keys"),
+            # non-integer tuning is a config typo, not an internal ValueError
+            ({"type": "anti_state", "state": state, "keys": ["k"], "num_hashes": "two"}, "integer"),
+            ({"type": "anti_state", "state": state, "keys": ["k"], "expected_keys": "lots"}, "integer"),
         ]
         for stage, needle in bad:
             with pytest.raises(ConfigError, match=needle):
@@ -352,6 +394,25 @@ class TestPersistedStateBitmap:
         assert meta["version"] == 1 and meta["n_keys"] == 400
         vs = sorted(os.listdir(os.path.join(path, "_bitmaps")))
         assert vs == ["v1"], f"superseded bitmap not GC'd: {vs}"
+
+    def test_reparameterize_replaces_committed_bitmap(self, spark, tmp_path):
+        # r12 review: rebuilding the SAME version with different tuning
+        # must replace the bitmap on disk, not return a meta the disk
+        # contradicts
+        from embulk_executor_mapreduce_spark.operators.runtimefilter import (
+            read_state_bitmap,
+            write_state_bitmap,
+        )
+
+        path = str(tmp_path / "state")
+        self._mk_state(spark, path)
+        m1 = write_state_bitmap(spark, path, ["k"], bits_per_key=8)
+        m2 = write_state_bitmap(spark, path, ["k"], bits_per_key=32)
+        assert m2["bits_per_key"] == 32 and m2["m_bits"] >= m1["m_bits"]
+        got = read_state_bitmap(spark, path, ["k"])
+        assert got is not None and got[1] == m2
+        # identical parameters short-circuit (deterministic build)
+        assert write_state_bitmap(spark, path, ["k"], bits_per_key=32) == m2
 
     def test_key_mismatch_is_config_error(self, spark, tmp_path):
         from embulk_executor_mapreduce_spark.errors import ConfigError
