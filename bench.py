@@ -127,6 +127,18 @@ HEADLINE = [
     "spec_anti_state_pipeline",
     # round 12 (cont.): positional phrase query (the index USE side)
     "phrase_search_postings",
+    # round 12 (cont.): parser-plugin analogs — each prices a full engine
+    # write→parse roundtrip (ltsv formatter+parser; text sink + regex parse)
+    "ltsv_engine_roundtrip",
+    "regex_parse_logs",
+    # round 12 (cont.): Space-Saving heavy hitters — prices the two-pass
+    # sketch+recount against the distinct-key-proportional groupBy it
+    # replaces (vocab_topk is the comparable full-shuffle entry)
+    "heavy_hitters_tokens",
+    # round 12 (cont.): the FAISS-recipe composite (IVF probe → PQ-ADC →
+    # exact re-rank) — prices the full serving path against its halves
+    # (ann_ivf_topk / ann_pq_adc_topk are the comparables)
+    "ann_ivf_pq_topk",
 ]
 
 SMALL_RESULT = {

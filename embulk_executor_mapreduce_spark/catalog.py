@@ -2494,6 +2494,154 @@ def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ltsv_engine_roundtrip",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total,
+           strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS max_ts,
+           count(DISTINCT props) AS n_props
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "ltsv"),
+)
+def q_ltsv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LTSV parser/formatter pair (public embulk ecosystem plugins
+    parser-ltsv / formatter-ltsv; engine analog in sources/lineparsers.py +
+    sinks/writer.prepare_file_sink): parquet → ltsv sink → ltsv source →
+    aggregate, through the engine's own pipeline. The props column carries
+    json (colons, braces) so the first-colon label split is exercised; the
+    oracle sees only the original table, so the trip must be lossless —
+    doubles (Java shortest-roundtrip rendering), microsecond timestamps,
+    and colon-laden strings included."""
+
+    from .plans.compiler import compile_pipeline, run_pipeline
+    from .spec import load_spec
+
+    outdir = scratch_dir("ltsv_rt_") + "/ev"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                "filters": [
+                    *events_ts_normalize_filters(sf_dir),
+                    {
+                        "type": "select",
+                        "columns": [
+                            "event_id", "ts", "event_type", "value", "props",
+                        ],
+                    },
+                ],
+                "out": {"type": "ltsv", "path": outdir},
+            }
+        ),
+    )
+    back = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "ltsv",
+                    "path": outdir,
+                    "columns": [
+                        {"name": "event_id", "type": "long"},
+                        {"name": "ts", "type": "timestamp"},
+                        {"name": "event_type", "type": "string"},
+                        {"name": "value", "type": "double"},
+                        {"name": "props", "type": "string"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / F.lit(100.0)).alias(
+            "total"
+        ),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("max_ts"),
+        F.countDistinct("props").alias("n_props"),
+    )
+
+
+@register(
+    "regex_parse_logs",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total,
+           max(user_id) AS max_user
+    FROM events GROUP BY event_type
+    """,
+    tags=("source", "regex"),
+)
+def q_regex_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-group regex parser (embulk-parser-regex analog): the engine
+    renders events as classic log lines (`<id> [<type>] user=<id>
+    cents=<n>`) through the text sink, then parses them back via the regex
+    source — one capture group per declared column, typed casts, line-level
+    match gate. The parse is regexp_extract/regexp_like only (JVM, codegen);
+    the oracle replays the aggregate on the original table, so format →
+    parse must be lossless. Integer cents round-trip the double exactly
+    (floor half-up scaling — same discipline as the float-agg oracles)."""
+
+    from .plans.compiler import compile_pipeline, run_pipeline
+    from .spec import load_spec
+
+    outdir = scratch_dir("regex_rt_") + "/logs"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                "filters": [
+                    {
+                        "type": "with_column",
+                        "name": "line",
+                        "expr": (
+                            "format_string('%d [%s] user=%d cents=%d', "
+                            "event_id, event_type, user_id, "
+                            "cast(floor(value * 100 + 0.5) as bigint))"
+                        ),
+                    },
+                    {"type": "select", "columns": ["line"]},
+                    {"type": "rename", "mapping": {"line": "value"}},
+                ],
+                "out": {"type": "text", "path": outdir},
+            }
+        ),
+    )
+    back = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": outdir,
+                    "options": {
+                        "pattern": (
+                            r"^(\d+) \[(\w+)\] user=(\d+) cents=(-?\d+)$"
+                        )
+                    },
+                    "columns": [
+                        {"name": "event_id", "type": "long"},
+                        {"name": "event_type", "type": "string"},
+                        {"name": "user_id", "type": "long"},
+                        {"name": "cents", "type": "long"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.sum("cents") / F.lit(100.0)).alias("total"),
+        F.max("user_id").alias("max_user"),
+    )
+
+
+@register(
     "task_source_generate",
     oracle="""
     SELECT t.task_index, g.i,
@@ -4655,6 +4803,52 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.text import vocab_topk
 
     return vocab_topk(load(spark, sf_dir, "documents"))
+
+
+from .operators.similarity import ivf_pq_oracle_sql  # noqa: E402
+
+
+@register(
+    "ann_ivf_pq_topk",
+    oracle=ivf_pq_oracle_sql(),
+    tags=("similarity", "ivf", "pq"),
+)
+def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN composite (FAISS IVFx,PQy recipe): IVF coarse
+    probe → PQ-ADC scoring inside the probed lists → exact re-rank of the
+    ADC shortlist. Each half exists as its own row (`ann_ivf_topk`,
+    `ann_pq_adc_topk`); this row proves they COMPOSE — the 100 TB serving
+    path where the probe prunes the corpus, codes replace vector math, and
+    only `rerank` raw vectors per query are ever touched at full precision."""
+    from .operators.similarity import ivf_pq_topk
+
+    return ivf_pq_topk(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "heavy_hitters_tokens",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    tags=("text", "sketch"),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provably-exact top-20 tokens at sketch shuffle cost (Space-Saving
+    candidates → broadcast-joined exact recount → miss-bound proof;
+    operators/sketches.py). Same answer as a plain groupBy top-k (the
+    oracle), but the only exchange carries the capacity-bounded candidate
+    set + partial counts — never one row per distinct key. The 100 TB
+    story: a web-scale token column has 10^9+ distinct keys; vocab_topk's
+    full groupBy shuffles all of them, this shuffles ≤ capacity × n_parts."""
+    from .operators.sketches import heavy_hitters_exact
+    from .operators.text import tokens
+
+    tok = load(spark, sf_dir, "documents").select(
+        F.explode(tokens("text")).alias("token")
+    )
+    return heavy_hitters_exact(tok, "token", k=20, capacity=64)
 
 
 @register(

@@ -845,6 +845,295 @@ def ivf_topk(
     )
 
 
+def ivf_pq_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    rerank: int = 16,
+) -> DataFrame:
+    """The production ANN composite — IVF coarse probe → PQ-ADC scoring
+    within the probed lists → exact re-rank of the ADC top candidates
+    (the FAISS ``IVFx,PQy`` recipe: Jégou et al., "Product Quantization for
+    Nearest Neighbor Search", TPAMI 2011, §V — re-expressed as DataFrame
+    ops; :func:`ivf_topk` and :func:`pq_adc_topk` are its two halves).
+
+    Why the composite matters at 100 TB: IVF alone still reads full vectors
+    in every probed list (memory-bandwidth bound); PQ alone scans every
+    code in the corpus. Together: the probe prunes to nprobe/n_centroids of
+    the corpus, ADC scores those candidates from codes (n_sub small joins,
+    no vector math), and only ``rerank`` raw vectors per query are touched
+    for the exact pass — a pruned, broadcast-driven scan.
+
+    Plan shape (guarded in tests/test_plan_quality.py):
+      * centroid table and codebook are id-prefix stand-ins (swap for
+        :func:`kmeans_train` output like the `_kmeans` rows — downstream
+        shape identical), both broadcast, corpus-independent;
+      * coarse assignment is the max-struct partial AGGREGATE (exchange
+        carries n rows, not k·n) with the raw vector riding along;
+      * codes derive FROM the assigned frame, so list-id rides into the
+        encoding aggregate and no corpus-corpus join exists anywhere;
+      * ADC is enc ⋈ broadcast(probes) ⋈ broadcast(dtab) → one partial-agg
+        exchange keyed (query, cand);
+      * the exact re-rank re-reads only broadcast(top-C ids) ⋈ corpus —
+        a broadcast-pruned scan, never a second full pass of vector math.
+
+    Float discipline: centroid sims d_round(6); per-subspace ADC distances
+    integer micro-units summed as BIGINT; re-rank cosines d_round(6) — the
+    same exactmath forms as the component rows, so DuckDB replays bit-equal.
+    """
+    from .partitioning import spread_narrow
+
+    df = spread_narrow(df, id_col)
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    cents = ivf_centroids(base, id_col, n_centroids)
+
+    def cent_sims(side: DataFrame) -> DataFrame:
+        return side.crossJoin(F.broadcast(cents)).select(
+            F.col(id_col),
+            "v",
+            "nrm",
+            "cid",
+            d_round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+            ).alias("csim"),
+        )
+
+    assigned = (
+        cent_sims(base)
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("cid"),
+                    F.col("v"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col("m.cid").alias("cid"),
+            F.col("m.v").alias("cv2"),
+        )
+    )
+    w_probe = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        cent_sims(base.filter(F.col(id_col).isin(*query_ids)))
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+
+    sub_ix = F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s")
+    codebook = (
+        base.filter(F.col(id_col) < n_codes)
+        .select(id_col, "v", sub_ix)
+        .select(
+            "s",
+            F.col(id_col).alias("code"),
+            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("cbv"),
+        )
+    )
+
+    def dsq(a: Column, b: Column) -> Column:
+        return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+    # codes derive from the ASSIGNED frame so cid rides into the encoding
+    # aggregate (functionally dependent on cand_id — no extra exchange
+    # volume, and no corpus-corpus join to re-attach the list id)
+    enc = (
+        assigned.select("cand_id", "cid", F.col("cv2").alias("v"), sub_ix)
+        .select(
+            "cand_id",
+            "cid",
+            "s",
+            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("sv"),
+        )
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "cand_id",
+            "cid",
+            "s",
+            "code",
+            dsq(F.col("sv"), F.col("cbv")).alias("d"),
+        )
+        .groupBy("cand_id", "cid", "s")
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("d")).alias("nd"),
+                    (-F.col("code")).alias("nc"),
+                    F.col("code"),
+                )
+            ).alias("m")
+        )
+        .select("cand_id", "cid", "s", F.col("m.code").alias("code"))
+    )
+    dtab = (
+        base.filter(F.col(id_col).isin(*query_ids))
+        .select(id_col, "v", sub_ix)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "s",
+            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("qsv"),
+        )
+        .join(F.broadcast(codebook), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.floor(dsq(F.col("qsv"), F.col("cbv")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("pdist"),
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(dtab), ["query_id", "s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").alias("ssum"))
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.col("ssum"), F.col("cand_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "cand_id")
+    )
+    # exact pass: broadcast the tiny shortlist against the corpus — a
+    # pruned raw-vector fetch, then full-precision cosine on ≤ rerank
+    # candidates per query
+    queries = base.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    reranked = (
+        base.select(
+            F.col(id_col).alias("cand_id"),
+            F.col("v").alias("rv"),
+            F.col("nrm").alias("rn2"),
+        )
+        .join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            d_round(
+                dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn2")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_top = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+def ivf_pq_oracle_sql(
+    table: str = "embeddings",
+    query_ids: str = "0, 1, 2, 3",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    rerank: int = 16,
+) -> str:
+    """DuckDB mirror of :func:`ivf_pq_topk` — identical stand-in centroid /
+    codebook choices, the same rounding forms at every stage."""
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {n_centroids}
+    ), sims AS (
+      SELECT b.vec_id, b.v, c.cid,
+             floor((list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                   ) * 1000000 + 0.5) / 1000000.0 AS csim
+      FROM base b, cents c
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+      FROM sims
+    ), assigned AS (
+      SELECT vec_id AS cand_id, cid, v FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM ranked
+      WHERE vec_id IN ({query_ids}) AND rn <= {nprobe}
+    ), cb AS (
+      SELECT s, vec_id AS code, v[s*{sub_dim}+1 : s*{sub_dim}+{sub_dim}] AS cbv
+      FROM base, (SELECT unnest(range({n_sub})) AS s)
+      WHERE vec_id < {n_codes}
+    ), enc_scored AS (
+      SELECT a.cand_id, a.cid, c.s, c.code,
+             list_dot_product(a.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}],
+                              a.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}])
+               - 2 * list_dot_product(a.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}], c.cbv)
+               + list_dot_product(c.cbv, c.cbv) AS d
+      FROM assigned a, cb c
+    ), enc AS (
+      SELECT cand_id, cid, s, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cand_id, s ORDER BY d, code) AS rn
+        FROM enc_scored
+      ) WHERE rn = 1
+    ), dtab AS (
+      SELECT b.vec_id AS query_id, c.s, c.code,
+             CAST(floor((
+               list_dot_product(b.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}],
+                                b.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}])
+                 - 2 * list_dot_product(b.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}], c.cbv)
+                 + list_dot_product(c.cbv, c.cbv)
+             ) * 1000000 + 0.5) AS BIGINT) AS pdist
+      FROM base b, cb c
+      WHERE b.vec_id IN ({query_ids})
+    ), adc AS (
+      SELECT p.query_id, e.cand_id, sum(d.pdist) AS ssum
+      FROM enc e
+      JOIN probes p ON e.cid = p.cid
+      JOIN dtab d ON d.query_id = p.query_id AND d.s = e.s AND d.code = e.code
+      WHERE e.cand_id <> p.query_id
+      GROUP BY p.query_id, e.cand_id
+    ), shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY ssum, cand_id) AS rn
+        FROM adc
+      ) WHERE rn <= {rerank}
+    ), reranked AS (
+      SELECT s.query_id, s.cand_id,
+             floor((list_dot_product(q.v, b.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)))
+                   ) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+      FROM shortlist s
+      JOIN base b ON b.vec_id = s.cand_id
+      JOIN base q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM reranked
+    ) WHERE rn <= {k}
+    """
+
+
 def semantic_dedup_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",

@@ -443,7 +443,7 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
         )
 
     src = spec.source
-    if src.type in ("csv", "parquet", "orc", "json", "text"):
+    if src.type in ("csv", "parquet", "orc", "json", "text", "ltsv", "regex"):
         # same silent-zero-rows trap as the batch path, but worse here: a
         # file STREAM on a pointer-era merge state watches an (apparently)
         # empty directory forever — no error, no data (r12 residue close)
@@ -501,6 +501,21 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             .text(_as_stream_dir(src.path))
             .withColumnRenamed("value", line_col)
         )
+    elif src.type in ("ltsv", "regex"):
+        # parser-plugin analogs stream for free: the parse chain is
+        # expression-only (sources/lineparsers.py), so the identical batch
+        # parse applies to the text stream — stop/skip policy included
+        from ..sources.lineparsers import (
+            _text_options,
+            parsed_ltsv_lines,
+            parsed_regex_lines,
+        )
+
+        lines = spark.readStream.options(**_text_options(src)).text(
+            _as_stream_dir(src.path)
+        )
+        parse = parsed_ltsv_lines if src.type == "ltsv" else parsed_regex_lines
+        df = parse(lines, src)
     elif src.type == "table":
         raise ConfigError(
             "table source is not streamable (vanilla-Spark managed tables "
@@ -559,8 +574,10 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
             from ..sinks.writer import prepare_file_sink
 
             df, sink_opts = prepare_file_sink(df, spec.sink)
+            # ltsv rides the text datasource (prepare rendered the line col)
+            stream_fmt = "text" if spec.sink.type == "ltsv" else spec.sink.type
             writer = (
-                df.writeStream.format(spec.sink.type)
+                df.writeStream.format(stream_fmt)
                 .outputMode("append")
                 .options(**{str(k): v for k, v in sink_opts.items()})
                 .option(
@@ -615,10 +632,15 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
         if spec.source.invalid_record_path is not None:
             # quarantine split: bad records become an auditable JSON table,
             # good records continue through the identical stage chain
+            from ..sources.lineparsers import read_ltsv_split, read_regex_split
             from ..sources.readers import read_csv_split, read_json_split
 
             spec.validate()
-            split = read_json_split if spec.source.type == "json" else read_csv_split
+            split = {
+                "json": read_json_split,
+                "ltsv": read_ltsv_split,
+                "regex": read_regex_split,
+            }.get(spec.source.type, read_csv_split)
             clean, quarantine = split(spark, spec.source)
             qobs = Observation("quarantine_metrics")
             quarantine = quarantine.observe(

@@ -672,6 +672,65 @@ def prepare_file_sink(df: DataFrame, spec: SinkSpec) -> tuple[DataFrame, dict]:
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
             **opts,
         }
+    if spec.type == "text":
+        # one line per row: exactly one string payload column (partition /
+        # internal dunder columns ride as directory layout) — checked here
+        # so the failure is a plan-time ConfigError naming the columns, not
+        # the datasource's runtime complaint
+        payload = [
+            (n, t)
+            for n, t in df.dtypes
+            if n not in set(spec.partition_by) and not n.startswith("__")
+        ]
+        if len(payload) != 1 or payload[0][1] != "string":
+            raise ConfigError(
+                "text sink requires exactly one string payload column "
+                f"(got {payload}); select/cast the line column before the "
+                "sink, or use the ltsv sink for multi-column records"
+            )
+    if spec.type == "ltsv":
+        # LTSV formatter (embulk-formatter-ltsv analog): render each record
+        # as `label:value<TAB>...` into one string column for the text
+        # writer. Timestamps carry microseconds so the engine's ltsv SOURCE
+        # default parse format reads them back losslessly. Partition columns
+        # and internal dunder columns (e.g. the partitioning __bucket) stay
+        # real columns — they land in the directory layout, not the line,
+        # like every other file format under partitionBy.
+        ns = str(opts.pop("null_string", ""))
+        keep = set(spec.partition_by)
+        fields = []
+        kept_cols = []
+        for name, dtype in df.dtypes:
+            if name in keep or name.startswith("__"):
+                kept_cols.append(name)
+                continue
+            if ":" in name or "\t" in name:
+                raise ConfigError(
+                    f"column name {name!r} cannot be an LTSV label "
+                    "(contains ':' or tab); rename it before the sink"
+                )
+            col = F.col(name)
+            if dtype == "timestamp":
+                s = F.date_format(col, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            else:
+                s = col.cast("string")
+            s = F.coalesce(s, F.lit(ns))
+            # LTSV has no quoting — a tab/newline inside a value is
+            # unrepresentable, so it's a loud data-contract failure
+            # (user-data classified), never silent corruption
+            s = F.when(
+                s.rlike("[\\t\\n\\r]"),
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"LTSV value for {name!r} contains tab/newline: "),
+                        s,
+                    )
+                ).cast("string"),
+            ).otherwise(s)
+            fields.append(F.concat(F.lit(name + ":"), s))
+        df = df.select(
+            F.concat_ws("\t", *fields).alias("value"), *kept_cols
+        )
     return df, opts
 
 
@@ -773,5 +832,7 @@ def write_sink(df: DataFrame, spec: SinkSpec, bucket_col: str | None = None) -> 
         writer.orc(spec.path)
     elif spec.type == "xml":
         writer.format("xml").save(spec.path)
+    elif spec.type in ("ltsv", "text"):
+        writer.text(spec.path)
     else:
         raise ConfigError(f"unknown sink type {spec.type!r}")

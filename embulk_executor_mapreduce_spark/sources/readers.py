@@ -476,6 +476,16 @@ def _read_source_dispatch(
     if spec.type == "csv":
         _reject_merge_state_path(spec)
         return _read_csv(spark, spec)
+    if spec.type in ("ltsv", "regex"):
+        # embulk parser-plugin analogs (parser-ltsv / parser-regex):
+        # expression-only parse chains over the text source — see
+        # sources/lineparsers.py for the policy surface (stop/skip/quarantine
+        # parity with csv)
+        from . import lineparsers
+
+        _reject_merge_state_path(spec)
+        fn = lineparsers.read_ltsv if spec.type == "ltsv" else lineparsers.read_regex
+        return fn(spark, spec)
     if spec.type == "table":
         # managed-table scan (read-back of the "table" sink): a bucketBy
         # layout rides along, so downstream joins/aggregates on the bucket

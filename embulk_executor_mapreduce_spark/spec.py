@@ -30,6 +30,11 @@ _SOURCE_TYPES = {
     "task",
     "binaryfile",
     "text",
+    # embulk parser-plugin analogs over the text source (public ecosystem
+    # plugins parser-ltsv / parser-regex) — expression-only parse chains
+    # with csv-parity invalid-record policy (sources/lineparsers.py)
+    "ltsv",
+    "regex",
     # managed (possibly bucketed) table — the read-back of the "table" SINK:
     # a standing dataset whose bucketBy layout feeds co-located joins /
     # zero-edge-exchange pagerank (SCALING.md §3 decision rule) straight
@@ -56,6 +61,13 @@ _SINK_TYPES = {
     "json",
     "orc",
     "xml",
+    # LTSV formatter via the text writer (embulk-formatter-ltsv analog;
+    # pairs with the ltsv SOURCE for lossless roundtrips)
+    "ltsv",
+    # raw line-oriented output (one string column → one line per row) —
+    # the write side of the text SOURCE, for C4-style corpus exports and
+    # log-line fixtures the regex source parses back
+    "text",
     "null",
     "memory",
     "table",
@@ -234,6 +246,14 @@ class PipelineSpec:
             raise ConfigError(f"source type {self.source.type!r} requires a path")
         if self.source.type == "csv" and not self.source.columns:
             raise ConfigError("csv source requires an explicit columns schema")
+        if self.source.type in ("ltsv", "regex") and not self.source.columns:
+            raise ConfigError(
+                f"{self.source.type} source requires an explicit columns schema"
+            )
+        if self.source.type == "regex":
+            from .sources.lineparsers import _regex_pattern
+
+            _regex_pattern(self.source)  # pattern present + group-count check
         if self.source.type == "table_changes":
             validate_table_changes_source(self.source)
         elif self.source.type == "merge_state":
@@ -354,10 +374,10 @@ class PipelineSpec:
                     "invalid_record_path requires stop_on_invalid_record: false "
                     "(a FAILFAST load never produces skipped records)"
                 )
-            if self.source.type not in ("csv", "json"):
+            if self.source.type not in ("csv", "json", "ltsv", "regex"):
                 raise ConfigError(
-                    "invalid_record_path is only supported for csv and json "
-                    "sources"
+                    "invalid_record_path is only supported for csv, json, "
+                    "ltsv and regex sources"
                 )
 
 

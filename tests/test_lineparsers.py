@@ -1,0 +1,363 @@
+"""LTSV + regex parser sources and the ltsv/text sinks.
+
+Model: the csv invalid-record-policy matrix in test_retry_and_csv_parity.py
+(reference ``TestMapReduceExecutor.java:177-192`` — stop fails the load as
+user-data, skip drops bad records) applied to the two parser-plugin analogs,
+plus the parser-specific semantics: first-wins duplicate labels, colon-laden
+values, quarantine layout parity, streaming parity, and the config matrix.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from embulk_executor_mapreduce_spark.errors import (
+    ConfigError,
+    RemoteTaskFailedDataError,
+)
+from embulk_executor_mapreduce_spark.plans.compiler import (
+    compile_pipeline,
+    run_pipeline,
+    run_pipeline_streaming,
+)
+from embulk_executor_mapreduce_spark.spec import load_spec
+
+LTSV_COLS = [
+    {"name": "host", "type": "string"},
+    {"name": "time", "type": "timestamp"},
+    {"name": "status", "type": "long"},
+    {"name": "msg", "type": "string"},
+]
+
+
+@pytest.fixture()
+def ltsv_dir(tmp_path):
+    p = tmp_path / "ltsv_src"
+    p.mkdir()
+    (p / "a.ltsv").write_text(
+        "host:a.com\ttime:2024-01-02 03:04:05.123456\tstatus:200\tmsg:x:y z\n"
+        "host:b.com\tstatus:abc\tmsg:m\n"  # typed failure (status)
+        "garbage no colon\thost:c.com\n"  # structural failure
+        "host:d.com\thost:e.com\tstatus:404\n"  # duplicate label
+    )
+    return str(p)
+
+
+def _ltsv_spec(path, **src_extra):
+    return load_spec(
+        {
+            "in": {"type": "ltsv", "path": path, "columns": LTSV_COLS, **src_extra},
+            "out": {"type": "null"},
+        }
+    )
+
+
+def test_ltsv_skip_semantics(spark, ltsv_dir):
+    rows = compile_pipeline(spark, _ltsv_spec(ltsv_dir)).orderBy("host").collect()
+    assert [r.host for r in rows] == ["a.com", "d.com"]
+    good = rows[0]
+    assert good.status == 200
+    assert str(good.time) == "2024-01-02 03:04:05.123456"
+    assert good.msg == "x:y z"  # first colon splits, the rest is value
+    dup = rows[1]
+    assert dup.status == 404 and dup.time is None and dup.msg is None
+
+
+def test_ltsv_stop_raises_user_data(spark, ltsv_dir):
+    with pytest.raises(RemoteTaskFailedDataError):
+        run_pipeline(spark, _ltsv_spec(ltsv_dir, stop_on_invalid_record=True))
+
+
+def test_ltsv_quarantine_split(spark, ltsv_dir, tmp_path):
+    qdir = str(tmp_path / "quar")
+    spec = load_spec(
+        {
+            "in": {
+                "type": "ltsv",
+                "path": ltsv_dir,
+                "columns": LTSV_COLS,
+                "invalid_record_path": qdir,
+            },
+            "out": {"type": "memory", "options": {"view": "ltsv_clean"}},
+        }
+    )
+    report = run_pipeline(spark, spec)
+    assert report.succeeded
+    assert report.quarantined_rows == 2
+    quar = spark.read.json(qdir)
+    assert sorted(quar.columns) == ["input_file", "partial_parse", "raw_record"]
+    raws = {r.raw_record for r in quar.collect()}
+    assert any("status:abc" in r for r in raws)
+    assert any("garbage no colon" in r for r in raws)
+    assert spark.table("ltsv_clean").count() == 2
+
+
+def test_ltsv_reserved_and_missing_columns(spark, tmp_path):
+    with pytest.raises(ConfigError, match="reserved"):
+        compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "ltsv",
+                        "path": str(tmp_path),
+                        "columns": [{"name": "__line", "type": "string"}],
+                    },
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+    with pytest.raises(ConfigError, match="columns"):
+        load_spec(
+            {"in": {"type": "ltsv", "path": str(tmp_path)}, "out": {"type": "null"}}
+        ).validate()
+
+
+def test_ltsv_declared_value_column_no_collision(spark, tmp_path):
+    """A declared column literally named `value` (the text reader's own line
+    column) must parse cleanly — the raw line rides under a reserved name."""
+    p = tmp_path / "v"
+    p.mkdir()
+    (p / "a.ltsv").write_text("value:42\tk:x\n")
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "ltsv",
+                    "path": str(p),
+                    "columns": [
+                        {"name": "value", "type": "long"},
+                        {"name": "k", "type": "string"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert df.collect() == [(42, "x")]
+
+
+def test_ltsv_sink_roundtrip_and_tab_rejection(spark, tmp_path):
+    src = spark.createDataFrame(
+        [(1, "a b", 2.5), (2, None, -0.125)], ["id", "s", "v"]
+    )
+    out = str(tmp_path / "out")
+    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+    from embulk_executor_mapreduce_spark.spec import load_spec as _ls
+
+    write_sink(src, _ls({"in": {"type": "task"}, "out": {"type": "ltsv", "path": out}}).sink)
+    back = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "ltsv",
+                    "path": out,
+                    "columns": [
+                        {"name": "id", "type": "long"},
+                        {"name": "s", "type": "string"},
+                        {"name": "v", "type": "double"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    got = {tuple(r) for r in back.collect()}
+    assert got == {(1, "a b", 2.5), (2, None, -0.125)}
+
+    # a tab inside a value is unrepresentable in LTSV → loud user-data raise
+    bad = spark.createDataFrame([(1, "has\ttab")], ["id", "s"])
+    with pytest.raises(Exception, match="tab/newline"):
+        write_sink(
+            bad,
+            _ls({"in": {"type": "task"}, "out": {"type": "ltsv", "path": str(tmp_path / 'bad')}}).sink,
+        )
+
+
+def test_ltsv_streaming_matches_batch(spark, ltsv_dir, tmp_path):
+    out_b = str(tmp_path / "batch_out")
+    out_s = str(tmp_path / "stream_out")
+
+    def spec_for(out):
+        return load_spec(
+            {
+                "in": {"type": "ltsv", "path": ltsv_dir, "columns": LTSV_COLS},
+                "filters": [{"type": "filter", "predicate": "status >= 200"}],
+                "out": {"type": "parquet", "path": out},
+            }
+        )
+
+    run_pipeline(spark, spec_for(out_b))
+    run_pipeline_streaming(spark, spec_for(out_s))
+    b = {tuple(r) for r in spark.read.parquet(out_b).collect()}
+    s = {tuple(r) for r in spark.read.parquet(out_s).collect()}
+    assert b == s and len(b) == 2
+
+
+REGEX_COLS = [
+    {"name": "event_id", "type": "long"},
+    {"name": "event_type", "type": "string"},
+    {"name": "v", "type": "long"},
+]
+PATTERN = r"^(\d+) \[(\w+)\] v=(-?\d+)$"
+
+
+@pytest.fixture()
+def regex_dir(tmp_path):
+    p = tmp_path / "rx_src"
+    p.mkdir()
+    (p / "a.log").write_text(
+        "127 [click] v=9\nbadline\n128 [view] v=-3\n"
+    )
+    return str(p)
+
+
+def test_regex_skip_and_types(spark, regex_dir):
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": regex_dir,
+                    "options": {"pattern": PATTERN},
+                    "columns": REGEX_COLS,
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    rows = sorted(df.collect())
+    assert rows == [(127, "click", 9), (128, "view", -3)]
+    assert dict(df.dtypes) == {
+        "event_id": "bigint",
+        "event_type": "string",
+        "v": "bigint",
+    }
+
+
+def test_regex_stop_raises_user_data(spark, regex_dir):
+    with pytest.raises(RemoteTaskFailedDataError):
+        run_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "regex",
+                        "path": regex_dir,
+                        "options": {"pattern": PATTERN},
+                        "columns": REGEX_COLS,
+                        "stop_on_invalid_record": True,
+                    },
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+
+
+def test_regex_config_matrix(spark, tmp_path):
+    # missing pattern
+    with pytest.raises(ConfigError, match="pattern"):
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": str(tmp_path),
+                    "columns": REGEX_COLS,
+                },
+                "out": {"type": "null"},
+            }
+        ).validate()
+    # too few capture groups for the declared schema
+    with pytest.raises(ConfigError, match="capture group"):
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": str(tmp_path),
+                    "options": {"pattern": r"^(\d+)$"},
+                    "columns": REGEX_COLS,
+                },
+                "out": {"type": "null"},
+            }
+        ).validate()
+    # missing columns
+    with pytest.raises(ConfigError, match="columns"):
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": str(tmp_path),
+                    "options": {"pattern": r"^(\d+)$"},
+                },
+                "out": {"type": "null"},
+            }
+        ).validate()
+
+
+def test_regex_quarantine(spark, regex_dir, tmp_path):
+    qdir = str(tmp_path / "rxquar")
+    report = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": regex_dir,
+                    "options": {"pattern": PATTERN},
+                    "columns": REGEX_COLS,
+                    "invalid_record_path": qdir,
+                },
+                "out": {"type": "memory", "options": {"view": "rx_clean"}},
+            }
+        ),
+    )
+    assert report.quarantined_rows == 1
+    assert spark.read.json(qdir).collect()[0].raw_record == "badline"
+    assert spark.table("rx_clean").count() == 2
+
+
+def test_regex_streaming_matches_batch(spark, regex_dir, tmp_path):
+    out = str(tmp_path / "rx_stream")
+    run_pipeline_streaming(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": regex_dir,
+                    "options": {"pattern": PATTERN},
+                    "columns": REGEX_COLS,
+                },
+                "out": {"type": "parquet", "path": out},
+            }
+        ),
+    )
+    assert {tuple(r) for r in spark.read.parquet(out).collect()} == {
+        (127, "click", 9),
+        (128, "view", -3),
+    }
+
+
+def test_text_sink_guard_and_write(spark, tmp_path):
+    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+
+    out = str(tmp_path / "txt")
+    df = spark.createDataFrame([("l1",), ("l2",)], ["line"])
+    write_sink(
+        df,
+        load_spec({"in": {"type": "task"}, "out": {"type": "text", "path": out}}).sink,
+    )
+    assert {r.value for r in spark.read.text(out).collect()} == {"l1", "l2"}
+
+    two_cols = spark.createDataFrame([(1, "x")], ["a", "b"])
+    with pytest.raises(ConfigError, match="exactly one string payload"):
+        write_sink(
+            two_cols,
+            load_spec(
+                {"in": {"type": "task"}, "out": {"type": "text", "path": out}}
+            ).sink,
+        )

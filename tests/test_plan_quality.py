@@ -638,3 +638,38 @@ def test_spec_partitioned_pipeline_compiled_plan_one_exchange(spark):
     assert "__bucket" in df.columns and "__salt" not in df.columns
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_ivf_pq_composite_plan(spark):
+    """The IVF→PQ→re-rank composite must stay broadcast-driven end to end:
+    centroids, codebook, probes, per-query distance tables, the re-rank
+    shortlist and the query vectors are ALL broadcast (corpus-independent
+    sides); no cartesian product and no corpus-corpus shuffle join may
+    appear anywhere in the pipeline."""
+    df = catalog.entries()["ann_ivf_pq_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert num_broadcasts(df) >= 5, num_broadcasts(df)
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_bounded_exchange(spark):
+    """Heavy hitters' recount joins the corpus to the BROADCAST candidate
+    set — a shuffle join here would re-introduce the distinct-key-sized
+    exchange the sketch exists to avoid."""
+    from embulk_executor_mapreduce_spark.operators.sketches import (
+        heavy_hitters_exact,
+    )
+    from embulk_executor_mapreduce_spark.operators.text import tokens
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    tok = docs.select(F.explode(tokens("text")).alias("token"))
+    out = heavy_hitters_exact(tok, "token", k=10, capacity=64)
+    assert out.count() == 10  # eager op: plan guard is in the operator's
+    # own joins — verify via a fresh recount plan mirroring pass 2
+    cands = out.select(F.col("token").alias("k"))
+    recount = tok.select(F.col("token").alias("k")).join(
+        F.broadcast(cands), "k"
+    ).groupBy("k").count()
+    plan = recount._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
