@@ -672,6 +672,34 @@ def prepare_file_sink(df: DataFrame, spec: SinkSpec) -> tuple[DataFrame, dict]:
             "timestampFormat": "yyyy-MM-dd'T'HH:mm:ss.SSSSSS",
             **opts,
         }
+    if spec.type in ("parquet", "orc"):
+        # declarative bloom filters for point-lookup file skipping: at
+        # 100 TB a key probe against a sorted-but-unindexed lake reads
+        # every row group whose min/max straddles the key — blooms prune
+        # row groups by membership instead. `bloom_filters: [col, ...]`
+        # or `{col: expected_ndv}`. Caveat (documented, parquet-mr
+        # behavior): a fully dictionary-encoded column chunk skips its
+        # bloom (the dictionary already filters exactly) — the option
+        # only grows files where it can help. Pairs with sort_by (the
+        # min/max half of data skipping).
+        blooms = opts.pop("bloom_filters", None)
+        if blooms:
+            cols = list(blooms) if not isinstance(blooms, dict) else list(blooms)
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise ConfigError(
+                    f"bloom_filters names unknown column(s) {missing}; "
+                    f"frame has {df.columns}"
+                )
+            if spec.type == "parquet":
+                for c in cols:
+                    opts[f"parquet.bloom.filter.enabled#{c}"] = "true"
+                    if isinstance(blooms, dict) and blooms[c]:
+                        opts[f"parquet.bloom.filter.expected.ndv#{c}"] = str(
+                            int(blooms[c])
+                        )
+            else:
+                opts["orc.bloom.filter.columns"] = ",".join(cols)
     if spec.type == "text":
         # one line per row: exactly one string payload column (partition /
         # internal dunder columns ride as directory layout) — checked here
