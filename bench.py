@@ -139,6 +139,8 @@ HEADLINE = [
     # exact re-rank) — prices the full serving path against its halves
     # (ann_ivf_topk / ann_pq_adc_topk are the comparables)
     "ann_ivf_pq_topk",
+    # round 12 (cont.): JL sign-projection + projected-space top-k
+    "embedding_random_projection",
 ]
 
 SMALL_RESULT = {
@@ -164,6 +166,11 @@ SMALL_RESULT = {
     "url_registrable_psl",
     "audio_quality_screen",
     "json_variant_gauntlet",
+    "ltsv_engine_roundtrip",
+    "regex_parse_logs",
+    "heavy_hitters_tokens",
+    "ann_ivf_pq_topk",
+    "embedding_random_projection",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -179,6 +186,9 @@ TIME_INCLUDES_BUILD = {
     "spec_prep_pipeline",  # minhash_dedup's CC loop + benchmark stage write
     "spec_partitioned_pipeline",  # fn() runs the partitioned write it reads
     "stream_cdc_tail",  # fn() drives the version-tail loop it reads back
+    "ltsv_engine_roundtrip",  # fn() writes the ltsv dataset it parses back
+    "regex_parse_logs",  # fn() writes the log-line fixture it parses back
+    "heavy_hitters_tokens",  # the operator is eager (miss-bound proof)
 }
 
 # events.ts physical-encoding normalization, probed from the footer

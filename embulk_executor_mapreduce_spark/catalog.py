@@ -4805,7 +4805,26 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vocab_topk(load(spark, sf_dir, "documents"))
 
 
-from .operators.similarity import ivf_pq_oracle_sql  # noqa: E402
+from .operators.similarity import (  # noqa: E402
+    ivf_pq_oracle_sql,
+    random_projection_oracle_sql,
+)
+
+
+@register(
+    "embedding_random_projection",
+    oracle=random_projection_oracle_sql(),
+    tags=("similarity", "projection"),
+)
+def q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL sign-projection (64→8 dims, deterministic ±1 matrix inlined on
+    both engine sides) + top-5 cosine in the projected space — the
+    dimensionality-reduction front end any pairwise stage composes with:
+    map-only projection once, then 8× cheaper math and shuffle bytes
+    everywhere downstream."""
+    from .operators.similarity import random_projection_topk
+
+    return random_projection_topk(load(spark, sf_dir, "embeddings"))
 
 
 @register(

@@ -1134,6 +1134,131 @@ def ivf_pq_oracle_sql(
     """
 
 
+#: JL target dimensionality for the random-projection row — 8 keeps the
+#: demo oracle readable; production picks O(log n / eps²).
+JL_DIM = 8
+
+
+def jl_signs(dim: int = 64, out_dim: int = JL_DIM) -> list[list[float]]:
+    """Deterministic ±1 projection matrix (Achlioptas, "Database-friendly
+    random projections", PODS 2001: sign entries satisfy the JL lemma like
+    Gaussians, and make the projection exact integer-weighted sums). The
+    entries come from a fixed integer hash — no RNG state — and are inlined
+    as LITERALS on both the Spark and DuckDB sides, so the two engines use
+    the identical matrix by construction."""
+    return [
+        [
+            1.0
+            if ((i * 2654435761 + (j + 1) * 40503) >> 3) % 2 == 0
+            else -1.0
+            for i in range(dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    dim: int = 64,
+    out_dim: int = JL_DIM,
+) -> DataFrame:
+    """Top-k by cosine in a JL sign-projected space: one map-only pass
+    projects every vector 64→8 dims (eight sequential-fold dots against
+    broadcast-literal ±1 rows), then the brute-force top-k runs on the
+    8-dim projections — an 8× cut in per-pair math and per-row shuffle
+    bytes for any downstream pairwise stage.
+
+    At 100 TB the projection is a one-off materialized column (map-only,
+    no shuffle); every later ANN / near-dup / clustering pass pays
+    out_dim/dim of the vector math and I/O. This row surfaces it as
+    (query_id, cand_id, proj_cos) so the oracle replays the full chain
+    with the identical inlined matrix. Accuracy note (documented, not
+    tested here): projected cosines approximate true cosines with JL
+    distortion; exact re-ranking composes like :func:`ivf_pq_topk`'s."""
+    signs = jl_signs(dim, out_dim)
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    proj = base.select(
+        F.col(id_col),
+        F.array(
+            *[
+                dot(F.col("v"), F.array(*[F.lit(s) for s in row]))
+                for row in signs
+            ]
+        ).alias("p"),
+    ).withColumn("nrm", F.sqrt(dot(F.col("p"), F.col("p"))))
+    q = proj.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("p").alias("qp"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        proj.select(
+            F.col(id_col).alias("cand_id"),
+            F.col("p").alias("cp"),
+            F.col("nrm").alias("cn"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            d_round(
+                dot(F.col("qp"), F.col("cp")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("proj_cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("proj_cos").desc(), F.col("cand_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "proj_cos")
+    )
+
+
+def random_projection_oracle_sql(
+    table: str = "embeddings",
+    query_ids: str = "0, 1, 2, 3",
+    k: int = 5,
+    dim: int = 64,
+    out_dim: int = JL_DIM,
+) -> str:
+    """DuckDB mirror of :func:`random_projection_topk` — the identical
+    inlined ±1 matrix, sequential-fold dots (list_dot_product), the same
+    micro-rounding."""
+    signs = jl_signs(dim, out_dim)
+    rows = ",\n             ".join(
+        "list_dot_product(v, ["
+        + ", ".join(str(s) for s in row)
+        + "])"
+        for row in signs
+    )
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}
+    ), proj AS (
+      SELECT vec_id,
+             [{rows}] AS p
+      FROM base
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+             floor((list_dot_product(q.p, c.p)
+                   / (sqrt(list_dot_product(q.p, q.p)) * sqrt(list_dot_product(c.p, c.p)))
+                   ) * 1000000 + 0.5) / 1000000.0 AS proj_cos
+      FROM proj c, proj q
+      WHERE q.vec_id IN ({query_ids}) AND c.vec_id <> q.vec_id
+    )
+    SELECT query_id, cand_id, proj_cos FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY proj_cos DESC, cand_id) AS rn
+      FROM scored
+    ) WHERE rn <= {k}
+    """
+
+
 def semantic_dedup_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",

@@ -673,3 +673,15 @@ def test_heavy_hitters_bounded_exchange(spark):
     ).groupBy("k").count()
     plan = recount._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_random_projection_is_map_only_then_broadcast(spark):
+    """The JL projection must be a map-only expression pass (no exchange
+    before the broadcast top-k join) — materializing it at 100 TB costs one
+    scan, never a shuffle."""
+    df = catalog.entries()["embedding_random_projection"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert num_broadcasts(df) >= 1
+    # the only exchange is the final per-query window's
+    assert num_exchanges(df) <= 1, num_exchanges(df)
