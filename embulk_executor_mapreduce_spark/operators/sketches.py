@@ -59,22 +59,49 @@ def _space_saving_partition(capacity: int):
     """Per-partition Space-Saving over Arrow batches of a single key column
     named ``k``. Batch-level exact counts (C-speed ``value_counts``) merge
     into the bounded summary as weighted arrivals — the guarantee holds for
-    weighted updates (insert-at-min+weight on eviction)."""
+    weighted updates (insert-at-min+weight on eviction).
+
+    Eviction is O(log m) via a lazy-deletion min-heap (stale entries are
+    skipped at pop time; the heap is rebuilt when it grows past 4×capacity)
+    — a linear min-scan would cost O(m) per evicted key, exactly in the
+    flat-distribution regime whose error message tells users to RAISE
+    capacity (r12 review finding)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import heapq
+
         counters: dict[str, int] = {}
+        heap: list[tuple[int, str]] = []  # (count, key), lazily stale
+        evicted = False
         for b in batches:
             for key, cnt in b["k"].value_counts().items():
                 if key in counters:
                     counters[key] += int(cnt)
+                    heapq.heappush(heap, (counters[key], key))
                 elif len(counters) < capacity:
                     counters[key] = int(cnt)
+                    heapq.heappush(heap, (int(cnt), key))
                 else:
-                    evict = min(counters, key=counters.get)  # type: ignore[arg-type]
-                    counters[key] = counters.pop(evict) + int(cnt)
-        # min-counter AFTER processing = this partition's miss bound; 0 when
-        # the sketch never saturated (then candidates are simply exact)
-        eps = min(counters.values()) if len(counters) >= capacity else 0
+                    while True:  # skip stale heap entries
+                        c, victim = heap[0]
+                        if counters.get(victim) == c:
+                            break
+                        heapq.heappop(heap)
+                    heapq.heappop(heap)
+                    del counters[victim]
+                    counters[key] = c + int(cnt)
+                    heapq.heappush(heap, (c + int(cnt), key))
+                    evicted = True
+                if len(heap) > 4 * capacity:
+                    heap = [(v, k2) for k2, v in counters.items()]
+                    heapq.heapify(heap)
+        # miss bound: a key absent from the summary was EVICTED at some
+        # point, and Space-Saving bounds its true count by the final min
+        # counter. If no eviction ever happened (distinct keys <= capacity,
+        # INCLUDING exactly == capacity), nothing was ever missed — the
+        # bound is 0, not the min counter (r12 review finding: conflating
+        # 'sketch full' with 'sketch lossy' refused provably-exact answers)
+        eps = min(counters.values()) if evicted else 0
         yield pd.DataFrame(
             {
                 "k": [*counters.keys(), None],

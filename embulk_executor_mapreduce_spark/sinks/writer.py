@@ -684,7 +684,7 @@ def prepare_file_sink(df: DataFrame, spec: SinkSpec) -> tuple[DataFrame, dict]:
         # min/max half of data skipping).
         blooms = opts.pop("bloom_filters", None)
         if blooms:
-            cols = list(blooms) if not isinstance(blooms, dict) else list(blooms)
+            cols = list(blooms)  # dict form yields its keys
             missing = [c for c in cols if c not in df.columns]
             if missing:
                 raise ConfigError(
@@ -699,6 +699,16 @@ def prepare_file_sink(df: DataFrame, spec: SinkSpec) -> tuple[DataFrame, dict]:
                             int(blooms[c])
                         )
             else:
+                # ORC sizes blooms via a global fpp, not per-column ndv —
+                # silently dropping a user's ndv sizing would hand back
+                # default-sized filters with a much higher false-positive
+                # rate than requested (r12 review finding)
+                if isinstance(blooms, dict) and any(blooms.values()):
+                    raise ConfigError(
+                        "expected-ndv bloom sizing is parquet-only; for orc "
+                        "pass bloom_filters as a list and tune "
+                        "options.'orc.bloom.filter.fpp' instead"
+                    )
                 opts["orc.bloom.filter.columns"] = ",".join(cols)
     if spec.type == "text":
         # one line per row: exactly one string payload column (partition /

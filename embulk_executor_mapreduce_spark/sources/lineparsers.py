@@ -73,14 +73,20 @@ def _text_options(spec: SourceSpec) -> dict[str, str]:
 _RESERVED = ("__file", "__line", "__invalid")
 
 
-def _lines(spark: SparkSession, spec: SourceSpec) -> DataFrame:
-    # the raw line rides under a reserved name so a DECLARED column named
-    # "value" (the text reader's own line column) can't collide with it
+def _check_reserved(spec: SourceSpec) -> None:
+    """The raw line rides under a reserved name so a DECLARED column named
+    "value" (the text reader's own line column) can't collide with it.
+    Called from the shared string-extraction builders, so batch, split AND
+    streaming paths all hit the same plan-time ConfigError (r12 review
+    finding: the streaming branch bypassed a batch-reader-only check)."""
     for c in spec.columns:
         if c.name in _RESERVED:
             raise ConfigError(
                 f"column name {c.name!r} is reserved by the line parsers"
             )
+
+
+def _lines(spark: SparkSession, spec: SourceSpec) -> DataFrame:
     return spark.read.options(**_text_options(spec)).text(spec.path).select(
         F.col("_metadata.file_path").alias("__file"),
         F.col("value").alias("__line"),
@@ -89,6 +95,31 @@ def _lines(spark: SparkSession, spec: SourceSpec) -> DataFrame:
 
 def _null_string(spec: SourceSpec) -> str:
     return str(spec.options.get("null_string", ""))
+
+
+def _column_policy(c, ns: str, stop: bool):
+    """ONE implementation of the per-column typed-conversion + failure rule,
+    shared by the clean path and the quarantine complement so the two can
+    never drift apart (r12 review finding: drift here silently breaks the
+    invariant quarantined_rows + clean_rows == input_rows).
+
+    Returns ``(typed_expr, fail_cond)``; ``fail_cond`` is the record-level
+    skip condition (present value the type cannot parse), None for plain
+    strings (nothing can fail)."""
+    val = F.nullif(F.col(c.name), F.lit(ns))
+    if c.type == "timestamp":
+        fmt = _strptime_to_java(c.format) if c.format else _DEFAULT_TS_FMT
+        typed = (
+            F.to_timestamp(val, fmt) if stop else F.try_to_timestamp(val, F.lit(fmt))
+        )
+    elif c.spark_type().simpleString() == "string":
+        return val, None
+    else:
+        t = c.spark_type().simpleString()
+        typed = val.cast(t) if stop else val.try_cast(t)
+    if stop:
+        return typed, None  # typed failures raise through the ANSI forms
+    return typed, val.isNotNull() & typed.isNull()
 
 
 def _typed_columns(
@@ -105,25 +136,12 @@ def _typed_columns(
     cannot parse (record-level skip, csv-PERMISSIVE parity)."""
     stop = spec.stop_on_invalid_record
     ns = _null_string(spec)
-    cols = list(spec.columns)
     typed_exprs = []
     drop_conds = [F.col("__invalid")]
-    for c in cols:
-        val = F.nullif(F.col(c.name), F.lit(ns))
-        if c.type == "timestamp":
-            fmt = _strptime_to_java(c.format) if c.format else _DEFAULT_TS_FMT
-            typed = (
-                F.to_timestamp(val, fmt)
-                if stop
-                else F.try_to_timestamp(val, F.lit(fmt))
-            )
-        elif c.spark_type().simpleString() == "string":
-            typed = val
-        else:
-            t = c.spark_type().simpleString()
-            typed = val.cast(t) if stop else val.try_cast(t)
-        if not (stop or c.spark_type().simpleString() == "string"):
-            drop_conds.append(val.isNotNull() & typed.isNull())
+    for c in spec.columns:
+        typed, fail = _column_policy(c, ns, stop)
+        if fail is not None:
+            drop_conds.append(fail)
         typed_exprs.append(typed.alias(c.name))
 
     if stop:
@@ -145,21 +163,15 @@ def _typed_columns(
 def _skipped_lines(raw: DataFrame, spec: SourceSpec) -> DataFrame:
     """The complement of :func:`_typed_columns` under skip semantics, shaped
     as the shared quarantine layout ``(input_file, raw_record,
-    partial_parse)`` (same audit-table schema as ``read_csv_split``)."""
+    partial_parse)`` (same audit-table schema as ``read_csv_split``). Built
+    from the SAME :func:`_column_policy` rules as the clean path."""
     ns = _null_string(spec)
     conds = [F.col("__invalid")]
     partial = []
     for c in spec.columns:
-        val = F.nullif(F.col(c.name), F.lit(ns))
-        if c.type == "timestamp":
-            fmt = _strptime_to_java(c.format) if c.format else _DEFAULT_TS_FMT
-            typed = F.try_to_timestamp(val, F.lit(fmt))
-        elif c.spark_type().simpleString() == "string":
-            typed = val
-        else:
-            typed = val.try_cast(c.spark_type().simpleString())
-        if c.spark_type().simpleString() != "string":
-            conds.append(val.isNotNull() & typed.isNull())
+        typed, fail = _column_policy(c, ns, stop=False)
+        if fail is not None:
+            conds.append(fail)
         partial.append(typed.alias(c.name))
     bad = conds[0]
     for c in conds[1:]:
@@ -186,9 +198,14 @@ def _ltsv_strings(lines: DataFrame, spec: SourceSpec) -> DataFrame:
     alone returns '' for both no-match and empty value).
 
     Structural invalidity: any non-empty tab-separated segment without a
-    colon (a field that is not ``label:value``)."""
+    colon (a field that is not ``label:value``). Fully BLANK lines are
+    skipped silently under every policy — Spark's csv reader does the same,
+    and hand-edited/concatenated files routinely carry them (r12 review
+    finding: a blank line used to fabricate an all-NULL row)."""
     if not spec.columns:
         raise ConfigError("ltsv source requires declared columns")
+    _check_reserved(spec)
+    lines = lines.filter(F.length(F.col("__line")) > 0)
     invalid = F.exists(
         F.split(F.col("__line"), "\t"),
         lambda s: (F.length(s) > 0) & ~s.contains(":"),
@@ -267,8 +284,12 @@ def _regex_pattern(spec: SourceSpec) -> str:
 def _regex_strings(lines: DataFrame, spec: SourceSpec) -> DataFrame:
     """One ``regexp_extract`` per declared column (group i+1), gated on a
     whole-line ``regexp_like`` — a non-matching line is structurally invalid
-    (extract alone can't distinguish no-match from an empty group)."""
+    (extract alone can't distinguish no-match from an empty group). Fully
+    BLANK lines are skipped silently under every policy (csv-reader parity,
+    same rule as the ltsv side)."""
     pattern = _regex_pattern(spec)
+    _check_reserved(spec)
+    lines = lines.filter(F.length(F.col("__line")) > 0)
     matches = F.regexp_like(F.col("__line"), F.lit(pattern))
     extracted = [
         F.when(

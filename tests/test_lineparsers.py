@@ -445,3 +445,108 @@ def test_orc_bloom_filter_sink_option(spark, tmp_path):
     size = lambda d: sum(os.path.getsize(f) for f in glob.glob(f"{d}/*.orc"))
     assert size(bloomed) > size(plain) + 10_000
     assert spark.read.orc(bloomed).count() == 50000
+
+
+def test_blank_lines_skipped_under_every_policy(spark, tmp_path):
+    """Interior blank lines must not fabricate all-NULL rows (r12 review
+    finding) — skipped silently like Spark's csv reader, under skip AND
+    stop AND quarantine policies, for both parsers."""
+    p = tmp_path / "blank"
+    p.mkdir()
+    (p / "a.ltsv").write_text("host:a.com\tstatus:200\n\nhost:b.com\tstatus:404\n")
+    cols = [{"name": "host", "type": "string"}, {"name": "status", "type": "long"}]
+    for stop in (False, True):
+        df = compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "ltsv",
+                        "path": str(p),
+                        "columns": cols,
+                        "stop_on_invalid_record": stop,
+                    },
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+        assert sorted(r.host for r in df.collect()) == ["a.com", "b.com"]
+    qdir = str(tmp_path / "q")
+    rep = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "ltsv",
+                    "path": str(p),
+                    "columns": cols,
+                    "invalid_record_path": qdir,
+                },
+                "out": {"type": "memory", "options": {"view": "blank_clean"}},
+            }
+        ),
+    )
+    assert rep.quarantined_rows == 0
+    assert spark.table("blank_clean").count() == 2
+
+    rxp = tmp_path / "blankrx"
+    rxp.mkdir()
+    (rxp / "a.log").write_text("1 [x] v=1\n\n2 [y] v=2\n")
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": str(rxp),
+                    "options": {"pattern": r"^(\d+) \[(\w+)\] v=(-?\d+)$"},
+                    "columns": REGEX_COLS,
+                    "stop_on_invalid_record": True,  # blank must not raise
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert df.count() == 2
+
+
+def test_streaming_reserved_column_raises_config(spark, tmp_path):
+    """The reserved-name check must fire on the STREAMING path too (r12
+    review finding: it lived in the batch-only reader)."""
+    p = tmp_path / "resv"
+    p.mkdir()
+    (p / "a.ltsv").write_text("__line:1\n")
+    with pytest.raises(ConfigError, match="reserved"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "ltsv",
+                        "path": str(p),
+                        "columns": [{"name": "__line", "type": "string"}],
+                    },
+                    "out": {"type": "parquet", "path": str(tmp_path / "o")},
+                }
+            ),
+        )
+
+
+def test_orc_bloom_rejects_ndv_sizing(spark, tmp_path):
+    from embulk_executor_mapreduce_spark.sinks.writer import write_sink
+
+    df = spark.range(10).selectExpr("cast(id as string) k")
+    with pytest.raises(ConfigError, match="parquet-only"):
+        write_sink(
+            df,
+            load_spec(
+                {
+                    "in": {"type": "task"},
+                    "out": {
+                        "type": "orc",
+                        "path": str(tmp_path / "o"),
+                        "options": {"bloom_filters": {"k": 1000}},
+                    },
+                }
+            ).sink,
+        )

@@ -76,3 +76,16 @@ def test_counts_are_exact_not_estimates(spark):
         for r in heavy_hitters_exact(df, "key", k=3, capacity=4).collect()
     }
     assert got == {"t8": 4**8, "t7": 4**7, "t6": 4**6}
+
+
+def test_exactly_capacity_distinct_keys_is_provably_exact(spark):
+    """distinct == capacity means the sketch never evicted — the miss bound
+    is 0 and the result must be returned, not refused (r12 review finding:
+    'sketch full' was conflated with 'sketch lossy')."""
+    df = spark.range(8000).select(
+        F.concat(F.lit("u"), (F.col("id") % 8)).alias("key")
+    ).repartition(2)
+    got = heavy_hitters_exact(df, "key", k=3, capacity=8).collect()
+    assert [(r["key"], r["n"]) for r in got] == [
+        ("u0", 1000), ("u1", 1000), ("u2", 1000),
+    ]
