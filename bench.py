@@ -141,6 +141,8 @@ HEADLINE = [
     "ann_ivf_pq_topk",
     # round 12 (cont.): JL sign-projection + projected-space top-k
     "embedding_random_projection",
+    # round 12 (cont.): MMR diversity re-rank (greedy tail on tiny frames)
+    "mmr_diverse_topk",
 ]
 
 SMALL_RESULT = {
@@ -171,6 +173,7 @@ SMALL_RESULT = {
     "heavy_hitters_tokens",
     "ann_ivf_pq_topk",
     "embedding_random_projection",
+    "mmr_diverse_topk",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):

@@ -4811,6 +4811,26 @@ from .operators.similarity import (  # noqa: E402
 )
 
 
+from .operators.similarity import mmr_oracle_sql  # noqa: E402
+
+
+@register(
+    "mmr_diverse_topk",
+    oracle=mmr_oracle_sql(),
+    tags=("similarity", "diversity"),
+)
+def q_mmr_diverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    1998): per query, greedily pick k=3 results trading relevance against
+    redundancy — the retrieval-diversity op that keeps near-identical
+    passages out of one prompt's context. Corpus cost = one relevance
+    shortlist scan; the greedy tail runs on n_q × shortlist rows. The
+    oracle unrolls the greedy loop (the k-means-chain technique)."""
+    from .operators.similarity import mmr_rerank_topk
+
+    return mmr_rerank_topk(load(spark, sf_dir, "embeddings"))
+
+
 @register(
     "embedding_random_projection",
     oracle=random_projection_oracle_sql(),

@@ -1259,6 +1259,273 @@ def random_projection_oracle_sql(
     """
 
 
+def mmr_rerank_topk(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    shortlist: int = 8,
+    k: int = 3,
+    lambda_micro: int = 700_000,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein, SIGIR
+    1998): greedily pick ``k`` results per query maximizing
+    ``λ·rel(q,c) − (1−λ)·max_{s∈selected} sim(c,s)`` — relevance traded
+    against redundancy, the retrieval-diversity op a training-data pipeline
+    uses to avoid feeding near-identical passages for one prompt.
+
+    Scale shape: the only corpus-sized stage is the relevance shortlist
+    (broadcast queries over one corpus scan + per-query top-``shortlist``
+    window — exactly :func:`brute_force_topk`'s plan; swap in
+    :func:`ivf_pq_topk` for the shortlist at 100 TB, the greedy tail is
+    unchanged). Everything after operates on n_q × shortlist rows — the
+    candidate-pair similarity matrix and the ``k`` greedy rounds are
+    constant-size frames, so unrolling the greedy loop in the driver costs
+    k tiny stages, not k corpus passes.
+
+    Float discipline: rel and pairwise sims are d_round(6); the MMR score
+    combines them in EXACT integer micro-units (λ as ``lambda_micro``
+    parts-per-million), so greedy argmax ties are bit-identical across
+    engines and the selection sequence is fully deterministic
+    (score DESC, cand_id ASC). Output: (query_id, rank, cand_id,
+    mmr_score) with mmr_score in micro-units (BIGINT) — rank 1 is pure
+    relevance (no selected set yet, penalty 0)."""
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    q = base.filter(F.col(id_col).isin(*query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        base.select(
+            F.col(id_col).alias("cand_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cn"),
+        )
+        .crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            "cv",
+            "cn",
+            (
+                F.floor(
+                    d_round(
+                        dot(F.col("qv"), F.col("cv"))
+                        / (F.col("qn") * F.col("cn")),
+                        6,
+                    )
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("rel"),
+        )
+    )
+    w_rel = W.partitionBy("query_id").orderBy(
+        F.col("rel").desc(), F.col("cand_id")
+    )
+    sl = (
+        scored.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= shortlist)
+        .select("query_id", "cand_id", "cv", "cn", "rel")
+    )
+    # n_q × shortlist rows from here on — every frame below is tiny and the
+    # joins are broadcast by size; localCheckpoint would be overkill
+    a = sl.select(
+        "query_id",
+        F.col("cand_id").alias("id_a"),
+        F.col("cv").alias("av"),
+        F.col("cn").alias("an"),
+        F.col("rel").alias("rel_a"),
+    )
+    b = sl.select(
+        "query_id",
+        F.col("cand_id").alias("id_b"),
+        F.col("cv").alias("bv"),
+        F.col("cn").alias("bn"),
+    )
+    pairs = (
+        a.join(b, "query_id")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "query_id",
+            "id_a",
+            "rel_a",
+            "id_b",
+            (
+                F.floor(
+                    d_round(
+                        dot(F.col("av"), F.col("bv"))
+                        / (F.col("an") * F.col("bn")),
+                        6,
+                    )
+                    * 1_000_000
+                    + F.lit(0.5)
+                )
+            )
+            .cast("long")
+            .alias("sim"),
+        )
+    )
+    rels = sl.select("query_id", "cand_id", "rel")
+
+    lam = F.lit(lambda_micro)
+    inv = F.lit(1_000_000 - lambda_micro)
+    selected = (
+        rels.withColumn("rn", F.row_number().over(w_rel.orderBy(F.col("rel").desc(), F.col("cand_id"))))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.lit(1).alias("rank"),
+            "cand_id",
+            # rank 1: no selected set, penalty 0 — score is λ·rel.
+            # Scores stay in RAW micro² units (λ_micro × rel_micro — fits
+            # BIGINT comfortably): no division, so there is no floor-vs-
+            # truncate divergence between engines on negative scores
+            (lam * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    out = selected
+    for step in range(2, k + 1):
+        sel_ids = out.select("query_id", F.col("cand_id").alias("sid"))
+        remaining = rels.join(
+            sel_ids.withColumnRenamed("sid", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_anti",
+        )
+        # explicit frame aliases: pairs/sel_ids/remaining share lineage
+        # (all derive from sl), and Spark's self-join resolution would
+        # otherwise warn about — or mis-resolve — the equality columns
+        penalty = (
+            pairs.alias("p")
+            .join(
+                sel_ids.alias("s"),
+                (F.col("p.query_id") == F.col("s.query_id"))
+                & (F.col("p.id_b") == F.col("s.sid")),
+            )
+            .select(
+                F.col("p.query_id").alias("query_id"),
+                F.col("p.id_a").alias("id_a"),
+                F.col("p.sim").alias("sim"),
+            )
+            .groupBy("query_id", "id_a")
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        cand_scores = (
+            remaining.alias("r")
+            .join(
+                penalty.alias("pn"),
+                (F.col("r.query_id") == F.col("pn.query_id"))
+                & (F.col("r.cand_id") == F.col("pn.id_a")),
+            )
+            .select(
+                F.col("r.query_id").alias("query_id"),
+                F.col("r.cand_id").alias("cand_id"),
+                (lam * F.col("r.rel") - inv * F.col("pn.max_sim")).alias(
+                    "mmr_score"
+                ),
+            )
+        )
+        w_pick = W.partitionBy("query_id").orderBy(
+            F.col("mmr_score").desc(), F.col("cand_id")
+        )
+        pick = (
+            cand_scores.withColumn("rn", F.row_number().over(w_pick))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", F.lit(step).alias("rank"), "cand_id", "mmr_score"
+            )
+        )
+        out = out.unionByName(pick)
+    return out.orderBy("query_id", "rank")
+
+
+def mmr_oracle_sql(
+    table: str = "embeddings",
+    query_ids: str = "0, 1, 2, 3",
+    shortlist: int = 8,
+    k: int = 3,
+    lambda_micro: int = 700_000,
+) -> str:
+    """DuckDB mirror of :func:`mmr_rerank_topk` with the greedy loop
+    UNROLLED as one CTE pair (selection + penalty) per rank — the same
+    oracle technique as the k-means chains. Integer micro-unit scores make
+    every argmax tie-break bit-identical."""
+    inv = 1_000_000 - lambda_micro
+    ctes = f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.v AS cv,
+             CAST(floor(floor((list_dot_product(q.v, c.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v)))
+                   ) * 1000000 + 0.5) / 1000000.0 * 1000000 + 0.5) AS BIGINT) AS rel
+      FROM base c, base q
+      WHERE q.vec_id IN ({query_ids}) AND c.vec_id <> q.vec_id
+    ), sl AS (
+      SELECT query_id, cand_id, cv, rel FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+        FROM scored
+      ) WHERE rn <= {shortlist}
+    ), pairs AS (
+      SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+             CAST(floor(floor((list_dot_product(a.cv, b.cv)
+                   / (sqrt(list_dot_product(a.cv, a.cv)) * sqrt(list_dot_product(b.cv, b.cv)))
+                   ) * 1000000 + 0.5) / 1000000.0 * 1000000 + 0.5) AS BIGINT) AS sim
+      FROM sl a JOIN sl b USING (query_id)
+      WHERE a.cand_id <> b.cand_id
+    ), sel1 AS (
+      SELECT query_id, 1 AS rank, cand_id,
+             CAST({lambda_micro} * rel AS BIGINT) AS mmr_score
+      FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY rel DESC, cand_id) AS rn
+        FROM sl
+      ) WHERE rn = 1
+    )"""
+    prev_union = "SELECT query_id, cand_id FROM sel1"
+    selects = ["SELECT query_id, rank, cand_id, mmr_score FROM sel1"]
+    for step in range(2, k + 1):
+        ctes += f""", pen{step} AS (
+      SELECT p.query_id, p.id_a AS cand_id, max(p.sim) AS max_sim
+      FROM pairs p JOIN ({prev_union}) s
+        ON p.query_id = s.query_id AND p.id_b = s.cand_id
+      WHERE p.id_a NOT IN (
+        SELECT cand_id FROM ({prev_union}) s2 WHERE s2.query_id = p.query_id
+      )
+      GROUP BY p.query_id, p.id_a
+    ), sel{step} AS (
+      SELECT query_id, {step} AS rank, cand_id,
+             CAST({lambda_micro} * rel - {inv} * max_sim AS BIGINT)
+               AS mmr_score
+      FROM (
+        SELECT sl.query_id, sl.cand_id, sl.rel, pen{step}.max_sim,
+               row_number() OVER (
+                 PARTITION BY sl.query_id
+                 ORDER BY {lambda_micro} * sl.rel - {inv} * pen{step}.max_sim DESC,
+                          sl.cand_id) AS rn
+        FROM sl JOIN pen{step}
+          ON sl.query_id = pen{step}.query_id AND sl.cand_id = pen{step}.cand_id
+      ) WHERE rn = 1
+    )"""
+        prev_union += f" UNION ALL SELECT query_id, cand_id FROM sel{step}"
+        selects.append(
+            f"SELECT query_id, rank, cand_id, mmr_score FROM sel{step}"
+        )
+    return (
+        ctes
+        + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY query_id, rank"
+    )
+
+
 def semantic_dedup_oracle_sql(
     table: str = "embeddings",
     id_col: str = "vec_id",

@@ -751,3 +751,38 @@ def test_connected_components_matches_union_find_reference(spark):
         }
         want = union_find_clusters(edges)
         assert got == want, (trial, sorted(edges))
+
+
+def test_mmr_prefers_diverse_over_redundant(spark):
+    """MMR's defining behavior: when the two most relevant candidates are
+    near-duplicates of each other, rank 2 must skip the redundant one for
+    a less-relevant-but-diverse candidate (a pure relevance top-k would
+    keep both)."""
+    import math
+
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        mmr_rerank_topk,
+    )
+
+    def vec(x, y, z):
+        return [float(x), float(y), float(z)] + [0.0] * 5
+
+    # 2D can't produce a diversity win (any candidate near the query is
+    # near the first pick too); the diverse candidate lives on a THIRD
+    # axis, sharing relevance with the query but orthogonal to pick 1's
+    # distinguishing component
+    rows = [
+        (0, vec(1, 0, 0)),            # query
+        (1, vec(0.995, 0.0999, 0)),   # most relevant
+        (2, vec(0.99, 0.14, 0)),      # near-duplicate of 1, 2nd most rel.
+        (3, vec(0.7, 0, 0.714)),      # diverse: orthogonal on axis 3
+        (4, vec(-1, 0.5, 0)),         # filler
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = mmr_rerank_topk(
+        df, query_ids=(0,), shortlist=4, k=3, lambda_micro=500_000
+    ).collect()
+    picks = [r["cand_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert picks[0] == 1          # rank 1 is pure relevance
+    assert picks[1] == 3          # diverse beats the near-duplicate 2
+    assert picks[2] == 2
