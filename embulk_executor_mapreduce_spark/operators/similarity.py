@@ -1332,7 +1332,7 @@ def mmr_rerank_topk(
     sl = (
         scored.withColumn("rn", F.row_number().over(w_rel))
         .filter(F.col("rn") <= shortlist)
-        .select("query_id", "cand_id", "cv", "cn", "rel")
+        .select("query_id", "cand_id", "cv", "cn", "rel", "rn")
     )
     # n_q × shortlist rows from here on — every frame below is tiny and the
     # joins are broadcast by size; localCheckpoint would be overkill
@@ -1341,7 +1341,6 @@ def mmr_rerank_topk(
         F.col("cand_id").alias("id_a"),
         F.col("cv").alias("av"),
         F.col("cn").alias("an"),
-        F.col("rel").alias("rel_a"),
     )
     b = sl.select(
         "query_id",
@@ -1355,7 +1354,6 @@ def mmr_rerank_topk(
         .select(
             "query_id",
             "id_a",
-            "rel_a",
             "id_b",
             (
                 F.floor(
@@ -1377,8 +1375,8 @@ def mmr_rerank_topk(
     lam = F.lit(lambda_micro)
     inv = F.lit(1_000_000 - lambda_micro)
     selected = (
-        rels.withColumn("rn", F.row_number().over(w_rel.orderBy(F.col("rel").desc(), F.col("cand_id"))))
-        .filter(F.col("rn") == 1)
+        # sl already carries the relevance rank — rank 1 is its rn == 1 row
+        sl.filter(F.col("rn") == 1)
         .select(
             "query_id",
             F.lit(1).alias("rank"),

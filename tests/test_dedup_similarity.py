@@ -758,8 +758,6 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     near-duplicates of each other, rank 2 must skip the redundant one for
     a less-relevant-but-diverse candidate (a pure relevance top-k would
     keep both)."""
-    import math
-
     from embulk_executor_mapreduce_spark.operators.similarity import (
         mmr_rerank_topk,
     )
