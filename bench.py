@@ -143,6 +143,9 @@ HEADLINE = [
     "embedding_random_projection",
     # round 12 (cont.): MMR diversity re-rank (greedy tail on tiny frames)
     "mmr_diverse_topk",
+    # round 12 (cont.): embulk-guess analog — prices fixture write + the
+    # fused try_cast counting aggregate
+    "schema_guess_roundtrip",
 ]
 
 SMALL_RESULT = {
@@ -174,6 +177,7 @@ SMALL_RESULT = {
     "ann_ivf_pq_topk",
     "embedding_random_projection",
     "mmr_diverse_topk",
+    "schema_guess_roundtrip",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -192,6 +196,7 @@ TIME_INCLUDES_BUILD = {
     "ltsv_engine_roundtrip",  # fn() writes the ltsv dataset it parses back
     "regex_parse_logs",  # fn() writes the log-line fixture it parses back
     "heavy_hitters_tokens",  # the operator is eager (miss-bound proof)
+    "schema_guess_roundtrip",  # fn() writes the csv fixture + eager guess
 }
 
 # events.ts physical-encoding normalization, probed from the footer

@@ -2642,6 +2642,66 @@ def q_regex_parse_logs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "schema_guess_roundtrip",
+    oracle="""
+    SELECT * FROM (VALUES
+      ('event_id',   'long',      1),
+      ('ts',         'timestamp', 2),
+      ('event_type', 'string',    3),
+      ('value',      'double',    4),
+      ('flag',       'boolean',   5),
+      ('day',        'date',      6),
+      ('props',      'string',    7)
+    ) AS t(col_name, col_type, pos)
+    """,
+    tags=("source", "guess"),
+)
+def q_schema_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``embulk guess`` analog (sources/guess.py): the engine renders events
+    to headered csv TEXT (longs, microsecond timestamps, doubles, booleans,
+    dates, json strings), then infers the ``columns:`` block back from the
+    raw strings — one fused try_cast counting aggregate over a bounded
+    sample. The oracle is the GROUND TRUTH: inference must recover the
+    original schema exactly, most-specific type per column. The guessed
+    schema is what ``options: {guess: true}`` feeds the csv source."""
+    from .sources.guess import guess_csv_schema
+    from .plans.compiler import run_pipeline
+    from .spec import load_spec
+
+    outdir = scratch_dir("guess_rt_") + "/ev"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                "filters": [
+                    *events_ts_normalize_filters(sf_dir),
+                    {
+                        "type": "with_column",
+                        "name": "flag",
+                        "expr": "value > 50.0",
+                    },
+                    {"type": "with_column", "name": "day", "expr": "to_date(ts)"},
+                    {
+                        "type": "select",
+                        "columns": [
+                            "event_id", "ts", "event_type", "value",
+                            "flag", "day", "props",
+                        ],
+                    },
+                ],
+                "out": {"type": "csv", "path": outdir},
+            }
+        ),
+    )
+    cols = guess_csv_schema(spark, outdir, {"header": True})
+    return spark.createDataFrame(
+        [(c.name, c.type, i + 1) for i, c in enumerate(cols)],
+        "col_name string, col_type string, pos int",
+    )
+
+
+@register(
     "task_source_generate",
     oracle="""
     SELECT t.task_index, g.i,

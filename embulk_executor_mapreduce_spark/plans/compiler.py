@@ -443,6 +443,12 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
         )
 
     src = spec.source
+    if src.type in ("csv", "ltsv") and not src.columns and src.options.get("guess"):
+        raise ConfigError(
+            "options.guess is batch-only (a stream needs the schema before "
+            "any file exists to sample); run `embulk guess`-style inference "
+            "once via the batch path, then declare the columns it produced"
+        )
     if src.type in ("csv", "parquet", "orc", "json", "text", "ltsv", "regex"):
         # same silent-zero-rows trap as the batch path, but worse here: a
         # file STREAM on a pointer-era merge state watches an (apparently)

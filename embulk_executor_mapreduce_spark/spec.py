@@ -244,11 +244,19 @@ class PipelineSpec:
             raise ConfigError("table source requires a 'table' name")
         if self.source.type not in ("task", "table") and not self.source.path:
             raise ConfigError(f"source type {self.source.type!r} requires a path")
-        if self.source.type == "csv" and not self.source.columns:
-            raise ConfigError("csv source requires an explicit columns schema")
-        if self.source.type in ("ltsv", "regex") and not self.source.columns:
+        if (
+            self.source.type in ("csv", "ltsv")
+            and not self.source.columns
+            and not self.source.options.get("guess")
+        ):
             raise ConfigError(
-                f"{self.source.type} source requires an explicit columns schema"
+                f"{self.source.type} source requires an explicit columns "
+                "schema (or options: {guess: true} to infer one — the "
+                "embulk-guess analog, sources/guess.py)"
+            )
+        if self.source.type == "regex" and not self.source.columns:
+            raise ConfigError(
+                "regex source requires an explicit columns schema"
             )
         if self.source.type == "regex":
             from .sources.lineparsers import _regex_pattern

@@ -1,0 +1,115 @@
+"""Schema guessing (embulk-guess analog): inference rules, the
+options.guess front door, and the streaming rejection."""
+
+from __future__ import annotations
+
+import pytest
+
+from embulk_executor_mapreduce_spark.errors import ConfigError
+from embulk_executor_mapreduce_spark.plans.compiler import (
+    compile_pipeline,
+    run_pipeline_streaming,
+)
+from embulk_executor_mapreduce_spark.sources.guess import (
+    guess_csv_schema,
+    guess_ltsv_schema,
+    guess_types,
+)
+from embulk_executor_mapreduce_spark.spec import load_spec
+
+
+def test_type_precedence_rules(spark):
+    df = spark.createDataFrame(
+        [
+            ("true", "1", "1.5", "2024-01-02 03:04:05", "2024-01-02", "x", ""),
+            ("FALSE", "-7", "2", "2024-01-02 03:04:05.123456", "2024-12-31", "1", ""),
+            (None, "", "1e3", "", "", "t", ""),
+        ],
+        "b string, l string, d string, ts string, dt string, s string, empty string",
+    )
+    got = {c.name: c.type for c in guess_types(df)}
+    assert got == {
+        "b": "boolean",
+        "l": "long",       # integers stay long, not double
+        "d": "double",     # '2' parses as long but '1.5'/'1e3' force double
+        "ts": "timestamp",
+        "dt": "date",
+        "s": "string",     # mixed 'x'/'1'/'t' falls through to string
+        "empty": "string", # all-null → no evidence → widest type
+    }
+
+
+def test_guess_csv_headered_and_headerless(spark, tmp_path):
+    p = tmp_path / "csv"
+    p.mkdir()
+    (p / "a.csv").write_text("id,name,score\n1,alpha,2.5\n2,beta,3\n")
+    cols = guess_csv_schema(spark, str(p), {"header": True})
+    assert [(c.name, c.type) for c in cols] == [
+        ("id", "long"), ("name", "string"), ("score", "double"),
+    ]
+    p2 = tmp_path / "nohdr"
+    p2.mkdir()
+    (p2 / "a.csv").write_text("1,alpha\n2,beta\n")
+    cols = guess_csv_schema(spark, str(p2))
+    assert [(c.name, c.type) for c in cols] == [("c0", "long"), ("c1", "string")]
+
+
+def test_guess_ltsv_labels_and_types(spark, tmp_path):
+    p = tmp_path / "ltsv"
+    p.mkdir()
+    (p / "a.ltsv").write_text(
+        "host:a.com\tstatus:200\n"
+        "host:b.com\tstatus:404\textra:1.25\n"
+    )
+    cols = guess_ltsv_schema(spark, str(p))
+    got = {c.name: c.type for c in cols}
+    assert got == {"host": "string", "status": "long", "extra": "double"}
+
+
+def test_guess_front_door_compiles_like_declared(spark, tmp_path):
+    p = tmp_path / "fd"
+    p.mkdir()
+    (p / "a.csv").write_text("id,score\n1,2.5\n2,3.5\n")
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "csv",
+                    "path": str(p),
+                    "options": {"guess": True, "skip_header_lines": 1},
+                },
+                "filters": [{"type": "filter", "predicate": "score > 3"}],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert dict(df.dtypes) == {"id": "bigint", "score": "double"}
+    assert df.collect() == [(2, 3.5)]
+
+
+def test_guess_is_batch_only(spark, tmp_path):
+    p = tmp_path / "s"
+    p.mkdir()
+    (p / "a.csv").write_text("1,x\n")
+    with pytest.raises(ConfigError, match="batch-only"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "csv",
+                        "path": str(p),
+                        "options": {"guess": True},
+                    },
+                    "out": {"type": "parquet", "path": str(tmp_path / "o")},
+                }
+            ),
+        )
+
+
+def test_missing_columns_error_names_guess(spark, tmp_path):
+    with pytest.raises(ConfigError, match="guess"):
+        load_spec(
+            {"in": {"type": "csv", "path": str(tmp_path)}, "out": {"type": "null"}}
+        ).validate()
