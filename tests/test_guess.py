@@ -113,3 +113,47 @@ def test_missing_columns_error_names_guess(spark, tmp_path):
         load_spec(
             {"in": {"type": "csv", "path": str(tmp_path)}, "out": {"type": "null"}}
         ).validate()
+
+
+def test_guess_recovery_property(spark):
+    """Property: stringified values of a KNOWN type are recovered as that
+    type — hypothesis drives one combined frame through guess_types."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        longs=st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62), min_size=1, max_size=6
+        ),
+        bools=st.lists(st.booleans(), min_size=1, max_size=6),
+        # doubles that are NOT valid longs (so the more specific type can't
+        # win) and round-trip through str() unambiguously
+        doubles=st.lists(
+            st.floats(
+                allow_nan=False,
+                allow_infinity=False,
+                width=64,
+            ).filter(lambda x: x != int(x)),
+            min_size=1,
+            max_size=6,
+        ),
+    )
+    def run(longs, bools, doubles):
+        n = max(len(longs), len(bools), len(doubles))
+
+        def pad(xs):
+            return [str(xs[i % len(xs)]).lower() for i in range(n)]
+
+        df = spark.createDataFrame(
+            list(zip(pad(longs), pad(bools), pad(doubles))),
+            "l string, b string, d string",
+        )
+        got = {c.name: c.type for c in guess_types(df)}
+        assert got == {"l": "long", "b": "boolean", "d": "double"}
+
+    run()
