@@ -638,16 +638,21 @@ def run_pipeline(spark: SparkSession, spec: PipelineSpec) -> PipelineReport:
         if spec.source.invalid_record_path is not None:
             # quarantine split: bad records become an auditable JSON table,
             # good records continue through the identical stage chain
+            from ..sources.guess import resolve_guess
             from ..sources.lineparsers import read_ltsv_split, read_regex_split
             from ..sources.readers import read_csv_split, read_json_split
 
             spec.validate()
+            # the quarantine branch reads through the split fns, not the
+            # dispatch — resolve options.guess here too, or a guess+
+            # quarantine spec validates then dies on the empty schema
+            source = resolve_guess(spark, spec.source)
             split = {
                 "json": read_json_split,
                 "ltsv": read_ltsv_split,
                 "regex": read_regex_split,
-            }.get(spec.source.type, read_csv_split)
-            clean, quarantine = split(spark, spec.source)
+            }.get(source.type, read_csv_split)
+            clean, quarantine = split(spark, source)
             qobs = Observation("quarantine_metrics")
             quarantine = quarantine.observe(
                 qobs, F.count(F.lit(1)).alias("rows")

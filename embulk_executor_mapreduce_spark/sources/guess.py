@@ -22,14 +22,26 @@ timestamp > date > string):
 - **string**:  the fallback; also the answer for all-null/empty columns
   (no evidence → the widest type, embulk's behavior)
 
+Option semantics are the READER's own: the csv guesser resolves its reader
+options through ``_csv_options`` (the same embulk-option mapping the csv
+source uses — delimiter/charset/null_string/newline/skip_header_lines), and
+the ltsv guesser through ``_text_options`` + the shared ``null_string``
+default, so the guess can never disagree with the read it feeds (r12 review
+finding: a parallel mapping silently diverged on null_string / symbolic
+newline / header spelling).
+
 Scale shape: guessing reads a SAMPLE (``limit sample_rows`` — one narrow
 scan task at any corpus size), then one aggregate over sample × columns
 candidate counts. The output is a ``columns:`` list the spec layer accepts
 verbatim, so ``options: {guess: true}`` on a csv/ltsv source resolves the
-schema at plan time and compiles exactly like a hand-declared one.
+schema at plan time (:func:`resolve_guess` — shared by the batch dispatch
+AND the quarantine-split path) and compiles exactly like a hand-declared
+one.
 """
 
 from __future__ import annotations
+
+import dataclasses
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -42,21 +54,31 @@ from ..types import ColumnSpec
 _TS_FMT = "yyyy-MM-dd HH:mm:ss[.SSSSSS]"
 _DATE_FMT = "yyyy-MM-dd"
 
+_CANDIDATES = ("boolean", "long", "double", "timestamp", "date")
 
-def guess_types(sample: DataFrame) -> list[ColumnSpec]:
-    """Infer an embulk-style type per (string-typed) column of ``sample``.
+
+def guess_types(sample: DataFrame, null_string: str = "") -> list[ColumnSpec]:
+    """Infer an embulk-style type per column of ``sample`` (any column
+    dtype — values are stringified first; ``null_string`` marks nulls).
 
     One fused aggregate: for every column, ``count(value)`` plus one
     conditional count per candidate type; a candidate wins when it parses
-    every non-null value, most-specific first."""
+    every non-null value, most-specific first.
+
+    Arbitrary column names are safe: the frame is positionally renamed to
+    scratch names before any expression references a column, so dotted
+    headers (``user.id``) and backticks never reach ``F.col`` unquoted
+    (r12 review finding)."""
+    names = list(sample.columns)
+    scratch = sample.toDF(*[f"g{i}" for i in range(len(names))])
     aggs = []
-    for name in sample.columns:
-        v = F.nullif(F.col(name).cast("string"), F.lit(""))
+    for i in range(len(names)):
+        v = F.nullif(F.col(f"g{i}").cast("string"), F.lit(null_string))
         checks = {
             "n": v.isNotNull(),
             "boolean": F.lower(v).isin("true", "false"),
-            "long": F.expr(f"try_cast(nullif(cast(`{name}` as string), '') as bigint)").isNotNull(),
-            "double": F.expr(f"try_cast(nullif(cast(`{name}` as string), '') as double)").isNotNull(),
+            "long": v.try_cast("bigint").isNotNull(),
+            "double": v.try_cast("double").isNotNull(),
             "timestamp": F.try_to_timestamp(v, F.lit(_TS_FMT)).isNotNull(),
             "date": F.to_date(
                 F.when(v.rlike(r"^\d{4}-\d{2}-\d{2}$"), v), _DATE_FMT
@@ -64,20 +86,45 @@ def guess_types(sample: DataFrame) -> list[ColumnSpec]:
         }
         for kind, cond in checks.items():
             aggs.append(
-                F.sum(F.when(cond, 1).otherwise(0)).alias(f"{name} {kind}")
+                F.sum(F.when(cond, 1).otherwise(0)).alias(f"g{i} {kind}")
             )
-    row = sample.agg(*aggs).collect()[0].asDict()
+    row = scratch.agg(*aggs).collect()[0].asDict()
     out: list[ColumnSpec] = []
-    for name in sample.columns:
-        n = row[f"{name} n"]
+    for i, name in enumerate(names):
+        n = row[f"g{i} n"]
         kind = "string"
         if n:  # all-null column → string (no evidence)
-            for candidate in ("boolean", "long", "double", "timestamp", "date"):
-                if row[f"{name} {candidate}"] == n:
+            for candidate in _CANDIDATES:
+                if row[f"g{i} {candidate}"] == n:
                     kind = candidate
                     break
         out.append(ColumnSpec(name=name, type=kind))
     return out
+
+
+def _normalize_header(options: dict) -> tuple[dict, bool]:
+    """Accept both the ``header: true`` spelling and the engine's own
+    ``skip_header_lines: 1`` and RETURN options in the reader's spelling —
+    the resolved spec must make the real read skip the same line the guess
+    skipped (r12 review finding: the default csv path honors only
+    skip_header_lines, so a guess-only ``header`` option left the header
+    row in the data)."""
+    opts = dict(options)
+    header = str(opts.pop("header", "")).lower() in ("true", "1")
+    skip = int(opts.get("skip_header_lines", 0) or 0)
+    if header and not skip:
+        skip = 1
+    if skip > 1:
+        raise ConfigError(
+            "options.guess supports at most one header line "
+            f"(skip_header_lines={skip}); declare the columns explicitly "
+            "for multi-line headers"
+        )
+    if skip:
+        opts["skip_header_lines"] = 1
+    else:
+        opts.pop("skip_header_lines", None)
+    return opts, bool(skip)
 
 
 def guess_csv_schema(
@@ -88,26 +135,35 @@ def guess_csv_schema(
 ) -> list[ColumnSpec]:
     """``embulk guess`` for csv: sample the file(s), infer column names
     (header row, else ``c0..cN``) and types. The result plugs into a csv
-    source block verbatim."""
-    opts = dict(options or {})
-    header = str(opts.pop("header", opts.pop("skip_header_lines", 0))) in (
-        "True",
-        "true",
-        "1",
+    source block verbatim. Reader options resolve through the csv source's
+    OWN ``_csv_options`` mapping, so delimiter/charset/null_string/newline
+    mean exactly what they mean at read time."""
+    from ..spec import SourceSpec
+    from .readers import _csv_options
+
+    opts, header = _normalize_header(dict(options or {}))
+    sp_opts, _skip, _per_col = _csv_options(
+        SourceSpec(type="csv", path=path, options=opts)
     )
-    sep = str(opts.pop("delimiter", opts.pop("sep", ",")))
-    reader_opts = {
-        "header": str(header).lower(),
-        "sep": sep,
-        "inferSchema": "false",  # all-string read; OUR rules decide types
-        **{str(k): str(v) for k, v in opts.items()},
-    }
-    sample = spark.read.options(**reader_opts).csv(path).limit(sample_rows)
+    sp_opts["header"] = str(header).lower()
+    sp_opts["inferSchema"] = "false"  # all-string read; OUR rules decide
+    sp_opts.pop("timestampFormat", None)  # no typed parse at this stage
+    try:
+        sample = (
+            spark.read.options(**{k: str(v) for k, v in sp_opts.items()})
+            .csv(path)
+            .limit(sample_rows)
+        )
+        columns = sample.columns
+    except Exception as exc:  # Spark raises before an empty frame exists
+        raise ConfigError(
+            f"cannot guess a schema from empty input {path!r}"
+        ) from exc
     if not header:
-        sample = sample.toDF(*[f"c{i}" for i in range(len(sample.columns))])
+        sample = sample.toDF(*[f"c{i}" for i in range(len(columns))])
     if not sample.columns:
         raise ConfigError(f"cannot guess a schema from empty input {path!r}")
-    return guess_types(sample)
+    return guess_types(sample, null_string=str(opts.get("null_string", "")))
 
 
 def guess_ltsv_schema(
@@ -117,11 +173,10 @@ def guess_ltsv_schema(
     sample_rows: int = 1000,
 ) -> list[ColumnSpec]:
     """``embulk guess`` for LTSV: labels come from the data (first-seen
-    order across the sample, alphabetical within a line's novel labels is
-    NOT assumed — order is by first appearance for stable diffs), types
-    from the same rules."""
-    from .lineparsers import _text_options
+    order across the sample — stable for append-only logs), types from the
+    same rules; ``null_string`` means what the ltsv SOURCE means by it."""
     from ..spec import SourceSpec
+    from .lineparsers import _null_string, _text_options
 
     spec = SourceSpec(type="ltsv", path=path, options=dict(options or {}))
     lines = (
@@ -154,8 +209,39 @@ def guess_ltsv_schema(
         *[
             F.regexp_extract(
                 F.col("__line"), f"(?:^|\\t)\\Q{lab}\\E:([^\\t]*)", 1
-            ).alias(lab)
-            for lab in labels
+            ).alias(f"g{i}")
+            for i, lab in enumerate(labels)
         ]
-    )
-    return guess_types(extracted)
+    ).toDF(*labels)
+    return guess_types(extracted, null_string=_null_string(spec))
+
+
+def resolve_guess(spark: SparkSession, spec):
+    """``options.guess`` → a concrete ``columns`` block; no-op for every
+    other spec. The ONE entry point for both the batch source dispatch and
+    the quarantine-split path (r12 review finding: the quarantine branch
+    bypassed the dispatch-only hook and crashed with a contradictory
+    error). Runs the merge-state trap guard BEFORE sampling, so a
+    pointer-era state path fails with the crafted ConfigError rather than
+    a raw empty-read exception."""
+    if (
+        spec.type not in ("csv", "ltsv")
+        or spec.columns
+        or not spec.options.get("guess")
+    ):
+        return spec
+    from .readers import _reject_merge_state_path
+
+    _reject_merge_state_path(spec)
+    opts = {k: v for k, v in spec.options.items() if k != "guess"}
+    if spec.type == "csv":
+        opts, _header = _normalize_header(opts)
+        # re-attach the header spelling the guesser consumed so the REAL
+        # read skips the same line (reader honors skip_header_lines only)
+        guess_opts = dict(opts)
+        if _header:
+            guess_opts["header"] = True
+        cols = guess_csv_schema(spark, spec.path, guess_opts)
+    else:
+        cols = guess_ltsv_schema(spark, spec.path, opts)
+    return dataclasses.replace(spec, columns=tuple(cols), options=opts)

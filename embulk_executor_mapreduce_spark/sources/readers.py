@@ -473,24 +473,15 @@ def _read_source_dispatch(
     retry_tasks: bool = True,
     error_sink=None,
 ) -> DataFrame:
-    if (
-        spec.type in ("csv", "ltsv")
-        and not spec.columns
-        and spec.options.get("guess")
-    ):
+    if spec.options.get("guess"):
         # embulk-guess analog (sources/guess.py): resolve the schema from a
         # bounded sample at plan time, then compile exactly like a
         # hand-declared columns block. Batch-only — the streaming front
         # door raises its own ConfigError (a stream needs the schema before
         # any file exists to sample).
-        import dataclasses
+        from .guess import resolve_guess
 
-        from .guess import guess_csv_schema, guess_ltsv_schema
-
-        opts = {k: v for k, v in spec.options.items() if k != "guess"}
-        guesser = guess_csv_schema if spec.type == "csv" else guess_ltsv_schema
-        cols = guesser(spark, spec.path, opts)
-        spec = dataclasses.replace(spec, columns=tuple(cols), options=opts)
+        spec = resolve_guess(spark, spec)
     if spec.type == "csv":
         _reject_merge_state_path(spec)
         return _read_csv(spark, spec)

@@ -157,3 +157,113 @@ def test_guess_recovery_property(spark):
         assert got == {"l": "long", "b": "boolean", "d": "double"}
 
     run()
+
+
+def test_guess_with_quarantine_path(spark, tmp_path):
+    """guess + invalid_record_path must compose (r12 review finding: the
+    quarantine branch bypassed the dispatch-only guess hook)."""
+    from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline
+
+    p = tmp_path / "gq"
+    p.mkdir()
+    (p / "a.csv").write_text("id,score\n1,2.5\nbad,row,extra\n2,3.5\n")
+    rep = run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "csv",
+                    "path": str(p),
+                    "options": {"guess": True, "skip_header_lines": 1},
+                    "invalid_record_path": str(tmp_path / "q"),
+                },
+                "out": {"type": "memory", "options": {"view": "gq_clean"}},
+            }
+        ),
+    )
+    assert rep.quarantined_rows == 1
+    assert spark.table("gq_clean").count() == 2
+
+
+def test_guess_dotted_and_weird_headers(spark, tmp_path):
+    """Dotted / backticked header names must not crash inference (scratch
+    renaming isolates expressions from column names)."""
+    p = tmp_path / "dh"
+    p.mkdir()
+    (p / "a.csv").write_text("user.id,we`ird,plain\n1,x,2.5\n2,y,3.5\n")
+    cols = guess_csv_schema(spark, str(p), {"header": True})
+    assert [(c.name, c.type) for c in cols] == [
+        ("user.id", "long"), ("we`ird", "string"), ("plain", "double"),
+    ]
+
+
+def test_guess_header_spelling_roundtrips_through_read(spark, tmp_path):
+    """options: {guess, header: true} must make the REAL read skip the
+    header line too (r12 review finding: the default csv path honors only
+    skip_header_lines, so the header became a silent data row)."""
+    p = tmp_path / "hs"
+    p.mkdir()
+    (p / "a.csv").write_text("name,score\nalpha,1.5\nbeta,2.5\n")
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "csv",
+                    "path": str(p),
+                    "options": {"guess": True, "header": True},
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert sorted(r.name for r in df.collect()) == ["alpha", "beta"]
+
+
+def test_guess_null_string_matches_reader(spark, tmp_path):
+    """A null_string placeholder must not demote a numeric column to
+    string (r12 review finding: the guesser ignored the option the reader
+    honors)."""
+    p = tmp_path / "ns"
+    p.mkdir()
+    (p / "a.csv").write_text("1\n\\N\n2\n")
+    cols = guess_csv_schema(spark, str(p), {"null_string": "\\N"})
+    assert [(c.name, c.type) for c in cols] == [("c0", "long")]
+
+    lp = tmp_path / "lns"
+    lp.mkdir()
+    (lp / "a.ltsv").write_text("v:1\nv:-\nv:2\n")
+    from embulk_executor_mapreduce_spark.sources.guess import guess_ltsv_schema
+
+    cols = guess_ltsv_schema(spark, str(lp), {"null_string": "-"})
+    assert [(c.name, c.type) for c in cols] == [("v", "long")]
+
+
+def test_guess_empty_input_and_multiline_header_errors(spark, tmp_path):
+    empty = tmp_path / "empty"
+    empty.mkdir()
+    with pytest.raises(ConfigError, match="empty input"):
+        guess_csv_schema(spark, str(empty))
+    with pytest.raises(ConfigError, match="multi-line"):
+        guess_csv_schema(spark, str(empty), {"skip_header_lines": 2})
+
+
+def test_guess_rejects_merge_state_path(spark, tmp_path):
+    """The merge-state trap guard must fire BEFORE the sampling read."""
+    state = tmp_path / "st"
+    (state / "_data").mkdir(parents=True)
+    (state / "_POINTER").write_text("v1")
+    with pytest.raises(ConfigError, match="merge"):
+        compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "csv",
+                        "path": str(state),
+                        "options": {"guess": True},
+                    },
+                    "out": {"type": "null"},
+                }
+            ),
+        )
