@@ -111,3 +111,50 @@ def test_heavy_hitters_exact_or_refuses(spark, keys, capacity, data):
     assert [(r["key"], r["n"]) for r in got] == [
         (r["key"], r["n"]) for r in want
     ]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**62),
+            st.text(alphabet="abcdefghijklmnopqrstuvwxyz_", min_size=1, max_size=12),
+            st.integers(min_value=-(2**31), max_value=2**31),
+        ),
+        min_size=1,
+        max_size=8,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_regex_roundtrip_property(spark, tmp_path_factory, rows):
+    """format → regex-parse roundtrip: log lines rendered by the engine's
+    own format_string must parse back bit-exact through the regex source."""
+    import os
+
+    d = str(tmp_path_factory.mktemp("rx_prop"))
+    with open(os.path.join(d, "a.log"), "w") as f:
+        for i, w, v in rows:
+            f.write(f"{i} [{w}] v={v}\n")
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "regex",
+                    "path": d,
+                    "options": {"pattern": r"^(\d+) \[(\w+)\] v=(-?\d+)$"},
+                    "columns": [
+                        {"name": "i", "type": "long"},
+                        {"name": "w", "type": "string"},
+                        {"name": "v", "type": "long"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert {tuple(r) for r in df.collect()} == set(rows)
