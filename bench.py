@@ -146,6 +146,9 @@ HEADLINE = [
     # round 12 (cont.): embulk-guess analog — prices fixture write + the
     # fused try_cast counting aggregate
     "schema_guess_roundtrip",
+    # round 12 (cont.): streaming parser ingest e2e (landing-dir tail →
+    # codegen ltsv parse → exactly-once parquet sink → readback)
+    "stream_parser_ingest",
 ]
 
 SMALL_RESULT = {
@@ -178,6 +181,7 @@ SMALL_RESULT = {
     "embedding_random_projection",
     "mmr_diverse_topk",
     "schema_guess_roundtrip",
+    "stream_parser_ingest",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -197,6 +201,7 @@ TIME_INCLUDES_BUILD = {
     "regex_parse_logs",  # fn() writes the log-line fixture it parses back
     "heavy_hitters_tokens",  # the operator is eager (miss-bound proof)
     "schema_guess_roundtrip",  # fn() writes the csv fixture + eager guess
+    "stream_parser_ingest",  # fn() writes the landing dir + drives the stream
 }
 
 # events.ts physical-encoding normalization, probed from the footer

@@ -2065,6 +2065,75 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_parser_ingest",
+    oracle="""
+    SELECT event_type, count(*) AS n,
+           sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) / 100.0 AS total,
+           max(event_id) AS max_id
+    FROM events WHERE value > 10 GROUP BY event_type
+    """,
+    tags=("streaming", "ltsv"),
+)
+def q_stream_parser_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming parser ingest e2e: the engine writes an LTSV landing dir,
+    then the STREAMING front door tails it — the identical expression
+    parse chain as batch (sources/lineparsers.py), the same filter stage,
+    an exactly-once parquet sink — and the committed result must equal the
+    batch aggregate on the original table (oracle). The log-tail shape a
+    100 TB ingest actually runs: landing dir → readStream.text → codegen
+    parse → availableNow replay."""
+    from .plans.compiler import run_pipeline, run_pipeline_streaming
+    from .spec import load_spec
+
+    root = scratch_dir("stream_ltsv_")
+    land, sinkdir = root + "/landing", root + "/out"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "parquet", "path": f"{sf_dir}/events.parquet"},
+                "filters": [
+                    {
+                        "type": "select",
+                        "columns": ["event_id", "event_type", "value"],
+                    }
+                ],
+                "out": {"type": "ltsv", "path": land},
+            }
+        ),
+    )
+    run_pipeline_streaming(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "ltsv",
+                    "path": land,
+                    "columns": [
+                        {"name": "event_id", "type": "long"},
+                        {"name": "event_type", "type": "string"},
+                        {"name": "value", "type": "double"},
+                    ],
+                },
+                "filters": [{"type": "filter", "predicate": "value > 10"}],
+                "out": {"type": "parquet", "path": sinkdir},
+            }
+        ),
+    )
+    return (
+        spark.read.parquet(sinkdir)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.floor(F.col("value") * 100 + F.lit(0.5))) / F.lit(100.0)
+            ).alias("total"),
+            F.max("event_id").alias("max_id"),
+        )
+    )
+
+
+@register(
     "stream_dedup_events",
     oracle="""
     SELECT event_id, min(user_id) AS user_id, min(event_type) AS event_type
