@@ -550,3 +550,66 @@ def test_orc_bloom_rejects_ndv_sizing(spark, tmp_path):
                 }
             ).sink,
         )
+
+
+def test_ltsv_edge_values_and_anchoring(spark, tmp_path):
+    """Pins observed edge behavior so it can't drift silently:
+    - a label that is a SUFFIX of another ('ost' vs 'host') extracts its
+      own value — the (?:^|\\t) anchor prevents mid-token matches;
+    - '+5' casts to long, ' 2.5 ' trims to double, NaN/Infinity parse as
+      doubles (Spark cast semantics — the csv reader agrees);
+    - CRLF files read cleanly (no trailing \\r pollution)."""
+    p = tmp_path / "edge"
+    p.mkdir()
+    (p / "a.ltsv").write_bytes(
+        b"host:x\tost:y\tn:+5\td: 2.5 \te:NaN\tinf:Infinity\r\n"
+    )
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "ltsv",
+                    "path": str(p),
+                    "columns": [
+                        {"name": "ost", "type": "string"},
+                        {"name": "n", "type": "long"},
+                        {"name": "d", "type": "double"},
+                        {"name": "e", "type": "double"},
+                        {"name": "inf", "type": "double"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    import math
+
+    [r] = df.collect()
+    assert r.ost == "y" and r.n == 5 and r.d == 2.5
+    assert math.isnan(r.e) and math.isinf(r.inf)
+
+
+def test_ltsv_record_level_skip_on_any_bad_column(spark, tmp_path):
+    """One unparseable declared column drops the WHOLE record (csv
+    PERMISSIVE parity), never a partial row with that field nulled."""
+    p = tmp_path / "rl"
+    p.mkdir()
+    (p / "a.ltsv").write_text("a:1\tb:ok\n" "a:0x1A\tb:also\n")
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "ltsv",
+                    "path": str(p),
+                    "columns": [
+                        {"name": "a", "type": "long"},
+                        {"name": "b", "type": "string"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert df.collect() == [(1, "ok")]
