@@ -267,3 +267,34 @@ def test_guess_rejects_merge_state_path(spark, tmp_path):
                 }
             ),
         )
+
+
+def test_guess_custom_delimiter(spark, tmp_path):
+    """The embulk `delimiter` spelling reaches the sampling read through
+    _csv_options — tab-separated files guess correctly."""
+    p = tmp_path / "tsv"
+    p.mkdir()
+    (p / "a.tsv").write_text("1\tx\t2.5\n2\ty\t3.5\n")
+    cols = guess_csv_schema(spark, str(p), {"delimiter": "\t"})
+    assert [(c.name, c.type) for c in cols] == [
+        ("c0", "long"), ("c1", "string"), ("c2", "double"),
+    ]
+
+
+def test_guess_ltsv_front_door(spark, tmp_path):
+    """options: {guess: true} on an LTSV source block compiles end-to-end."""
+    p = tmp_path / "lfd"
+    p.mkdir()
+    (p / "a.ltsv").write_text("host:a\tstatus:200\nhost:b\tstatus:404\n")
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "ltsv", "path": str(p), "options": {"guess": True}},
+                "filters": [{"type": "filter", "predicate": "status >= 400"}],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert dict(df.dtypes) == {"host": "string", "status": "bigint"}
+    assert df.collect() == [("b", 404)]

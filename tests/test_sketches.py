@@ -89,3 +89,31 @@ def test_exactly_capacity_distinct_keys_is_provably_exact(spark):
     assert [(r["key"], r["n"]) for r in got] == [
         ("u0", 1000), ("u1", 1000), ("u2", 1000),
     ]
+
+
+def test_heap_rebuild_path_stays_exact(spark):
+    """Force many Arrow batches (tiny maxRecordsPerBatch) so the lazy-heap
+    accumulates stale entries and the 4x-capacity rebuild fires; the
+    result must still be the exact top-k."""
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        df = spark.range(4000).select(
+            F.concat(
+                F.lit("k"),
+                F.format_string("%03d", (F.pmod(F.xxhash64("id"), 50)).cast("int")),
+            ).alias("key")
+        ).repartition(2)
+        got = heavy_hitters_exact(df, "key", k=3, capacity=60).collect()
+        want = (
+            df.groupBy("key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("key"))
+            .limit(3)
+            .collect()
+        )
+        assert [(r["key"], r["n"]) for r in got] == [
+            (r["key"], r["n"]) for r in want
+        ]
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
