@@ -124,6 +124,13 @@ def heavy_hitters_exact(
     proven complete (see module docstring), else
     :class:`HeavyHitterBoundError`. Eager: executes the two passes at call
     time (the proof needs the k counts and the eps scalar — both tiny).
+
+    The key column keeps its INPUT dtype: the sketch works over a string
+    cast internally (Arrow batch uniformity), but the result casts back, so
+    a numeric/timestamp ``key_col`` does not silently change type relative
+    to a plain ``groupBy(key_col).count()`` (r12 advisor finding). Note the
+    tiebreak inside an equal-count group is the string collation of the
+    key (the internal ordering), documented rather than hidden.
     """
     if k > capacity:
         raise EngineError(
@@ -163,6 +170,8 @@ def heavy_hitters_exact(
         out = spark.createDataFrame(
             [(r["k"], r["n"]) for r in rows], schema="k string, n long"
         )
-        return out.withColumnRenamed("k", key_col)
+        return out.select(
+            F.col("k").cast(df.schema[key_col].dataType).alias(key_col), "n"
+        )
     finally:
         sketch.unpersist()

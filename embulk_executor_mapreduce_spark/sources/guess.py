@@ -205,10 +205,24 @@ def guess_ltsv_schema(
     ]
     if not labels:
         raise ConfigError(f"cannot guess a schema from empty input {path!r}")
+    # presence-gated extraction, exactly as the ltsv READER's _ltsv_strings:
+    # an absent label is NULL, not '' — with a non-default null_string the
+    # bare extract's '' would read as an unparseable non-null value and
+    # force the column to string while the reader itself parses it narrower
+    # (r12 advisor finding). _rx_literal keeps a literal \E in a label inert.
+    from .lineparsers import _rx_literal
+
     extracted = lines.select(
         *[
-            F.regexp_extract(
-                F.col("__line"), f"(?:^|\\t)\\Q{lab}\\E:([^\\t]*)", 1
+            F.when(
+                F.regexp_like(
+                    F.col("__line"), F.lit(f"(?:^|\\t){_rx_literal(lab)}:")
+                ),
+                F.regexp_extract(
+                    F.col("__line"),
+                    f"(?:^|\\t){_rx_literal(lab)}:([^\\t]*)",
+                    1,
+                ),
             ).alias(f"g{i}")
             for i, lab in enumerate(labels)
         ]

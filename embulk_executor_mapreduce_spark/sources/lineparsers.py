@@ -73,6 +73,15 @@ def _text_options(spec: SourceSpec) -> dict[str, str]:
 _RESERVED = ("__file", "__line", "__invalid")
 
 
+def _rx_literal(s: str) -> str:
+    r"""Java-regex literal quoting that survives a literal ``\E`` inside the
+    label: plain ``\Q{s}\E`` lets an embedded ``\E`` terminate the quote and
+    the remainder of the name leaks into the pattern as raw regex (r12
+    advisor finding). The ``Pattern.quote`` idiom splits around each ``\E``
+    and re-opens the quote: ``a\Eb`` → ``\Qa\E\\E\Qb\E``."""
+    return "\\Q" + s.replace("\\E", "\\E\\\\E\\Q") + "\\E"
+
+
 def _check_reserved(spec: SourceSpec) -> None:
     """The raw line rides under a reserved name so a DECLARED column named
     "value" (the text reader's own line column) can't collide with it.
@@ -213,10 +222,10 @@ def _ltsv_strings(lines: DataFrame, spec: SourceSpec) -> DataFrame:
     extracted = [
         F.when(
             F.regexp_like(
-                F.col("__line"), F.lit(f"(?:^|\\t)\\Q{c.name}\\E:")
+                F.col("__line"), F.lit(f"(?:^|\\t){_rx_literal(c.name)}:")
             ),
             F.regexp_extract(
-                F.col("__line"), f"(?:^|\\t)\\Q{c.name}\\E:([^\\t]*)", 1
+                F.col("__line"), f"(?:^|\\t){_rx_literal(c.name)}:([^\\t]*)", 1
             ),
         ).alias(c.name)
         for c in spec.columns

@@ -298,3 +298,25 @@ def test_guess_ltsv_front_door(spark, tmp_path):
     )
     assert dict(df.dtypes) == {"host": "string", "status": "bigint"}
     assert df.collect() == [("b", 404)]
+
+
+def test_guess_ltsv_absent_label_with_nondefault_null_string(spark, tmp_path):
+    """r12 advisor finding: an ABSENT label must be NULL in the guess sample
+    (presence-gated extraction, exactly as the reader) — with a non-default
+    null_string, a bare regexp_extract returned '' for the absent label,
+    which read as an unparseable non-null value and forced string, while
+    the reader itself parsed the column as long."""
+    p = tmp_path / "absent"
+    p.mkdir()
+    (p / "a.ltsv").write_text(
+        "host:a\tstatus:200\n"
+        "host:b\n"  # status absent entirely — must stay NULL for the guess
+        "host:c\tstatus:NULLVAL\n"
+    )
+    cols = guess_ltsv_schema(
+        spark, str(p), {"null_string": "NULLVAL"}
+    )
+    assert [(c.name, c.type) for c in cols] == [
+        ("host", "string"),
+        ("status", "long"),
+    ]

@@ -613,3 +613,29 @@ def test_ltsv_record_level_skip_on_any_bad_column(spark, tmp_path):
         ),
     )
     assert df.collect() == [(1, "ok")]
+
+
+def test_ltsv_label_containing_backslash_e(spark, tmp_path):
+    r"""r12 advisor finding: a column name containing a literal \E used to
+    terminate the \Q..\E quote and leak the remainder into the pattern as
+    raw regex. _rx_literal split-and-requotes, so the label stays literal."""
+    p = tmp_path / "qe"
+    p.mkdir()
+    (p / "a.ltsv").write_text("a\\Eb:7\tok:yes\n")
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "ltsv",
+                    "path": str(p),
+                    "columns": [
+                        {"name": "a\\Eb", "type": "long"},
+                        {"name": "ok", "type": "string"},
+                    ],
+                },
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert df.collect() == [(7, "yes")]

@@ -117,3 +117,21 @@ def test_heap_rebuild_path_stays_exact(spark):
         ]
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_numeric_key_keeps_input_dtype(spark):
+    """r12 advisor finding: the sketch's internal string cast must not leak —
+    a bigint key_col comes back bigint, matching groupBy().count()."""
+    df = spark.range(100).select((F.col("id") % 7).alias("key"))
+    got = heavy_hitters_exact(df, "key", k=3, capacity=16)
+    assert dict(got.dtypes)["key"] == "bigint"
+    want = (
+        df.groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("key").cast("string"))
+        .limit(3)
+        .collect()
+    )
+    assert [(r["key"], r["n"]) for r in got.collect()] == [
+        (r["key"], r["n"]) for r in want
+    ]
