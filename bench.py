@@ -149,6 +149,10 @@ HEADLINE = [
     # round 12 (cont.): streaming parser ingest e2e (landing-dir tail →
     # codegen ltsv parse → exactly-once parquet sink → readback)
     "stream_parser_ingest",
+    # round 13: the IVF-PQ index as persisted standing state — prices the
+    # full train-once → two assign-only increments → probe-only search
+    # path (ann_ivf_pq_topk is the inline-composite comparable)
+    "ann_ivf_pq_incremental_state",
 ]
 
 SMALL_RESULT = {
@@ -182,6 +186,7 @@ SMALL_RESULT = {
     "mmr_diverse_topk",
     "schema_guess_roundtrip",
     "stream_parser_ingest",
+    "ann_ivf_pq_incremental_state",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -202,6 +207,7 @@ TIME_INCLUDES_BUILD = {
     "heavy_hitters_tokens",  # the operator is eager (miss-bound proof)
     "schema_guess_roundtrip",  # fn() writes the csv fixture + eager guess
     "stream_parser_ingest",  # fn() writes the landing dir + drives the stream
+    "ann_ivf_pq_incremental_state",  # fn() persists artifacts + two sink merges
 }
 
 # events.ts physical-encoding normalization, probed from the footer

@@ -4993,6 +4993,69 @@ def q_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_pq_topk(load(spark, sf_dir, "embeddings"))
 
 
+from .operators.similarity import ivf_pq_indexed_oracle_sql  # noqa: E402
+
+
+@register(
+    "ann_ivf_pq_incremental_state",
+    oracle=ivf_pq_indexed_oracle_sql(),
+    tags=("similarity", "ivf", "pq", "incremental", "sink"),
+)
+def q_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The IVF-PQ composite as PERSISTED STANDING STATE (r13, VERDICT r12
+    item 1) — the ANN sibling of ``dedup_incremental_state`` /
+    ``semantic_dedup_incremental_state``: increment 1 (even vec_ids)
+    trains the centroid table + PQ codebook ONCE (persisted to parquet)
+    and codes itself into the index through the pointer-committed merge
+    sink; increment 2 (odd vec_ids) is ASSIGN-ONLY against the STORED
+    artifacts (two broadcast joins + two partial-agg exchanges, zero
+    training — plan-guarded) and upserts its codes bucket-pruned. The
+    search then runs PROBE-ONLY against the committed index — the 100 TB
+    serving story, where neither training nor corpus encoding ever
+    re-runs per query. The oracle replays the frozen-artifact batch
+    equivalent (assignment is per-vector against fixed artifacts, so the
+    two-increment construction must reproduce it bit-for-bit), pinning
+    the operator AND the sink round-trip together."""
+
+    from .operators.similarity import (
+        ivf_pq_index_assign,
+        ivf_pq_index_train,
+        ivf_pq_topk_indexed,
+    )
+    from .sinks.writer import read_merge_state, write_sink
+    from .spec import SinkSpec
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = scratch_dir("q_ivfpq_incr_")
+    sink = SinkSpec(
+        type="parquet",
+        path=f"{root}/index",
+        mode="merge",
+        merge_key=("cand_id", "s"),
+        merge_order=("code",),
+    )
+    cents, cb = ivf_pq_index_train(emb.filter(F.col("vec_id") % 2 == 0))
+    cents.write.parquet(f"{root}/centroids")
+    cb.write.parquet(f"{root}/codebook")
+    stored = (
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/codebook"),
+    )
+    write_sink(
+        ivf_pq_index_assign(emb.filter(F.col("vec_id") % 2 == 0), *stored), sink
+    )
+    write_sink(
+        ivf_pq_index_assign(emb.filter(F.col("vec_id") % 2 == 1), *stored), sink
+    )
+    return ivf_pq_topk_indexed(
+        read_merge_state(spark, f"{root}/index").select(
+            "cand_id", "cid", "s", "code"
+        ),
+        *stored,
+        emb,
+    )
+
+
 @register(
     "heavy_hitters_tokens",
     oracle="""

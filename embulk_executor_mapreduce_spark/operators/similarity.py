@@ -1847,3 +1847,373 @@ def incremental_semantic_two_level_oracle_sql(
     UNION ALL
     SELECT cell, scid, vec_id FROM s2
     """
+
+
+# ---------------------------------------------------------------------------
+# Persisted IVF-PQ index (r13): the flagship composite as standing state
+# ---------------------------------------------------------------------------
+
+
+def ivf_pq_index_train(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+) -> tuple[DataFrame, DataFrame]:
+    """Train the two persisted artifacts of an IVF-PQ index — the coarse
+    centroid table ``(cid, cv)`` and the per-subspace PQ codebook
+    ``(s, code, cbv)`` — from a base corpus, ONCE.
+
+    This is the offline half of the FAISS serving recipe (Jégou et al.,
+    TPAMI 2011 §V: train coarse quantizer + codebooks on a sample, then
+    add/search against the frozen index): at 100 TB the train runs rarely,
+    the artifacts are tiny (k·dim + n_sub·n_codes·sub_dim doubles —
+    broadcast-sized by construction), and every later ingest batch or
+    query is assign-only against them (:func:`ivf_pq_index_assign` /
+    :func:`ivf_pq_topk_indexed`).
+
+    Deterministic stand-in trainer, same convention as the inline
+    composite (:func:`ivf_pq_topk`): the ``n`` lowest-id vectors, selected
+    by sort-limit so the base corpus needs no dense id range (a TakeOrdered
+    over the scan — corpus-cheap). Swap :func:`kmeans_train` (flat and
+    ``group_cols=("s",)`` forms) for trained artifacts — every downstream
+    plan shape is identical, which is the point of persisting the tables
+    rather than the trainer.
+    """
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    centroids = (
+        base.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    )
+    sub_ix = F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s")
+    codebook = (
+        base.orderBy(id_col)
+        .limit(n_codes)
+        .select(id_col, "v", sub_ix)
+        .select(
+            "s",
+            F.col(id_col).alias("code"),
+            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias(
+                "cbv"
+            ),
+        )
+    )
+    return centroids, codebook
+
+
+def ivf_pq_index_assign(
+    batch: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_sub: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """ASSIGN-ONLY index ingest: code one batch of vectors against the
+    PERSISTED centroid table + codebook, returning the index delta
+    ``(cand_id, cid, s, code)`` — one row per (vector, subspace), the
+    layout the ADC join consumes directly and the merge sink upserts on
+    ``(cand_id, s)``.
+
+    No training happens here (plan-guarded): centroids/codebook arrive as
+    broadcast tables read back from parquet, the coarse assignment is the
+    max-struct partial AGGREGATE (exchange carries n rows, never k·n;
+    same float discipline as :func:`ivf_pq_topk` — d_round(6) centroid
+    cosines, raw sequential-fold subspace distances), and the codes derive
+    FROM the assigned frame so the list id rides along with no extra
+    exchange. Re-ingesting a batch is idempotent through the merge sink:
+    identical keys upsert to identical rows.
+    """
+    from .partitioning import spread_narrow
+
+    batch = spread_narrow(batch, id_col)
+    base = batch.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    cents = centroids.select("cid", as_double("cv").alias("cv")).withColumn(
+        "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "v",
+            "cid",
+            d_round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+            ).alias("csim"),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("csim"),
+                    (-F.col("cid")).alias("ncid"),
+                    F.col("cid"),
+                    F.col("v"),
+                )
+            ).alias("m")
+        )
+        .select(
+            F.col(id_col).alias("cand_id"),
+            F.col("m.cid").alias("cid"),
+            F.col("m.v").alias("v"),
+        )
+    )
+    cb = codebook.select("s", "code", as_double("cbv").alias("cbv"))
+    sub_ix = F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s")
+
+    def dsq(a: Column, b: Column) -> Column:
+        return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+    return (
+        assigned.select("cand_id", "cid", "v", sub_ix)
+        .select(
+            "cand_id",
+            "cid",
+            "s",
+            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("sv"),
+        )
+        .join(F.broadcast(cb), "s")
+        .select(
+            "cand_id",
+            "cid",
+            "s",
+            "code",
+            dsq(F.col("sv"), F.col("cbv")).alias("d"),
+        )
+        .groupBy("cand_id", "cid", "s")
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("d")).alias("nd"),
+                    (-F.col("code")).alias("nc"),
+                    F.col("code"),
+                )
+            ).alias("m")
+        )
+        .select("cand_id", "cid", "s", F.col("m.code").alias("code"))
+    )
+
+
+def ivf_pq_topk_indexed(
+    index: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_ids: tuple[int, ...] = (0, 1, 2, 3),
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int = 16,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+) -> DataFrame:
+    """PROBE-ONLY search against a persisted IVF-PQ index: the serving half
+    of the composite, where neither training nor corpus encoding re-runs —
+    ``index`` is the committed ``(cand_id, cid, s, code)`` state, and this
+    touches the raw corpus only to fetch the query vectors and the final
+    ``rerank`` candidates per query.
+
+    Identical float discipline and plan shape as the inline composite's
+    search tail (:func:`ivf_pq_topk`): probes from d_round(6) centroid
+    cosines (top-``nprobe`` lists per query), per-query ADC distance table
+    in integer micro-units against the broadcast codebook, ADC =
+    index ⋈ broadcast(probes) ⋈ broadcast(dtab) → one (query, cand)
+    partial-agg exchange, exact re-rank on broadcast(shortlist) ⋈ corpus.
+    At 100 TB the index scan is the only corpus-sized input — and with the
+    state table committed through the bucket-pruned merge sink, a
+    cid-filter pushdown prunes it to the probed lists.
+    """
+    base = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
+    cents = centroids.select("cid", as_double("cv").alias("cv")).withColumn(
+        "cn", F.sqrt(dot(F.col("cv"), F.col("cv")))
+    )
+    q = base.filter(F.col(id_col).isin(*query_ids))
+    w_probe = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.col(id_col),
+            "cid",
+            d_round(
+                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
+            ).alias("csim"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col(id_col).alias("query_id"), "cid")
+    )
+    cb = codebook.select("s", "code", as_double("cbv").alias("cbv"))
+    sub_ix = F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s")
+
+    def dsq(a: Column, b: Column) -> Column:
+        return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
+
+    dtab = (
+        q.select(id_col, "v", sub_ix)
+        .select(
+            F.col(id_col).alias("query_id"),
+            "s",
+            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("qsv"),
+        )
+        .join(F.broadcast(cb), "s")
+        .select(
+            "query_id",
+            "s",
+            "code",
+            F.floor(dsq(F.col("qsv"), F.col("cbv")) * 1_000_000 + F.lit(0.5))
+            .cast("long")
+            .alias("pdist"),
+        )
+    )
+    adc = (
+        index.join(F.broadcast(probes), "cid")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(F.broadcast(dtab), ["query_id", "s", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("pdist").alias("ssum"))
+    )
+    w_adc = W.partitionBy("query_id").orderBy(F.col("ssum"), F.col("cand_id"))
+    shortlist = (
+        adc.withColumn("rn", F.row_number().over(w_adc))
+        .filter(F.col("rn") <= rerank)
+        .select("query_id", "cand_id")
+    )
+    queries = q.select(
+        F.col(id_col).alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    reranked = (
+        base.select(
+            F.col(id_col).alias("cand_id"),
+            F.col("v").alias("rv"),
+            F.col("nrm").alias("rn2"),
+        )
+        .join(F.broadcast(shortlist), "cand_id")
+        .join(F.broadcast(queries), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            d_round(
+                dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn2")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w_top = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    return (
+        reranked.withColumn("rn", F.row_number().over(w_top))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "cand_id", "cos_sim")
+    )
+
+
+def ivf_pq_indexed_oracle_sql(
+    table: str = "embeddings",
+    base_pred: str = "vec_id % 2 = 0",
+    query_ids: str = "0, 1, 2, 3",
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    rerank: int = 16,
+) -> str:
+    """DuckDB mirror of the PERSISTED-index composite: centroids + codebook
+    trained on the ``base_pred`` half only (sort-limit lowest ids — exactly
+    :func:`ivf_pq_index_train`), then the whole corpus coded against those
+    frozen artifacts and searched. Because assignment is per-vector against
+    fixed artifacts, the two-increment Spark construction (base build +
+    assign-only increment through the merge sink) must reproduce this
+    batch replay bit-for-bit — that equivalence IS the incremental-state
+    contract the row pins."""
+    return f"""
+    WITH base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}
+    ), cents AS (
+      SELECT vec_id AS cid, v AS cv
+      FROM (SELECT vec_id, v FROM base WHERE {base_pred}
+            ORDER BY vec_id LIMIT {n_centroids})
+    ), sims AS (
+      SELECT b.vec_id, b.v, c.cid,
+             floor((list_dot_product(b.v, c.cv)
+                   / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv)))
+                   ) * 1000000 + 0.5) / 1000000.0 AS csim
+      FROM base b, cents c
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+      FROM sims
+    ), assigned AS (
+      SELECT vec_id AS cand_id, cid, v FROM ranked WHERE rn = 1
+    ), probes AS (
+      SELECT vec_id AS query_id, cid FROM ranked
+      WHERE vec_id IN ({query_ids}) AND rn <= {nprobe}
+    ), cb AS (
+      SELECT s, vec_id AS code, v[s*{sub_dim}+1 : s*{sub_dim}+{sub_dim}] AS cbv
+      FROM (SELECT vec_id, v FROM base WHERE {base_pred}
+            ORDER BY vec_id LIMIT {n_codes}),
+           (SELECT unnest(range({n_sub})) AS s)
+    ), enc_scored AS (
+      SELECT a.cand_id, a.cid, c.s, c.code,
+             list_dot_product(a.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}],
+                              a.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}])
+               - 2 * list_dot_product(a.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}], c.cbv)
+               + list_dot_product(c.cbv, c.cbv) AS d
+      FROM assigned a, cb c
+    ), enc AS (
+      SELECT cand_id, cid, s, code FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY cand_id, s ORDER BY d, code) AS rn
+        FROM enc_scored
+      ) WHERE rn = 1
+    ), dtab AS (
+      SELECT b.vec_id AS query_id, c.s, c.code,
+             CAST(floor((
+               list_dot_product(b.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}],
+                                b.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}])
+                 - 2 * list_dot_product(b.v[c.s*{sub_dim}+1 : c.s*{sub_dim}+{sub_dim}], c.cbv)
+                 + list_dot_product(c.cbv, c.cbv)
+             ) * 1000000 + 0.5) AS BIGINT) AS pdist
+      FROM base b, cb c
+      WHERE b.vec_id IN ({query_ids})
+    ), adc AS (
+      SELECT p.query_id, e.cand_id, sum(d.pdist) AS ssum
+      FROM enc e
+      JOIN probes p ON e.cid = p.cid
+      JOIN dtab d ON d.query_id = p.query_id AND d.s = e.s AND d.code = e.code
+      WHERE e.cand_id <> p.query_id
+      GROUP BY p.query_id, e.cand_id
+    ), shortlist AS (
+      SELECT query_id, cand_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY ssum, cand_id) AS rn
+        FROM adc
+      ) WHERE rn <= {rerank}
+    ), reranked AS (
+      SELECT s.query_id, s.cand_id,
+             floor((list_dot_product(q.v, b.v)
+                   / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(b.v, b.v)))
+                   ) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+      FROM shortlist s
+      JOIN base b ON b.vec_id = s.cand_id
+      JOIN base q ON q.vec_id = s.query_id
+    )
+    SELECT query_id, cand_id, cos_sim FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
+      FROM reranked
+    ) WHERE rn <= {k}
+    """

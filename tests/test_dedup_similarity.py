@@ -784,3 +784,99 @@ def test_mmr_prefers_diverse_over_redundant(spark):
     assert picks[0] == 1          # rank 1 is pure relevance
     assert picks[1] == 3          # diverse beats the near-duplicate 2
     assert picks[2] == 2
+
+
+def _ivec(spark, ids, dim=8):
+    return spark.createDataFrame(
+        [(i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(dim)])
+         for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+
+
+_IKW = dict(n_sub=2, sub_dim=4)
+
+
+def test_ivf_pq_incremental_index_equals_batch(spark):
+    """r13 persisted-index contract: because assignment is per-vector
+    against FROZEN artifacts, coding the corpus in two increments must
+    produce exactly the index a single batch build produces."""
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        ivf_pq_index_assign,
+        ivf_pq_index_train,
+    )
+
+    corpus = _ivec(spark, range(40))
+    cents, cb = ivf_pq_index_train(corpus, n_centroids=4, n_codes=4, **_IKW)
+    batch = ivf_pq_index_assign(corpus, cents, cb, **_IKW)
+    inc = ivf_pq_index_assign(
+        _ivec(spark, range(0, 40, 2)), cents, cb, **_IKW
+    ).unionAll(
+        ivf_pq_index_assign(_ivec(spark, range(1, 41, 2)), cents, cb, **_IKW)
+    )
+    key = lambda r: (r["cand_id"], r["s"])
+    assert sorted(map(tuple, inc.collect()), key=lambda t: (t[0], t[2])) == \
+        sorted(map(tuple, batch.collect()), key=lambda t: (t[0], t[2]))
+
+
+def test_ivf_pq_indexed_matches_inline_composite(spark):
+    """With the index built over the WHOLE corpus (dense ids — the
+    stand-in trainers select the same vectors the inline composite's
+    id-prefix filters do), probe-only search over the persisted state
+    must reproduce ivf_pq_topk bit-for-bit."""
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        ivf_pq_index_assign,
+        ivf_pq_index_train,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+    )
+
+    corpus = _ivec(spark, range(40))
+    kw = dict(n_centroids=4, nprobe=2, rerank=6, **_IKW)
+    cents, cb = ivf_pq_index_train(corpus, n_codes=4, **{k: v for k, v in kw.items() if k in ("n_centroids", "n_sub", "sub_dim")})
+    idx = ivf_pq_index_assign(corpus, cents, cb, **_IKW)
+    got = ivf_pq_topk_indexed(
+        idx, cents, cb, corpus, query_ids=(0, 1), k=3,
+        nprobe=2, rerank=6, **_IKW,
+    ).collect()
+    want = ivf_pq_topk(
+        corpus, query_ids=(0, 1), k=3, n_centroids=4, nprobe=2,
+        n_codes=4, rerank=6, **_IKW,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ivf_pq_index_reingest_is_idempotent(spark, tmp_path):
+    """Replaying an already-absorbed increment through the merge sink
+    leaves the committed index byte-identical (upsert on (cand_id, s))."""
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        ivf_pq_index_assign,
+        ivf_pq_index_train,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    corpus = _ivec(spark, range(20))
+    cents, cb = ivf_pq_index_train(corpus, n_centroids=4, n_codes=4, **_IKW)
+    sink = SinkSpec(
+        type="parquet",
+        path=str(tmp_path / "index"),
+        mode="merge",
+        merge_key=("cand_id", "s"),
+        merge_order=("code",),
+    )
+    delta = ivf_pq_index_assign(corpus, cents, cb, **_IKW)
+    write_sink(delta, sink)
+    before = sorted(
+        map(tuple, read_merge_state(spark, sink.path)
+            .select("cand_id", "cid", "s", "code").collect())
+    )
+    write_sink(delta, sink)  # retry / duplicate delivery
+    after = sorted(
+        map(tuple, read_merge_state(spark, sink.path)
+            .select("cand_id", "cid", "s", "code").collect())
+    )
+    assert before == after and len(before) == 20 * 2

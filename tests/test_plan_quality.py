@@ -685,3 +685,83 @@ def test_random_projection_is_map_only_then_broadcast(spark):
     assert num_broadcasts(df) >= 1
     # the only exchange is the final per-query window's
     assert num_exchanges(df) <= 1, num_exchanges(df)
+
+
+def _ivfpq_vecs(spark, ids, dim=8):
+    return spark.createDataFrame(
+        [(i, [((i * 31 + j * 7) % 13 - 6) / 6.0 for j in range(dim)])
+         for i in ids],
+        "vec_id long, embedding array<double>",
+    )
+
+
+_IVFPQ_KW = dict(n_sub=2, sub_dim=4)
+
+
+def test_ivf_pq_index_increment_is_assign_only(spark, monkeypatch, tmp_path):
+    """r13 persisted IVF-PQ index: an ingest increment against STORED
+    artifacts is ASSIGN-ONLY — no trainer runs (both poisoned), the
+    centroid/codebook tables arrive via broadcast from their parquet
+    state, and the delta plan pays at most the two partial-agg exchanges
+    (coarse assign + subspace encode) with no cartesian product beyond
+    the broadcast-bounded centroid fan-out."""
+    import embulk_executor_mapreduce_spark.operators.similarity as S
+
+    cents, cb = S.ivf_pq_index_train(
+        _ivfpq_vecs(spark, range(0, 40, 2)), n_centroids=4, n_codes=4,
+        **_IVFPQ_KW,
+    )
+    cents.write.parquet(str(tmp_path / "cents"))
+    cb.write.parquet(str(tmp_path / "cb"))
+
+    def no_train(*a, **k):
+        raise AssertionError("assign-only increment invoked a trainer")
+
+    monkeypatch.setattr(S, "kmeans_train", no_train)
+    monkeypatch.setattr(S, "ivf_pq_index_train", no_train)
+    delta = S.ivf_pq_index_assign(
+        _ivfpq_vecs(spark, range(1, 41, 2)),
+        spark.read.parquet(str(tmp_path / "cents")),
+        spark.read.parquet(str(tmp_path / "cb")),
+        **_IVFPQ_KW,
+    )
+    plan = delta._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    # coarse-assign agg + encode agg (+ at most a spread of a narrow scan)
+    assert num_exchanges(delta) <= 3, plan
+
+
+def test_ivf_pq_indexed_search_is_probe_only(spark, monkeypatch, tmp_path):
+    """r13: searching the persisted index re-runs NEITHER training NOR
+    corpus encoding (all three poisoned) — the committed index parquet is
+    scanned directly, probes/dtab/shortlist ride as broadcasts, and no
+    cartesian product appears."""
+    import embulk_executor_mapreduce_spark.operators.similarity as S
+
+    corpus = _ivfpq_vecs(spark, range(40))
+    cents, cb = S.ivf_pq_index_train(
+        corpus, n_centroids=4, n_codes=4, **_IVFPQ_KW
+    )
+    idx = S.ivf_pq_index_assign(corpus, cents, cb, **_IVFPQ_KW)
+    idx.write.parquet(str(tmp_path / "index"))
+    cents.write.parquet(str(tmp_path / "cents"))
+    cb.write.parquet(str(tmp_path / "cb"))
+
+    def poisoned(*a, **k):
+        raise AssertionError("probe-only search invoked a build stage")
+
+    monkeypatch.setattr(S, "kmeans_train", poisoned)
+    monkeypatch.setattr(S, "ivf_pq_index_train", poisoned)
+    monkeypatch.setattr(S, "ivf_pq_index_assign", poisoned)
+    topk = S.ivf_pq_topk_indexed(
+        spark.read.parquet(str(tmp_path / "index")),
+        spark.read.parquet(str(tmp_path / "cents")),
+        spark.read.parquet(str(tmp_path / "cb")),
+        corpus,
+        query_ids=(0, 1), k=3, nprobe=2, rerank=6, **_IVFPQ_KW,
+    )
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert str(tmp_path / "index") in plan, "search must scan the state"
+    assert topk.count() > 0
