@@ -443,7 +443,11 @@ def run_pipeline_streaming(spark: SparkSession, spec: PipelineSpec) -> PipelineR
         )
 
     src = spec.source
-    if src.type in ("csv", "ltsv") and not src.columns and src.options.get("guess"):
+    if (
+        src.type in ("csv", "ltsv", "json")
+        and not src.columns
+        and src.options.get("guess")
+    ):
         raise ConfigError(
             "options.guess is batch-only (a stream needs the schema before "
             "any file exists to sample); run `embulk guess`-style inference "

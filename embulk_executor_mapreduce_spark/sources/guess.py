@@ -28,12 +28,15 @@ source uses — delimiter/charset/null_string/newline/skip_header_lines), and
 the ltsv guesser through ``_text_options`` + the shared ``null_string``
 default, so the guess can never disagree with the read it feeds (r12 review
 finding: a parallel mapping silently diverged on null_string / symbolic
-newline / header spelling).
+newline / header spelling). The jsonl guesser (r13, VERDICT r12 missing #3)
+parses each sampled line as ``map<string,string>`` — real JSON nulls, absent
+keys NULL by map semantics, nested objects/arrays guessed as the ``json``
+type — so all three formats share one inference surface.
 
 Scale shape: guessing reads a SAMPLE (``limit sample_rows`` — one narrow
 scan task at any corpus size), then one aggregate over sample × columns
 candidate counts. The output is a ``columns:`` list the spec layer accepts
-verbatim, so ``options: {guess: true}`` on a csv/ltsv source resolves the
+verbatim, so ``options: {guess: true}`` on a csv/ltsv/json source resolves the
 schema at plan time (:func:`resolve_guess` — shared by the batch dispatch
 AND the quarantine-split path) and compiles exactly like a hand-declared
 one.
@@ -57,7 +60,9 @@ _DATE_FMT = "yyyy-MM-dd"
 _CANDIDATES = ("boolean", "long", "double", "timestamp", "date")
 
 
-def guess_types(sample: DataFrame, null_string: str = "") -> list[ColumnSpec]:
+def guess_types(
+    sample: DataFrame, null_string: str = "", detect_json: bool = False
+) -> list[ColumnSpec]:
     """Infer an embulk-style type per column of ``sample`` (any column
     dtype — values are stringified first; ``null_string`` marks nulls).
 
@@ -65,12 +70,19 @@ def guess_types(sample: DataFrame, null_string: str = "") -> list[ColumnSpec]:
     conditional count per candidate type; a candidate wins when it parses
     every non-null value, most-specific first.
 
+    ``detect_json`` (the jsonl guesser): a column whose every non-null
+    value is an object/array literal guesses as the engine's ``json`` type
+    (heterogeneous → canonical JSON text, types.py) — checked FIRST, since
+    nothing scalar parses those; a mixed scalar/object column falls all
+    the way to string, embulk's no-consensus answer.
+
     Arbitrary column names are safe: the frame is positionally renamed to
     scratch names before any expression references a column, so dotted
     headers (``user.id``) and backticks never reach ``F.col`` unquoted
     (r12 review finding)."""
     names = list(sample.columns)
     scratch = sample.toDF(*[f"g{i}" for i in range(len(names))])
+    candidates = (("json",) if detect_json else ()) + _CANDIDATES
     aggs = []
     for i in range(len(names)):
         v = F.nullif(F.col(f"g{i}").cast("string"), F.lit(null_string))
@@ -84,6 +96,8 @@ def guess_types(sample: DataFrame, null_string: str = "") -> list[ColumnSpec]:
                 F.when(v.rlike(r"^\d{4}-\d{2}-\d{2}$"), v), _DATE_FMT
             ).isNotNull(),
         }
+        if detect_json:
+            checks["json"] = v.rlike(r"^\s*[\[{]")
         for kind, cond in checks.items():
             aggs.append(
                 F.sum(F.when(cond, 1).otherwise(0)).alias(f"g{i} {kind}")
@@ -94,7 +108,7 @@ def guess_types(sample: DataFrame, null_string: str = "") -> list[ColumnSpec]:
         n = row[f"g{i} n"]
         kind = "string"
         if n:  # all-null column → string (no evidence)
-            for candidate in _CANDIDATES:
+            for candidate in candidates:
                 if row[f"g{i} {candidate}"] == n:
                     kind = candidate
                     break
@@ -230,6 +244,63 @@ def guess_ltsv_schema(
     return guess_types(extracted, null_string=_null_string(spec))
 
 
+def guess_jsonl_schema(
+    spark: SparkSession,
+    path: str,
+    options: dict | None = None,
+    sample_rows: int = 1000,
+) -> list[ColumnSpec]:
+    """``embulk guess`` for JSON-lines, unified with the csv/ltsv guessers
+    (VERDICT r12 missing #3): the same bounded sample → ONE fused try_cast
+    counting aggregate → ColumnSpec/ConfigError surface, instead of
+    Spark's native json inference (whose types don't flow through the
+    engine's column specs).
+
+    Mechanics: each sampled line parses once as ``map<string,string>`` —
+    Spark coerces scalars to their literal text and nested objects/arrays
+    to their canonical JSON text, and a map lookup on an absent key is
+    NULL (the presence gate the ltsv guesser needs regexes for comes free
+    here). Labels are discovered first-seen across the sample (stable for
+    append-only logs); types come from :func:`guess_types` with
+    ``detect_json=True``, so an all-object/array column guesses as the
+    engine's ``json`` type. Structurally invalid lines are excluded from
+    the sample (the guess describes the parseable data; the read itself
+    applies the spec's invalid-record policy to them). JSON carries real
+    nulls, so no ``null_string`` applies — exactly the reader's
+    convention. Guessed timestamp/date columns round-trip through the
+    json reader's default parse (space-separated seconds and fractional
+    forms both land exactly — probed empirically, pinned in tests)."""
+    opts = dict(options or {})
+    opts.pop("guess", None)
+    text_opts = {}
+    if "charset" in opts:
+        text_opts["encoding"] = str(opts["charset"])
+    lines = (
+        spark.read.options(**text_opts)
+        .text(path)
+        .limit(sample_rows)
+        .select(F.from_json("value", "map<string,string>").alias("m"))
+        .filter(F.col("m").isNotNull())
+    )
+    labeled = lines.select(
+        F.monotonically_increasing_id().alias("ord"),
+        F.explode(F.map_keys(F.col("m"))).alias("label"),
+    )
+    labels = [
+        r["label"]
+        for r in labeled.groupBy("label")
+        .agg(F.min("ord").alias("first_seen"))
+        .orderBy("first_seen", "label")
+        .collect()
+    ]
+    if not labels:
+        raise ConfigError(f"cannot guess a schema from empty input {path!r}")
+    extracted = lines.select(
+        *[F.col("m").getItem(lab).alias(f"g{i}") for i, lab in enumerate(labels)]
+    ).toDF(*labels)
+    return guess_types(extracted, detect_json=True)
+
+
 def resolve_guess(spark: SparkSession, spec):
     """``options.guess`` → a concrete ``columns`` block; no-op for every
     other spec. The ONE entry point for both the batch source dispatch and
@@ -239,7 +310,7 @@ def resolve_guess(spark: SparkSession, spec):
     pointer-era state path fails with the crafted ConfigError rather than
     a raw empty-read exception."""
     if (
-        spec.type not in ("csv", "ltsv")
+        spec.type not in ("csv", "ltsv", "json")
         or spec.columns
         or not spec.options.get("guess")
     ):
@@ -256,6 +327,8 @@ def resolve_guess(spark: SparkSession, spec):
         if _header:
             guess_opts["header"] = True
         cols = guess_csv_schema(spark, spec.path, guess_opts)
+    elif spec.type == "json":
+        cols = guess_jsonl_schema(spark, spec.path, opts)
     else:
         cols = guess_ltsv_schema(spark, spec.path, opts)
     return dataclasses.replace(spec, columns=tuple(cols), options=opts)

