@@ -153,6 +153,11 @@ HEADLINE = [
     # full train-once → two assign-only increments → probe-only search
     # path (ann_ivf_pq_topk is the inline-composite comparable)
     "ann_ivf_pq_incremental_state",
+    # round 13: the SERVING path alone — index committed once (memoized;
+    # first run pays it, best-of-2 keeps the probe-only second run), the
+    # timed work is the literal-pushdown inverted-list read + ADC + rerank.
+    # Read against ann_ivf_pq_topk: the gap is what the standing index buys
+    "ann_ivf_pq_index_probe",
 ]
 
 SMALL_RESULT = {
@@ -187,6 +192,7 @@ SMALL_RESULT = {
     "schema_guess_roundtrip",
     "stream_parser_ingest",
     "ann_ivf_pq_incremental_state",
+    "ann_ivf_pq_index_probe",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -208,6 +214,7 @@ TIME_INCLUDES_BUILD = {
     "schema_guess_roundtrip",  # fn() writes the csv fixture + eager guess
     "stream_parser_ingest",  # fn() writes the landing dir + drives the stream
     "ann_ivf_pq_incremental_state",  # fn() persists artifacts + two sink merges
+    "ann_ivf_pq_index_probe",  # eager probe collect; build memoized (run 1)
 }
 
 # events.ts physical-encoding normalization, probed from the footer

@@ -5119,6 +5119,74 @@ def q_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: memoized per sf_dir (the `_cdc_three_version_state` amortization
+#: pattern): the probe row prices the SERVING path, so the one-time
+#: train+encode+commit happens on the first call only
+_IVFPQ_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ivf_pq_persisted_index(spark: SparkSession, sf_dir: str) -> str:
+    cached = _IVFPQ_INDEX_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    from .operators.similarity import ivf_pq_index_assign, ivf_pq_index_train
+    from .sinks.writer import write_sink
+    from .spec import SinkSpec
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = scratch_dir("q_ivfpq_probe_")
+    cents, cb = ivf_pq_index_train(emb)
+    cents.write.parquet(f"{root}/centroids")
+    cb.write.parquet(f"{root}/codebook")
+    write_sink(
+        ivf_pq_index_assign(
+            emb,
+            spark.read.parquet(f"{root}/centroids"),
+            spark.read.parquet(f"{root}/codebook"),
+        ),
+        SinkSpec(
+            type="parquet",
+            path=f"{root}/index",
+            mode="merge",
+            merge_key=("cand_id", "s"),
+            merge_order=("code",),
+        ),
+    )
+    _IVFPQ_INDEX_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "ann_ivf_pq_index_probe",
+    oracle=ivf_pq_oracle_sql(),
+    tags=("similarity", "ivf", "pq", "serving"),
+)
+def q_ann_ivf_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVING path of the persisted IVF-PQ index priced alone (r13):
+    the index/centroids/codebook are committed once (memoized per sf_dir —
+    the `cdc_persisted_diff` amortization convention) and the row runs
+    probe-only search: collected probe list ids pushed as a literal
+    ``cid IN (...)`` filter that reaches the index parquet scan
+    (PushedFilters — an inverted-list read of nprobe/n_centroids of the
+    state, plan-guarded), ADC from codes, exact re-rank of `rerank` raw
+    vectors. Same oracle as `ann_ivf_pq_topk` — a whole-corpus index built
+    from the frozen stand-in artifacts must reproduce the inline composite
+    bit-for-bit (pinned in tests/test_dedup_similarity.py); the bench gap
+    between the two rows is what the standing index buys a repeat query."""
+    from .operators.similarity import ivf_pq_topk_indexed
+    from .sinks.writer import read_merge_state
+
+    root = _ivf_pq_persisted_index(spark, sf_dir)
+    return ivf_pq_topk_indexed(
+        read_merge_state(spark, f"{root}/index").select(
+            "cand_id", "cid", "s", "code"
+        ),
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/codebook"),
+        load(spark, sf_dir, "embeddings"),
+    )
+
+
 @register(
     "heavy_hitters_tokens",
     oracle="""

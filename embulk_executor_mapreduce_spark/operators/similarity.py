@@ -2014,6 +2014,7 @@ def ivf_pq_topk_indexed(
     rerank: int = 16,
     n_sub: int = 4,
     sub_dim: int = 16,
+    pushdown_probes: bool = True,
 ) -> DataFrame:
     """PROBE-ONLY search against a persisted IVF-PQ index: the serving half
     of the composite, where neither training nor corpus encoding re-runs —
@@ -2027,9 +2028,17 @@ def ivf_pq_topk_indexed(
     in integer micro-units against the broadcast codebook, ADC =
     index ⋈ broadcast(probes) ⋈ broadcast(dtab) → one (query, cand)
     partial-agg exchange, exact re-rank on broadcast(shortlist) ⋈ corpus.
-    At 100 TB the index scan is the only corpus-sized input — and with the
-    state table committed through the bucket-pruned merge sink, a
-    cid-filter pushdown prunes it to the probed lists.
+
+    ``pushdown_probes`` (default True) is what makes the index scan an
+    INVERTED-LIST read rather than a full-state scan: the probe set is
+    config-bounded (≤ n_queries × nprobe rows — the same bounded-collect
+    discipline as the heavy-hitter sketch), so its list ids are collected
+    and pushed as a LITERAL ``cid IN (...)`` filter that reaches the
+    parquet scan (PushedFilters + row-group stats pruning; a runtime join
+    on cid cannot push down). At 100 TB this reads nprobe/n_centroids of
+    the index, which is the entire point of IVF. ``False`` keeps the
+    fully-lazy runtime-join form (plan-identical values either way —
+    guarded in tests).
     """
     base = corpus.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
@@ -2052,6 +2061,14 @@ def ivf_pq_topk_indexed(
         .filter(F.col("rn") <= nprobe)
         .select(F.col(id_col).alias("query_id"), "cid")
     )
+    if pushdown_probes:
+        # bounded eager step: ≤ n_q × nprobe rows (config, not data, sized)
+        probe_schema = probes.schema
+        probe_rows = probes.collect()
+        probes = corpus.sparkSession.createDataFrame(probe_rows, probe_schema)
+        index = index.filter(
+            F.col("cid").isin(sorted({r["cid"] for r in probe_rows}))
+        )
     cb = codebook.select("s", "code", as_double("cbv").alias("cbv"))
     sub_ix = F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s")
 

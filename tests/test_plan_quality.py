@@ -765,3 +765,30 @@ def test_ivf_pq_indexed_search_is_probe_only(spark, monkeypatch, tmp_path):
     assert "CartesianProduct" not in plan, plan
     assert str(tmp_path / "index") in plan, "search must scan the state"
     assert topk.count() > 0
+
+
+def test_ivf_pq_indexed_probe_pushdown(spark, tmp_path):
+    """r13 serving path: with pushdown_probes (the default) the probed
+    list ids reach the index parquet scan as a literal IN filter — the
+    inverted-list read — and the result is bit-identical to the
+    fully-lazy runtime-join form."""
+    import embulk_executor_mapreduce_spark.operators.similarity as S
+
+    corpus = _ivfpq_vecs(spark, range(40))
+    cents, cb = S.ivf_pq_index_train(
+        corpus, n_centroids=4, n_codes=4, **_IVFPQ_KW
+    )
+    S.ivf_pq_index_assign(corpus, cents, cb, **_IVFPQ_KW).write.parquet(
+        str(tmp_path / "index")
+    )
+    idx = spark.read.parquet(str(tmp_path / "index"))
+    kw = dict(query_ids=(0, 1), k=3, nprobe=2, rerank=6, **_IVFPQ_KW)
+    pushed = S.ivf_pq_topk_indexed(idx, cents, cb, corpus, **kw)
+    filters = " ".join(pushed_filters(pushed))
+    assert "cid" in filters and "In" in filters, filters
+    lazy = S.ivf_pq_topk_indexed(
+        idx, cents, cb, corpus, pushdown_probes=False, **kw
+    )
+    assert sorted(map(tuple, pushed.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
