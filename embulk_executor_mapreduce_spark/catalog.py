@@ -1211,9 +1211,10 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "ann_bruteforce_topk",
-    oracle="""
+#: shared by ann_bruteforce_topk and the recall report (ground truth side);
+#: the text is byte-identical to the original inline oracle, so the
+#: long-green row's verification hash is unchanged
+_BRUTE_TOPK_SQL = """
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
     ), q AS (
@@ -1231,7 +1232,12 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rn
       FROM scored
     ) WHERE rn <= 5
-    """,
+    """
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=_BRUTE_TOPK_SQL,
     tags=("similarity",),
 )
 def q_ann_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5184,6 +5190,96 @@ def q_ann_ivf_pq_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{root}/centroids"),
         spark.read.parquet(f"{root}/codebook"),
         load(spark, sf_dir, "embeddings"),
+    )
+
+
+@register(
+    "ann_recall_report",
+    oracle=f"""
+    WITH exact AS (
+      SELECT query_id, cand_id FROM ( {_BRUTE_TOPK_SQL} ) e
+    ), approx AS (
+      SELECT query_id, cand_id FROM ( {ivf_pq_oracle_sql()} ) a
+    ), counts AS (
+      SELECT e.query_id, count(a.cand_id) AS hits
+      FROM exact e LEFT JOIN approx a
+        ON a.query_id = e.query_id AND a.cand_id = e.cand_id
+      GROUP BY e.query_id
+    )
+    SELECT query_id, hits,
+           floor(hits / 5.0 * 100 + 0.5) / 100.0 AS recall
+    FROM counts
+    """,
+    tags=("similarity", "quality"),
+)
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ composite against brute-force ground truth
+    (r13) — the quality dial every ANN deployment tunes (nprobe/n_codes/
+    rerank trade recall for cost; this is the metric FAISS reports).
+    Per-query ``(query_id, hits, recall)``; both inputs are the engine's
+    own oracled rows, so the report composes two already-pinned plans and
+    the oracle composes their SQL verbatim. The semi-join runs on two
+    n_q × k frames — broadcast-sized regardless of corpus."""
+    from .operators.similarity import (
+        ann_recall_report,
+        brute_force_topk,
+        ivf_pq_topk,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ann_recall_report(brute_force_topk(emb), ivf_pq_topk(emb), k=5)
+
+
+@register(
+    "stream_cdc_ann_index_ingest",
+    oracle=ivf_pq_indexed_oracle_sql(),
+    tags=("streaming", "cdc", "similarity", "ivf", "pq", "incremental", "sink"),
+)
+def q_stream_cdc_ann_index_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC tail × persisted ANN index composition driver-verified end to
+    end (r13) — continuous index maintenance, the ANN sibling of
+    ``stream_cdc_semantic_ingest``: an upstream embeddings merge table
+    commits v0 (empty bootstrap), v1 (even vec_ids) and v2 (odd), and
+    ``run_cdc_ann_index_ingest`` tails the feed — the FIRST delivered
+    increment trains centroids + codebook (persisted before any index
+    write), every increment assigns-only and upserts its codes, the
+    checkpoint advances per version. The probe-only search over the
+    committed index must reproduce ``ann_ivf_pq_incremental_state``'s
+    frozen-artifact batch oracle VERBATIM — the feed + tail + checkpoint
+    machinery is value-invisible."""
+    from .operators.similarity import ivf_pq_topk_indexed
+    from .sinks.writer import read_merge_state, write_sink
+    from .spec import SinkSpec
+    from .streaming.ingest import run_cdc_ann_index_ingest
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = scratch_dir("q_cdc_ann_")
+    up = f"{root}/upstream"
+    sink = SinkSpec(
+        type="parquet",
+        path=up,
+        mode="merge",
+        merge_key=("vec_id",),
+        merge_order=("rev",),
+        merge_keep_versions=4,
+    )
+    write_sink(emb.limit(0).withColumn("rev", F.lit(0)), sink)
+    write_sink(
+        emb.filter(F.col("vec_id") % 2 == 0).withColumn("rev", F.lit(1)), sink
+    )
+    write_sink(
+        emb.filter(F.col("vec_id") % 2 == 1).withColumn("rev", F.lit(2)), sink
+    )
+    run_cdc_ann_index_ingest(
+        spark, up, ["vec_id"], f"{root}/ann", checkpoint=f"{root}/ckpt"
+    )
+    return ivf_pq_topk_indexed(
+        read_merge_state(spark, f"{root}/ann/index").select(
+            "cand_id", "cid", "s", "code"
+        ),
+        spark.read.parquet(f"{root}/ann/centroids"),
+        spark.read.parquet(f"{root}/ann/codebook"),
+        emb,
     )
 
 

@@ -2234,3 +2234,42 @@ def ivf_pq_indexed_oracle_sql(
       FROM reranked
     ) WHERE rn <= {k}
     """
+
+
+def ann_recall_report(
+    exact: DataFrame, approx: DataFrame, k: int
+) -> DataFrame:
+    """Per-query recall@k of an approximate top-k result against exact
+    ground truth — the quality dial every ANN deployment tunes (nprobe /
+    n_codes / rerank trade recall for cost; FAISS reports exactly this
+    metric). Both inputs are ``(query_id, cand_id, ...)`` top-k frames;
+    the output is ``(query_id, hits, recall)`` with hits = |approx ∩
+    exact| per query and recall rounded to 2 decimals (d_round — the
+    engine's floor form, deterministic across engines).
+
+    Scale shape: both inputs are top-k frames (n_queries × k rows — tiny
+    by construction), so the semi-join and count are broadcast-sized no
+    matter the corpus behind them; the expensive parts are the input
+    queries, already priced by their own rows."""
+    hits = (
+        exact.select("query_id", "cand_id")
+        .join(
+            approx.select("query_id", "cand_id"),
+            ["query_id", "cand_id"],
+            "left_semi",
+        )
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("hits"), F.lit(0)).alias("hits"),
+            d_round(
+                F.coalesce(F.col("hits"), F.lit(0)) / F.lit(float(k)), 2
+            ).alias("recall"),
+        )
+    )

@@ -755,3 +755,138 @@ def run_cdc_semantic_ingest(
         _fsync_write(ck_file, _json.dumps({"last_version": v}))
         last = v
     return last
+
+
+def run_cdc_ann_index_ingest(
+    spark: SparkSession,
+    source_path: str,
+    keys: list[str],
+    index_root: str,
+    checkpoint: str | None = None,
+    from_version: int = 0,
+    to_version: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_codes: int = 16,
+    merge_buckets: int = 64,
+) -> int:
+    """CDC tail × persisted ANN index composition (r13) — continuous index
+    maintenance, the sibling of :func:`run_cdc_semantic_ingest`: a
+    ``table_changes`` follow-mode feed over an upstream embeddings merge
+    table keeps the IVF-PQ index current, one committed version per
+    increment.
+
+    Artifact lifecycle mirrors the semantic sink's centroid rule: the
+    FIRST delivered increment trains the centroid table + PQ codebook
+    (deterministic sort-limit stand-in / swap for kmeans_train — a replay
+    retrains bit-identically, so the overwrite is idempotent) and persists
+    BOTH to ``{index_root}/centroids`` + ``/codebook`` BEFORE any index
+    write; every later increment loads and assigns only (the plan-guarded
+    assign-only path). Index deltas upsert through the merge sink on
+    ``(cand_id, s)`` — assignment is deterministic against frozen
+    artifacts, so redelivery of a version converges bit-for-bit with no
+    claim machinery needed. Checkpoint discipline is `_run_cdc_tail`'s
+    (fsync'd offset advanced after each version's index merge).
+
+    Scope note (documented, standard): ``delete`` rows do NOT remove index
+    entries — a deleted vector's codes go stale until an offline
+    rebuild/compaction, exactly FAISS's remove-then-rebuild posture; the
+    search side re-ranks against the CURRENT corpus, so stale entries cost
+    shortlist slots, never wrong vectors.
+
+    Returns the last applied version (``from_version`` if none pending).
+    """
+    import json as _json
+    import os
+    import tempfile
+
+    from ..errors import ConfigError
+    from ..operators.similarity import ivf_pq_index_assign, ivf_pq_index_train
+    from ..sinks.changes import CHANGE_TYPE_COL, table_changes
+    from ..sinks.writer import (
+        _fsync_write,
+        _local,
+        _pointer_version,
+        write_sink,
+    )
+    from ..spec import SinkSpec
+
+    ck_dir = checkpoint or tempfile.mkdtemp(prefix="ckpt_cdc_ann_")
+    os.makedirs(ck_dir, exist_ok=True)
+    ck_file = os.path.join(ck_dir, "offset.json")
+    start = from_version
+    try:
+        with open(ck_file) as f:
+            start = max(start, int(_json.load(f)["last_version"]))
+    except FileNotFoundError:
+        pass
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ConfigError(
+            f"corrupt CDC ingest checkpoint {ck_file!r} ({exc}); delete it "
+            "to restart from from_version (per-version delivery is "
+            "idempotent)"
+        ) from exc
+    current = _pointer_version(_local(source_path))
+    if current is None:
+        raise ConfigError(
+            f"table_changes path {source_path!r} has no version pointer — "
+            "a pre-pointer (legacy) merge state or not a merge state at "
+            "all; the tail consumes committed versions"
+        )
+    sink = SinkSpec(
+        type="parquet",
+        path=f"{index_root}/index",
+        mode="merge",
+        merge_key=("cand_id", "s"),
+        merge_order=("code",),
+        merge_buckets=merge_buckets,
+    )
+    to_v = current if to_version is None else min(current, to_version)
+    last = start
+    for v in range(start + 1, to_v + 1):
+        inc = table_changes(
+            spark, source_path, keys, v - 1, v, per_version=True
+        )
+        batch = inc.filter(
+            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
+        ).select(id_col, vec_col)
+        try:
+            stored = (
+                spark.read.parquet(f"{index_root}/centroids"),
+                spark.read.parquet(f"{index_root}/codebook"),
+            )
+        except Exception:  # first increment (or crashed mid-pair): train
+            cents, cb = ivf_pq_index_train(
+                batch,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_centroids=n_centroids,
+                n_sub=n_sub,
+                sub_dim=sub_dim,
+                n_codes=n_codes,
+            )
+            # codebook last, so a partial pair is always
+            # centroids-without-codebook (→ loader retrains both)
+            cents.write.mode("overwrite").parquet(f"{index_root}/centroids")
+            cb.write.mode("overwrite").parquet(f"{index_root}/codebook")
+            stored = (
+                spark.read.parquet(f"{index_root}/centroids"),
+                spark.read.parquet(f"{index_root}/codebook"),
+            )
+        write_sink(
+            ivf_pq_index_assign(
+                batch,
+                *stored,
+                id_col=id_col,
+                vec_col=vec_col,
+                n_sub=n_sub,
+                sub_dim=sub_dim,
+            ),
+            sink,
+        )
+        _fsync_write(ck_file, _json.dumps({"last_version": v}))
+        last = v
+    return last

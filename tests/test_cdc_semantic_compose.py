@@ -209,3 +209,52 @@ def test_cdc_semantic_direct_process_matches_tail(spark, tmp_path):
     assert sorted(
         map(tuple, read_merge_state(spark, s_a).select(*cols).collect())
     ) == sorted(map(tuple, read_merge_state(spark, s_b).select(*cols).collect()))
+
+
+def test_cdc_ann_index_ingest_retry_is_idempotent(spark, tmp_path):
+    """The ANN sibling (r13): redelivery of a version whose index merge
+    committed converges bit-for-bit — assignment is deterministic against
+    the frozen artifacts, so the (cand_id, s) upsert needs no claim — and
+    the artifacts are trained exactly once (first delivered increment)."""
+    import os
+
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        run_cdc_ann_index_ingest,
+    )
+
+    up = _upstream(spark, tmp_path)
+    root = str(tmp_path / "ann")
+    ckpt = str(tmp_path / "ann_ckpt")
+    kw = dict(n_centroids=4, n_sub=2, sub_dim=4, n_codes=4)
+    assert run_cdc_ann_index_ingest(
+        spark, up, ["vec_id"], root, checkpoint=ckpt, **kw
+    ) == 2
+    cents_before = sorted(
+        map(tuple, spark.read.parquet(f"{root}/centroids").collect())
+    )
+    idx_before = sorted(
+        map(
+            tuple,
+            read_merge_state(spark, f"{root}/index")
+            .select("cand_id", "cid", "s", "code")
+            .collect(),
+        )
+    )
+    # every delivered vector is indexed: v1 (10-19 + the id-3 update) and
+    # v2 (20-24), n_sub rows each
+    assert {t[0] for t in idx_before} == set(range(10, 25)) | {3}
+    os.remove(os.path.join(ckpt, "offset.json"))  # lose the checkpoint
+    assert run_cdc_ann_index_ingest(
+        spark, up, ["vec_id"], root, checkpoint=ckpt, **kw
+    ) == 2
+    assert cents_before == sorted(
+        map(tuple, spark.read.parquet(f"{root}/centroids").collect())
+    )
+    assert idx_before == sorted(
+        map(
+            tuple,
+            read_merge_state(spark, f"{root}/index")
+            .select("cand_id", "cid", "s", "code")
+            .collect(),
+        )
+    )
