@@ -5096,12 +5096,15 @@ def q_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load(spark, sf_dir, "embeddings")
     root = scratch_dir("q_ivfpq_incr_")
+    # merge_order is the monotone ingest version, so an upstream UPDATE's
+    # re-assigned codes always win over stale ones (r13 review finding:
+    # ordering by `code` kept whichever code sorted higher)
     sink = SinkSpec(
         type="parquet",
         path=f"{root}/index",
         mode="merge",
         merge_key=("cand_id", "s"),
-        merge_order=("code",),
+        merge_order=("_ingest_version",),
     )
     cents, cb = ivf_pq_index_train(emb.filter(F.col("vec_id") % 2 == 0))
     cents.write.parquet(f"{root}/centroids")
@@ -5111,10 +5114,16 @@ def q_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.parquet(f"{root}/codebook"),
     )
     write_sink(
-        ivf_pq_index_assign(emb.filter(F.col("vec_id") % 2 == 0), *stored), sink
+        ivf_pq_index_assign(
+            emb.filter(F.col("vec_id") % 2 == 0), *stored
+        ).withColumn("_ingest_version", F.lit(1)),
+        sink,
     )
     write_sink(
-        ivf_pq_index_assign(emb.filter(F.col("vec_id") % 2 == 1), *stored), sink
+        ivf_pq_index_assign(
+            emb.filter(F.col("vec_id") % 2 == 1), *stored
+        ).withColumn("_ingest_version", F.lit(2)),
+        sink,
     )
     return ivf_pq_topk_indexed(
         read_merge_state(spark, f"{root}/index").select(
@@ -5149,13 +5158,13 @@ def _ivf_pq_persisted_index(spark: SparkSession, sf_dir: str) -> str:
             emb,
             spark.read.parquet(f"{root}/centroids"),
             spark.read.parquet(f"{root}/codebook"),
-        ),
+        ).withColumn("_ingest_version", F.lit(1)),
         SinkSpec(
             type="parquet",
             path=f"{root}/index",
             mode="merge",
             merge_key=("cand_id", "s"),
-            merge_order=("code",),
+            merge_order=("_ingest_version",),
         ),
     )
     _IVFPQ_INDEX_CACHE[sf_dir] = root

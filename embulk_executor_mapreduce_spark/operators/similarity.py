@@ -890,50 +890,20 @@ def ivf_pq_topk(
     """
     from .partitioning import spread_narrow
 
+    # Since r13 this composite IS the persisted-index primitives run
+    # inline (review finding: three copies of the float-discipline-
+    # critical blocks had accumulated): stand-in artifacts — the
+    # id-prefix filters, preserving this function's documented semantics
+    # on any id space — feed :func:`ivf_pq_index_assign` (spread=False:
+    # the corpus is spread once here) and the fully-lazy
+    # :func:`ivf_pq_topk_indexed` search tail. Bit-equality with the
+    # historical inline form is pinned by this row's DuckDB oracle and
+    # tests/test_dedup_similarity.py.
     df = spread_narrow(df, id_col)
-    base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
-        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
+    cents = base.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
     )
-    cents = ivf_centroids(base, id_col, n_centroids)
-
-    def cent_sims(side: DataFrame) -> DataFrame:
-        return side.crossJoin(F.broadcast(cents)).select(
-            F.col(id_col),
-            "v",
-            "nrm",
-            "cid",
-            d_round(
-                dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6
-            ).alias("csim"),
-        )
-
-    assigned = (
-        cent_sims(base)
-        .groupBy(id_col)
-        .agg(
-            F.max(
-                F.struct(
-                    F.col("csim"),
-                    (-F.col("cid")).alias("ncid"),
-                    F.col("cid"),
-                    F.col("v"),
-                )
-            ).alias("m")
-        )
-        .select(
-            F.col(id_col).alias("cand_id"),
-            F.col("m.cid").alias("cid"),
-            F.col("m.v").alias("cv2"),
-        )
-    )
-    w_probe = W.partitionBy(id_col).orderBy(F.col("csim").desc(), F.col("cid"))
-    probes = (
-        cent_sims(base.filter(F.col(id_col).isin(*query_ids)))
-        .withColumn("rn", F.row_number().over(w_probe))
-        .filter(F.col("rn") <= nprobe)
-        .select(F.col(id_col).alias("query_id"), "cid")
-    )
-
     sub_ix = F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s")
     codebook = (
         base.filter(F.col(id_col) < n_codes)
@@ -941,106 +911,19 @@ def ivf_pq_topk(
         .select(
             "s",
             F.col(id_col).alias("code"),
-            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("cbv"),
+            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias(
+                "cbv"
+            ),
         )
     )
-
-    def dsq(a: Column, b: Column) -> Column:
-        return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)
-
-    # codes derive from the ASSIGNED frame so cid rides into the encoding
-    # aggregate (functionally dependent on cand_id — no extra exchange
-    # volume, and no corpus-corpus join to re-attach the list id)
-    enc = (
-        assigned.select("cand_id", "cid", F.col("cv2").alias("v"), sub_ix)
-        .select(
-            "cand_id",
-            "cid",
-            "s",
-            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("sv"),
-        )
-        .join(F.broadcast(codebook), "s")
-        .select(
-            "cand_id",
-            "cid",
-            "s",
-            "code",
-            dsq(F.col("sv"), F.col("cbv")).alias("d"),
-        )
-        .groupBy("cand_id", "cid", "s")
-        .agg(
-            F.max(
-                F.struct(
-                    (-F.col("d")).alias("nd"),
-                    (-F.col("code")).alias("nc"),
-                    F.col("code"),
-                )
-            ).alias("m")
-        )
-        .select("cand_id", "cid", "s", F.col("m.code").alias("code"))
+    index = ivf_pq_index_assign(
+        df, cents, codebook, id_col=id_col, vec_col=vec_col,
+        n_sub=n_sub, sub_dim=sub_dim, spread=False,
     )
-    dtab = (
-        base.filter(F.col(id_col).isin(*query_ids))
-        .select(id_col, "v", sub_ix)
-        .select(
-            F.col(id_col).alias("query_id"),
-            "s",
-            F.slice(F.col("v"), F.col("s") * sub_dim + 1, sub_dim).alias("qsv"),
-        )
-        .join(F.broadcast(codebook), "s")
-        .select(
-            "query_id",
-            "s",
-            "code",
-            F.floor(dsq(F.col("qsv"), F.col("cbv")) * 1_000_000 + F.lit(0.5))
-            .cast("long")
-            .alias("pdist"),
-        )
-    )
-    adc = (
-        enc.join(F.broadcast(probes), "cid")
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .join(F.broadcast(dtab), ["query_id", "s", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("pdist").alias("ssum"))
-    )
-    w_adc = W.partitionBy("query_id").orderBy(F.col("ssum"), F.col("cand_id"))
-    shortlist = (
-        adc.withColumn("rn", F.row_number().over(w_adc))
-        .filter(F.col("rn") <= rerank)
-        .select("query_id", "cand_id")
-    )
-    # exact pass: broadcast the tiny shortlist against the corpus — a
-    # pruned raw-vector fetch, then full-precision cosine on ≤ rerank
-    # candidates per query
-    queries = base.filter(F.col(id_col).isin(*query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-    )
-    reranked = (
-        base.select(
-            F.col(id_col).alias("cand_id"),
-            F.col("v").alias("rv"),
-            F.col("nrm").alias("rn2"),
-        )
-        .join(F.broadcast(shortlist), "cand_id")
-        .join(F.broadcast(queries), "query_id")
-        .select(
-            "query_id",
-            "cand_id",
-            d_round(
-                dot(F.col("qv"), F.col("rv")) / (F.col("qn") * F.col("rn2")), 6
-            ).alias("cos_sim"),
-        )
-    )
-    w_top = W.partitionBy("query_id").orderBy(
-        F.col("cos_sim").desc(), F.col("cand_id")
-    )
-    return (
-        reranked.withColumn("rn", F.row_number().over(w_top))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "cand_id", "cos_sim")
+    return ivf_pq_topk_indexed(
+        index, cents, codebook, df, id_col=id_col, vec_col=vec_col,
+        query_ids=query_ids, k=k, nprobe=nprobe, rerank=rerank,
+        n_sub=n_sub, sub_dim=sub_dim, pushdown_probes=False,
     )
 
 
@@ -1913,6 +1796,7 @@ def ivf_pq_index_assign(
     vec_col: str = "embedding",
     n_sub: int = 4,
     sub_dim: int = 16,
+    spread: bool = True,
 ) -> DataFrame:
     """ASSIGN-ONLY index ingest: code one batch of vectors against the
     PERSISTED centroid table + codebook, returning the index delta
@@ -1929,9 +1813,10 @@ def ivf_pq_index_assign(
     exchange. Re-ingesting a batch is idempotent through the merge sink:
     identical keys upsert to identical rows.
     """
-    from .partitioning import spread_narrow
+    if spread:
+        from .partitioning import spread_narrow
 
-    batch = spread_narrow(batch, id_col)
+        batch = spread_narrow(batch, id_col)
     base = batch.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )

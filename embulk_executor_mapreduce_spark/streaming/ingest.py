@@ -315,10 +315,14 @@ def incremental_dedup_sink(
         # novel + delta are two actions over the same micro-batch scan
         batch = batch.persist()
         try:
-            try:
-                seen = read_merge_state(spark, state_path)
-            except Exception:  # first batch: no state yet
-                seen = None
+            # explicit existence probe, not try/except: a read error on a
+            # PRESENT state must surface, never silently dedup against
+            # nothing (r13 review finding on the artifact loaders)
+            seen = (
+                read_merge_state(spark, state_path)
+                if _artifacts_ready(state_path)
+                else None
+            )
             novel, delta = incremental_dedup(
                 batch, seen, text_col, id_col, claim=F.lit(batch_id)
             )
@@ -389,10 +393,11 @@ def incremental_neardup_sink(
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            try:
-                seen = read_merge_state(spark, state_path)
-            except Exception:  # first batch: no index yet
-                seen = None
+            seen = (
+                read_merge_state(spark, state_path)
+                if _artifacts_ready(state_path)
+                else None
+            )
             novel, delta = incremental_minhash_dedup(
                 batch,
                 seen,
@@ -452,14 +457,20 @@ def incremental_semantic_sink(
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            try:
-                cents = spark.read.parquet(centroid_path)
-            except Exception:  # first batch: nothing trained yet
-                cents = None
-            try:
-                state = read_merge_state(spark, state_path)
-            except Exception:  # first batch: no state yet
-                state = None
+            # existence probe, not try/except: a transient read error on a
+            # PRESENT centroid table must surface — the except branch would
+            # silently RETRAIN on this batch and overwrite the table every
+            # committed state row was assigned against (r13 review finding)
+            cents = (
+                spark.read.parquet(centroid_path)
+                if _artifacts_ready(centroid_path)
+                else None
+            )
+            state = (
+                read_merge_state(spark, state_path)
+                if _artifacts_ready(state_path)
+                else None
+            )
             novel, delta, trained = incremental_semantic_dedup(
                 batch,
                 state,
@@ -528,17 +539,24 @@ def incremental_semantic_two_level_sink(
         spark = batch.sparkSession
         batch = batch.persist()
         try:
-            try:
-                cents = (
+            # existence probe on BOTH halves (a partial pair is untrained —
+            # the crash-mid-pair rule); read errors on present halves
+            # surface rather than silently retraining (r13 review finding)
+            cents = (
+                (
                     spark.read.parquet(f"{centroid_path}/coarse"),
                     spark.read.parquet(f"{centroid_path}/sub"),
                 )
-            except Exception:  # first batch (or crashed mid-pair): retrain
-                cents = None
-            try:
-                state = read_merge_state(spark, state_path)
-            except Exception:  # first batch: no state yet
-                state = None
+                if _artifacts_ready(
+                    f"{centroid_path}/coarse", f"{centroid_path}/sub"
+                )
+                else None
+            )
+            state = (
+                read_merge_state(spark, state_path)
+                if _artifacts_ready(state_path)
+                else None
+            )
             novel, delta, trained = incremental_semantic_dedup_two_level(
                 batch,
                 state,
@@ -653,6 +671,92 @@ def run_incremental_semantic_two_level_stream(
     q.awaitTermination()
 
 
+def _artifacts_ready(*paths: str) -> bool:
+    """True iff EVERY persisted-artifact path exists. An explicit existence
+    probe, not try/except around the read: a transient IO error on a
+    PRESENT artifact must surface, never silently select the
+    retrain-from-this-batch branch — retraining against a mid-stream batch
+    would overwrite the artifacts every already-committed row was coded
+    against, silently corrupting the state (r13 review finding)."""
+    import os
+
+    from ..sinks.writer import _local
+
+    return all(os.path.exists(_local(p)) for p in paths)
+
+
+def _tail_versions(
+    spark: SparkSession,
+    source_path: str,
+    checkpoint: str | None,
+    from_version: int,
+    to_version: int | None,
+    tmp_prefix: str,
+    apply,
+) -> int:
+    """The shared version-tail protocol (`_run_cdc_tail`'s discipline,
+    factored once for every CDC-fed composition — r13 review finding: two
+    verbatim copies had already appeared): load the fsync'd checkpoint
+    (corrupt → ConfigError naming the file; delivery is idempotent so
+    deleting it restarts safely), guard the upstream pointer, apply
+    committed versions in order via ``apply(v)``, and advance the
+    checkpoint AFTER each version commits — a crash anywhere re-runs
+    exactly one version, which every ``apply`` body must make idempotent.
+    Returns the last applied version."""
+    import json as _json
+    import os
+    import tempfile
+
+    from ..errors import ConfigError
+    from ..sinks.writer import _fsync_write, _local, _pointer_version
+
+    ck_dir = checkpoint or tempfile.mkdtemp(prefix=tmp_prefix)
+    os.makedirs(ck_dir, exist_ok=True)
+    ck_file = os.path.join(ck_dir, "offset.json")
+    start = from_version
+    try:
+        with open(ck_file) as f:
+            start = max(start, int(_json.load(f)["last_version"]))
+    except FileNotFoundError:
+        pass
+    except (ValueError, KeyError, TypeError) as exc:
+        raise ConfigError(
+            f"corrupt CDC ingest checkpoint {ck_file!r} ({exc}); delete it "
+            "to restart from from_version (per-version delivery is "
+            "idempotent)"
+        ) from exc
+    current = _pointer_version(_local(source_path))
+    if current is None:
+        raise ConfigError(
+            f"table_changes path {source_path!r} has no version pointer — "
+            "a pre-pointer (legacy) merge state or not a merge state at "
+            "all; the tail consumes committed versions"
+        )
+    to_v = current if to_version is None else min(current, to_version)
+    last = start
+    for v in range(start + 1, to_v + 1):
+        apply(v)
+        _fsync_write(ck_file, _json.dumps({"last_version": v}))
+        last = v
+    return last
+
+
+def _version_batch(
+    spark: SparkSession, source_path: str, keys: list[str], v: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """Version v's NEW CONTENT: the per-version change feed filtered to
+    insert/update_postimage (delete/update_preimage rows are state
+    mirror-keeping, not corpus content), projected to (id, vector)."""
+    from ..sinks.changes import CHANGE_TYPE_COL, table_changes
+
+    return (
+        table_changes(spark, source_path, keys, v - 1, v, per_version=True)
+        .filter(F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"))
+        .select(id_col, vec_col)
+    )
+
+
 def run_cdc_semantic_ingest(
     spark: SparkSession,
     source_path: str,
@@ -678,11 +782,9 @@ def run_cdc_semantic_ingest(
     increment per ``foreachBatch``-style call, with the COMMIT VERSION as
     the batch id / exactly-once claim.
 
-    Version-tail discipline is `_run_cdc_tail`'s (plans/compiler.py): read
-    the upstream pointer, apply versions ``start+1..to`` in commit order,
-    advance a fsync'd checkpoint file AFTER each version's state merge —
-    so a crash anywhere re-runs exactly one version, and both halves of
-    that re-run are idempotent by construction:
+    Version-tail discipline is :func:`_tail_versions` (`_run_cdc_tail`'s,
+    shared with the ANN sibling); both halves of a re-run version are
+    idempotent by construction:
 
     - the corpus write lands under ``ingest_batch=<version>`` (overwrite —
       bit-equal recompute, per the deterministic trainer/assigner);
@@ -691,38 +793,13 @@ def run_cdc_semantic_ingest(
       (the against-state lookup ignores its own claims) and converges to
       the same survivors instead of dropping the batch as all-duplicate.
 
-    Each increment feeds only its ``insert``/``update_postimage`` rows
-    (``delete``/``update_preimage`` are state mirror-keeping rows, not new
-    corpus content). At 100 TB: per version the feed is a changed-bucket
-    pruned diff, the dedup is assign-only against broadcast centroids +
-    the bucket-pruned band state — nothing scales with either the upstream
-    table size or the accumulated corpus.
+    At 100 TB: per version the feed is a changed-bucket pruned diff, the
+    dedup is assign-only against broadcast centroids + the bucket-pruned
+    band state — nothing scales with either the upstream table size or
+    the accumulated corpus.
 
     Returns the last applied version (``from_version`` if none pending).
     """
-    import json as _json
-    import os
-    import tempfile
-
-    from ..errors import ConfigError
-    from ..sinks.changes import CHANGE_TYPE_COL, table_changes
-    from ..sinks.writer import _fsync_write, _local, _pointer_version
-
-    ck_dir = checkpoint or tempfile.mkdtemp(prefix="ckpt_cdc_sem_")
-    os.makedirs(ck_dir, exist_ok=True)
-    ck_file = os.path.join(ck_dir, "offset.json")
-    start = from_version
-    try:
-        with open(ck_file) as f:
-            start = max(start, int(_json.load(f)["last_version"]))
-    except FileNotFoundError:
-        pass
-    except (ValueError, KeyError, TypeError) as exc:
-        raise ConfigError(
-            f"corrupt CDC ingest checkpoint {ck_file!r} ({exc}); delete it "
-            "to restart from from_version (per-version delivery is "
-            "idempotent)"
-        ) from exc
     process = incremental_semantic_two_level_sink(
         state_path,
         corpus_path,
@@ -735,26 +812,14 @@ def run_cdc_semantic_ingest(
         iters=iters,
         threshold_micro=threshold_micro,
     )
-    current = _pointer_version(_local(source_path))
-    if current is None:
-        raise ConfigError(
-            f"table_changes path {source_path!r} has no version pointer — "
-            "a pre-pointer (legacy) merge state or not a merge state at "
-            "all; the tail consumes committed versions"
-        )
-    to_v = current if to_version is None else min(current, to_version)
-    last = start
-    for v in range(start + 1, to_v + 1):
-        inc = table_changes(
-            spark, source_path, keys, v - 1, v, per_version=True
-        )
-        batch = inc.filter(
-            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
-        ).select(id_col, vec_col)
-        process(batch, v)
-        _fsync_write(ck_file, _json.dumps({"last_version": v}))
-        last = v
-    return last
+
+    def apply(v: int) -> None:
+        process(_version_batch(spark, source_path, keys, v, id_col, vec_col), v)
+
+    return _tail_versions(
+        spark, source_path, checkpoint, from_version, to_version,
+        "ckpt_cdc_sem_", apply,
+    )
 
 
 def run_cdc_ann_index_ingest(
@@ -780,16 +845,24 @@ def run_cdc_ann_index_ingest(
     increment.
 
     Artifact lifecycle mirrors the semantic sink's centroid rule: the
-    FIRST delivered increment trains the centroid table + PQ codebook
-    (deterministic sort-limit stand-in / swap for kmeans_train — a replay
-    retrains bit-identically, so the overwrite is idempotent) and persists
-    BOTH to ``{index_root}/centroids`` + ``/codebook`` BEFORE any index
-    write; every later increment loads and assigns only (the plan-guarded
-    assign-only path). Index deltas upsert through the merge sink on
-    ``(cand_id, s)`` — assignment is deterministic against frozen
-    artifacts, so redelivery of a version converges bit-for-bit with no
-    claim machinery needed. Checkpoint discipline is `_run_cdc_tail`'s
-    (fsync'd offset advanced after each version's index merge).
+    first NON-EMPTY delivered increment trains the centroid table + PQ
+    codebook (deterministic sort-limit stand-in / swap for kmeans_train —
+    a replay retrains bit-identically, so the overwrite is idempotent)
+    and persists BOTH to ``{index_root}/centroids`` + ``/codebook``
+    BEFORE any index write; every later increment probes their existence
+    explicitly (:func:`_artifacts_ready` — a read error on a present
+    artifact surfaces, it never silently retrains) and assigns only. An
+    EMPTY increment (delete-only or no-op commit) just advances the
+    checkpoint — it must never train empty artifacts or bump a no-op
+    state version (r13 review finding).
+
+    Index deltas upsert through the merge sink on ``(cand_id, s)``
+    ordered by the monotone ``_ingest_version`` column — so when an
+    upstream UPDATE re-assigns a vector, the LATEST version's codes win
+    regardless of how the code numbers happen to compare (r13 review
+    finding: ordering by ``code`` kept whichever code sorted higher).
+    Redelivery of a version rewrites the same (key, version) rows —
+    idempotent with no claim machinery.
 
     Scope note (documented, standard): ``delete`` rows do NOT remove index
     entries — a deleted vector's codes go stale until an offline
@@ -799,66 +872,26 @@ def run_cdc_ann_index_ingest(
 
     Returns the last applied version (``from_version`` if none pending).
     """
-    import json as _json
-    import os
-    import tempfile
-
-    from ..errors import ConfigError
     from ..operators.similarity import ivf_pq_index_assign, ivf_pq_index_train
-    from ..sinks.changes import CHANGE_TYPE_COL, table_changes
-    from ..sinks.writer import (
-        _fsync_write,
-        _local,
-        _pointer_version,
-        write_sink,
-    )
+    from ..sinks.writer import write_sink
     from ..spec import SinkSpec
 
-    ck_dir = checkpoint or tempfile.mkdtemp(prefix="ckpt_cdc_ann_")
-    os.makedirs(ck_dir, exist_ok=True)
-    ck_file = os.path.join(ck_dir, "offset.json")
-    start = from_version
-    try:
-        with open(ck_file) as f:
-            start = max(start, int(_json.load(f)["last_version"]))
-    except FileNotFoundError:
-        pass
-    except (ValueError, KeyError, TypeError) as exc:
-        raise ConfigError(
-            f"corrupt CDC ingest checkpoint {ck_file!r} ({exc}); delete it "
-            "to restart from from_version (per-version delivery is "
-            "idempotent)"
-        ) from exc
-    current = _pointer_version(_local(source_path))
-    if current is None:
-        raise ConfigError(
-            f"table_changes path {source_path!r} has no version pointer — "
-            "a pre-pointer (legacy) merge state or not a merge state at "
-            "all; the tail consumes committed versions"
-        )
+    cents_path = f"{index_root}/centroids"
+    cb_path = f"{index_root}/codebook"
     sink = SinkSpec(
         type="parquet",
         path=f"{index_root}/index",
         mode="merge",
         merge_key=("cand_id", "s"),
-        merge_order=("code",),
+        merge_order=("_ingest_version",),
         merge_buckets=merge_buckets,
     )
-    to_v = current if to_version is None else min(current, to_version)
-    last = start
-    for v in range(start + 1, to_v + 1):
-        inc = table_changes(
-            spark, source_path, keys, v - 1, v, per_version=True
-        )
-        batch = inc.filter(
-            F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage")
-        ).select(id_col, vec_col)
-        try:
-            stored = (
-                spark.read.parquet(f"{index_root}/centroids"),
-                spark.read.parquet(f"{index_root}/codebook"),
-            )
-        except Exception:  # first increment (or crashed mid-pair): train
+
+    def apply(v: int) -> None:
+        batch = _version_batch(spark, source_path, keys, v, id_col, vec_col)
+        if not _artifacts_ready(cents_path, cb_path):
+            if not batch.limit(1).count():
+                return  # nothing to train on or index; checkpoint advances
             cents, cb = ivf_pq_index_train(
                 batch,
                 id_col=id_col,
@@ -869,24 +902,25 @@ def run_cdc_ann_index_ingest(
                 n_codes=n_codes,
             )
             # codebook last, so a partial pair is always
-            # centroids-without-codebook (→ loader retrains both)
-            cents.write.mode("overwrite").parquet(f"{index_root}/centroids")
-            cb.write.mode("overwrite").parquet(f"{index_root}/codebook")
-            stored = (
-                spark.read.parquet(f"{index_root}/centroids"),
-                spark.read.parquet(f"{index_root}/codebook"),
-            )
+            # centroids-without-codebook (→ next increment retrains both)
+            cents.write.mode("overwrite").parquet(cents_path)
+            cb.write.mode("overwrite").parquet(cb_path)
+        elif not batch.limit(1).count():
+            return  # empty increment: no no-op state version
         write_sink(
             ivf_pq_index_assign(
                 batch,
-                *stored,
+                spark.read.parquet(cents_path),
+                spark.read.parquet(cb_path),
                 id_col=id_col,
                 vec_col=vec_col,
                 n_sub=n_sub,
                 sub_dim=sub_dim,
-            ),
+            ).withColumn("_ingest_version", F.lit(v)),
             sink,
         )
-        _fsync_write(ck_file, _json.dumps({"last_version": v}))
-        last = v
-    return last
+
+    return _tail_versions(
+        spark, source_path, checkpoint, from_version, to_version,
+        "ckpt_cdc_ann_", apply,
+    )

@@ -258,3 +258,114 @@ def test_cdc_ann_index_ingest_retry_is_idempotent(spark, tmp_path):
             .collect(),
         )
     )
+
+
+def test_cdc_ann_update_reassignment_wins(spark, tmp_path):
+    """r13 review finding: index upserts order by the monotone
+    _ingest_version, so an upstream UPDATE's re-assigned codes replace the
+    stale ones even when the new code numbers sort LOWER than the old
+    (ordering by `code` kept whichever sorted higher)."""
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        ivf_pq_index_assign,
+    )
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        run_cdc_ann_index_ingest,
+    )
+
+    up = str(tmp_path / "up")
+    sink = SinkSpec(
+        type="parquet",
+        path=up,
+        mode="merge",
+        merge_key=("vec_id",),
+        merge_order=("rev",),
+        merge_keep_versions=4,
+    )
+    write_sink(_frame(spark, [], 0), sink)  # v0 bootstrap
+    write_sink(_frame(spark, [(i, _vec(i)) for i in range(10, 20)], 1), sink)
+    kw = dict(n_centroids=4, n_sub=2, sub_dim=4, n_codes=4)
+    akw = dict(n_sub=2, sub_dim=4)
+    root = str(tmp_path / "ann")
+    run_cdc_ann_index_ingest(
+        spark, up, ["vec_id"], root, checkpoint=str(tmp_path / "ck"), **kw
+    )
+    cents = spark.read.parquet(f"{root}/centroids")
+    cb = spark.read.parquet(f"{root}/codebook")
+
+    def codes_of(vec):
+        rows = ivf_pq_index_assign(
+            _frame(spark, [(13, vec)], 9).select("vec_id", "embedding"),
+            cents, cb, **akw,
+        ).collect()
+        return sorted((r["s"], r["cid"], r["code"]) for r in rows)
+
+    old_codes = codes_of(_vec(13))
+    # find an update vector whose assignment differs AND has at least one
+    # subspace where the new code sorts BELOW the old (the case the old
+    # merge_order got wrong); the generator is varied enough that one of
+    # the first few candidates qualifies
+    new_vec = None
+    for cand in range(100, 140):
+        nc = codes_of(_vec(cand))
+        if nc != old_codes and any(
+            n[2] < o[2] for n, o in zip(nc, old_codes)
+        ):
+            new_vec, new_codes = _vec(cand), nc
+            break
+    assert new_vec is not None, "no qualifying update vector found"
+    write_sink(_frame(spark, [(13, new_vec)], 2), sink)  # upstream UPDATE
+    run_cdc_ann_index_ingest(
+        spark, up, ["vec_id"], root, checkpoint=str(tmp_path / "ck"), **kw
+    )
+    got = sorted(
+        (r["s"], r["cid"], r["code"])
+        for r in read_merge_state(spark, f"{root}/index")
+        .filter(F.col("cand_id") == 13)
+        .collect()
+    )
+    assert got == new_codes and got != old_codes
+
+
+def test_cdc_ann_empty_first_increment_defers_training(spark, tmp_path):
+    """r13 review finding: an EMPTY first increment (a no-op re-commit
+    diffs to zero change rows) must neither train empty artifacts nor
+    create a no-op index version — training waits for the first non-empty
+    increment and the checkpoint still advances."""
+    import os
+
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        run_cdc_ann_index_ingest,
+    )
+
+    up = str(tmp_path / "up")
+    sink = SinkSpec(
+        type="parquet",
+        path=up,
+        mode="merge",
+        merge_key=("vec_id",),
+        merge_order=("rev",),
+        merge_keep_versions=4,
+    )
+    seed = [(i, _vec(i)) for i in range(10)]
+    write_sink(_frame(spark, seed, 0), sink)  # v0 (never delivered)
+    write_sink(_frame(spark, seed, 0), sink)  # v1: no-op → empty diff
+    kw = dict(n_centroids=4, n_sub=2, sub_dim=4, n_codes=4)
+    root = str(tmp_path / "ann")
+    ck = str(tmp_path / "ck")
+    assert run_cdc_ann_index_ingest(
+        spark, up, ["vec_id"], root, checkpoint=ck, to_version=1, **kw
+    ) == 1
+    assert not os.path.exists(f"{root}/centroids")
+    assert not os.path.exists(f"{root}/index")
+    write_sink(_frame(spark, [(i, _vec(i)) for i in range(20, 30)], 2), sink)
+    assert run_cdc_ann_index_ingest(
+        spark, up, ["vec_id"], root, checkpoint=ck, **kw
+    ) == 2
+    # artifacts trained on the FIRST NON-EMPTY increment (v2's ids)
+    assert {
+        r["cid"] for r in spark.read.parquet(f"{root}/centroids").collect()
+    } == set(range(20, 24))
+    assert {
+        r["cand_id"]
+        for r in read_merge_state(spark, f"{root}/index").collect()
+    } == set(range(20, 30))

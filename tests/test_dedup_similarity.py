@@ -866,9 +866,11 @@ def test_ivf_pq_index_reingest_is_idempotent(spark, tmp_path):
         path=str(tmp_path / "index"),
         mode="merge",
         merge_key=("cand_id", "s"),
-        merge_order=("code",),
+        merge_order=("_ingest_version",),
     )
-    delta = ivf_pq_index_assign(corpus, cents, cb, **_IKW)
+    delta = ivf_pq_index_assign(corpus, cents, cb, **_IKW).withColumn(
+        "_ingest_version", F.lit(1)
+    )
     write_sink(delta, sink)
     before = sorted(
         map(tuple, read_merge_state(spark, sink.path)

@@ -335,10 +335,11 @@ def test_guess_jsonl_types(spark, tmp_path):
     p.mkdir()
     (p / "a.jsonl").write_text(
         '{"i":1,"f":2.5,"b":true,"t":"2024-01-02 03:04:05","d":"2024-01-02",'
-        '"s":"x","o":{"k":1},"mix":3,"nul":null}\n'
+        '"s":"x","o":{"k":1},"mix":3,"nul":null,"qn":"8080","qb":"true",'
+        '"es":""}\n'
         "not json at all\n"  # structurally invalid: excluded from sample
         '{"i":-7,"b":false,"t":"2024-01-02 03:04:06.123456","d":"2024-12-31",'
-        '"s":"1","o":[1,2],"mix":{"z":9}}\n'
+        '"s":"1","o":[1,2],"mix":{"z":9},"qn":"404","qb":"false","es":5}\n'
     )
     got = {c.name: c.type for c in guess_jsonl_schema(spark, str(p))}
     assert got == {
@@ -351,6 +352,12 @@ def test_guess_jsonl_types(spark, tmp_path):
         "o": "json",
         "mix": "string",
         "nul": "string",
+        # r13 review findings: JSON-native tags rule — quoted scalars stay
+        # string (a long/boolean guess would corrupt the typed read), and
+        # an empty string is STRING evidence, not a null
+        "qn": "string",
+        "qb": "string",
+        "es": "string",
     }
 
 
