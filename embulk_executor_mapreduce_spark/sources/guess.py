@@ -287,9 +287,14 @@ def guess_jsonl_schema(
     from evidence; an empty string is a real STRING value, NOT a null —
     there is no ``null_string`` in json (r13 review finding: the csv-side
     nullif('') default silently erased empty strings from the evidence).
-    Labels are discovered first-seen across the sample; structurally
-    invalid lines are excluded (the guess describes the parseable data;
-    the read applies the spec's invalid-record policy to them)."""
+    Labels are discovered first-seen across the sample. A line with a
+    DUPLICATE key inside one object is excluded from the evidence sample
+    (ambiguous: Spark's map views resolve duplicates inconsistently —
+    probed — so the variant parser's duplicate rejection gates the
+    sample); the typed READ of such a line resolves last-occurrence-wins
+    (probed consistent) under the spec's normal invalid-record policy.
+    Structurally invalid lines are likewise excluded (the guess describes
+    the unambiguous data; the read applies the policy to the rest)."""
     opts = dict(options or {})
     opts.pop("guess", None)
     text_opts = {}
@@ -302,8 +307,12 @@ def guess_jsonl_schema(
         .select(
             F.from_json("value", "map<string,string>").alias("m"),
             F.from_json("value", "map<string,variant>").alias("mv"),
+            # duplicate-key gate: the variant parser REJECTS objects with
+            # duplicate keys (probed), while the map views resolve them
+            # inconsistently (sometimes first-, sometimes last-occurrence)
+            F.try_parse_json(F.col("value")).alias("vr"),
         )
-        .filter(F.col("m").isNotNull())
+        .filter(F.col("m").isNotNull() & F.col("vr").isNotNull())
     )
     labeled = lines.select(
         F.monotonically_increasing_id().alias("ord"),

@@ -434,3 +434,62 @@ def test_guess_jsonl_empty_input_raises(spark, tmp_path):
 
     with pytest.raises(ConfigError, match="cannot guess"):
         guess_jsonl_schema(spark, str(p))
+
+
+def test_guess_jsonl_with_quarantine_split(spark, tmp_path):
+    """options.guess composes with invalid_record_path on a json source:
+    the guess resolves from the parseable sample, the typed read keeps the
+    clean rows, and the malformed line lands in the quarantine table."""
+    from embulk_executor_mapreduce_spark.plans.compiler import run_pipeline
+
+    p = tmp_path / "jq"
+    p.mkdir()
+    (p / "a.jsonl").write_text(
+        '{"host":"a","status":200}\n'
+        "this is not json\n"
+        '{"host":"b","status":404}\n'
+    )
+    out = tmp_path / "out"
+    q = tmp_path / "quarantine"
+    run_pipeline(
+        spark,
+        load_spec(
+            {
+                "in": {
+                    "type": "json",
+                    "path": str(p),
+                    "options": {"guess": True},
+                    "invalid_record_path": str(q),
+                },
+                "out": {"type": "parquet", "path": str(out)},
+            }
+        ),
+    )
+    clean = spark.read.parquet(str(out))
+    assert dict(clean.dtypes) == {"host": "string", "status": "bigint"}
+    assert sorted((r["host"], r["status"]) for r in clean.collect()) == [
+        ("a", 200),
+        ("b", 404),
+    ]
+    bad = spark.read.json(str(q)).collect()
+    assert len(bad) == 1 and "not json" in bad[0]["raw_record"]
+
+
+def test_guess_jsonl_duplicate_key_lines_excluded(spark, tmp_path):
+    """A line with a duplicate key inside one object is AMBIGUOUS evidence
+    (Spark's map views resolve duplicates inconsistently — probed) and is
+    excluded from the guess sample; the remaining lines decide the type.
+    The typed READ of a duplicate-key line resolves last-wins under the
+    normal invalid-record policy."""
+    from embulk_executor_mapreduce_spark.sources.guess import (
+        guess_jsonl_schema,
+    )
+
+    p = tmp_path / "dup"
+    p.mkdir()
+    # the dup line's first occurrence is a string — were it counted, the
+    # column would fall to string; exclusion leaves the clean line's long
+    (p / "a.jsonl").write_text('{"a":"x","a":2}\n{"a":3}\n')
+    assert [(c.name, c.type) for c in guess_jsonl_schema(spark, str(p))] == [
+        ("a", "long")
+    ]
