@@ -158,6 +158,9 @@ HEADLINE = [
     # timed work is the literal-pushdown inverted-list read + ADC + rerank.
     # Read against ann_ivf_pq_topk: the gap is what the standing index buys
     "ann_ivf_pq_index_probe",
+    # round 13: rational-IDF BM25 ranked retrieval — prices the
+    # query-term-filtered tf aggregate + dl scan + TakeOrdered top-k
+    "bm25_search_topk",
 ]
 
 SMALL_RESULT = {
@@ -193,6 +196,7 @@ SMALL_RESULT = {
     "stream_parser_ingest",
     "ann_ivf_pq_incremental_state",
     "ann_ivf_pq_index_probe",
+    "bm25_search_topk",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):

@@ -5720,6 +5720,32 @@ def q_inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.search import bm25_oracle_sql  # noqa: E402
+
+_BM25_TERMS = ("window", "merge", "scan")
+
+
+@register(
+    "bm25_search_topk",
+    oracle=bm25_oracle_sql(_BM25_TERMS),
+    tags=("text", "search", "ranking"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranked retrieval (r13): rational-IDF BM25 top-10 over the documents
+    table — the USE side of the index family that `inverted_index_postings`
+    builds and `phrase_search_postings` boolean-matches; the primitive
+    behind retrieval-based quality filtering, decontamination-by-retrieval
+    and hard-negative mining. Exactmath end to end: per-(doc, term)
+    contributions floor to integer micro-units under a FIXED IEEE
+    parenthesization, per-doc scores are BIGINT sums, and the top-k is a
+    TakeOrdered — so the DuckDB oracle replays the value hash exactly (the
+    usual ln-IDF is NOT correctly-rounded cross-engine; operators/search.py
+    documents the rational-core trade)."""
+    from .operators.search import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS)
+
+
 @register(
     "phrase_search_postings",
     oracle="""

@@ -882,3 +882,25 @@ def test_ivf_pq_index_reingest_is_idempotent(spark, tmp_path):
             .select("cand_id", "cid", "s", "code").collect())
     )
     assert before == after and len(before) == 20 * 2
+
+
+def test_bm25_precomputed_doc_lens_equivalent(spark):
+    """The standing-deployment path (precomputed (doc_id, dl) column)
+    reproduces the self-computed lengths bit-for-bit."""
+    from embulk_executor_mapreduce_spark.operators.search import bm25_topk
+    from embulk_executor_mapreduce_spark.operators.text import tokens
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["alpha", "beta", "gamma", "delta"][: 1 + i % 4] * (1 + i % 3)))
+            for i in range(30)
+        ],
+        "doc_id long, text string",
+    )
+    terms = ("alpha", "gamma")
+    dl = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("dl")
+    )
+    got = bm25_topk(docs, terms, k=5, doc_lens=dl).collect()
+    want = bm25_topk(docs, terms, k=5).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))

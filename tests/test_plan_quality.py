@@ -792,3 +792,21 @@ def test_ivf_pq_indexed_probe_pushdown(spark, tmp_path):
     assert sorted(map(tuple, pushed.collect())) == sorted(
         map(tuple, lazy.collect())
     )
+
+
+def test_bm25_plan_shape(spark):
+    """r13 ranked retrieval: the tf branch filters to the query terms
+    BELOW its aggregate (matching postings only reach the exchange), the
+    df/stats sides ride as broadcasts, the top-k is a TakeOrdered (never
+    a single-partition global window), and no cartesian product exists
+    beyond the broadcast-bounded 1-row stats attach."""
+    df = catalog.entries()["bm25_search_topk"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    # 7 static exchanges, every one linear: tok→dl, dl→stats (1 row),
+    # tok(filtered)→tf, tf→dfreq (candidate-bounded), the tf⋈dl doc-key
+    # re-exchanges, and the final per-doc sum (AQE reuses at runtime);
+    # nothing is corpus×corpus and nothing sorts globally
+    assert num_exchanges(df) <= 7, plan
