@@ -369,3 +369,49 @@ def test_cdc_ann_empty_first_increment_defers_training(spark, tmp_path):
         r["cand_id"]
         for r in read_merge_state(spark, f"{root}/index").collect()
     } == set(range(20, 30))
+
+
+def test_tail_corrupt_checkpoint_names_file(spark, tmp_path):
+    """A present-but-unreadable checkpoint is config-class: resuming
+    silently from from_version would reprocess delivered versions, so the
+    shared tail names the file and stops (shared by BOTH compositions —
+    one protocol, one behavior)."""
+    import os
+
+    import pytest
+
+    from embulk_executor_mapreduce_spark.errors import ConfigError
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        run_cdc_ann_index_ingest,
+        run_cdc_semantic_ingest,
+    )
+
+    up = _upstream(spark, tmp_path)
+    ck = tmp_path / "ck"
+    ck.mkdir()
+    (ck / "offset.json").write_text("{not json")
+    with pytest.raises(ConfigError, match="offset.json"):
+        run_cdc_ann_index_ingest(
+            spark, up, ["vec_id"], str(tmp_path / "a"), checkpoint=str(ck)
+        )
+    with pytest.raises(ConfigError, match="offset.json"):
+        run_cdc_semantic_ingest(
+            spark, up, ["vec_id"], str(tmp_path / "s1"), str(tmp_path / "s2"),
+            str(tmp_path / "s3"), checkpoint=str(ck),
+        )
+
+
+def test_tail_missing_pointer_is_config_error(spark, tmp_path):
+    import pytest
+
+    from embulk_executor_mapreduce_spark.errors import ConfigError
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        run_cdc_ann_index_ingest,
+    )
+
+    not_a_state = tmp_path / "plain"
+    not_a_state.mkdir()
+    with pytest.raises(ConfigError, match="version pointer"):
+        run_cdc_ann_index_ingest(
+            spark, str(not_a_state), ["vec_id"], str(tmp_path / "x")
+        )

@@ -904,3 +904,26 @@ def test_bm25_precomputed_doc_lens_equivalent(spark):
     got = bm25_topk(docs, terms, k=5, doc_lens=dl).collect()
     want = bm25_topk(docs, terms, k=5).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_bm25_ranking_invariants(spark):
+    """BM25 sanity pins: a document containing more distinct query terms
+    with equal length outranks one with fewer; a document with NO query
+    term never appears; scores are positive."""
+    from embulk_executor_mapreduce_spark.operators.search import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta filler filler"),
+            (2, "alpha alpha filler filler"),
+            (3, "filler filler filler filler"),
+            (4, "alpha beta beta filler"),
+        ],
+        "doc_id long, text string",
+    )
+    out = bm25_topk(docs, ("alpha", "beta"), k=10).collect()
+    got = {r["doc_id"]: r["bm25"] for r in out}
+    assert 3 not in got
+    assert all(v > 0 for v in got.values())
+    # doc 4 (both terms, beta twice) > doc 1 (both once) > doc 2 (one term)
+    assert got[4] > got[1] > got[2]

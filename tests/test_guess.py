@@ -493,3 +493,59 @@ def test_guess_jsonl_duplicate_key_lines_excluded(spark, tmp_path):
     assert [(c.name, c.type) for c in guess_jsonl_schema(spark, str(p))] == [
         ("a", "long")
     ]
+
+
+def test_guess_jsonl_recovery_property(spark):
+    """Property (the csv twin of test_guess_recovery_property): JSON-native
+    values of a KNOWN type are recovered as that type, and quoted versions
+    of the same values are recovered as STRING — the tag-aware rule that
+    keeps the guess aligned with what the typed read can actually parse."""
+    import json as _json
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from embulk_executor_mapreduce_spark.sources.guess import (
+        guess_jsonl_schema,
+    )
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        longs=st.lists(
+            st.integers(min_value=-(2**62), max_value=2**62),
+            min_size=1,
+            max_size=5,
+        ),
+        bools=st.lists(st.booleans(), min_size=1, max_size=5),
+    )
+    def run(longs, bools):
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="guess_prop_")
+        n = max(len(longs), len(bools))
+        with open(f"{d}/a.jsonl", "w") as f:
+            for i in range(n):
+                f.write(
+                    _json.dumps(
+                        {
+                            "l": longs[i % len(longs)],
+                            "b": bools[i % len(bools)],
+                            "ql": str(longs[i % len(longs)]),
+                            "qb": str(bools[i % len(bools)]).lower(),
+                        }
+                    )
+                    + "\n"
+                )
+        got = {c.name: c.type for c in guess_jsonl_schema(spark, d)}
+        assert got == {
+            "l": "long",
+            "b": "boolean",
+            "ql": "string",
+            "qb": "string",
+        }
+
+    run()
