@@ -5106,7 +5106,13 @@ def q_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         merge_key=("cand_id", "s"),
         merge_order=("_ingest_version",),
     )
-    cents, cb = ivf_pq_index_train(emb.filter(F.col("vec_id") % 2 == 0))
+    # "lowest" matches this row's oracle (ivf_pq_indexed_oracle_sql
+    # sort-limits the base_pred half) — id-gap robust because BOTH sides
+    # sort-limit the same predicate; the probe row below pins the
+    # "prefix" convention against the inline composite's oracle instead
+    cents, cb = ivf_pq_index_train(
+        emb.filter(F.col("vec_id") % 2 == 0), selection="lowest"
+    )
     cents.write.parquet(f"{root}/centroids")
     cb.write.parquet(f"{root}/codebook")
     stored = (

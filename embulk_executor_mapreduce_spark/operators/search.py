@@ -32,9 +32,18 @@ Robertson–Spärck-Jones core ``(N - df + 0.5) / (df + 0.5)`` without the
 usual ``ln`` dampening: ``ln`` is not an IEEE correctly-rounded
 operation, so its low bits may differ across engines and no value-hash
 oracle could pin it. The rational form is itself a member of the IDF
-family (the undamped RSJ odds ratio); rankings agree with log-BM25
-whenever per-document term sets are comparable, and the dampened variant
-is a one-line swap where cross-engine bit-equality is not a requirement.
+family (the undamped RSJ odds ratio), but NOT a drop-in ranking
+equivalent: rankings agree with log-BM25 for single-term queries and when
+the query terms have similar document frequencies; for multi-term queries
+over terms of very different rarity the undamped form over-weights the
+rare term (its IDF grows linearly rather than logarithmically in N/df),
+so a document matching one rare term can outrank one matching several
+moderately-rare terms where standard BM25 orders them the other way (r14
+advisor finding). Callers who need standard BM25 behavior — e.g.
+decontamination or hard-negative mining tuned against Lucene-style
+scores — and don't need cross-engine bit-equality should use the ``ln``
+dampened variant: swap the rational IDF factor for
+``F.log((n - df + 0.5) / (df + 0.5) + 1.0)`` (the Lucene form).
 """
 
 from __future__ import annotations

@@ -1745,6 +1745,7 @@ def ivf_pq_index_train(
     n_sub: int = 4,
     sub_dim: int = 16,
     n_codes: int = 16,
+    selection: str = "prefix",
 ) -> tuple[DataFrame, DataFrame]:
     """Train the two persisted artifacts of an IVF-PQ index — the coarse
     centroid table ``(cid, cv)`` and the per-subspace PQ codebook
@@ -1758,24 +1759,40 @@ def ivf_pq_index_train(
     query is assign-only against them (:func:`ivf_pq_index_assign` /
     :func:`ivf_pq_topk_indexed`).
 
-    Deterministic stand-in trainer, same convention as the inline
-    composite (:func:`ivf_pq_topk`): the ``n`` lowest-id vectors, selected
-    by sort-limit so the base corpus needs no dense id range (a TakeOrdered
-    over the scan — corpus-cheap). Swap :func:`kmeans_train` (flat and
-    ``group_cols=("s",)`` forms) for trained artifacts — every downstream
+    Deterministic stand-in trainer (swap :func:`kmeans_train` — flat and
+    ``group_cols=("s",)`` forms — for trained artifacts; every downstream
     plan shape is identical, which is the point of persisting the tables
-    rather than the trainer.
+    rather than the trainer). ``selection`` picks the stand-in convention:
+
+    * ``"prefix"`` (default): the id-prefix filter ``id < n`` — the SAME
+      convention as the inline composite (:func:`ivf_pq_topk`) and its
+      DuckDB oracle, so "indexed search ≡ inline composite bit-for-bit"
+      holds on ANY id space (r14 advisor finding: the previous sort-limit
+      agreed with the prefix only on a dense 0-based space; on a gapped
+      space both sides now train on the same — possibly fewer than ``n``
+      — vectors).
+    * ``"lowest"``: sort-limit on the ``n`` lowest ids — exactly ``n``
+      vectors from any batch, for callers training on a mid-stream
+      increment whose ids need not start near 0 (the CDC index ingest).
+      Matches ``"prefix"`` only on a dense 0-based id space.
     """
+    if selection not in ("prefix", "lowest"):
+        raise ValueError(
+            f"selection must be 'prefix' or 'lowest', got {selection!r}"
+        )
     base = df.select(F.col(id_col), as_double(vec_col).alias("v"))
-    centroids = (
-        base.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cid"), F.col("v").alias("cv"))
+    if selection == "prefix":
+        cent_rows = base.filter(F.col(id_col) < n_centroids)
+        code_rows = base.filter(F.col(id_col) < n_codes)
+    else:
+        cent_rows = base.orderBy(id_col).limit(n_centroids)
+        code_rows = base.orderBy(id_col).limit(n_codes)
+    centroids = cent_rows.select(
+        F.col(id_col).alias("cid"), F.col("v").alias("cv")
     )
     sub_ix = F.explode(F.array(*[F.lit(s) for s in range(n_sub)])).alias("s")
     codebook = (
-        base.orderBy(id_col)
-        .limit(n_codes)
+        code_rows
         .select(id_col, "v", sub_ix)
         .select(
             "s",
@@ -2035,7 +2052,8 @@ def ivf_pq_indexed_oracle_sql(
 ) -> str:
     """DuckDB mirror of the PERSISTED-index composite: centroids + codebook
     trained on the ``base_pred`` half only (sort-limit lowest ids — exactly
-    :func:`ivf_pq_index_train`), then the whole corpus coded against those
+    :func:`ivf_pq_index_train` with ``selection="lowest"``; id-gap robust
+    because both sides sort-limit the same predicate), then the whole corpus coded against those
     frozen artifacts and searched. Because assignment is per-vector against
     fixed artifacts, the two-increment Spark construction (base build +
     assign-only increment through the merge sink) must reproduce this

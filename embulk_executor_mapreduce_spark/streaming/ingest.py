@@ -672,17 +672,31 @@ def run_incremental_semantic_two_level_stream(
 
 
 def _artifacts_ready(*paths: str) -> bool:
-    """True iff EVERY persisted-artifact path exists. An explicit existence
-    probe, not try/except around the read: a transient IO error on a
-    PRESENT artifact must surface, never silently select the
-    retrain-from-this-batch branch — retraining against a mid-stream batch
-    would overwrite the artifacts every already-committed row was coded
-    against, silently corrupting the state (r13 review finding)."""
+    """True iff EVERY persisted-artifact path is COMMITTED, judged by its
+    commit marker — the ``_CURRENT`` pointer for merge-sink states, the
+    ``_SUCCESS`` marker for plain parquet artifact dirs — never by bare
+    directory existence (r14 advisor finding: a crash during the FIRST
+    state merge, or mid-way through a centroid/codebook parquet write,
+    leaves a directory without a marker; calling that "present" made every
+    retry fail permanently on read, whereas calling it absent lets the
+    retry rebuild deterministically). A transient IO error on a COMMITTED
+    artifact still surfaces at read time — the probe never wraps the read
+    in try/except (r13 review finding). Pre-pointer legacy merge layouts
+    are out of scope here: every state this module consults is written by
+    this module's own pointer-protocol ``write_sink`` calls."""
     import os
 
-    from ..sinks.writer import _local
+    from ..sinks.writer import _local, _pointer_version
 
-    return all(os.path.exists(_local(p)) for p in paths)
+    def _committed(p: str) -> bool:
+        local = _local(p)
+        if not os.path.exists(local):
+            return False
+        if _pointer_version(local) is not None:
+            return True  # committed merge-sink state
+        return os.path.exists(os.path.join(local, "_SUCCESS"))
+
+    return all(_committed(p) for p in paths)
 
 
 def _tail_versions(
@@ -793,6 +807,12 @@ def run_cdc_semantic_ingest(
       (the against-state lookup ignores its own claims) and converges to
       the same survivors instead of dropping the batch as all-duplicate.
 
+    An EMPTY increment (delete-only or no-op commit) just advances the
+    checkpoint — it must never train the centroid pair on an empty batch
+    (which would persist empty centroids and silently drop every later
+    version's content) nor bump a no-op state version (r14 advisor
+    finding; same guard as :func:`run_cdc_ann_index_ingest`).
+
     At 100 TB: per version the feed is a changed-bucket pruned diff, the
     dedup is assign-only against broadcast centroids + the bucket-pruned
     band state — nothing scales with either the upstream table size or
@@ -814,7 +834,16 @@ def run_cdc_semantic_ingest(
     )
 
     def apply(v: int) -> None:
-        process(_version_batch(spark, source_path, keys, v, id_col, vec_col), v)
+        batch = _version_batch(spark, source_path, keys, v, id_col, vec_col)
+        if not batch.limit(1).count():
+            # empty increment (delete-only or no-op commit): never train the
+            # centroid pair on an empty batch — that would persist empty
+            # centroids and silently drop ALL later corpus content — and
+            # never bump a no-op state version that could expire retained
+            # snapshots; checkpoint still advances (r14 advisor finding,
+            # mirroring run_cdc_ann_index_ingest's guard)
+            return
+        process(batch, v)
 
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,
@@ -900,6 +929,10 @@ def run_cdc_ann_index_ingest(
                 n_sub=n_sub,
                 sub_dim=sub_dim,
                 n_codes=n_codes,
+                # "lowest": the first delivered increment's ids need not
+                # start near 0, and an id-prefix filter over such a batch
+                # would train EMPTY artifacts (r14; see ivf_pq_index_train)
+                selection="lowest",
             )
             # codebook last, so a partial pair is always
             # centroids-without-codebook (→ next increment retrains both)

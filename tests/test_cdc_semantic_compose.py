@@ -371,6 +371,102 @@ def test_cdc_ann_empty_first_increment_defers_training(spark, tmp_path):
     } == set(range(20, 30))
 
 
+def test_cdc_semantic_empty_first_increment_defers_training(spark, tmp_path):
+    """r14 advisor finding (the semantic twin of the ANN guard): an EMPTY
+    first increment (no-op re-commit → zero change rows) must not train
+    the coarse/sub centroid pair on the empty batch — which would persist
+    empty centroids and silently drop EVERY later version's content — and
+    an empty increment after training must not bump a no-op state version;
+    the checkpoint still advances in both cases."""
+    import os
+
+    up = str(tmp_path / "up")
+    sink = SinkSpec(
+        type="parquet",
+        path=up,
+        mode="merge",
+        merge_key=("vec_id",),
+        merge_order=("rev",),
+        merge_keep_versions=6,
+    )
+    seed = [(i, _vec(i)) for i in range(10)]
+    write_sink(_frame(spark, seed, 0), sink)  # v0 (never delivered)
+    write_sink(_frame(spark, seed, 0), sink)  # v1: no-op → empty diff
+    state, corpus, cents, ckpt = _paths(tmp_path, "empty_first")
+    assert run_cdc_semantic_ingest(
+        spark, up, ["vec_id"], state, corpus, cents, checkpoint=ckpt,
+        to_version=1, **_KW,
+    ) == 1
+    # nothing trained, no corpus dir, no state — checkpoint advanced only
+    assert not os.path.exists(f"{cents}/coarse")
+    assert not os.path.exists(state)
+    assert not os.path.isdir(f"{corpus}/ingest_batch=1")
+    # v2 is the first NON-EMPTY increment: trains + processes normally
+    write_sink(_frame(spark, [(i, _vec(i)) for i in range(20, 30)], 2), sink)
+    assert run_cdc_semantic_ingest(
+        spark, up, ["vec_id"], state, corpus, cents, checkpoint=ckpt, **_KW
+    ) == 2
+    assert os.path.exists(f"{cents}/coarse")
+    survivors = {
+        r["vec_id"]
+        for r in spark.read.parquet(f"{corpus}/ingest_batch=2").collect()
+    }
+    assert survivors and survivors <= set(range(20, 30))
+    # v3: another no-op — trained state must gain NO new merge version
+    write_sink(_frame(spark, [(25, _vec(25))], 2), sink)  # identical row
+    st_versions = sorted(os.listdir(os.path.join(state, "_trees")))
+    assert run_cdc_semantic_ingest(
+        spark, up, ["vec_id"], state, corpus, cents, checkpoint=ckpt, **_KW
+    ) == 3
+    assert sorted(os.listdir(os.path.join(state, "_trees"))) == st_versions
+    assert not os.path.isdir(f"{corpus}/ingest_batch=3")
+
+
+def test_artifacts_ready_requires_commit_marker(spark, tmp_path):
+    """r14 advisor finding: a bare directory is not a committed artifact —
+    a crash during the FIRST state merge (dir created, no _CURRENT yet) or
+    mid-way through a plain parquet write (no _SUCCESS yet) must probe as
+    ABSENT so the retry rebuilds deterministically, instead of failing
+    permanently on read. Committed artifacts of both kinds probe present."""
+    import os
+
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        _artifacts_ready,
+    )
+
+    missing = str(tmp_path / "nope")
+    assert not _artifacts_ready(missing)
+
+    half_state = tmp_path / "half_state"  # mid-first-merge crash shape
+    (half_state / "_trees").mkdir(parents=True)
+    assert not _artifacts_ready(str(half_state))
+
+    half_parquet = tmp_path / "half_parquet"  # mid-write crash shape
+    (half_parquet / "_temporary").mkdir(parents=True)
+    (half_parquet / "part-00000.parquet").write_bytes(b"PAR1")
+    assert not _artifacts_ready(str(half_parquet))
+
+    committed_parquet = str(tmp_path / "ok_parquet")
+    spark.range(3).write.parquet(committed_parquet)
+    assert os.path.exists(os.path.join(committed_parquet, "_SUCCESS"))
+    assert _artifacts_ready(committed_parquet)
+
+    committed_state = str(tmp_path / "ok_state")
+    write_sink(
+        _frame(spark, [(1, _vec(1))], 0),
+        SinkSpec(
+            type="parquet",
+            path=committed_state,
+            mode="merge",
+            merge_key=("vec_id",),
+            merge_order=("rev",),
+        ),
+    )
+    assert _artifacts_ready(committed_state)
+    # all-of semantics: one uncommitted path poisons the set
+    assert not _artifacts_ready(committed_state, str(half_state))
+
+
 def test_tail_corrupt_checkpoint_names_file(spark, tmp_path):
     """A present-but-unreadable checkpoint is config-class: resuming
     silently from from_version would reprocess delivered versions, so the

@@ -820,10 +820,10 @@ def test_ivf_pq_incremental_index_equals_batch(spark):
 
 
 def test_ivf_pq_indexed_matches_inline_composite(spark):
-    """With the index built over the WHOLE corpus (dense ids — the
-    stand-in trainers select the same vectors the inline composite's
-    id-prefix filters do), probe-only search over the persisted state
-    must reproduce ivf_pq_topk bit-for-bit."""
+    """With the index built over the WHOLE corpus, probe-only search over
+    the persisted state must reproduce ivf_pq_topk bit-for-bit (both
+    trainers use the id-prefix selection, so the contract holds on any id
+    space — see the gapped-id test below)."""
     from embulk_executor_mapreduce_spark.operators.similarity import (
         ivf_pq_index_assign,
         ivf_pq_index_train,
@@ -844,6 +844,39 @@ def test_ivf_pq_indexed_matches_inline_composite(spark):
         n_codes=4, rerank=6, **_IKW,
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+def test_ivf_pq_indexed_matches_inline_on_gapped_ids(spark):
+    """r14 advisor finding: ivf_pq_index_train used sort-limit ("n lowest
+    ids") while the inline composite and its DuckDB oracle use the
+    id-prefix filter (id < n); on an id space with gaps INSIDE the prefix
+    (here ids 2 and 3 are absent) the two silently diverged — sort-limit
+    trained on {0, 1, 5, 7} where the prefix selects {0, 1}. Both now use
+    the prefix convention, so indexed search reproduces the inline
+    composite bit-for-bit on gapped spaces too."""
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        ivf_pq_index_assign,
+        ivf_pq_index_train,
+        ivf_pq_topk,
+        ivf_pq_topk_indexed,
+    )
+
+    gapped = [0, 1] + list(range(5, 45))  # 2-4 missing: gap inside prefix
+    corpus = _ivec(spark, gapped)
+    cents, cb = ivf_pq_index_train(corpus, n_centroids=4, n_codes=4, **_IKW)
+    # the prefix selects only the PRESENT ids below n
+    assert {r["cid"] for r in cents.collect()} == {0, 1}
+    idx = ivf_pq_index_assign(corpus, cents, cb, **_IKW)
+    got = ivf_pq_topk_indexed(
+        idx, cents, cb, corpus, query_ids=(0, 1), k=3,
+        nprobe=2, rerank=6, **_IKW,
+    ).collect()
+    want = ivf_pq_topk(
+        corpus, query_ids=(0, 1), k=3, n_centroids=4, nprobe=2,
+        n_codes=4, rerank=6, **_IKW,
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert got  # non-vacuous: the probe returns results
 
 
 def test_ivf_pq_index_reingest_is_idempotent(spark, tmp_path):
