@@ -6855,6 +6855,156 @@ def q_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: memoized per sf_dir: one tombstone-bearing merge state shared by the
+#: live-read row and the CDC-classification row (the
+#: `_cdc_three_version_state` amortization pattern)
+_DELETE_STATE_CACHE: dict[str, str] = {}
+
+
+def _merge_delete_versions(spark: SparkSession, sf_dir: str) -> str:
+    """Three committed versions of a customer-keyed merge state with keyed
+    DELETEs (r14, VERDICT r13 item 2): v0 seeds ``c_custkey % 4 == 0``;
+    v1 upserts ``% 8 == 0`` (+500 cents), inserts ``% 4 == 1``, tombstones
+    ``% 8 == 4`` (retire) AND ``% 8 == 3`` (never present — must be a
+    no-op); v2 re-inserts half the retired keys (``% 16 == 4``, +1000
+    cents). Every payload is a closed-form function of c_custkey, so both
+    rows' oracles replay it from the raw table."""
+    cached = _DELETE_STATE_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    from .sinks.writer import write_sink
+    from .spec import SinkSpec
+
+    c = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    k = F.col("c_custkey")
+
+    def batch(pred, cents_expr, rev, dead):
+        return c.filter(pred).select(
+            k.alias("k"),
+            cents_expr.alias("cents"),
+            F.lit(rev).cast("long").alias("rev"),
+            F.lit(dead).alias("_deleted"),
+        )
+
+    path = scratch_dir("q_merge_delete_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("rev",),
+        merge_keep_versions=4,
+        options={"delete_column": "_deleted"},
+    )
+    write_sink(batch(k % 4 == 0, cents, 0, False), sink)
+    write_sink(
+        batch(k % 8 == 0, cents + 500, 1, False)
+        .unionByName(batch(k % 4 == 1, cents, 1, False))
+        .unionByName(batch(k % 8 == 4, cents, 1, True))
+        .unionByName(batch(k % 8 == 3, cents, 1, True)),
+        sink,
+    )
+    write_sink(batch(k % 16 == 4, cents + 1000, 2, False), sink)
+    _DELETE_STATE_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "merge_delete_state",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+      FROM customer
+    )
+    SELECT k, c + 500 AS cents, CAST(1 AS BIGINT) AS rev
+    FROM cents WHERE k % 8 = 0
+    UNION ALL
+    SELECT k, c AS cents, CAST(1 AS BIGINT) AS rev
+    FROM cents WHERE k % 4 = 1
+    UNION ALL
+    SELECT k, c + 1000 AS cents, CAST(2 AS BIGINT) AS rev
+    FROM cents WHERE k % 16 = 4
+    """,
+    tags=("etl", "sink", "merge", "delete"),
+)
+def q_merge_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed DELETE through the merge sink (r14, VERDICT r13 item 2 — the
+    right-to-be-forgotten path): tombstone upserts
+    (``options.delete_column``) retire keys through the SAME bucket-pruned
+    keyed argmax as ordinary upserts — a replayed old batch can never
+    resurrect a newer delete — and the committed LIVE view is read back
+    with ``read_merge_state(..., delete_col=...)``. The replay: v0 seeds
+    ``% 4 == 0``; v1 updates ``% 8 == 0``, inserts ``% 4 == 1``, retires
+    ``% 8 == 4`` and no-op-tombstones the never-present ``% 8 == 3``; v2
+    re-inserts ``% 16 == 4``. The oracle computes the surviving live set
+    closed-form: any key wrongly dropped (the no-op tombstone), wrongly
+    retained (``% 16 == 12`` must stay dead), or resurrected at a stale
+    payload flips the hash. At 100 TB a delete batch costs one touched-
+    bucket rewrite, never a snapshot rewrite; tombstone reclamation is
+    ``purge_tombstones`` on the gc-grace schedule (pytest-covered —
+    purge commits diff empty, so it is value-invisible here)."""
+    from .sinks.writer import read_merge_state
+
+    path = _merge_delete_versions(spark, sf_dir)
+    return read_merge_state(spark, path, delete_col="_deleted").select(
+        "k", "cents", "rev"
+    )
+
+
+@register(
+    "cdc_delete_feed",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+      FROM customer
+    )
+    SELECT k, c AS cents, CAST(0 AS BIGINT) AS rev,
+           'update_preimage' AS change_type, CAST(1 AS BIGINT) AS commit_version
+    FROM cents WHERE k % 8 = 0
+    UNION ALL
+    SELECT k, c + 500, CAST(1 AS BIGINT), 'update_postimage', CAST(1 AS BIGINT)
+    FROM cents WHERE k % 8 = 0
+    UNION ALL
+    SELECT k, c, CAST(1 AS BIGINT), 'insert', CAST(1 AS BIGINT)
+    FROM cents WHERE k % 4 = 1
+    UNION ALL
+    SELECT k, c, CAST(0 AS BIGINT), 'delete', CAST(1 AS BIGINT)
+    FROM cents WHERE k % 8 = 4
+    UNION ALL
+    SELECT k, c + 1000, CAST(2 AS BIGINT), 'insert', CAST(2 AS BIGINT)
+    FROM cents WHERE k % 16 = 4
+    """,
+    tags=("cdc", "merge", "delete"),
+)
+def q_cdc_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC half of the keyed-DELETE contract (r14): the per-version
+    ``table_changes(..., delete_col=...)`` feed over the tombstone-bearing
+    state classifies every transition in the logical language —
+    live→tombstone is a ``delete`` carrying the key's last LIVE payload
+    (the v0 row, not the tombstone's), re-insert is an ``insert``, a
+    tombstone for a never-present key (``% 8 == 3``) produces NOTHING,
+    and the marker column never leaks into the feed. Downstream states
+    (dedup/ANN/postings) cascade retirements from exactly this feed. The
+    oracle replays all five transition classes closed-form from the raw
+    customer table."""
+    from .sinks.changes import table_changes
+
+    path = _merge_delete_versions(spark, sf_dir)
+    feed = table_changes(
+        spark, path, ["k"], 0, per_version=True, delete_col="_deleted"
+    )
+    return feed.select(
+        "k",
+        "cents",
+        "rev",
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").alias("commit_version"),
+    )
+
+
 # The round driver snapshots only the FIRST 50 entries() queries per round.
 # Through r11 the window was a hand-curated tuple re-derived from
 # blast-radius arithmetic every round; r12 encodes the rotation policy

@@ -73,12 +73,34 @@ _CHANGELOG_EXPIRED = ".expired-"
 _CHANGELOG_STALE_SEC = 3600.0
 
 
-def snapshot_diff(old: DataFrame, new: DataFrame, keys: list[str]) -> DataFrame:
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> DataFrame:
     """Row-level diff of two key-unique snapshots: full-outer join on
     ``keys``, then per-row change classification. Rows identical on every
     column produce nothing; a changed row produces BOTH its
     ``update_preimage`` and ``update_postimage``. Output schema = snapshot
-    schema + ``_change_type`` string."""
+    schema + ``_change_type`` string.
+
+    ``delete_col`` (r14 keyed-DELETE support): name of the sink's tombstone
+    marker column. Each snapshot is reduced to its LIVE view (tombstoned
+    rows filtered, the marker column dropped) before diffing, so the feed
+    speaks the logical language: live→tombstone is a ``delete`` carrying
+    the retired row's last live payload, tombstone→live (re-insert) is an
+    ``insert``, a tombstone for a never-present or already-dead key is
+    nothing, and a :func:`...writer.purge_tombstones` commit diffs empty
+    (physical GC is not a logical change). Dropping the marker also keeps
+    the schema-equality check working across the batch that first
+    INTRODUCED the marker column (its pre-evolution neighbor snapshot
+    lacks it)."""
+    if delete_col is not None:
+        from .writer import _drop_tombstones
+
+        old = _drop_tombstones(old, delete_col).drop(delete_col)
+        new = _drop_tombstones(new, delete_col).drop(delete_col)
     cols = new.columns
     if old.columns != cols:
         raise ValueError(
@@ -373,6 +395,7 @@ def materialize_changes(
     fmt: str = "parquet",
     through_version: int | None = None,
     keep_versions: int | None = None,
+    delete_col: str | None = None,
 ) -> list[int]:
     """Persist the per-commit change files for every commit whose adjacent
     manifest pair is still retained and whose changelog is missing; returns
@@ -518,7 +541,7 @@ def materialize_changes(
             raise ValueError(
                 f"snapshot columns collide with {COMMIT_VERSION_COL}"
             )
-        diff = snapshot_diff(old, new, list(keys)).withColumn(
+        diff = snapshot_diff(old, new, list(keys), delete_col).withColumn(
             COMMIT_VERSION_COL, F.lit(v).cast("long")
         )
         scratch = os.path.join(
@@ -533,12 +556,16 @@ def materialize_changes(
             continue
         import json
 
+        meta = {"version": v, "keys": list(keys), "source_format": fmt}
+        if delete_col is not None:
+            # recorded so a read under a DIFFERENT delete_col (or none)
+            # degrades to recompute instead of serving a feed whose
+            # delete classification was computed under another contract;
+            # omitted entirely when None so pre-r14 metas compare equal
+            meta["delete_col"] = delete_col
         _fsync_write(
             _changelog_meta_path(local, v),
-            json.dumps(
-                {"version": v, "keys": list(keys), "source_format": fmt},
-                sort_keys=True,
-            ),
+            json.dumps(meta, sort_keys=True),
         )
         done.append(v)
     if keep_versions is not None:
@@ -557,6 +584,7 @@ def table_changes(
     fmt: str = "parquet",
     per_version: bool = False,
     use_changelog: bool | None = None,
+    delete_col: str | None = None,
 ) -> DataFrame:
     """Change feed of a merge-sink state between two committed versions
     (both must still be retained — raise with the ``merge_keep_versions``
@@ -593,6 +621,14 @@ def table_changes(
     (the oracle side of the bit-equality contract). The empty ``from ==
     to`` range always takes the recompute branch — there is no persisted
     file to take an output schema from.
+
+    ``delete_col`` (r14 keyed-DELETE): the sink's tombstone marker column
+    — see :func:`snapshot_diff` for the classification semantics
+    (live→tombstone = ``delete``, re-insert = ``insert``, purge commits
+    diff empty). The changelog fast path serves only files materialized
+    under the SAME ``delete_col`` (the meta records it); a mismatch
+    degrades auto mode to recompute and fails the explicit
+    ``use_changelog=True`` read like a keys mismatch.
 
     Schema-evolution caveat (schema-on-read source formats only): each
     commit's change file pins the csv/json-inferred schema of ITS OWN
@@ -643,13 +679,18 @@ def table_changes(
             )
         if not missing:
             mismatched = {
-                v: m["keys"] for v, m in metas.items() if m["keys"] != list(keys)
+                v: m["keys"]
+                for v, m in metas.items()
+                if m["keys"] != list(keys)
+                or m.get("delete_col") != delete_col
             }
             if mismatched and use_changelog:
-                v, meta_keys = next(iter(sorted(mismatched.items())))
+                v = next(iter(sorted(mismatched)))
                 raise ValueError(
                     f"persisted change file v{v} was materialized with "
-                    f"keys={meta_keys}, read requested keys={list(keys)}"
+                    f"keys={metas[v]['keys']} delete_col="
+                    f"{metas[v].get('delete_col')!r}, read requested "
+                    f"keys={list(keys)} delete_col={delete_col!r}"
                 )
             if not mismatched and (
                 use_changelog
@@ -689,7 +730,7 @@ def table_changes(
         man_to = _load_manifest(local, to_v)
         schema, _ = _pinned_schema(spark, local, [man_to, man_from], fmt, path)
         old, new = _pair_frames(spark, local, man_from, man_to, fmt, schema)
-        return snapshot_diff(old, new, list(keys))
+        return snapshot_diff(old, new, list(keys), delete_col)
 
     manifests = {
         v: _load_manifest(local, v) for v in range(from_version, to_v + 1)
@@ -711,7 +752,7 @@ def table_changes(
                 f"snapshot columns collide with {COMMIT_VERSION_COL}"
             )
         feeds.append(
-            snapshot_diff(old, new, list(keys)).withColumn(
+            snapshot_diff(old, new, list(keys), delete_col).withColumn(
                 COMMIT_VERSION_COL, F.lit(v).cast("long")
             )
         )
@@ -727,7 +768,7 @@ def table_changes(
             raise ValueError(
                 f"snapshot columns collide with {COMMIT_VERSION_COL}"
             )
-        return snapshot_diff(empty, empty, list(keys)).withColumn(
+        return snapshot_diff(empty, empty, list(keys), delete_col).withColumn(
             COMMIT_VERSION_COL, F.lit(to_v).cast("long")
         )
     out = feeds[0]

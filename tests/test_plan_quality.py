@@ -810,3 +810,38 @@ def test_bm25_plan_shape(spark):
     # re-exchanges, and the final per-doc sum (AQE reuses at runtime);
     # nothing is corpus×corpus and nothing sorts globally
     assert num_exchanges(df) <= 7, plan
+
+
+def test_merge_delete_live_read_pushes_marker_filter(spark, tmp_path):
+    """r14 keyed DELETE: the live view's tombstone filter must reach the
+    state parquet scan as a SOURCE filter (IS NULL OR = false — written
+    that way because coalesce() is not pushable), so row-group stats skip
+    all-tombstone files without opening them; and the marker filter never
+    widens the read schema beyond the selected columns + marker."""
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    p = str(tmp_path / "state")
+    sink = SinkSpec(
+        type="parquet",
+        path=p,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("rev",),
+        options={"delete_column": "_deleted"},
+    )
+    write_sink(
+        spark.createDataFrame(
+            [(i, f"v{i}", 0, i % 2 == 0) for i in range(10)],
+            "k bigint, v string, rev bigint, _deleted boolean",
+        ),
+        sink,
+    )
+    live = read_merge_state(spark, p, delete_col="_deleted").select("k", "v")
+    filters = " ".join(pushed_filters(live))
+    assert "_deleted" in filters, filters
+    assert "IsNull(_deleted)" in filters and "EqualTo(_deleted" in filters, filters
+    assert live.count() == 5
