@@ -6855,6 +6855,104 @@ def q_url_registrable_psl(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: memoized per sf_dir (the `_ivf_pq_persisted_index` convention): the
+#: serving row prices PROBE-ONLY scoring, so the one-time whole-corpus
+#: postings build happens on the first call only
+_BM25_INDEX_CACHE: dict[str, str] = {}
+
+
+def _bm25_persisted_index(spark: SparkSession, sf_dir: str) -> str:
+    cached = _BM25_INDEX_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    from .operators.search import bm25_index_build
+
+    root = scratch_dir("q_bm25_index_")
+    bm25_index_build(load(spark, sf_dir, "documents"), root)
+    _BM25_INDEX_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "bm25_search_indexed",
+    oracle=bm25_oracle_sql(_BM25_TERMS),
+    tags=("text", "search", "ranking", "serving", "sink"),
+)
+def q_bm25_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 served PROBE-ONLY from the persisted postings index (r14,
+    VERDICT r13 item 1 — the lexical twin of `ann_ivf_pq_index_probe`):
+    the committed standing state is the term-bucketed tombstone-capable
+    `(term, doc_id, tf, dl)` merge-sink postings plus per-version corpus
+    stats deltas; the query opens ONLY the query terms' bucket
+    directories (`merge_bucket_ids` → `read_merge_state(buckets=...)`),
+    pushes `term IN (...)` to the parquet scan (PushedFilters,
+    plan-guarded), takes df from the probed rows themselves and N/Σdl
+    from the stats — the corpus is never tokenized, scanned, or joined
+    at query time. Same oracle as `bm25_search_topk` VERBATIM: a
+    whole-corpus index must reproduce the inline scorer bit-for-bit
+    (`_bm25_contrib` is the ONE shared float-discipline expression).
+    The bench gap between the two rows is what the standing index buys a
+    repeat query — re-tokenizing 100 TB per query batch vs reading
+    |terms| inverted lists."""
+    from .operators.search import bm25_topk_indexed
+
+    root = _bm25_persisted_index(spark, sf_dir)
+    return bm25_topk_indexed(spark, root, _BM25_TERMS)
+
+
+@register(
+    "stream_cdc_postings_ingest",
+    oracle=bm25_oracle_sql(_BM25_TERMS),
+    tags=("streaming", "cdc", "text", "search", "incremental", "sink"),
+)
+def q_stream_cdc_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC tail × persisted postings index driver-verified end to end
+    (r14, VERDICT r13 item 3) — the lexical sibling of
+    `stream_cdc_ann_index_ingest`: an upstream documents merge table
+    commits v0 (empty bootstrap), v1 (even doc_ids), v2 (odd), v3 (an
+    identical re-commit whose diff is EMPTY — the no-op increment the
+    tail must skip without writing an empty stats dir or a no-op
+    postings version), and ``run_cdc_postings_ingest`` tails the feed —
+    each increment re-tokenizes its postimage rows into postings upserts
+    and its own stats delta, checkpoint advancing per version. Probe-only
+    search over the maintained index must reproduce the INLINE scorer's
+    oracle VERBATIM over the whole corpus — the feed + tail + checkpoint
+    machinery is value-invisible. The churn half (updates retiring
+    dropped terms, upstream keyed-DELETE cascading to tombstones) is
+    pinned in tests/test_bm25_index.py + test_cdc_postings_compose.py."""
+    from .operators.search import bm25_topk_indexed
+    from .sinks.writer import write_sink
+    from .spec import SinkSpec
+    from .streaming.ingest import run_cdc_postings_ingest
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    up = scratch_dir("q_cdc_postings_up_") + "/upstream"
+    sink = SinkSpec(
+        type="parquet",
+        path=up,
+        mode="merge",
+        merge_key=("doc_id",),
+        merge_order=("rev",),
+        merge_keep_versions=5,
+    )
+    rev = F.lit(0).cast("long").alias("rev")
+    write_sink(docs.limit(0).withColumn("rev", F.lit(0).cast("long")), sink)
+    evens = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text", rev)
+    write_sink(evens, sink)
+    write_sink(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text", rev),
+        sink,
+    )
+    # identical re-commit of a deterministic subset → EMPTY diff at v3
+    write_sink(evens.filter(F.col("doc_id") % 20 == 0), sink)
+    root = scratch_dir("q_cdc_postings_ix_")
+    run_cdc_postings_ingest(
+        spark, up, ["doc_id"], root,
+        checkpoint=scratch_dir("q_cdc_postings_ck_"),
+    )
+    return bm25_topk_indexed(spark, root, _BM25_TERMS)
+
+
 #: memoized per sf_dir: one tombstone-bearing merge state shared by the
 #: live-read row and the CDC-classification row (the
 #: `_cdc_three_version_state` amortization pattern)

@@ -51,6 +51,60 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: tombstone marker the postings index threads through the merge sink's
+#: keyed-DELETE machinery (a doc update retires its dropped terms; a doc
+#: delete retires every posting) — see sinks/writer.py
+POSTINGS_DELETE_COL = "_deleted"
+
+
+def _bm25_contrib() -> F.Column:
+    """The per-(doc, term) BM25 contribution in integer micro-units —
+    ONE definition of the float-discipline-critical expression (the FIXED
+    IEEE parenthesization both the inline scorer and the indexed prober
+    must share bit-for-bit; a drifted copy would silently break the
+    'indexed ≡ inline' pin the serving row relies on). Expects columns
+    ``n, df, tf, dl, sumdl``; k1 = 1.2, b = 0.75."""
+    return (
+        (
+            (F.col("n") - F.col("df") + F.lit(0.5))
+            / (F.col("df") + F.lit(0.5))
+        )
+        * (
+            (F.col("tf") * F.lit(2.2))
+            / (
+                F.col("tf")
+                + F.lit(1.2)
+                * (
+                    F.lit(0.25)
+                    + F.lit(0.75)
+                    * (F.col("dl") * F.col("n"))
+                    / F.col("sumdl")
+                )
+            )
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    )
+
+
+def _bm25_rank(scored_terms: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared scoring tail: floor each contribution to BIGINT micro-units,
+    sum per doc (summation-order-proof), TakeOrdered top-k. Input must
+    carry ``id_col`` plus the ``n, df, tf, dl, sumdl`` contrib columns."""
+    return (
+        scored_terms.select(
+            F.col(id_col),
+            F.floor(_bm25_contrib()).cast("long").alias("c"),
+        )
+        .groupBy(id_col)
+        .agg(F.sum("c").alias("smicro"))
+        .orderBy(F.col("smicro").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col, (F.col("smicro") / F.lit(1_000_000.0)).alias("bm25")
+        )
+    )
+
 
 def bm25_topk(
     docs: DataFrame,
@@ -83,45 +137,222 @@ def bm25_topk(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    # FIXED parenthesization — the DuckDB oracle mirrors it token-for-token
-    contrib = (
-        (
-            (F.col("n") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
-        )
-        * (
-            (F.col("tf") * F.lit(2.2))
-            / (
-                F.col("tf")
-                + F.lit(1.2)
-                * (
-                    F.lit(0.25)
-                    + F.lit(0.75)
-                    * (F.col("dl") * F.col("n"))
-                    / F.col("sumdl")
-                )
-            )
-        )
-        * F.lit(1_000_000.0)
-        + F.lit(0.5)
-    )
-    scored = (
+    # contrib parenthesization is _bm25_contrib — the DuckDB oracle
+    # mirrors it token-for-token and the indexed prober shares it
+    return _bm25_rank(
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
-        .crossJoin(F.broadcast(stats))
-        .select(
-            F.col(id_col),
-            F.floor(contrib).cast("long").alias("c"),
-        )
-        .groupBy(id_col)
-        .agg(F.sum("c").alias("smicro"))
+        .crossJoin(F.broadcast(stats)),
+        id_col,
+        k,
     )
+
+
+def _postings_sink(index_root: str, merge_buckets: int):
+    """The postings state's sink spec — keyed (term, doc_id), BUCKETED BY
+    TERM ALONE (``merge_bucket_columns``) so a query-time term probe opens
+    only its terms' bucket directories, ordered by the monotone ingest
+    version (an upstream update's re-tokenized rows beat stale ones), with
+    the keyed-DELETE marker so dropped terms / deleted docs retire through
+    tombstones instead of a snapshot rewrite."""
+    from ..spec import SinkSpec
+
+    return SinkSpec(
+        type="parquet",
+        path=f"{index_root}/postings",
+        mode="merge",
+        merge_key=("term", "doc_id"),
+        merge_order=("_ingest_version",),
+        merge_buckets=merge_buckets,
+        options={
+            "delete_column": POSTINGS_DELETE_COL,
+            "merge_bucket_columns": ("term",),
+        },
+    )
+
+
+def _doc_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, term, tf, dl) for one batch of documents — the SAME
+    tokenize → per-doc term count → per-doc length aggregates the inline
+    scorer runs, so stored tf/dl reproduce its values bit-for-bit."""
+    from .text import tokens
+
+    tok = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
     return (
-        scored.orderBy(F.col("smicro").desc(), F.col(id_col))
-        .limit(k)
-        .select(
-            id_col, (F.col("smicro") / F.lit(1_000_000.0)).alias("bm25")
+        tok.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "doc_id")
+    )
+
+
+def bm25_index_build(
+    docs: DataFrame,
+    index_root: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merge_buckets: int = 64,
+    version: int = 1,
+) -> None:
+    """Build (or increment) the PERSISTED lexical index — the standing
+    structure :func:`bm25_topk_indexed` serves from, the lexical twin of
+    the r13 IVF-PQ index (VERDICT r13 item 1):
+
+    * ``{index_root}/postings`` — the full inverted index
+      ``(term, doc_id, tf, dl)`` as a merge-sink state keyed
+      ``(term, doc_id)``, term-bucketed, tombstone-capable. ``dl`` is
+      DENORMALIZED into each posting (the Lucene norms-in-the-index
+      move): a doc update rewrites all its postings anyway, and carrying
+      the length means query-time scoring touches NOTHING but matching
+      postings — no doc-length join against a corpus-sized table.
+    * ``{index_root}/stats/ingest_version=<v>`` — this batch's
+      ``(n_delta, sumdl_delta)`` contribution to the corpus totals; the
+      prober sums the tiny per-version deltas. Per-version dirs make
+      redelivery idempotent (a replay overwrites its own dir with
+      bit-identical content).
+
+    Batches are INSERTS (first build / append-only crawl). Updates and
+    deletes flow through :func:`bm25_index_delta` with the CDC feed's
+    preimage rows. Corpus-sized work is ONE tokenize + two partial
+    aggregates; everything else is bounded by the batch."""
+    from ..sinks.writer import write_sink
+
+    posts = _doc_postings(docs, id_col, text_col)
+    write_sink(
+        posts.withColumn("_ingest_version", F.lit(version).cast("long"))
+        .withColumn(POSTINGS_DELETE_COL, F.lit(False)),
+        _postings_sink(index_root, merge_buckets),
+    )
+    (
+        posts.groupBy("doc_id")
+        .agg(F.first("dl").alias("dl"))
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum("dl").alias("sumdl_delta"),
         )
+        .write.mode("overwrite")
+        .parquet(f"{index_root}/stats/ingest_version={version}")
+    )
+
+
+def bm25_index_delta(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    index_root: str,
+    version: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    merge_buckets: int = 64,
+) -> None:
+    """Apply one CDC increment to the persisted index: ``new_docs`` are
+    the version's insert/update_postimage rows, ``old_docs`` its
+    delete/update_preimage rows. The OLD term set comes from re-tokenizing
+    the preimages the feed already carries — never from probing the index
+    by doc_id (the postings are term-bucketed; a doc-keyed probe would
+    touch every bucket). Per (doc, term):
+
+    * in new       → upsert ``(tf, dl, live)`` (fresh counts win by
+      ``_ingest_version``);
+    * in old only  → TOMBSTONE — the term was dropped by an update, or
+      the whole doc was deleted (keyed-DELETE machinery; a later
+      re-insert of the pair beats the tombstone by version).
+
+    Stats deltas are net: ``n_delta = |new docs| - |old docs|``,
+    ``sumdl_delta = Σ new dl - Σ old dl`` (an updated doc appears on both
+    sides and contributes only its length change). Everything is bounded
+    by the increment; redelivery is idempotent (same version → same rows,
+    same stats dir)."""
+    from ..sinks.writer import write_sink
+
+    new_p = _doc_postings(new_docs, id_col, text_col)
+    old_p = _doc_postings(old_docs, id_col, text_col)
+    dropped = old_p.join(new_p, ["doc_id", "term"], "left_anti")
+    delta = new_p.withColumn(POSTINGS_DELETE_COL, F.lit(False)).unionByName(
+        dropped.withColumn(POSTINGS_DELETE_COL, F.lit(True))
+    )
+    write_sink(
+        delta.withColumn("_ingest_version", F.lit(version).cast("long")),
+        _postings_sink(index_root, merge_buckets),
+    )
+    new_stats = new_p.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    old_stats = old_p.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    (
+        new_stats.agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.coalesce(F.sum("dl"), F.lit(0)).alias("sumdl_delta"),
+        )
+        .crossJoin(
+            old_stats.agg(
+                F.count(F.lit(1)).alias("on"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("os"),
+            )
+        )
+        .select(
+            (F.col("n_delta") - F.col("on")).alias("n_delta"),
+            (F.col("sumdl_delta") - F.col("os")).alias("sumdl_delta"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{index_root}/stats/ingest_version={version}")
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    index_root: str,
+    query_terms: tuple[str, ...],
+    k: int = 10,
+    id_col: str = "doc_id",
+    merge_buckets: int = 64,
+    prune_buckets: bool = True,
+) -> DataFrame:
+    """PROBE-ONLY BM25 over the committed index (VERDICT r13 item 1 — the
+    lexical twin of ``ivf_pq_topk_indexed``): score a query term set from
+    the standing postings WITHOUT touching the corpus — no tokenize, no
+    document scan, no doc-length join. The 100 TB serving story:
+
+    * bucket pruning — the postings are term-bucketed, so the probe opens
+      only the query terms' bucket directories
+      (``read_merge_state(buckets=merge_bucket_ids(...))``: at most
+      ``|terms|`` of ``merge_buckets`` dirs, the inverted-list read);
+    * literal pushdown — ``term IN (...)`` reaches the parquet scan as a
+      source filter (PushedFilters, plan-guarded), so row-group stats
+      skip non-matching rows inside the opened buckets;
+    * ``df`` per term = row count of the probed postings themselves
+      (exactly the inline scorer's candidate-doc count — live postings
+      only, tombstones filtered by the keyed-DELETE read);
+    * ``N`` / ``Σdl`` = sums over the tiny per-version stats deltas.
+
+    Bit-equal to :func:`bm25_topk` over the same corpus by construction:
+    tf/dl/df/N/Σdl take identical integer values and the scoring tail IS
+    the shared :func:`_bm25_rank` / :func:`_bm25_contrib`."""
+    from ..sinks.writer import merge_bucket_ids, read_merge_state
+
+    buckets = (
+        merge_bucket_ids(spark, list(query_terms), merge_buckets)
+        if prune_buckets
+        else None
+    )
+    probed = (
+        read_merge_state(
+            spark,
+            f"{index_root}/postings",
+            delete_col=POSTINGS_DELETE_COL,
+            buckets=buckets,
+        )
+        .filter(F.col("term").isin(*query_terms))
+        .select(F.col("doc_id").alias(id_col), "term", "tf", "dl")
+    )
+    dfreq = probed.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.read.parquet(f"{index_root}/stats").agg(
+        F.sum("n_delta").alias("n"), F.sum("sumdl_delta").alias("sumdl")
+    )
+    return _bm25_rank(
+        probed.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats)),
+        id_col,
+        k,
     )
 
 

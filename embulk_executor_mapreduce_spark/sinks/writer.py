@@ -106,6 +106,7 @@ def read_merge_state(
     fmt: str = "parquet",
     version: int | None = None,
     delete_col: str | None = None,
+    buckets: list[int] | None = None,
 ):
     """Resolve a merge-sink state for reading: follow ``_CURRENT`` →
     manifest → explicit bucket-dir list (pointer-era layout), or fall back
@@ -128,13 +129,24 @@ def read_merge_state(
     false/NULL on returned rows). Omit it to see tombstones, e.g. for
     audit or :func:`purge_tombstones` scheduling. The filter is a plain
     predicate on a boolean column — parquet row-group stats prune
-    all-tombstone files without opening them."""
+    all-tombstone files without opening them.
+
+    ``buckets`` (r14 keyed-probe support): open ONLY these bucket ids'
+    directories — the inverted-list read for states bucketed on a probe
+    key (``options.merge_bucket_columns``); derive the ids from literal
+    probe values with :func:`merge_bucket_ids`. Requires a pointer-era
+    state."""
     local = _local(path)
     current = _pointer_version(local)
     if current is None:
         if version is not None:
             raise FileNotFoundError(
                 f"{path} is a pre-pointer (legacy) state: no versions to time-travel"
+            )
+        if buckets is not None:
+            raise FileNotFoundError(
+                f"{path} is a pre-pointer (legacy) state: no bucket manifest "
+                "to prune against"
             )
         df = spark.read.format(fmt).load(path)
         return _drop_tombstones(df, delete_col)
@@ -147,10 +159,39 @@ def read_merge_state(
             f"snapshots are GC'd per the sink's merge_keep_versions retention)"
         )
     man = _load_manifest(local, v)
-    dirs = [os.path.join(local, rel) for rel in man["buckets"].values()]
+    bmap = man["buckets"]
+    if buckets is not None:
+        # keyed-probe pruning: open ONLY the named buckets' directories
+        # (absent ids are legitimately empty — never an error). The caller
+        # derives the ids from its probe keys via merge_bucket_ids().
+        bmap = {b: rel for b, rel in bmap.items() if int(b) in set(buckets)}
+        if not bmap:
+            raise FileNotFoundError(
+                f"merge state {path}: none of the probed buckets "
+                f"{sorted(set(buckets))} exist in version {v} — no schema "
+                "source; read without buckets= for the full state"
+            )
+    dirs = [os.path.join(local, rel) for rel in bmap.values()]
     if not dirs:
         raise FileNotFoundError(f"merge state at {path} has no committed buckets")
     return _drop_tombstones(spark.read.format(fmt).load(dirs), delete_col)
+
+
+def merge_bucket_ids(spark, values, n_buckets: int) -> list[int]:
+    """Bucket ids for a list of LITERAL bucket-column values — the probe
+    side of a keyed bucket layout (``pmod(xxhash64(...), n)`` must be
+    computed by the same engine hash as the write side, so this runs one
+    tiny local job over the literals; driver cost is bounded by the probe
+    list, never data). ``values``: scalars for a single bucket column, or
+    tuples for a composite one."""
+    rows = [v if isinstance(v, tuple) else (v,) for v in values]
+    if not rows:
+        return []
+    df = spark.createDataFrame(rows)
+    b = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_buckets))
+    return sorted(
+        {r.b for r in df.select(b.cast("int").alias("b")).distinct().collect()}
+    )
 
 
 def _drop_tombstones(df, delete_col: str | None):
@@ -442,6 +483,14 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     local = _local(path)
     keys = list(spec.merge_key)
     order = list(spec.merge_order)
+    bucket_cols = [str(c) for c in spec.options.get("merge_bucket_columns", keys)]
+    if not bucket_cols or any(c not in keys for c in bucket_cols):
+        raise ConfigError(
+            f"merge_bucket_columns {bucket_cols} must be a non-empty subset "
+            f"of merge_key {keys} — bucket membership must stay a pure "
+            "function of the key (rows for one key never straddle buckets, "
+            "and the manifest diff stays a superset of the changed keys)"
+        )
     delete_col = spec.options.get("delete_column")
     if delete_col is not None:
         delete_col = str(delete_col)
@@ -465,9 +514,15 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     # heal a directory-swap-era crash before reading anything
     _recover_merge_backup(local, local.rstrip("/") + ".__merge_old__")
 
-    mb = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(spec.merge_buckets)).cast(
-        "int"
-    )
+    # bucket on merge_bucket_columns (default: the full merge key). A
+    # STRICT SUBSET serves keyed-probe layouts — e.g. a postings index
+    # keyed (term, doc_id) but bucketed by term alone, so a query-time
+    # term probe opens only its terms' bucket directories instead of all
+    # merge_buckets of them (the inverted-list read; see
+    # operators/search.bm25_topk_indexed)
+    mb = F.pmod(
+        F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(spec.merge_buckets)
+    ).cast("int")
     new = df.withColumn("__gen", F.lit(1))
 
     # Optimistic concurrency (multi-writer): compute the merge against the

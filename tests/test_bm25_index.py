@@ -1,0 +1,125 @@
+"""Persisted BM25 postings index (r14, VERDICT r13 item 1): the lexical
+twin of the r13 IVF-PQ index — term-bucketed tombstone-capable postings +
+per-version stats deltas as standing state, probe-only scoring bit-equal
+to the inline scorer, CDC-shaped update/delete increments."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from embulk_executor_mapreduce_spark.operators.search import (
+    bm25_index_build,
+    bm25_index_delta,
+    bm25_topk,
+    bm25_topk_indexed,
+)
+
+TERMS = ("alpha", "gamma", "zeta")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _corpus(spark, n=40):
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    return _docs(
+        spark,
+        [
+            (i, " ".join(words[j % 6] for j in range(i, i + 3 + i % 5)))
+            for i in range(n)
+        ],
+    )
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_indexed_matches_inline_bitwise(spark, tmp_path):
+    corpus = _corpus(spark)
+    root = str(tmp_path / "ix")
+    bm25_index_build(corpus, root, merge_buckets=8)
+    got = bm25_topk_indexed(spark, root, TERMS, k=7, merge_buckets=8)
+    want = bm25_topk(corpus, TERMS, k=7)
+    assert _rows(got) == _rows(want) and got.count() == 7
+
+
+def test_incremental_build_equals_batch(spark, tmp_path):
+    """Two insert increments produce the index (and stats) one batch
+    build produces — scoring over both is bit-identical."""
+    corpus = _corpus(spark)
+    a, b = str(tmp_path / "a"), str(tmp_path / "b")
+    bm25_index_build(corpus, a, merge_buckets=8)
+    bm25_index_build(
+        corpus.filter(F.col("doc_id") % 2 == 0), b, merge_buckets=8, version=1
+    )
+    bm25_index_build(
+        corpus.filter(F.col("doc_id") % 2 == 1), b, merge_buckets=8, version=2
+    )
+    assert _rows(bm25_topk_indexed(spark, b, TERMS, k=7, merge_buckets=8)) == \
+        _rows(bm25_topk_indexed(spark, a, TERMS, k=7, merge_buckets=8))
+
+
+def test_update_and_delete_increments_track_corpus(spark, tmp_path):
+    """The serving contract under churn: after an update (term set and
+    length change) and a delete flow through bm25_index_delta, probe-only
+    scoring equals the inline scorer over the CURRENT corpus."""
+    base = _corpus(spark)
+    root = str(tmp_path / "ix")
+    bm25_index_build(base, root, merge_buckets=8, version=1)
+    # v2: doc 0 rewritten (drops its old terms, new length), doc 1 deleted
+    upd = _docs(spark, [(0, "zeta zeta nu")])
+    pre = base.filter(F.col("doc_id").isin(0, 1))
+    bm25_index_delta(upd, pre, root, version=2, merge_buckets=8)
+    current = (
+        base.filter(~F.col("doc_id").isin(0, 1)).unionByName(upd)
+    )
+    got = bm25_topk_indexed(spark, root, TERMS, k=10, merge_buckets=8)
+    want = bm25_topk(current, TERMS, k=10)
+    assert _rows(got) == _rows(want)
+    # the dropped pair is a tombstone, invisible to the probe
+    ids = {r.doc_id for r in got.collect()}
+    assert 1 not in ids
+
+
+def test_delta_redelivery_is_idempotent(spark, tmp_path):
+    base = _corpus(spark)
+    root = str(tmp_path / "ix")
+    bm25_index_build(base, root, merge_buckets=8, version=1)
+    upd = _docs(spark, [(3, "alpha alpha alpha")])
+    pre = base.filter(F.col("doc_id") == 3)
+    bm25_index_delta(upd, pre, root, version=2, merge_buckets=8)
+    before = _rows(bm25_topk_indexed(spark, root, TERMS, k=10, merge_buckets=8))
+    bm25_index_delta(upd, pre, root, version=2, merge_buckets=8)  # replay
+    assert _rows(
+        bm25_topk_indexed(spark, root, TERMS, k=10, merge_buckets=8)
+    ) == before
+
+
+def test_probe_opens_only_query_term_buckets(spark, tmp_path):
+    """The inverted-list read: with term bucketing, the probe's resolved
+    file paths cover only the query terms' bucket ids — a proper subset
+    of the committed buckets for a narrow query."""
+    import json
+
+    from embulk_executor_mapreduce_spark.sinks.writer import merge_bucket_ids
+
+    corpus = _corpus(spark, n=60)
+    root = str(tmp_path / "ix")
+    bm25_index_build(corpus, root, merge_buckets=16)
+    state = os.path.join(root, "postings")
+    with open(os.path.join(state, "_CURRENT")) as f:
+        v = json.load(f)["version"]
+    with open(os.path.join(state, "_manifests", f"v{v}.json")) as f:
+        committed = set(json.load(f)["buckets"])
+    want_ids = {str(b) for b in merge_bucket_ids(spark, ["alpha"], 16)}
+    probe = bm25_topk_indexed(spark, root, ("alpha",), k=5, merge_buckets=16)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # every committed bucket NOT holding 'alpha' stays unopened
+    for b in committed - want_ids:
+        assert f"__mbd={b}" not in plan, f"bucket {b} opened: {plan[:2000]}"
+    assert len(committed) > len(want_ids)  # the subset is proper
+    assert probe.count() == 5

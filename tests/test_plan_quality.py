@@ -845,3 +845,19 @@ def test_merge_delete_live_read_pushes_marker_filter(spark, tmp_path):
     assert "_deleted" in filters, filters
     assert "IsNull(_deleted)" in filters and "EqualTo(_deleted" in filters, filters
     assert live.count() == 5
+
+
+def test_bm25_indexed_is_probe_only(spark):
+    """r14 lexical serving path: the committed postings state is what's
+    scanned — the corpus parquet never appears in the plan (no tokenize,
+    no doc-length join at query time) — the query terms reach the scan as
+    a literal In() source filter, and the top-k stays a TakeOrdered."""
+    df = catalog.entries()["bm25_search_indexed"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "corpus scanned at query time"
+    assert "/postings/" in plan, "postings state must be what's scanned"
+    filters = " ".join(pushed_filters(df))
+    assert "In(term" in filters, filters
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert df.count() > 0
