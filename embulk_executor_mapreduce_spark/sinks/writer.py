@@ -646,62 +646,48 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     )
 
 
-def purge_tombstones(spark, spec: SinkSpec) -> int:
-    """Physically drop tombstoned keys from a merge-sink state — the GC
-    half of the keyed-DELETE story (r14): :func:`_merge_file_sink` RETAINS
-    the winning tombstone rows so a late replay of an old batch cannot
-    resurrect a deleted key; this op reclaims them once the deployment's
-    late-replay grace window has passed (the Cassandra ``gc_grace``
-    discipline — after a purge, a replay of a batch OLDER than the purged
-    tombstone could re-insert the key; run purges on a schedule slower
-    than the slowest legitimate replayer).
+def _rewrite_without(spark, spec: SinkSpec, split, op_name: str) -> int:
+    """Shared maintenance-rewrite loop (r14): drop a subset of rows from a
+    merge-sink state by rewriting ONLY the buckets that hold them,
+    committed through the same staged-tree + CAS pointer flip as a merge.
+    ``split(frame)`` returns ``(victims, survivors)`` — two complementary
+    row subsets of any state frame (a filter and its negation, or a
+    semi-join and its anti-join; complementary halves beat a generic
+    exceptAll, which would shuffle-aggregate every column including
+    arrays) — or None for "nothing to do, no commit".
 
-    Scale shape: reads the marker column only (columnar scan, row-group
-    stats skip tombstone-free files) to find the buckets holding
-    tombstones — the driver-side collect is bounded by ``merge_buckets``,
-    never data — then rewrites ONLY those buckets without their tombstone
-    rows and commits a new version through the same staged-tree + CAS
-    pointer flip as a merge. Untouched buckets keep their existing files.
-    A bucket left EMPTY by the purge simply drops out of the new manifest.
-    The purge is CDC-invisible by construction: a version diff read with
-    ``delete_col`` filters tombstones from BOTH snapshots, so the feed for
-    a purge commit is empty — physical GC, not a logical change.
-
-    Returns the number of tombstone rows purged (0 = no commit made).
-    """
+    Scale shape: the touched-bucket discovery collects ≤ ``merge_buckets``
+    ids (bounded by CONFIG), the rewrite reads only touched directories,
+    untouched buckets keep their existing files, and a bucket left EMPTY
+    drops out of the new manifest. Returns the victim row count (0 = no
+    commit made)."""
     import os
     import shutil
     import uuid
 
     from ..errors import MergeCommitConflictError
 
-    delete_col = spec.options.get("delete_column")
-    if delete_col is None:
-        raise ConfigError(
-            "purge_tombstones requires options.delete_column on the sink "
-            "spec (the state has no tombstone marker to purge without it)"
-        )
-    delete_col = str(delete_col)
     local = _local(spec.path)
     for _attempt in range(_MERGE_COMMIT_RETRIES):
         version = _pointer_version(local)
         if version is None:
             raise FileNotFoundError(
-                f"{spec.path} is not a pointer-era merge state (nothing to purge)"
+                f"{spec.path} is not a pointer-era merge state "
+                f"(nothing for {op_name} to rewrite)"
             )
         bucket_dirs = _load_manifest(local, version)["buckets"]
         all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
         if not all_dirs:
             return 0
         state = spark.read.format(spec.type).load(all_dirs)
-        if delete_col not in state.columns:
-            return 0  # no batch ever carried the marker
-        dead = F.coalesce(F.col(delete_col), F.lit(False))
+        halves = split(state)
+        if halves is None:
+            return 0
+        victims = halves[0]
         # ≤ merge_buckets rows — bounded by CONFIG, never by data size
         touched = sorted(
             r.b
-            for r in state.filter(dead)
-            .select(F.col(MERGE_BUCKET_COL).alias("b"))
+            for r in victims.select(F.col(MERGE_BUCKET_COL).alias("b"))
             .distinct()
             .collect()
         )
@@ -713,7 +699,8 @@ def purge_tombstones(spark, spec: SinkSpec) -> int:
             if str(b) in bucket_dirs
         ]
         sub = spark.read.format(spec.type).load(tdirs)
-        purged = sub.filter(dead).count()
+        sub_victims, sub_survivors = split(sub)
+        removed = sub_victims.count()
         attempt_dir = os.path.join(
             local, _TREE_DIR, f"{_INPROGRESS_PREFIX}{uuid.uuid4().hex[:12]}"
         )
@@ -721,7 +708,7 @@ def purge_tombstones(spark, spec: SinkSpec) -> int:
         tree_rel = f"{_TREE_DIR}/v{new_version}"
         try:
             (
-                sub.filter(~dead)
+                sub_survivors
                 .withColumn(MERGE_BUCKET_DIR_COL, F.col(MERGE_BUCKET_COL))
                 .write.mode("overwrite")
                 .format(spec.type)
@@ -742,16 +729,86 @@ def purge_tombstones(spark, spec: SinkSpec) -> int:
         buckets = {
             b: rel for b, rel in bucket_dirs.items() if b not in touched_set
         }
-        buckets.update(written)  # all-tombstone buckets vanish from the map
+        buckets.update(written)  # fully-victimized buckets vanish from the map
         if _commit_merge_version(local, version, new_version, attempt_dir, buckets):
             _gc_merge_state(local, spec.merge_keep_versions)
-            return purged
+            return removed
         shutil.rmtree(attempt_dir, ignore_errors=True)
     raise MergeCommitConflictError(
-        f"purge_tombstones {spec.path}: lost the commit CAS "
+        f"{op_name} {spec.path}: lost the commit CAS "
         f"{_MERGE_COMMIT_RETRIES} times in a row — state is consistent; "
-        "re-run to purge against the newest snapshot"
+        "re-run to rewrite against the newest snapshot"
     )
+
+
+def purge_tombstones(spark, spec: SinkSpec) -> int:
+    """Physically drop tombstoned keys from a merge-sink state — the GC
+    half of the keyed-DELETE story (r14): :func:`_merge_file_sink` RETAINS
+    the winning tombstone rows so a late replay of an old batch cannot
+    resurrect a deleted key; this op reclaims them once the deployment's
+    late-replay grace window has passed (the Cassandra ``gc_grace``
+    discipline — after a purge, a replay of a batch OLDER than the purged
+    tombstone could re-insert the key; run purges on a schedule slower
+    than the slowest legitimate replayer).
+
+    The rewrite is :func:`_rewrite_without`: marker-true rows are the
+    victims (found via a columnar marker-only scan — row-group stats skip
+    tombstone-free files), only their buckets are rewritten, the commit is
+    the standard staged-tree CAS. The purge is CDC-invisible by
+    construction: a version diff read with ``delete_col`` filters
+    tombstones from BOTH snapshots, so the feed for a purge commit is
+    empty — physical GC, not a logical change.
+
+    Returns the number of tombstone rows purged (0 = no commit made).
+    """
+    delete_col = spec.options.get("delete_column")
+    if delete_col is None:
+        raise ConfigError(
+            "purge_tombstones requires options.delete_column on the sink "
+            "spec (the state has no tombstone marker to purge without it)"
+        )
+    marker = str(delete_col)
+
+    def split(state):
+        if marker not in state.columns:
+            return None  # no batch ever carried the marker
+        dead = F.coalesce(F.col(marker), F.lit(False))
+        return state.filter(dead), state.filter(~dead)
+
+    return _rewrite_without(spark, spec, split, "purge_tombstones")
+
+
+def compact_merge_state(
+    spark, spec: SinkSpec, stale, on: list[str] | None = None
+) -> int:
+    """Physically remove every state row matching ``stale`` on columns
+    ``on`` (default: the full merge key) — the maintenance op for derived
+    states whose upstream deletes arrive OUT OF BAND (r14, VERDICT r13
+    item 4: the ANN index documents a stale-on-delete posture; this
+    closes it). ``stale`` is typically an anti-join of the state's keys
+    against the current corpus — see
+    :func:`...operators.similarity.ann_index_compact`.
+
+    Same :func:`_rewrite_without` discipline as :func:`purge_tombstones`:
+    victim discovery is a semi-join (Catalyst picks broadcast when
+    ``stale`` is small — the usual case for a deletion batch), only
+    victim-holding buckets are rewritten, staged-tree CAS commit,
+    fully-stale buckets drop out of the manifest. Like a purge, the
+    compaction removes rows a ``delete_col`` CDC read never saw as live
+    content — run it after the corresponding upstream retirements have
+    been delivered downstream, on the same gc-grace reasoning.
+
+    Returns the number of rows removed (0 = no commit made)."""
+    cols = [str(c) for c in (on if on is not None else spec.merge_key)]
+    stale = stale.select(*cols).distinct()
+
+    def split(state):
+        return (
+            state.join(stale, cols, "left_semi"),
+            state.join(stale, cols, "left_anti"),
+        )
+
+    return _rewrite_without(spark, spec, split, "compact_merge_state")
 
 
 def dedup_corpus_sink_fn(spec: SinkSpec):

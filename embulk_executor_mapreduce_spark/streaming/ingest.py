@@ -961,10 +961,15 @@ def run_cdc_ann_index_ingest(
     idempotent with no claim machinery.
 
     Scope note (documented, standard): ``delete`` rows do NOT remove index
-    entries — a deleted vector's codes go stale until an offline
-    rebuild/compaction, exactly FAISS's remove-then-rebuild posture; the
-    search side re-ranks against the CURRENT corpus, so stale entries cost
-    shortlist slots, never wrong vectors.
+    entries inline — a deleted vector's codes go stale until the
+    maintenance compaction, exactly FAISS's remove-then-rebuild posture;
+    the search side re-ranks against the CURRENT corpus, so stale entries
+    cost shortlist slots, never wrong vectors. Reconcile on the
+    deployment's schedule with
+    :func:`...operators.similarity.ann_index_compact` (r14) — an
+    anti-join against the current corpus keys rewriting only the stale
+    ids' buckets, after which the index is bit-identical to a fresh
+    assign of the current corpus against the same frozen artifacts.
 
     Returns the last applied version (``from_version`` if none pending).
     """
