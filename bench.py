@@ -161,6 +161,22 @@ HEADLINE = [
     # round 13: rational-IDF BM25 ranked retrieval — prices the
     # query-term-filtered tf aggregate + dl scan + TakeOrdered top-k
     "bm25_search_topk",
+    # round 14: BM25 served probe-only from the persisted term-bucketed
+    # postings (index committed once, memoized — first run pays it,
+    # best-of-2 keeps the probe-only second run). Read against
+    # bm25_search_topk: the gap is what the standing index buys a repeat
+    # query — inverted-list bucket reads vs re-tokenizing the corpus
+    "bm25_search_indexed",
+    # round 14: keyed DELETE lifecycle — prices three merge commits
+    # (seed / tombstone+upsert / re-insert) + the live read over the
+    # shared memoized state; cdc_delete_feed prices its per-version
+    # classification over the same state
+    "merge_delete_state",
+    "cdc_delete_feed",
+    # round 14: CDC tail × postings index e2e (upstream 4-version build +
+    # tail + per-increment postings/stats + probe — the full composition,
+    # TIME_INCLUDES_BUILD like its ANN sibling)
+    "stream_cdc_postings_ingest",
 ]
 
 SMALL_RESULT = {
@@ -197,6 +213,10 @@ SMALL_RESULT = {
     "ann_ivf_pq_incremental_state",
     "ann_ivf_pq_index_probe",
     "bm25_search_topk",
+    "bm25_search_indexed",
+    "merge_delete_state",
+    "cdc_delete_feed",
+    "stream_cdc_postings_ingest",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -219,6 +239,10 @@ TIME_INCLUDES_BUILD = {
     "stream_parser_ingest",  # fn() writes the landing dir + drives the stream
     "ann_ivf_pq_incremental_state",  # fn() persists artifacts + two sink merges
     "ann_ivf_pq_index_probe",  # eager probe collect; build memoized (run 1)
+    "bm25_search_indexed",  # eager bucket-id resolve; build memoized (run 1)
+    "merge_delete_state",  # fn() commits the three versions (memoized run 1)
+    "cdc_delete_feed",  # per-version diff over the shared memoized state
+    "stream_cdc_postings_ingest",  # fn() builds upstream + drives the tail
 }
 
 # events.ts physical-encoding normalization, probed from the footer

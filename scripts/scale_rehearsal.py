@@ -43,6 +43,66 @@ ENTRIES = [
 ]
 
 
+def _cdc_semantic_autok(spark, sf_dir: str):
+    """SCALING §11d (VERDICT r13 item 8): the stream_cdc_semantic_ingest
+    composition with AUTO-SIZED k (coarse_k/sub_k None → √k×√k from the
+    first increment) instead of the catalog row's pinned 3×3 oracle
+    fixture — measures the constant-leaf-occupancy claim instead of
+    asserting it: with k tracking √n, per-leaf occupancy (and hence the
+    within-cell quadratic) should stay ~flat across a 10× corpus."""
+    import tempfile
+
+    import pyspark.sql.functions as F
+
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+    from embulk_executor_mapreduce_spark.streaming.ingest import (
+        run_cdc_semantic_ingest,
+    )
+
+    root = tempfile.mkdtemp(prefix="rehearse_cdc_sem_autok_")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    up = f"{root}/upstream"
+    sink = SinkSpec(
+        type="parquet",
+        path=up,
+        mode="merge",
+        merge_key=("vec_id",),
+        merge_order=("rev",),
+        merge_keep_versions=4,
+    )
+    write_sink(emb.limit(0).withColumn("rev", F.lit(0)), sink)
+    write_sink(
+        emb.filter(F.col("vec_id") % 2 == 0).withColumn("rev", F.lit(1)), sink
+    )
+    write_sink(
+        emb.filter(F.col("vec_id") % 2 == 1).withColumn("rev", F.lit(2)), sink
+    )
+    run_cdc_semantic_ingest(
+        spark,
+        up,
+        ["vec_id"],
+        f"{root}/state",
+        f"{root}/corpus",
+        f"{root}/cents",
+        checkpoint=f"{root}/ckpt",
+        # coarse_k/sub_k omitted → auto-sized from the first increment
+        iters=2,
+        threshold_micro=250_000,
+    )
+    return read_merge_state(spark, f"{root}/state").select(
+        "cell", "scid", "vec_id"
+    )
+
+
+#: compositions rehearsed under a non-catalog configuration (the catalog
+#: row pins an oracle fixture; the rehearsal measures the production knob)
+EXTRA = {"stream_cdc_semantic_ingest_autok": _cdc_semantic_autok}
+
+
 def synthesize_sf1(spark) -> None:
     """10x documents/embeddings/orders/events derived deterministically
     from the sf0.1 tables: originals kept verbatim, extensions sampled
@@ -56,7 +116,7 @@ def synthesize_sf1(spark) -> None:
     out = Path(SF1)
     if all(
         (out / f"{t}.parquet").is_file()
-        for t in ("documents", "embeddings", "orders", "events")
+        for t in ("documents", "embeddings", "orders", "events", "customer")
     ):
         print(f"# sf1 dir already synthesized at {SF1}", file=sys.stderr)
         return
@@ -194,6 +254,17 @@ def synthesize_sf1(spark) -> None:
         .drop("rep")
     )
     write_single(events.unionByName(new_events), "events")
+
+    # r14: the keyed-DELETE rows key on customer — key-shifted replicas
+    # (the orders/events pattern; payload distributions carry over)
+    cust = spark.read.parquet(f"{SF01}/customer.parquet")
+    ckey_span = cust.agg(F.max("c_custkey")).first()[0] + 1
+    new_cust = (
+        cust.crossJoin(reps)
+        .withColumn("c_custkey", F.col("c_custkey") + F.col("rep") * ckey_span)
+        .drop("rep")
+    )
+    write_single(cust.unionByName(new_cust), "customer")
     print(f"# synthesized sf1 at {SF1}", file=sys.stderr)
 
 
@@ -269,9 +340,9 @@ def main() -> None:
     reg = catalog.entries()
     out = {}
     for name in args.entries.split(","):
-        e = reg[name]
-        m01 = measure(spark, e.fn, SF01, args.runs)
-        m1 = measure(spark, e.fn, SF1, args.runs)
+        fn = EXTRA[name] if name in EXTRA else reg[name].fn
+        m01 = measure(spark, fn, SF01, args.runs)
+        m1 = measure(spark, fn, SF1, args.runs)
 
         def alpha(k):
             a, b = m01[k], m1[k]
