@@ -305,7 +305,6 @@ def bm25_topk_indexed(
     query_terms: tuple[str, ...],
     k: int = 10,
     id_col: str = "doc_id",
-    merge_buckets: int = 64,
     prune_buckets: bool = True,
 ) -> DataFrame:
     """PROBE-ONLY BM25 over the committed index (VERDICT r13 item 1 — the
@@ -316,7 +315,13 @@ def bm25_topk_indexed(
     * bucket pruning — the postings are term-bucketed, so the probe opens
       only the query terms' bucket directories
       (``read_merge_state(buckets=merge_bucket_ids(...))``: at most
-      ``|terms|`` of ``merge_buckets`` dirs, the inverted-list read);
+      ``|terms|`` of the state's buckets, the inverted-list read). The
+      bucket count and columns come from the state's COMMITTED layout
+      (``merge_state_layout`` — never a caller-supplied count, which
+      could silently probe non-existent bucket ids; r14 review finding);
+      a layout that isn't term-bucketed, or a legacy state without a
+      recorded layout, degrades to the unpruned read — correct either
+      way, the pruning is an optimization;
     * literal pushdown — ``term IN (...)`` reaches the parquet scan as a
       source filter (PushedFilters, plan-guarded), so row-group stats
       skip non-matching rows inside the opened buckets;
@@ -328,13 +333,19 @@ def bm25_topk_indexed(
     Bit-equal to :func:`bm25_topk` over the same corpus by construction:
     tf/dl/df/N/Σdl take identical integer values and the scoring tail IS
     the shared :func:`_bm25_rank` / :func:`_bm25_contrib`."""
-    from ..sinks.writer import merge_bucket_ids, read_merge_state
-
-    buckets = (
-        merge_bucket_ids(spark, list(query_terms), merge_buckets)
-        if prune_buckets
-        else None
+    from ..sinks.writer import (
+        merge_bucket_ids,
+        merge_state_layout,
+        read_merge_state,
     )
+
+    buckets = None
+    if prune_buckets:
+        layout = merge_state_layout(f"{index_root}/postings")
+        if layout is not None and layout["bucket_columns"] == ["term"]:
+            buckets = merge_bucket_ids(
+                spark, list(query_terms), layout["n_buckets"]
+            )
     probed = (
         read_merge_state(
             spark,

@@ -2184,6 +2184,7 @@ def ann_index_compact(
     corpus: DataFrame,
     id_col: str = "vec_id",
     merge_buckets: int = 64,
+    merge_keep_versions: int = 2,
 ) -> int:
     """Reconcile the persisted IVF-PQ index with the CURRENT corpus (r14,
     VERDICT r13 item 4 — closing the documented stale-on-delete posture of
@@ -2203,8 +2204,12 @@ def ann_index_compact(
     as an incremental bucket rewrite.
 
     Run it on the deployment's maintenance schedule — after upstream
-    deletes have propagated, like a tombstone purge. Returns the number
-    of index rows removed."""
+    deletes have propagated, like a tombstone purge. Pass the index
+    sink's REAL ``merge_keep_versions``: the compaction commit runs the
+    same snapshot GC as a merge, so defaulting a longer-retention
+    deployment to 2 here would expire versions lagging readers still
+    need (r14 review finding). Returns the number of index rows
+    removed."""
     from ..sinks.writer import compact_merge_state, read_merge_state
     from ..spec import SinkSpec
 
@@ -2227,6 +2232,7 @@ def ann_index_compact(
             merge_key=("cand_id", "s"),
             merge_order=("_ingest_version",),
             merge_buckets=merge_buckets,
+            merge_keep_versions=merge_keep_versions,
         ),
         stale,
         on=["cand_id"],

@@ -177,13 +177,31 @@ def read_merge_state(
     return _drop_tombstones(spark.read.format(fmt).load(dirs), delete_col)
 
 
+def merge_state_layout(path: str) -> dict | None:
+    """The committed bucket-hash layout of a merge state —
+    ``{"bucket_columns": [...], "n_buckets": N}`` — or None for legacy
+    manifests that predate layout stamping. Keyed probers MUST take
+    ``n_buckets`` from here rather than trusting a caller-supplied count:
+    probing mod-64 against a mod-32 state maps some keys to bucket ids
+    that simply don't exist, and the read treats absent ids as
+    legitimately empty — silently missing rows (r14 review finding)."""
+    local = _local(path)
+    v = _pointer_version(local)
+    if v is None:
+        return None
+    return _load_manifest(local, v).get("layout")
+
+
 def merge_bucket_ids(spark, values, n_buckets: int) -> list[int]:
     """Bucket ids for a list of LITERAL bucket-column values — the probe
     side of a keyed bucket layout (``pmod(xxhash64(...), n)`` must be
     computed by the same engine hash as the write side, so this runs one
     tiny local job over the literals; driver cost is bounded by the probe
     list, never data). ``values``: scalars for a single bucket column, or
-    tuples for a composite one."""
+    tuples for a composite one. ``xxhash64`` is TYPE-sensitive: the
+    literals must carry the same Spark type as the state's bucket columns
+    (a long probe against an int column hashes differently); take
+    ``n_buckets`` from :func:`merge_state_layout`, not a default."""
     rows = [v if isinstance(v, tuple) else (v,) for v in values]
     if not rows:
         return []
@@ -347,6 +365,7 @@ def _commit_merge_version(
     new_version: int,
     attempt_dir: str,
     buckets: dict[str, str],
+    layout: dict | None = None,
 ) -> bool:
     """The CAS commit step of the optimistic multi-writer protocol: under
     the state's advisory commit lock, (1) re-read the pointer — if another
@@ -375,11 +394,18 @@ def _commit_merge_version(
             shutil.rmtree(tree, ignore_errors=True)
             os.rename(attempt_dir, tree)
             os.makedirs(os.path.join(local, _MANIFEST_DIR), exist_ok=True)
+            man = {"version": new_version, "buckets": buckets}
+            if layout is not None:
+                # the bucket-hash layout this version's rows were placed
+                # under — later merges validate their spec against it (a
+                # silently different hash would make the pruned path miss
+                # a key's existing bucket and duplicate the key; r14
+                # review finding), and keyed probers read n_buckets from
+                # it instead of trusting a caller-supplied count
+                man["layout"] = layout
             _fsync_write(
                 _manifest_path(local, new_version),
-                json.dumps(
-                    {"version": new_version, "buckets": buckets}, sort_keys=True
-                ),
+                json.dumps(man, sort_keys=True),
             )
             _fsync_write(
                 os.path.join(local, _CURRENT_FILE),
@@ -551,10 +577,37 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
             touched: list[int] | None = None
             old = None
             bucket_dirs: dict[str, str] = {}
+            layout = {
+                "bucket_columns": bucket_cols,
+                "n_buckets": spec.merge_buckets,
+            }
+            relayout = False
             if version is not None:
                 # finish any crashed attempt's cleanup
                 _gc_merge_state(local, spec.merge_keep_versions)
-                bucket_dirs = _load_manifest(local, version)["buckets"]
+                man = _load_manifest(local, version)
+                bucket_dirs = man["buckets"]
+                # bucket-layout drift guard (r14 review finding): the
+                # pruned path loads only the buckets the SPEC's hash names
+                # — under a silently different layout a key's existing row
+                # lives in a bucket the merge never loads, and the state
+                # ends up with duplicate keys. A recorded layout that
+                # differs from the spec is an error unless the caller
+                # opts into an explicit full-rewrite migration. Legacy
+                # manifests (no layout) can't be validated — the layout
+                # is stamped from this commit on.
+                committed_layout = man.get("layout")
+                relayout = (
+                    committed_layout is not None and committed_layout != layout
+                )
+                if relayout and not spec.options.get("allow_relayout"):
+                    raise ConfigError(
+                        f"merge sink {path}: committed bucket layout "
+                        f"{committed_layout} != spec layout {layout}; changing "
+                        "merge_buckets or merge_bucket_columns on an existing "
+                        "state requires options.allow_relayout: true (one full "
+                        "re-bucketing rewrite)"
+                    )
                 all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
                 # an EMPTY committed state (e.g. a stream whose first micro-batch
                 # had no rows) has a manifest with zero buckets — treat as no state
@@ -563,8 +616,13 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
                 )
                 # a batch that INTRODUCES columns forces a one-time full rewrite so
                 # every state file keeps one fused schema (readers need no
-                # mergeSchema); steady-state batches — the 100 TB hot path — prune
-                evolves = old is not None and bool(set(df.columns) - set(old.columns))
+                # mergeSchema); steady-state batches — the 100 TB hot path — prune.
+                # An allowed RELAYOUT forces the same full rewrite (every row
+                # re-hashes under the new layout).
+                evolves = (
+                    old is not None
+                    and bool(set(df.columns) - set(old.columns))
+                ) or relayout
                 if old is not None and not evolves:
                     # ≤ merge_buckets rows — bounded by CONFIG, never by data size
                     touched = sorted(
@@ -633,7 +691,9 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
                 b: rel for b, rel in bucket_dirs.items() if b not in touched_set
             }
         buckets.update(written)
-        if _commit_merge_version(local, version, new_version, attempt_dir, buckets):
+        if _commit_merge_version(
+            local, version, new_version, attempt_dir, buckets, layout
+        ):
             _gc_merge_state(local, spec.merge_keep_versions)
             return
         # lost the CAS: discard the stale attempt and re-merge against the
@@ -675,38 +735,44 @@ def _rewrite_without(spark, spec: SinkSpec, split, op_name: str) -> int:
                 f"{spec.path} is not a pointer-era merge state "
                 f"(nothing for {op_name} to rewrite)"
             )
-        bucket_dirs = _load_manifest(local, version)["buckets"]
+        man = _load_manifest(local, version)
+        bucket_dirs = man["buckets"]
         all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
         if not all_dirs:
             return 0
-        state = spark.read.format(spec.type).load(all_dirs)
-        halves = split(state)
-        if halves is None:
-            return 0
-        victims = halves[0]
-        # ≤ merge_buckets rows — bounded by CONFIG, never by data size
-        touched = sorted(
-            r.b
-            for r in victims.select(F.col(MERGE_BUCKET_COL).alias("b"))
-            .distinct()
-            .collect()
-        )
-        if not touched:
-            return 0
-        tdirs = [
-            os.path.join(local, bucket_dirs[str(b)])
-            for b in touched
-            if str(b) in bucket_dirs
-        ]
-        sub = spark.read.format(spec.type).load(tdirs)
-        sub_victims, sub_survivors = split(sub)
-        removed = sub_victims.count()
         attempt_dir = os.path.join(
             local, _TREE_DIR, f"{_INPROGRESS_PREFIX}{uuid.uuid4().hex[:12]}"
         )
         new_version = version + 1
         tree_rel = f"{_TREE_DIR}/v{new_version}"
+        # the WHOLE read-plan-write sequence sits inside the stale-snapshot
+        # retry (r14 review finding: covering only the staged write left
+        # the victim-discovery collect and count to crash on a snapshot a
+        # fast concurrent writer aged out of retention mid-job — the same
+        # situation _merge_file_sink retries)
         try:
+            state = spark.read.format(spec.type).load(all_dirs)
+            halves = split(state)
+            if halves is None:
+                return 0
+            victims = halves[0]
+            # ≤ merge_buckets rows — bounded by CONFIG, never by data size
+            touched = sorted(
+                r.b
+                for r in victims.select(F.col(MERGE_BUCKET_COL).alias("b"))
+                .distinct()
+                .collect()
+            )
+            if not touched:
+                return 0
+            tdirs = [
+                os.path.join(local, bucket_dirs[str(b)])
+                for b in touched
+                if str(b) in bucket_dirs
+            ]
+            sub = spark.read.format(spec.type).load(tdirs)
+            sub_victims, sub_survivors = split(sub)
+            removed = sub_victims.count()
             (
                 sub_survivors
                 .withColumn(MERGE_BUCKET_DIR_COL, F.col(MERGE_BUCKET_COL))
@@ -730,7 +796,16 @@ def _rewrite_without(spark, spec: SinkSpec, split, op_name: str) -> int:
             b: rel for b, rel in bucket_dirs.items() if b not in touched_set
         }
         buckets.update(written)  # fully-victimized buckets vanish from the map
-        if _commit_merge_version(local, version, new_version, attempt_dir, buckets):
+        if _commit_merge_version(
+            local,
+            version,
+            new_version,
+            attempt_dir,
+            buckets,
+            # maintenance never re-buckets: the committed layout (when the
+            # state has one) rides into the new manifest unchanged
+            man.get("layout"),
+        ):
             _gc_merge_state(local, spec.merge_keep_versions)
             return removed
         shutil.rmtree(attempt_dir, ignore_errors=True)

@@ -894,23 +894,36 @@ def run_cdc_postings_ingest(
     from ..sinks.changes import CHANGE_TYPE_COL, table_changes
 
     def apply(v: int) -> None:
+        # persist: every feed row is consumed (insert/update_postimage →
+        # new, delete/update_preimage → old), and the delta body runs
+        # several actions over both halves — without the cache the
+        # per-version full-outer snapshot diff would recompute ~6× per
+        # increment (r14 review finding); the emptiness probe is ONE job
+        # on the cached feed (empty feed ⟺ both halves empty, since the
+        # four change types partition it)
         feed = table_changes(
             spark, source_path, keys, v - 1, v, per_version=True,
             delete_col=delete_col,
-        )
-        ct = F.col(CHANGE_TYPE_COL)
-        new = feed.filter(ct.isin("insert", "update_postimage")).select(
-            id_col, text_col
-        )
-        old = feed.filter(ct.isin("delete", "update_preimage")).select(
-            id_col, text_col
-        )
-        if not new.limit(1).count() and not old.limit(1).count():
-            return  # empty increment: checkpoint advances, nothing written
-        bm25_index_delta(
-            new, old, index_root, version=v, id_col=id_col,
-            text_col=text_col, merge_buckets=merge_buckets,
-        )
+        ).persist()
+        try:
+            if not feed.limit(1).count():
+                return  # empty increment: checkpoint advances, no writes
+            ct = F.col(CHANGE_TYPE_COL)
+            bm25_index_delta(
+                feed.filter(ct.isin("insert", "update_postimage")).select(
+                    id_col, text_col
+                ),
+                feed.filter(ct.isin("delete", "update_preimage")).select(
+                    id_col, text_col
+                ),
+                index_root,
+                version=v,
+                id_col=id_col,
+                text_col=text_col,
+                merge_buckets=merge_buckets,
+            )
+        finally:
+            feed.unpersist()
 
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,

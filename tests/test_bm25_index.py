@@ -42,7 +42,7 @@ def test_indexed_matches_inline_bitwise(spark, tmp_path):
     corpus = _corpus(spark)
     root = str(tmp_path / "ix")
     bm25_index_build(corpus, root, merge_buckets=8)
-    got = bm25_topk_indexed(spark, root, TERMS, k=7, merge_buckets=8)
+    got = bm25_topk_indexed(spark, root, TERMS, k=7)
     want = bm25_topk(corpus, TERMS, k=7)
     assert _rows(got) == _rows(want) and got.count() == 7
 
@@ -59,8 +59,8 @@ def test_incremental_build_equals_batch(spark, tmp_path):
     bm25_index_build(
         corpus.filter(F.col("doc_id") % 2 == 1), b, merge_buckets=8, version=2
     )
-    assert _rows(bm25_topk_indexed(spark, b, TERMS, k=7, merge_buckets=8)) == \
-        _rows(bm25_topk_indexed(spark, a, TERMS, k=7, merge_buckets=8))
+    assert _rows(bm25_topk_indexed(spark, b, TERMS, k=7)) == \
+        _rows(bm25_topk_indexed(spark, a, TERMS, k=7))
 
 
 def test_update_and_delete_increments_track_corpus(spark, tmp_path):
@@ -77,7 +77,7 @@ def test_update_and_delete_increments_track_corpus(spark, tmp_path):
     current = (
         base.filter(~F.col("doc_id").isin(0, 1)).unionByName(upd)
     )
-    got = bm25_topk_indexed(spark, root, TERMS, k=10, merge_buckets=8)
+    got = bm25_topk_indexed(spark, root, TERMS, k=10)
     want = bm25_topk(current, TERMS, k=10)
     assert _rows(got) == _rows(want)
     # the dropped pair is a tombstone, invisible to the probe
@@ -92,10 +92,10 @@ def test_delta_redelivery_is_idempotent(spark, tmp_path):
     upd = _docs(spark, [(3, "alpha alpha alpha")])
     pre = base.filter(F.col("doc_id") == 3)
     bm25_index_delta(upd, pre, root, version=2, merge_buckets=8)
-    before = _rows(bm25_topk_indexed(spark, root, TERMS, k=10, merge_buckets=8))
+    before = _rows(bm25_topk_indexed(spark, root, TERMS, k=10))
     bm25_index_delta(upd, pre, root, version=2, merge_buckets=8)  # replay
     assert _rows(
-        bm25_topk_indexed(spark, root, TERMS, k=10, merge_buckets=8)
+        bm25_topk_indexed(spark, root, TERMS, k=10)
     ) == before
 
 
@@ -116,7 +116,7 @@ def test_probe_opens_only_query_term_buckets(spark, tmp_path):
     with open(os.path.join(state, "_manifests", f"v{v}.json")) as f:
         committed = set(json.load(f)["buckets"])
     want_ids = {str(b) for b in merge_bucket_ids(spark, ["alpha"], 16)}
-    probe = bm25_topk_indexed(spark, root, ("alpha",), k=5, merge_buckets=16)
+    probe = bm25_topk_indexed(spark, root, ("alpha",), k=5)
     plan = probe._jdf.queryExecution().executedPlan().toString()
     # every committed bucket NOT holding 'alpha' stays unopened
     for b in committed - want_ids:

@@ -222,6 +222,54 @@ def test_changelog_records_delete_col_contract(spark, tmp_path):
     assert rows(delete_col=None) == rows(delete_col=None, use_changelog=False)
 
 
+def test_bucket_layout_drift_is_rejected(spark, tmp_path):
+    """r14 review finding: the pruned merge path loads only the buckets
+    the SPEC's hash names — silently changing merge_buckets or
+    merge_bucket_columns on an existing state would leave a key's old row
+    in a bucket the merge never loads (duplicate keys, no error). The
+    committed layout is stamped in the manifest; a drifted spec errors
+    unless the caller opts into the explicit full-rewrite migration."""
+    import json
+
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        merge_state_layout,
+    )
+
+    p = str(tmp_path / "state")
+
+    def sink(buckets, **opts):
+        return SinkSpec(
+            type="parquet",
+            path=p,
+            mode="merge",
+            merge_key=("k",),
+            merge_order=("rev",),
+            merge_buckets=buckets,
+            options=opts,
+        )
+
+    rows = [(i, f"v{i}", 0, False) for i in range(20)]
+    write_sink(_batch(spark, rows), sink(8))
+    assert merge_state_layout(p) == {"bucket_columns": ["k"], "n_buckets": 8}
+    # drifted bucket count → loud error, state untouched
+    with pytest.raises(ConfigError, match="allow_relayout"):
+        write_sink(_batch(spark, [(1, "x", 1, False)]), sink(16))
+    # explicit migration: full re-bucketing rewrite, no duplicate keys
+    write_sink(
+        _batch(spark, [(1, "x", 1, False)]), sink(16, allow_relayout=True)
+    )
+    assert merge_state_layout(p) == {"bucket_columns": ["k"], "n_buckets": 16}
+    got = read_merge_state(spark, p).select("k", "v").collect()
+    assert len(got) == 20 and {(r.k, r.v) for r in got if r.k == 1} == {(1, "x")}
+    # maintenance rewrites carry the layout forward unchanged
+    write_sink(
+        _batch(spark, [(2, None, 2, True)]),
+        sink(16, delete_column="_deleted"),
+    )
+    purge_tombstones(spark, sink(16, delete_column="_deleted"))
+    assert merge_state_layout(p) == {"bucket_columns": ["k"], "n_buckets": 16}
+
+
 def test_delete_column_validation(spark, tmp_path):
     base = dict(
         type="parquet", path=str(tmp_path / "s"), mode="merge",
