@@ -1521,23 +1521,26 @@ def test_merge_sink_cas_conflict_retries_and_lands(spark, tmp_path, monkeypatch)
     real_commit = W._commit_merge_version
     calls = {"n": 0}
 
-    def inject_competitor_then_commit(local, expected, new_version, attempt, buckets):
+    def inject_competitor_then_commit(
+        local, expected, new_version, attempt, buckets, layout=None
+    ):
         calls["n"] += 1
         if calls["n"] == 1:
             # competitor: advance the pointer with a carbon-copy manifest
             # (a legitimate commit whose merge touched nothing this writer
             # can see) — exactly what a concurrent writer's landed commit
-            # looks like to the CAS
+            # looks like to the CAS. Carbon-copy includes the layout (r14):
+            # the retrying writer validates its spec against it.
             cur = json.loads((Path(local) / "_CURRENT").read_text())["version"]
             man = json.loads(
                 (Path(local) / "_manifests" / f"v{cur}.json").read_text()
             )
             nxt = cur + 1
             (Path(local) / "_manifests" / f"v{nxt}.json").write_text(
-                json.dumps({"version": nxt, "buckets": man["buckets"]})
+                json.dumps({**man, "version": nxt})
             )
             (Path(local) / "_CURRENT").write_text(json.dumps({"version": nxt}))
-        return real_commit(local, expected, new_version, attempt, buckets)
+        return real_commit(local, expected, new_version, attempt, buckets, layout)
 
     monkeypatch.setattr(W, "_commit_merge_version", inject_competitor_then_commit)
 
