@@ -177,6 +177,13 @@ HEADLINE = [
     # tail + per-increment postings/stats + probe — the full composition,
     # TIME_INCLUDES_BUILD like its ANN sibling)
     "stream_cdc_postings_ingest",
+    # round 14: batch retrieval over the persisted index — 3 query term
+    # sets in ONE probe (read against bm25_search_indexed: near-flat cost
+    # per extra query is the point; decontamination scores thousands)
+    "bm25_batch_search_indexed",
+    # round 14: hybrid lexical+semantic RRF fusion (two top-k-bounded
+    # inputs + a broadcast-sized fusion tail)
+    "hybrid_rrf_search",
 ]
 
 SMALL_RESULT = {
@@ -217,6 +224,8 @@ SMALL_RESULT = {
     "merge_delete_state",
     "cdc_delete_feed",
     "stream_cdc_postings_ingest",
+    "bm25_batch_search_indexed",
+    "hybrid_rrf_search",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -240,6 +249,7 @@ TIME_INCLUDES_BUILD = {
     "ann_ivf_pq_incremental_state",  # fn() persists artifacts + two sink merges
     "ann_ivf_pq_index_probe",  # eager probe collect; build memoized (run 1)
     "bm25_search_indexed",  # eager bucket-id resolve; build memoized (run 1)
+    "bm25_batch_search_indexed",  # same memoized index + bucket-id resolve
     "merge_delete_state",  # fn() commits the three versions (memoized run 1)
     "cdc_delete_feed",  # per-version diff over the shared memoized state
     "stream_cdc_postings_ingest",  # fn() builds upstream + drives the tail

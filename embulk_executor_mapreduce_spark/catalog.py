@@ -6953,6 +6953,135 @@ def q_stream_cdc_postings_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk_indexed(spark, root, _BM25_TERMS)
 
 
+#: the batch-retrieval fixture: three query term sets over the synthetic
+#: vocabulary (shared by the row and its oracle — config, not data)
+_BM25_BATCH_QUERIES = {
+    0: ("window", "merge", "scan"),
+    1: ("filter", "join"),
+    2: ("hash", "sort", "stream", "table"),
+}
+
+from .operators.search import (  # noqa: E402
+    bm25_batch_oracle_sql,
+)
+
+
+@register(
+    "bm25_batch_search_indexed",
+    oracle=bm25_batch_oracle_sql(_BM25_BATCH_QUERIES),
+    tags=("text", "search", "ranking", "serving", "batch"),
+)
+def q_bm25_batch_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCH retrieval over the persisted postings index (r14) — the
+    decontamination-by-retrieval / hard-negative-mining shape: MANY query
+    term sets scored in ONE pass, each term's inverted list read once for
+    the whole batch (not once per query). One bucket-pruned probe covers
+    the union of all queries' terms; the (query_id, term) mapping and the
+    per-term df ride as broadcasts; the per-(query, doc) sums exchange
+    once; the top-k window is PARTITIONED BY query_id (parallel across
+    queries, never a global sort). Each query's ranking is bit-equal to
+    its own single-query probe (shared `_bm25_contrib`, pinned in
+    pytest); the oracle replays all three queries from the raw corpus.
+    At 100 TB with 10k benchmark questions this is the difference between
+    |union terms| inverted-list reads and 10k corpus passes."""
+    from .operators.search import bm25_batch_topk_indexed
+
+    root = _bm25_persisted_index(spark, sf_dir)
+    return bm25_batch_topk_indexed(spark, root, _BM25_BATCH_QUERIES)
+
+
+@register(
+    "hybrid_rrf_search",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('window', 'merge', 'scan') GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ((s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * s.n) / s.sumdl)))
+               * 1000000.0 + 0.5
+             ) AS BIGINT) AS c
+      FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), stats s
+    ), lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY smicro DESC, doc_id) AS rank
+      FROM (SELECT doc_id, sum(c) AS smicro FROM contrib GROUP BY doc_id)
+      ORDER BY rank LIMIT 20
+    ), base AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ), qv AS (
+      SELECT v AS qv FROM base WHERE vec_id = 0
+    ), sem AS (
+      SELECT doc_id, row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS rank
+      FROM (
+        SELECT c.vec_id AS doc_id,
+               floor((
+                 list_dot_product(q.qv, c.v)
+                 / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.v, c.v)))
+               ) * 1000000 + 0.5) / 1000000.0 AS cos_sim
+        FROM qv q, base c WHERE c.vec_id <> 0
+      ) ORDER BY rank LIMIT 20
+    ), fused AS (
+      SELECT doc_id, sum(CAST(floor(1000000.0 / (60 + rank)) AS BIGINT)) AS rrf_micro
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(rrf_micro AS BIGINT) / 1000000.0 AS rrf FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 10
+    """,
+    tags=("text", "search", "similarity", "hybrid", "ranking"),
+)
+def q_hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID lexical+semantic retrieval via Reciprocal Rank Fusion (r14;
+    Cormack, Clarke & Büttcher, SIGIR 2009 — the standard combiner in
+    production hybrid search): the BM25 top-20 for the benchmark terms
+    and the exact-cosine top-20 for query vector 0 (the testdata's
+    embeddings table is keyed by the same ids as documents — vec_id ≡
+    doc_id) fuse by Σ floor(1e6/(60+rank)) in exact BIGINT micro-units.
+    Why a training-data pipeline wants it: decontamination and
+    hard-negative mining both miss matches that only one modality
+    surfaces — lexical catches verbatim/near-verbatim overlap that
+    embedding neighborhoods smear, embeddings catch paraphrases lexical
+    scoring misses; RRF needs no score calibration between the two
+    (rank-only). Both inputs are the engine's own oracled rows, the
+    fusion runs on two top-k-bounded (broadcast-sized) frames, and the
+    oracle replays rankings + fusion end to end."""
+    from pyspark.sql import Window
+
+    from .operators.search import bm25_topk, rrf_fuse
+    from .operators.similarity import brute_force_topk
+
+    lex = bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+    lex_rank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    sem = brute_force_topk(
+        load(spark, sf_dir, "embeddings"), query_ids=(0,), k=20
+    )
+    sem_rank = sem.select(
+        F.col("cand_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("cand_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex_rank, sem_rank], k=10)
+
+
 #: memoized per sf_dir: one tombstone-bearing merge state shared by the
 #: live-read row and the CDC-classification row (the
 #: `_cdc_three_version_state` amortization pattern)

@@ -367,6 +367,180 @@ def bm25_topk_indexed(
     )
 
 
+def bm25_batch_topk_indexed(
+    spark,
+    index_root: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+    id_col: str = "doc_id",
+    prune_buckets: bool = True,
+) -> DataFrame:
+    """BATCH retrieval over the persisted index — score MANY query term
+    sets in ONE pass (r14): the decontamination-by-retrieval /
+    hard-negative-mining shape, where thousands of benchmark questions
+    are scored against the corpus and each term's inverted list must be
+    read ONCE for the whole batch, not once per query.
+
+    One probe reads the union of all queries' terms (bucket-pruned +
+    literal ``term IN`` pushdown, exactly :func:`bm25_topk_indexed`);
+    the (query_id, term) mapping is a config-bounded broadcast; per-term
+    df is query-independent so it aggregates once from the probed rows;
+    the per-(query, doc) sums exchange once keyed (query_id, doc_id);
+    and the top-k is a window PARTITIONED BY query_id — parallel across
+    queries, never a single-partition global sort. Per (query, doc,
+    term) the contribution is the shared :func:`_bm25_contrib`, so each
+    query's ranking is bit-equal to its own :func:`bm25_topk_indexed`
+    call (pinned in tests).
+
+    Returns ``(query_id, doc_id, bm25)``, ties broken by doc_id."""
+    from ..sinks.writer import (
+        merge_bucket_ids,
+        merge_state_layout,
+        read_merge_state,
+    )
+
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    buckets = None
+    if prune_buckets:
+        layout = merge_state_layout(f"{index_root}/postings")
+        if layout is not None and layout["bucket_columns"] == ["term"]:
+            buckets = merge_bucket_ids(spark, all_terms, layout["n_buckets"])
+    probed = (
+        read_merge_state(
+            spark,
+            f"{index_root}/postings",
+            delete_col=POSTINGS_DELETE_COL,
+            buckets=buckets,
+        )
+        .filter(F.col("term").isin(*all_terms))
+        .select(F.col("doc_id").alias(id_col), "term", "tf", "dl")
+    )
+    dfreq = probed.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = spark.read.parquet(f"{index_root}/stats").agg(
+        F.sum("n_delta").alias("n"), F.sum("sumdl_delta").alias("sumdl")
+    )
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in sorted(queries.items()) for t in ts],
+        "query_id long, term string",
+    )
+    from pyspark.sql import Window
+
+    per_doc = (
+        probed.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            F.col(id_col),
+            F.floor(_bm25_contrib()).cast("long").alias("c"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(F.sum("c").alias("smicro"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("smicro").desc(), F.col(id_col)
+    )
+    return (
+        per_doc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id",
+            id_col,
+            (F.col("smicro") / F.lit(1_000_000.0)).alias("bm25"),
+        )
+    )
+
+
+def bm25_batch_oracle_sql(
+    queries: dict[int, tuple[str, ...]],
+    table: str = "documents",
+    k: int = 10,
+) -> str:
+    """DuckDB mirror of :func:`bm25_batch_topk_indexed` over the raw
+    corpus — identical parenthesization, per-query row_number top-k."""
+    qt = ", ".join(
+        f"({q}, '{t}')" for q, ts in sorted(queries.items()) for t in ts
+    )
+    all_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for ts in queries.values() for t in ts})
+    )
+    return f"""
+    WITH qt AS (
+      SELECT CAST(query_id AS BIGINT) AS query_id, term
+      FROM (VALUES {qt}) AS t(query_id, term)
+    ), tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ({all_terms}) GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT q.query_id, t.doc_id,
+             CAST(floor(
+               ((s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * s.n) / s.sumdl)))
+               * 1000000.0 + 0.5
+             ) AS BIGINT) AS c
+      FROM tf t JOIN qt q USING (term) JOIN dfq d USING (term)
+      JOIN dl l USING (doc_id), stats s
+    ), sc AS (
+      SELECT query_id, doc_id, sum(c) AS smicro
+      FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, CAST(smicro AS BIGINT) / 1000000.0 AS bm25
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY smicro DESC, doc_id) AS rn
+      FROM sc
+    ) WHERE rn <= {k}
+    """
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, "Reciprocal
+    rank fusion outperforms Condorcet and individual rank learning
+    methods", SIGIR 2009): fuse N rankings of one id space by
+    ``score(d) = Σ_r 1/(k_const + rank_r(d))`` — the standard hybrid
+    lexical+semantic retrieval combiner (k_const = 60 per the paper).
+
+    Exactmath: each reciprocal is floored to integer micro-units
+    (``floor(1e6 / (k_const + rank))`` — exact in doubles at these
+    magnitudes, so DuckDB replays the hash) and the fused score is a
+    BIGINT sum; ties break by id. Inputs are ``(id_col, rank)`` frames
+    with 1-based ranks — already top-k-bounded by their producers, so
+    the fusion runs on broadcast-sized frames regardless of corpus."""
+    scored = None
+    for r in rankings:
+        part = r.select(
+            F.col(id_col),
+            F.floor(F.lit(1_000_000.0) / (F.lit(k_const) + F.col("rank")))
+            .cast("long")
+            .alias("c"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    return (
+        scored.groupBy(id_col)
+        .agg(F.sum("c").alias("rrf_micro"))
+        .orderBy(F.col("rrf_micro").desc(), F.col(id_col))
+        .limit(k)
+        .select(
+            id_col,
+            (F.col("rrf_micro") / F.lit(1_000_000.0)).alias("rrf"),
+        )
+    )
+
+
 def bm25_oracle_sql(
     query_terms: tuple[str, ...],
     table: str = "documents",

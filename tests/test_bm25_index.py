@@ -123,3 +123,46 @@ def test_probe_opens_only_query_term_buckets(spark, tmp_path):
         assert f"__mbd={b}" not in plan, f"bucket {b} opened: {plan[:2000]}"
     assert len(committed) > len(want_ids)  # the subset is proper
     assert probe.count() == 5
+
+
+def test_batch_matches_per_query_probes_bitwise(spark, tmp_path):
+    """r14 batch retrieval: each query's ranking in the one-pass batch
+    equals its own single-query probe bit-for-bit (shared contrib +
+    identical df/N/sumdl derivations)."""
+    from embulk_executor_mapreduce_spark.operators.search import (
+        bm25_batch_topk_indexed,
+    )
+
+    corpus = _corpus(spark, n=50)
+    root = str(tmp_path / "ix")
+    bm25_index_build(corpus, root, merge_buckets=8)
+    queries = {0: ("alpha", "gamma"), 1: ("zeta",), 2: ("beta", "delta", "epsilon")}
+    batch = bm25_batch_topk_indexed(spark, root, queries, k=6)
+    for q, terms in queries.items():
+        got = sorted(
+            (r.doc_id, r.bm25)
+            for r in batch.filter(F.col("query_id") == q).collect()
+        )
+        want = sorted(
+            map(tuple, bm25_topk_indexed(spark, root, terms, k=6).collect())
+        )
+        assert got == want, f"query {q} diverged"
+
+
+def test_rrf_fusion_semantics(spark):
+    """RRF (SIGIR 2009): a doc ranked well by BOTH inputs beats a doc
+    ranked top by only one; micro-unit floors are exact; ties break by
+    id."""
+    from embulk_executor_mapreduce_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "doc_id long, rank int"
+    )
+    sem = spark.createDataFrame(
+        [(20, 1), (40, 2), (10, 3)], "doc_id long, rank int"
+    )
+    out = {r.doc_id: r.rrf for r in rrf_fuse([lex, sem], k=4).collect()}
+    # doc 20: 1/62 + 1/61; doc 10: 1/61 + 1/63 — both dual-ranked docs
+    # beat the single-ranked 30 (1/63) and 40 (1/62)
+    assert out[20] > out[10] > out[40] > out[30]
+    assert out[20] == (1_000_000 // 62 + 1_000_000 // 61) / 1_000_000.0

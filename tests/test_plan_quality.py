@@ -861,3 +861,42 @@ def test_bm25_indexed_is_probe_only(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert df.count() > 0
+
+
+def test_bm25_batch_is_one_probe_partitioned_window(spark):
+    """r14 batch retrieval: ONE postings probe covers the union of all
+    queries' terms (a single pushed In() filter — never one scan per
+    query), the corpus is untouched, and the per-query top-k window is
+    PARTITIONED BY query_id (parallel across queries, no global sort)."""
+    df = catalog.entries()["bm25_batch_search_indexed"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "corpus scanned at query time"
+    assert plan.count("/postings/") > 0
+    assert any("In(term" in f for f in pushed_filters(df)), pushed_filters(df)
+    # the union of ALL queries' terms rides in the probe's scan condition
+    # (one probe for the batch — never one scan per query)
+    import re
+
+    in_lists = re.findall(r"term#\d+ IN \(([^)]*)\)", plan)
+    assert in_lists, plan
+    # at least one un-elided occurrence carries every union term (the
+    # plan printer truncates long strings with "..." elsewhere)
+    assert any(
+        all(t in lst for t in ("window", "filter", "stream", "hash"))
+        for lst in in_lists
+    ), in_lists
+    # the per-query top-k is a hash-partitioned window, not a global sort
+    assert "Window" in plan, plan
+    win_exchange = plan.split("Window")[1]
+    assert "rangepartitioning" not in win_exchange.split("Window")[0]
+    assert df.count() == 30  # 3 queries x k=10
+
+
+def test_hybrid_rrf_runs_on_bounded_frames(spark):
+    """r14 hybrid fusion: the fusion tail's inputs are the two top-k
+    frames (broadcast-sized regardless of corpus) — the plan has no
+    cartesian product and returns exactly k fused rows."""
+    df = catalog.entries()["hybrid_rrf_search"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert df.count() == 10
