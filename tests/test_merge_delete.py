@@ -299,3 +299,74 @@ def test_delete_column_validation(spark, tmp_path):
         purge_tombstones(
             spark, SinkSpec(merge_key=("k",), **base)
         )
+
+
+# --- property pin: the tombstone argmax against a reference model ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batches = st.lists(  # a replay: each batch is a list of (key, rev, dead)
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # few keys → collisions
+            st.integers(min_value=0, max_value=6),   # rev ties included
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(batches=_batches)
+def test_tombstone_argmax_matches_reference_model(spark, tmp_path_factory, batches):
+    """Property pin (r14): for ANY interleaving of upserts and tombstones
+    across batches, the live view equals a trivial reference fold — per
+    key, the (rev, generation, payload)-max row wins exactly as for plain
+    upserts, and the key is live iff that winner is not a tombstone. The
+    batch beats the stored state on full ties (generation), matching the
+    documented upsert semantics."""
+    p = str(tmp_path_factory.mktemp("prop") / "state")
+    s = SinkSpec(
+        type="parquet",
+        path=p,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("rev",),
+        merge_buckets=4,
+        merge_keep_versions=8,
+        options={"delete_column": "_deleted"},
+    )
+    model: dict[int, tuple] = {}  # k -> (rev, gen_is_batch, v, dead)
+    for batch in batches:
+        rows = [
+            (k, f"b{rev}", rev, dead) for (k, rev, dead) in batch
+        ]
+        write_sink(_batch(spark, rows), s)
+        # model: state rows re-enter each merge with generation 0; batch
+        # rows carry generation 1; the winner per key is the plain tuple
+        # max over (rev, gen, payload v, marker) — exactly the sink's
+        # max(struct(order..., __gen, ride...)) with its deterministic
+        # ride-column tie-break
+        cand: dict[int, tuple] = {
+            k: (rev, 0, v, dead) for k, (rev, _g, v, dead) in model.items()
+        }
+        for (k, rev, dead) in batch:
+            row = (rev, 1, f"b{rev}", dead)
+            if k not in cand or row > cand[k]:
+                cand[k] = row
+        model = cand
+    want_live = {
+        (k, v, rev)
+        for k, (rev, _g, v, dead) in model.items()
+        if not dead
+    }
+    assert _live(spark, p) == want_live
