@@ -343,8 +343,11 @@ def bm25_topk_indexed(
     if prune_buckets:
         layout = merge_state_layout(f"{index_root}/postings")
         if layout is not None and layout["bucket_columns"] == ["term"]:
+            # state_path form: probe literals are cast to the committed
+            # schema's term type before hashing (xxhash64 is type-
+            # sensitive; r15 advisor finding)
             buckets = merge_bucket_ids(
-                spark, list(query_terms), layout["n_buckets"]
+                spark, list(query_terms), state_path=f"{index_root}/postings"
             )
     probed = (
         read_merge_state(
@@ -404,7 +407,9 @@ def bm25_batch_topk_indexed(
     if prune_buckets:
         layout = merge_state_layout(f"{index_root}/postings")
         if layout is not None and layout["bucket_columns"] == ["term"]:
-            buckets = merge_bucket_ids(spark, all_terms, layout["n_buckets"])
+            buckets = merge_bucket_ids(
+                spark, all_terms, state_path=f"{index_root}/postings"
+            )
     probed = (
         read_merge_state(
             spark,

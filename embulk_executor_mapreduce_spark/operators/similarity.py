@@ -2213,16 +2213,24 @@ def ann_index_compact(
     from ..sinks.writer import compact_merge_state, read_merge_state
     from ..spec import SinkSpec
 
-    idx_ids = (
-        read_merge_state(spark, f"{index_root}/index")
-        .select("cand_id")
-        .distinct()
-    )
-    stale = idx_ids.join(
-        corpus.select(F.col(id_col).alias("cand_id")).distinct(),
-        "cand_id",
-        "left_anti",
-    )
+    def stale():
+        # a CALLABLE, re-evaluated per rewrite attempt (r15 advisor
+        # finding): a frame planned once before the retry loop pins the
+        # file list of a snapshot a concurrent writer may age out of
+        # retention mid-job, making every stale-snapshot retry re-fail on
+        # the same dead plan; re-reading here re-resolves the CURRENT
+        # pointer each attempt
+        idx_ids = (
+            read_merge_state(spark, f"{index_root}/index")
+            .select("cand_id")
+            .distinct()
+        )
+        return idx_ids.join(
+            corpus.select(F.col(id_col).alias("cand_id")).distinct(),
+            "cand_id",
+            "left_anti",
+        )
+
     return compact_merge_state(
         spark,
         SinkSpec(

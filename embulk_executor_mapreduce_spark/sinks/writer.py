@@ -164,13 +164,18 @@ def read_merge_state(
         # keyed-probe pruning: open ONLY the named buckets' directories
         # (absent ids are legitimately empty — never an error). The caller
         # derives the ids from its probe keys via merge_bucket_ids().
-        bmap = {b: rel for b, rel in bmap.items() if int(b) in set(buckets)}
-        if not bmap:
-            raise FileNotFoundError(
-                f"merge state {path}: none of the probed buckets "
-                f"{sorted(set(buckets))} exist in version {v} — no schema "
-                "source; read without buckets= for the full state"
-            )
+        pruned = {b: rel for b, rel in bmap.items() if int(b) in set(buckets)}
+        if not pruned and bmap:
+            # EVERY probed id is absent — e.g. an out-of-vocabulary query
+            # term whose bucket no committed batch ever wrote (r15 advisor
+            # finding: this raised, turning a legitimate zero-result probe
+            # into a failed request). Zero rows, schema from any committed
+            # bucket (all state files share one fused schema — evolution
+            # forces a full rewrite, so any directory is authoritative).
+            one = os.path.join(local, next(iter(bmap.values())))
+            empty = spark.read.format(fmt).load(one).limit(0)
+            return _drop_tombstones(empty, delete_col)
+        bmap = pruned
     dirs = [os.path.join(local, rel) for rel in bmap.values()]
     if not dirs:
         raise FileNotFoundError(f"merge state at {path} has no committed buckets")
@@ -192,20 +197,84 @@ def merge_state_layout(path: str) -> dict | None:
     return _load_manifest(local, v).get("layout")
 
 
-def merge_bucket_ids(spark, values, n_buckets: int) -> list[int]:
+def merge_state_schema(spark, path: str, fmt: str = "parquet"):
+    """Schema of a committed merge state without loading any rows: resolve
+    pointer → manifest → ONE bucket directory's parquet footers (all state
+    files share a fused schema — evolution forces a full rewrite, so any
+    directory is authoritative). Raises for legacy/empty states (no
+    committed schema source)."""
+    import os
+
+    local = _local(path)
+    v = _pointer_version(local)
+    if v is None:
+        raise FileNotFoundError(
+            f"{path} is a pre-pointer (legacy) state: no committed schema"
+        )
+    bmap = _load_manifest(local, v)["buckets"]
+    if not bmap:
+        raise FileNotFoundError(f"merge state at {path} has no committed buckets")
+    one = os.path.join(local, next(iter(bmap.values())))
+    return spark.read.format(fmt).load(one).schema
+
+
+def merge_bucket_ids(
+    spark,
+    values,
+    n_buckets: int | None = None,
+    state_path: str | None = None,
+    fmt: str = "parquet",
+) -> list[int]:
     """Bucket ids for a list of LITERAL bucket-column values — the probe
     side of a keyed bucket layout (``pmod(xxhash64(...), n)`` must be
     computed by the same engine hash as the write side, so this runs one
     tiny local job over the literals; driver cost is bounded by the probe
     list, never data). ``values``: scalars for a single bucket column, or
-    tuples for a composite one. ``xxhash64`` is TYPE-sensitive: the
-    literals must carry the same Spark type as the state's bucket columns
-    (a long probe against an int column hashes differently); take
-    ``n_buckets`` from :func:`merge_state_layout`, not a default."""
+    tuples for a composite one.
+
+    ``xxhash64`` is TYPE-sensitive: a Python int probe infers LongType and
+    hashes DIFFERENTLY against an int-typed bucket column, and the pruned
+    read then treats the wrong ids as legitimately-empty buckets —
+    silently missing rows (r15 advisor finding; the docstring used to
+    merely warn). Pass ``state_path`` to make the types load-bearing: the
+    bucket columns and ``n_buckets`` come from the state's COMMITTED
+    layout and the probe literals are CAST to the committed schema's
+    column types before hashing. The bare ``n_buckets`` form remains for
+    states without a recorded layout — callers own the type contract
+    there."""
     rows = [v if isinstance(v, tuple) else (v,) for v in values]
     if not rows:
         return []
     df = spark.createDataFrame(rows)
+    if state_path is not None:
+        layout = merge_state_layout(state_path)
+        if layout is None:
+            raise FileNotFoundError(
+                f"{state_path} has no committed bucket layout to probe "
+                "against (legacy state — pass n_buckets explicitly)"
+            )
+        bcols = [str(c) for c in layout["bucket_columns"]]
+        if len(bcols) != len(df.columns):
+            raise ConfigError(
+                f"probe values carry {len(df.columns)} column(s) but the "
+                f"committed layout buckets on {bcols}"
+            )
+        n_buckets = int(layout["n_buckets"])
+        types = {f.name: f.dataType for f in merge_state_schema(spark, state_path, fmt)}
+        missing = [c for c in bcols if c not in types]
+        if missing:
+            raise ConfigError(
+                f"committed layout names bucket column(s) {missing} absent "
+                f"from the state schema {sorted(types)}"
+            )
+        df = df.select(
+            *[
+                F.col(cur).cast(types[b]).alias(b)
+                for cur, b in zip(df.columns, bcols)
+            ]
+        )
+    if n_buckets is None:
+        raise ConfigError("merge_bucket_ids requires n_buckets or state_path")
     b = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_buckets))
     return sorted(
         {r.b for r in df.select(b.cast("int").alias("b")).distinct().collect()}
@@ -873,14 +942,26 @@ def compact_merge_state(
     content — run it after the corresponding upstream retirements have
     been delivered downstream, on the same gc-grace reasoning.
 
+    ``stale`` may be a DataFrame or a ZERO-ARG CALLABLE returning one.
+    Pass a callable whenever the victim set derives from a merge-state
+    read (r15 advisor finding: a frame resolved BEFORE the retry loop
+    keeps its planned file list, so when a concurrent writer commits and
+    GC ages that snapshot out mid-job, every retry re-evaluates the same
+    dead plan and the op fails even though a fresh read would succeed) —
+    the callable re-plans from the CURRENT pointer on each evaluation.
+
     Returns the number of rows removed (0 = no commit made)."""
     cols = [str(c) for c in (on if on is not None else spec.merge_key)]
-    stale = stale.select(*cols).distinct()
+
+    def fresh_stale():
+        s = stale() if callable(stale) else stale
+        return s.select(*cols).distinct()
 
     def split(state):
+        s = fresh_stale()
         return (
-            state.join(stale, cols, "left_semi"),
-            state.join(stale, cols, "left_anti"),
+            state.join(s, cols, "left_semi"),
+            state.join(s, cols, "left_anti"),
         )
 
     return _rewrite_without(spark, spec, split, "compact_merge_state")

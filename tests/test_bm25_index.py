@@ -166,3 +166,72 @@ def test_rrf_fusion_semantics(spark):
     # beat the single-ranked 30 (1/63) and 40 (1/62)
     assert out[20] > out[10] > out[40] > out[30]
     assert out[20] == (1_000_000 // 62 + 1_000_000 // 61) / 1_000_000.0
+
+
+def test_oov_terms_rank_zero_docs_not_crash(spark, tmp_path):
+    """r15 advisor finding (medium): a query whose terms all hash to
+    bucket ids absent from the committed manifest is a legitimate request
+    that ranks ZERO documents — read_merge_state(buckets=[absent...])
+    must return an empty frame with the committed schema, not raise."""
+    from embulk_executor_mapreduce_spark.operators.search import (
+        bm25_batch_topk_indexed,
+    )
+
+    corpus = _corpus(spark)
+    root = str(tmp_path / "ix")
+    bm25_index_build(corpus, root, merge_buckets=64)
+    # all-OOV single query: empty ranked frame, schema intact
+    got = bm25_topk_indexed(spark, root, ("qqqnotaword",), k=5)
+    assert got.columns == ["doc_id", "bm25"] and got.count() == 0
+    # all-OOV batch: same contract
+    got_b = bm25_batch_topk_indexed(
+        spark, root, {0: ("qqqnotaword",), 1: ("zzznothere",)}, k=5
+    )
+    assert got_b.columns == ["query_id", "doc_id", "bm25"]
+    assert got_b.count() == 0
+    # mixed vocab: the OOV term contributes nothing, the known terms
+    # rank exactly as an inline scorer over the same corpus would
+    mixed = bm25_topk_indexed(spark, root, ("alpha", "qqqnotaword"), k=5)
+    want = bm25_topk(corpus, ("alpha", "qqqnotaword"), k=5)
+    assert _rows(mixed) == _rows(want) and mixed.count() == 5
+
+
+def test_bucket_probe_casts_literals_to_state_types(spark, tmp_path):
+    """r15 advisor finding (low): xxhash64 is type-sensitive — a Python
+    int probe infers LongType and hashes differently against an int-typed
+    bucket column, silently missing rows. The state_path form casts the
+    probe literals to the COMMITTED schema's types before hashing."""
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        merge_bucket_ids,
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    path = str(tmp_path / "intkeyed")
+    rows = spark.createDataFrame(
+        [(k, k * 10, 1) for k in range(50)], "k int, val long, rev long"
+    )
+    write_sink(
+        rows,
+        SinkSpec(
+            type="parquet",
+            path=path,
+            mode="merge",
+            merge_key=("k",),
+            merge_order=("rev",),
+            merge_buckets=32,
+        ),
+    )
+    probe_keys = list(range(0, 50, 7))
+    ids = merge_bucket_ids(spark, probe_keys, state_path=path)
+    got = read_merge_state(spark, path, buckets=ids).filter(
+        F.col("k").isin(probe_keys)
+    )
+    assert {r.k for r in got.collect()} == set(probe_keys)
+    # the hazard the cast fixes: hashing the same keys as LONGs maps at
+    # least one of them to a different bucket id set
+    long_ids = merge_bucket_ids(
+        spark, [(int(k),) for k in probe_keys], n_buckets=32
+    )
+    assert ids != long_ids

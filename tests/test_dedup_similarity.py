@@ -1022,3 +1022,74 @@ def test_bm25_ranking_invariants(spark):
     assert all(v > 0 for v in got.values())
     # doc 4 (both terms, beta twice) > doc 1 (both once) > doc 2 (one term)
     assert got[4] > got[1] > got[2]
+
+
+def test_ann_index_compact_survives_aged_out_snapshot(spark, tmp_path):
+    """r15 advisor finding (low): the stale-id set must be re-planned per
+    rewrite attempt, not frozen against the snapshot current when
+    ann_index_compact was called — a concurrent writer committing past
+    merge_keep_versions ages that snapshot's files out of retention, and
+    a pre-resolved frame then fails every retry on the same dead plan.
+    The compact op now passes compact_merge_state a CALLABLE that
+    re-resolves the pointer each evaluation."""
+    import pytest
+
+    from embulk_executor_mapreduce_spark.operators.similarity import (
+        ann_index_compact,
+        ivf_pq_index_assign,
+        ivf_pq_index_train,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        compact_merge_state,
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    root = str(tmp_path / "ann")
+    corpus = _ivec(spark, range(30))
+    cents, cb = ivf_pq_index_train(corpus, n_centroids=4, n_codes=4, **_IKW)
+    sink = SinkSpec(
+        type="parquet",
+        path=f"{root}/index",
+        mode="merge",
+        merge_key=("cand_id", "s"),
+        merge_order=("_ingest_version",),
+    )
+
+    def commit(version):
+        write_sink(
+            ivf_pq_index_assign(corpus, cents, cb, **_IKW).withColumn(
+                "_ingest_version", F.lit(version)
+            ),
+            sink,
+        )
+
+    commit(1)
+    # the OLD failure mode, reproduced: a victim frame PLANNED against v0
+    # pins v0's file list; two full-state commits age v0 out of the
+    # keep_versions=2 retention, and the frozen plan fails unretryably
+    # (the pointer does not advance during the compact attempt itself)
+    deleted = {27, 28, 29}
+    current = corpus.filter(~F.col("vec_id").isin(*deleted))
+    frozen = (
+        read_merge_state(spark, f"{root}/index")
+        .select("cand_id")
+        .distinct()
+        .join(
+            current.select(F.col("vec_id").alias("cand_id")).distinct(),
+            "cand_id",
+            "left_anti",
+        )
+    )
+    commit(2)
+    commit(3)
+    with pytest.raises(Exception, match="(?i)not exist|FileNotFound|PATH_NOT_FOUND"):
+        compact_merge_state(spark, sink, frozen, on=["cand_id"])
+    # the fixed path: ann_index_compact re-reads the state per attempt,
+    # so the same aged-out history is invisible to it
+    removed = ann_index_compact(spark, root, current)
+    assert removed == len(deleted) * _IKW["n_sub"]
+    live = read_merge_state(spark, f"{root}/index")
+    assert {r.cand_id for r in live.select("cand_id").distinct().collect()} \
+        == set(range(30)) - deleted
