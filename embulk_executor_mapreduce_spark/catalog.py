@@ -7122,7 +7122,7 @@ def _merge_delete_versions(spark: SparkSession, sf_dir: str) -> str:
         merge_key=("k",),
         merge_order=("rev",),
         merge_keep_versions=4,
-        options={"delete_column": "_deleted"},
+        delete_column="_deleted",
     )
     write_sink(batch(k % 4 == 0, cents, 0, False), sink)
     write_sink(
@@ -7159,7 +7159,7 @@ def _merge_delete_versions(spark: SparkSession, sf_dir: str) -> str:
 def q_merge_delete_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed DELETE through the merge sink (r14, VERDICT r13 item 2 — the
     right-to-be-forgotten path): tombstone upserts
-    (``options.delete_column``) retire keys through the SAME bucket-pruned
+    (``SinkSpec.delete_column``) retire keys through the SAME bucket-pruned
     keyed argmax as ordinary upserts — a replayed old batch can never
     resurrect a newer delete — and the committed LIVE view is read back
     with ``read_merge_state(..., delete_col=...)``. The replay: v0 seeds

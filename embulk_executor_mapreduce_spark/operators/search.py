@@ -164,10 +164,8 @@ def _postings_sink(index_root: str, merge_buckets: int):
         merge_key=("term", "doc_id"),
         merge_order=("_ingest_version",),
         merge_buckets=merge_buckets,
-        options={
-            "delete_column": POSTINGS_DELETE_COL,
-            "merge_bucket_columns": ("term",),
-        },
+        delete_column=POSTINGS_DELETE_COL,
+        merge_bucket_columns=("term",),
     )
 
 

@@ -123,7 +123,7 @@ def read_merge_state(
     an expired version raises with the retention hint.
 
     ``delete_col`` (r14 keyed-DELETE support): name of the sink's tombstone
-    marker column (``SinkSpec.options["delete_column"]``). When given and
+    marker column (``SinkSpec.delete_column``). When given and
     present in the state, tombstoned rows — retired keys — are filtered
     out, returning the LIVE view; the marker rides along (always
     false/NULL on returned rows). Omit it to see tombstones, e.g. for
@@ -133,7 +133,7 @@ def read_merge_state(
 
     ``buckets`` (r14 keyed-probe support): open ONLY these bucket ids'
     directories — the inverted-list read for states bucketed on a probe
-    key (``options.merge_bucket_columns``); derive the ids from literal
+    key (``SinkSpec.merge_bucket_columns``); derive the ids from literal
     probe values with :func:`merge_bucket_ids`. Requires a pointer-era
     state."""
     local = _local(path)
@@ -550,7 +550,7 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
 
     KEYED DELETE (r14, VERDICT r13 item 2 — right-to-be-forgotten through
     the standing state without a snapshot rewrite):
-    ``SinkSpec.options["delete_column"]`` names a BOOLEAN marker column;
+    ``SinkSpec.delete_column`` names a BOOLEAN marker column;
     a batch row with the marker true is a TOMBSTONE retiring its key.
     Tombstones ride through the SAME keyed argmax as upserts — the
     merge_order decides, so a tombstone at order 5 beats an upsert at
@@ -563,44 +563,30 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     live→tombstone as ``delete`` and tombstone→live as ``insert``
     (``table_changes(..., delete_col=...)``), and
     :func:`purge_tombstones` physically drops retired keys on whatever
-    grace schedule late-replay tolerance allows. (This round the knob
-    lives in ``options`` — promotion to a first-class ``SinkSpec`` field
-    is planned; semantics are final.)
+    grace schedule late-replay tolerance allows. Since r15 the knob is a
+    first-class ``SinkSpec`` field (``options["delete_column"]`` stays a
+    deprecation alias), as is ``merge_bucket_columns``; the pure-config
+    validation matrix lives in ``spec.validate_merge_sink_keying`` —
+    shared with ``PipelineSpec.validate`` so the YAML front door fails at
+    plan time — and only the data-dependent boolean-dtype check stays
+    here.
     """
     import os
     import shutil
     import uuid
 
     from ..errors import MergeCommitConflictError
+    from ..spec import validate_merge_sink_keying
 
     spark = df.sparkSession
     path = spec.path
     local = _local(path)
     keys = list(spec.merge_key)
     order = list(spec.merge_order)
-    bucket_cols = [str(c) for c in spec.options.get("merge_bucket_columns", keys)]
-    if not bucket_cols or any(c not in keys for c in bucket_cols):
-        raise ConfigError(
-            f"merge_bucket_columns {bucket_cols} must be a non-empty subset "
-            f"of merge_key {keys} — bucket membership must stay a pure "
-            "function of the key (rows for one key never straddle buckets, "
-            "and the manifest diff stays a superset of the changed keys)"
-        )
-    delete_col = spec.options.get("delete_column")
+    validate_merge_sink_keying(spec)
+    bucket_cols = list(spec.resolved_merge_bucket_columns())
+    delete_col = spec.resolved_delete_column()
     if delete_col is not None:
-        delete_col = str(delete_col)
-        if delete_col in keys:
-            raise ConfigError(
-                f"delete_column {delete_col!r} cannot be a merge_key column "
-                "(a tombstone retires a key; the marker must be payload)"
-            )
-        if delete_col in order:
-            raise ConfigError(
-                f"delete_column {delete_col!r} cannot be a merge_order column "
-                "(delete-vs-upsert precedence comes from the order columns; "
-                "making the marker itself an order column would let every "
-                "tombstone beat every upsert regardless of recency)"
-            )
         if delete_col in df.columns and dict(df.dtypes)[delete_col] != "boolean":
             raise ConfigError(
                 f"delete_column {delete_col!r} must be boolean, got "
@@ -905,13 +891,12 @@ def purge_tombstones(spark, spec: SinkSpec) -> int:
 
     Returns the number of tombstone rows purged (0 = no commit made).
     """
-    delete_col = spec.options.get("delete_column")
-    if delete_col is None:
+    marker = spec.resolved_delete_column()
+    if marker is None:
         raise ConfigError(
-            "purge_tombstones requires options.delete_column on the sink "
-            "spec (the state has no tombstone marker to purge without it)"
+            "purge_tombstones requires delete_column on the sink spec "
+            "(the state has no tombstone marker to purge without it)"
         )
-    marker = str(delete_col)
 
     def split(state):
         if marker not in state.columns:

@@ -217,6 +217,50 @@ class SinkSpec:
     # list alive across one commit); more buys read_merge_state(version=N)
     # time-travel depth for reproducible training reads
     merge_keep_versions: int = 2
+    # keyed DELETE (r14 semantics, promoted to a first-class field in r15
+    # per VERDICT r14 item 4): a boolean PAYLOAD column marking tombstone
+    # rows — a marker-true batch row RETIRES its merge_key through the
+    # same keyed argmax as an upsert (merge_order decides precedence, so
+    # replays cannot resurrect newer deletes). The winning tombstone is
+    # retained; the live view is read_merge_state(delete_col=...),
+    # physical reclamation is purge_tombstones on the gc-grace schedule.
+    # options["delete_column"] remains a deprecation alias.
+    delete_column: str | None = None
+    # bucket the merge state on a SUBSET of merge_key (keyed-probe
+    # layouts: a postings index keyed (term, doc_id) but bucketed by term
+    # alone, so a query-time term probe opens only its terms' bucket
+    # directories). Empty = the full merge key. Bucket membership must
+    # stay a pure function of the key. options["merge_bucket_columns"]
+    # remains a deprecation alias.
+    merge_bucket_columns: tuple[str, ...] = ()
+
+    def resolved_delete_column(self) -> str | None:
+        """The effective tombstone-marker column: the first-class field,
+        falling back to the ``options["delete_column"]`` deprecation
+        alias (r14 spelling). Naming BOTH with different values is
+        ambiguous and raises rather than silently preferring one."""
+        opt = self.options.get("delete_column")
+        opt = None if opt is None else str(opt)
+        if self.delete_column is not None and opt is not None and opt != self.delete_column:
+            raise ConfigError(
+                f"delete_column named twice with different values: field "
+                f"{self.delete_column!r} vs options alias {opt!r}"
+            )
+        return self.delete_column if self.delete_column is not None else opt
+
+    def resolved_merge_bucket_columns(self) -> tuple[str, ...]:
+        """The effective bucket-column subset: the first-class field,
+        falling back to the ``options["merge_bucket_columns"]``
+        deprecation alias, defaulting to the full merge key."""
+        field_v = tuple(str(c) for c in self.merge_bucket_columns)
+        opt = self.options.get("merge_bucket_columns")
+        opt_v = None if opt is None else tuple(str(c) for c in opt)
+        if field_v and opt_v is not None and opt_v != field_v:
+            raise ConfigError(
+                f"merge_bucket_columns named twice with different values: "
+                f"field {field_v} vs options alias {opt_v}"
+            )
+        return field_v or opt_v or tuple(str(c) for c in self.merge_key)
 
 
 @dataclass(frozen=True)
@@ -376,6 +420,12 @@ class PipelineSpec:
                     "(merge rewrites the keyed state; use dynamic overwrite "
                     "for partition-scoped re-loads)"
                 )
+            validate_merge_sink_keying(self.sink)
+        elif self.sink.delete_column is not None or self.sink.merge_bucket_columns:
+            raise ConfigError(
+                "delete_column / merge_bucket_columns are merge-mode sink "
+                f"fields (sink mode is {self.sink.mode!r})"
+            )
         if self.source.invalid_record_path is not None:
             if self.source.stop_on_invalid_record:
                 raise ConfigError(
@@ -387,6 +437,39 @@ class PipelineSpec:
                     "invalid_record_path is only supported for csv, json, "
                     "ltsv and regex sources"
                 )
+
+
+def validate_merge_sink_keying(sink: SinkSpec) -> None:
+    """Plan-time ConfigError matrix for a merge sink's keying knobs
+    (r15: moved here from the writer as part of promoting delete_column /
+    merge_bucket_columns to first-class fields). Module-level because
+    ``write_sink`` can be called directly with a bare SinkSpec — the
+    writer re-runs this so a malformed spec fails as config either way;
+    PipelineSpec.validate runs it at plan time for the YAML front door."""
+    keys = [str(c) for c in sink.merge_key]
+    order = [str(c) for c in sink.merge_order]
+    bucket_cols = list(sink.resolved_merge_bucket_columns())
+    if not bucket_cols or any(c not in keys for c in bucket_cols):
+        raise ConfigError(
+            f"merge_bucket_columns {bucket_cols} must be a non-empty subset "
+            f"of merge_key {keys} — bucket membership must stay a pure "
+            "function of the key (rows for one key never straddle buckets, "
+            "and the manifest diff stays a superset of the changed keys)"
+        )
+    delete_col = sink.resolved_delete_column()
+    if delete_col is not None:
+        if delete_col in keys:
+            raise ConfigError(
+                f"delete_column {delete_col!r} cannot be a merge_key column "
+                "(a tombstone retires a key; the marker must be payload)"
+            )
+        if delete_col in order:
+            raise ConfigError(
+                f"delete_column {delete_col!r} cannot be a merge_order column "
+                "(delete-vs-upsert precedence comes from the order columns; "
+                "making the marker itself an order column would let every "
+                "tombstone beat every upsert regardless of recency)"
+            )
 
 
 def validate_merge_state_source(src: SourceSpec) -> None:
@@ -578,6 +661,8 @@ def load_spec(doc: dict[str, Any] | str) -> PipelineSpec:
         merge_order=tuple(out_raw.pop("merge_order", ())),
         merge_buckets=int(out_raw.pop("merge_buckets", 64)),
         merge_keep_versions=int(out_raw.pop("merge_keep_versions", 2)),
+        delete_column=out_raw.pop("delete_column", None),
+        merge_bucket_columns=tuple(out_raw.pop("merge_bucket_columns", ())),
         options=out_raw.pop("options", out_raw),
     )
     exec_raw = dict(doc.get("exec", {}))
