@@ -7232,6 +7232,310 @@ def q_cdc_delete_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+from .operators.images import dhash_neardup_oracle_sql  # noqa: E402
+
+
+@register(
+    "image_dhash_neardup",
+    oracle=dhash_neardup_oracle_sql(),
+    tags=("multimodal", "dedup", "image", "real-decode"),
+)
+def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup (r15, VERDICT r14 item 1) — the
+    image-level dedup family: every document becomes a REAL grayscale PNG
+    (9×8 md5 grid in constant 2×2 blocks), every fifth doc ALSO a
+    re-encoded variant of the same content at 3× scale; the stdlib
+    decoder + exact box resize reduce both to the identical 9×8
+    luminance grid, dHash packs the 64 horizontal gradient signs, and
+    Hamming-banded LSH (4 × 16-bit bands, the simhash64 discipline)
+    surfaces candidate pairs verified by exact ``bit_count(xor)``. The
+    output is every pair within Hamming 6 — exactly the 20% re-encoded
+    variants at distance 0; byte-hash ``dedup_exact`` sees nothing here
+    (different files), which is the family's point. The oracle replays
+    grid → bits → pack → band join → Hamming closed-form from the raw
+    text, so the real encode → decode → resize → hash pipeline is
+    value-pinned end to end. At 100 TB: one Arrow decode+hash pass, a
+    banded self-equi-join — never all-pairs, no corpus-sized exchange
+    beyond the band explode."""
+    from .operators.images import (
+        encode_grid_png,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = encode_grid_png(docs, scale=2).select(
+        (F.col("doc_id") * 2).alias("img_id"), "payload"
+    )
+    variants = encode_grid_png(
+        docs.filter(F.col("doc_id") % 5 == 0), scale=3
+    ).select((F.col("doc_id") * 2 + 1).alias("img_id"), "payload")
+    hashes = image_dhash(base.unionByName(variants), id_col="img_id")
+    return image_neardup_pairs(hashes, id_col="img_id", max_hamming=6)
+
+
+#: the compact row's deletion predicate — SQL spelling (the Spark mirror
+#: lives in the fixture); training-prefix ids and query ids stay live so
+#: the frozen artifacts and probe vectors remain derivable from the table
+_ANN_DELETED_PRED = "vec_id % 10 = 7 AND vec_id >= 16"
+
+#: memoized per sf_dir: build → delete upstream → compact once; the row
+#: prices the probe-only serve over the compacted state
+_ANN_COMPACT_CACHE: dict[str, str] = {}
+
+
+def _ann_compacted_index(spark: SparkSession, sf_dir: str) -> str:
+    cached = _ANN_COMPACT_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    from .operators.similarity import (
+        ann_index_compact,
+        ivf_pq_index_assign,
+        ivf_pq_index_train,
+    )
+    from .sinks.writer import write_sink
+    from .spec import SinkSpec
+
+    emb = load(spark, sf_dir, "embeddings")
+    root = scratch_dir("q_ann_compact_")
+    cents, cb = ivf_pq_index_train(emb)
+    cents.write.parquet(f"{root}/centroids")
+    cb.write.parquet(f"{root}/codebook")
+    write_sink(
+        ivf_pq_index_assign(
+            emb,
+            spark.read.parquet(f"{root}/centroids"),
+            spark.read.parquet(f"{root}/codebook"),
+        ).withColumn("_ingest_version", F.lit(1)),
+        SinkSpec(
+            type="parquet",
+            path=f"{root}/index",
+            mode="merge",
+            merge_key=("cand_id", "s"),
+            merge_order=("_ingest_version",),
+        ),
+    )
+    live = emb.filter(
+        ~((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 16))
+    )
+    removed = ann_index_compact(spark, root, live)
+    assert removed > 0, "compact fixture expected stale index rows"
+    _ANN_COMPACT_CACHE[sf_dir] = root
+    return root
+
+
+@register(
+    "ann_index_compact_serve",
+    oracle=ivf_pq_oracle_sql(corpus_pred=f"NOT ({_ANN_DELETED_PRED})"),
+    tags=("similarity", "ivf", "pq", "serving", "maintenance"),
+)
+def q_ann_index_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANN maintenance loop driver-verified end to end (r15, VERDICT
+    r14 item 2 — ``ann_index_compact`` was pytest-only): build the
+    persisted IVF-PQ index over the full corpus, retire every
+    ``vec_id % 10 == 7`` vector upstream, reconcile with
+    ``ann_index_compact`` (anti-join victim discovery, only stale
+    buckets rewritten under the staged-tree CAS), then serve PROBE-ONLY
+    from the compacted state. The oracle is the standard IVF-PQ replay
+    with the searchable corpus restricted to the live predicate while
+    artifacts / queries / distance tables derive from the full table —
+    exactly the pinned 'compacted ≡ fresh-assign against frozen
+    artifacts' contract, now value-hashed by the driver. A deleted
+    vector appearing in any shortlist, or a live bucket lost by the
+    rewrite, flips the hash."""
+    from .operators.similarity import ivf_pq_topk_indexed
+    from .sinks.writer import read_merge_state
+
+    root = _ann_compacted_index(spark, sf_dir)
+    live = load(spark, sf_dir, "embeddings").filter(
+        ~((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 16))
+    )
+    return ivf_pq_topk_indexed(
+        read_merge_state(spark, f"{root}/index").select(
+            "cand_id", "cid", "s", "code"
+        ),
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/codebook"),
+        live,
+    )
+
+
+#: memoized per sf_dir: seed → tombstone → PURGE once; the row reads the
+#: RAW post-purge state (no delete_col), so a tombstone that survived the
+#: physical rewrite — or a live row it wrongly swept — flips the hash
+_PURGE_STATE_CACHE: dict[str, str] = {}
+
+
+def _purged_tombstone_state(spark: SparkSession, sf_dir: str) -> str:
+    cached = _PURGE_STATE_CACHE.get(sf_dir)
+    if cached:
+        return cached
+    from .sinks.writer import purge_tombstones, write_sink
+    from .spec import SinkSpec
+
+    c = load(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("long")
+    k = F.col("c_custkey")
+
+    def batch(pred, rev, dead):
+        return c.filter(pred).select(
+            k.alias("k"),
+            cents.alias("cents"),
+            F.lit(rev).cast("long").alias("rev"),
+            F.lit(dead).alias("_deleted"),
+        )
+
+    path = scratch_dir("q_purge_state_") + "/state"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("k",),
+        merge_order=("rev",),
+        delete_column="_deleted",
+    )
+    write_sink(batch(k % 3 == 0, 0, False), sink)
+    write_sink(
+        batch(k % 6 == 0, 1, True).unionByName(batch(k % 3 == 1, 1, False)),
+        sink,
+    )
+    removed = purge_tombstones(spark, sink)
+    assert removed > 0, "purge fixture expected tombstones to reclaim"
+    _PURGE_STATE_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "merge_purge_tombstones",
+    oracle="""
+    WITH cents AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS c
+      FROM customer
+    )
+    SELECT k, c AS cents, CAST(0 AS BIGINT) AS rev
+    FROM cents WHERE k % 3 = 0 AND k % 6 <> 0
+    UNION ALL
+    SELECT k, c AS cents, CAST(1 AS BIGINT) AS rev
+    FROM cents WHERE k % 3 = 1
+    """,
+    tags=("etl", "sink", "merge", "delete", "maintenance"),
+)
+def q_merge_purge_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone GC driver-verified end to end (r15, VERDICT r14 item 2 —
+    ``purge_tombstones`` was pytest-only): v0 seeds ``k % 3 == 0``, v1
+    tombstones ``k % 6 == 0`` and inserts ``k % 3 == 1``, then
+    ``purge_tombstones`` physically reclaims the retired keys (only
+    tombstone-bearing buckets rewritten, staged-tree CAS commit, the
+    Cassandra gc-grace discipline). The row reads the state RAW — no
+    ``delete_col`` filter — so the oracle's closed-form live set matches
+    ONLY if every winning tombstone is physically gone AND every
+    survivor kept its payload/version through the rewrite. (The logical
+    live view is value-identical before and after a purge, and a purge
+    commit's CDC diff is empty — both pinned in tests/test_merge_delete;
+    this row pins the PHYSICAL half the driver could not see.)"""
+    from .sinks.writer import read_merge_state
+
+    path = _purged_tombstone_state(spark, sf_dir)
+    return read_merge_state(spark, path).select("k", "cents", "rev")
+
+
+@register(
+    "hybrid_rrf_search_indexed",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ('window', 'merge', 'scan') GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ((s.n - d.df + 0.5) / (d.df + 0.5))
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * s.n) / s.sumdl)))
+               * 1000000.0 + 0.5
+             ) AS BIGINT) AS c
+      FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), stats s
+    ), lex AS (
+      SELECT doc_id, row_number() OVER (ORDER BY smicro DESC, doc_id) AS rank
+      FROM (SELECT doc_id, sum(c) AS smicro FROM contrib GROUP BY doc_id)
+      ORDER BY rank LIMIT 20
+    ), sem AS (
+      SELECT cand_id AS doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM ( {ivf_pq_oracle_sql(query_ids="0", k=20, rerank=32)} )
+    ), fused AS (
+      SELECT doc_id, sum(CAST(floor(1000000.0 / (60 + rank)) AS BIGINT)) AS rrf_micro
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(rrf_micro AS BIGINT) / 1000000.0 AS rrf FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 10
+    """,
+    tags=("text", "search", "similarity", "hybrid", "ranking", "serving"),
+)
+def q_hybrid_rrf_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval over the PERSISTED indexes (r15, VERDICT r14
+    item 3 — the production serving shape): RRF-fuse the probe-only BM25
+    top-20 (``bm25_topk_indexed`` — |terms| inverted-list bucket reads,
+    ``term IN`` pushed) with the probe-only IVF-PQ top-20 for query
+    vector 0 (``ivf_pq_topk_indexed`` — literal ``cid IN`` pushdown, ADC
+    from codes, rerank=32 raw vectors). The r14 ``hybrid_rrf_search``
+    row fuses the two INLINE scorers — a full tokenize pass and a full
+    embedding scan per query, exactly the passes the r13/r14 index work
+    eliminated; this row's plan touches NO documents scan at all
+    (plan-guarded) and reads the embeddings table only for the query
+    vector and the 32-candidate rerank. The lexical ranking is bit-equal
+    to the inline hybrid's by the indexed ≡ inline pin; the semantic
+    side is the IVF-PQ probe's own oracle chain (approximate vs brute
+    force by design — the recall trade is priced by
+    ``ann_recall_report``); the fusion is exact BIGINT micro-units over
+    two top-k-bounded frames."""
+    from pyspark.sql import Window
+
+    from .operators.search import bm25_topk_indexed, rrf_fuse
+    from .operators.similarity import ivf_pq_topk_indexed
+    from .sinks.writer import read_merge_state
+
+    lex = bm25_topk_indexed(
+        spark, _bm25_persisted_index(spark, sf_dir), _BM25_TERMS, k=20
+    )
+    lex_rank = lex.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("bm25").desc(), F.col("doc_id")))
+        .alias("rank"),
+    )
+    root = _ivf_pq_persisted_index(spark, sf_dir)
+    sem = ivf_pq_topk_indexed(
+        read_merge_state(spark, f"{root}/index").select(
+            "cand_id", "cid", "s", "code"
+        ),
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/codebook"),
+        load(spark, sf_dir, "embeddings"),
+        query_ids=(0,),
+        k=20,
+        rerank=32,
+    )
+    sem_rank = sem.select(
+        F.col("cand_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cos_sim").desc(), F.col("cand_id")))
+        .alias("rank"),
+    )
+    return rrf_fuse([lex_rank, sem_rank], k=10)
+
+
 # The round driver snapshots only the FIRST 50 entries() queries per round.
 # Through r11 the window was a hand-curated tuple re-derived from
 # blast-radius arithmetic every round; r12 encodes the rotation policy

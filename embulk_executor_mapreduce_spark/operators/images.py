@@ -1,0 +1,401 @@
+"""Perceptual image hashing + Hamming-banded near-dup (r15, VERDICT r14
+item 1) — the image-level dedup family text already has four of
+(exact / MinHash / SimHash / semantic): re-encoded, re-scaled, or
+brightness-shifted duplicates of one image pass byte-hash ``dedup_exact``
+untouched, so an image-text corpus needs a hash of the DECODED PIXELS.
+
+Two standard perceptual hashes over the engine's own real decode
+(``multimodal._png_pixels`` / ``_jpeg_pixels`` / BMP / PPM) and exact
+area-average resize:
+
+* **dHash** (difference hash — gradient sign grid, the Krawetz
+  construction): box-resize luminance to 9×8, bit(r, c) = P[r][c] <
+  P[r][c+1] — 64 bits of local gradient ORDER, invariant to any strictly
+  monotone brightness map and to integer rescaling. Integer comparisons
+  end-to-end ⇒ a full value-hash SQL oracle when payloads are
+  encoder-derived (the ``image_dhash_neardup`` catalog row).
+* **pHash** (DCT hash, pHash.org construction): box-resize to 32×32,
+  2-D DCT-II, keep the top-left 8×8 low-frequency block, DROP the DC
+  coefficient (so global brightness shifts cannot move the median), bit
+  = coefficient > median of the remaining 63. Float DCT ⇒ pytest-pinned
+  (invariance + discrimination), not SQL-replayable.
+
+Candidate pairing is the SAME Hamming-banding discipline as
+``dedup.simhash64``'s LSH (reference near-dup semantics:
+embulk-executor-mapreduce has no image ops; the banding mirrors
+``minhash_candidates``): split the 64-bit hash into ``bands`` contiguous
+16-bit keys — two images within Hamming distance d share at least one
+band whenever d < bands (pigeonhole), and random non-dups (expected
+distance ~32) almost never collide on a full 16-bit band. Candidates are
+verified by EXACT Hamming distance (``bit_count(a XOR b)``), so banding
+only ever adds recall, never false positives.
+
+Scale shape: hashing is one Arrow-batched ``mapInPandas`` pass (decode +
+resize + hash per image, numpy box-filter — the multimodal discipline);
+banding is an explode to n_imgs × bands rows; the self-equi-join runs on
+(band, band_key) — never all-pairs. A constant-image corpus (all-zero
+gradients) degenerates every band key to one bucket, the same skew
+caveat as MinHash banding — salt or pre-split such corpora.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .multimodal import (
+    _bmp_pixels,
+    _jpeg_pixels,
+    _mid_input,
+    _png_pixels,
+    _ppm_pixels,
+)
+
+_MID = "__mm_id"
+_MVAL = "__mm_val"
+_MIN_LONG = -(1 << 63)
+
+DHASH_SCHEMA = "doc_id long, width int, height int, dhash long"
+PHASH_SCHEMA = "doc_id long, width int, height int, phash long"
+
+#: dHash grid: 9 columns × 8 rows of luminance means → 64 horizontal
+#: gradient-sign bits (bit index = r*8 + c, MSB-first in the packed long)
+DHASH_W, DHASH_H = 9, 8
+
+
+def _decode_any(data: bytes):
+    """(width, height, luminance rows) via the stdlib decoders, or None —
+    the shared never-raise quarantine contract."""
+    try:
+        return (
+            _png_pixels(data)
+            or _jpeg_pixels(data)
+            or _bmp_pixels(data)
+            or _ppm_pixels(data)
+        )
+    except Exception:  # noqa: BLE001 — corrupt payload = data, not a crash
+        return None
+
+
+def _box_resize(arr: np.ndarray, ow: int, oh: int) -> np.ndarray:
+    """Exact area-average (box) resample to ``oh × ow`` via per-axis
+    fractional-coverage weight matrices: out = Wy · arr · Wxᵀ with each
+    weight the overlap length of output cell i's span [i·m/n, (i+1)·m/n)
+    with source cell j — the same exact kernel as
+    ``multimodal.resize_image_stdlib`` in vectorized form (when the ratio
+    divides evenly every weight is 0 or 1/k, so integer inputs give exact
+    rational means — what makes the fixture oracle value-pinnable)."""
+
+    def weights(n_out: int, n_in: int) -> np.ndarray:
+        w = np.zeros((n_out, n_in))
+        for i in range(n_out):
+            y0, y1 = i * n_in / n_out, (i + 1) * n_in / n_out
+            j0, j1 = int(np.floor(y0)), int(np.ceil(y1))
+            for j in range(j0, j1):
+                w[i, j] = min(y1, j + 1) - max(y0, j)
+        return w / (n_in / n_out)
+
+    return weights(oh, arr.shape[0]) @ arr @ weights(ow, arr.shape[1]).T
+
+
+def _pack_bits(bits) -> int:
+    """MSB-first 64-bit pack into a signed two's-complement long — the
+    same sign-aware assembly as ``dedup.simhash64`` (bit 0 is the sign
+    bit, added as MIN_LONG so both engines agree on the packed value)."""
+    v = 0
+    for idx, b in enumerate(bits):
+        if b:
+            v |= 1 << (63 - idx)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def _dhash_from_lum(lum) -> int:
+    grid = _box_resize(np.asarray(lum, dtype=float), DHASH_W, DHASH_H)
+    bits = (grid[:, :-1] < grid[:, 1:]).reshape(-1)
+    return _pack_bits(bits)
+
+
+def _dct_mat(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis (the JPEG transform at size n — the 8×8
+    instance is ``multimodal._dct_matrix``; pHash needs the 32×32 one)."""
+    a = np.zeros((n, n))
+    for k in range(n):
+        scale = np.sqrt(1.0 / n) if k == 0 else np.sqrt(2.0 / n)
+        for x in range(n):
+            a[k, x] = scale * np.cos((2 * x + 1) * k * np.pi / (2 * n))
+    return a
+
+
+_DCT32 = _dct_mat(32)
+
+
+def _phash_from_lum(lum) -> int:
+    grid = _box_resize(np.asarray(lum, dtype=float), 32, 32)
+    coefs = (_DCT32 @ grid @ _DCT32.T)[:8, :8].reshape(-1)
+    ac = coefs[1:]  # DROP DC: global brightness must not move the median
+    med = float(np.median(ac))
+    bits = np.concatenate(([False], ac > med))
+    return _pack_bits(bits)
+
+
+def _hash_map_in_pandas(df: DataFrame, id_col: str, hash_fn, hash_name: str,
+                        schema: str) -> DataFrame:
+    df, _ = _mid_input(df, id_col, "payload")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, out = [], [], [], []
+            for doc_id, payload in zip(pdf[_MID], pdf[_MVAL]):
+                ids.append(doc_id)
+                decoded = _decode_any(bytes(payload))
+                if decoded is None:
+                    ws.append(None)
+                    hs.append(None)
+                    out.append(None)
+                else:
+                    w, h, lum = decoded
+                    ws.append(w)
+                    hs.append(h)
+                    out.append(hash_fn(lum))
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": pd.array(ws, dtype="Int32"),
+                    "height": pd.array(hs, dtype="Int32"),
+                    hash_name: pd.array(out, dtype="Int64"),
+                }
+            )
+
+    return df.mapInPandas(run, schema=schema).withColumnRenamed(
+        "doc_id", id_col
+    )
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-image 64-bit difference hash over REAL decoded pixels:
+    ``payload`` → stdlib decode → exact 9×8 box resize → horizontal
+    gradient signs, packed MSB-first. Unparseable payloads quarantine to
+    NULL dims/hash (the decoder contract). One Arrow pass; follow the
+    ``spread_narrow``-before-Python advice of the multimodal module when
+    feeding from a narrow scan."""
+    return _hash_map_in_pandas(df, id_col, _dhash_from_lum, "dhash", DHASH_SCHEMA)
+
+
+def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-image 63-bit DCT perceptual hash (pHash): 32×32 box resize →
+    DCT-II → top-left 8×8 low-frequency block minus DC → median
+    threshold. More robust than dHash to local noise; float DCT, so it is
+    pytest-pinned rather than SQL-oracled."""
+    return _hash_map_in_pandas(df, id_col, _phash_from_lum, "phash", PHASH_SCHEMA)
+
+
+def hamming64(a, b) -> F.Column:
+    """Exact Hamming distance between two packed 64-bit hashes — the
+    verification predicate after banding (both engines agree on
+    ``bit_count(xor)`` over two's-complement longs, probe-pinned)."""
+    return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate image pairs from banded perceptual hashes:
+    ``(id_a, id_b, hamming)`` with id_a < id_b and exact Hamming distance
+    ≤ ``max_hamming``. NULL hashes (undecodable payloads) never pair.
+
+    Banding (the simhash64/MinHash LSH discipline): the 64-bit hash
+    splits into ``bands`` contiguous keys; candidates share ≥1 full band
+    — guaranteed complete for d < bands by pigeonhole, and probabilistic
+    recall beyond (a missed true pair needs a flipped bit in EVERY band).
+    The self-join is an equi-join on (band, key); verification is the
+    exact ``bit_count(xor)`` — never all-pairs, false-positive-free."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    live = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col)
+    )
+    banded = live.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.bkey")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("__ha"),
+            F.col(f"b.{hash_col}").alias("__hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", hamming64("__ha", "__hb").cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic fixture: REAL PNGs whose decoded 9×8 box-resize is a
+# closed-form md5 grid — what gives the catalog row a full value-hash
+# oracle over the real encode → decode → resize → hash pipeline (the
+# encode_text_png convention of multimodal.py, at dHash-grid size).
+# ---------------------------------------------------------------------------
+
+
+def _grid_bytes(text: str) -> list[int]:
+    """72 grid bytes (9×8, row-major) from five chained md5 digests —
+    md5(text + '#' + chunk) — so the 64 gradient comparisons are
+    (near-)independent: a single-digest tiling would repeat the same 16
+    byte comparisons and collapse dHash entropy to 16 bits."""
+    out: list[int] = []
+    for chunk in range(5):
+        out.extend(hashlib.md5(f"{text}#{chunk}".encode()).digest())
+    return out[: DHASH_W * DHASH_H]
+
+
+def _png_gray(width: int, height: int, rows: list[list[int]]) -> bytes:
+    """Genuine 8-bit grayscale PNG (filter 0 rows) — the same chunk/CRC
+    construction as ``multimodal.encode_text_png``, at arbitrary size."""
+    import struct
+    import zlib
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0))
+    raw = b"".join(b"\x00" + bytes(r) for r in rows)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + ihdr
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_grid_png(
+    df: DataFrame,
+    scale: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    brightness: int = 0,
+) -> DataFrame:
+    """Each doc becomes a REAL ``9·scale × 8·scale`` grayscale PNG whose
+    pixels tile the 72-byte md5 grid in constant ``scale × scale`` blocks
+    — so the exact box resize back to 9×8 reproduces the grid bytes
+    bit-for-bit at ANY scale (the resize-invariance the near-dup row
+    exercises: the same content re-encoded at scale 2 and scale 3 must
+    hash identically). ``brightness`` adds a constant (callers keep
+    values in 0..255 — dHash is invariant to any strictly monotone map,
+    the pytest pin)."""
+
+    df, id_type = _mid_input(df, id_col, text_col)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for text in pdf[_MVAL]:
+                g = _grid_bytes(str(text))
+                rows = [
+                    [
+                        min(255, g[(ro // scale) * DHASH_W + (co // scale)] + brightness)
+                        for co in range(DHASH_W * scale)
+                    ]
+                    for ro in range(DHASH_H * scale)
+                ]
+                payloads.append(_png_gray(DHASH_W * scale, DHASH_H * scale, rows))
+            yield pd.DataFrame({_MID: pdf[_MID], "payload": payloads})
+
+    return df.mapInPandas(
+        run, schema=f"{_MID} {id_type}, payload binary"
+    ).withColumnRenamed(_MID, id_col)
+
+
+def dhash_neardup_oracle_sql(
+    table: str = "documents",
+    variant_mod: int = 5,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> str:
+    """DuckDB mirror of the ``image_dhash_neardup`` catalog row: replay
+    the md5 grid → gradient bits → MSB-first pack → banding → exact
+    Hamming verify, closed-form from the raw text (the PNG encode →
+    decode → box resize being exact is precisely what the row pins).
+    Image ids: base = doc_id·2 (scale 2), variant = doc_id·2+1 (scale 3,
+    docs with ``doc_id % variant_mod = 0``) — same grid, so every
+    variant pairs with its base at Hamming 0."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH bytes AS (
+      SELECT doc_id, idx,
+             CAST(('0x' || substr(
+               md5(text || '#' || CAST(idx // 16 AS VARCHAR)),
+               (idx % 16) * 2 + 1, 2)) AS INT) AS pv
+      FROM {table}, (SELECT unnest(range(72)) AS idx)
+    ), cmp AS (
+      SELECT a.doc_id,
+             (a.idx // 9) * 8 + (a.idx % 9) AS bi,
+             CASE WHEN a.pv < b.pv THEN 1 ELSE 0 END AS bit
+      FROM bytes a
+      JOIN bytes b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+      WHERE a.idx % 9 < 8
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1 THEN (
+               CASE WHEN bi = 0 THEN {_MIN_LONG}
+                    ELSE (1::BIGINT << (63 - bi)) END
+             ) ELSE 0 END) AS BIGINT) AS dhash
+      FROM cmp GROUP BY doc_id
+    ), imgs AS (
+      SELECT doc_id * 2 AS img_id, dhash FROM hashes
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS img_id, dhash FROM hashes
+      WHERE doc_id % {variant_mod} = 0
+    ), banded AS (
+      SELECT img_id, dhash, band,
+             (dhash >> (16 * band)) & {mask} AS bkey
+      FROM imgs, (SELECT unnest(range({bands})) AS band)
+    ), cand AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+                      a.dhash AS ha, b.dhash AS hb
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.img_id < b.img_id
+    )
+    SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """

@@ -41,9 +41,13 @@ so a document matching one rare term can outrank one matching several
 moderately-rare terms where standard BM25 orders them the other way (r14
 advisor finding). Callers who need standard BM25 behavior — e.g.
 decontamination or hard-negative mining tuned against Lucene-style
-scores — and don't need cross-engine bit-equality should use the ``ln``
-dampened variant: swap the rational IDF factor for
-``F.log((n - df + 0.5) / (df + 0.5) + 1.0)`` (the Lucene form).
+scores — and don't need cross-engine bit-equality pass ``idf="lucene"``
+(r15, VERDICT r14 item 5): the ``ln``-dampened Lucene form
+``ln((N - df + 0.5)/(df + 0.5) + 1)``, available on :func:`bm25_topk`,
+:func:`bm25_topk_indexed` and :func:`bm25_batch_topk_indexed` through
+the shared :func:`_bm25_contrib`, so indexed ≡ inline holds under either
+IDF. The Lucene variant is verified at RANK level (ordered top-k ids),
+never by value hash.
 """
 
 from __future__ import annotations
@@ -57,18 +61,36 @@ from pyspark.sql import functions as F
 POSTINGS_DELETE_COL = "_deleted"
 
 
-def _bm25_contrib() -> F.Column:
+def _bm25_contrib(idf: str = "rational") -> F.Column:
     """The per-(doc, term) BM25 contribution in integer micro-units —
     ONE definition of the float-discipline-critical expression (the FIXED
     IEEE parenthesization both the inline scorer and the indexed prober
     must share bit-for-bit; a drifted copy would silently break the
     'indexed ≡ inline' pin the serving row relies on). Expects columns
-    ``n, df, tf, dl, sumdl``; k1 = 1.2, b = 0.75."""
-    return (
-        (
-            (F.col("n") - F.col("df") + F.lit(0.5))
-            / (F.col("df") + F.lit(0.5))
+    ``n, df, tf, dl, sumdl``; k1 = 1.2, b = 0.75.
+
+    ``idf`` (r15, VERDICT r14 item 5): ``"rational"`` (default) is the
+    undamped RSJ odds ratio — cross-engine hash-pinnable, but over-weights
+    very rare terms in mixed-rarity multi-term queries (module docstring);
+    ``"lucene"`` is the standard ``ln``-dampened form
+    ``ln((N - df + 0.5)/(df + 0.5) + 1)`` for callers tuning against
+    Lucene-style scores — ``ln`` is not IEEE correctly-rounded, so this
+    variant is verified at RANK level, never by value hash."""
+    if idf == "rational":
+        idf_factor = (F.col("n") - F.col("df") + F.lit(0.5)) / (
+            F.col("df") + F.lit(0.5)
         )
+    elif idf == "lucene":
+        idf_factor = F.log(
+            (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+            + F.lit(1.0)
+        )
+    else:
+        from ..errors import ConfigError
+
+        raise ConfigError(f"idf must be 'rational' or 'lucene', got {idf!r}")
+    return (
+        idf_factor
         * (
             (F.col("tf") * F.lit(2.2))
             / (
@@ -87,14 +109,16 @@ def _bm25_contrib() -> F.Column:
     )
 
 
-def _bm25_rank(scored_terms: DataFrame, id_col: str, k: int) -> DataFrame:
+def _bm25_rank(
+    scored_terms: DataFrame, id_col: str, k: int, idf: str = "rational"
+) -> DataFrame:
     """Shared scoring tail: floor each contribution to BIGINT micro-units,
     sum per doc (summation-order-proof), TakeOrdered top-k. Input must
     carry ``id_col`` plus the ``n, df, tf, dl, sumdl`` contrib columns."""
     return (
         scored_terms.select(
             F.col(id_col),
-            F.floor(_bm25_contrib()).cast("long").alias("c"),
+            F.floor(_bm25_contrib(idf)).cast("long").alias("c"),
         )
         .groupBy(id_col)
         .agg(F.sum("c").alias("smicro"))
@@ -113,10 +137,13 @@ def bm25_topk(
     text_col: str = "text",
     k: int = 10,
     doc_lens: DataFrame | None = None,
+    idf: str = "rational",
 ) -> DataFrame:
-    """Top-``k`` documents by rational-IDF BM25 against ``query_terms``
-    (k1 = 1.2, b = 0.75 — the standard constants). Returns
-    ``(doc_id, bm25)`` with bm25 in exact micro-units / 1e6.
+    """Top-``k`` documents by BM25 against ``query_terms`` (k1 = 1.2,
+    b = 0.75 — the standard constants; ``idf`` picks the rational
+    hash-pinnable form or the Lucene ``ln`` form, see
+    :func:`_bm25_contrib`). Returns ``(doc_id, bm25)`` with bm25 in
+    exact micro-units / 1e6.
 
     ``doc_lens``: an optional precomputed ``(id_col, dl)`` table (the
     standing-deployment path — length is a write-time column); omitted,
@@ -145,6 +172,7 @@ def bm25_topk(
         .crossJoin(F.broadcast(stats)),
         id_col,
         k,
+        idf,
     )
 
 
@@ -304,6 +332,7 @@ def bm25_topk_indexed(
     k: int = 10,
     id_col: str = "doc_id",
     prune_buckets: bool = True,
+    idf: str = "rational",
 ) -> DataFrame:
     """PROBE-ONLY BM25 over the committed index (VERDICT r13 item 1 — the
     lexical twin of ``ivf_pq_topk_indexed``): score a query term set from
@@ -365,6 +394,7 @@ def bm25_topk_indexed(
         probed.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(stats)),
         id_col,
         k,
+        idf,
     )
 
 
@@ -375,6 +405,7 @@ def bm25_batch_topk_indexed(
     k: int = 10,
     id_col: str = "doc_id",
     prune_buckets: bool = True,
+    idf: str = "rational",
 ) -> DataFrame:
     """BATCH retrieval over the persisted index — score MANY query term
     sets in ONE pass (r14): the decontamination-by-retrieval /
@@ -435,7 +466,7 @@ def bm25_batch_topk_indexed(
         .select(
             "query_id",
             F.col(id_col),
-            F.floor(_bm25_contrib()).cast("long").alias("c"),
+            F.floor(_bm25_contrib(idf)).cast("long").alias("c"),
         )
         .groupBy("query_id", id_col)
         .agg(F.sum("c").alias("smicro"))

@@ -937,9 +937,17 @@ def ivf_pq_oracle_sql(
     sub_dim: int = 16,
     n_codes: int = 16,
     rerank: int = 16,
+    corpus_pred: str = "TRUE",
 ) -> str:
     """DuckDB mirror of :func:`ivf_pq_topk` — identical stand-in centroid /
-    codebook choices, the same rounding forms at every stage."""
+    codebook choices, the same rounding forms at every stage.
+
+    ``corpus_pred`` (r15): restrict the SEARCHABLE corpus (the assigned /
+    re-ranked candidates) to a predicate while artifacts, queries, and
+    distance tables stay derived from the full table — the replay shape
+    of the ``ann_index_compact`` maintenance row, where vectors deleted
+    upstream leave the index but the frozen centroids/codebook and query
+    vectors predate the deletion."""
     return f"""
     WITH base AS (
       SELECT vec_id, embedding::DOUBLE[] AS v FROM {table}
@@ -956,7 +964,8 @@ def ivf_pq_oracle_sql(
         PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
       FROM sims
     ), assigned AS (
-      SELECT vec_id AS cand_id, cid, v FROM ranked WHERE rn = 1
+      SELECT vec_id AS cand_id, cid, v FROM ranked
+      WHERE rn = 1 AND ({corpus_pred})
     ), probes AS (
       SELECT vec_id AS query_id, cid FROM ranked
       WHERE vec_id IN ({query_ids}) AND rn <= {nprobe}

@@ -39,7 +39,19 @@ VERIFIED_PATH = ROOT / "scripts" / "VERIFIED.json"
 # round's window. Round 7: EMPTY — all 19 r6 waivers (text.py / streaming
 # additive-diff deferrals) hold window slots this round and zero new
 # deferrals were taken (VERDICT r6 item 4: waiver debt drains to zero).
-DEFERRED: dict[str, str] = {}
+# Round 15: ONE waiver — the round needed 51 slots (47 module-flagged +
+# 4 new rows) against the 50-slot window; rotate this row into r16's
+# window first.
+DEFERRED: dict[str, str] = {
+    "stream_cdc_semantic_ingest": (
+        "similarity.py edits after this row's green r15 sf0.01 sweep "
+        "(2026-08-16, post spec/writer changes) are the ivf_pq_oracle_sql "
+        "corpus_pred SQL-generator parameter and the ann_index_compact "
+        "victim factory — neither is reached by this row's fn "
+        "(run_cdc_semantic_ingest → semantic dedup path) or its oracle "
+        "(incremental_semantic_oracle_sql, byte-unchanged)"
+    ),
+}
 
 
 def body_hash(entry, _cache: dict | None = None) -> str:
