@@ -7274,9 +7274,10 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(hashes, id_col="img_id", max_hamming=6)
 
 
-#: the compact row's deletion predicate — SQL spelling (the Spark mirror
-#: lives in the fixture); training-prefix ids and query ids stay live so
-#: the frozen artifacts and probe vectors remain derivable from the table
+#: the compact row's ONE deletion-predicate definition — embedded in the
+#: oracle SQL and applied Spark-side via F.expr; training-prefix ids and
+#: query ids stay live so the frozen artifacts and probe vectors remain
+#: derivable from the table
 _ANN_DELETED_PRED = "vec_id % 10 = 7 AND vec_id >= 16"
 
 #: memoized per sf_dir: build → delete upstream → compact once; the row
@@ -7315,9 +7316,10 @@ def _ann_compacted_index(spark: SparkSession, sf_dir: str) -> str:
             merge_order=("_ingest_version",),
         ),
     )
-    live = emb.filter(
-        ~((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 16))
-    )
+    # ONE definition of the deletion predicate — F.expr over the same
+    # SQL string the oracle embeds (r15 review finding: hand-synchronized
+    # Spark copies are the drifted-copy hazard _bm25_contrib documents)
+    live = emb.filter(~F.expr(_ANN_DELETED_PRED))
     removed = ann_index_compact(spark, root, live)
     assert removed > 0, "compact fixture expected stale index rows"
     _ANN_COMPACT_CACHE[sf_dir] = root
@@ -7348,7 +7350,7 @@ def q_ann_index_compact_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     root = _ann_compacted_index(spark, sf_dir)
     live = load(spark, sf_dir, "embeddings").filter(
-        ~((F.col("vec_id") % 10 == 7) & (F.col("vec_id") >= 16))
+        ~F.expr(_ANN_DELETED_PRED)
     )
     return ivf_pq_topk_indexed(
         read_merge_state(spark, f"{root}/index").select(

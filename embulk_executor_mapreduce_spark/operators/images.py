@@ -60,11 +60,10 @@ _MID = "__mm_id"
 _MVAL = "__mm_val"
 _MIN_LONG = -(1 << 63)
 
-DHASH_SCHEMA = "doc_id long, width int, height int, dhash long"
-PHASH_SCHEMA = "doc_id long, width int, height int, phash long"
-
 #: dHash grid: 9 columns × 8 rows of luminance means → 64 horizontal
-#: gradient-sign bits (bit index = r*8 + c, MSB-first in the packed long)
+#: gradient-sign bits (bit index = r*8 + c, MSB-first in the packed long).
+#: Output schema is `(id AT ITS INPUT TYPE, width int, height int, hash
+#: long)` — built per call from _mid_input's id DDL type.
 DHASH_W, DHASH_H = 9, 8
 
 
@@ -143,16 +142,27 @@ def _phash_from_lum(lum) -> int:
     return _pack_bits(bits)
 
 
-def _hash_map_in_pandas(df: DataFrame, id_col: str, hash_fn, hash_name: str,
-                        schema: str) -> DataFrame:
-    df, _ = _mid_input(df, id_col, "payload")
+def _hash_map_in_pandas(
+    df: DataFrame, id_col: str, hash_fn, hash_name: str
+) -> DataFrame:
+    # the id rides through at ITS OWN type (string URIs, ints, longs —
+    # _mid_input hands the DDL type back for exactly this; r15 review
+    # finding: a hardcoded `long` crashed string ids and silently widened
+    # int ones)
+    df, id_type = _mid_input(df, id_col, "payload")
+    schema = f"doc_id {id_type}, width int, height int, {hash_name} long"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, ws, hs, out = [], [], [], []
             for doc_id, payload in zip(pdf[_MID], pdf[_MVAL]):
                 ids.append(doc_id)
-                decoded = _decode_any(bytes(payload))
+                # NULL payloads (optional-column joins) quarantine like
+                # any unparseable image — bytes(None) would raise OUTSIDE
+                # _decode_any's guard (r15 review finding)
+                decoded = (
+                    None if payload is None else _decode_any(bytes(payload))
+                )
                 if decoded is None:
                     ws.append(None)
                     hs.append(None)
@@ -179,11 +189,11 @@ def _hash_map_in_pandas(df: DataFrame, id_col: str, hash_fn, hash_name: str,
 def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Per-image 64-bit difference hash over REAL decoded pixels:
     ``payload`` → stdlib decode → exact 9×8 box resize → horizontal
-    gradient signs, packed MSB-first. Unparseable payloads quarantine to
-    NULL dims/hash (the decoder contract). One Arrow pass; follow the
-    ``spread_narrow``-before-Python advice of the multimodal module when
-    feeding from a narrow scan."""
-    return _hash_map_in_pandas(df, id_col, _dhash_from_lum, "dhash", DHASH_SCHEMA)
+    gradient signs, packed MSB-first. Unparseable or NULL payloads
+    quarantine to NULL dims/hash (the decoder contract). One Arrow pass;
+    follow the ``spread_narrow``-before-Python advice of the multimodal
+    module when feeding from a narrow scan."""
+    return _hash_map_in_pandas(df, id_col, _dhash_from_lum, "dhash")
 
 
 def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -191,7 +201,7 @@ def image_phash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     DCT-II → top-left 8×8 low-frequency block minus DC → median
     threshold. More robust than dHash to local noise; float DCT, so it is
     pytest-pinned rather than SQL-oracled."""
-    return _hash_map_in_pandas(df, id_col, _phash_from_lum, "phash", PHASH_SCHEMA)
+    return _hash_map_in_pandas(df, id_col, _phash_from_lum, "phash")
 
 
 def hamming64(a, b) -> F.Column:

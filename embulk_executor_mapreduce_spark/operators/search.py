@@ -372,9 +372,13 @@ def bm25_topk_indexed(
         if layout is not None and layout["bucket_columns"] == ["term"]:
             # state_path form: probe literals are cast to the committed
             # schema's term type before hashing (xxhash64 is type-
-            # sensitive; r15 advisor finding)
+            # sensitive; r15 advisor finding); the in-hand layout rides
+            # along so the manifest is parsed once per probe
             buckets = merge_bucket_ids(
-                spark, list(query_terms), state_path=f"{index_root}/postings"
+                spark,
+                list(query_terms),
+                state_path=f"{index_root}/postings",
+                layout=layout,
             )
     probed = (
         read_merge_state(
@@ -437,7 +441,10 @@ def bm25_batch_topk_indexed(
         layout = merge_state_layout(f"{index_root}/postings")
         if layout is not None and layout["bucket_columns"] == ["term"]:
             buckets = merge_bucket_ids(
-                spark, all_terms, state_path=f"{index_root}/postings"
+                spark,
+                all_terms,
+                state_path=f"{index_root}/postings",
+                layout=layout,
             )
     probed = (
         read_merge_state(

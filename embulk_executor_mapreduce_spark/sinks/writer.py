@@ -224,6 +224,7 @@ def merge_bucket_ids(
     n_buckets: int | None = None,
     state_path: str | None = None,
     fmt: str = "parquet",
+    layout: dict | None = None,
 ) -> list[int]:
     """Bucket ids for a list of LITERAL bucket-column values — the probe
     side of a keyed bucket layout (``pmod(xxhash64(...), n)`` must be
@@ -239,15 +240,19 @@ def merge_bucket_ids(
     merely warn). Pass ``state_path`` to make the types load-bearing: the
     bucket columns and ``n_buckets`` come from the state's COMMITTED
     layout and the probe literals are CAST to the committed schema's
-    column types before hashing. The bare ``n_buckets`` form remains for
-    states without a recorded layout — callers own the type contract
-    there."""
+    column types before hashing. A caller that has already loaded the
+    layout (every prober starts by checking the bucket columns) passes
+    it via ``layout=`` to skip the repeat manifest parse — one schema
+    footer read per probe remains, it is what carries the types. The
+    bare ``n_buckets`` form remains for states without a recorded
+    layout — callers own the type contract there."""
     rows = [v if isinstance(v, tuple) else (v,) for v in values]
     if not rows:
         return []
     df = spark.createDataFrame(rows)
     if state_path is not None:
-        layout = merge_state_layout(state_path)
+        if layout is None:
+            layout = merge_state_layout(state_path)
         if layout is None:
             raise FileNotFoundError(
                 f"{state_path} has no committed bucket layout to probe "

@@ -421,7 +421,18 @@ class PipelineSpec:
                     "for partition-scoped re-loads)"
                 )
             validate_merge_sink_keying(self.sink)
-        elif self.sink.delete_column is not None or self.sink.merge_bucket_columns:
+        elif self.sink.type != "dedup_corpus" and (
+            # EXPLICIT spellings only (the bucket-column resolver's
+            # merge_key fallback must not fire here), but BOTH spellings:
+            # the options-dict alias gets the same plan-time rejection as
+            # the first-class field (r15 review finding — an aliased
+            # delete_column on an append sink was silently ignored while
+            # the field form raised)
+            self.sink.delete_column is not None
+            or self.sink.options.get("delete_column") is not None
+            or self.sink.merge_bucket_columns
+            or self.sink.options.get("merge_bucket_columns") is not None
+        ):
             raise ConfigError(
                 "delete_column / merge_bucket_columns are merge-mode sink "
                 f"fields (sink mode is {self.sink.mode!r})"

@@ -146,3 +146,30 @@ def test_neardup_row_shape(spark):
     assert sorted(map(tuple, pairs.collect())) == [
         (0, 1, 0), (10, 11, 0)
     ]
+
+
+def test_null_payload_and_nonlong_ids(spark):
+    """r15 review findings: a NULL payload (optional-column join)
+    quarantines like any unparseable image instead of crashing the Arrow
+    pass, and the id column rides through at ITS OWN type (string URIs
+    here) rather than a hardcoded long."""
+    good = encode_grid_png(
+        spark.createDataFrame(
+            [("img://a", "alpha text"), ("img://b", "beta text")],
+            "uri string, text string",
+        ),
+        scale=2,
+        id_col="uri",
+    )
+    nulled = spark.createDataFrame(
+        [("img://nil", None)], "uri string, payload binary"
+    )
+    hashes = image_dhash(good.unionByName(nulled), id_col="uri")
+    assert dict(hashes.dtypes)["uri"] == "string"
+    rows = {r.uri: r.dhash for r in hashes.collect()}
+    assert rows["img://nil"] is None
+    assert rows["img://a"] is not None and rows["img://a"] != rows["img://b"]
+    pairs = image_neardup_pairs(hashes, id_col="uri", max_hamming=64)
+    assert not any(
+        "nil" in r.id_a or "nil" in r.id_b for r in pairs.collect()
+    )

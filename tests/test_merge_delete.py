@@ -472,3 +472,23 @@ def test_yaml_front_door_merge_delete_fields(spark, tmp_path):
                 "delete_column": "_deleted",
             },
         })
+
+
+def test_options_alias_rejected_on_non_merge_sink_at_plan_time():
+    """r15 review finding: the options-dict deprecation alias must get
+    the SAME plan-time rejection as the first-class field on a non-merge
+    sink — an aliased delete_column on an append sink was silently
+    ignored while the field spelling raised."""
+    import pytest as _pytest
+
+    from embulk_executor_mapreduce_spark.spec import load_spec
+
+    for knob in (
+        {"options": {"delete_column": "_deleted"}},
+        {"options": {"merge_bucket_columns": ["k"]}},
+    ):
+        with _pytest.raises(ConfigError, match="merge-mode"):
+            load_spec({
+                "in": {"type": "parquet", "path": "/tmp/x"},
+                "out": {"type": "parquet", "path": "/tmp/y", **knob},
+            })
