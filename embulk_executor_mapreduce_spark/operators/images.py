@@ -82,13 +82,22 @@ def _decode_any(data: bytes):
 
 
 def _box_resize(arr: np.ndarray, ow: int, oh: int) -> np.ndarray:
-    """Exact area-average (box) resample to ``oh × ow`` via per-axis
+    """Area-average (box) resample to ``oh × ow`` via per-axis
     fractional-coverage weight matrices: out = Wy · arr · Wxᵀ with each
     weight the overlap length of output cell i's span [i·m/n, (i+1)·m/n)
-    with source cell j — the same exact kernel as
-    ``multimodal.resize_image_stdlib`` in vectorized form (when the ratio
-    divides evenly every weight is 0 or 1/k, so integer inputs give exact
-    rational means — what makes the fixture oracle value-pinnable)."""
+    with source cell j — the same kernel as
+    ``multimodal.resize_image_stdlib`` in vectorized form.
+
+    Precision contract (what the dHash fixture oracle actually rests on;
+    r15 property-test finding): at power-of-two ratios the means are
+    BIT-exact (halving is exact in binary); at other even ratios (1/3
+    weights …) they carry ≤ ~1e-13 residue — but dHash needs only ORDER,
+    and that survives exactly: two constant blocks holding the SAME
+    integer produce bit-identical means (identical operand sequence
+    through the two matmuls), while DISTINCT integers differ by ≥ 1,
+    twelve orders of magnitude above the residue. So strict ``<`` on the
+    resized means equals strict ``<`` on the grid integers at any even
+    ratio — the closed-form oracle is sound without bit-exact means."""
 
     def weights(n_out: int, n_in: int) -> np.ndarray:
         w = np.zeros((n_out, n_in))
