@@ -200,6 +200,11 @@ HEADLINE = [
     # serving shape (read against hybrid_rrf_search: the gap is two
     # full-corpus passes vs |terms| bucket reads + an nprobe index probe)
     "hybrid_rrf_search_indexed",
+    # round 15: BATCHED hybrid — 3 queries fused in one pass (ONE union
+    # postings probe + ONE multi-vector index probe + query-partitioned
+    # fusion; read against hybrid_rrf_search_indexed: near-flat cost per
+    # extra query is the point)
+    "hybrid_rrf_batch_indexed",
 ]
 
 SMALL_RESULT = {
@@ -246,6 +251,7 @@ SMALL_RESULT = {
     "ann_index_compact_serve",
     "merge_purge_tombstones",
     "hybrid_rrf_search_indexed",
+    "hybrid_rrf_batch_indexed",
 }
 
 # queries whose fn() does EAGER work (k-means localCheckpoint iterations):
@@ -276,6 +282,7 @@ TIME_INCLUDES_BUILD = {
     "ann_index_compact_serve",  # build+assign+compact memoized on run 1
     "merge_purge_tombstones",  # two commits + purge rewrite memoized run 1
     "hybrid_rrf_search_indexed",  # both indexes memoized; eager probe ids
+    "hybrid_rrf_batch_indexed",  # same memoized indexes; eager probe ids
 }
 
 # events.ts physical-encoding normalization, probed from the footer

@@ -7538,6 +7538,92 @@ def q_hybrid_rrf_search_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse([lex_rank, sem_rank], k=10)
 
 
+@register(
+    "hybrid_rrf_batch_indexed",
+    oracle=f"""
+    WITH lex AS (
+      SELECT query_id, doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rank
+      FROM ( {bm25_batch_oracle_sql(_BM25_BATCH_QUERIES, k=20)} )
+    ), sem AS (
+      SELECT query_id, cand_id AS doc_id,
+             row_number() OVER (
+               PARTITION BY query_id ORDER BY cos_sim DESC, cand_id) AS rank
+      FROM ( {ivf_pq_oracle_sql(query_ids="0, 1, 2", k=20, rerank=32)} )
+    ), fused AS (
+      SELECT query_id, doc_id,
+             sum(CAST(floor(1000000.0 / (60 + rank)) AS BIGINT)) AS rrf_micro
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM sem)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, CAST(rrf_micro AS BIGINT) / 1000000.0 AS rrf
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY rrf_micro DESC, doc_id) AS rn
+      FROM fused
+    ) WHERE rn <= 10
+    """,
+    tags=("text", "search", "similarity", "hybrid", "ranking", "serving", "batch"),
+)
+def q_hybrid_rrf_batch_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED hybrid retrieval over the persisted indexes (r15 — the
+    decontamination-at-scale serving shape, composing this round's
+    single-query `hybrid_rrf_search_indexed` with the r14 batch
+    machinery): THREE queries, each pairing a term set with its query
+    vector (ids 0/1/2 — the fixture's vec_id ≡ query_id convention),
+    fused per query in ONE pass. The lexical side is
+    `bm25_batch_topk_indexed` — the union of all queries' terms read
+    ONCE from the term-bucketed postings (one pruned probe, `term IN`
+    pushed, per-query top-20 via a query-partitioned window); the
+    semantic side is ONE `ivf_pq_topk_indexed` call over all three
+    query vectors (one `cid IN` probe covering the union of their
+    lists); the fusion is `rrf_fuse_batch` — exact BIGINT micro-units
+    keyed (query, doc), final top-10 per query through a
+    query-PARTITIONED window, never a global sort. At 100 TB with 10k
+    benchmark questions: |union terms| inverted-list reads + one
+    nprobe-bounded index probe TOTAL, versus 10k corpus tokenizes plus
+    10k full embedding scans for the inline shape. Query 0's fused
+    ranking is bit-equal to the single-query hybrid row's (pinned in
+    pytest); the oracle replays both batch rankings and the per-query
+    fusion end to end."""
+    from .operators.search import bm25_batch_topk_indexed, rrf_fuse_batch
+    from .operators.similarity import ivf_pq_topk_indexed
+    from .sinks.writer import read_merge_state
+    from pyspark.sql import Window
+
+    lex = bm25_batch_topk_indexed(
+        spark, _bm25_persisted_index(spark, sf_dir), _BM25_BATCH_QUERIES, k=20
+    )
+    w_lex = Window.partitionBy("query_id").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    lex_rank = lex.select(
+        "query_id", "doc_id", F.row_number().over(w_lex).alias("rank")
+    )
+    root = _ivf_pq_persisted_index(spark, sf_dir)
+    sem = ivf_pq_topk_indexed(
+        read_merge_state(spark, f"{root}/index").select(
+            "cand_id", "cid", "s", "code"
+        ),
+        spark.read.parquet(f"{root}/centroids"),
+        spark.read.parquet(f"{root}/codebook"),
+        load(spark, sf_dir, "embeddings"),
+        query_ids=(0, 1, 2),
+        k=20,
+        rerank=32,
+    )
+    w_sem = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand_id")
+    )
+    sem_rank = sem.select(
+        "query_id",
+        F.col("cand_id").alias("doc_id"),
+        F.row_number().over(w_sem).alias("rank"),
+    )
+    return rrf_fuse_batch([lex_rank, sem_rank], k=10)
+
+
 # The round driver snapshots only the FIRST 50 entries() queries per round.
 # Through r11 the window was a hand-curated tuple re-derived from
 # blast-radius arithmetic every round; r12 encodes the rotation policy

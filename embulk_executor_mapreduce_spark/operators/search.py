@@ -582,6 +582,52 @@ def rrf_fuse(
     )
 
 
+def rrf_fuse_batch(
+    rankings: list[DataFrame],
+    id_col: str = "doc_id",
+    query_col: str = "query_id",
+    k_const: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """BATCH Reciprocal Rank Fusion (r15): fuse N per-query rankings of
+    MANY queries in one pass — the serving tail of batched hybrid
+    retrieval, where thousands of benchmark questions each carry a
+    lexical and a semantic top-k and the fusion must stay parallel
+    across queries. Same exactmath algebra as :func:`rrf_fuse`
+    (``floor(1e6/(k_const+rank))`` micro-units, BIGINT sums, ties by
+    id), keyed ``(query_col, id_col)``; the final top-k is a window
+    PARTITIONED BY the query — never a global sort. Inputs are
+    ``(query_col, id_col, rank)`` frames with 1-based per-query ranks,
+    already top-k-bounded by their producers (n_q × k rows each)."""
+    from pyspark.sql import Window
+
+    scored = None
+    for r in rankings:
+        part = r.select(
+            F.col(query_col),
+            F.col(id_col),
+            F.floor(F.lit(1_000_000.0) / (F.lit(k_const) + F.col("rank")))
+            .cast("long")
+            .alias("c"),
+        )
+        scored = part if scored is None else scored.unionByName(part)
+    fused = scored.groupBy(query_col, id_col).agg(
+        F.sum("c").alias("rrf_micro")
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_micro").desc(), F.col(id_col)
+    )
+    return (
+        fused.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            query_col,
+            id_col,
+            (F.col("rrf_micro") / F.lit(1_000_000.0)).alias("rrf"),
+        )
+    )
+
+
 def bm25_oracle_sql(
     query_terms: tuple[str, ...],
     table: str = "documents",

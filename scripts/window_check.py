@@ -39,10 +39,19 @@ VERIFIED_PATH = ROOT / "scripts" / "VERIFIED.json"
 # round's window. Round 7: EMPTY — all 19 r6 waivers (text.py / streaming
 # additive-diff deferrals) hold window slots this round and zero new
 # deferrals were taken (VERDICT r6 item 4: waiver debt drains to zero).
-# Round 15: ONE waiver — the round needed 51 slots (47 module-flagged +
-# 4 new rows) against the 50-slot window; rotate this row into r16's
+# Round 15: TWO waivers — the round needed 52 slots (47 module-flagged +
+# 5 new rows) against the 50-slot window; rotate BOTH rows into r16's
 # window first.
 DEFERRED: dict[str, str] = {
+    "stream_cdc_postings_ingest": (
+        "the only search.py diff after this row's FOUR green r15 runs at "
+        "its then-current call graph (full-catalog sf0.01 sweep, AQE-off "
+        "166/166, shuffle-partitions-7 166/166, and the driver-identical "
+        "50-row pre-flight at partitions=16, all 2026-08-16) is the "
+        "rrf_fuse_batch ADDITION — a new function this row's fn "
+        "(run_cdc_postings_ingest → bm25_topk_indexed) never calls; its "
+        "oracle (bm25_oracle_sql output) is byte-unchanged"
+    ),
     "stream_cdc_semantic_ingest": (
         "similarity.py edits after this row's green r15 sf0.01 sweep "
         "(2026-08-16, post spec/writer changes) are the ivf_pq_oracle_sql "

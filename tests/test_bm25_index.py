@@ -297,3 +297,42 @@ def test_lucene_indexed_equals_inline(spark, tmp_path):
     )
     with pytest.raises(ConfigError, match="idf"):
         bm25_topk(corpus, TERMS, idf="classic").collect()
+
+
+def test_rrf_fuse_batch_per_query_independence(spark):
+    """r15 batched fusion: each query fuses independently (same algebra
+    as rrf_fuse per query, micro-unit floors exact, ties by id), and the
+    per-query slice equals a single-query rrf_fuse over the same
+    rankings."""
+    from embulk_executor_mapreduce_spark.operators.search import (
+        rrf_fuse,
+        rrf_fuse_batch,
+    )
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 20, 2), (1, 30, 1), (1, 10, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    sem = spark.createDataFrame(
+        [(0, 20, 1), (0, 40, 2), (1, 10, 1), (1, 50, 2)],
+        "query_id long, doc_id long, rank int",
+    )
+    batch = {
+        (r.query_id, r.doc_id): r.rrf
+        for r in rrf_fuse_batch([lex, sem], k=4).collect()
+    }
+    for q in (0, 1):
+        single = {
+            r.doc_id: r.rrf
+            for r in rrf_fuse(
+                [
+                    lex.filter(F.col("query_id") == q).select("doc_id", "rank"),
+                    sem.filter(F.col("query_id") == q).select("doc_id", "rank"),
+                ],
+                k=4,
+            ).collect()
+        }
+        assert {d: v for (qq, d), v in batch.items() if qq == q} == single
+    # dual-ranked doc beats single-ranked within its query
+    assert batch[(0, 20)] > batch[(0, 10)] > batch[(0, 40)]
+    assert batch[(1, 10)] > batch[(1, 30)] > batch[(1, 50)]

@@ -944,3 +944,37 @@ def test_compact_serve_probe_only(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert df.count() == 20
+
+
+def test_batch_hybrid_indexed_one_probe_per_side_and_query0_pin(spark):
+    """r15 batched hybrid serving: NO documents scan, ONE postings probe
+    for the union of all queries' terms (a single pushed In() with every
+    union term), ONE cid-pushed index probe for all three query vectors,
+    per-query fusion windows hash-partitioned — and query 0's fused
+    ranking is bit-equal to the single-query hybrid row (its term set IS
+    the batch's query 0)."""
+    df = catalog.entries()["hybrid_rrf_batch_indexed"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in plan, "corpus scanned at query time"
+    filters = " ".join(pushed_filters(df))
+    assert "In(term" in filters and "In(cid" in filters, filters
+    import re
+
+    in_lists = re.findall(r"term#\d+ IN \(([^)]*)\)", plan)
+    assert any(
+        all(t in lst for t in ("window", "filter", "stream", "hash"))
+        for lst in in_lists
+    ), in_lists
+    assert "CartesianProduct" not in plan, plan
+    win_tail = plan.split("Window")[-1]
+    assert "rangepartitioning" not in win_tail.split("Sort")[0]
+    rows = df.collect()
+    assert len(rows) == 30  # 3 queries x k=10
+    q0 = sorted((r.doc_id, r.rrf) for r in rows if r.query_id == 0)
+    single = sorted(
+        (r.doc_id, r.rrf)
+        for r in catalog.entries()["hybrid_rrf_search_indexed"]
+        .fn(spark, SF)
+        .collect()
+    )
+    assert q0 == single
