@@ -39,28 +39,12 @@ VERIFIED_PATH = ROOT / "scripts" / "VERIFIED.json"
 # round's window. Round 7: EMPTY — all 19 r6 waivers (text.py / streaming
 # additive-diff deferrals) hold window slots this round and zero new
 # deferrals were taken (VERDICT r6 item 4: waiver debt drains to zero).
-# Round 15: TWO waivers — the round needed 52 slots (47 module-flagged +
-# 5 new rows) against the 50-slot window; rotate BOTH rows into r16's
-# window first.
-DEFERRED: dict[str, str] = {
-    "stream_cdc_postings_ingest": (
-        "the only search.py diff after this row's FOUR green r15 runs at "
-        "its then-current call graph (full-catalog sf0.01 sweep, AQE-off "
-        "166/166, shuffle-partitions-7 166/166, and the driver-identical "
-        "50-row pre-flight at partitions=16, all 2026-08-16) is the "
-        "rrf_fuse_batch ADDITION — a new function this row's fn "
-        "(run_cdc_postings_ingest → bm25_topk_indexed) never calls; its "
-        "oracle (bm25_oracle_sql output) is byte-unchanged"
-    ),
-    "stream_cdc_semantic_ingest": (
-        "similarity.py edits after this row's green r15 sf0.01 sweep "
-        "(2026-08-16, post spec/writer changes) are the ivf_pq_oracle_sql "
-        "corpus_pred SQL-generator parameter and the ann_index_compact "
-        "victim factory — neither is reached by this row's fn "
-        "(run_cdc_semantic_ingest → semantic dedup path) or its oracle "
-        "(incremental_semantic_oracle_sql, byte-unchanged)"
-    ),
-}
+# Round 16: EMPTY — both r15 waived rows (stream_cdc_postings_ingest,
+# stream_cdc_semantic_ingest) rotated into window slots 1-2 automatically
+# once record_verified.py absorbed CORRECTNESS_r15 (their VERIFIED entries
+# stayed at r14 hashes, so oldest-evidence-first ordering promoted them);
+# waiver debt drains to zero per VERDICT r15 item 2.
+DEFERRED: dict[str, str] = {}
 
 
 def body_hash(entry, _cache: dict | None = None) -> str:
