@@ -337,9 +337,12 @@ def encode_grid_png(
     — so the exact box resize back to 9×8 reproduces the grid bytes
     bit-for-bit at ANY scale (the resize-invariance the near-dup row
     exercises: the same content re-encoded at scale 2 and scale 3 must
-    hash identically). ``brightness`` adds a constant (callers keep
-    values in 0..255 — dHash is invariant to any strictly monotone map,
-    the pytest pin)."""
+    hash identically). ``brightness`` adds a constant and RAISES if any
+    grid byte would clamp at 255 (r16 advisor finding: md5-derived grid
+    bytes reach 255, so a silent ``min(255, …)`` clamp could collapse two
+    distinct values and flip dHash gradient bits — the exact monotone-map
+    invariance this fixture exists to exercise; a clamping fixture must
+    fail loudly, not change hashes)."""
 
     df, id_type = _mid_input(df, id_col, text_col)
 
@@ -348,9 +351,15 @@ def encode_grid_png(
             payloads = []
             for text in pdf[_MVAL]:
                 g = _grid_bytes(str(text))
+                if brightness and max(g) + brightness > 255:
+                    raise ValueError(
+                        f"encode_grid_png: brightness={brightness} clamps "
+                        f"grid byte {max(g)} past 255 — the shift would no "
+                        "longer be a strictly monotone map"
+                    )
                 rows = [
                     [
-                        min(255, g[(ro // scale) * DHASH_W + (co // scale)] + brightness)
+                        g[(ro // scale) * DHASH_W + (co // scale)] + brightness
                         for co in range(DHASH_W * scale)
                     ]
                     for ro in range(DHASH_H * scale)
@@ -406,7 +415,7 @@ def dhash_neardup_oracle_sql(
       WHERE doc_id % {variant_mod} = 0
     ), banded AS (
       SELECT img_id, dhash, band,
-             (dhash >> (16 * band)) & {mask} AS bkey
+             (dhash >> ({width} * band)) & {mask} AS bkey
       FROM imgs, (SELECT unnest(range({bands})) AS band)
     ), cand AS (
       SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,

@@ -173,3 +173,57 @@ def test_null_payload_and_nonlong_ids(spark):
     assert not any(
         "nil" in r.id_a or "nil" in r.id_b for r in pairs.collect()
     )
+
+
+def test_brightness_clamp_raises_not_silently_flips(spark):
+    """r16 advisor finding: md5 grid bytes reach 255, so a positive
+    brightness that would clamp must FAIL LOUDLY — a silent min(255, …)
+    could collapse two distinct values and flip gradient bits, breaking
+    the monotone-map invariance this fixture exists to exercise."""
+    import pytest
+
+    docs = _docs(spark, 12)
+    with pytest.raises(Exception, match="monotone"):
+        encode_grid_png(docs, scale=2, brightness=25).collect()
+    # brightness=0 stays the exact fixture: hashes match the closed form
+    assert image_dhash(encode_grid_png(docs, scale=2)).count() == 12
+
+
+def test_oracle_band_shift_tracks_bands_param(spark, tmp_path):
+    """r16 advisor finding: dhash_neardup_oracle_sql hardcoded the band
+    shift at 16 bits, so any bands != 4 diverged from
+    image_neardup_pairs' b·width shift. Pin Spark ≡ DuckDB at bands=8."""
+    import duckdb
+
+    from embulk_executor_mapreduce_spark.operators.images import (
+        dhash_neardup_oracle_sql,
+    )
+
+    docs = _docs(spark, 15)
+    base = encode_grid_png(docs, scale=2).select(
+        (F.col("doc_id") * 2).alias("img_id"), "payload"
+    )
+    var = encode_grid_png(docs.filter(F.col("doc_id") % 5 == 0), scale=3).select(
+        (F.col("doc_id") * 2 + 1).alias("img_id"), "payload"
+    )
+    spark_pairs = sorted(
+        map(
+            tuple,
+            image_neardup_pairs(
+                image_dhash(base.unionByName(var), id_col="img_id"),
+                id_col="img_id",
+                bands=8,
+                max_hamming=6,
+            ).collect(),
+        )
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, 'image fixture text {i}')" for i in range(15))
+        + ") t(doc_id, text)"
+    )
+    duck_pairs = sorted(
+        map(tuple, con.execute(dhash_neardup_oracle_sql(bands=8)).fetchall())
+    )
+    assert spark_pairs == duck_pairs and len(spark_pairs) >= 3
