@@ -5105,6 +5105,7 @@ def q_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         mode="merge",
         merge_key=("cand_id", "s"),
         merge_order=("_ingest_version",),
+        sort_by=("cid",),
     )
     # "lowest" matches this row's oracle (ivf_pq_indexed_oracle_sql
     # sort-limits the base_pred half) — id-gap robust because BOTH sides
@@ -5171,6 +5172,7 @@ def _ivf_pq_persisted_index(spark: SparkSession, sf_dir: str) -> str:
             mode="merge",
             merge_key=("cand_id", "s"),
             merge_order=("_ingest_version",),
+            sort_by=("cid",),
         ),
     )
     _IVFPQ_INDEX_CACHE[sf_dir] = root
@@ -7314,6 +7316,7 @@ def _ann_compacted_index(spark: SparkSession, sf_dir: str) -> str:
             mode="merge",
             merge_key=("cand_id", "s"),
             merge_order=("_ingest_version",),
+            sort_by=("cid",),
         ),
     )
     # ONE definition of the deletion predicate — F.expr over the same

@@ -2248,6 +2248,7 @@ def ann_index_compact(
             mode="merge",
             merge_key=("cand_id", "s"),
             merge_order=("_ingest_version",),
+            sort_by=("cid",),
             merge_buckets=merge_buckets,
             merge_keep_versions=merge_keep_versions,
         ),

@@ -998,6 +998,7 @@ def run_cdc_ann_index_ingest(
         mode="merge",
         merge_key=("cand_id", "s"),
         merge_order=("_ingest_version",),
+        sort_by=("cid",),
         merge_buckets=merge_buckets,
     )
 

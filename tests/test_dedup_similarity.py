@@ -900,6 +900,7 @@ def test_ivf_pq_index_reingest_is_idempotent(spark, tmp_path):
         mode="merge",
         merge_key=("cand_id", "s"),
         merge_order=("_ingest_version",),
+        sort_by=("cid",),
     )
     delta = ivf_pq_index_assign(corpus, cents, cb, **_IKW).withColumn(
         "_ingest_version", F.lit(1)
@@ -949,6 +950,7 @@ def test_ann_index_compact_reconciles_deletes(spark, tmp_path):
             mode="merge",
             merge_key=("cand_id", "s"),
             merge_order=("_ingest_version",),
+            sort_by=("cid",),
         ),
     )
     deleted = {30, 33, 36, 39}
@@ -1055,6 +1057,7 @@ def test_ann_index_compact_survives_aged_out_snapshot(spark, tmp_path):
         mode="merge",
         merge_key=("cand_id", "s"),
         merge_order=("_ingest_version",),
+        sort_by=("cid",),
     )
 
     def commit(version):
