@@ -134,6 +134,46 @@ def test_merge_sort_by_makes_row_group_stats_selective(spark, tmp_path, tiny_row
     assert touched_fraction(plain, [5]) == 1.0
 
 
+def test_probe_fraction_flat_across_10x_corpus(spark, tmp_path, tiny_row_groups):
+    """The 100× claim, measured: with the index cid-sorted, a fixed
+    nprobe-of-k probe touches a ~constant FRACTION (≈ nprobe/k) of
+    row-group rows at n and at 10n — probe I/O is proportional to the
+    inverted lists probed, never to corpus size. Before r16 the fraction
+    was 1.0 at every size (full-state read)."""
+
+    def build(root, n):
+        rows = (
+            spark.range(n)
+            .select(
+                F.col("id").alias("k"),
+                (F.col("id") % 16).cast("int").alias("cid"),
+                (F.col("id") * 3).alias("payload"),
+                F.lit(1).alias("rev"),
+            )
+            .repartition(2, "k")
+        )
+        write_sink(
+            rows,
+            SinkSpec(
+                type="parquet", path=root, mode="merge",
+                merge_key=("k",), merge_order=("rev",),
+                merge_buckets=4, sort_by=("cid",),
+            ),
+        )
+        spans = _rg_spans(_state_files(root))
+        probes = [1, 5]  # nprobe=2 of 16 lists
+        hit = sum(r for lo, hi, r in spans if any(lo <= p <= hi for p in probes))
+        return hit / sum(r for _, _, r in spans)
+
+    f_small = build(str(tmp_path / "n1"), 20000)
+    f_big = build(str(tmp_path / "n10"), 200000)
+    assert f_small < 0.5 and f_big < 0.5
+    # flat across 10×: the big corpus's fraction is no worse than the
+    # small one's plus row-group-boundary noise (finer groups at 10× make
+    # it typically SMALLER — closer to the ideal 2/16)
+    assert f_big <= f_small + 0.05
+
+
 def test_codes_index_files_are_cid_sorted(spark, tmp_path):
     """The real IVF-PQ index sink now carries sort_by=("cid",): every
     committed file's cid column is nondecreasing, so row-group/page stats
