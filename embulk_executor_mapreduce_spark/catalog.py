@@ -7276,6 +7276,112 @@ def q_image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_neardup_pairs(hashes, id_col="img_id", max_hamming=6)
 
 
+from .operators.images import incremental_image_neardup_oracle_sql  # noqa: E402
+
+
+@register(
+    "image_neardup_incremental_state",
+    oracle=incremental_image_neardup_oracle_sql(),
+    tags=("multimodal", "dedup", "image", "incremental", "sink"),
+)
+def q_image_neardup_incremental_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup against PERSISTED band state (r16,
+    VERDICT r15 item 5 — images were batch-only: a re-crawled corpus
+    re-hashed and re-paired everything). Two crawl batches run through
+    ``incremental_image_neardup`` with the dHash band index persisted
+    through the real pointer-committed merge sink between them: batch 1 =
+    even doc_ids' base images; batch 2 = odd doc_ids' base images PLUS
+    3×-scale re-encodes of every ``doc_id % 10 = 0`` doc — the re-crawled
+    variants hash identically to their batch-1 bases, so the
+    ``(band, bkey)`` state probe drops them whole while the genuinely
+    novel odd images survive into the index. Returns the COMMITTED state
+    read back via the manifest; the oracle replays both increments
+    closed-form from the raw text (hashing, banding, exact-Hamming
+    verify, recursive-CTE clustering, state-hit drop), so the hash pins
+    the operator AND the sink's on-disk truth together. At 100 TB: per
+    batch one Arrow decode+hash pass and two (band, bkey) equi-joins —
+    probe cost tracks the BATCH, never the corpus; state rewrites touch
+    only the key-hash buckets the delta lands in."""
+    from .operators.images import encode_grid_png, image_dhash, incremental_image_neardup
+    from .sinks.writer import read_merge_state, write_sink
+    from .spec import SinkSpec
+
+    docs = load(spark, sf_dir, "documents")
+    path = scratch_dir("q_img_incr_") + "/band_index"
+    sink = SinkSpec(
+        type="parquet",
+        path=path,
+        mode="merge",
+        merge_key=("img_id", "band"),
+        merge_order=("bkey",),
+    )
+    batch1 = image_dhash(
+        encode_grid_png(docs.filter(F.col("doc_id") % 2 == 0), scale=2).select(
+            (F.col("doc_id") * 2).alias("img_id"), "payload"
+        ),
+        id_col="img_id",
+    ).select("img_id", "dhash")
+    _, d1 = incremental_image_neardup(batch1, None, id_col="img_id")
+    write_sink(d1, sink)
+    batch2 = image_dhash(
+        encode_grid_png(docs.filter(F.col("doc_id") % 2 == 1), scale=2)
+        .select((F.col("doc_id") * 2).alias("img_id"), "payload")
+        .unionByName(
+            encode_grid_png(docs.filter(F.col("doc_id") % 10 == 0), scale=3).select(
+                (F.col("doc_id") * 2 + 1).alias("img_id"), "payload"
+            )
+        ),
+        id_col="img_id",
+    ).select("img_id", "dhash")
+    _, d2 = incremental_image_neardup(
+        batch2, read_merge_state(spark, path), id_col="img_id"
+    )
+    write_sink(d2, sink)
+    return read_merge_state(spark, path).select("band", "bkey", "img_id", "dhash")
+
+
+@register(
+    "image_phash_neardup",
+    oracle="""
+    SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b, 0 AS hamming
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+    tags=("multimodal", "dedup", "image", "real-decode"),
+)
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pHash-banded image near-dup (r16, VERDICT r15 item 3) — the
+    noise-robust DCT hash through the SAME banding + exact-Hamming
+    discipline as the dHash row. The float DCT is not replayable in SQL,
+    so the oracle is GROUND TRUTH BY CONSTRUCTION: every fifth doc's
+    image is re-encoded at 3× scale, and because the exact box resize
+    reproduces the same 32×32 luminance surface at any block scale
+    (pytest-pinned at 2×/3×/5×), each variant pHashes IDENTICALLY to its
+    base — the expected output is exactly the ``(base, variant, 0)``
+    pairs, nothing else (a spurious cross-doc pair, a missed variant, or
+    a nonzero distance all flip the hash). Recall and precision are both
+    pinned: banding must surface every variant pair, and two distinct
+    md5-grid images must never land within Hamming 6 of each other's
+    63-bit DCT signs. Same 100 TB shape as dHash: one Arrow pass, banded
+    self-equi-join, never all-pairs."""
+    from .operators.images import (
+        encode_grid_png,
+        image_neardup_pairs,
+        image_phash,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = encode_grid_png(docs, scale=2).select(
+        (F.col("doc_id") * 2).alias("img_id"), "payload"
+    )
+    variants = encode_grid_png(
+        docs.filter(F.col("doc_id") % 5 == 0), scale=3
+    ).select((F.col("doc_id") * 2 + 1).alias("img_id"), "payload")
+    hashes = image_phash(base.unionByName(variants), id_col="img_id")
+    return image_neardup_pairs(
+        hashes, id_col="img_id", hash_col="phash", max_hamming=6
+    ).select("id_a", "id_b", "hamming")
+
+
 #: the compact row's ONE deletion-predicate definition — embedded in the
 #: oracle SQL and applied Spark-side via F.expr; training-prefix ids and
 #: query ids stay live so the frozen artifacts and probe vectors remain

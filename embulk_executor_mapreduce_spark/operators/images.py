@@ -220,6 +220,38 @@ def hamming64(a, b) -> F.Column:
     return F.bit_count(F.col(a).bitwiseXOR(F.col(b)))
 
 
+def _banded_hashes(
+    hashes: DataFrame, id_col: str, hash_col: str, bands: int
+) -> DataFrame:
+    """``(id, hash, band, bkey)`` band rows for a packed-64-bit hash
+    frame — the ONE banding definition (pairs, incremental state, and the
+    SQL oracles all split the hash into ``bands`` contiguous
+    ``64/bands``-bit keys). NULL hashes (undecodable payloads) drop here,
+    so they never pair and never enter an index."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    live = hashes.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col), F.col(hash_col)
+    )
+    return live.select(
+        id_col,
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col(hash_col), b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, hash_col, "bk.band", "bk.bkey")
+
+
 def image_neardup_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
@@ -237,28 +269,7 @@ def image_neardup_pairs(
     recall beyond (a missed true pair needs a flipped bit in EVERY band).
     The self-join is an equi-join on (band, key); verification is the
     exact ``bit_count(xor)`` — never all-pairs, false-positive-free."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-    live = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col(id_col), F.col(hash_col)
-    )
-    banded = live.select(
-        id_col,
-        hash_col,
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col(hash_col), b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select(id_col, hash_col, "bk.band", "bk.bkey")
+    banded = _banded_hashes(hashes, id_col, hash_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -280,6 +291,110 @@ def image_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def incremental_image_neardup(
+    hashes: DataFrame,
+    seen_bands: DataFrame | None,
+    id_col: str = "doc_id",
+    hash_col: str = "dhash",
+    bands: int = 4,
+    max_hamming: int = 6,
+    claim: Column | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental image near-dup against a PERSISTED band index (r16,
+    VERDICT r15 item 5) — the continuous-crawl analog of
+    ``dedup.incremental_minhash_dedup`` for perceptual hashes: each crawl
+    batch dedups against the committed ``(band, bkey, img_id, hash)``
+    state, never against the image corpus, so a re-crawl re-hashes and
+    re-pairs only ITS OWN batch.
+
+    ``hashes`` is a batch's ``(id, hash)`` frame (``image_dhash`` output;
+    NULL hashes — undecodable payloads — pass through as novel and never
+    enter the index). Per batch, mirroring the MinHash discipline exactly:
+
+    * WITHIN-batch pairs from the banded self-join, verified by exact
+      ``bit_count(xor) <= max_hamming`` (never all-pairs);
+    * AGAINST-state hits from a ``(band, bkey)`` equi-join of the batch's
+      band rows against the index, verified the same way — at scale both
+      sides hash-partition on the equi-keys, so the probe cost is the
+      batch's band rows, not the state's;
+    * batch images cluster over verified within-batch pairs
+      (``dedup.connected_components``; singletons are their own cluster);
+      a cluster with ANY member near a state image drops WHOLE (its
+      content is already represented); otherwise the min-id member
+      survives.
+
+    Returns ``(novel_hash_rows, band_delta)`` — the delta holds the
+    SURVIVORS' band rows + hashes for the merge sink (``merge_key:
+    [img_id, band]``, insert-only). Re-ingesting an absorbed batch is a
+    content-level no-op: every image matches its own indexed hash at
+    distance 0 and every cluster is state-hit.
+
+    ``claim`` (streaming exactly-once, the ``incremental_dedup``
+    contract): a literal tagging the ingestion unit; the delta carries it
+    as ``claim_batch`` and the against-state lookup ignores index rows of
+    this batch's own claim, so a retry whose state merge already
+    committed reconstructs the pre-batch state view bit-for-bit."""
+    from .dedup import connected_components
+
+    batch_ids = hashes.select(F.col(id_col)).distinct()
+    banded = _banded_hashes(hashes, id_col, hash_col, bands)
+    a, b = banded.alias("a"), banded.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{hash_col}").alias("__ha"),
+            F.col(f"b.{hash_col}").alias("__hb"),
+        )
+        .distinct()
+        .filter(hamming64("__ha", "__hb") <= max_hamming)
+        .select("id_a", "id_b")
+    )
+    if seen_bands is None:
+        state_dups = batch_ids.limit(0)
+    else:
+        if claim is not None:
+            seen_bands = seen_bands.where(F.col("claim_batch") != claim)
+        st = seen_bands.select(
+            "band", "bkey", F.col(hash_col).alias("__st_hash")
+        )
+        state_dups = (
+            banded.join(st, on=["band", "bkey"])
+            .filter(hamming64(hash_col, "__st_hash") <= max_hamming)
+            .select(id_col)
+            .distinct()
+        )
+    clusters = connected_components(within, "id_a", "id_b").select(
+        F.col("doc_id").alias(id_col), "cluster_id"
+    )
+    membership = batch_ids.join(clusters, on=id_col, how="left").select(
+        id_col, F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id")
+    )
+    dead_clusters = (
+        membership.join(state_dups, on=id_col, how="left_semi")
+        .select("cluster_id")
+        .distinct()
+    )
+    survivors = (
+        membership.join(dead_clusters, on="cluster_id", how="left_anti")
+        .where(F.col(id_col) == F.col("cluster_id"))
+        .select(id_col)
+    )
+    novel_rows = hashes.join(survivors, on=id_col, how="left_semi")
+    band_delta = banded.join(survivors, on=id_col, how="left_semi").select(
+        "band", "bkey", id_col, hash_col
+    )
+    if claim is not None:
+        band_delta = band_delta.withColumn("claim_batch", claim)
+    return novel_rows, band_delta
 
 
 # ---------------------------------------------------------------------------
@@ -426,4 +541,106 @@ def dhash_neardup_oracle_sql(
     )
     SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def incremental_image_neardup_oracle_sql(
+    table: str = "documents",
+    variant_mod: int = 10,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> str:
+    """DuckDB replay of TWO ``incremental_image_neardup`` increments
+    through the persisted band index (the ``_incremental_minhash_state_oracle``
+    discipline at dHash granularity): batch 1 = even doc_ids' base images
+    (state starts empty), batch 2 = odd doc_ids' base images PLUS
+    re-encoded 3×-scale variants of every ``doc_id % variant_mod = 0``
+    doc — each variant hashes identically to its batch-1 base, so the
+    against-state join must drop it whole while the novel odd images
+    survive into the index. Mirrors the operator stage by stage — grid →
+    gradient bits → pack (the ``dhash_neardup_oracle_sql`` closed form),
+    banding, within-batch band self-join verified by exact
+    ``bit_count(xor)``, recursive-CTE connected components with singleton
+    membership, whole-cluster drop on state hits, survivors' band rows
+    appended — so the final ``(band, bkey, img_id, dhash)`` multiset pins
+    the operator AND the sink-committed index together."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+
+    def batch_ctes(n: int, imgs_cte: str, with_state: bool) -> str:
+        sd = (
+            f"""
+    sd{n} AS (
+      SELECT DISTINCT bb.img_id
+      FROM b{n} bb JOIN state1 st ON bb.band = st.band AND bb.bkey = st.bkey
+      WHERE bit_count(xor(bb.dhash, st.dhash)) <= {max_hamming}
+    ),
+    dead{n} AS (SELECT DISTINCT cluster_id FROM mem{n} JOIN sd{n} USING (img_id)),"""
+            if with_state
+            else f"""
+    dead{n} AS (SELECT NULL::BIGINT AS cluster_id WHERE false),"""
+        )
+        return f"""
+    b{n} AS (
+      SELECT img_id, dhash, CAST(band AS INT) AS band,
+             (dhash >> ({width} * band)) & {mask} AS bkey
+      FROM {imgs_cte}, (SELECT unnest(range({bands})) AS band)
+    ),
+    v{n} AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b
+      FROM b{n} a JOIN b{n} b ON a.band = b.band AND a.bkey = b.bkey
+                             AND a.img_id < b.img_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+    ),
+    e{n} AS (SELECT id_a AS src, id_b AS dst FROM v{n}
+             UNION SELECT id_b, id_a FROM v{n}),
+    reach{n}(node, r) AS (
+      SELECT src, src FROM e{n}
+      UNION
+      SELECT reach{n}.node, e.dst FROM reach{n} JOIN e{n} e ON reach{n}.r = e.src
+    ),
+    cc{n} AS (SELECT node AS img_id, min(r) AS cluster_id FROM reach{n} GROUP BY node),
+    mem{n} AS (
+      SELECT s.img_id, COALESCE(cc{n}.cluster_id, s.img_id) AS cluster_id
+      FROM (SELECT DISTINCT img_id FROM b{n}) s LEFT JOIN cc{n} USING (img_id)
+    ),{sd}
+    surv{n} AS (
+      SELECT img_id FROM mem{n}
+      WHERE img_id = cluster_id
+        AND cluster_id NOT IN (SELECT cluster_id FROM dead{n} WHERE cluster_id IS NOT NULL)
+    ),
+    state{n} AS (SELECT band, bkey, img_id, dhash FROM b{n} JOIN surv{n} USING (img_id))"""
+
+    return f"""
+    WITH RECURSIVE bytes AS (
+      SELECT doc_id, idx,
+             CAST(('0x' || substr(
+               md5(text || '#' || CAST(idx // 16 AS VARCHAR)),
+               (idx % 16) * 2 + 1, 2)) AS INT) AS pv
+      FROM {table}, (SELECT unnest(range(72)) AS idx)
+    ), cmp AS (
+      SELECT a.doc_id,
+             (a.idx // 9) * 8 + (a.idx % 9) AS bi,
+             CASE WHEN a.pv < b.pv THEN 1 ELSE 0 END AS bit
+      FROM bytes a
+      JOIN bytes b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+      WHERE a.idx % 9 < 8
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1 THEN (
+               CASE WHEN bi = 0 THEN {_MIN_LONG}
+                    ELSE (1::BIGINT << (63 - bi)) END
+             ) ELSE 0 END) AS BIGINT) AS dhash
+      FROM cmp GROUP BY doc_id
+    ), imgs1 AS (
+      SELECT doc_id * 2 AS img_id, dhash FROM hashes WHERE doc_id % 2 = 0
+    ), imgs2 AS (
+      SELECT doc_id * 2 AS img_id, dhash FROM hashes WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS img_id, dhash FROM hashes
+      WHERE doc_id % {variant_mod} = 0
+    ),{batch_ctes(1, "imgs1", False)},{batch_ctes(2, "imgs2", True)}
+    SELECT band, bkey, img_id, dhash FROM state1
+    UNION ALL
+    SELECT band, bkey, img_id, dhash FROM state2
     """

@@ -227,3 +227,132 @@ def test_oracle_band_shift_tracks_bands_param(spark, tmp_path):
         map(tuple, con.execute(dhash_neardup_oracle_sql(bands=8)).fetchall())
     )
     assert spark_pairs == duck_pairs and len(spark_pairs) >= 3
+
+
+def test_incremental_drops_recrawled_variants(spark, tmp_path):
+    """r16 incremental state: a second crawl batch containing re-encoded
+    variants of already-indexed images drops them against the (band,
+    bkey) state probe, while genuinely novel images survive into the
+    index delta."""
+    from embulk_executor_mapreduce_spark.operators.images import (
+        image_dhash,
+        incremental_image_neardup,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    docs = _docs(spark, 10)
+    path = str(tmp_path / "band_index")
+    sink = SinkSpec(
+        type="parquet", path=path, mode="merge",
+        merge_key=("img_id", "band"), merge_order=("bkey",),
+    )
+    b1 = image_dhash(
+        encode_grid_png(docs.filter(F.col("doc_id") % 2 == 0), scale=2).select(
+            (F.col("doc_id") * 2).alias("img_id"), "payload"
+        ),
+        id_col="img_id",
+    ).select("img_id", "dhash")
+    n1, d1 = incremental_image_neardup(b1, None, id_col="img_id")
+    assert {r.img_id for r in n1.collect()} == {0, 4, 8, 12, 16}
+    write_sink(d1, sink)
+    # batch 2: odd bases (novel) + 3x-rescaled variants of docs 0 and 5
+    b2 = image_dhash(
+        encode_grid_png(docs.filter(F.col("doc_id") % 2 == 1), scale=2)
+        .select((F.col("doc_id") * 2).alias("img_id"), "payload")
+        .unionByName(
+            encode_grid_png(
+                docs.filter(F.col("doc_id").isin(0, 5)), scale=3
+            ).select((F.col("doc_id") * 2 + 1).alias("img_id"), "payload")
+        ),
+        id_col="img_id",
+    ).select("img_id", "dhash")
+    n2, d2 = incremental_image_neardup(
+        b2, read_merge_state(spark, path), id_col="img_id"
+    )
+    got = {r.img_id for r in n2.collect()}
+    # doc 0's variant (img 1) hits the state and drops; doc 5's variant
+    # (img 11) is a re-encode of the NOVEL odd doc 5 base (img 10) — they
+    # pair within-batch, cluster, and the min-id member survives
+    assert got == {2, 6, 10, 14, 18}
+    write_sink(d2, sink)
+    state_ids = {
+        r.img_id for r in read_merge_state(spark, path).select("img_id").collect()
+    }
+    assert state_ids == {0, 4, 8, 12, 16, 2, 6, 10, 14, 18}
+
+
+def test_incremental_reingest_is_content_noop(spark, tmp_path):
+    """Replaying an absorbed batch: every image matches its own indexed
+    hash at distance 0, every cluster is state-hit, nothing survives."""
+    from embulk_executor_mapreduce_spark.operators.images import (
+        image_dhash,
+        incremental_image_neardup,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    docs = _docs(spark, 6)
+    path = str(tmp_path / "band_index")
+    sink = SinkSpec(
+        type="parquet", path=path, mode="merge",
+        merge_key=("img_id", "band"), merge_order=("bkey",),
+    )
+    batch = image_dhash(
+        encode_grid_png(docs, scale=2).select(
+            F.col("doc_id").alias("img_id"), "payload"
+        ),
+        id_col="img_id",
+    ).select("img_id", "dhash")
+    _, d1 = incremental_image_neardup(batch, None, id_col="img_id")
+    write_sink(d1, sink)
+    before = sorted(map(tuple, read_merge_state(spark, path).collect()))
+    n2, d2 = incremental_image_neardup(
+        batch, read_merge_state(spark, path), id_col="img_id"
+    )
+    assert n2.count() == 0 and d2.count() == 0
+    write_sink(d2, sink)  # empty delta: state unchanged
+    assert sorted(map(tuple, read_merge_state(spark, path).collect())) == before
+
+
+def test_incremental_claim_reconstructs_prebatch_view(spark, tmp_path):
+    """Exactly-once retry: with the batch's claim filtered from the state
+    view, a retry whose state merge already committed reproduces the
+    original survivor set instead of collapsing to empty."""
+    from embulk_executor_mapreduce_spark.operators.images import (
+        image_dhash,
+        incremental_image_neardup,
+    )
+    from embulk_executor_mapreduce_spark.sinks.writer import (
+        read_merge_state,
+        write_sink,
+    )
+    from embulk_executor_mapreduce_spark.spec import SinkSpec
+
+    docs = _docs(spark, 6)
+    path = str(tmp_path / "band_index")
+    sink = SinkSpec(
+        type="parquet", path=path, mode="merge",
+        merge_key=("img_id", "band"), merge_order=("bkey",),
+    )
+    batch = image_dhash(
+        encode_grid_png(docs, scale=2).select(
+            F.col("doc_id").alias("img_id"), "payload"
+        ),
+        id_col="img_id",
+    ).select("img_id", "dhash")
+    n1, d1 = incremental_image_neardup(
+        batch, None, id_col="img_id", claim=F.lit(7)
+    )
+    write_sink(d1, sink)  # the commit landed; the job then "crashed"
+    n_retry, d_retry = incremental_image_neardup(
+        batch, read_merge_state(spark, path), id_col="img_id", claim=F.lit(7)
+    )
+    assert sorted(map(tuple, n_retry.collect())) == sorted(map(tuple, n1.collect()))
+    assert sorted(map(tuple, d_retry.collect())) == sorted(map(tuple, d1.collect()))

@@ -978,3 +978,27 @@ def test_batch_hybrid_indexed_one_probe_per_side_and_query0_pin(spark):
         .collect()
     )
     assert q0 == single
+
+
+def test_image_phash_neardup_banded_never_all_pairs(spark):
+    """r16 pHash row: same banded equi-join discipline as the dHash
+    guard — no cartesian, one Arrow hash pass, and exactly the
+    variant-pair ground truth at the tight threshold."""
+    df = catalog.entries()["image_phash_neardup"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("MapInPandas") >= 1, plan
+    assert df.count() > 0
+
+
+def test_image_incremental_state_probe_is_equi_join(spark):
+    """r16 incremental image state: the against-state lookup is a
+    (band, bkey) EQUI-join of the batch's band rows against the index —
+    no cartesian, no corpus re-pairing; the committed state rides back
+    through the manifest read."""
+    df = catalog.entries()["image_neardup_incremental_state"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert df.count() > 0
