@@ -5754,6 +5754,91 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
+def _bm25_lucene_rank_oracle_sql(
+    query_terms: tuple[str, ...], table: str = "documents", k: int = 10
+) -> str:
+    """DuckDB mirror of the Lucene-IDF BM25 ranking at RANK level (r16,
+    VERDICT r15 item 7): identical tokenization / micro-unit floor /
+    BIGINT summation as ``bm25_oracle_sql``, with the ``ln``-dampened IDF
+    and the SCORES EXCLUDED from the output — ``ln`` is not IEEE
+    correctly-rounded, so only the ordered ``(rank, doc_id)`` ids are
+    cross-engine claims. Rank stability is provable on this corpus: a
+    1-ulp ``ln`` disagreement moves a doc's BIGINT micro-unit sum by at
+    most |query_terms| units, and the Spark row asserts every adjacent
+    top-(k+1) gap exceeds that bound before returning."""
+    terms = ", ".join(f"'{t}'" for t in query_terms)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, sum(dl) AS sumdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM tok
+      WHERE term IN ({terms}) GROUP BY doc_id, term
+    ), dfq AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT t.doc_id,
+             CAST(floor(
+               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
+               * ((t.tf * 2.2)
+                  / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * s.n) / s.sumdl)))
+               * 1000000.0 + 0.5
+             ) AS BIGINT) AS c
+      FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), stats s
+    ), sc AS (
+      SELECT doc_id, sum(c) AS smicro FROM contrib GROUP BY doc_id
+    )
+    SELECT CAST(rn AS INT) AS rank, doc_id FROM (
+      SELECT *, row_number() OVER (ORDER BY smicro DESC, doc_id) AS rn
+      FROM sc
+    ) WHERE rn <= {k}
+    """
+
+
+@register(
+    "bm25_lucene_rank",
+    oracle=_bm25_lucene_rank_oracle_sql(_BM25_TERMS),
+    tags=("text", "search", "ranking", "rank-level"),
+)
+def q_bm25_lucene_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lucene-IDF BM25 under DRIVER verification (r16, VERDICT r15 item
+    7 — the ``idf="lucene"`` variant was pytest-pinned only): the
+    standard ``ln((N - df + 0.5)/(df + 0.5) + 1)`` dampening through the
+    ONE shared ``_bm25_contrib`` expression, verified at RANK level —
+    ordered ``(rank, doc_id)`` with scores excluded, because ``ln`` is
+    not IEEE correctly-rounded cross-engine. The rank claim is made
+    PROVABLE rather than probabilistic: per-(doc, term) contributions
+    floor to BIGINT micro-units, a 1-ulp ``ln`` disagreement shifts a
+    doc's sum by at most |terms| = 3 units, and this row asserts every
+    adjacent top-(k+1) gap exceeds 2·|terms| before returning (measured:
+    min gap 16 at sf0.001, 445 at sf0.01, 188 at sf0.1) — a corpus where
+    ranks COULD flip fails loudly instead of hash-flaking. Same plan
+    shape as `bm25_search_topk`; the serving twin is pinned indexed ≡
+    inline under either IDF in tests/test_bm25_index.py."""
+    from .operators.search import bm25_topk
+
+    k = 10
+    guard_margin = 2 * len(_BM25_TERMS)
+    top = bm25_topk(
+        load(spark, sf_dir, "documents"), _BM25_TERMS, k=k + 1, idf="lucene"
+    ).collect()  # k+1 rows — bounded by config, never by corpus
+    micro = [int(round(r.bm25 * 1_000_000)) for r in top]
+    gaps = [a - b for a, b in zip(micro, micro[1:])]
+    if gaps and min(gaps) <= guard_margin:
+        raise AssertionError(
+            f"bm25_lucene_rank: adjacent micro-unit gap {min(gaps)} <= "
+            f"{guard_margin} — ln rounding could flip this ranking; the "
+            "rank-level contract does not hold on this corpus"
+        )
+    return spark.createDataFrame(
+        [(i + 1, r.doc_id) for i, r in enumerate(top[:k])],
+        "rank int, doc_id long",
+    )
+
+
 @register(
     "phrase_search_postings",
     oracle="""
