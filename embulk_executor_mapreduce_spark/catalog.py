@@ -7426,6 +7426,72 @@ def q_image_neardup_incremental_state(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @register(
+    "stream_cdc_image_ingest",
+    oracle=incremental_image_neardup_oracle_sql(),
+    tags=("streaming", "cdc", "multimodal", "dedup", "image", "incremental", "sink"),
+)
+def q_stream_cdc_image_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC tail × incremental image near-dup COMPOSITION driver-verified
+    end to end (r16) — the fourth CDC-fed composition beside the
+    semantic / ANN-index / postings siblings: an upstream image merge
+    table (real PNG payloads keyed by img_id) commits three versions
+    (v0 empty bootstrap, v1 = even docs' base images, v2 = odd bases +
+    3×-rescaled re-crawls of every ``doc_id % 10 = 0`` doc), and
+    ``run_cdc_image_ingest`` tails its change feed — per-version
+    ``table_changes`` increments, insert/update_postimage rows only,
+    commit version as the exactly-once claim — through the dHash band
+    index sink. The oracle is the SAME two-increment replay that pins
+    ``image_neardup_incremental_state``: the composition must be
+    value-invisible — routing the batches through the real change feed +
+    version-tail + claim machinery changes NOTHING about the index the
+    pipeline keeps. The re-crawled variants drop against the committed
+    state; the novel odd images survive into it."""
+    from .operators.images import encode_grid_png
+    from .sinks.writer import read_merge_state, write_sink
+    from .spec import SinkSpec
+
+    docs = load(spark, sf_dir, "documents")
+    root = scratch_dir("q_cdc_img_")
+    up = f"{root}/upstream"
+    sink = SinkSpec(
+        type="parquet",
+        path=up,
+        mode="merge",
+        merge_key=("img_id",),
+        merge_order=("rev",),
+        merge_keep_versions=4,
+    )
+    b1 = encode_grid_png(docs.filter(F.col("doc_id") % 2 == 0), scale=2).select(
+        (F.col("doc_id") * 2).alias("img_id"), "payload"
+    )
+    b2 = (
+        encode_grid_png(docs.filter(F.col("doc_id") % 2 == 1), scale=2)
+        .select((F.col("doc_id") * 2).alias("img_id"), "payload")
+        .unionByName(
+            encode_grid_png(docs.filter(F.col("doc_id") % 10 == 0), scale=3).select(
+                (F.col("doc_id") * 2 + 1).alias("img_id"), "payload"
+            )
+        )
+    )
+    write_sink(b1.limit(0).withColumn("rev", F.lit(0)), sink)
+    write_sink(b1.withColumn("rev", F.lit(1)), sink)
+    write_sink(b2.withColumn("rev", F.lit(2)), sink)
+    from .streaming.ingest import run_cdc_image_ingest
+
+    run_cdc_image_ingest(
+        spark,
+        up,
+        ["img_id"],
+        f"{root}/state",
+        f"{root}/corpus",
+        checkpoint=f"{root}/ckpt",
+    )
+    return read_merge_state(spark, f"{root}/state").select(
+        "band", "bkey", "img_id", "dhash"
+    )
+
+
+@register(
     "image_phash_neardup",
     oracle="""
     SELECT doc_id * 2 AS id_a, doc_id * 2 + 1 AS id_b, 0 AS hamming

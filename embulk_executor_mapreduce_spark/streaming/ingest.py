@@ -1043,3 +1043,137 @@ def run_cdc_ann_index_ingest(
         spark, source_path, checkpoint, from_version, to_version,
         "ckpt_cdc_ann_", apply,
     )
+
+
+def incremental_image_sink(
+    state_path: str,
+    corpus_path: str,
+    id_col: str = "img_id",
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_hamming: int = 6,
+    merge_buckets: int = 64,
+):
+    """``foreachBatch`` body for the continuous-crawl IMAGE near-dup loop
+    (r16, VERDICT r15 item 5's streaming half) — the perceptual sibling
+    of :func:`incremental_dedup_sink`: each batch of ``(id, payload)``
+    images is dHashed over real decoded pixels
+    (:func:`...operators.images.image_dhash` — one Arrow pass) and
+    deduped against the persisted ``(band, bkey, img_id, dhash)`` band
+    index via :func:`...operators.images.incremental_image_neardup`;
+    survivors' payload rows land in a batch-scoped idempotent corpus dir
+    and their band rows merge claim-tagged into the state.
+
+    Same exactly-once construction as every sibling sink: the corpus
+    write is ``ingest_batch=<batch_id>`` overwrite (hashing is
+    deterministic, so a replay recomputes bit-identically), the state
+    merge is claim-tagged so a retry whose merge already committed
+    reconstructs the pre-batch state view instead of dropping the batch
+    as all-duplicate. Undecodable payloads pass through as novel corpus
+    rows and never enter the index (NULL-hash contract)."""
+    from ..operators.images import image_dhash, incremental_image_neardup
+    from ..sinks.writer import read_merge_state, write_sink
+    from ..spec import SinkSpec
+
+    def _process(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.persist()
+        try:
+            hashes = image_dhash(
+                batch.select(F.col(id_col), F.col(payload_col)), id_col=id_col
+            ).select(id_col, "dhash")
+            state = (
+                read_merge_state(spark, state_path)
+                if _artifacts_ready(state_path)
+                else None
+            )
+            novel, delta = incremental_image_neardup(
+                hashes,
+                state,
+                id_col=id_col,
+                bands=bands,
+                max_hamming=max_hamming,
+                claim=F.lit(batch_id),
+            )
+            novel.join(batch, on=id_col, how="inner").select(
+                id_col, payload_col, "dhash"
+            ).write.mode("overwrite").parquet(
+                f"{corpus_path}/ingest_batch={batch_id}"
+            )
+            write_sink(
+                delta,
+                SinkSpec(
+                    type="parquet",
+                    path=state_path,
+                    mode="merge",
+                    merge_key=(id_col, "band"),
+                    merge_order=("bkey",),
+                    merge_buckets=merge_buckets,
+                ),
+            )
+        finally:
+            batch.unpersist()
+
+    return _process
+
+
+def run_cdc_image_ingest(
+    spark: SparkSession,
+    source_path: str,
+    keys: list[str],
+    state_path: str,
+    corpus_path: str,
+    checkpoint: str | None = None,
+    from_version: int = 0,
+    to_version: int | None = None,
+    id_col: str = "img_id",
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_hamming: int = 6,
+    merge_buckets: int = 64,
+) -> int:
+    """CDC tail × incremental image near-dup composition (r16) — the
+    fourth CDC-fed composition beside the semantic / ANN-index / postings
+    siblings: a ``table_changes`` follow-mode feed over an upstream image
+    merge table (crawled payloads keyed by image id) drives
+    :func:`incremental_image_sink`, one per-commit increment per call,
+    with the COMMIT VERSION as the batch id / exactly-once claim.
+
+    Version-tail discipline is the shared :func:`_tail_versions`; both
+    halves of a re-run version are idempotent (batch-scoped corpus
+    overwrite + claim-tagged state merge). An EMPTY increment
+    (delete-only or no-op commit) just advances the checkpoint — it must
+    never bump a no-op state version that could expire retained
+    snapshots (the sibling sinks' guard). Deleted images are not
+    retired from the band index inline — the stale-until-maintenance
+    posture of the ANN sibling; reconcile with
+    :func:`...sinks.writer.compact_merge_state` on the deployment's
+    schedule.
+
+    At 100 TB: per version the feed is a changed-bucket pruned diff, the
+    hash pass is one Arrow batch over the increment, and both dedup
+    joins are (band, bkey) equi-joins — nothing scales with the upstream
+    table or the accumulated corpus.
+
+    Returns the last applied version (``from_version`` if none pending).
+    """
+    process = incremental_image_sink(
+        state_path,
+        corpus_path,
+        id_col=id_col,
+        payload_col=payload_col,
+        bands=bands,
+        max_hamming=max_hamming,
+        merge_buckets=merge_buckets,
+    )
+
+    def apply(v: int) -> None:
+        batch = _version_batch(spark, source_path, keys, v, id_col, payload_col)
+        if not batch.limit(1).count():
+            return  # empty increment: checkpoint advances, no state bump
+        process(batch, v)
+
+    return _tail_versions(
+        spark, source_path, checkpoint, from_version, to_version,
+        "ckpt_cdc_img_", apply,
+    )
