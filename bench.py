@@ -205,6 +205,22 @@ HEADLINE = [
     # fusion; read against hybrid_rrf_search_indexed: near-flat cost per
     # extra query is the point)
     "hybrid_rrf_batch_indexed",
+    # round 16: pHash-banded near-dup — same fixture as image_dhash_neardup
+    # but the DCT hash (read against it: the extra cost is the 32x32
+    # resize + 2D DCT per image inside the same single Arrow pass)
+    "image_phash_neardup",
+    # round 16: incremental image near-dup — two crawl increments through
+    # the persisted band index (two merge commits + two hash passes +
+    # (band, bkey) state probes; TIME_INCLUDES_BUILD — fn() IS the work)
+    "image_neardup_incremental_state",
+    # round 16: CDC tail x image composition — upstream 3-version build +
+    # tail + per-increment hash/dedup/state merge (the full wiring; read
+    # against image_neardup_incremental_state: the gap is the upstream
+    # merge commits + change-feed diffs the composition adds)
+    "stream_cdc_image_ingest",
+    # round 16: Lucene-IDF rank-level retrieval (read against
+    # bm25_search_topk: same plan, ln vs rational idf + the k+1 gap guard)
+    "bm25_lucene_rank",
 ]
 
 SMALL_RESULT = {
@@ -283,6 +299,9 @@ TIME_INCLUDES_BUILD = {
     "merge_purge_tombstones",  # two commits + purge rewrite memoized run 1
     "hybrid_rrf_search_indexed",  # both indexes memoized; eager probe ids
     "hybrid_rrf_batch_indexed",  # same memoized indexes; eager probe ids
+    "image_neardup_incremental_state",  # fn() runs both increments + merges
+    "stream_cdc_image_ingest",  # fn() builds upstream + drives the tail
+    "bm25_lucene_rank",  # eager top-(k+1) collect for the rank-gap guard
 }
 
 # events.ts physical-encoding normalization, probed from the footer
