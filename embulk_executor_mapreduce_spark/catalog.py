@@ -7425,6 +7425,108 @@ def q_image_neardup_incremental_state(spark: SparkSession, sf_dir: str) -> DataF
     return read_merge_state(spark, path).select("band", "bkey", "img_id", "dhash")
 
 
+from .operators.images import _MIN_LONG  # noqa: E402
+
+
+@register(
+    "image_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE bytes AS (
+      SELECT doc_id, idx,
+             CAST(('0x' || substr(
+               md5(text || '#' || CAST(idx // 16 AS VARCHAR)),
+               (idx % 16) * 2 + 1, 2)) AS INT) AS pv
+      FROM documents, (SELECT unnest(range(72)) AS idx)
+    ), cmp AS (
+      SELECT a.doc_id,
+             (a.idx // 9) * 8 + (a.idx % 9) AS bi,
+             CASE WHEN a.pv < b.pv THEN 1 ELSE 0 END AS bit
+      FROM bytes a
+      JOIN bytes b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
+      WHERE a.idx % 9 < 8
+    ), hashes AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN bit = 1 THEN (
+               CASE WHEN bi = 0 THEN {_MIN_LONG}
+                    ELSE (1::BIGINT << (63 - bi)) END
+             ) ELSE 0 END) AS BIGINT) AS dhash
+      FROM cmp GROUP BY doc_id
+    ), imgs AS (
+      SELECT doc_id * 2 AS img_id, dhash FROM hashes
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS img_id, dhash FROM hashes
+      WHERE doc_id % 5 = 0
+    ), banded AS (
+      SELECT img_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bkey
+      FROM imgs, (SELECT unnest(range(4)) AS band)
+    ), v AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.img_id < b.img_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
+    ), e AS (SELECT id_a AS src, id_b AS dst FROM v
+             UNION SELECT id_b, id_a FROM v),
+    reach(node, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT reach.node, e2.dst FROM reach JOIN e e2 ON reach.r = e2.src
+    ), cc AS (SELECT node AS img_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    mem AS (
+      SELECT i.img_id, COALESCE(cc.cluster_id, i.img_id) AS cluster_id
+      FROM (SELECT img_id FROM imgs) i LEFT JOIN cc USING (img_id)
+    )
+    SELECT img_id FROM mem WHERE img_id = cluster_id
+    """,
+    tags=("multimodal", "dedup", "image"),
+)
+def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end IMAGE dedup survivor selection (r16) — the image-level
+    parity of the text family's candidates → clusters → survivors chain
+    (`dedup_clusters` / `dedup_survivors`): perceptual pairs from the
+    banded dHash join, transitive closure via the same bounded
+    min-label-propagation `connected_components`, and one representative
+    (the min-id member) kept per duplicate cluster — singletons are their
+    own cluster. On the standard fixture every 3×-rescaled variant
+    clusters with its base at Hamming 0 and the base survives, so the
+    output is exactly the base image set; the oracle replays hashing,
+    banding, exact-Hamming verify and the recursive-CTE closure
+    closed-form from the raw text. Same scale shape as the pairs row plus
+    the iterative closure (per iteration one join + min-agg, lineage
+    truncated — bounded by the duplicate-graph diameter, never the
+    corpus)."""
+    from .operators.dedup import connected_components
+    from .operators.images import (
+        encode_grid_png,
+        image_dhash,
+        image_neardup_pairs,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    base = encode_grid_png(docs, scale=2).select(
+        (F.col("doc_id") * 2).alias("img_id"), "payload"
+    )
+    variants = encode_grid_png(
+        docs.filter(F.col("doc_id") % 5 == 0), scale=3
+    ).select((F.col("doc_id") * 2 + 1).alias("img_id"), "payload")
+    hashes = image_dhash(base.unionByName(variants), id_col="img_id")
+    pairs = image_neardup_pairs(hashes, id_col="img_id", max_hamming=6)
+    clusters = connected_components(pairs, "id_a", "id_b").select(
+        F.col("doc_id").alias("img_id"), "cluster_id"
+    )
+    membership = (
+        hashes.select("img_id")
+        .join(clusters, on="img_id", how="left")
+        .select(
+            "img_id",
+            F.coalesce("cluster_id", F.col("img_id")).alias("cluster_id"),
+        )
+    )
+    return membership.where(F.col("img_id") == F.col("cluster_id")).select(
+        "img_id"
+    )
+
+
 @register(
     "stream_cdc_image_ingest",
     oracle=incremental_image_neardup_oracle_sql(),
