@@ -5754,53 +5754,9 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS)
 
 
-def _bm25_lucene_rank_oracle_sql(
-    query_terms: tuple[str, ...], table: str = "documents", k: int = 10
-) -> str:
-    """DuckDB mirror of the Lucene-IDF BM25 ranking at RANK level (r16,
-    VERDICT r15 item 7): identical tokenization / micro-unit floor /
-    BIGINT summation as ``bm25_oracle_sql``, with the ``ln``-dampened IDF
-    and the SCORES EXCLUDED from the output — ``ln`` is not IEEE
-    correctly-rounded, so only the ordered ``(rank, doc_id)`` ids are
-    cross-engine claims. Rank stability is provable on this corpus: a
-    1-ulp ``ln`` disagreement moves a doc's BIGINT micro-unit sum by at
-    most |query_terms| units, and the Spark row asserts every adjacent
-    top-(k+1) gap exceeds that bound before returning."""
-    terms = ", ".join(f"'{t}'" for t in query_terms)
-    return f"""
-    WITH tok AS (
-      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
-    ), dl AS (
-      SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
-    ), stats AS (
-      SELECT count(*) AS n, sum(dl) AS sumdl FROM dl
-    ), tf AS (
-      SELECT doc_id, term, count(*) AS tf FROM tok
-      WHERE term IN ({terms}) GROUP BY doc_id, term
-    ), dfq AS (
-      SELECT term, count(*) AS df FROM tf GROUP BY term
-    ), contrib AS (
-      SELECT t.doc_id,
-             CAST(floor(
-               ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)
-               * ((t.tf * 2.2)
-                  / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * s.n) / s.sumdl)))
-               * 1000000.0 + 0.5
-             ) AS BIGINT) AS c
-      FROM tf t JOIN dfq d USING (term) JOIN dl l USING (doc_id), stats s
-    ), sc AS (
-      SELECT doc_id, sum(c) AS smicro FROM contrib GROUP BY doc_id
-    )
-    SELECT CAST(rn AS INT) AS rank, doc_id FROM (
-      SELECT *, row_number() OVER (ORDER BY smicro DESC, doc_id) AS rn
-      FROM sc
-    ) WHERE rn <= {k}
-    """
-
-
 @register(
     "bm25_lucene_rank",
-    oracle=_bm25_lucene_rank_oracle_sql(_BM25_TERMS),
+    oracle=bm25_oracle_sql(_BM25_TERMS, idf="lucene", rank_only=True),
     tags=("text", "search", "ranking", "rank-level"),
 )
 def q_bm25_lucene_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7425,59 +7381,12 @@ def q_image_neardup_incremental_state(spark: SparkSession, sf_dir: str) -> DataF
     return read_merge_state(spark, path).select("band", "bkey", "img_id", "dhash")
 
 
-from .operators.images import _MIN_LONG  # noqa: E402
+from .operators.images import dhash_survivors_oracle_sql  # noqa: E402
 
 
 @register(
     "image_dedup_survivors",
-    oracle=f"""
-    WITH RECURSIVE bytes AS (
-      SELECT doc_id, idx,
-             CAST(('0x' || substr(
-               md5(text || '#' || CAST(idx // 16 AS VARCHAR)),
-               (idx % 16) * 2 + 1, 2)) AS INT) AS pv
-      FROM documents, (SELECT unnest(range(72)) AS idx)
-    ), cmp AS (
-      SELECT a.doc_id,
-             (a.idx // 9) * 8 + (a.idx % 9) AS bi,
-             CASE WHEN a.pv < b.pv THEN 1 ELSE 0 END AS bit
-      FROM bytes a
-      JOIN bytes b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
-      WHERE a.idx % 9 < 8
-    ), hashes AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN bit = 1 THEN (
-               CASE WHEN bi = 0 THEN {_MIN_LONG}
-                    ELSE (1::BIGINT << (63 - bi)) END
-             ) ELSE 0 END) AS BIGINT) AS dhash
-      FROM cmp GROUP BY doc_id
-    ), imgs AS (
-      SELECT doc_id * 2 AS img_id, dhash FROM hashes
-      UNION ALL
-      SELECT doc_id * 2 + 1 AS img_id, dhash FROM hashes
-      WHERE doc_id % 5 = 0
-    ), banded AS (
-      SELECT img_id, dhash, band, (dhash >> (16 * band)) & 65535 AS bkey
-      FROM imgs, (SELECT unnest(range(4)) AS band)
-    ), v AS (
-      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b
-      FROM banded a
-      JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-                   AND a.img_id < b.img_id
-      WHERE bit_count(xor(a.dhash, b.dhash)) <= 6
-    ), e AS (SELECT id_a AS src, id_b AS dst FROM v
-             UNION SELECT id_b, id_a FROM v),
-    reach(node, r) AS (
-      SELECT src, src FROM e
-      UNION
-      SELECT reach.node, e2.dst FROM reach JOIN e e2 ON reach.r = e2.src
-    ), cc AS (SELECT node AS img_id, min(r) AS cluster_id FROM reach GROUP BY node),
-    mem AS (
-      SELECT i.img_id, COALESCE(cc.cluster_id, i.img_id) AS cluster_id
-      FROM (SELECT img_id FROM imgs) i LEFT JOIN cc USING (img_id)
-    )
-    SELECT img_id FROM mem WHERE img_id = cluster_id
-    """,
+    oracle=dhash_survivors_oracle_sql(),
     tags=("multimodal", "dedup", "image"),
 )
 def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -45,7 +45,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .multimodal import (
@@ -453,11 +453,12 @@ def encode_grid_png(
     bit-for-bit at ANY scale (the resize-invariance the near-dup row
     exercises: the same content re-encoded at scale 2 and scale 3 must
     hash identically). ``brightness`` adds a constant and RAISES if any
-    grid byte would clamp at 255 (r16 advisor finding: md5-derived grid
-    bytes reach 255, so a silent ``min(255, …)`` clamp could collapse two
-    distinct values and flip dHash gradient bits — the exact monotone-map
-    invariance this fixture exists to exercise; a clamping fixture must
-    fail loudly, not change hashes)."""
+    grid byte would leave 0..255 (r16 advisor finding: md5-derived grid
+    bytes span the full range, so a silent ``min(255, …)`` clamp — or a
+    byte pushed below 0 crashing deep inside the PNG row pack — could
+    collapse two distinct values and flip dHash gradient bits; the exact
+    monotone-map invariance this fixture exists to exercise must fail
+    loudly, not change hashes)."""
 
     df, id_type = _mid_input(df, id_col, text_col)
 
@@ -466,11 +467,14 @@ def encode_grid_png(
             payloads = []
             for text in pdf[_MVAL]:
                 g = _grid_bytes(str(text))
-                if brightness and max(g) + brightness > 255:
+                if brightness and not (
+                    0 <= min(g) + brightness and max(g) + brightness <= 255
+                ):
                     raise ValueError(
-                        f"encode_grid_png: brightness={brightness} clamps "
-                        f"grid byte {max(g)} past 255 — the shift would no "
-                        "longer be a strictly monotone map"
+                        f"encode_grid_png: brightness={brightness} pushes "
+                        f"grid bytes [{min(g)}, {max(g)}] outside 0..255 — "
+                        "the shift would no longer be a strictly monotone "
+                        "map of the pixel range"
                     )
                 rows = [
                     [
@@ -487,23 +491,14 @@ def encode_grid_png(
     ).withColumnRenamed(_MID, id_col)
 
 
-def dhash_neardup_oracle_sql(
-    table: str = "documents",
-    variant_mod: int = 5,
-    bands: int = 4,
-    max_hamming: int = 6,
-) -> str:
-    """DuckDB mirror of the ``image_dhash_neardup`` catalog row: replay
-    the md5 grid → gradient bits → MSB-first pack → banding → exact
-    Hamming verify, closed-form from the raw text (the PNG encode →
-    decode → box resize being exact is precisely what the row pins).
-    Image ids: base = doc_id·2 (scale 2), variant = doc_id·2+1 (scale 3,
-    docs with ``doc_id % variant_mod = 0``) — same grid, so every
-    variant pairs with its base at Hamming 0."""
-    width = 64 // bands
-    mask = (1 << width) - 1
-    return f"""
-    WITH bytes AS (
+def _dhash_hashes_ctes(table: str) -> str:
+    """The shared closed-form grid → gradient bits → packed-long CTEs —
+    ONE definition for every dHash oracle generator (r16 review finding:
+    a third hand-copied instance had appeared; drifted copies of the
+    float-free closed form are exactly the hazard the generators exist to
+    prevent). Emits ``bytes``, ``cmp`` and ``hashes`` (doc_id → dhash);
+    callers prepend ``WITH [RECURSIVE]`` and append their own CTEs."""
+    return f"""bytes AS (
       SELECT doc_id, idx,
              CAST(('0x' || substr(
                md5(text || '#' || CAST(idx // 16 AS VARCHAR)),
@@ -523,7 +518,26 @@ def dhash_neardup_oracle_sql(
                     ELSE (1::BIGINT << (63 - bi)) END
              ) ELSE 0 END) AS BIGINT) AS dhash
       FROM cmp GROUP BY doc_id
-    ), imgs AS (
+    )"""
+
+
+def dhash_neardup_oracle_sql(
+    table: str = "documents",
+    variant_mod: int = 5,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> str:
+    """DuckDB mirror of the ``image_dhash_neardup`` catalog row: replay
+    the md5 grid → gradient bits → MSB-first pack → banding → exact
+    Hamming verify, closed-form from the raw text (the PNG encode →
+    decode → box resize being exact is precisely what the row pins).
+    Image ids: base = doc_id·2 (scale 2), variant = doc_id·2+1 (scale 3,
+    docs with ``doc_id % variant_mod = 0``) — same grid, so every
+    variant pairs with its base at Hamming 0."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH {_dhash_hashes_ctes(table)}, imgs AS (
       SELECT doc_id * 2 AS img_id, dhash FROM hashes
       UNION ALL
       SELECT doc_id * 2 + 1 AS img_id, dhash FROM hashes
@@ -541,6 +555,53 @@ def dhash_neardup_oracle_sql(
     )
     SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= {max_hamming}
+    """
+
+
+def dhash_survivors_oracle_sql(
+    table: str = "documents",
+    variant_mod: int = 5,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> str:
+    """DuckDB mirror of the ``image_dedup_survivors`` catalog row (r16
+    review finding: the first cut lived as a hand-copied inline SQL in
+    the catalog with the band shift hard-coded at 16 — the exact drift
+    class ``dhash_neardup_oracle_sql``'s width fix closed this round; ONE
+    parameterized generator beside the other two keeps the closed form in
+    one module): hashes → banding → exact-Hamming pairs → recursive-CTE
+    transitive closure → min-id representative per cluster (singletons
+    are their own cluster)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    return f"""
+    WITH RECURSIVE {_dhash_hashes_ctes(table)}, imgs AS (
+      SELECT doc_id * 2 AS img_id, dhash FROM hashes
+      UNION ALL
+      SELECT doc_id * 2 + 1 AS img_id, dhash FROM hashes
+      WHERE doc_id % {variant_mod} = 0
+    ), banded AS (
+      SELECT img_id, dhash, band,
+             (dhash >> ({width} * band)) & {mask} AS bkey
+      FROM imgs, (SELECT unnest(range({bands})) AS band)
+    ), v AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+                   AND a.img_id < b.img_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {max_hamming}
+    ), e AS (SELECT id_a AS src, id_b AS dst FROM v
+             UNION SELECT id_b, id_a FROM v),
+    reach(node, r) AS (
+      SELECT src, src FROM e
+      UNION
+      SELECT reach.node, e2.dst FROM reach JOIN e e2 ON reach.r = e2.src
+    ), cc AS (SELECT node AS img_id, min(r) AS cluster_id FROM reach GROUP BY node),
+    mem AS (
+      SELECT i.img_id, COALESCE(cc.cluster_id, i.img_id) AS cluster_id
+      FROM (SELECT img_id FROM imgs) i LEFT JOIN cc USING (img_id)
+    )
+    SELECT img_id FROM mem WHERE img_id = cluster_id
     """
 
 
@@ -612,27 +673,7 @@ def incremental_image_neardup_oracle_sql(
     state{n} AS (SELECT band, bkey, img_id, dhash FROM b{n} JOIN surv{n} USING (img_id))"""
 
     return f"""
-    WITH RECURSIVE bytes AS (
-      SELECT doc_id, idx,
-             CAST(('0x' || substr(
-               md5(text || '#' || CAST(idx // 16 AS VARCHAR)),
-               (idx % 16) * 2 + 1, 2)) AS INT) AS pv
-      FROM {table}, (SELECT unnest(range(72)) AS idx)
-    ), cmp AS (
-      SELECT a.doc_id,
-             (a.idx // 9) * 8 + (a.idx % 9) AS bi,
-             CASE WHEN a.pv < b.pv THEN 1 ELSE 0 END AS bit
-      FROM bytes a
-      JOIN bytes b ON b.doc_id = a.doc_id AND b.idx = a.idx + 1
-      WHERE a.idx % 9 < 8
-    ), hashes AS (
-      SELECT doc_id,
-             CAST(sum(CASE WHEN bit = 1 THEN (
-               CASE WHEN bi = 0 THEN {_MIN_LONG}
-                    ELSE (1::BIGINT << (63 - bi)) END
-             ) ELSE 0 END) AS BIGINT) AS dhash
-      FROM cmp GROUP BY doc_id
-    ), imgs1 AS (
+    WITH RECURSIVE {_dhash_hashes_ctes(table)}, imgs1 AS (
       SELECT doc_id * 2 AS img_id, dhash FROM hashes WHERE doc_id % 2 = 0
     ), imgs2 AS (
       SELECT doc_id * 2 AS img_id, dhash FROM hashes WHERE doc_id % 2 = 1

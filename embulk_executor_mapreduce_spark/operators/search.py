@@ -632,10 +632,33 @@ def bm25_oracle_sql(
     query_terms: tuple[str, ...],
     table: str = "documents",
     k: int = 10,
+    idf: str = "rational",
+    rank_only: bool = False,
 ) -> str:
     """DuckDB mirror of :func:`bm25_topk` — identical parenthesization,
-    identical micro-unit floor, BIGINT summation."""
+    identical micro-unit floor, BIGINT summation. The ONE SQL-side
+    definition, exactly as :func:`_bm25_contrib` is the one Spark-side
+    expression (r16 review finding: a hand-copied Lucene variant in the
+    catalog was the drifted-copy hazard both docstrings warn about):
+    ``idf`` selects the same rational/ln forms, and ``rank_only=True``
+    emits ``(rank, doc_id)`` with the float-bearing score EXCLUDED — the
+    rank-level output the non-correctly-rounded ``ln`` variant is
+    verified at (callers own proving rank stability; see the
+    ``bm25_lucene_rank`` row's gap guard)."""
     terms = ", ".join(f"'{t}'" for t in query_terms)
+    if idf == "rational":
+        idf_sql = "((s.n - d.df + 0.5) / (d.df + 0.5))"
+    elif idf == "lucene":
+        idf_sql = "ln((s.n - d.df + 0.5) / (d.df + 0.5) + 1.0)"
+    else:
+        from ..errors import ConfigError
+
+        raise ConfigError(f"idf must be 'rational' or 'lucene', got {idf!r}")
+    projection = (
+        "CAST(rn AS INT) AS rank, doc_id"
+        if rank_only
+        else "doc_id, CAST(smicro AS BIGINT) / 1000000.0 AS bm25"
+    )
     return f"""
     WITH tok AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM {table}
@@ -651,7 +674,7 @@ def bm25_oracle_sql(
     ), contrib AS (
       SELECT t.doc_id,
              CAST(floor(
-               ((s.n - d.df + 0.5) / (d.df + 0.5))
+               {idf_sql}
                * ((t.tf * 2.2)
                   / (t.tf + 1.2 * (0.25 + 0.75 * (l.dl * s.n) / s.sumdl)))
                * 1000000.0 + 0.5
@@ -660,7 +683,7 @@ def bm25_oracle_sql(
     ), sc AS (
       SELECT doc_id, sum(c) AS smicro FROM contrib GROUP BY doc_id
     )
-    SELECT doc_id, CAST(smicro AS BIGINT) / 1000000.0 AS bm25 FROM (
+    SELECT {projection} FROM (
       SELECT *, row_number() OVER (ORDER BY smicro DESC, doc_id) AS rn
       FROM sc
     ) WHERE rn <= {k}

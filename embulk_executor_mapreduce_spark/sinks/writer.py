@@ -278,27 +278,40 @@ def merge_bucket_ids(
         # ANSI off it casts to NULL, hashes anyway, and yields a
         # silently-empty pruned read — the exact silent-miss failure mode
         # the typed cast exists to eliminate, one layer down (r16 advisor
-        # finding). try_cast makes the check ANSI-agnostic; probe lists
-        # are config-bounded, so the per-column null-from-non-null check
-        # is a tiny local job.
-        for cur, b in zip(df.columns, bcols):
-            bad = [
-                r.v
-                for r in df.filter(
-                    F.col(cur).isNotNull()
-                    & F.col(cur).try_cast(types[b]).isNull()
-                )
-                .select(F.col(cur).cast("string").alias("v"))
-                .distinct()
-                .collect()
-            ]
-            if bad:
-                raise ConfigError(
-                    f"probe value(s) {bad} for bucket column {b!r} do not "
-                    f"cast to its committed type {types[b].simpleString()} — "
-                    "refusing to hash a NULLed literal (the pruned read "
-                    "would silently miss every row)"
-                )
+        # finding). try_cast makes the check ANSI-agnostic; ONE job for
+        # all bucket columns (this runs on every pruned-read probe — a
+        # per-column collect would add N driver round-trips to the
+        # serving hot path), rows bounded by the probe list.
+        from functools import reduce
+        from operator import or_
+
+        marks = [
+            F.when(
+                F.col(cur).isNotNull()
+                & F.col(cur).try_cast(types[b]).isNull(),
+                F.col(cur).cast("string"),
+            ).alias(b)
+            for cur, b in zip(df.columns, bcols)
+        ]
+        offending = (
+            df.select(*marks)
+            .filter(reduce(or_, (F.col(b).isNotNull() for b in bcols)))
+            .distinct()
+            .collect()
+        )
+        if offending:
+            bad = {
+                b: sorted({r[b] for r in offending if r[b] is not None})
+                for b in bcols
+                if any(r[b] is not None for r in offending)
+            }
+            raise ConfigError(
+                f"probe value(s) {bad} do not cast to their bucket "
+                "column(s)' committed type(s) "
+                f"({ {b: types[b].simpleString() for b in bad} }) — "
+                "refusing to hash a NULLed literal (the pruned read "
+                "would silently miss every row)"
+            )
         df = df.select(
             *[
                 F.col(cur).cast(types[b]).alias(b)

@@ -185,6 +185,11 @@ def test_brightness_clamp_raises_not_silently_flips(spark):
     docs = _docs(spark, 12)
     with pytest.raises(Exception, match="monotone"):
         encode_grid_png(docs, scale=2, brightness=25).collect()
+    # the symmetric low end (r16 review finding): a negative shift that
+    # would push a byte below 0 must fail the same way, not crash deep
+    # inside the PNG row pack
+    with pytest.raises(Exception, match="monotone"):
+        encode_grid_png(docs, scale=2, brightness=-25).collect()
     # brightness=0 stays the exact fixture: hashes match the closed form
     assert image_dhash(encode_grid_png(docs, scale=2)).count() == 12
 

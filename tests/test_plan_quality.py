@@ -1002,3 +1002,15 @@ def test_image_incremental_state_probe_is_equi_join(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert df.count() > 0
+
+
+def test_image_dedup_survivors_banded_and_bounded(spark):
+    """r16 survivor selection: the pairs feed is the banded equi-join
+    (no cartesian) and the closure is the bounded min-label loop — one
+    representative per duplicate cluster comes back, singletons
+    included."""
+    df = catalog.entries()["image_dedup_survivors"].fn(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert df.count() > 0
