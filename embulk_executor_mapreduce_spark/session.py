@@ -51,6 +51,12 @@ def get_spark(
         # that take seconds each — observed as a 6x outlier on one bench
         # entry. The cache holds class references, not data; 1000 is cheap.
         .config("spark.sql.codegen.cache.maxEntries", "1000")
+        # plan-string metadata (scan Locations, pushed-filter lists) is
+        # truncated at 100 chars by default — long tmp paths silently
+        # vanish from explain output, which broke a plan-path assertion
+        # the day pytest's tmpdir counter grew a digit (r16). Display-only
+        # conf; generous so plan guards and judge explains see full paths.
+        .config("spark.sql.maxMetadataStringLength", "2000")
         # managed-table warehouse outside the repo checkout (bucketed-table
         # sinks); tmp is fine — the engine treats managed tables as
         # rebuildable layout artifacts, not system-of-record storage
