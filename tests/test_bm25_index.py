@@ -118,9 +118,20 @@ def test_probe_opens_only_query_term_buckets(spark, tmp_path):
     want_ids = {str(b) for b in merge_bucket_ids(spark, ["alpha"], 16)}
     probe = bm25_topk_indexed(spark, root, ("alpha",), k=5)
     plan = probe._jdf.queryExecution().executedPlan().toString()
-    # every committed bucket NOT holding 'alpha' stays unopened
+    # every committed bucket NOT holding 'alpha' stays unopened. Digit
+    # boundary required: "__mbd=1" is a PREFIX of "__mbd=11" (the probe's
+    # actual bucket) — a latent substring bug the r16
+    # maxMetadataStringLength bump exposed the moment the full path list
+    # stopped being truncated out of the plan string.
+    import re
+
     for b in committed - want_ids:
-        assert f"__mbd={b}" not in plan, f"bucket {b} opened: {plan[:2000]}"
+        assert not re.search(rf"__mbd={b}(?!\d)", plan), (
+            f"bucket {b} opened: {plan[:2000]}"
+        )
+    # the positive side: the probe's own buckets ARE the ones listed
+    for b in want_ids:
+        assert re.search(rf"__mbd={b}(?!\d)", plan), f"bucket {b} missing"
     assert len(committed) > len(want_ids)  # the subset is proper
     assert probe.count() == 5
 
