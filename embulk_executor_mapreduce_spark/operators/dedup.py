@@ -739,6 +739,15 @@ def incremental_minhash_dedup(
     """
     batch = _spread_for_sig(batch, id_col)
     sig = _minhash_sig_frame(batch, text_col, id_col, num_hashes, shingle_n)
+    # Materialize the batch's signature frame ONCE (r16 optimization,
+    # guide §1.2 — the image sibling's discipline): the banded self-join's
+    # two sides, the against-state probe, membership, and both returned
+    # frames all re-reference it, and each downstream action would
+    # otherwise re-run the shingle explode + 16-seed min aggregate (the
+    # increment's dominant shuffle). (id, sig) is KBs per batch;
+    # localCheckpoint truncates lineage and the ContextCleaner reclaims
+    # the blocks when the returned frames drop.
+    sig = sig.localCheckpoint(eager=True)
     banded = _banded_sig_frame(sig, id_col, num_hashes, bands)
 
     a, b = banded.alias("a"), banded.alias("b")
@@ -1211,10 +1220,15 @@ def incremental_semantic_dedup_two_level(
     else:
         coarse, subc = centroids
         # ASSIGN-ONLY steady state: two broadcast joins, no k-means jobs —
-        # plan-guarded in tests/test_plan_quality.py
+        # plan-guarded in tests/test_plan_quality.py. Materialized once
+        # (r16, guide §1.2): the leaf self-join's two sides, the
+        # against-state probe, and the novel anti-join all re-reference
+        # the assignment — the train branch already checkpoints it inside
+        # _two_level_train_assign, this makes the steady-state branch
+        # match.
         sub_assigned = _sub_assign(
             _coarse_assign(base, coarse, id_col), subc.select("cell", "cid", "cv"), id_col
-        )
+        ).localCheckpoint(eager=True)
 
     def _cos_ge(a_v, a_n, b_v, b_n):
         return (
@@ -1358,6 +1372,14 @@ def incremental_semantic_dedup(
             F.col("m.nrm").alias("nrm"),
         )
     )
+    # Materialize the assignment ONCE (r16 optimization, guide §1.2 — the
+    # minhash/image siblings' discipline): the within-cell self-join's two
+    # sides, the against-state probe, and the novel anti-join all
+    # re-reference `assigned`, and each downstream action would otherwise
+    # re-run the broadcast-centroid argmax over the batch (its dominant
+    # shuffle). One batch's (id, cell, v, nrm) rows; lineage truncated,
+    # blocks reclaimed by the ContextCleaner when the returned frames drop.
+    assigned = assigned.localCheckpoint(eager=True)
 
     def _cos_ge(a_v, a_n, b_v, b_n):
         return (

@@ -338,6 +338,17 @@ def incremental_image_neardup(
     committed reconstructs the pre-batch state view bit-for-bit."""
     from .dedup import connected_components
 
+    # Materialize the batch's hash frame ONCE (r16 optimization, guide
+    # §1.2): everything below — the banded self-join's two sides, the
+    # against-state probe, clustering, survivor selection, and both
+    # returned frames — re-references this frame, and without a
+    # materialization each action re-runs the producing plan (an Arrow
+    # decode + hash pass over the crawl batch, the increment's dominant
+    # cost). localCheckpoint (the k-means/CC idiom) truncates lineage and
+    # lets the ContextCleaner reclaim the blocks when the returned frames
+    # are dropped; the frame is (id, hash) — KBs per batch, never payload
+    # bytes.
+    hashes = hashes.localCheckpoint(eager=True)
     batch_ids = hashes.select(F.col(id_col)).distinct()
     banded = _banded_hashes(hashes, id_col, hash_col, bands)
     a, b = banded.alias("a"), banded.alias("b")

@@ -36,6 +36,17 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r16: AQE inside cached-plan materialization (SPARK-38322, off by
+        # default to keep cached output partitioning stable). The merge
+        # sink persists each increment batch (one evaluation per commit);
+        # without this flag the cache materializes the batch plan with AQE
+        # disabled — joins keep the static 32-partition shuffles and never
+        # convert to broadcast at runtime, measured 2-4x slower on the
+        # incremental image/postings delta merges than the same plan
+        # uncached. Cached output partitioning is physical, not semantic.
+        .config(
+            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

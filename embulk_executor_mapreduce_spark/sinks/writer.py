@@ -649,7 +649,38 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     mb = F.pmod(
         F.xxhash64(*[F.col(c) for c in bucket_cols]), F.lit(spec.merge_buckets)
     ).cast("int")
-    new = df.withColumn("__gen", F.lit(1))
+    # ONE evaluation of the incoming batch per commit (r16 optimization,
+    # guide §1.2/§2.3): the merge needs the batch twice — once to learn
+    # which buckets it touches (the pruning probe) and once in the merge
+    # aggregate — and for computed deltas (tokenized postings, decoded
+    # image hashes, ANN assignments) re-running the producing plan doubles
+    # the increment's dominant cost. Persisting the __gen-tagged frame
+    # bounds the second pass at a cache read; worst case (a raw scan batch
+    # spilled to disk) costs what the old double-scan already paid. The
+    # frame is unpersisted on every exit path; CAS retries reuse it (the
+    # batch does not change between attempts).
+    new = df.withColumn("__gen", F.lit(1)).persist()
+    try:
+        _merge_file_sink_attempts(new, df, spec, mb, local, path, keys, order)
+    finally:
+        new.unpersist()
+
+
+def _merge_file_sink_attempts(
+    new: DataFrame,
+    df: DataFrame,
+    spec: SinkSpec,
+    mb,
+    local: str,
+    path: str,
+    keys: list[str],
+    order: list[str],
+) -> None:
+    import os
+    import shutil
+    import uuid
+
+    from ..errors import MergeCommitConflictError
 
     # Optimistic concurrency (multi-writer): compute the merge against the
     # snapshot the pointer names, stage the result under an attempt-unique
@@ -658,6 +689,8 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     # rows in the shared buckets), so it is discarded and the merge recomputed
     # against the new snapshot. Conflict cost is one recompute per conflict;
     # the winning writer is never blocked.
+    spark = df.sparkSession
+    bucket_cols = list(spec.resolved_merge_bucket_columns())
     for _attempt in range(_MERGE_COMMIT_RETRIES):
         version = _pointer_version(local)
         # attempt-unique staging: concurrent writers must never share a
@@ -724,16 +757,19 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
                     and bool(set(df.columns) - set(old.columns))
                 ) or relayout
                 if old is not None and not evolves:
-                    # ≤ merge_buckets rows — bounded by CONFIG, never by data size
+                    # ≤ merge_buckets rows — bounded by CONFIG, never by data
+                    # size. Probed over the PERSISTED frame so the batch plan
+                    # runs once per commit, not once here and again in the
+                    # merge write below.
                     touched = sorted(
-                        r.b for r in df.select(mb.alias("b")).distinct().collect()
+                        r.b for r in new.select(mb.alias("b")).distinct().collect()
                     )
                     if not touched:
-                        # empty batch: state unchanged, no new version. Still run
-                        # the (empty) plan once so caller-attached observers (the
-                        # pipeline report's row count) fire — returning without any
-                        # action over df leaves an Observation unresolvable.
-                        df.write.format("noop").mode("overwrite").save()
+                        # empty batch: state unchanged, no new version. The
+                        # bucket probe above already executed the (empty)
+                        # batch plan, so caller-attached observers (the
+                        # pipeline report's row count) have fired — df's
+                        # CollectMetrics node is inside `new`'s plan.
                         return
                     tdirs = [
                         os.path.join(local, bucket_dirs[str(b)])

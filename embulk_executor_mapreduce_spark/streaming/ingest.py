@@ -1168,10 +1168,20 @@ def run_cdc_image_ingest(
     )
 
     def apply(v: int) -> None:
-        batch = _version_batch(spark, source_path, keys, v, id_col, payload_col)
-        if not batch.limit(1).count():
-            return  # empty increment: checkpoint advances, no state bump
-        process(batch, v)
+        # persist BEFORE the emptiness probe so the change-feed diff runs
+        # once per version — the probe and the sink body share the cached
+        # feed (the postings sibling's discipline); _process's own persist
+        # of the same frame is a same-level no-op and its unpersist is
+        # re-run harmlessly here
+        batch = _version_batch(
+            spark, source_path, keys, v, id_col, payload_col
+        ).persist()
+        try:
+            if not batch.limit(1).count():
+                return  # empty increment: checkpoint advances, no state bump
+            process(batch, v)
+        finally:
+            batch.unpersist()
 
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,
