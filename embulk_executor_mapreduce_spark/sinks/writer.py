@@ -742,21 +742,42 @@ def _merge_file_sink_attempts(
                         "re-bucketing rewrite)"
                     )
                 all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
-                # an EMPTY committed state (e.g. a stream whose first micro-batch
-                # had no rows) has a manifest with zero buckets — treat as no state
-                old = (
-                    spark.read.format(spec.type).load(all_dirs) if all_dirs else None
-                )
+                # Schema check from ONE bucket dir, not a full multi-dir load
+                # (r16 optimization, guide §1.2/§6) — SELF-DESCRIBING formats
+                # only (the _pinned_schema rule): parquet/ORC state files
+                # share one fused schema (evolution forces a full rewrite),
+                # so a single footer is authoritative — the old code built
+                # an eager load over EVERY bucket dir (plan-time listing +
+                # inference, ~0.4 s on a 64-bucket state) just to read
+                # .columns, then discarded it for the pruned read below.
+                # Schema-on-read formats (csv/json) MUST keep the full-
+                # snapshot inference: a json bucket all-null in a column
+                # writes no field for it, and a one-dir probe would drop or
+                # mistype the column state-wide (pinned in
+                # tests/test_changes.py::test_table_changes_per_version_schema_on_read_pinned).
+                # An EMPTY committed state (a stream whose first micro-batch
+                # had no rows) has a manifest with zero buckets — no state.
+                self_describing = spec.type in ("parquet", "orc")
+                old_schema = None
+                if all_dirs:
+                    probe_dirs = all_dirs[:1] if self_describing else all_dirs
+                    old_schema = (
+                        spark.read.format(spec.type).load(probe_dirs).schema
+                    )
                 # a batch that INTRODUCES columns forces a one-time full rewrite so
                 # every state file keeps one fused schema (readers need no
                 # mergeSchema); steady-state batches — the 100 TB hot path — prune.
                 # An allowed RELAYOUT forces the same full rewrite (every row
                 # re-hashes under the new layout).
                 evolves = (
-                    old is not None
-                    and bool(set(df.columns) - set(old.columns))
+                    old_schema is not None
+                    and bool(set(df.columns) - set(old_schema.fieldNames()))
                 ) or relayout
-                if old is not None and not evolves:
+                if old_schema is not None and evolves:
+                    old = spark.read.format(spec.type).schema(old_schema).load(
+                        all_dirs
+                    )
+                elif old_schema is not None:
                     # ≤ merge_buckets rows — bounded by CONFIG, never by data
                     # size. Probed over the PERSISTED frame so the batch plan
                     # runs once per commit, not once here and again in the
@@ -776,7 +797,17 @@ def _merge_file_sink_attempts(
                         for b in touched
                         if str(b) in bucket_dirs
                     ]
-                    old = spark.read.format(spec.type).load(tdirs) if tdirs else None
+                    # the probed schema rides along so the pruned read skips
+                    # a second plan-time inference pass (full-snapshot
+                    # schema either way: one fused footer, or the pinned
+                    # schema-on-read inference above)
+                    old = (
+                        spark.read.format(spec.type)
+                        .schema(old_schema)
+                        .load(tdirs)
+                        if tdirs
+                        else None
+                    )
             elif legacy:
                 old = spark.read.format(spec.type).load(path)
             if old is not None:
@@ -800,6 +831,25 @@ def _merge_file_sink_attempts(
                 .withColumn(MERGE_BUCKET_COL, mb)
                 .withColumn(MERGE_BUCKET_DIR_COL, F.col(MERGE_BUCKET_COL))
             )
+            # Cluster the write BY BUCKET DIR (r16 optimization, guide §6 —
+            # the Iceberg write.distribution-mode=hash tradeoff): without
+            # this, AQE coalesces the merge aggregate to few tasks and ONE
+            # task writes every touched bucket's dynamic partition
+            # sequentially (measured ~1.1 s vs ~0.37 s for 64 dirs at
+            # sf0.1), and at scale many tasks each holding many buckets
+            # write tasks x buckets small files. Hashing on the dir column
+            # gives each bucket exactly one writer task — parallel dir
+            # writes, exactly one file per bucket per commit (the probe
+            # side's ideal open count). Explicit partition count so AQE
+            # cannot coalesce the parallelism away; scale-adaptive: one
+            # task per touched bucket, capped by the cluster's parallelism.
+            n_dirs = len(touched) if touched is not None else spec.merge_buckets
+            n_write = max(
+                1, min(n_dirs, spark.sparkContext.defaultParallelism)
+            )
+            merged = merged.repartition(
+                n_write, F.col(MERGE_BUCKET_DIR_COL)
+            )
             if spec.sort_by:
                 # per-file clustering INSIDE each bucket dir (r16, VERDICT
                 # r15 item 1): sorting within write partitions — bucket dir
@@ -809,7 +859,7 @@ def _merge_file_sink_attempts(
                 # row-group min/max stats tight on the sort columns, so a
                 # probe predicate that is NOT a bucket column (the ANN
                 # codes index's `cid IN (...)`) skips row groups instead of
-                # reading the whole state. Zero extra exchange.
+                # reading the whole state.
                 merged = merged.sortWithinPartitions(
                     MERGE_BUCKET_DIR_COL, *spec.sort_by
                 )
@@ -924,6 +974,18 @@ def _rewrite_without(spark, spec: SinkSpec, split, op_name: str) -> int:
             removed = sub_victims.count()
             out = sub_survivors.withColumn(
                 MERGE_BUCKET_DIR_COL, F.col(MERGE_BUCKET_COL)
+            )
+            # one writer task per rewritten bucket (the merge path's r16
+            # clustered-write discipline — parallel dir writes, one file
+            # per bucket, AQE-proof explicit count)
+            out = out.repartition(
+                max(
+                    1,
+                    min(
+                        len(touched), spark.sparkContext.defaultParallelism
+                    ),
+                ),
+                F.col(MERGE_BUCKET_DIR_COL),
             )
             if spec.sort_by:
                 # maintenance preserves the merge path's per-file sort

@@ -387,13 +387,30 @@ def test_two_level_semantic_dedup_plan_shape(spark):
     assert "cell" in plan and "scid" in plan
 
 
-def test_incremental_semantic_dedup_plan_shape(spark, tmp_path):
+def test_incremental_semantic_dedup_plan_shape(spark, tmp_path, monkeypatch):
     """r5 incremental semantic dedup: batch assignment broadcasts the
     stored centroid table; the against-state check is an equi-join on cell
-    (state side is never broadcast-nested-looped or cross-joined)."""
+    (state side is never broadcast-nested-looped or cross-joined). Since
+    the r16 optimization the assignment is localCheckpointed once per
+    increment (one evaluation feeds the self-join, state probe, and both
+    returned frames), so the broadcast lives in the CHECKPOINTED subplan —
+    captured here via a localCheckpoint spy; the post-checkpoint plan is
+    still asserted cartesian-free."""
     from embulk_executor_mapreduce_spark.operators.dedup import (
         incremental_semantic_dedup,
     )
+
+    # patch the CONCRETE DataFrame class (Spark 4 splits the ABC in
+    # pyspark.sql.dataframe from pyspark.sql.classic.dataframe)
+    DF = type(spark.range(1))
+    ck_plans: list[str] = []
+    orig_ck = DF.localCheckpoint
+
+    def spy(self, eager=True):
+        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig_ck(self, eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint", spy)
 
     def mk(ids):
         return spark.createDataFrame(
@@ -406,14 +423,23 @@ def test_incremental_semantic_dedup_plan_shape(spark, tmp_path):
         mk(range(0, 40, 2)), None, None, k=2, iters=1
     )
     state = d1  # in-memory stand-in for the merged state
+    ck_plans.clear()  # keep only the assign-only increment's plans
     novel, delta, t2 = incremental_semantic_dedup(
         mk(range(1, 41, 2)), state, trained, k=2, iters=1
     )
     assert t2 is None
     plan = novel._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    # centroid broadcast present; state join keys on cell
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    # the checkpointed assignment broadcasts the stored centroid table and
+    # is itself cartesian-free (the broadcast-nested-loop over the ≤64k
+    # centroid literal array is the documented assign shape)
+    assert ck_plans, "assignment was not checkpointed"
+    assert any(
+        "BroadcastExchange" in p or "BroadcastNestedLoop" in p
+        for p in ck_plans
+    ), ck_plans
+    assert all("CartesianProduct" not in p for p in ck_plans)
+    # state join keys on cell in the post-checkpoint plan
     assert "cell" in plan
 
 
@@ -445,13 +471,33 @@ def test_incremental_two_level_semantic_dedup_assign_only(spark, monkeypatch):
         raise AssertionError("assign-only increment invoked kmeans_train")
 
     monkeypatch.setattr(S, "kmeans_train", no_retrain)
+    # Since the r16 optimization the assign-only branch localCheckpoints
+    # the two-level assignment (one evaluation feeds the leaf self-join,
+    # state probe, and both returned frames) — the broadcast joins live in
+    # the CHECKPOINTED subplan, captured via a spy; the post-checkpoint
+    # plan is still asserted cartesian-free.
+    DF = type(spark.range(1))
+    ck_plans: list[str] = []
+    orig_ck = DF.localCheckpoint
+
+    def spy(self, eager=True):
+        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig_ck(self, eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint", spy)
     novel, delta, t2 = incremental_semantic_dedup_two_level(
         mk(range(1, 41, 2)), state, trained, coarse_k=2, sub_k=2, iters=1
     )
     assert t2 is None
     plan = novel._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
-    assert "BroadcastExchange" in plan or "BroadcastNestedLoop" in plan
+    assert ck_plans, "assignment was not checkpointed"
+    assert any(
+        "BroadcastExchange" in p or "BroadcastNestedLoop" in p
+        for p in ck_plans
+    ), ck_plans
+    assert all("CartesianProduct" not in p for p in ck_plans)
+    assert any("cell" in p and "scid" in p for p in ck_plans)
     assert "cell" in plan and "scid" in plan
     # the delta carries the full leaf key for the merge sink
     assert {"cell", "scid", "vec_id", "v", "nrm"} <= set(delta.columns)
