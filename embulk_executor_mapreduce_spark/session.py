@@ -10,8 +10,39 @@ per-job; AQE coalesces down from it either way).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@_contextmanager
+def aqe_cached_plan_scope(spark: SparkSession):
+    """Enable AQE inside cached-plan materialization (SPARK-38322) for one
+    persist-and-consume region, restoring the default after.
+
+    The merge sink and the CDC-feed tails persist each increment batch so
+    its (often computed: tokenized postings, decoded image hashes, ANN
+    assignments) plan runs ONCE per commit; without this flag the cache
+    materializes that plan with AQE disabled — static shuffle partitions,
+    no runtime broadcast conversion — measured 2-4x slower on the
+    incremental image/postings delta merges than the same plan uncached.
+
+    SCOPED, not session-global (r16: a first cut set it in get_spark and
+    broke pagerank's 100 TB loop shape — with the flag on, AQE re-plans
+    EVERY cached frame, so the edge cache's explicit hash(src) layout was
+    no longer reusable and each iteration grew two edge-side exchanges;
+    tests/test_graph.py::test_pagerank_nonbucketed_loop_body_no_edge_side_exchange
+    caught it). Caches that RELY on stable output partitioning keep the
+    default; caches that want runtime re-optimization opt in through this
+    scope. The conf is consulted when the cached plan is first compiled,
+    so wrapping the persist's consuming region is sufficient."""
+    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, "true")
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
 
 
 def get_spark(
@@ -36,17 +67,6 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # r16: AQE inside cached-plan materialization (SPARK-38322, off by
-        # default to keep cached output partitioning stable). The merge
-        # sink persists each increment batch (one evaluation per commit);
-        # without this flag the cache materializes the batch plan with AQE
-        # disabled — joins keep the static 32-partition shuffles and never
-        # convert to broadcast at runtime, measured 2-4x slower on the
-        # incremental image/postings delta merges than the same plan
-        # uncached. Cached output partitioning is physical, not semantic.
-        .config(
-            "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true"
-        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

@@ -659,9 +659,14 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     # spilled to disk) costs what the old double-scan already paid. The
     # frame is unpersisted on every exit path; CAS retries reuse it (the
     # batch does not change between attempts).
+    from ..session import aqe_cached_plan_scope
+
     new = df.withColumn("__gen", F.lit(1)).persist()
     try:
-        _merge_file_sink_attempts(new, df, spec, mb, local, path, keys, order)
+        # AQE inside the cached batch plan, scoped to this commit (see
+        # session.aqe_cached_plan_scope for why it must not be global)
+        with aqe_cached_plan_scope(spark):
+            _merge_file_sink_attempts(new, df, spec, mb, local, path, keys, order)
     finally:
         new.unpersist()
 

@@ -901,27 +901,33 @@ def run_cdc_postings_ingest(
         # increment (r14 review finding); the emptiness probe is ONE job
         # on the cached feed (empty feed ⟺ both halves empty, since the
         # four change types partition it)
+        from ..session import aqe_cached_plan_scope
+
         feed = table_changes(
             spark, source_path, keys, v - 1, v, per_version=True,
             delete_col=delete_col,
         ).persist()
         try:
-            if not feed.limit(1).count():
-                return  # empty increment: checkpoint advances, no writes
-            ct = F.col(CHANGE_TYPE_COL)
-            bm25_index_delta(
-                feed.filter(ct.isin("insert", "update_postimage")).select(
-                    id_col, text_col
-                ),
-                feed.filter(ct.isin("delete", "update_preimage")).select(
-                    id_col, text_col
-                ),
-                index_root,
-                version=v,
-                id_col=id_col,
-                text_col=text_col,
-                merge_buckets=merge_buckets,
-            )
+            # scoped AQE-in-cache: the feed plan (pruned full-outer diff)
+            # materializes once with runtime coalescing/broadcasts (see
+            # session.aqe_cached_plan_scope)
+            with aqe_cached_plan_scope(spark):
+                if not feed.limit(1).count():
+                    return  # empty increment: checkpoint advances, no writes
+                ct = F.col(CHANGE_TYPE_COL)
+                bm25_index_delta(
+                    feed.filter(ct.isin("insert", "update_postimage")).select(
+                        id_col, text_col
+                    ),
+                    feed.filter(ct.isin("delete", "update_preimage")).select(
+                        id_col, text_col
+                    ),
+                    index_root,
+                    version=v,
+                    id_col=id_col,
+                    text_col=text_col,
+                    merge_buckets=merge_buckets,
+                )
         finally:
             feed.unpersist()
 
@@ -1173,13 +1179,18 @@ def run_cdc_image_ingest(
         # feed (the postings sibling's discipline); _process's own persist
         # of the same frame is a same-level no-op and its unpersist is
         # re-run harmlessly here
+        from ..session import aqe_cached_plan_scope
+
         batch = _version_batch(
             spark, source_path, keys, v, id_col, payload_col
         ).persist()
         try:
-            if not batch.limit(1).count():
-                return  # empty increment: checkpoint advances, no state bump
-            process(batch, v)
+            # scoped AQE-in-cache for the feed plan's one materialization
+            # (see session.aqe_cached_plan_scope)
+            with aqe_cached_plan_scope(spark):
+                if not batch.limit(1).count():
+                    return  # empty: checkpoint advances, no state bump
+                process(batch, v)
         finally:
             batch.unpersist()
 
