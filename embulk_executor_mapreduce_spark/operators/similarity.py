@@ -238,11 +238,145 @@ def ivf_centroids(
 #: reproduce it (exactmath discipline).
 KMEANS_SCALE = 1_000_000
 
+#: literal-centroid training caps (r16): the fast path embeds the centroid
+#: table in the plan as literals, so bound BOTH the row count (expression
+#: tree width / the probe collect) and the total double count (plan size).
+#: Past either cap kmeans_train falls back to the broadcast-join loop —
+#: same values, different plan shape.
+_KMEANS_LITERAL_MAX_CENTROIDS = 1024
+_KMEANS_LITERAL_MAX_VALUES = 131_072
+
 #: unsampled-training guardrail (VERDICT r5 item 6): above this many rows a
 #: ``train_filter=None`` training run warns loudly — 2·iters full corpus
 #: scans is the one accidental scale-killer left in the trained-ANN path.
 #: Codebook quality needs ~1k vectors per centroid, not the corpus.
 KMEANS_MAX_UNSAMPLED_ROWS = 2_000_000
+
+
+def _kmeans_iterate_literal(
+    base: DataFrame,
+    g: list[str],
+    cents_rows,
+    cents_schema,
+    iters: int,
+) -> DataFrame:
+    """Lloyd iterations with the centroid table embedded as PLAN LITERALS
+    (see the call site in :func:`kmeans_train` for the full rationale and
+    bounds). Bit-identical to the broadcast-join loop: the argmin comparator
+    is the same ``(-d, -cid)`` struct ordering (``array_max`` and the
+    aggregate ``max(struct)`` share one interpreted ordering), the distance
+    and the per-(cid, pos) sum/count/mean expressions are the same Spark
+    expressions over the same doubles, and empty clusters keep their
+    previous centroid exactly as the old left-join + coalesce did — the
+    driver only reassembles ≤ k·dim metadata values per iteration."""
+    spark = base.sparkSession
+    fields = cents_schema.fieldNames()  # [*g, "cid", "cv"]
+    ng = len(g)
+    rows = [tuple(r[c] for c in fields) for r in cents_rows]
+    if not rows or iters <= 0:
+        return spark.createDataFrame(rows, cents_schema)
+    gtypes = dict(base.dtypes)
+
+    # Candidate expression built as ONE transform lambda over a literal
+    # array-of-arrays, NOT one distance subtree per centroid: a first cut
+    # expanded k dsq trees inline and the ANALYSIS cost alone (optimizer
+    # passes over k·dim·~70 nodes, once per iteration) dwarfed the work it
+    # saved — 24 s of driver gaps on ann_ivf_kmeans_topk at sf0.1. With the
+    # lambda the plan holds one dsq tree + two leaf literals regardless of k.
+    # The literals themselves are rendered as ONE SQL string each (a second
+    # cut used F.lit(list-of-lists), which pyspark expands to one py4j call
+    # PER ELEMENT — ~3 s per iteration at k·dim=4096); CAST('<repr>' AS
+    # DOUBLE) parses through Double.parseDouble, which is correctly rounded,
+    # so the shortest-roundtrip repr reproduces every double bit-for-bit and
+    # constant folding collapses the array to a single Literal.
+    def _d_sql(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def _cvs_sql(ts: list) -> str:
+        return (
+            "array("
+            + ",".join(
+                "array(" + ",".join(_d_sql(v) for v in t[-1]) + ")" for t in ts
+            )
+            + ")"
+        )
+
+    def _cids_sql(ts: list) -> str:
+        return "array(" + ",".join(f"{int(t[ng])}L" for t in ts) + ")"
+
+    def cand_of(cvs_arr: Column, cids_arr: Column) -> Column:
+        def one(cv: Column, i: Column) -> Column:
+            d = (
+                dot(F.col("__v"), F.col("__v"))
+                - F.lit(2.0) * dot(F.col("__v"), cv)
+                + dot(cv, cv)
+            )
+            cid = F.element_at(cids_arr, i + F.lit(1))
+            return F.struct(
+                (-d).alias("nd"), (-cid).alias("nc"), cid.alias("cid")
+            )
+
+        return F.transform(cvs_arr, one)
+
+    for _ in range(iters):
+        if g:
+            by_g: dict[tuple, list] = {}
+            for t in rows:
+                by_g.setdefault(t[:ng], []).append(t)
+            gt = gtypes[g[0]]
+            cv_pairs, cid_pairs = [], []
+            for gv, ts in sorted(by_g.items()):
+                key = f"CAST({gv[0]} AS {gt})"
+                cv_pairs.append(f"{key},{_cvs_sql(ts)}")
+                cid_pairs.append(f"{key},{_cids_sql(ts)}")
+            cvs_arr = F.element_at(
+                F.expr("map(" + ",".join(cv_pairs) + ")"), F.col(g[0])
+            )
+            cids_arr = F.element_at(
+                F.expr("map(" + ",".join(cid_pairs) + ")"), F.col(g[0])
+            )
+        else:
+            cvs_arr = F.expr(_cvs_sql(rows))
+            cids_arr = F.expr(_cids_sql(rows))
+        sel = base.select(
+            *g, F.array_max(cand_of(cvs_arr, cids_arr)).alias("__m"), F.col("__v")
+        )
+        if g:
+            # a row whose group has no centroids matched nothing in the old
+            # inner join — drop it here the same way
+            sel = sel.where(F.col("__m").isNotNull())
+        stats = (
+            sel.select(
+                *g,
+                F.col("__m.cid").alias("cid"),
+                F.posexplode(F.col("__v")).alias("pos", "val"),
+            )
+            .groupBy(*g, "cid", "pos")
+            .agg(
+                F.sum(F.floor(F.col("val") * KMEANS_SCALE + F.lit(0.5))).alias("__sum"),
+                F.count(F.lit(1)).alias("__n"),
+            )
+            .select(
+                *g,
+                "cid",
+                "pos",
+                (F.col("__sum") / (F.col("__n") * F.lit(KMEANS_SCALE))).alias("mv"),
+            )
+            .collect()
+        )
+        means: dict[tuple, dict[int, float]] = {}
+        for r in stats:
+            key = tuple(r[c] for c in g) + (r["cid"],)
+            means.setdefault(key, {})[r["pos"]] = r["mv"]
+        new_rows = []
+        for t in rows:
+            pm = means.get(t[: ng + 1])
+            if pm is None:
+                new_rows.append(t)  # empty cluster keeps its previous centroid
+            else:
+                new_rows.append(t[:-1] + ([pm[p] for p in range(len(t[-1]))],))
+        rows = new_rows
+    return spark.createDataFrame(rows, cents_schema)
 
 
 def kmeans_train(
@@ -342,6 +476,39 @@ def kmeans_train(
                 F.col("__v").alias("cv"),
             )
         )
+
+    # --- LITERAL-CENTROID fast path (r16 optimization, guide §2.3/§2.4) ---
+    # The centroid table is broadcast-sized BY CONSTRUCTION (the flat-k cap
+    # exists because it must broadcast), so when it is also literal-sized the
+    # assign step needs neither the broadcast join nor the per-vector argmin
+    # exchange: embed the centroids as an array-of-structs literal and take
+    # the argmin as a PURE PROJECTION (array_max over the same
+    # (-d, -cid) comparator the join path's max(struct) used — identical
+    # winner, identical doubles). Each iteration then runs as ONE small
+    # action: corpus/sample scan → in-row argmin → posexplode → the SAME
+    # map-side-combinable (cid, pos) sum/count aggregate → a ≤ k·dim-row
+    # collect; the division producing each mean stays IN SPARK (identical
+    # expression), the driver only reassembles arrays and keeps previous
+    # centroids for empty clusters (the old left-join + coalesce, on ≤ k
+    # rows of metadata). vs the joined path this removes, PER ITERATION: the
+    # broadcast build+exchange, the corpus-sized groupBy(__vid) exchange
+    # (one row per vector, vectors riding in the aggregate), the k·dim
+    # means exchange, and the localCheckpoint job — measured 8-9 AQE jobs →
+    # 1-2 at sf0.1, and at 100 TB the training sample no longer shuffles at
+    # all. Bit-equality with the joined path is pinned in
+    # tests/test_dedup_similarity.py::test_kmeans_literal_path_matches_joined.
+    #
+    # Bounds (config, not data): the probe collect is LIMIT-capped, so a
+    # training run whose centroid table exceeds the literal budget (huge k,
+    # or a grouped train over many groups) falls back to the joined loop
+    # unchanged — both collects below are therefore ≤ the caps, driver
+    # memory stays metadata-scale.
+    if len(g) <= 1:  # map-literal dispatch handles at most one group column
+        cents_rows = cents.limit(_KMEANS_LITERAL_MAX_CENTROIDS + 1).collect()
+        if len(cents_rows) <= _KMEANS_LITERAL_MAX_CENTROIDS:
+            dim = len(cents_rows[0]["cv"]) if cents_rows else 0
+            if dim * max(len(cents_rows), 1) <= _KMEANS_LITERAL_MAX_VALUES:
+                return _kmeans_iterate_literal(base, g, cents_rows, cents.schema, iters)
 
     def dsq(a: Column, b: Column) -> Column:
         return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)

@@ -1096,3 +1096,49 @@ def test_ann_index_compact_survives_aged_out_snapshot(spark, tmp_path):
     live = read_merge_state(spark, f"{root}/index")
     assert {r.cand_id for r in live.select("cand_id").distinct().collect()} \
         == set(range(30)) - deleted
+
+
+def test_kmeans_literal_path_matches_joined(spark, monkeypatch):
+    """The r16 literal-centroid fast path must be BIT-IDENTICAL to the
+    broadcast-join loop it replaces — flat, grouped (PQ subspaces), and
+    train_filter (row_number init) variants, empty clusters included
+    (k above the natural cluster count forces some). Forcing the joined
+    loop by zeroing the literal budget pins the two implementations
+    against each other value-for-value."""
+    from embulk_executor_mapreduce_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.select("vec_id", S.as_double("embedding").alias("v"))
+    sub_ix = F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s")
+    subs = base.select("vec_id", "v", sub_ix).select(
+        "vec_id", "s", F.slice(F.col("v"), F.col("s") * 16 + 1, 16).alias("sv")
+    )
+
+    cases = [
+        ("flat", lambda: S.kmeans_train(base, "vec_id", "v", k=16, iters=3)),
+        (
+            "grouped",
+            lambda: S.kmeans_train(
+                subs, "vec_id", "sv", k=8, iters=2, group_cols=("s",)
+            ),
+        ),
+        (
+            "row_number_init",
+            lambda: S.kmeans_train(
+                base,
+                "vec_id",
+                "v",
+                k=8,
+                iters=2,
+                train_filter=F.col("vec_id") % 3 == 0,
+            ),
+        ),
+    ]
+    for name, run in cases:
+        lit_rows = sorted(map(tuple, run().collect()))
+        monkeypatch.setattr(S, "_KMEANS_LITERAL_MAX_CENTROIDS", 0)
+        try:
+            join_rows = sorted(map(tuple, run().collect()))
+        finally:
+            monkeypatch.undo()
+        assert lit_rows == join_rows, name
