@@ -82,6 +82,72 @@ def _load_manifest(local: str, version: int) -> dict:
         return json.load(f)
 
 
+#: formats whose files are authoritative about their own schema; the ONLY
+#: formats the manifest schema stamp / one-footer probe applies to.
+#: Schema-on-read formats (csv/json) must keep full-snapshot inference — a
+#: json bucket all-null in a column writes no field for it, and a write-side
+#: schema would also diverge from read-back types (everything reads as the
+#: inferred type, not the written one); pinned in
+#: tests/test_changes.py::test_table_changes_per_version_schema_on_read_pinned.
+_SELF_DESCRIBING = ("parquet", "orc")
+
+
+def _relaxed_schema(schema):
+    """A frame schema as a FILE-SOURCE READ would report it: every field,
+    array element and map value nullable. File scans relax requiredness
+    wholesale (``HadoopFsRelation`` exposes ``dataSchema.asNullable``), so
+    a manifest-stamped write-side schema must be relaxed the same way to
+    stay byte-equal to the footer-probed schema it replaces — a reader
+    plan must not change depending on WHICH of the two sources supplied
+    the schema."""
+    from pyspark.sql import types as T
+
+    def relax(dt):
+        if isinstance(dt, T.StructType):
+            return T.StructType(
+                [
+                    T.StructField(f.name, relax(f.dataType), True, f.metadata)
+                    for f in dt.fields
+                ]
+            )
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(relax(dt.elementType), True)
+        if isinstance(dt, T.MapType):
+            return T.MapType(relax(dt.keyType), relax(dt.valueType), True)
+        return dt
+
+    return relax(schema)
+
+
+def _stamp_schema(frame_schema, fmt: str) -> dict | None:
+    """The manifest ``schema`` stamp for a commit: the committed files'
+    schema (the write frame minus the ``partitionBy`` dir column, which
+    lives in directory names, not files), relaxed to read-back form.
+    None for schema-on-read formats — see :data:`_SELF_DESCRIBING`."""
+    from pyspark.sql import types as T
+
+    if fmt not in _SELF_DESCRIBING:
+        return None
+    kept = T.StructType(
+        [f for f in frame_schema.fields if f.name != MERGE_BUCKET_DIR_COL]
+    )
+    return _relaxed_schema(kept).jsonValue()
+
+
+def _stamped_schema(man: dict, fmt: str):
+    """Resolve a manifest's committed-schema stamp to a ``StructType``, or
+    None (legacy manifest, or schema-on-read format). Zero Spark jobs and
+    zero file listing — this is the point: every commit/probe/read used to
+    pay a driver-side listing + footer (or full-snapshot) inference pass
+    just to learn a schema the writer already knew at commit time."""
+    from pyspark.sql import types as T
+
+    if fmt not in _SELF_DESCRIBING:
+        return None
+    js = man.get("schema")
+    return T.StructType.fromJson(js) if js is not None else None
+
+
 def _fsync_write(path: str, payload: str) -> None:
     """Write-then-rename with fsync on file AND directory, so the rename is
     the durable commit point (the pointer protocol's one atomic step)."""
@@ -159,6 +225,10 @@ def read_merge_state(
             f"snapshots are GC'd per the sink's merge_keep_versions retention)"
         )
     man = _load_manifest(local, v)
+    # manifest schema stamp (r16): skips the read's plan-time footer
+    # inference pass (and, for the empty-probe path below, the one-dir
+    # load). Pre-stamp manifests and schema-on-read formats keep inference.
+    stamped = _stamped_schema(man, fmt)
     bmap = man["buckets"]
     if buckets is not None:
         # keyed-probe pruning: open ONLY the named buckets' directories
@@ -173,13 +243,19 @@ def read_merge_state(
             # bucket (all state files share one fused schema — evolution
             # forces a full rewrite, so any directory is authoritative).
             one = os.path.join(local, next(iter(bmap.values())))
-            empty = spark.read.format(fmt).load(one).limit(0)
+            rdr = spark.read.format(fmt)
+            if stamped is not None:
+                rdr = rdr.schema(stamped)
+            empty = rdr.load(one).limit(0)
             return _drop_tombstones(empty, delete_col)
         bmap = pruned
     dirs = [os.path.join(local, rel) for rel in bmap.values()]
     if not dirs:
         raise FileNotFoundError(f"merge state at {path} has no committed buckets")
-    return _drop_tombstones(spark.read.format(fmt).load(dirs), delete_col)
+    rdr = spark.read.format(fmt)
+    if stamped is not None:
+        rdr = rdr.schema(stamped)
+    return _drop_tombstones(rdr.load(dirs), delete_col)
 
 
 def merge_state_layout(path: str) -> dict | None:
@@ -199,10 +275,11 @@ def merge_state_layout(path: str) -> dict | None:
 
 def merge_state_schema(spark, path: str, fmt: str = "parquet"):
     """Schema of a committed merge state without loading any rows: resolve
-    pointer → manifest → ONE bucket directory's parquet footers (all state
-    files share a fused schema — evolution forces a full rewrite, so any
-    directory is authoritative). Raises for legacy/empty states (no
-    committed schema source)."""
+    pointer → manifest ``schema`` stamp (r16 — zero Spark jobs), falling
+    back for pre-stamp manifests to ONE bucket directory's parquet footers
+    (all state files share a fused schema — evolution forces a full
+    rewrite, so any directory is authoritative). Raises for legacy/empty
+    states (no committed schema source)."""
     import os
 
     local = _local(path)
@@ -211,7 +288,11 @@ def merge_state_schema(spark, path: str, fmt: str = "parquet"):
         raise FileNotFoundError(
             f"{path} is a pre-pointer (legacy) state: no committed schema"
         )
-    bmap = _load_manifest(local, v)["buckets"]
+    man = _load_manifest(local, v)
+    stamped = _stamped_schema(man, fmt)
+    if stamped is not None:
+        return stamped
+    bmap = man["buckets"]
     if not bmap:
         raise FileNotFoundError(f"merge state at {path} has no committed buckets")
     one = os.path.join(local, next(iter(bmap.values())))
@@ -480,6 +561,7 @@ def _commit_merge_version(
     attempt_dir: str,
     buckets: dict[str, str],
     layout: dict | None = None,
+    schema: dict | None = None,
 ) -> bool:
     """The CAS commit step of the optimistic multi-writer protocol: under
     the state's advisory commit lock, (1) re-read the pointer — if another
@@ -517,6 +599,12 @@ def _commit_merge_version(
                 # review finding), and keyed probers read n_buckets from
                 # it instead of trusting a caller-supplied count
                 man["layout"] = layout
+            if schema is not None:
+                # the committed files' (fused, read-back-relaxed) schema —
+                # later commits, probes and reads resolve it from here
+                # instead of paying a driver-side listing + footer
+                # inference job per call (r16; see _stamp_schema)
+                man["schema"] = schema
             _fsync_write(
                 _manifest_path(local, new_version),
                 json.dumps(man, sort_keys=True),
@@ -747,14 +835,15 @@ def _merge_file_sink_attempts(
                         "re-bucketing rewrite)"
                     )
                 all_dirs = [os.path.join(local, rel) for rel in bucket_dirs.values()]
-                # Schema check from ONE bucket dir, not a full multi-dir load
-                # (r16 optimization, guide §1.2/§6) — SELF-DESCRIBING formats
-                # only (the _pinned_schema rule): parquet/ORC state files
+                # Committed schema from the manifest stamp when present
+                # (r16 — zero jobs), else from ONE bucket dir, not a full
+                # multi-dir load (r16 optimization, guide §1.2/§6) —
+                # SELF-DESCRIBING formats only: parquet/ORC state files
                 # share one fused schema (evolution forces a full rewrite),
-                # so a single footer is authoritative — the old code built
-                # an eager load over EVERY bucket dir (plan-time listing +
-                # inference, ~0.4 s on a 64-bucket state) just to read
-                # .columns, then discarded it for the pruned read below.
+                # so the stamp/a single footer is authoritative — the old
+                # code built an eager load over EVERY bucket dir (plan-time
+                # listing + inference, ~0.4 s on a 64-bucket state) just to
+                # read .columns, then discarded it for the pruned read below.
                 # Schema-on-read formats (csv/json) MUST keep the full-
                 # snapshot inference: a json bucket all-null in a column
                 # writes no field for it, and a one-dir probe would drop or
@@ -762,9 +851,12 @@ def _merge_file_sink_attempts(
                 # tests/test_changes.py::test_table_changes_per_version_schema_on_read_pinned).
                 # An EMPTY committed state (a stream whose first micro-batch
                 # had no rows) has a manifest with zero buckets — no state.
-                self_describing = spec.type in ("parquet", "orc")
-                old_schema = None
-                if all_dirs:
+                self_describing = spec.type in _SELF_DESCRIBING
+                # a zero-bucket state (first commit was an empty batch) has
+                # no files: stay schema-less like the pre-stamp code so the
+                # next non-empty batch takes the plain first-write path
+                old_schema = _stamped_schema(man, spec.type) if all_dirs else None
+                if old_schema is None and all_dirs:
                     probe_dirs = all_dirs[:1] if self_describing else all_dirs
                     old_schema = (
                         spark.read.format(spec.type).load(probe_dirs).schema
@@ -870,6 +962,10 @@ def _merge_file_sink_attempts(
                 )
             new_version = (version if version is not None else -1) + 1
             tree_rel = f"{_TREE_DIR}/v{new_version}"
+            # the committed (fused) schema, known right here on the write
+            # side — stamped into the manifest so later commits, probes and
+            # reads resolve it without a listing + footer job (r16)
+            commit_schema = _stamp_schema(merged.schema, spec.type)
             merged.write.mode("overwrite").format(spec.type).partitionBy(
                 MERGE_BUCKET_DIR_COL
             ).save(attempt_dir)
@@ -896,7 +992,8 @@ def _merge_file_sink_attempts(
             }
         buckets.update(written)
         if _commit_merge_version(
-            local, version, new_version, attempt_dir, buckets, layout
+            local, version, new_version, attempt_dir, buckets, layout,
+            commit_schema,
         ):
             _gc_merge_state(local, spec.merge_keep_versions)
             return
@@ -955,7 +1052,14 @@ def _rewrite_without(spark, spec: SinkSpec, split, op_name: str) -> int:
         # fast concurrent writer aged out of retention mid-job — the same
         # situation _merge_file_sink retries)
         try:
-            state = spark.read.format(spec.type).load(all_dirs)
+            # manifest schema stamp (r16): both maintenance reads below
+            # skip plan-time footer inference; pre-stamp manifests and
+            # schema-on-read formats keep the inference pass
+            stamped = _stamped_schema(man, spec.type)
+            rdr = spark.read.format(spec.type)
+            if stamped is not None:
+                rdr = rdr.schema(stamped)
+            state = rdr.load(all_dirs)
             halves = split(state)
             if halves is None:
                 return 0
@@ -974,7 +1078,7 @@ def _rewrite_without(spark, spec: SinkSpec, split, op_name: str) -> int:
                 for b in touched
                 if str(b) in bucket_dirs
             ]
-            sub = spark.read.format(spec.type).load(tdirs)
+            sub = rdr.load(tdirs)
             sub_victims, sub_survivors = split(sub)
             removed = sub_victims.count()
             out = sub_survivors.withColumn(
@@ -1029,6 +1133,9 @@ def _rewrite_without(spark, spec: SinkSpec, split, op_name: str) -> int:
             # maintenance never re-buckets: the committed layout (when the
             # state has one) rides into the new manifest unchanged
             man.get("layout"),
+            # maintenance never evolves columns either, but stamp from the
+            # written frame so a pre-stamp state gains its stamp here too
+            _stamp_schema(out.schema, spec.type),
         ):
             _gc_merge_state(local, spec.merge_keep_versions)
             return removed

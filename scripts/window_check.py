@@ -69,21 +69,23 @@ DEFERRED: dict[str, str] = {
         "flagged by the r16 dedup.py localCheckpoint of the assign frame "
         "inside incremental_semantic_dedup (same rows, lineage truncation "
         "only) + the writer.py clustered bucket-dir write (same committed "
-        "rows, one file per bucket); row re-swept green at "
+        "rows, one file per bucket) + the writer.py manifest schema stamp "
+        "(schema source swap, byte-equality pinned in "
+        "test_manifest_schema_stamp.py); row re-swept green at "
         "sf0.01/partitions=16 this round"
     ),
     "semantic_dedup_two_level_incremental_state": (
         "flagged by the r16 dedup.py localCheckpoint of the assign-only "
         "branch inside incremental_semantic_dedup_two_level + the writer.py "
-        "clustered write; plan guards updated to assert the broadcast in "
-        "the checkpointed subplan; row re-swept green at "
-        "sf0.01/partitions=16 this round"
+        "clustered write + manifest schema stamp; plan guards updated to "
+        "assert the broadcast in the checkpointed subplan; row re-swept "
+        "green at sf0.01/partitions=16 this round"
     ),
     "stream_cdc_ann_index_ingest": (
         "flagged via writer.py/ingest.py (merge-sink persist-once + "
-        "clustered write; the ingest.py diff is the image sibling's feed "
-        "persist, a function this row's fn never calls); row re-swept green "
-        "at sf0.01/partitions=16 this round"
+        "clustered write + manifest schema stamp; the ingest.py diff is the "
+        "image sibling's feed persist, a function this row's fn never "
+        "calls); row re-swept green at sf0.01/partitions=16 this round"
     ),
 }
 

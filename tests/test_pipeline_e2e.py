@@ -1522,7 +1522,8 @@ def test_merge_sink_cas_conflict_retries_and_lands(spark, tmp_path, monkeypatch)
     calls = {"n": 0}
 
     def inject_competitor_then_commit(
-        local, expected, new_version, attempt, buckets, layout=None
+        local, expected, new_version, attempt, buckets, layout=None,
+        schema=None,
     ):
         calls["n"] += 1
         if calls["n"] == 1:
@@ -1540,7 +1541,9 @@ def test_merge_sink_cas_conflict_retries_and_lands(spark, tmp_path, monkeypatch)
                 json.dumps({**man, "version": nxt})
             )
             (Path(local) / "_CURRENT").write_text(json.dumps({"version": nxt}))
-        return real_commit(local, expected, new_version, attempt, buckets, layout)
+        return real_commit(
+            local, expected, new_version, attempt, buckets, layout, schema
+        )
 
     monkeypatch.setattr(W, "_commit_merge_version", inject_competitor_then_commit)
 
