@@ -215,6 +215,32 @@ def _doc_postings(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def _doc_lengths(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, dl) — bit-equal to :func:`_doc_postings`' per-doc lengths
+    but WITHOUT the token explode (r16 optimization, guide §1.2/§2.3: the
+    stats side of build/delta re-ran the whole explode → two token-scale
+    aggregates → join chain just to count tokens per doc). ``dl`` here is
+    the token-ARRAY size summed per doc id:
+
+    * ``split`` never returns an empty array on non-null text (empty text
+      → ``[""]``, size 1), and a NULL text gives a NULL/-1 size filtered
+      out below — exactly the docs ``explode`` drops;
+    * duplicate id rows explode-merge in ``_doc_postings``, so their dl is
+      the TOTAL token count — ``sum(size)`` per id reproduces that.
+
+    One map pass + one doc-keyed (map-side combinable) aggregate instead
+    of a corpus-token explode, two aggregates and a join."""
+    from .text import tokens
+
+    sz = F.size(tokens(text_col))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), sz.alias("sz"))
+        .filter(F.col("sz") > 0)
+        .groupBy("doc_id")
+        .agg(F.sum("sz").alias("dl"))
+    )
+
+
 def bm25_index_build(
     docs: DataFrame,
     index_root: str,
@@ -253,8 +279,7 @@ def bm25_index_build(
         _postings_sink(index_root, merge_buckets),
     )
     (
-        posts.groupBy("doc_id")
-        .agg(F.first("dl").alias("dl"))
+        _doc_lengths(docs, id_col, text_col)
         .agg(
             F.count(F.lit(1)).alias("n_delta"),
             F.sum("dl").alias("sumdl_delta"),
@@ -303,8 +328,8 @@ def bm25_index_delta(
         delta.withColumn("_ingest_version", F.lit(version).cast("long")),
         _postings_sink(index_root, merge_buckets),
     )
-    new_stats = new_p.groupBy("doc_id").agg(F.first("dl").alias("dl"))
-    old_stats = old_p.groupBy("doc_id").agg(F.first("dl").alias("dl"))
+    new_stats = _doc_lengths(new_docs, id_col, text_col)
+    old_stats = _doc_lengths(old_docs, id_col, text_col)
     (
         new_stats.agg(
             F.count(F.lit(1)).alias("n_delta"),
