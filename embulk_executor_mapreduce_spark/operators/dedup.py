@@ -436,9 +436,11 @@ def connected_components(
     undirected edge list + a min-aggregate — all shuffles on vertex id, no
     driver-side graph. Iteration count is bounded by the cluster diameter
     (near-dup clusters are shallow; 50 covers pathological chains), and the
-    loop exits early via an aggregate-only convergence check (count of
-    changed labels). DataFrames are localCheckpoint()ed every few rounds to
-    truncate lineage — the standard Spark iterative-algorithm pattern.
+    loop exits early via a convergence check observed ON the checkpoint
+    materialization itself (any changed label, as an Observation metric —
+    no separate count job per round). DataFrames are localCheckpoint()ed
+    each round to truncate lineage — the standard Spark
+    iterative-algorithm pattern.
     """
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -451,6 +453,8 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    from pyspark.sql import Observation
+
     for i in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -467,10 +471,19 @@ def connected_components(
                 (F.col("nmin") < F.col("label")).alias("__changed"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("__changed")).limit(1).count()
+        # the convergence check rides the checkpoint materialization as an
+        # observed metric (r16 optimization, guide §1.2): the eager
+        # localCheckpoint is already an action, so a separate
+        # filter-limit-count job per iteration only re-read the checkpoint
+        # to learn something the materialization pass saw go by.
+        # max(bool) over no true rows is false-or-NULL either way → stop,
+        # exactly the old count==0 decision.
+        obs = Observation(f"cc_converged_{i}")
+        new_labels = new_labels.observe(
+            obs, F.max("__changed").alias("changed")
+        ).localCheckpoint(eager=True)
         labels = new_labels.drop("__changed")
-        if changed == 0:
+        if not obs.get["changed"]:
             break
     edges.unpersist()
     return labels.select(

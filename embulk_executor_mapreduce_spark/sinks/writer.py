@@ -359,13 +359,13 @@ def merge_bucket_ids(
         # ANSI off it casts to NULL, hashes anyway, and yields a
         # silently-empty pruned read — the exact silent-miss failure mode
         # the typed cast exists to eliminate, one layer down (r16 advisor
-        # finding). try_cast makes the check ANSI-agnostic; ONE job for
-        # all bucket columns (this runs on every pruned-read probe — a
-        # per-column collect would add N driver round-trips to the
-        # serving hot path), rows bounded by the probe list.
-        from functools import reduce
-        from operator import or_
-
+        # finding). try_cast makes BOTH the check and the hash
+        # ANSI-agnostic, so the cast-validity marks and the bucket ids ride
+        # in ONE collect (r16 optimization: this runs on every pruned-read
+        # probe, and the separate check job doubled the serving hot path's
+        # driver round-trips — ~0.4 s per probe at bench scale); rows
+        # bounded by the probe list. A row with any offending mark raises
+        # before its (try_cast-NULLed) id can be used.
         marks = [
             F.when(
                 F.col(cur).isNotNull()
@@ -374,12 +374,20 @@ def merge_bucket_ids(
             ).alias(b)
             for cur, b in zip(df.columns, bcols)
         ]
-        offending = (
-            df.select(*marks)
-            .filter(reduce(or_, (F.col(b).isNotNull() for b in bcols)))
-            .distinct()
-            .collect()
-        )
+        idc = "__bucket_id"
+        while idc in bcols:
+            idc += "_"
+        bid = F.pmod(
+            F.xxhash64(
+                *[
+                    F.col(cur).try_cast(types[b])
+                    for cur, b in zip(df.columns, bcols)
+                ]
+            ),
+            F.lit(n_buckets),
+        ).cast("int")
+        rows = df.select(bid.alias(idc), *marks).collect()
+        offending = [r for r in rows if any(r[b] is not None for b in bcols)]
         if offending:
             bad = {
                 b: sorted({r[b] for r in offending if r[b] is not None})
@@ -393,12 +401,7 @@ def merge_bucket_ids(
                 "refusing to hash a NULLed literal (the pruned read "
                 "would silently miss every row)"
             )
-        df = df.select(
-            *[
-                F.col(cur).cast(types[b]).alias(b)
-                for cur, b in zip(df.columns, bcols)
-            ]
-        )
+        return sorted({r[idc] for r in rows})
     if n_buckets is None:
         raise ConfigError("merge_bucket_ids requires n_buckets or state_path")
     b = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_buckets))
