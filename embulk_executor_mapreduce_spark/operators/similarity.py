@@ -433,6 +433,15 @@ def kmeans_train(
     never an extra count job; unverifiable sizes skip the check). Passing a
     ``train_filter`` — or ``max_unsampled_rows=None`` for a deliberate full
     train — silences it.
+
+    Contract: ``id_col`` must be unique per group (it is a key everywhere
+    in this engine — vec_id / doc id). Duplicate ids have ALWAYS been
+    ill-defined here: the lowest-id init emits duplicate ``cid`` rows for
+    them, so the trained table itself is malformed before any loop-shape
+    question arises. (The joined loop's per-id argmin aggregate happens to
+    also collapse duplicate input rows; the literal fast path, which takes
+    the argmin as a projection, does not — neither behavior is part of the
+    contract.)
     """
     if train_filter is None and max_unsampled_rows is not None:
         from ..plans.inspect import parquet_scan_row_count
@@ -503,11 +512,40 @@ def kmeans_train(
     # or a grouped train over many groups) falls back to the joined loop
     # unchanged — both collects below are therefore ≤ the caps, driver
     # memory stays metadata-scale.
-    if len(g) <= 1:  # map-literal dispatch handles at most one group column
+    # Dispatch guards (beyond the literal-size caps): the map-literal
+    # rendering interpolates group values as bare SQL integer literals, so
+    # the fast path requires at most ONE group column of an INTEGRAL dtype
+    # with non-NULL values (PQ's subspace key "s" — the only grouped caller)
+    # — a string/date/NULL group key would render as an unresolved
+    # identifier or wrong expression, and those trains take the joined loop
+    # unchanged. Likewise non-finite init centroid values (degenerate
+    # upstream embeddings) fall back: the joined loop computes inf/NaN
+    # distances arithmetically, while a rendered literal would depend on
+    # cast-string parsing. k > cap skips the probe collect entirely (no
+    # wasted centroid-plan evaluation on trains that can only fall back).
+    _integral = ("tinyint", "smallint", "int", "bigint")
+    if (
+        k <= _KMEANS_LITERAL_MAX_CENTROIDS
+        and len(g) <= 1
+        and (not g or dict(base.dtypes).get(g[0]) in _integral)
+    ):
         cents_rows = cents.limit(_KMEANS_LITERAL_MAX_CENTROIDS + 1).collect()
         if len(cents_rows) <= _KMEANS_LITERAL_MAX_CENTROIDS:
             dim = len(cents_rows[0]["cv"]) if cents_rows else 0
-            if dim * max(len(cents_rows), 1) <= _KMEANS_LITERAL_MAX_VALUES:
+            if (
+                dim * max(len(cents_rows), 1) <= _KMEANS_LITERAL_MAX_VALUES
+                and all(
+                    (not g or r[g[0]] is not None)
+                    and r["cv"] is not None
+                    and all(
+                        v is not None
+                        and v == v  # not NaN
+                        and v not in (float("inf"), float("-inf"))
+                        for v in r["cv"]
+                    )
+                    for r in cents_rows
+                )
+            ):
                 return _kmeans_iterate_literal(base, g, cents_rows, cents.schema, iters)
 
     def dsq(a: Column, b: Column) -> Column:

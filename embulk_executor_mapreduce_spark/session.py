@@ -10,22 +10,38 @@ per-job; AQE coalesces down from it either way).
 from __future__ import annotations
 
 import os
+import threading as _threading
 from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
 
+_AQE_CACHE_KEY = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
+_aqe_scope_lock = _threading.Lock()
+_aqe_scope_depth = 0
+_aqe_scope_prev: str | None = None
+
 
 @_contextmanager
 def aqe_cached_plan_scope(spark: SparkSession):
-    """Enable AQE inside cached-plan materialization (SPARK-38322) for one
-    persist-and-consume region, restoring the default after.
+    """Enable AQE runtime re-optimization of cached-plan materialization
+    (SPARK-38322) for one persist-and-consume region, restoring the default
+    after.
 
     The merge sink and the CDC-feed tails persist each increment batch so
     its (often computed: tokenized postings, decoded image hashes, ANN
-    assignments) plan runs ONCE per commit; without this flag the cache
-    materializes that plan with AQE disabled — static shuffle partitions,
-    no runtime broadcast conversion — measured 2-4x slower on the
+    assignments) plan runs ONCE per commit; without this flag the cached
+    plan compiles with runtime coalescing/broadcast demotion forced off —
+    static shuffle partitions end to end — measured 2-4x slower on the
     incremental image/postings delta merges than the same plan uncached.
+
+    The flag is BOUND AT ``.persist()`` TIME: ``CacheManager.cacheQuery``
+    decides when the cache is REGISTERED whether the cached plan compiles
+    against an AQE-constrained session clone
+    (``getOrCloneSessionWithConfigsOff``), so the ``.persist()`` call must
+    sit INSIDE this scope — setting the conf after persist is inert for
+    that cache entry (verified on Spark 4.1: flag-after-persist keeps the
+    static partition count; flag-at-persist shows ``AQEShuffleRead
+    coalesced``).
 
     SCOPED, not session-global (r16: a first cut set it in get_spark and
     broke pagerank's 100 TB loop shape — with the flag on, AQE re-plans
@@ -34,15 +50,31 @@ def aqe_cached_plan_scope(spark: SparkSession):
     tests/test_graph.py::test_pagerank_nonbucketed_loop_body_no_edge_side_exchange
     caught it). Caches that RELY on stable output partitioning keep the
     default; caches that want runtime re-optimization opt in through this
-    scope. The conf is consulted when the cached plan is first compiled,
-    so wrapping the persist's consuming region is sufficient."""
-    key = "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning"
-    prev = spark.conf.get(key)
-    spark.conf.set(key, "true")
+    scope.
+
+    Reentrant and interleaving-safe: concurrent merge writers (the sink's
+    documented multi-writer mode) may open overlapping scopes from
+    different threads; a naive save/restore interleaved non-LIFO would
+    leave the flag stuck session-wide. A refcount keeps the flag "true"
+    while ANY scope is open and restores the pre-first-entry value when
+    the LAST closes. (Caches registered by OTHER threads during an open
+    scope also compile with the flag on — acceptable: the flag is only a
+    compilation-strategy hint, never a correctness switch, and
+    layout-critical caches like pagerank's never overlap a merge commit.)
+    """
+    global _aqe_scope_depth, _aqe_scope_prev
+    with _aqe_scope_lock:
+        if _aqe_scope_depth == 0:
+            _aqe_scope_prev = spark.conf.get(_AQE_CACHE_KEY)
+            spark.conf.set(_AQE_CACHE_KEY, "true")
+        _aqe_scope_depth += 1
     try:
         yield
     finally:
-        spark.conf.set(key, prev)
+        with _aqe_scope_lock:
+            _aqe_scope_depth -= 1
+            if _aqe_scope_depth == 0:
+                spark.conf.set(_AQE_CACHE_KEY, _aqe_scope_prev)
 
 
 def get_spark(

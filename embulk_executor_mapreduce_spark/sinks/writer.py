@@ -752,14 +752,17 @@ def _merge_file_sink(df: DataFrame, spec: SinkSpec) -> None:
     # batch does not change between attempts).
     from ..session import aqe_cached_plan_scope
 
-    new = df.withColumn("__gen", F.lit(1)).persist()
-    try:
-        # AQE inside the cached batch plan, scoped to this commit (see
-        # session.aqe_cached_plan_scope for why it must not be global)
-        with aqe_cached_plan_scope(spark):
+    # AQE inside the cached batch plan, scoped to this commit; the scope
+    # must OPEN BEFORE .persist() — CacheManager binds the AQE-constrained
+    # clone decision at cache-REGISTRATION time, so setting the flag after
+    # persist is inert (see session.aqe_cached_plan_scope, and why it must
+    # not be global either)
+    with aqe_cached_plan_scope(spark):
+        new = df.withColumn("__gen", F.lit(1)).persist()
+        try:
             _merge_file_sink_attempts(new, df, spec, mb, local, path, keys, order)
-    finally:
-        new.unpersist()
+        finally:
+            new.unpersist()
 
 
 def _merge_file_sink_attempts(

@@ -903,15 +903,16 @@ def run_cdc_postings_ingest(
         # four change types partition it)
         from ..session import aqe_cached_plan_scope
 
-        feed = table_changes(
-            spark, source_path, keys, v - 1, v, per_version=True,
-            delete_col=delete_col,
-        ).persist()
-        try:
-            # scoped AQE-in-cache: the feed plan (pruned full-outer diff)
-            # materializes once with runtime coalescing/broadcasts (see
-            # session.aqe_cached_plan_scope)
-            with aqe_cached_plan_scope(spark):
+        # scoped AQE-in-cache: the feed plan (pruned full-outer diff)
+        # materializes once with runtime coalescing/broadcasts; the scope
+        # must open BEFORE .persist() — the flag binds at cache
+        # registration (see session.aqe_cached_plan_scope)
+        with aqe_cached_plan_scope(spark):
+            feed = table_changes(
+                spark, source_path, keys, v - 1, v, per_version=True,
+                delete_col=delete_col,
+            ).persist()
+            try:
                 if not feed.limit(1).count():
                     return  # empty increment: checkpoint advances, no writes
                 ct = F.col(CHANGE_TYPE_COL)
@@ -928,8 +929,8 @@ def run_cdc_postings_ingest(
                     text_col=text_col,
                     merge_buckets=merge_buckets,
                 )
-        finally:
-            feed.unpersist()
+            finally:
+                feed.unpersist()
 
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,
@@ -1181,18 +1182,19 @@ def run_cdc_image_ingest(
         # re-run harmlessly here
         from ..session import aqe_cached_plan_scope
 
-        batch = _version_batch(
-            spark, source_path, keys, v, id_col, payload_col
-        ).persist()
-        try:
-            # scoped AQE-in-cache for the feed plan's one materialization
-            # (see session.aqe_cached_plan_scope)
-            with aqe_cached_plan_scope(spark):
+        # scoped AQE-in-cache for the feed plan's one materialization; the
+        # scope must open BEFORE .persist() — the flag binds at cache
+        # registration (see session.aqe_cached_plan_scope)
+        with aqe_cached_plan_scope(spark):
+            batch = _version_batch(
+                spark, source_path, keys, v, id_col, payload_col
+            ).persist()
+            try:
                 if not batch.limit(1).count():
                     return  # empty: checkpoint advances, no state bump
                 process(batch, v)
-        finally:
-            batch.unpersist()
+            finally:
+                batch.unpersist()
 
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,

@@ -1142,3 +1142,24 @@ def test_kmeans_literal_path_matches_joined(spark, monkeypatch):
         finally:
             monkeypatch.undo()
         assert lit_rows == join_rows, name
+
+
+def test_kmeans_train_non_integral_group_falls_back(spark):
+    """The literal fast path renders group values as bare SQL integer
+    literals, so a STRING group column must dispatch to the joined loop
+    (post-review r16 guard) — before the guard this raised an
+    AnalysisException from an unresolved identifier in the map literal."""
+    from embulk_executor_mapreduce_spark.operators import similarity as S
+
+    rows = [("en", i, [float(i), 0.0]) for i in range(10)] + [
+        ("fr", i, [0.0, float(i)]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, id long, v array<double>")
+    out = S.kmeans_train(
+        df, "id", "v", k=2, iters=2, group_cols=("g",), max_unsampled_rows=None
+    )
+    got = out.collect()
+    assert len(got) == 4  # 2 groups x 2 centroids
+    assert {(r["g"], r["cid"]) for r in got} == {
+        ("en", 0), ("en", 1), ("fr", 0), ("fr", 1),
+    }
