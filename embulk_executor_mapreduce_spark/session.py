@@ -130,6 +130,21 @@ def get_spark(
         # testdata events.ts is parquet TIMESTAMP(NANOS): read as long, then
         # normalized to TimestampType at load (catalog.load / sources.readers)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Listing strategy cutover (r16, guide §6/§7.3): above this many
+        # input paths Spark delegates file listing to a DISTRIBUTED JOB
+        # (InMemoryFileIndex.bulkListLeafFiles). Every merge-state read
+        # passes the bucket dirs as explicit paths — 64 dirs under the
+        # default threshold of 32 meant one whole Spark job (launch +
+        # 64 tasks + collect, measured ~0.4 s warm) PER state read just
+        # to list 64 local directories; driver-side threaded listing of
+        # the same dirs is low-single-digit ms. Scale-parameterised, not
+        # local-tuned: the env overrides for deployments whose states
+        # live on object stores with tens of thousands of bucket dirs,
+        # where the distributed path is the right one again.
+        .config(
+            "spark.sql.sources.parallelPartitionDiscovery.threshold",
+            os.environ.get("SPARK_GRAFT_LISTING_THRESHOLD", "1024"),
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
