@@ -270,22 +270,29 @@ def bm25_index_build(
     deletes flow through :func:`bm25_index_delta` with the CDC feed's
     preimage rows. Corpus-sized work is ONE tokenize + two partial
     aggregates; everything else is bounded by the batch."""
+    from ..session import run_independent_actions
     from ..sinks.writer import write_sink
 
     posts = _doc_postings(docs, id_col, text_col)
-    write_sink(
-        posts.withColumn("_ingest_version", F.lit(version).cast("long"))
-        .withColumn(POSTINGS_DELETE_COL, F.lit(False)),
-        _postings_sink(index_root, merge_buckets),
-    )
-    (
-        _doc_lengths(docs, id_col, text_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_delta"),
-            F.sum("dl").alias("sumdl_delta"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{index_root}/stats/ingest_version={version}")
+    # postings merge ∥ stats write (r16, guide §2.6): independent actions
+    # — the stats dir is per-version idempotent overwrite, the postings
+    # merge keyed + version-ordered — so ANY completion order replays
+    # safely (the redelivery contract below)
+    run_independent_actions(
+        lambda: write_sink(
+            posts.withColumn("_ingest_version", F.lit(version).cast("long"))
+            .withColumn(POSTINGS_DELETE_COL, F.lit(False)),
+            _postings_sink(index_root, merge_buckets),
+        ),
+        lambda: (
+            _doc_lengths(docs, id_col, text_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_delta"),
+                F.sum("dl").alias("sumdl_delta"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_root}/stats/ingest_version={version}")
+        ),
     )
 
 
@@ -316,6 +323,7 @@ def bm25_index_delta(
     sides and contributes only its length change). Everything is bounded
     by the increment; redelivery is idempotent (same version → same rows,
     same stats dir)."""
+    from ..session import run_independent_actions
     from ..sinks.writer import write_sink
 
     new_p = _doc_postings(new_docs, id_col, text_col)
@@ -324,29 +332,34 @@ def bm25_index_delta(
     delta = new_p.withColumn(POSTINGS_DELETE_COL, F.lit(False)).unionByName(
         dropped.withColumn(POSTINGS_DELETE_COL, F.lit(True))
     )
-    write_sink(
-        delta.withColumn("_ingest_version", F.lit(version).cast("long")),
-        _postings_sink(index_root, merge_buckets),
-    )
     new_stats = _doc_lengths(new_docs, id_col, text_col)
     old_stats = _doc_lengths(old_docs, id_col, text_col)
-    (
-        new_stats.agg(
-            F.count(F.lit(1)).alias("n_delta"),
-            F.coalesce(F.sum("dl"), F.lit(0)).alias("sumdl_delta"),
-        )
-        .crossJoin(
-            old_stats.agg(
-                F.count(F.lit(1)).alias("on"),
-                F.coalesce(F.sum("dl"), F.lit(0)).alias("os"),
+    # postings merge ∥ stats write (r16, guide §2.6): independent actions,
+    # each per-version idempotent (same rows at the same _ingest_version /
+    # same stats dir content), so ANY completion order replays safely
+    run_independent_actions(
+        lambda: write_sink(
+            delta.withColumn("_ingest_version", F.lit(version).cast("long")),
+            _postings_sink(index_root, merge_buckets),
+        ),
+        lambda: (
+            new_stats.agg(
+                F.count(F.lit(1)).alias("n_delta"),
+                F.coalesce(F.sum("dl"), F.lit(0)).alias("sumdl_delta"),
             )
-        )
-        .select(
-            (F.col("n_delta") - F.col("on")).alias("n_delta"),
-            (F.col("sumdl_delta") - F.col("os")).alias("sumdl_delta"),
-        )
-        .write.mode("overwrite")
-        .parquet(f"{index_root}/stats/ingest_version={version}")
+            .crossJoin(
+                old_stats.agg(
+                    F.count(F.lit(1)).alias("on"),
+                    F.coalesce(F.sum("dl"), F.lit(0)).alias("os"),
+                )
+            )
+            .select(
+                (F.col("n_delta") - F.col("on")).alias("n_delta"),
+                (F.col("sumdl_delta") - F.col("os")).alias("sumdl_delta"),
+            )
+            .write.mode("overwrite")
+            .parquet(f"{index_root}/stats/ingest_version={version}")
+        ),
     )
 
 

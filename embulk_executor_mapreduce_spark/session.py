@@ -77,6 +77,58 @@ def aqe_cached_plan_scope(spark: SparkSession):
                 spark.conf.set(_AQE_CACHE_KEY, _aqe_scope_prev)
 
 
+def run_independent_actions(*thunks):
+    """Run independent Spark ACTIONS concurrently from driver threads
+    (r16 optimization, guide §2.6 — overlap independent jobs): event-log
+    profiles of the incremental-sink entries show ~50% of warm wall is
+    driver-side inter-job time (py4j round-trips + plan analysis), so
+    serializing two independent actions pays two full driver tails;
+    overlapped, one action's planning/py4j latency hides under the
+    other's execution and the scheduler back-fills executors freed by
+    one action's straggler tail with the other's tasks.
+
+    ONLY for actions that are mutually independent AND individually
+    idempotent under the caller's crash contract — every call site must
+    document why completion ORDER doesn't matter (the incremental sinks'
+    corpus-write/state-merge pairs are constructed exactly so: batch-
+    scoped overwrite dirs + claim-tagged merges make any crash
+    interleaving replay-safe, see each sink's docstring).
+
+    The first thunk runs on the calling thread; the rest run on
+    ``pyspark.InheritableThread`` so thread-local JVM properties (job
+    description/group) inherit. Every thunk runs to completion (or
+    failure) before this returns — no write is left in flight — and the
+    first failure BY ARGUMENT ORDER re-raises, matching the sequential
+    code's error surface (if thunk 0 and thunk 1 both fail, a sequential
+    caller would have seen thunk 0's error)."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    from pyspark import InheritableThread
+
+    results: list = [None] * len(thunks)
+    errors: list = [None] * len(thunks)
+
+    def _run(i: int) -> None:
+        try:
+            results[i] = thunks[i]()
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            errors[i] = exc
+
+    threads = [
+        InheritableThread(target=_run, args=(i,), daemon=True)
+        for i in range(1, len(thunks))
+    ]
+    for t in threads:
+        t.start()
+    _run(0)
+    for t in threads:
+        t.join()
+    for exc in errors:
+        if exc is not None:
+            raise exc
+    return results
+
+
 def get_spark(
     app_name: str = "embulk_executor_mapreduce_spark",
     shuffle_partitions: int | None = None,

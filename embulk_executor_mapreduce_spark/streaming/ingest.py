@@ -307,6 +307,7 @@ def incremental_dedup_sink(
     the retry tests drive directly.
     """
     from ..operators.dedup import incremental_dedup
+    from ..session import run_independent_actions
     from ..sinks.writer import read_merge_state, write_sink
     from ..spec import SinkSpec
 
@@ -326,18 +327,24 @@ def incremental_dedup_sink(
             novel, delta = incremental_dedup(
                 batch, seen, text_col, id_col, claim=F.lit(batch_id)
             )
-            novel.write.mode("overwrite").parquet(
-                f"{corpus_path}/ingest_batch={batch_id}"
-            )
-            write_sink(
-                delta,
-                SinkSpec(
-                    type="parquet",
-                    path=state_path,
-                    mode="merge",
-                    merge_key=("text_hash",),
-                    merge_order=("keep_doc_id",),
-                    merge_buckets=merge_buckets,
+            # corpus append ∥ state merge (r16, guide §2.6): independent
+            # actions, each idempotent in ANY completion order per the
+            # exactly-once construction above (batch-scoped overwrite dir
+            # + claim-tagged keyed merge)
+            run_independent_actions(
+                lambda: novel.write.mode("overwrite").parquet(
+                    f"{corpus_path}/ingest_batch={batch_id}"
+                ),
+                lambda: write_sink(
+                    delta,
+                    SinkSpec(
+                        type="parquet",
+                        path=state_path,
+                        mode="merge",
+                        merge_key=("text_hash",),
+                        merge_order=("keep_doc_id",),
+                        merge_buckets=merge_buckets,
+                    ),
                 ),
             )
         finally:
@@ -386,6 +393,7 @@ def incremental_neardup_sink(
     index merge already committed ignores its own claims and reproduces
     its corpus rows instead of losing them."""
     from ..operators.dedup import incremental_minhash_dedup
+    from ..session import run_independent_actions
     from ..sinks.writer import read_merge_state, write_sink
     from ..spec import SinkSpec
 
@@ -406,18 +414,23 @@ def incremental_neardup_sink(
                 min_matches=min_matches,
                 claim=F.lit(batch_id),
             )
-            novel.write.mode("overwrite").parquet(
-                f"{corpus_path}/ingest_batch={batch_id}"
-            )
-            write_sink(
-                delta,
-                SinkSpec(
-                    type="parquet",
-                    path=state_path,
-                    mode="merge",
-                    merge_key=(id_col, "band"),
-                    merge_order=("band_key",),
-                    merge_buckets=merge_buckets,
+            # corpus append ∥ band-index merge (r16, guide §2.6):
+            # independent actions, idempotent in ANY completion order per
+            # the exactly-once construction above
+            run_independent_actions(
+                lambda: novel.write.mode("overwrite").parquet(
+                    f"{corpus_path}/ingest_batch={batch_id}"
+                ),
+                lambda: write_sink(
+                    delta,
+                    SinkSpec(
+                        type="parquet",
+                        path=state_path,
+                        mode="merge",
+                        merge_key=(id_col, "band"),
+                        merge_order=("band_key",),
+                        merge_buckets=merge_buckets,
+                    ),
                 ),
             )
         finally:
@@ -450,6 +463,7 @@ def incremental_semantic_sink(
     handled offline (retrain on a sample + one-pass state re-assignment),
     not in the hot loop."""
     from ..operators.dedup import incremental_semantic_dedup
+    from ..session import run_independent_actions
     from ..sinks.writer import read_merge_state, write_sink
     from ..spec import SinkSpec
 
@@ -487,18 +501,23 @@ def incremental_semantic_sink(
                 # point re-loads the identical table; a crash before it
                 # retrains bit-identically (deterministic trainer)
                 trained.write.mode("overwrite").parquet(centroid_path)
-            novel.write.mode("overwrite").parquet(
-                f"{corpus_path}/ingest_batch={batch_id}"
-            )
-            write_sink(
-                delta,
-                SinkSpec(
-                    type="parquet",
-                    path=state_path,
-                    mode="merge",
-                    merge_key=(id_col, "cell"),
-                    merge_order=("nrm",),
-                    merge_buckets=merge_buckets,
+            # centroids committed first (the crash rule above); the
+            # remaining corpus append ∥ state merge are independent and
+            # idempotent in ANY completion order (r16, guide §2.6)
+            run_independent_actions(
+                lambda: novel.write.mode("overwrite").parquet(
+                    f"{corpus_path}/ingest_batch={batch_id}"
+                ),
+                lambda: write_sink(
+                    delta,
+                    SinkSpec(
+                        type="parquet",
+                        path=state_path,
+                        mode="merge",
+                        merge_key=(id_col, "cell"),
+                        merge_order=("nrm",),
+                        merge_buckets=merge_buckets,
+                    ),
                 ),
             )
         finally:
@@ -532,6 +551,7 @@ def incremental_semantic_two_level_sink(
     partial pair, so the loader treats ANY missing half as untrained and
     the retry retrains both — deterministically identical, overwrite-safe."""
     from ..operators.dedup import incremental_semantic_dedup_two_level
+    from ..session import run_independent_actions
     from ..sinks.writer import read_merge_state, write_sink
     from ..spec import SinkSpec
 
@@ -576,18 +596,23 @@ def incremental_semantic_two_level_sink(
                     f"{centroid_path}/coarse"
                 )
                 trained[1].write.mode("overwrite").parquet(f"{centroid_path}/sub")
-            novel.write.mode("overwrite").parquet(
-                f"{corpus_path}/ingest_batch={batch_id}"
-            )
-            write_sink(
-                delta,
-                SinkSpec(
-                    type="parquet",
-                    path=state_path,
-                    mode="merge",
-                    merge_key=(id_col, "cell"),
-                    merge_order=("nrm",),
-                    merge_buckets=merge_buckets,
+            # centroid pair committed first (crash rule above); corpus
+            # append ∥ state merge are independent and idempotent in ANY
+            # completion order (r16, guide §2.6)
+            run_independent_actions(
+                lambda: novel.write.mode("overwrite").parquet(
+                    f"{corpus_path}/ingest_batch={batch_id}"
+                ),
+                lambda: write_sink(
+                    delta,
+                    SinkSpec(
+                        type="parquet",
+                        path=state_path,
+                        mode="merge",
+                        merge_key=(id_col, "cell"),
+                        merge_order=("nrm",),
+                        merge_buckets=merge_buckets,
+                    ),
                 ),
             )
         finally:
@@ -1079,6 +1104,7 @@ def incremental_image_sink(
     as all-duplicate. Undecodable payloads pass through as novel corpus
     rows and never enter the index (NULL-hash contract)."""
     from ..operators.images import image_dhash, incremental_image_neardup
+    from ..session import run_independent_actions
     from ..sinks.writer import read_merge_state, write_sink
     from ..spec import SinkSpec
 
@@ -1102,20 +1128,27 @@ def incremental_image_sink(
                 max_hamming=max_hamming,
                 claim=F.lit(batch_id),
             )
-            novel.join(batch, on=id_col, how="inner").select(
-                id_col, payload_col, "dhash"
-            ).write.mode("overwrite").parquet(
-                f"{corpus_path}/ingest_batch={batch_id}"
-            )
-            write_sink(
-                delta,
-                SinkSpec(
-                    type="parquet",
-                    path=state_path,
-                    mode="merge",
-                    merge_key=(id_col, "band"),
-                    merge_order=("bkey",),
-                    merge_buckets=merge_buckets,
+            # corpus write ∥ state merge (r16, guide §2.6): the two
+            # actions are mutually independent and each is idempotent in
+            # ANY completion order — the corpus dir is a batch-scoped
+            # overwrite, the merge claim-tagged — which is exactly the
+            # crash contract above; overlapping them hides one action's
+            # driver planning tail under the other's execution
+            run_independent_actions(
+                lambda: novel.join(batch, on=id_col, how="inner")
+                .select(id_col, payload_col, "dhash")
+                .write.mode("overwrite")
+                .parquet(f"{corpus_path}/ingest_batch={batch_id}"),
+                lambda: write_sink(
+                    delta,
+                    SinkSpec(
+                        type="parquet",
+                        path=state_path,
+                        mode="merge",
+                        merge_key=(id_col, "band"),
+                        merge_order=("bkey",),
+                        merge_buckets=merge_buckets,
+                    ),
                 ),
             )
         finally:
