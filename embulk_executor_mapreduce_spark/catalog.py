@@ -7418,7 +7418,13 @@ def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     variants = encode_grid_png(
         docs.filter(F.col("doc_id") % 5 == 0), scale=3
     ).select((F.col("doc_id") * 2 + 1).alias("img_id"), "payload")
-    hashes = image_dhash(base.unionByName(variants), id_col="img_id")
+    # one decode+hash evaluation for the whole chain (r16 optimization,
+    # guide §1.2): pairs, clustering, AND the membership join below all
+    # re-reference this frame — localCheckpoint materializes the Arrow
+    # decode pass once (the id+hash rows, never payload bytes)
+    hashes = image_dhash(
+        base.unionByName(variants), id_col="img_id"
+    ).localCheckpoint(eager=True)
     pairs = image_neardup_pairs(hashes, id_col="img_id", max_hamming=6)
     clusters = connected_components(pairs, "id_a", "id_b").select(
         F.col("doc_id").alias("img_id"), "cluster_id"

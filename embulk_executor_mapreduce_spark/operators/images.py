@@ -268,8 +268,23 @@ def image_neardup_pairs(
     — guaranteed complete for d < bands by pigeonhole, and probabilistic
     recall beyond (a missed true pair needs a flipped bit in EVERY band).
     The self-join is an equi-join on (band, key); verification is the
-    exact ``bit_count(xor)`` — never all-pairs, false-positive-free."""
-    banded = _banded_hashes(hashes, id_col, hash_col, bands)
+    exact ``bit_count(xor)`` — never all-pairs, false-positive-free.
+
+    The live ``(id, hash)`` frame materializes ONCE at call time (r16
+    optimization, guide §1.2 — the ``incremental_image_neardup``
+    discipline applied to the batch op): without it BOTH sides of the
+    banded self-join re-run the producing plan, and when that plan is the
+    Arrow decode+hash pass — the op's dominant cost — the pass executes
+    twice per action (event-log profile of ``image_phash_neardup``: two
+    ~3 s hash jobs plus a ~4 s driver gap building the broadcast side
+    from scratch). localCheckpoint truncates lineage; the frame is
+    (id, hash) — never payload bytes."""
+    live = (
+        hashes.filter(F.col(hash_col).isNotNull())
+        .select(id_col, hash_col)
+        .localCheckpoint(eager=True)
+    )
+    banded = _banded_hashes(live, id_col, hash_col, bands)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(

@@ -968,15 +968,30 @@ def test_hybrid_indexed_never_scans_the_corpus(spark):
     assert df.count() == 10
 
 
-def test_image_neardup_is_banded_never_all_pairs(spark):
+def test_image_neardup_is_banded_never_all_pairs(spark, monkeypatch):
     """r15 image near-dup: candidate generation is an EQUI-join on
     (band, band_key) — no cartesian product, no corpus-sized global
-    sort; the hash pass is one Arrow mapInPandas over (id, payload)."""
+    sort; the hash pass is one Arrow mapInPandas over (id, payload).
+    Since the r16 optimization the (id, hash) frame localCheckpoints
+    inside image_neardup_pairs (one decode evaluation feeds both join
+    sides), so the Arrow pass is asserted in the CHECKPOINTED subplan
+    via the established spy; the post-checkpoint plan stays
+    cartesian-free."""
+    DF = type(spark.range(1))
+    ck_plans: list[str] = []
+    orig_ck = DF.localCheckpoint
+
+    def spy(self, eager=True):
+        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig_ck(self, eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint", spy)
     df = catalog.entries()["image_dhash_neardup"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("MapInPandas") >= 1, plan
+    assert ck_plans, "hash frame was not checkpointed"
+    assert any("MapInPandas" in p for p in ck_plans), ck_plans
     assert df.count() > 0
 
 
@@ -1026,15 +1041,26 @@ def test_batch_hybrid_indexed_one_probe_per_side_and_query0_pin(spark):
     assert q0 == single
 
 
-def test_image_phash_neardup_banded_never_all_pairs(spark):
+def test_image_phash_neardup_banded_never_all_pairs(spark, monkeypatch):
     """r16 pHash row: same banded equi-join discipline as the dHash
-    guard — no cartesian, one Arrow hash pass, and exactly the
-    variant-pair ground truth at the tight threshold."""
+    guard — no cartesian, ONE Arrow hash pass (asserted in the
+    checkpointed subplan since the r16 one-evaluation optimization),
+    and exactly the variant-pair ground truth at the tight threshold."""
+    DF = type(spark.range(1))
+    ck_plans: list[str] = []
+    orig_ck = DF.localCheckpoint
+
+    def spy(self, eager=True):
+        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig_ck(self, eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint", spy)
     df = catalog.entries()["image_phash_neardup"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert plan.count("MapInPandas") >= 1, plan
+    assert ck_plans, "hash frame was not checkpointed"
+    assert any("MapInPandas" in p for p in ck_plans), ck_plans
     assert df.count() > 0
 
 
