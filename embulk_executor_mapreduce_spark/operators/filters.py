@@ -376,6 +376,20 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
         from .dedup import connected_components, minhash_candidates
 
         text_col, id_col = _text_and_id(df, cfg, spec.type)
+        # One evaluation of the upstream pipeline for the whole stage (r16
+        # optimization, guide §1.2/§5): the candidate generation and the
+        # final loser anti-join BOTH reference `df`, so without a
+        # materialization the full upstream chain (in a prep spec: the
+        # repetition join-back and the 5-gram decontaminate anti-join) runs
+        # twice per action. localCheckpoint — not persist: a lazy cache's
+        # logical plan would be re-matched by a later identical run and
+        # silently serve it stale-free but unmeasured — materializes once
+        # at compile time (after the stage's config validation, so bad
+        # specs still fail before any job). At scale this trades one
+        # MEMORY_AND_DISK write of the surviving rows against a second full
+        # recompute of the upstream pipeline; connected_components already
+        # materializes every iteration the same way.
+        df = df.localCheckpoint(eager=True)
         pairs = minhash_candidates(
             df,
             text_col,

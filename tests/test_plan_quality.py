@@ -586,22 +586,33 @@ def test_spec_front_door_catalog_query_plan_shape(spark):
     assert "Python" not in plan
 
 
-def test_spec_prep_catalog_query_plan_shape(spark):
+def test_spec_prep_catalog_query_plan_shape(spark, monkeypatch):
     """VERDICT r9 item 1: the second YAML front-door row (the six remaining
     stage types). The minhash_dedup stage runs an eager connected-components
-    loop (its pairs materialize through localCheckpoint), so unlike the pure
-    2-exchange front door the assertions pin the SHAPE invariants: no Python
-    nodes anywhere (every stage is JVM expressions), no cartesian product,
-    and the chunk fan-out stays a projection (no exchange between the
-    dedup anti-join and the final plan — the fan-out happens inside
-    codegen)."""
+    loop (its pairs materialize through localCheckpoint) and — since the
+    r16 one-evaluation optimization — checkpoints its input frame once for
+    the candidates + anti-join pair, so the SHAPE invariants (no Python
+    nodes anywhere: every stage is JVM expressions; no cartesian product;
+    chunk fan-out inside codegen) are asserted on the final plan AND every
+    checkpointed subplan via the established spy."""
     from embulk_executor_mapreduce_spark import catalog
 
+    DF = type(spark.range(1))
+    ck_plans: list[str] = []
+    orig_ck = DF.localCheckpoint
+
+    def spy(self, eager=True):
+        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig_ck(self, eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint", spy)
     df = catalog.entries()["spec_prep_pipeline"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Python" not in plan
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert ck_plans, "minhash_dedup stage input was not checkpointed"
+    for p in [plan, *ck_plans]:
+        assert "Python" not in p, p
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
 
 
 def test_cdc_persisted_changes_read_plan_is_pure_scan(spark):
