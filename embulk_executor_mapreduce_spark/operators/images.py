@@ -41,6 +41,7 @@ caveat as MinHash banding — salt or pre-split such corpora.
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import Iterator
 
 import numpy as np
@@ -98,17 +99,32 @@ def _box_resize(arr: np.ndarray, ow: int, oh: int) -> np.ndarray:
     twelve orders of magnitude above the residue. So strict ``<`` on the
     resized means equals strict ``<`` on the grid integers at any even
     ratio — the closed-form oracle is sound without bit-exact means."""
+    return _box_weights(oh, arr.shape[0]) @ arr @ _box_weights(ow, arr.shape[1]).T
 
-    def weights(n_out: int, n_in: int) -> np.ndarray:
-        w = np.zeros((n_out, n_in))
-        for i in range(n_out):
-            y0, y1 = i * n_in / n_out, (i + 1) * n_in / n_out
-            j0, j1 = int(np.floor(y0)), int(np.ceil(y1))
-            for j in range(j0, j1):
-                w[i, j] = min(y1, j + 1) - max(y0, j)
-        return w / (n_in / n_out)
 
-    return weights(oh, arr.shape[0]) @ arr @ weights(ow, arr.shape[1]).T
+@lru_cache(maxsize=256)
+def _box_weights(n_out: int, n_in: int) -> np.ndarray:
+    """The per-axis fractional-coverage weight matrix of
+    :func:`_box_resize`, cached by shape (r16 optimization, guide §4.2 —
+    per-task work): the matrix depends only on (n_out, n_in), yet the
+    Python double loop building it dominated the per-image hash cost
+    (micro-benchmark: 97 of dHash's 132 µs, 258 of pHash's 406 µs per
+    18×16 fixture image was _box_resize, almost all weight construction).
+    Same floats, computed once per worker per shape — bit-identity with
+    the uncached form is what the pinned hash tests assert. LRU-bounded:
+    a real crawl corpus has unbounded distinct image dims, and each row
+    of cache is an (n_out × n_in) double matrix."""
+    w = np.zeros((n_out, n_in))
+    for i in range(n_out):
+        y0, y1 = i * n_in / n_out, (i + 1) * n_in / n_out
+        j0, j1 = int(np.floor(y0)), int(np.ceil(y1))
+        for j in range(j0, j1):
+            w[i, j] = min(y1, j + 1) - max(y0, j)
+    w = w / (n_in / n_out)
+    # the cached array is shared across every later call of this shape: a
+    # mutation would silently corrupt all subsequent hashes — freeze it
+    w.setflags(write=False)
+    return w
 
 
 def _pack_bits(bits) -> int:
