@@ -302,14 +302,6 @@ TIME_INCLUDES_BUILD = {
     "image_neardup_incremental_state",  # fn() runs both increments + merges
     "stream_cdc_image_ingest",  # fn() builds upstream + drives the tail
     "bm25_lucene_rank",  # eager top-(k+1) collect for the rank-gap guard
-    # r16 one-evaluation optimization: image_neardup_pairs localCheckpoints
-    # the hash frame at fn() time, so the encode+decode+hash pass — the
-    # entries' dominant cost — moved into the build phase; the clock must
-    # start before fn() or the rows report only the banded join
-    # (measurement fix documented in OPTIMIZATION_r16.md; the pre-change
-    # lazy-plan numbers are the sealed bench_after.json artifact)
-    "image_dhash_neardup",
-    "image_phash_neardup",
 }
 
 # events.ts physical-encoding normalization, probed from the footer

@@ -7420,11 +7420,15 @@ def q_image_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select((F.col("doc_id") * 2 + 1).alias("img_id"), "payload")
     # one decode+hash evaluation for the whole chain (r16 optimization,
     # guide §1.2): pairs, clustering, AND the membership join below all
-    # re-reference this frame — localCheckpoint materializes the Arrow
-    # decode pass once (the id+hash rows, never payload bytes)
+    # re-reference this frame — the lazy localCheckpoint materializes the
+    # Arrow decode pass once at the first action (the id+hash rows, never
+    # payload bytes). This outer checkpoint is NOT redundant with the one
+    # inside image_neardup_pairs: the membership join must see NULL-hash
+    # (undecodable) images as their own singletons, which pairs' live
+    # frame deliberately drops.
     hashes = image_dhash(
         base.unionByName(variants), id_col="img_id"
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     pairs = image_neardup_pairs(hashes, id_col="img_id", max_hamming=6)
     clusters = connected_components(pairs, "id_a", "id_b").select(
         F.col("doc_id").alias("img_id"), "cluster_id"

@@ -381,15 +381,19 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
         # final loser anti-join BOTH reference `df`, so without a
         # materialization the full upstream chain (in a prep spec: the
         # repetition join-back and the 5-gram decontaminate anti-join) runs
-        # twice per action. localCheckpoint — not persist: a lazy cache's
-        # logical plan would be re-matched by a later identical run and
-        # silently serve it stale-free but unmeasured — materializes once
-        # at compile time (after the stage's config validation, so bad
-        # specs still fail before any job). At scale this trades one
-        # MEMORY_AND_DISK write of the surviving rows against a second full
-        # recompute of the upstream pipeline; connected_components already
-        # materializes every iteration the same way.
-        df = df.localCheckpoint(eager=True)
+        # twice per action. LAZY localCheckpoint (eager=False, probed:
+        # one evaluation shared across the referencing jobs, a fresh RDD
+        # per compile — never a cross-run cache the way a persist()'s
+        # plan-matched CacheManager entry would be): compile_pipeline
+        # stays job-free, so config errors in LATER stages still fail
+        # fast before any Spark job — the compiler's documented contract.
+        # At scale this trades one MEMORY_AND_DISK write of the surviving
+        # rows against a second full recompute of the upstream pipeline;
+        # connected_components already materializes every iteration the
+        # same way (with the same executor-local, non-reliable storage:
+        # lineage past the checkpoint is gone, the established trade of
+        # the repo's checkpoint idiom).
+        df = df.localCheckpoint(eager=False)
         pairs = minhash_candidates(
             df,
             text_col,

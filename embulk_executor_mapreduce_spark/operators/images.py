@@ -102,7 +102,12 @@ def _box_resize(arr: np.ndarray, ow: int, oh: int) -> np.ndarray:
     return _box_weights(oh, arr.shape[0]) @ arr @ _box_weights(ow, arr.shape[1]).T
 
 
-@lru_cache(maxsize=256)
+#: cache only matrices up to this many float64 cells (0.5 MB each): the
+#: 256-slot LRU is then bounded at ~128 MB per Python worker in the worst
+#: case instead of growing with the corpus's largest image dimension
+_BOX_WEIGHTS_CACHE_MAX_CELLS = 65_536
+
+
 def _box_weights(n_out: int, n_in: int) -> np.ndarray:
     """The per-axis fractional-coverage weight matrix of
     :func:`_box_resize`, cached by shape (r16 optimization, guide §4.2 —
@@ -111,9 +116,22 @@ def _box_weights(n_out: int, n_in: int) -> np.ndarray:
     (micro-benchmark: 97 of dHash's 132 µs, 258 of pHash's 406 µs per
     18×16 fixture image was _box_resize, almost all weight construction).
     Same floats, computed once per worker per shape — bit-identity with
-    the uncached form is what the pinned hash tests assert. LRU-bounded:
-    a real crawl corpus has unbounded distinct image dims, and each row
-    of cache is an (n_out × n_in) double matrix."""
+    the uncached form is what the pinned hash tests assert. Bounded two
+    ways (r16 review finding: entry count alone lets 256 corpus-sized
+    matrices pin hundreds of MB per worker): oversized shapes skip the
+    cache entirely — for such images the decode dominates anyway — and
+    the LRU caps the cached count."""
+    if n_out * n_in > _BOX_WEIGHTS_CACHE_MAX_CELLS:
+        return _box_weights_build(n_out, n_in)
+    return _box_weights_cached(n_out, n_in)
+
+
+@lru_cache(maxsize=256)
+def _box_weights_cached(n_out: int, n_in: int) -> np.ndarray:
+    return _box_weights_build(n_out, n_in)
+
+
+def _box_weights_build(n_out: int, n_in: int) -> np.ndarray:
     w = np.zeros((n_out, n_in))
     for i in range(n_out):
         y0, y1 = i * n_in / n_out, (i + 1) * n_in / n_out
@@ -286,19 +304,23 @@ def image_neardup_pairs(
     The self-join is an equi-join on (band, key); verification is the
     exact ``bit_count(xor)`` — never all-pairs, false-positive-free.
 
-    The live ``(id, hash)`` frame materializes ONCE at call time (r16
-    optimization, guide §1.2 — the ``incremental_image_neardup``
-    discipline applied to the batch op): without it BOTH sides of the
-    banded self-join re-run the producing plan, and when that plan is the
-    Arrow decode+hash pass — the op's dominant cost — the pass executes
-    twice per action (event-log profile of ``image_phash_neardup``: two
-    ~3 s hash jobs plus a ~4 s driver gap building the broadcast side
-    from scratch). localCheckpoint truncates lineage; the frame is
+    The live ``(id, hash)`` frame materializes ONCE — lazily, at the
+    first action (r16 optimization, guide §1.2 — the
+    ``incremental_image_neardup`` discipline applied to the batch op):
+    without it BOTH sides of the banded self-join re-run the producing
+    plan, and when that plan is the Arrow decode+hash pass — the op's
+    dominant cost — the pass executes twice per action (event-log
+    profile of ``image_phash_neardup``: two ~3 s hash jobs plus a ~4 s
+    driver gap building the broadcast side from scratch).
+    ``eager=False`` (probed: one evaluation even across the broadcast
+    build's separate job, reused by later actions, and a fresh RDD per
+    call — never a cross-run cache) keeps the op a lazy transformation
+    for callers; localCheckpoint truncates lineage; the frame is
     (id, hash) — never payload bytes."""
     live = (
         hashes.filter(F.col(hash_col).isNotNull())
         .select(id_col, hash_col)
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     banded = _banded_hashes(live, id_col, hash_col, bands)
     a, b = banded.alias("a"), banded.alias("b")

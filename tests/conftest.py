@@ -24,6 +24,27 @@ def sf_dir() -> str:
     return SF_SMOKE
 
 
+@pytest.fixture
+def ck_plans(spark, monkeypatch) -> list[str]:
+    """localCheckpoint spy (the r16 checkpointed-subplan guard pattern,
+    factored once — it had been copy-pasted across five plan guards):
+    yields a list that accumulates the executedPlan string of every frame
+    a query checkpoints, eager or lazy, so guards can assert plan
+    properties inside checkpoint-truncated subplans. Patches the CONCRETE
+    DataFrame class — Spark 4 splits the ABC in pyspark.sql.dataframe
+    from pyspark.sql.classic.dataframe."""
+    DF = type(spark.range(1))
+    plans: list[str] = []
+    orig_ck = DF.localCheckpoint
+
+    def spy(self, eager=True):
+        plans.append(self._jdf.queryExecution().executedPlan().toString())
+        return orig_ck(self, eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint", spy)
+    return plans
+
+
 def pytest_addoption(parser):
     parser.addoption(
         "--driver-sweep",

@@ -387,30 +387,18 @@ def test_two_level_semantic_dedup_plan_shape(spark):
     assert "cell" in plan and "scid" in plan
 
 
-def test_incremental_semantic_dedup_plan_shape(spark, tmp_path, monkeypatch):
+def test_incremental_semantic_dedup_plan_shape(spark, tmp_path, ck_plans):
     """r5 incremental semantic dedup: batch assignment broadcasts the
     stored centroid table; the against-state check is an equi-join on cell
     (state side is never broadcast-nested-looped or cross-joined). Since
     the r16 optimization the assignment is localCheckpointed once per
     increment (one evaluation feeds the self-join, state probe, and both
     returned frames), so the broadcast lives in the CHECKPOINTED subplan —
-    captured here via a localCheckpoint spy; the post-checkpoint plan is
+    captured via the shared ck_plans spy; the post-checkpoint plan is
     still asserted cartesian-free."""
     from embulk_executor_mapreduce_spark.operators.dedup import (
         incremental_semantic_dedup,
     )
-
-    # patch the CONCRETE DataFrame class (Spark 4 splits the ABC in
-    # pyspark.sql.dataframe from pyspark.sql.classic.dataframe)
-    DF = type(spark.range(1))
-    ck_plans: list[str] = []
-    orig_ck = DF.localCheckpoint
-
-    def spy(self, eager=True):
-        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
-        return orig_ck(self, eager)
-
-    monkeypatch.setattr(DF, "localCheckpoint", spy)
 
     def mk(ids):
         return spark.createDataFrame(
@@ -443,7 +431,9 @@ def test_incremental_semantic_dedup_plan_shape(spark, tmp_path, monkeypatch):
     assert "cell" in plan
 
 
-def test_incremental_two_level_semantic_dedup_assign_only(spark, monkeypatch):
+def test_incremental_two_level_semantic_dedup_assign_only(
+    spark, monkeypatch, ck_plans
+):
     """r6 two-level incremental semantic dedup: with a stored centroid PAIR
     the increment is ASSIGN-ONLY — kmeans_train is never invoked (poisoned
     to prove it), both centroid levels arrive via broadcast joins, the
@@ -474,17 +464,11 @@ def test_incremental_two_level_semantic_dedup_assign_only(spark, monkeypatch):
     # Since the r16 optimization the assign-only branch localCheckpoints
     # the two-level assignment (one evaluation feeds the leaf self-join,
     # state probe, and both returned frames) — the broadcast joins live in
-    # the CHECKPOINTED subplan, captured via a spy; the post-checkpoint
-    # plan is still asserted cartesian-free.
-    DF = type(spark.range(1))
-    ck_plans: list[str] = []
-    orig_ck = DF.localCheckpoint
-
-    def spy(self, eager=True):
-        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
-        return orig_ck(self, eager)
-
-    monkeypatch.setattr(DF, "localCheckpoint", spy)
+    # the CHECKPOINTED subplan, captured via the shared ck_plans spy; the
+    # post-checkpoint plan is still asserted cartesian-free. Keep only the
+    # assign-only increment's plans (the train phase above checkpointed
+    # too).
+    ck_plans.clear()
     novel, delta, t2 = incremental_semantic_dedup_two_level(
         mk(range(1, 41, 2)), state, trained, coarse_k=2, sub_k=2, iters=1
     )
@@ -586,26 +570,17 @@ def test_spec_front_door_catalog_query_plan_shape(spark):
     assert "Python" not in plan
 
 
-def test_spec_prep_catalog_query_plan_shape(spark, monkeypatch):
+def test_spec_prep_catalog_query_plan_shape(spark, ck_plans):
     """VERDICT r9 item 1: the second YAML front-door row (the six remaining
     stage types). The minhash_dedup stage runs an eager connected-components
     loop (its pairs materialize through localCheckpoint) and — since the
-    r16 one-evaluation optimization — checkpoints its input frame once for
-    the candidates + anti-join pair, so the SHAPE invariants (no Python
-    nodes anywhere: every stage is JVM expressions; no cartesian product;
-    chunk fan-out inside codegen) are asserted on the final plan AND every
-    checkpointed subplan via the established spy."""
+    r16 one-evaluation optimization — lazily checkpoints its input frame
+    once for the candidates + anti-join pair, so the SHAPE invariants (no
+    Python nodes anywhere: every stage is JVM expressions; no cartesian
+    product; chunk fan-out inside codegen) are asserted on the final plan
+    AND every checkpointed subplan via the shared ck_plans spy."""
     from embulk_executor_mapreduce_spark import catalog
 
-    DF = type(spark.range(1))
-    ck_plans: list[str] = []
-    orig_ck = DF.localCheckpoint
-
-    def spy(self, eager=True):
-        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
-        return orig_ck(self, eager)
-
-    monkeypatch.setattr(DF, "localCheckpoint", spy)
     df = catalog.entries()["spec_prep_pipeline"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert ck_plans, "minhash_dedup stage input was not checkpointed"
@@ -979,24 +954,15 @@ def test_hybrid_indexed_never_scans_the_corpus(spark):
     assert df.count() == 10
 
 
-def test_image_neardup_is_banded_never_all_pairs(spark, monkeypatch):
+def test_image_neardup_is_banded_never_all_pairs(spark, ck_plans):
     """r15 image near-dup: candidate generation is an EQUI-join on
     (band, band_key) — no cartesian product, no corpus-sized global
     sort; the hash pass is one Arrow mapInPandas over (id, payload).
-    Since the r16 optimization the (id, hash) frame localCheckpoints
-    inside image_neardup_pairs (one decode evaluation feeds both join
-    sides), so the Arrow pass is asserted in the CHECKPOINTED subplan
-    via the established spy; the post-checkpoint plan stays
-    cartesian-free."""
-    DF = type(spark.range(1))
-    ck_plans: list[str] = []
-    orig_ck = DF.localCheckpoint
-
-    def spy(self, eager=True):
-        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
-        return orig_ck(self, eager)
-
-    monkeypatch.setattr(DF, "localCheckpoint", spy)
+    Since the r16 optimization the (id, hash) frame lazily
+    localCheckpoints inside image_neardup_pairs (one decode evaluation
+    feeds both join sides), so the Arrow pass is asserted in the
+    CHECKPOINTED subplan via the shared ck_plans spy; the post-checkpoint
+    plan stays cartesian-free."""
     df = catalog.entries()["image_dhash_neardup"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
@@ -1052,20 +1018,11 @@ def test_batch_hybrid_indexed_one_probe_per_side_and_query0_pin(spark):
     assert q0 == single
 
 
-def test_image_phash_neardup_banded_never_all_pairs(spark, monkeypatch):
+def test_image_phash_neardup_banded_never_all_pairs(spark, ck_plans):
     """r16 pHash row: same banded equi-join discipline as the dHash
     guard — no cartesian, ONE Arrow hash pass (asserted in the
     checkpointed subplan since the r16 one-evaluation optimization),
     and exactly the variant-pair ground truth at the tight threshold."""
-    DF = type(spark.range(1))
-    ck_plans: list[str] = []
-    orig_ck = DF.localCheckpoint
-
-    def spy(self, eager=True):
-        ck_plans.append(self._jdf.queryExecution().executedPlan().toString())
-        return orig_ck(self, eager)
-
-    monkeypatch.setattr(DF, "localCheckpoint", spy)
     df = catalog.entries()["image_phash_neardup"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan, plan
@@ -1087,13 +1044,21 @@ def test_image_incremental_state_probe_is_equi_join(spark):
     assert df.count() > 0
 
 
-def test_image_dedup_survivors_banded_and_bounded(spark):
+def test_image_dedup_survivors_banded_and_bounded(spark, ck_plans):
     """r16 survivor selection: the pairs feed is the banded equi-join
     (no cartesian) and the closure is the bounded min-label loop — one
     representative per duplicate cluster comes back, singletons
-    included."""
+    included. Since the r16 one-evaluation optimization both the hash
+    frame and pairs' live frame checkpoint (truncating the final plan),
+    so the no-cartesian/no-BNLJ invariants and the single Arrow pass are
+    asserted across the final plan AND every checkpointed subplan via
+    the shared ck_plans spy — without it the truncated final plan would
+    assert nothing about the join shape (r16 review finding)."""
     df = catalog.entries()["image_dedup_survivors"].fn(spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "CartesianProduct" not in plan, plan
-    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ck_plans, "hash/pairs frames were not checkpointed"
+    for p in [plan, *ck_plans]:
+        assert "CartesianProduct" not in p, p
+        assert "BroadcastNestedLoopJoin" not in p, p
+    assert any("MapInPandas" in p for p in ck_plans), ck_plans
     assert df.count() > 0

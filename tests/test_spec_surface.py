@@ -905,6 +905,56 @@ def test_spec_text_stage_config_errors(spark, tmp_path):
         )
 
 
+def test_minhash_dedup_stage_compile_stays_lazy_and_fails_fast(
+    spark, tmp_path, monkeypatch
+):
+    """r16 review finding: the minhash_dedup stage's one-evaluation
+    checkpoint must be LAZY (eager=False) so the stage adds NO eager step
+    of its own — the connected-components loop inside the stage is
+    eagerly iterative by design (pre-existing, documented in the bench's
+    TIME_INCLUDES_BUILD entry), but the input materialization must ride
+    its first iteration rather than run as a separate compile-time job,
+    and a config error in a stage AFTER minhash_dedup must still raise
+    ConfigError at compile time. Pins (a) the stage-input checkpoint is
+    the FIRST checkpoint call and lazy, (b) the post-stage ConfigError."""
+    from embulk_executor_mapreduce_spark.plans.compiler import compile_pipeline
+
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, f"some text {i} " * 3) for i in range(6)],
+        "doc_id long, text string",
+    ).write.parquet(src)
+
+    DF = type(spark.range(1))
+    eager_flags: list[bool] = []
+    orig_ck = DF.localCheckpoint
+
+    def spy(self, eager=True):
+        eager_flags.append(eager)
+        return orig_ck(self, eager)
+
+    monkeypatch.setattr(DF, "localCheckpoint", spy)
+    # dedup without 'columns' is a stage-apply ConfigError: it must fire
+    # even though the preceding minhash_dedup stage checkpoints its input
+    with pytest.raises(ConfigError, match="dedup filter requires"):
+        compile_pipeline(
+            spark,
+            load_spec(
+                {
+                    "in": {"type": "parquet", "path": src},
+                    "filters": [
+                        {"type": "minhash_dedup", "id": "doc_id"},
+                        {"type": "dedup"},
+                    ],
+                    "out": {"type": "null"},
+                }
+            ),
+        )
+    # first checkpoint = the stage input, lazy; later ones are the CC
+    # loop's eager per-iteration materializations (pre-existing design)
+    assert eager_flags and eager_flags[0] is False, eager_flags
+
+
 def test_spec_text_append_stages_stream(spark, tmp_path):
     """The struct-pack append stages are pure projections, so the IDENTICAL
     chain streams (unified batch/streaming story): quality_score + filter
