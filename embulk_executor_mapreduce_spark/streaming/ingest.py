@@ -724,6 +724,26 @@ def _artifacts_ready(*paths: str) -> bool:
     return all(_committed(p) for p in paths)
 
 
+#: fused catch-up chunk size (r17, guide §1.2/§2.6): a multi-version
+#: catch-up computes at most this many adjacent-pair diffs as ONE
+#: persisted span plan instead of one plan per version. Bounds the span
+#: cache at chunk_size commits' changed rows — raise it for deployments
+#: whose per-commit deltas are small and catch-ups long, lower it toward 1
+#: to reproduce the per-version legacy shape exactly.
+_FUSE_SPAN_ENV = "SPARK_GRAFT_CDC_FUSE_SPAN"
+_FUSE_SPAN_DEFAULT = 16
+
+
+def _fuse_span() -> int:
+    import os
+
+    raw = os.environ.get(_FUSE_SPAN_ENV, "")
+    try:
+        return max(1, int(raw)) if raw else _FUSE_SPAN_DEFAULT
+    except ValueError:
+        return _FUSE_SPAN_DEFAULT
+
+
 def _tail_versions(
     spark: SparkSession,
     source_path: str,
@@ -732,21 +752,49 @@ def _tail_versions(
     to_version: int | None,
     tmp_prefix: str,
     apply,
+    span_feed=None,
 ) -> int:
     """The shared version-tail protocol (`_run_cdc_tail`'s discipline,
     factored once for every CDC-fed composition — r13 review finding: two
     verbatim copies had already appeared): load the fsync'd checkpoint
     (corrupt → ConfigError naming the file; delivery is idempotent so
     deleting it restarts safely), guard the upstream pointer, apply
-    committed versions in order via ``apply(v)``, and advance the
+    committed versions in order via ``apply(v, batch)``, and advance the
     checkpoint AFTER each version commits — a crash anywhere re-runs
     exactly one version, which every ``apply`` body must make idempotent.
-    Returns the last applied version."""
+    Returns the last applied version.
+
+    FUSED CATCH-UP (r17 optimization, guide §1.2/§2.6 — VERDICT r16 item
+    1): with ``span_feed`` given, a catch-up of ≥2 pending versions
+    computes its per-pair diffs as ONE ``table_changes(start, to,
+    per_version=True)`` plan per ≤``SPARK_GRAFT_CDC_FUSE_SPAN`` chunk,
+    persisted once; each version's increment is then a filter on
+    ``_commit_version`` over the cached span, and version presence (the
+    per-version emptiness probe) comes from ONE distinct-collect instead
+    of one ``limit(1).count()`` job per version. The span union is the
+    SAME per-pair ``snapshot_diff`` construction the per-version read
+    runs (``sinks/changes.table_changes``), so each version's slice is
+    bit-equal to its single-pair feed; state merges still run strictly in
+    version order with per-version claims, and the checkpoint still
+    advances after EACH version — a crash mid-chunk resumes by building a
+    fresh span from the last committed version, re-running exactly one
+    version idempotently, the unchanged contract.
+
+    ``span_feed(lo, hi)`` returns the composition's version-tagged feed
+    for ``(lo, hi]`` — already filtered/projected exactly like its
+    per-version batch, PLUS the ``_commit_version`` column, so a version
+    absent from the span is precisely one whose legacy emptiness probe
+    would have skipped it. ``apply(v, batch)``: ``batch`` is the
+    (non-empty) cached span slice in fused mode, or None in legacy mode
+    (``apply`` computes and probes its own per-version feed — the path a
+    1-version tail and ``SPARK_GRAFT_CDC_FUSE_SPAN=1`` take)."""
     import json as _json
     import os
     import tempfile
 
     from ..errors import ConfigError
+    from ..session import aqe_cached_plan_scope
+    from ..sinks.changes import COMMIT_VERSION_COL
     from ..sinks.writer import _fsync_write, _local, _pointer_version
 
     ck_dir = checkpoint or tempfile.mkdtemp(prefix=tmp_prefix)
@@ -773,10 +821,45 @@ def _tail_versions(
         )
     to_v = current if to_version is None else min(current, to_version)
     last = start
-    for v in range(start + 1, to_v + 1):
-        apply(v)
-        _fsync_write(ck_file, _json.dumps({"last_version": v}))
-        last = v
+    chunk = _fuse_span()
+    if span_feed is None or chunk < 2 or to_v - start < 2:
+        for v in range(start + 1, to_v + 1):
+            apply(v, None)
+            _fsync_write(ck_file, _json.dumps({"last_version": v}))
+            last = v
+        return last
+    lo = start
+    while lo < to_v:
+        hi = min(lo + chunk, to_v)
+        # scoped AQE-in-cache: the span plan materializes once with
+        # runtime coalescing/broadcasts; the scope must open BEFORE
+        # .persist() (the flag binds at cache registration — see
+        # session.aqe_cached_plan_scope)
+        with aqe_cached_plan_scope(spark):
+            feed = span_feed(lo, hi).persist()
+            try:
+                present = {
+                    r[0]
+                    for r in feed.select(COMMIT_VERSION_COL)
+                    .distinct()
+                    .collect()
+                }
+                for v in range(lo + 1, hi + 1):
+                    if v in present:
+                        apply(
+                            v,
+                            feed.filter(
+                                F.col(COMMIT_VERSION_COL) == v
+                            ).drop(COMMIT_VERSION_COL),
+                        )
+                    # an absent version is an empty increment: checkpoint
+                    # advances, no writes (the legacy per-version probe's
+                    # exact skip rule)
+                    _fsync_write(ck_file, _json.dumps({"last_version": v}))
+                    last = v
+            finally:
+                feed.unpersist()
+        lo = hi
     return last
 
 
@@ -793,6 +876,28 @@ def _version_batch(
         table_changes(spark, source_path, keys, v - 1, v, per_version=True)
         .filter(F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"))
         .select(id_col, vec_col)
+    )
+
+
+def _span_batch(
+    spark: SparkSession, source_path: str, keys: list[str],
+    lo: int, hi: int, id_col: str, vec_col: str,
+) -> DataFrame:
+    """The fused-catch-up sibling of :func:`_version_batch` (r17): every
+    version in ``(lo, hi]``'s new content in ONE per-version change-feed
+    plan, tagged by ``_commit_version`` — each version's slice is
+    bit-equal to its :func:`_version_batch` (same per-pair snapshot
+    diffs, same filter/projection)."""
+    from ..sinks.changes import (
+        CHANGE_TYPE_COL,
+        COMMIT_VERSION_COL,
+        table_changes,
+    )
+
+    return (
+        table_changes(spark, source_path, keys, lo, hi, per_version=True)
+        .filter(F.col(CHANGE_TYPE_COL).isin("insert", "update_postimage"))
+        .select(id_col, vec_col, COMMIT_VERSION_COL)
     )
 
 
@@ -858,21 +963,27 @@ def run_cdc_semantic_ingest(
         threshold_micro=threshold_micro,
     )
 
-    def apply(v: int) -> None:
-        batch = _version_batch(spark, source_path, keys, v, id_col, vec_col)
-        if not batch.limit(1).count():
-            # empty increment (delete-only or no-op commit): never train the
-            # centroid pair on an empty batch — that would persist empty
-            # centroids and silently drop ALL later corpus content — and
-            # never bump a no-op state version that could expire retained
-            # snapshots; checkpoint still advances (r14 advisor finding,
-            # mirroring run_cdc_ann_index_ingest's guard)
-            return
+    def apply(v: int, batch: DataFrame | None) -> None:
+        if batch is None:
+            batch = _version_batch(spark, source_path, keys, v, id_col, vec_col)
+            if not batch.limit(1).count():
+                # empty increment (delete-only or no-op commit): never train
+                # the centroid pair on an empty batch — that would persist
+                # empty centroids and silently drop ALL later corpus content
+                # — and never bump a no-op state version that could expire
+                # retained snapshots; checkpoint still advances (r14 advisor
+                # finding, mirroring run_cdc_ann_index_ingest's guard);
+                # fused catch-ups skip absent versions from the span's one
+                # presence collect instead
+                return
         process(batch, v)
 
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,
         "ckpt_cdc_sem_", apply,
+        span_feed=lambda lo, hi: _span_batch(
+            spark, source_path, keys, lo, hi, id_col, vec_col
+        ),
     )
 
 
@@ -918,7 +1029,29 @@ def run_cdc_postings_ingest(
     from ..operators.search import bm25_index_delta
     from ..sinks.changes import CHANGE_TYPE_COL, table_changes
 
-    def apply(v: int) -> None:
+    def delta(v: int, feed: DataFrame) -> None:
+        ct = F.col(CHANGE_TYPE_COL)
+        bm25_index_delta(
+            feed.filter(ct.isin("insert", "update_postimage")).select(
+                id_col, text_col
+            ),
+            feed.filter(ct.isin("delete", "update_preimage")).select(
+                id_col, text_col
+            ),
+            index_root,
+            version=v,
+            id_col=id_col,
+            text_col=text_col,
+            merge_buckets=merge_buckets,
+        )
+
+    def apply(v: int, feed: DataFrame | None) -> None:
+        if feed is not None:
+            # fused catch-up (r17): the slice filters the persisted span
+            # cache — already materialized once, non-empty by the span's
+            # presence collect; no second persist, no emptiness job
+            delta(v, feed)
+            return
         # persist: every feed row is consumed (insert/update_postimage →
         # new, delete/update_preimage → old), and the delta body runs
         # several actions over both halves — without the cache the
@@ -940,26 +1073,17 @@ def run_cdc_postings_ingest(
             try:
                 if not feed.limit(1).count():
                     return  # empty increment: checkpoint advances, no writes
-                ct = F.col(CHANGE_TYPE_COL)
-                bm25_index_delta(
-                    feed.filter(ct.isin("insert", "update_postimage")).select(
-                        id_col, text_col
-                    ),
-                    feed.filter(ct.isin("delete", "update_preimage")).select(
-                        id_col, text_col
-                    ),
-                    index_root,
-                    version=v,
-                    id_col=id_col,
-                    text_col=text_col,
-                    merge_buckets=merge_buckets,
-                )
+                delta(v, feed)
             finally:
                 feed.unpersist()
 
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,
         "ckpt_cdc_post_", apply,
+        span_feed=lambda lo, hi: table_changes(
+            spark, source_path, keys, lo, hi, per_version=True,
+            delete_col=delete_col,
+        ),
     )
 
 
@@ -1034,10 +1158,12 @@ def run_cdc_ann_index_ingest(
         merge_buckets=merge_buckets,
     )
 
-    def apply(v: int) -> None:
-        batch = _version_batch(spark, source_path, keys, v, id_col, vec_col)
+    def apply(v: int, batch: DataFrame | None) -> None:
+        known_nonempty = batch is not None
+        if batch is None:
+            batch = _version_batch(spark, source_path, keys, v, id_col, vec_col)
         if not _artifacts_ready(cents_path, cb_path):
-            if not batch.limit(1).count():
+            if not known_nonempty and not batch.limit(1).count():
                 return  # nothing to train on or index; checkpoint advances
             cents, cb = ivf_pq_index_train(
                 batch,
@@ -1056,7 +1182,7 @@ def run_cdc_ann_index_ingest(
             # centroids-without-codebook (→ next increment retrains both)
             cents.write.mode("overwrite").parquet(cents_path)
             cb.write.mode("overwrite").parquet(cb_path)
-        elif not batch.limit(1).count():
+        elif not known_nonempty and not batch.limit(1).count():
             return  # empty increment: no no-op state version
         write_sink(
             ivf_pq_index_assign(
@@ -1074,6 +1200,9 @@ def run_cdc_ann_index_ingest(
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,
         "ckpt_cdc_ann_", apply,
+        span_feed=lambda lo, hi: _span_batch(
+            spark, source_path, keys, lo, hi, id_col, vec_col
+        ),
     )
 
 
@@ -1207,7 +1336,14 @@ def run_cdc_image_ingest(
         merge_buckets=merge_buckets,
     )
 
-    def apply(v: int) -> None:
+    def apply(v: int, batch: DataFrame | None) -> None:
+        if batch is not None:
+            # fused catch-up (r17): the slice filters the persisted span
+            # cache — materialized once for the whole catch-up, non-empty
+            # by the span's presence collect (no per-version probe job);
+            # _process's own persist caches only the tiny slice plan
+            process(batch, v)
+            return
         # persist BEFORE the emptiness probe so the change-feed diff runs
         # once per version — the probe and the sink body share the cached
         # feed (the postings sibling's discipline); _process's own persist
@@ -1232,4 +1368,7 @@ def run_cdc_image_ingest(
     return _tail_versions(
         spark, source_path, checkpoint, from_version, to_version,
         "ckpt_cdc_img_", apply,
+        span_feed=lambda lo, hi: _span_batch(
+            spark, source_path, keys, lo, hi, id_col, payload_col
+        ),
     )
