@@ -361,3 +361,37 @@ def test_incremental_claim_reconstructs_prebatch_view(spark, tmp_path):
     )
     assert sorted(map(tuple, n_retry.collect())) == sorted(map(tuple, n1.collect()))
     assert sorted(map(tuple, d_retry.collect())) == sorted(map(tuple, d1.collect()))
+
+
+def test_incremental_neardup_single_hash_evaluation(spark):
+    """The lazy call-time checkpoint (r17, VERDICT r16 item 6 — unified
+    with the batch sibling's idiom) still evaluates the incoming hash
+    frame exactly ONCE across every downstream action: the banded
+    self-join's build+probe, clustering, and both returned frames all
+    read the checkpointed rows, so an accumulator-instrumented input
+    fires once per row, not once per action."""
+    from embulk_executor_mapreduce_spark.operators.images import (
+        image_dhash,
+        incremental_image_neardup,
+    )
+
+    docs = _docs(spark, 10)
+    hashes = image_dhash(
+        encode_grid_png(docs, scale=2).select(
+            (F.col("doc_id") * 2).alias("img_id"), "payload"
+        ),
+        id_col="img_id",
+    ).select("img_id", "dhash")
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(it):
+        for pdf in it:
+            acc.add(len(pdf))
+            yield pdf
+
+    counted = hashes.mapInPandas(bump, "img_id long, dhash long")
+    novel, delta = incremental_image_neardup(counted, None, id_col="img_id")
+    assert novel.count() == 10
+    assert delta.count() > 0
+    novel.collect()
+    assert acc.value == 10
