@@ -384,15 +384,21 @@ def apply_filter(df: DataFrame, spec: FilterSpec) -> DataFrame:
         # twice per action. LAZY localCheckpoint (eager=False, probed:
         # one evaluation shared across the referencing jobs, a fresh RDD
         # per compile — never a cross-run cache the way a persist()'s
-        # plan-matched CacheManager entry would be): compile_pipeline
-        # stays job-free, so config errors in LATER stages still fail
-        # fast before any Spark job — the compiler's documented contract.
-        # At scale this trades one MEMORY_AND_DISK write of the surviving
-        # rows against a second full recompute of the upstream pipeline;
-        # connected_components already materializes every iteration the
-        # same way (with the same executor-local, non-reliable storage:
-        # lineage past the checkpoint is gone, the established trade of
-        # the repo's checkpoint idiom).
+        # plan-matched CacheManager entry would be): the checkpoint
+        # itself adds no compile-time job, so config errors in LATER
+        # stages still fail fast before it materializes (this stage's CC
+        # loop below runs eager per-iteration jobs during compile, as it
+        # always has — the honest contract pinned in
+        # test_minhash_dedup_stage_compile_stays_lazy_and_fails_fast).
+        # At scale this trades one MEMORY_AND_DISK write of the STAGE-
+        # INPUT rows — all pre-dedup rows, every column including text,
+        # pinned in executor-local non-reliable storage for the compiled
+        # query's lifetime (an executor loss after materialization fails
+        # the query instead of recomputing lineage; acceptable for a
+        # batch pipeline, and the documented trade of the repo's
+        # checkpoint idiom) — against a second full recompute of the
+        # upstream pipeline; connected_components already materializes
+        # every iteration the same way.
         df = df.localCheckpoint(eager=False)
         pairs = minhash_candidates(
             df,

@@ -37,9 +37,12 @@ def ck_plans(spark, monkeypatch) -> list[str]:
     plans: list[str] = []
     orig_ck = DF.localCheckpoint
 
-    def spy(self, eager=True):
+    def spy(self, eager=True, *a, **kw):
+        # pass-through signature (r17, ADVICE r16): PySpark 4.1's
+        # localCheckpoint also takes storageLevel — swallowing it here
+        # would silently change code under test
         plans.append(self._jdf.queryExecution().executedPlan().toString())
-        return orig_ck(self, eager)
+        return orig_ck(self, eager, *a, **kw)
 
     monkeypatch.setattr(DF, "localCheckpoint", spy)
     return plans
