@@ -1041,6 +1041,12 @@ def main() -> None:
         "queries_first": rec.first,
         "sf": sf,
         "ncpu": os.cpu_count(),
+        # honest core reporting (r17, VERDICT r16 item 2): ncpu above is
+        # the HOST's count and masks the effective cap — the driver's
+        # 8-cpu run recorded ncpu: 32. These two record what the run
+        # actually executed with.
+        "spark_graft_cpus": os.environ.get("SPARK_GRAFT_CPUS"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
         "loadavg_per_cpu_start": round(load_start, 3),
         # end loadavg is informational only: it includes the bench's
         # OWN 32-thread load, so it cannot feed the contamination
@@ -1079,7 +1085,47 @@ def main() -> None:
     # the tail, so the headline total is machine-recoverable every round.
     detail_path = Path(__file__).resolve().parent / "bench_detail.json"
     detail_path.write_text(json.dumps(detail, indent=1) + "\n")
+    # run-stamped sidecar (r17, VERDICT r16 item 2): bench_detail.json is
+    # overwritten by every run, so two rounds' per-query ground truth
+    # could never be diffed — each run now ALSO lands a copy keyed by
+    # (sf, effective cores, wall-clock stamp) under bench_runs/; the
+    # newest two at matching sf/cores are the per-query A/B.
+    runs_dir = Path(__file__).resolve().parent / "bench_runs"
+    runs_dir.mkdir(exist_ok=True)
+    stamp = int(time.time())
+    cores = spark.sparkContext.defaultParallelism
+    (runs_dir / f"bench_detail_sf{sf}_c{cores}_{stamp}.json").write_text(
+        json.dumps(detail, indent=1) + "\n"
+    )
     print(json.dumps(detail))  # full record for humans reading the log head
+    # chunked per-query lines (r17, VERDICT r16 item 2): the r4 tail
+    # contract keeps the FINAL line compact (a >2000-char line outgrew
+    # the driver's tail capture and truncated unparseably), so per-query
+    # data goes out as self-describing compact lines BEFORE it — each
+    # well under the tail limit; a consumer reassembles parts 1..parts.
+    pq_items = sorted(rec.best.items())
+    pq_chunks: list[dict] = [{}]
+    pq_len = 0
+    for k, v in pq_items:
+        if pq_len > 1200:
+            pq_chunks.append({})
+            pq_len = 0
+        pq_chunks[-1][k] = v
+        pq_len += len(k) + 12
+    for i, chunk in enumerate(pq_chunks):
+        print(
+            json.dumps(
+                {
+                    "metric": "catalog_per_query",
+                    "part": i + 1,
+                    "parts": len(pq_chunks),
+                    "sf": sf,
+                    "cpus": cores,
+                    "queries": chunk,
+                },
+                separators=(",", ":"),
+            )
+        )
     print(
         json.dumps(
             {
@@ -1090,6 +1136,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "n_queries": len(rec.best),
+                "cpus": cores,
                 "load_contaminated": bool(load_start > LOAD_THRESHOLD),
                 "detail": "bench_detail.json",
             },
