@@ -246,6 +246,22 @@ KMEANS_SCALE = 1_000_000
 _KMEANS_LITERAL_MAX_CENTROIDS = 1024
 _KMEANS_LITERAL_MAX_VALUES = 131_072
 
+#: minimum KNOWN training-input row count for the literal path (r17,
+#: VERDICT r16 item 4 — the sealed-regression triage came back real):
+#: the literal plan pays a near-constant per-iteration driver cost
+#: (parse + analyze + codegen of the k·dim literal expression) while the
+#: joined loop's per-iteration cost scales with the sample's bytes, so at
+#: SMALL training inputs the joined loop wins (alternating same-session
+#: A/B at 2000 rows × dim 64: joined 2.50/2.50 s vs literal 3.02/2.66 s
+#: on the two k-means bench entries) and at large ones the literal path's
+#: removed exchanges dominate. Dispatch on the zero-job parquet-footer
+#: row count when it exists; UNKNOWN sizes (computed/filtered training
+#: inputs — the incremental sinks' batches) keep the literal path, the
+#: 100 TB-safe default (a training sample that cannot be metadata-sized
+#: is exactly the case the joined loop's per-iteration sample shuffle
+#: can't be assumed cheap for).
+_KMEANS_LITERAL_MIN_ROWS = 65_536
+
 #: unsampled-training guardrail (VERDICT r5 item 6): above this many rows a
 #: ``train_filter=None`` training run warns loudly — 2·iters full corpus
 #: scans is the one accidental scale-killer left in the trained-ANN path.
@@ -388,6 +404,7 @@ def kmeans_train(
     group_cols: tuple[str, ...] = (),
     train_filter: Column | None = None,
     max_unsampled_rows: int | None = KMEANS_MAX_UNSAMPLED_ROWS,
+    planning_rows: int | None = None,
 ) -> DataFrame:
     """Lloyd's k-means as iterative DataFrame aggregates — the trainer that
     replaces the deterministic id-prefix centroid stand-ins.
@@ -523,11 +540,26 @@ def kmeans_train(
     # distances arithmetically, while a rendered literal would depend on
     # cast-string parsing. k > cap skips the probe collect entirely (no
     # wasted centroid-plan evaluation on trains that can only fall back).
+    # Size gate (r17, VERDICT r16 item 4): a KNOWN-small training input
+    # takes the joined loop — its per-iteration exchanges on a small
+    # sample are cheaper than the literal plan's per-iteration
+    # parse/analyze/codegen (see _KMEANS_LITERAL_MIN_ROWS). The size
+    # probe is parquet-footer metadata, zero jobs; filtered/computed
+    # inputs return None and keep the literal path.
+    from ..plans.inspect import parquet_scan_row_count as _scan_rows
+
+    # planning_rows: a caller-supplied exact training-row count for inputs
+    # the footer probe can't size (e.g. pq_adc_topk's subspace explode —
+    # rows × n_sub, deterministic); takes precedence over the probe
+    _known_rows = planning_rows
+    if _known_rows is None and train_filter is None:
+        _known_rows = _scan_rows(df)
     _integral = ("tinyint", "smallint", "int", "bigint")
     if (
         k <= _KMEANS_LITERAL_MAX_CENTROIDS
         and len(g) <= 1
         and (not g or dict(base.dtypes).get(g[0]) in _integral)
+        and (_known_rows is None or _known_rows >= _KMEANS_LITERAL_MIN_ROWS)
     ):
         cents_rows = cents.limit(_KMEANS_LITERAL_MAX_CENTROIDS + 1).collect()
         if len(cents_rows) <= _KMEANS_LITERAL_MAX_CENTROIDS:
@@ -876,6 +908,14 @@ def pq_adc_topk(
         # amortized) — encoding + ADC only, no Lloyd's iterations
         codebook = codebook.select("s", "code", as_double("cv").alias("cv"))
     elif train_iters:
+        # size hint for the r17 literal-path gate: the subspace explode
+        # (Generate) defeats the footer probe, but its row count is
+        # exactly base_rows × n_sub — deterministic, zero jobs
+        from ..plans.inspect import parquet_scan_row_count
+
+        base_rows = (
+            parquet_scan_row_count(base) if train_filter is None else None
+        )
         codebook = kmeans_train(
             subs,
             id_col,
@@ -884,6 +924,9 @@ def pq_adc_topk(
             iters=train_iters,
             group_cols=("s",),
             train_filter=train_filter,
+            planning_rows=(
+                base_rows * n_sub if base_rows is not None else None
+            ),
         ).select("s", F.col("cid").alias("code"), F.col("cv"))
     else:
         codebook = subs.filter(F.col(id_col) < n_codes).select(

@@ -82,7 +82,18 @@ def parquet_scan_row_count(df: DataFrame) -> int | None:
     node_names = [
         m.group(1) for m in re.finditer(r"^[+\-: ]*([A-Za-z]+)", plan, re.MULTILINE)
     ]
-    if not node_names or any(n not in ("Project", "Relation") for n in node_names):
+    # Project, Repartition(ByExpression) and Sort are COUNT-PRESERVING —
+    # a spread_narrow'd or ordered scan still has exactly the footer row
+    # count (r17: the k-means size gate probes the post-spread training
+    # frame; Filter/Join/Generate/Limit and everything else stay None).
+    _count_preserving = (
+        "Project",
+        "Relation",
+        "Repartition",
+        "RepartitionByExpression",
+        "Sort",
+    )
+    if not node_names or any(n not in _count_preserving for n in node_names):
         return None
     if not re.search(r"^[+\-: ]*Relation .*parquet", plan, re.MULTILINE):
         return None
