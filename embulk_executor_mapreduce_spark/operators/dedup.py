@@ -420,6 +420,15 @@ def simhash64_oracle_sql(table: str, text_col: str, id_col: str) -> str:
     """
 
 
+#: small-graph fast-path cap for connected_components (r17): up to this
+#: many verified pairs are collected (limit-capped — the probe can never
+#: pull more than cap+1 rows) and closed on the driver with a union-find;
+#: ~1 MB of long ids at the cap, the k-means literal-path collect class.
+#: Above it — or for NULL ids / exotic id types — the distributed
+#: min-label-propagation loop below runs unchanged.
+_CC_COLLECT_MAX_PAIRS = 65_536
+
+
 def connected_components(
     pairs: DataFrame,
     a_col: str = "id_a",
@@ -441,7 +450,77 @@ def connected_components(
     no separate count job per round). DataFrames are localCheckpoint()ed
     each round to truncate lineage — the standard Spark
     iterative-algorithm pattern.
+
+    SMALL-GRAPH FAST PATH (r17, guide §1.2): verified near-dup pairs are a
+    tiny fraction of any batch (bounded by real duplication, not corpus
+    size), yet every consumer paid the loop's per-iteration price — join +
+    min-agg + eager localCheckpoint + convergence observation, 2-4 Spark
+    jobs and their driver gaps even for a few hundred pairs. Up to
+    ``_CC_COLLECT_MAX_PAIRS`` pairs (limit-capped probe: ~1 MB of ids on
+    the driver, the k-means literal-path collect class) the transitive
+    closure now runs as ONE collect + a driver union-find with min-label
+    union (the independent reference implementation the loop has always
+    been pinned against) + a sorted local frame — the same (node, min
+    reachable id) rows, deterministic order. Larger graphs, NULL ids, or
+    non-integral/non-string id types fall through to the loop unchanged;
+    equality of the two paths is pinned in
+    tests/test_dedup_similarity.py (reference test + forced-loop A/B).
     """
+    dtypes = dict(pairs.dtypes)
+    if (
+        dtypes.get(a_col) == dtypes.get(b_col)
+        and dtypes.get(a_col)
+        in ("tinyint", "smallint", "int", "bigint", "string")
+    ):
+        rows = (
+            pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+            .limit(_CC_COLLECT_MAX_PAIRS + 1)
+            .collect()
+        )
+        if len(rows) <= _CC_COLLECT_MAX_PAIRS and all(
+            r[0] is not None and r[1] is not None for r in rows
+        ):
+            parent: dict = {}
+
+            def find(x):
+                root = x
+                while parent[root] != root:
+                    root = parent[root]
+                while parent[x] != root:
+                    parent[x], x = root, parent[x]
+                return root
+
+            for a, b in rows:
+                if a not in parent:
+                    parent[a] = a
+                if b not in parent:
+                    parent[b] = b
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min-label union: the root is always the smallest id
+                    # of its component (Python's int/str ordering matches
+                    # Spark's — UTF8 binary order IS codepoint order),
+                    # so find(n) below is exactly the loop's converged
+                    # min-reachable label
+                    if rb < ra:
+                        ra, rb = rb, ra
+                    parent[rb] = ra
+            out = sorted((n, find(n)) for n in parent)
+            from pyspark.sql import types as T
+
+            id_type = pairs.schema[a_col].dataType
+            return pairs.sparkSession.createDataFrame(
+                out,
+                T.StructType(
+                    [
+                        T.StructField("doc_id", id_type),
+                        T.StructField("cluster_id", id_type),
+                    ]
+                ),
+            )
+        # NULL ids (kept as their own NULL-labeled rows by the loop's
+        # join semantics) or an over-cap graph: the loop below is the
+        # one implementation of record for those
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .union(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

@@ -753,6 +753,37 @@ def test_connected_components_matches_union_find_reference(spark):
         assert got == want, (trial, sorted(edges))
 
 
+def test_connected_components_fast_path_matches_loop(spark, monkeypatch):
+    """The r17 small-graph fast path (driver union-find over a bounded
+    collect) must produce exactly the distributed loop's rows — including
+    long chains, string ids, and the over-cap / NULL-id fallbacks."""
+    from embulk_executor_mapreduce_spark.operators import dedup as D
+
+    cases = [
+        spark.createDataFrame(
+            [(i, i + 1) for i in range(30)] + [(100, 200), (200, 50)],
+            "id_a long, id_b long",
+        ),
+        spark.createDataFrame(
+            [("b", "a"), ("c", "b"), ("x", "y")], "id_a string, id_b string"
+        ),
+    ]
+    for df in cases:
+        fast = sorted(map(tuple, D.connected_components(df).collect()))
+        monkeypatch.setattr(D, "_CC_COLLECT_MAX_PAIRS", 0)
+        loop = sorted(map(tuple, D.connected_components(df).collect()))
+        monkeypatch.undo()
+        assert fast == loop
+    # NULL ids take the loop (whose join semantics label them NULL) — the
+    # fast path must not blow up on, or mis-merge, a NULL row
+    nulls = spark.createDataFrame(
+        [(1, 2), (None, 3)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in
+           D.connected_components(nulls).collect()}
+    assert got[1] == 1 and got[2] == 1
+
+
 def test_mmr_prefers_diverse_over_redundant(spark):
     """MMR's defining behavior: when the two most relevant candidates are
     near-duplicates of each other, rank 2 must skip the redundant one for
@@ -1135,12 +1166,14 @@ def test_kmeans_literal_path_matches_joined(spark, monkeypatch):
         ),
     ]
     for name, run in cases:
+        # force the literal path regardless of the r17 size gate (the
+        # test fixture is a known-small parquet scan, which legitimately
+        # dispatches to the joined loop in production)
+        monkeypatch.setattr(S, "_KMEANS_LITERAL_MIN_ROWS", 0)
         lit_rows = sorted(map(tuple, run().collect()))
         monkeypatch.setattr(S, "_KMEANS_LITERAL_MAX_CENTROIDS", 0)
-        try:
-            join_rows = sorted(map(tuple, run().collect()))
-        finally:
-            monkeypatch.undo()
+        join_rows = sorted(map(tuple, run().collect()))
+        monkeypatch.undo()
         assert lit_rows == join_rows, name
 
 
@@ -1163,3 +1196,30 @@ def test_kmeans_train_non_integral_group_falls_back(spark):
     assert {(r["g"], r["cid"]) for r in got} == {
         ("en", 0), ("en", 1), ("fr", 0), ("fr", 1),
     }
+
+
+def test_kmeans_size_gate_dispatch(spark, tmp_path, monkeypatch):
+    """r17 size gate (VERDICT r16 item 4): a KNOWN-small training input
+    (bare parquet scan, footer row count under _KMEANS_LITERAL_MIN_ROWS)
+    takes the joined loop — its small-sample exchanges beat the literal
+    plan's per-iteration analysis cost — while an UNKNOWN-size input
+    (computed frame) keeps the literal path, the 100 TB-safe default."""
+    from embulk_executor_mapreduce_spark.operators import similarity as S
+
+    calls: list[int] = []
+    orig = S._kmeans_iterate_literal
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(S, "_kmeans_iterate_literal", spy)
+    rows = [(i, [float(i), float(i % 3)]) for i in range(50)]
+    p = str(tmp_path / "vecs")
+    spark.createDataFrame(rows, "id long, v array<double>").write.parquet(p)
+    scan = spark.read.parquet(p)
+    S.kmeans_train(scan, "id", "v", k=4, iters=1).collect()
+    assert not calls  # known 50 rows < gate -> joined loop
+    mem = spark.createDataFrame(rows, "id long, v array<double>")
+    S.kmeans_train(mem, "id", "v", k=4, iters=1).collect()
+    assert calls  # unknown size -> literal path
