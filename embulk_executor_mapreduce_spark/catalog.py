@@ -5114,24 +5114,39 @@ def q_ann_ivf_pq_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, cb = ivf_pq_index_train(
         emb.filter(F.col("vec_id") % 2 == 0), selection="lowest"
     )
-    cents.write.parquet(f"{root}/centroids")
-    cb.write.parquet(f"{root}/codebook")
+    from .session import run_independent_actions
+
+    # the two artifact writes are independent (r17, guide §2.6) — NOTE
+    # this is the fixture's scratch dir; the production CDC ANN ingest
+    # keeps its documented codebook-last crash ordering
+    run_independent_actions(
+        lambda: cents.write.parquet(f"{root}/centroids"),
+        lambda: cb.write.parquet(f"{root}/codebook"),
+    )
     stored = (
         spark.read.parquet(f"{root}/centroids"),
         spark.read.parquet(f"{root}/codebook"),
     )
-    write_sink(
-        ivf_pq_index_assign(
-            emb.filter(F.col("vec_id") % 2 == 0), *stored
-        ).withColumn("_ingest_version", F.lit(1)),
-        sink,
+    # increment 2's assign-only encoding is independent of increment 1's
+    # merge commit — pipeline them (r17, guide §2.6): the lazy checkpoint
+    # materializes increment 2's codes (small: ids + codes, never
+    # vectors) while commit 1's driver tail runs; the state-dependent
+    # MERGE of increment 2 still waits for commit 1
+    a2 = (
+        ivf_pq_index_assign(emb.filter(F.col("vec_id") % 2 == 1), *stored)
+        .withColumn("_ingest_version", F.lit(2))
+        .localCheckpoint(eager=False)
     )
-    write_sink(
-        ivf_pq_index_assign(
-            emb.filter(F.col("vec_id") % 2 == 1), *stored
-        ).withColumn("_ingest_version", F.lit(2)),
-        sink,
+    run_independent_actions(
+        lambda: write_sink(
+            ivf_pq_index_assign(
+                emb.filter(F.col("vec_id") % 2 == 0), *stored
+            ).withColumn("_ingest_version", F.lit(1)),
+            sink,
+        ),
+        lambda: a2.count(),
     )
+    write_sink(a2, sink)
     return ivf_pq_topk_indexed(
         read_merge_state(spark, f"{root}/index").select(
             "cand_id", "cid", "s", "code"
@@ -7363,17 +7378,30 @@ def q_image_neardup_incremental_state(spark: SparkSession, sf_dir: str) -> DataF
         id_col="img_id",
     ).select("img_id", "dhash")
     _, d1 = incremental_image_neardup(batch1, None, id_col="img_id")
-    write_sink(d1, sink)
-    batch2 = image_dhash(
-        encode_grid_png(docs.filter(F.col("doc_id") % 2 == 1), scale=2)
-        .select((F.col("doc_id") * 2).alias("img_id"), "payload")
-        .unionByName(
-            encode_grid_png(docs.filter(F.col("doc_id") % 10 == 0), scale=3).select(
-                (F.col("doc_id") * 2 + 1).alias("img_id"), "payload"
-            )
-        ),
-        id_col="img_id",
-    ).select("img_id", "dhash")
+    batch2 = (
+        image_dhash(
+            encode_grid_png(docs.filter(F.col("doc_id") % 2 == 1), scale=2)
+            .select((F.col("doc_id") * 2).alias("img_id"), "payload")
+            .unionByName(
+                encode_grid_png(
+                    docs.filter(F.col("doc_id") % 10 == 0), scale=3
+                ).select((F.col("doc_id") * 2 + 1).alias("img_id"), "payload")
+            ),
+            id_col="img_id",
+        )
+        .select("img_id", "dhash")
+        .localCheckpoint(eager=False)
+    )
+    from .session import run_independent_actions
+
+    # hash the NEXT crawl batch while the current batch's state commits
+    # (r17, guide §2.6 — the two actions are independent: the hash pass
+    # reads only raw docs; only batch 2's state PROBE needs commit 1).
+    # The checkpoint holds (id, hash) rows, never payload bytes.
+    run_independent_actions(
+        lambda: write_sink(d1, sink),
+        lambda: batch2.count(),
+    )
     _, d2 = incremental_image_neardup(
         batch2, read_merge_state(spark, path), id_col="img_id"
     )
