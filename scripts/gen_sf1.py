@@ -106,18 +106,37 @@ def main() -> None:
     spans = _domain_spans(spark, args.src)
     print("key domain spans:", spans)
     Path(args.out).mkdir(parents=True, exist_ok=True)
+
+    def _single_file(df, table: str) -> None:
+        # the driver's testdata is ONE parquet FILE per table (footer
+        # probes pq.read_schema the exact path), so flatten the Spark
+        # output dir to a bare file
+        import shutil
+
+        tmp = f"{args.out}/.__gen_{table}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in Path(tmp).iterdir()
+            if p.name.startswith("part-") and p.name.endswith(".parquet")
+        )
+        dest = Path(f"{args.out}/{table}.parquet")
+        if dest.is_dir():
+            shutil.rmtree(dest)
+        elif dest.exists():
+            dest.unlink()
+        part.rename(dest)
+        shutil.rmtree(tmp)
+
     for table in COPIED:
         df = spark.read.parquet(f"{args.src}/{table}.parquet")
-        df.coalesce(1).write.mode("overwrite").parquet(
-            f"{args.out}/{table}.parquet"
-        )
+        _single_file(df, table)
         print(f"{table}: copied {df.count()} rows")
     for table in REPLICATED:
         df = spark.read.parquet(f"{args.src}/{table}.parquet")
         out = _replica(df, table, 0, spans)
         for r in range(1, args.factor):
             out = out.unionByName(_replica(df, table, r, spans))
-        out.write.mode("overwrite").parquet(f"{args.out}/{table}.parquet")
+        _single_file(out, table)
         n = spark.read.parquet(f"{args.out}/{table}.parquet").count()
         print(f"{table}: {n} rows ({args.factor}x)")
 
