@@ -472,6 +472,17 @@ def connected_components(
         and dtypes.get(a_col)
         in ("tinyint", "smallint", "int", "bigint", "string")
     ):
+        # lazy checkpoint BEFORE the probe (post-review r17): the probe
+        # collect fully evaluates the pair-generation pipeline once, and
+        # without the checkpoint an OVER-CAP graph would re-run that
+        # pipeline (minhash/band self-join shuffles) a second time when
+        # the fallback loop builds its edge list — the checkpoint makes
+        # the fallback consume the probe's materialization instead, so
+        # the worst-case path still evaluates pairs exactly once (what
+        # the loop's edges.persist() always guaranteed pre-fast-path)
+        pairs = pairs.select(
+            F.col(a_col).alias(a_col), F.col(b_col).alias(b_col)
+        ).localCheckpoint(eager=False)
         rows = (
             pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
             .limit(_CC_COLLECT_MAX_PAIRS + 1)

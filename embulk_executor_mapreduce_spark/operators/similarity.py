@@ -546,20 +546,27 @@ def kmeans_train(
     # parse/analyze/codegen (see _KMEANS_LITERAL_MIN_ROWS). The size
     # probe is parquet-footer metadata, zero jobs; filtered/computed
     # inputs return None and keep the literal path.
-    from ..plans.inspect import parquet_scan_row_count as _scan_rows
-
-    # planning_rows: a caller-supplied exact training-row count for inputs
-    # the footer probe can't size (e.g. pq_adc_topk's subspace explode —
-    # rows × n_sub, deterministic); takes precedence over the probe
-    _known_rows = planning_rows
-    if _known_rows is None and train_filter is None:
-        _known_rows = _scan_rows(df)
     _integral = ("tinyint", "smallint", "int", "bigint")
-    if (
+    _lit_candidate = (
         k <= _KMEANS_LITERAL_MAX_CENTROIDS
         and len(g) <= 1
         and (not g or dict(base.dtypes).get(g[0]) in _integral)
-        and (_known_rows is None or _known_rows >= _KMEANS_LITERAL_MIN_ROWS)
+    )
+    # Size probe ONLY for trains the literal path could take (post-review
+    # r17: a k-over-cap / multi-group train must not pay the footer I/O
+    # for a dispatch that cannot change). planning_rows: a
+    # caller-supplied exact training-row count for inputs the footer
+    # probe can't size (e.g. pq_adc_topk's subspace explode — rows ×
+    # n_sub, deterministic); takes precedence over the probe.
+    _known_rows = None
+    if _lit_candidate:
+        _known_rows = planning_rows
+        if _known_rows is None and train_filter is None:
+            from ..plans.inspect import parquet_scan_row_count as _scan_rows
+
+            _known_rows = _scan_rows(df)
+    if _lit_candidate and (
+        _known_rows is None or _known_rows >= _KMEANS_LITERAL_MIN_ROWS
     ):
         cents_rows = cents.limit(_KMEANS_LITERAL_MAX_CENTROIDS + 1).collect()
         if len(cents_rows) <= _KMEANS_LITERAL_MAX_CENTROIDS:

@@ -753,6 +753,7 @@ def _tail_versions(
     tmp_prefix: str,
     apply,
     span_feed=None,
+    max_span: int | None = None,
 ) -> int:
     """The shared version-tail protocol (`_run_cdc_tail`'s discipline,
     factored once for every CDC-fed composition — r13 review finding: two
@@ -787,7 +788,14 @@ def _tail_versions(
     would have skipped it. ``apply(v, batch)``: ``batch`` is the
     (non-empty) cached span slice in fused mode, or None in legacy mode
     (``apply`` computes and probes its own per-version feed — the path a
-    1-version tail and ``SPARK_GRAFT_CDC_FUSE_SPAN=1`` take)."""
+    1-version tail and ``SPARK_GRAFT_CDC_FUSE_SPAN=1`` take).
+
+    ``max_span``: a composition-specific ceiling on the chunk size —
+    the shared env default is tuned for row-light feeds (postings rows,
+    vectors); a PAYLOAD-heavy feed (the image composition: raw encoded
+    bytes ride the span cache until its last version applies) passes a
+    lower bound so the pinned bytes stay ~that many commits deep
+    regardless of the env setting."""
     import json as _json
     import os
     import tempfile
@@ -822,6 +830,8 @@ def _tail_versions(
     to_v = current if to_version is None else min(current, to_version)
     last = start
     chunk = _fuse_span()
+    if max_span is not None:
+        chunk = min(chunk, max(1, max_span))
     if span_feed is None or chunk < 2 or to_v - start < 2:
         for v in range(start + 1, to_v + 1):
             apply(v, None)
@@ -1371,4 +1381,8 @@ def run_cdc_image_ingest(
         span_feed=lambda lo, hi: _span_batch(
             spark, source_path, keys, lo, hi, id_col, payload_col
         ),
+        # payload-heavy feed: the span cache carries raw image bytes
+        # until its last version applies — bound the pinned bytes at 4
+        # commits regardless of the row-light default (post-review r17)
+        max_span=4,
     )

@@ -76,9 +76,10 @@ def _replica(df: DataFrame, table: str, r: int, spans: dict[str, int]) -> DataFr
     if table == "documents":
         # unique content per replica (exact dedup must not collapse the
         # upsample to sf0.1); keeps token distributions near-identical
+        suffix = f" replica{r}"
         out = out.withColumn(
-            "text", F.concat(F.col("text"), F.lit(f" replica{r}"))
-        ).withColumn("n_chars", F.col("n_chars") + F.lit(9 + len(str(r))))
+            "text", F.concat(F.col("text"), F.lit(suffix))
+        ).withColumn("n_chars", F.col("n_chars") + F.lit(len(suffix)))
     elif table == "embeddings":
         # tiny deterministic offset on the first component: no exact-dup
         # vectors, geometry essentially unchanged

@@ -42,7 +42,7 @@ DEFAULT_ENTRIES = [
     "ann_pq_kmeans_topk",
     "graph_pagerank_events",
     "merge_table_changes",
-    "dedup_incremental_minhash",
+    "dedup_incremental_state",
 ]
 
 
