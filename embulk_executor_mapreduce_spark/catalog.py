@@ -3422,11 +3422,16 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-frequency table in one pass, then 8 deterministic merge
     iterations run entirely over that bounded table — weighted adjacent
     pair counts (map-side combinable), a 1-row (cnt DESC, pair ASC)
-    argmax, and a broadcast literal-replace re-segmentation per round
-    (the fixed-iteration Pregel pattern k-means and PageRank use).
-    Returns the learned merge table, the artifact a tokenizer ships.
-    Full value-hash oracle: the DuckDB mirror unrolls all 8 merges."""
-    from .operators.text import bpe_train
+    argmax, and a left-to-right re-segmentation per round. r17: up to
+    65 536 distinct words the merge loop runs ON THE DRIVER over the
+    collected word table (``operators.bpe_local`` — the textbook
+    in-memory trainer every production tokenizer uses, bit-equal to the
+    distributed loop and pinned so in tests); past the cap the
+    fixed-iteration distributed loop runs unchanged on the same
+    materialized table. Returns the learned merge table, the artifact a
+    tokenizer ships. Full value-hash oracle: the DuckDB mirror unrolls
+    all 8 merges."""
+    from .operators.bpe_local import bpe_train
 
     return bpe_train(load(spark, sf_dir, "documents"), n_merges=8)
 
@@ -3486,9 +3491,12 @@ def q_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus under it — one corpus-token-sized equi-join against the
     vocabulary-sized segmentation table, yielding per-doc word and
     BPE-token counts (the packing/budgeting numbers a training pipeline
-    needs under a real tokenizer). Full value-hash oracle: the chain plus
-    the per-doc join replays in DuckDB."""
-    from .operators.text import bpe_segment
+    needs under a real tokenizer). r17: the trainer dispatches through
+    ``operators.bpe_local`` (driver-local merge loop under the 65 536-word
+    cap, distributed loop unchanged past it); the apply join is verbatim.
+    Full value-hash oracle: the chain plus the per-doc join replays in
+    DuckDB."""
+    from .operators.bpe_local import bpe_segment
 
     return bpe_segment(load(spark, sf_dir, "documents"), n_merges=8)
 
