@@ -268,6 +268,16 @@ _KMEANS_LITERAL_MIN_ROWS = 65_536
 #: Codebook quality needs ~1k vectors per centroid, not the corpus.
 KMEANS_MAX_UNSAMPLED_ROWS = 2_000_000
 
+#: driver-local training cap (r17 second optimization round): a KNOWN
+#: training input under ``_KMEANS_LITERAL_MIN_ROWS`` rows AND this many
+#: total doubles (rows × dim, ≤ 32 MB collected) trains entirely on the
+#: driver — the shape every production ANN library uses (FAISS and friends
+#: train IVF/PQ codebooks on an in-memory sample; the distributed loops
+#: here exist for samples that DON'T fit). Over either cap, or on any
+#: guard failure (non-double vectors, NULL/non-finite values, ragged
+#: dims, duplicate ids), the broadcast-join loop runs unchanged.
+_KMEANS_DRIVER_MAX_VALUES = 4_194_304
+
 
 def _kmeans_iterate_literal(
     base: DataFrame,
@@ -393,6 +403,152 @@ def _kmeans_iterate_literal(
                 new_rows.append(t[:-1] + ([pm[p] for p in range(len(t[-1]))],))
         rows = new_rows
     return spark.createDataFrame(rows, cents_schema)
+
+
+_KMEANS_INTEGRAL_DTYPES = ("tinyint", "smallint", "int", "bigint")
+
+
+def _kmeans_local_lloyd(
+    parsed: list, k: int, iters: int, sampled: bool
+) -> list:
+    """Lloyd iterations on the driver, BIT-FAITHFUL to the distributed
+    loop's Spark expressions (pinned in
+    ``tests/test_dedup_similarity.py::test_kmeans_driver_path_matches_joined``):
+
+    * every dot product is the same SEQUENTIAL left-to-right fold
+      (``acc = acc + x·y`` per element) — vectorized across (row,
+      centroid) PAIRS with one elementwise numpy pass per dim position,
+      which preserves each scalar accumulator's exact operation order
+      (numpy elementwise ufuncs are plain IEEE-754 binary64 ops, no FMA
+      contraction across calls);
+    * the distance keeps the loop's association
+      ``(dot(v,v) - 2.0·dot(v,cv)) + dot(cv,cv)``;
+    * the argmin is the loop's ``max(struct(-d, -cid))``: candidates are
+      kept cid-ASCENDING so numpy's first-max tie-break IS the smallest
+      cid. Mixed-sign zero ties cannot arise (d == -0.0 is impossible:
+      IEEE x + (-x) rounds to +0.0), and non-finite values never reach
+      here (guarded in :func:`_kmeans_train_local`), so float equality
+      coincides with Spark's Double.compare ordering;
+    * the update is the loop's exact scaled-integer arithmetic:
+      ``floor(val·10⁶ + 0.5)`` per element (float64 multiply/add/floor),
+      exact int64 sums (order-free), then the same
+      ``CAST(sum AS DOUBLE) / CAST(n·10⁶ AS DOUBLE)`` division — both
+      conversions round-to-nearest exactly like Spark's long→double cast;
+    * empty clusters keep their previous centroid.
+
+    ``parsed`` is ``[(group_value_or_None, id, vector), ...]``; returns
+    ``[(group_value_or_None, cid, centroid_list), ...]``.
+    """
+    import numpy as np
+
+    groups: dict = {}
+    for gv, vid, v in parsed:
+        groups.setdefault(gv, []).append((vid, v))
+    out: list = []
+    for gv in sorted(groups):
+        members = groups[gv]
+        if sampled:
+            ordered = sorted(members, key=lambda t: t[0])
+            cents = [(i, list(m[1])) for i, m in enumerate(ordered[:k])]
+        else:
+            cents = sorted(
+                ((int(vid), list(v)) for vid, v in members if vid < k),
+                key=lambda t: t[0],
+            )
+        if not cents:
+            # no init rows for this group: the loop's inner joins emit
+            # nothing for it, so the trained table has no rows either
+            continue
+        V = np.array([v for _, v in members], dtype=np.float64)
+        n_rows, dim = V.shape
+        scaled = np.floor(V * 1_000_000.0 + 0.5).astype(np.int64)
+        for _ in range(iters):
+            C = np.array([cv for _, cv in cents], dtype=np.float64)
+            dvv = np.zeros(n_rows, dtype=np.float64)
+            dcc = np.zeros(len(cents), dtype=np.float64)
+            dvc = np.zeros((n_rows, len(cents)), dtype=np.float64)
+            for i in range(dim):
+                dvv = dvv + V[:, i] * V[:, i]
+                dcc = dcc + C[:, i] * C[:, i]
+                dvc = dvc + V[:, i, None] * C[None, :, i]
+            d = (dvv[:, None] - 2.0 * dvc) + dcc[None, :]
+            best = np.argmax(-d, axis=1)
+            new_cents = []
+            for j, (cid, cv) in enumerate(cents):
+                mask = best == j
+                n_m = int(mask.sum())
+                if n_m == 0:
+                    new_cents.append((cid, cv))
+                else:
+                    sums = scaled[mask].sum(axis=0)
+                    mv = sums.astype(np.float64) / float(n_m * KMEANS_SCALE)
+                    new_cents.append((cid, [float(x) for x in mv]))
+            cents = new_cents
+        for cid, cv in cents:
+            out.append((gv, cid, cv))
+    return out
+
+
+def _kmeans_train_local(
+    base: DataFrame,
+    g: list,
+    k: int,
+    iters: int,
+    schema,
+    sampled: bool,
+    known_rows: int,
+) -> DataFrame | None:
+    """Collect a KNOWN-small training input and train on the driver (see
+    the dispatch in :func:`kmeans_train`). Returns ``None`` — caller runs
+    the broadcast-join loop unchanged — on any guard failure: non-double
+    vector type, non-integral id type, pathological width (a 1-row probe
+    sizes rows × dim against ``_KMEANS_DRIVER_MAX_VALUES`` BEFORE the full
+    collect), a row count above the gate (a lying ``planning_rows``),
+    NULL/ragged/non-finite vectors, NULL group values, or duplicate ids
+    per group (ill-defined by contract; the loop's per-id argmin collapse
+    is preserved by not racing it)."""
+    import math
+
+    dtypes = dict(base.dtypes)
+    if dtypes.get("__v") != "array<double>":
+        return None
+    if dtypes.get("__vid") not in _KMEANS_INTEGRAL_DTYPES:
+        return None
+    spark = base.sparkSession
+    head = base.limit(1).collect()
+    if not head:
+        return spark.createDataFrame([], schema)
+    v0 = head[0]["__v"]
+    if v0 is None:
+        return None
+    dim = len(v0)
+    if dim == 0 or known_rows * dim > _KMEANS_DRIVER_MAX_VALUES:
+        return None
+    rows = base.limit(_KMEANS_LITERAL_MIN_ROWS + 1).collect()
+    if len(rows) > _KMEANS_LITERAL_MIN_ROWS:
+        return None
+    parsed, seen = [], set()
+    for r in rows:
+        gv = r[g[0]] if g else None
+        vid, v = r["__vid"], r["__v"]
+        if (g and gv is None) or vid is None or v is None or len(v) != dim:
+            return None
+        if (gv, vid) in seen:
+            return None
+        seen.add((gv, vid))
+        for x in v:
+            # the 9e12 bound keeps floor(x·10⁶+0.5) inside int64: past
+            # long range numpy's float→int64 conversion (sentinel
+            # INT64_MIN) and Java's (saturating) disagree
+            if x is None or not math.isfinite(x) or abs(x) > 9.0e12:
+                return None
+        parsed.append((gv, vid, v))
+    out = _kmeans_local_lloyd(parsed, k, iters, sampled)
+    if g:
+        data = out
+    else:
+        data = [(cid, cv) for _gv, cid, cv in out]
+    return spark.createDataFrame(data, schema)
 
 
 def kmeans_train(
@@ -586,6 +742,30 @@ def kmeans_train(
                 )
             ):
                 return _kmeans_iterate_literal(base, g, cents_rows, cents.schema, iters)
+
+    # --- DRIVER-LOCAL training fast path (r17 optimization round 2) ---
+    # A KNOWN-small training input (the territory the r17 size gate sent
+    # to the joined loop) fits on the driver by construction — collect it
+    # ONCE and run every Lloyd iteration locally (guide §1.2: the joined
+    # loop's per-iteration broadcast + two exchanges + checkpoint job all
+    # disappear; 2 small jobs total instead of ~3 per iteration). This is
+    # how production ANN libraries train codebooks — FAISS et al. train
+    # IVF/PQ on an in-memory sample — and the trained table was ALREADY
+    # driver-resident in every consumer (it broadcasts). Bit-equality
+    # with the joined loop is pinned test-side; every guard failure falls
+    # through to that loop unchanged. UNKNOWN-size inputs keep the
+    # literal path above (never a speculative collect of something that
+    # might be corpus-sized).
+    if (
+        _lit_candidate
+        and _known_rows is not None
+        and _known_rows < _KMEANS_LITERAL_MIN_ROWS
+    ):
+        local = _kmeans_train_local(
+            base, g, k, iters, cents.schema, train_filter is not None, _known_rows
+        )
+        if local is not None:
+            return local
 
     def dsq(a: Column, b: Column) -> Column:
         return dot(a, a) - F.lit(2.0) * dot(a, b) + dot(b, b)

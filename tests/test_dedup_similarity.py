@@ -1199,27 +1199,126 @@ def test_kmeans_train_non_integral_group_falls_back(spark):
 
 
 def test_kmeans_size_gate_dispatch(spark, tmp_path, monkeypatch):
-    """r17 size gate (VERDICT r16 item 4): a KNOWN-small training input
-    (bare parquet scan, footer row count under _KMEANS_LITERAL_MIN_ROWS)
-    takes the joined loop — its small-sample exchanges beat the literal
-    plan's per-iteration analysis cost — while an UNKNOWN-size input
-    (computed frame) keeps the literal path, the 100 TB-safe default."""
+    """r17 size gate (VERDICT r16 item 4, extended by the r17 second
+    optimization round): a KNOWN-small training input (bare parquet scan,
+    footer row count under _KMEANS_LITERAL_MIN_ROWS) now trains on the
+    DRIVER (the collected-sample Lloyd loop), never the literal plan —
+    while an UNKNOWN-size input (computed frame) keeps the literal path,
+    the 100 TB-safe default."""
     from embulk_executor_mapreduce_spark.operators import similarity as S
 
     calls: list[int] = []
+    local_calls: list[int] = []
     orig = S._kmeans_iterate_literal
+    orig_local = S._kmeans_train_local
 
     def spy(*a, **kw):
         calls.append(1)
         return orig(*a, **kw)
 
+    def spy_local(*a, **kw):
+        local_calls.append(1)
+        return orig_local(*a, **kw)
+
     monkeypatch.setattr(S, "_kmeans_iterate_literal", spy)
+    monkeypatch.setattr(S, "_kmeans_train_local", spy_local)
     rows = [(i, [float(i), float(i % 3)]) for i in range(50)]
     p = str(tmp_path / "vecs")
     spark.createDataFrame(rows, "id long, v array<double>").write.parquet(p)
     scan = spark.read.parquet(p)
     S.kmeans_train(scan, "id", "v", k=4, iters=1).collect()
-    assert not calls  # known 50 rows < gate -> joined loop
+    assert not calls and local_calls  # known 50 rows < gate -> driver train
     mem = spark.createDataFrame(rows, "id long, v array<double>")
     S.kmeans_train(mem, "id", "v", k=4, iters=1).collect()
     assert calls  # unknown size -> literal path
+    assert len(local_calls) == 1  # driver path never probed for unknown
+
+
+def test_kmeans_driver_path_matches_joined(spark, tmp_path, monkeypatch):
+    """The r17 driver-local trainer must be BIT-IDENTICAL to the
+    broadcast-join loop it replaces — flat, sparse flat init (ids not
+    starting at 0, so fewer than k centroids), grouped (PQ subspaces),
+    and sampled (row_number init via train_filter + planning_rows)
+    variants, empty clusters included. The joined loop is forced by
+    zeroing the driver-path value budget (the literal path stays out of
+    play: the inputs are KNOWN-small)."""
+    from embulk_executor_mapreduce_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    base = emb.select("vec_id", S.as_double("embedding").alias("v"))
+    p = str(tmp_path / "emb")
+    base.write.parquet(p)
+    scan = spark.read.parquet(p)
+    p_shift = str(tmp_path / "emb_shift")
+    base.select((F.col("vec_id") + 8).alias("vec_id"), "v").write.parquet(p_shift)
+    scan_shift = spark.read.parquet(p_shift)
+    sub_ix = F.explode(F.array(*[F.lit(s) for s in range(4)])).alias("s")
+    p_subs = str(tmp_path / "subs")
+    base.select("vec_id", "v", sub_ix).select(
+        "vec_id", "s", F.slice(F.col("v"), F.col("s") * 16 + 1, 16).alias("sv")
+    ).write.parquet(p_subs)
+    subs = spark.read.parquet(p_subs)
+    n = scan.count()
+
+    cases = [
+        ("flat", lambda: S.kmeans_train(scan, "vec_id", "v", k=16, iters=3)),
+        # ids 8.. only: flat init finds 8 of 16 seed ids; k=500-ish above
+        # the natural cluster count also leaves empty clusters to carry
+        ("sparse_init", lambda: S.kmeans_train(scan_shift, "vec_id", "v", k=16, iters=2)),
+        (
+            "grouped",
+            lambda: S.kmeans_train(
+                subs, "vec_id", "sv", k=8, iters=2, group_cols=("s",)
+            ),
+        ),
+        (
+            "sampled_init",
+            lambda: S.kmeans_train(
+                scan,
+                "vec_id",
+                "v",
+                k=8,
+                iters=2,
+                train_filter=F.col("vec_id") % 3 == 0,
+                planning_rows=(n + 2) // 3,
+            ),
+        ),
+    ]
+    for name, run in cases:
+        driver_rows = sorted(map(tuple, run().collect()))
+        monkeypatch.setattr(S, "_KMEANS_DRIVER_MAX_VALUES", 0)
+        joined_rows = sorted(map(tuple, run().collect()))
+        monkeypatch.undo()
+        assert driver_rows == joined_rows, name
+
+
+def test_kmeans_driver_path_guard_fallbacks(spark, tmp_path, monkeypatch):
+    """Guard failures must dispatch to the joined loop, not the local
+    trainer: duplicate ids (ill-defined by contract — the loop's per-id
+    argmin collapse is preserved), non-finite vector values, ragged
+    dims, and NULL vectors."""
+    from embulk_executor_mapreduce_spark.operators import similarity as S
+
+    local_runs: list[int] = []
+    orig = S._kmeans_local_lloyd
+
+    def spy(*a, **kw):
+        local_runs.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(S, "_kmeans_local_lloyd", spy)
+    rows = [(i, [float(i), float(i % 5)]) for i in range(20)]
+    bad = {
+        "dup_ids": rows + rows[:3],
+        "non_finite": rows + [(97, [float("inf"), 0.0])],
+        "ragged": rows + [(98, [1.0])],
+        "null_vec": rows + [(99, None)],
+    }
+    for name, data in bad.items():
+        p = str(tmp_path / name)
+        spark.createDataFrame(data, "id long, v array<double>").write.parquet(p)
+        out = S.kmeans_train(
+            spark.read.parquet(p), "id", "v", k=4, iters=2
+        ).collect()
+        assert not local_runs, name
+        assert len(out) == 4 or name == "dup_ids", name
