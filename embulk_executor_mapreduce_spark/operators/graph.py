@@ -39,6 +39,81 @@ from pyspark.sql import functions as F
 
 PR_SCALE = 10**12
 
+#: driver-local PageRank cap (r17 second optimization round): a DISTINCT
+#: edge set this small (a few MB of id pairs — the union-find / k-means
+#: collect class) runs every iteration on the driver instead of paying
+#: ~2 jobs + a checkpoint per iteration plus the node-count job. The
+#: whole computation is exact BIGINT arithmetic (that is the module's
+#: exactmath contract), so the local mirror is trivially bit-equal —
+#: every operation is the same integer expression, order-free. Over the
+#: cap (or NULL endpoints, or plan-inspection runs with
+#: ``checkpoint=False``) the distributed loop runs unchanged; the capped
+#: collect reads the distinct-edge cache the loop would materialize
+#: anyway, so the over-cap probe costs one bounded collect, never an
+#: extra corpus pass.
+_PR_COLLECT_MAX_EDGES = 65_536
+
+
+def _pagerank_local(
+    e: DataFrame,
+    node_field,
+    iters: int,
+    scale: int,
+    damping_num: int,
+    damping_den: int,
+    redistribute_dangling: bool,
+    n_nodes: int | None,
+) -> DataFrame | None:
+    """Collect the (already-distinct) edge list under the cap and run the
+    fixed-iteration integer PageRank locally — the exact mirror of the
+    loop's expressions: per-edge contribution ``(rank·num) DIV
+    (den·outdeg)``, dangling mass summed over the PREVIOUS ranks of nodes
+    with no out-edges, update ``base + contrib + share``; all operands
+    positive BIGINTs, so Python ``//`` == Spark ``DIV`` == DuckDB ``//``.
+    Duplicate edge rows (a caller mis-declaring ``edges_distinct``)
+    contribute per ROW, exactly as the loop's join does. Returns ``None``
+    to fall back on an over-cap edge set or NULL endpoints."""
+    rows = e.limit(_PR_COLLECT_MAX_EDGES + 1).collect()
+    if len(rows) > _PR_COLLECT_MAX_EDGES:
+        return None
+    edges = []
+    for r in rows:
+        s, d = r[0], r[1]
+        if s is None or d is None:
+            return None
+        edges.append((s, d))
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    spark = e.sparkSession
+    # rank nullability mirrors the loop's final select: the plain update
+    # is lit + coalesce (non-nullable); the dangling share rides an
+    # integral-divide expression, which Spark types nullable
+    schema = StructType(
+        [node_field, StructField("rank", LongType(), bool(redistribute_dangling))]
+    )
+    nodes = {s for s, _ in edges} | {d for _, d in edges}
+    if not nodes:
+        return spark.createDataFrame([], schema)
+    n = n_nodes if n_nodes is not None else len(nodes)
+    init = scale // n
+    base = (damping_den - damping_num) * scale // (damping_den * n)
+    outdeg: dict = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    ranks = {v: init for v in nodes}
+    for _ in range(iters):
+        contrib: dict = {}
+        for s, d in edges:
+            contrib[d] = contrib.get(d, 0) + (ranks[s] * damping_num) // (
+                damping_den * outdeg[s]
+            )
+        share = 0
+        if redistribute_dangling:
+            dm = sum(rank for v, rank in ranks.items() if v not in outdeg)
+            share = (dm * damping_num) // (damping_den * n)
+        ranks = {v: base + contrib.get(v, 0) + share for v in nodes}
+    return spark.createDataFrame(sorted(ranks.items()), schema)
+
 
 def pagerank(
     edges: DataFrame,
@@ -95,6 +170,25 @@ def pagerank(
         .distinct()
         .persist()
     )
+    # driver-local fast path (see _pagerank_local) — real runs only;
+    # checkpoint=False is the plan-inspection contract and must keep the
+    # distributed loop's plan shape for the exchange guards
+    if checkpoint:
+        local = _pagerank_local(
+            e,
+            nodes.schema.fields[0],
+            iters,
+            scale,
+            damping_num,
+            damping_den,
+            redistribute_dangling,
+            n_nodes,
+        )
+        if local is not None:
+            if not edges_distinct:
+                e.unpersist()
+            nodes.unpersist()
+            return local
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # The (src, dst, outdeg) table is STATIC across iterations — join it
     # once, outside the loop (r7: previously the outdeg join ran inside

@@ -59,14 +59,10 @@ def _pseudo_edges(n_nodes=1000, per_node=3):
     ]
 
 
-def test_pagerank_spark_duckdb_bit_exact(spark):
+def test_pagerank_spark_duckdb_bit_exact(spark, monkeypatch):
     edges = _pseudo_edges()
-    got = sorted(
-        (r.node, r.rank)
-        for r in pagerank(
-            spark.createDataFrame(edges, "src long, dst long"), iters=5
-        ).collect()
-    )
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = sorted((r.node, r.rank) for r in pagerank(df, iters=5).collect())
     edges_sql = (
         "SELECT i AS src, (i*i + 7*j*j + 13) % 1000 AS dst "
         "FROM range(1000) t(i), range(3) u(j) WHERE i % 17 != 0"
@@ -77,6 +73,59 @@ def test_pagerank_spark_duckdb_bit_exact(spark):
     )
     assert got == want
     assert got == sorted(_reference_pagerank(edges, iters=5).items())
+    # the r17 driver-local fast path handled the default run above; the
+    # distributed loop must stay bit-equal to the same oracle
+    from embulk_executor_mapreduce_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_PR_COLLECT_MAX_EDGES", 0)
+    loop = sorted((r.node, r.rank) for r in pagerank(df, iters=5).collect())
+    assert loop == want
+
+
+def test_pagerank_driver_path_dispatch_and_fallbacks(spark, monkeypatch):
+    """r17 driver-local fast path: real runs on cap-sized DISTINCT edge
+    sets collect once and iterate locally (bit-equal to the loop,
+    dangling redistribution and n_nodes included); NULL endpoints and
+    plan-inspection runs (checkpoint=False) keep the distributed loop."""
+    from embulk_executor_mapreduce_spark.operators import graph as G
+
+    local_runs: list[int] = []
+    orig = G._pagerank_local
+
+    def spy(*a, **kw):
+        local_runs.append(1)
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(G, "_pagerank_local", spy)
+    edges = _pseudo_edges(n_nodes=120)
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = sorted(
+        map(tuple, pagerank(df, iters=3, redistribute_dangling=True).collect())
+    )
+    assert local_runs
+    monkeypatch.setattr(G, "_PR_COLLECT_MAX_EDGES", 0)
+    loop = pagerank(df, iters=3, redistribute_dangling=True)
+    assert fast == sorted(map(tuple, loop.collect()))
+    assert pagerank(df, iters=3, redistribute_dangling=True).schema == loop.schema
+    monkeypatch.setattr(G, "_PR_COLLECT_MAX_EDGES", 65_536)
+    # n_nodes hint feeds the local arithmetic identically
+    n = len({s for s, _ in edges} | {d for _, d in edges})
+    with_hint = sorted(
+        map(tuple, pagerank(df, iters=3, n_nodes=n).collect())
+    )
+    assert with_hint == sorted(map(tuple, pagerank(df, iters=3).collect()))
+    # NULL endpoint -> the local mirror declines, the loop still answers
+    null_df = spark.createDataFrame(
+        [(0, 1), (1, None), (1, 2)], "src long, dst long"
+    )
+    local_runs.clear()
+    out = pagerank(null_df, iters=2).collect()
+    assert local_runs  # probed ...
+    assert len(out) > 0  # ... fell back, loop produced the ranks
+    # checkpoint=False (plan inspection) never probes the driver path
+    local_runs.clear()
+    pagerank(df, iters=1, checkpoint=False)
+    assert not local_runs
 
 
 def test_pagerank_mass_and_determinism(spark):
@@ -182,7 +231,9 @@ def test_pagerank_dangling_mass_conservation_property(spark):
     assert drop == _reference_pagerank(edges, iters=iters)
 
 
-def test_pagerank_releases_distinct_edge_cache_after_first_iteration(spark):
+def test_pagerank_releases_distinct_edge_cache_after_first_iteration(
+    spark, monkeypatch
+):
     """VERDICT r8 item 2 (ADVICE r7-3): the non-bucketed path must not hold
     TWO edge-sized caches for the whole loop. Once the first iteration's
     eager checkpoint has materialized the ``ew`` and ``nodes`` caches, the
@@ -210,6 +261,11 @@ def test_pagerank_releases_distinct_edge_cache_after_first_iteration(spark):
 
     edges = [(i % 23, (i * 5 + 1) % 29) for i in range(200)]
     df = spark.createDataFrame(edges, "src long, dst long")
+    # this guard pins the LOOP's cache discipline; force past the r17
+    # driver-local fast path (which runs no loop and checkpoints nothing)
+    from embulk_executor_mapreduce_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_PR_COLLECT_MAX_EDGES", 0)
     _CDF.localCheckpoint, _CDF.unpersist = spy_cp, spy_up
     try:
         got = pagerank(df, iters=3, redistribute_dangling=True).collect()
@@ -226,7 +282,9 @@ def test_pagerank_releases_distinct_edge_cache_after_first_iteration(spark):
     )
 
 
-def test_pagerank_nonbucketed_loop_body_no_edge_side_exchange(spark):
+def test_pagerank_nonbucketed_loop_body_no_edge_side_exchange(
+    spark, monkeypatch
+):
     """VERDICT r7 item 6: the non-bucketed path's repartition("src") +
     persist cache must make every steady-state iteration shuffle ONLY
     rank-cardinality frames — the edge (data-sized) cache feeds the
@@ -256,6 +314,10 @@ def test_pagerank_nonbucketed_loop_body_no_edge_side_exchange(spark):
 
     saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # loop-shape guard: force past the r17 driver-local fast path
+    from embulk_executor_mapreduce_spark.operators import graph as G
+
+    monkeypatch.setattr(G, "_PR_COLLECT_MAX_EDGES", 0)
     _CDF.localCheckpoint = spy
     try:
         pagerank(
