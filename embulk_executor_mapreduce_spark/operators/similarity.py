@@ -1586,6 +1586,76 @@ def random_projection_oracle_sql(
     """
 
 
+#: driver-local MMR cap: the greedy tail collects n_q × shortlist rel
+#: rows and n_q × shortlist² sim rows — parameter-bounded (never
+#: data-sized), gated against the repo's standard collect budget anyway.
+_MMR_LOCAL_MAX_PAIRS = 65_536
+
+
+def _mmr_greedy_local(
+    sl: DataFrame, pairs: DataFrame, k: int, lambda_micro: int
+) -> DataFrame | None:
+    """Unroll the MMR greedy selection on the driver from the collected
+    integer micro-unit tables (see the dispatch site in
+    :func:`mmr_rerank_topk`). Exact mirror of the distributed tail: rank 1
+    is the relevance-rank-1 row with score λ·rel; each later rank picks,
+    among unselected shortlist candidates, the max of
+    ``λ·rel − (1−λ)·max_{s∈selected} sim`` with ties to the smallest
+    cand_id; a query with fewer candidates than k stops early, exactly as
+    the empty window pick does. All arithmetic is BIGINT micro-units.
+    Returns ``None`` (caller keeps the distributed tail) if any rel/sim is
+    NULL."""
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    sl_rows = sl.select("query_id", "cand_id", "rel", "rn").collect()
+    pair_rows = pairs.collect()
+    by_q: dict = {}
+    for r in sl_rows:
+        if r["rel"] is None:
+            return None
+        by_q.setdefault(r["query_id"], []).append(
+            (r["cand_id"], r["rel"], r["rn"])
+        )
+    sims: dict = {}
+    for r in pair_rows:
+        if r["sim"] is None:
+            return None
+        sims[(r["query_id"], r["id_a"], r["id_b"])] = r["sim"]
+    lam, inv = lambda_micro, 1_000_000 - lambda_micro
+    out_rows = []
+    for qid in sorted(by_q):
+        cands = by_q[qid]
+        first = next(c for c in cands if c[2] == 1)
+        selected = [first[0]]
+        out_rows.append((qid, 1, first[0], lam * first[1]))
+        for step in range(2, k + 1):
+            remaining = [c for c in cands if c[0] not in selected]
+            if not remaining:
+                break
+            scored_local = [
+                (
+                    lam * rel
+                    - inv * max(sims[(qid, cid, s)] for s in selected),
+                    cid,
+                )
+                for cid, rel, _rn in remaining
+            ]
+            best_score, best_cid = max(
+                scored_local, key=lambda t: (t[0], -t[1])
+            )
+            selected.append(best_cid)
+            out_rows.append((qid, step, best_cid, best_score))
+    schema = StructType(
+        [
+            sl.schema["query_id"],
+            StructField("rank", IntegerType(), False),
+            sl.schema["cand_id"],
+            StructField("mmr_score", LongType(), True),
+        ]
+    )
+    return sl.sparkSession.createDataFrame(out_rows, schema)
+
+
 def mmr_rerank_topk(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -1698,6 +1768,22 @@ def mmr_rerank_topk(
         )
     )
     rels = sl.select("query_id", "cand_id", "rel")
+
+    # driver-local greedy tail (r17 optimization round 2): n_q × shortlist
+    # is a PARAMETER bound, not data — the docstring's own "unrolling the
+    # greedy loop in the driver costs k tiny stages" undersold it: the
+    # unrolled union re-derives the shortlist lineage per rank and its
+    # plan analysis alone dwarfs the work. When the pair matrix fits the
+    # repo's collect class, gather the INTEGER micro-unit rel/sim tables
+    # (the float→micro rounding stays in Spark, so there is no float
+    # surface to mirror) and run the greedy argmax locally — identical
+    # integer arithmetic, identical (score DESC, cand_id ASC) tie-break.
+    # NULL rel/sim (degenerate zero-norm vectors) falls back to the
+    # distributed tail rather than mirroring SQL NULL ordering.
+    if len(query_ids) * shortlist * shortlist <= _MMR_LOCAL_MAX_PAIRS:
+        local = _mmr_greedy_local(sl, pairs, k, lambda_micro)
+        if local is not None:
+            return local
 
     lam = F.lit(lambda_micro)
     inv = F.lit(1_000_000 - lambda_micro)

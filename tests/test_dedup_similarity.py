@@ -1292,6 +1292,37 @@ def test_kmeans_driver_path_matches_joined(spark, tmp_path, monkeypatch):
         assert driver_rows == joined_rows, name
 
 
+def test_mmr_driver_greedy_matches_distributed(spark, monkeypatch):
+    """The r17 driver-local MMR greedy tail must be BIT-IDENTICAL (rows
+    and schema) to the distributed unrolled loop it replaces — including
+    score ties (duplicate vectors force them), early-stop when the
+    shortlist runs out before k, and the rank-1 pure-relevance row."""
+    from embulk_executor_mapreduce_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    # duplicate a few vectors so rel/sim ties exercise the cand_id
+    # tie-break on both paths
+    dup = emb.limit(3).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    )
+    data = emb.unionByName(dup)
+    cases = [
+        dict(query_ids=(0, 1, 2, 3), shortlist=8, k=3),
+        dict(query_ids=(0, 5), shortlist=2, k=5),  # k > shortlist: early stop
+        dict(query_ids=(7,), shortlist=6, k=6, lambda_micro=300_000),
+    ]
+    for kw in cases:
+        fast = S.mmr_rerank_topk(data, **kw)
+        monkeypatch.setattr(S, "_MMR_LOCAL_MAX_PAIRS", -1)
+        slow = S.mmr_rerank_topk(data, **kw)
+        monkeypatch.undo()
+        assert fast.schema == slow.schema, kw
+        assert sorted(map(tuple, fast.collect())) == sorted(
+            map(tuple, slow.collect())
+        ), kw
+
+
 def test_kmeans_driver_path_guard_fallbacks(spark, tmp_path, monkeypatch):
     """Guard failures must dispatch to the joined loop, not the local
     trainer: duplicate ids (ill-defined by contract — the loop's per-id
