@@ -1087,16 +1087,21 @@ def semantic_dedup_two_level(
     base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
-    if coarse_k is None or sub_k is None:
-        from ..plans.inspect import planning_row_count
+    from ..plans.inspect import parquet_scan_row_count, planning_row_count
 
-        # planning-time scalar: n_rows > parquet footer metadata > count()
-        auto = two_level_k(planning_row_count(df, n_rows), target_cluster_docs)
+    # zero-job planning scalar: n_rows > parquet footer metadata > None —
+    # NEVER a count() here; only the auto-k sizing below may pay one
+    n_plan = int(n_rows) if n_rows is not None else parquet_scan_row_count(df)
+    if coarse_k is None or sub_k is None:
+        auto = two_level_k(
+            n_plan if n_plan is not None else planning_row_count(df, n_rows),
+            target_cluster_docs,
+        )
         coarse_k = coarse_k if coarse_k is not None else auto
         sub_k = sub_k if sub_k is not None else auto
 
     sub_assigned, _coarse, _subc = _two_level_train_assign(
-        base, id_col, coarse_k, sub_k, iters
+        base, id_col, coarse_k, sub_k, iters, planning_rows=n_plan
     )
     dups = _leaf_dups(sub_assigned, id_col, threshold_micro)
     return sub_assigned.join(dups, on=id_col, how="left_anti").select(
@@ -1190,6 +1195,7 @@ def _two_level_train_assign(
     sub_k: int,
     iters: int,
     coarse_train_filter=None,
+    planning_rows: int | None = None,
 ):
     """Shared two-level machinery: coarse train + cosine cell assignment +
     grouped per-cell sub-training + L2 leaf assignment. Returns
@@ -1203,7 +1209,13 @@ def _two_level_train_assign(
     # LEVEL 1 — coarse cells: cosine argmax against broadcast centroids,
     # exchange carries one row per vector (identical to semantic_dedup)
     coarse = kmeans_train(
-        base, id_col, "v", k=coarse_k, iters=iters, train_filter=coarse_train_filter
+        base,
+        id_col,
+        "v",
+        k=coarse_k,
+        iters=iters,
+        train_filter=coarse_train_filter,
+        planning_rows=planning_rows,
     )
     assigned = _coarse_assign(base, coarse, id_col)
 
@@ -1219,6 +1231,12 @@ def _two_level_train_assign(
     # LEVEL 2 — per-cell sub-centroids, ALL cells in one grouped pass.
     # train_filter=lit(True) selects the row_number-per-group init (ids
     # inside a cell are arbitrary, so the flat `id < k` init can't seed it).
+    # planning_rows rides down (r17 optimization round 2): the assignment
+    # is row-for-row the training input, so a caller that can size its
+    # corpus from parquet footers makes the grouped sub-train KNOWN-sized
+    # too — known-small dispatches to the driver-local trainer, which the
+    # checkpointed (LogicalRDD, footer-unsizable) input otherwise never
+    # could. Unknown stays None and the literal path keeps serving it.
     subc = kmeans_train(
         assigned,
         id_col,
@@ -1227,6 +1245,7 @@ def _two_level_train_assign(
         iters=iters,
         group_cols=("cell",),
         train_filter=F.lit(True),
+        planning_rows=planning_rows,
     )
     sub_assigned = _sub_assign(assigned, subc, id_col)
 

@@ -1292,6 +1292,48 @@ def test_kmeans_driver_path_matches_joined(spark, tmp_path, monkeypatch):
         assert driver_rows == joined_rows, name
 
 
+def test_two_level_planning_rows_dispatch_equivalence(spark, monkeypatch):
+    """r17: semantic_dedup_two_level threads its footer row count into
+    BOTH k-means calls as planning_rows, so the grouped sub-train (whose
+    checkpointed input a footer probe cannot size) dispatches to the
+    driver-local trainer on file-backed corpora. The output must be
+    bit-identical with the fast path disabled."""
+    from embulk_executor_mapreduce_spark.operators import similarity as S
+    from embulk_executor_mapreduce_spark.operators.dedup import (
+        semantic_dedup_two_level,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    probes: list[bool] = []
+    orig = S._kmeans_train_local
+
+    def spy(*a, **kw):
+        r = orig(*a, **kw)
+        probes.append(r is not None)
+        return r
+
+    monkeypatch.setattr(S, "_kmeans_train_local", spy)
+    fast = sorted(
+        map(
+            tuple,
+            semantic_dedup_two_level(
+                emb, coarse_k=4, sub_k=4, iters=2, threshold_micro=250_000
+            ).collect(),
+        )
+    )
+    assert probes == [True, True], probes  # coarse AND grouped sub-train
+    monkeypatch.setattr(S, "_KMEANS_DRIVER_MAX_VALUES", 0)
+    slow = sorted(
+        map(
+            tuple,
+            semantic_dedup_two_level(
+                emb, coarse_k=4, sub_k=4, iters=2, threshold_micro=250_000
+            ).collect(),
+        )
+    )
+    assert fast == slow
+
+
 def test_mmr_driver_greedy_matches_distributed(spark, monkeypatch):
     """The r17 driver-local MMR greedy tail must be BIT-IDENTICAL (rows
     and schema) to the distributed unrolled loop it replaces — including
