@@ -77,7 +77,15 @@ def _collect_words(words: DataFrame) -> tuple[DataFrame, list | None]:
     eager checkpoint already pins) and try the capped collect. Returns the
     checkpointed frame (the fallback loop reads it, so the corpus-pass
     aggregation is never recomputed) and the collected ``(w, n)`` rows, or
-    ``None`` when the vocabulary exceeds the cap."""
+    ``None`` when the vocabulary exceeds the cap.
+
+    Documented trade: on the FAST path the checkpointed table (≤ cap rows,
+    a few MB) stays in executor storage until the ContextCleaner GCs the
+    frame — checkpoint storage has no public unpersist handle. The
+    alternative (collect first, checkpoint only on fallback) would cost the
+    over-cap path a SECOND full corpus aggregation, which is the wrong
+    side of the trade at 100 TB; a leaked few-MB block per train call on
+    toy corpora is not."""
     ck = words.localCheckpoint(eager=False)
     rows = ck.limit(_BPE_COLLECT_MAX_WORDS + 1).collect()
     if len(rows) > _BPE_COLLECT_MAX_WORDS:

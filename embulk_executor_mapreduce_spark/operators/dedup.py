@@ -1087,16 +1087,16 @@ def semantic_dedup_two_level(
     base = df.select(F.col(id_col), as_double(vec_col).alias("v")).withColumn(
         "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
     )
-    from ..plans.inspect import parquet_scan_row_count, planning_row_count
+    from ..plans.inspect import parquet_scan_row_count
 
     # zero-job planning scalar: n_rows > parquet footer metadata > None —
-    # NEVER a count() here; only the auto-k sizing below may pay one
+    # a count() is only paid when the auto-k sizing below needs a number,
+    # and then its exact result feeds the trainer dispatch too
     n_plan = int(n_rows) if n_rows is not None else parquet_scan_row_count(df)
     if coarse_k is None or sub_k is None:
-        auto = two_level_k(
-            n_plan if n_plan is not None else planning_row_count(df, n_rows),
-            target_cluster_docs,
-        )
+        if n_plan is None:
+            n_plan = df.count()
+        auto = two_level_k(n_plan, target_cluster_docs)
         coarse_k = coarse_k if coarse_k is not None else auto
         sub_k = sub_k if sub_k is not None else auto
 

@@ -462,13 +462,15 @@ def _kmeans_local_lloyd(
         V = np.array([v for _, v in members], dtype=np.float64)
         n_rows, dim = V.shape
         scaled = np.floor(V * 1_000_000.0 + 0.5).astype(np.int64)
+        # dvv depends only on V — fold it once, not per iteration
+        dvv = np.zeros(n_rows, dtype=np.float64)
+        for i in range(dim):
+            dvv = dvv + V[:, i] * V[:, i]
         for _ in range(iters):
             C = np.array([cv for _, cv in cents], dtype=np.float64)
-            dvv = np.zeros(n_rows, dtype=np.float64)
             dcc = np.zeros(len(cents), dtype=np.float64)
             dvc = np.zeros((n_rows, len(cents)), dtype=np.float64)
             for i in range(dim):
-                dvv = dvv + V[:, i] * V[:, i]
                 dcc = dcc + C[:, i] * C[:, i]
                 dvc = dvc + V[:, i, None] * C[None, :, i]
             d = (dvv[:, None] - 2.0 * dvc) + dcc[None, :]
@@ -524,10 +526,13 @@ def _kmeans_train_local(
     dim = len(v0)
     if dim == 0 or known_rows * dim > _KMEANS_DRIVER_MAX_VALUES:
         return None
-    rows = base.limit(_KMEANS_LITERAL_MIN_ROWS + 1).collect()
-    if len(rows) > _KMEANS_LITERAL_MIN_ROWS:
+    # cap the probe at the CLAIMED size: a lying planning_rows/n_rows must
+    # be caught after at most known_rows+1 rows, never after 65k wide ones
+    rows = base.limit(known_rows + 1).collect()
+    if len(rows) > known_rows:
         return None
     parsed, seen = [], set()
+    max_abs = 0.0
     for r in rows:
         gv = r[g[0]] if g else None
         vid, v = r["__vid"], r["__v"]
@@ -537,12 +542,21 @@ def _kmeans_train_local(
             return None
         seen.add((gv, vid))
         for x in v:
-            # the 9e12 bound keeps floor(x·10⁶+0.5) inside int64: past
-            # long range numpy's float→int64 conversion (sentinel
-            # INT64_MIN) and Java's (saturating) disagree
-            if x is None or not math.isfinite(x) or abs(x) > 9.0e12:
+            if x is None or not math.isfinite(x):
                 return None
+            if abs(x) > max_abs:
+                max_abs = abs(x)
         parsed.append((gv, vid, v))
+    # Overflow guard, TWO disagreements at once: past int64, numpy's
+    # float→int64 conversion (sentinel INT64_MIN) differs from Java's
+    # saturation, and the distributed loop's long SUM throws
+    # ARITHMETIC_OVERFLOW under this session's ANSI mode while numpy's
+    # int64 sum wraps silently. Bounding |scaled element| · n_rows under
+    # int64 makes BOTH the per-element conversion and every possible
+    # cluster sum exact, so the local path only ever runs where the loop
+    # could not have thrown.
+    if (math.floor(max_abs * 1_000_000.0 + 0.5) + 1) * max(len(parsed), 1) >= 2**63:
+        return None
     out = _kmeans_local_lloyd(parsed, k, iters, sampled)
     if g:
         data = out
@@ -1620,7 +1634,12 @@ def _mmr_greedy_local(
     for r in pair_rows:
         if r["sim"] is None:
             return None
-        sims[(r["query_id"], r["id_a"], r["id_b"])] = r["sim"]
+        key = (r["query_id"], r["id_a"], r["id_b"])
+        # duplicate candidate ids (contract-violating input) yield several
+        # rows per key; the distributed penalty is groupBy().max("sim"),
+        # so keep the max — never last-write-wins
+        if key not in sims or r["sim"] > sims[key]:
+            sims[key] = r["sim"]
     lam, inv = lambda_micro, 1_000_000 - lambda_micro
     out_rows = []
     for qid in sorted(by_q):

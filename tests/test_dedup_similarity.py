@@ -1386,6 +1386,12 @@ def test_kmeans_driver_path_guard_fallbacks(spark, tmp_path, monkeypatch):
         "non_finite": rows + [(97, [float("inf"), 0.0])],
         "ragged": rows + [(98, [1.0])],
         "null_vec": rows + [(99, None)],
+        # |scaled| * n_rows past int64: numpy's int64 sum would wrap where
+        # the ANSI distributed loop could throw — must dispatch to the loop
+        # (these rows spread over 4 clusters, so the loop itself is fine)
+        "sum_overflow_risk": [
+            (i, [5.5e11 + i, float(i % 5)]) for i in range(20)
+        ],
     }
     for name, data in bad.items():
         p = str(tmp_path / name)
